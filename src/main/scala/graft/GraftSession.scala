@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned [[SparkSession]] factory.
+  *
+  * The reference runs Flink jobs with parallelism 4 and Kafka-partition
+  * alignment (gmall2024-realtime-master/realtime-common/src/main/java/
+  * com/atguigu/gmall/realtime/common/base/BaseApp.java:38). Here the
+  * equivalent knobs are shuffle partitioning + AQE: partitions are a
+  * floor and AQE coalesces/splits at runtime, which is what survives a
+  * 1000-executor scale-up.
+  */
+object GraftSession {
+
+  /** Build a local session; `cores` drives both parallelism and the
+    * shuffle-partition floor (never the default 200 in local mode).
+    */
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession =
+    tune(SparkSession.builder().master(s"local[$cores]").appName(appName), cores)
+      .getOrCreate()
+
+  /** Apply graft's standard configuration to any builder (cluster or
+    * local) — everything here is scale-neutral.
+    */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    // the events table stores TIMESTAMP(NANOS) which Spark has no
+    // native type for; read as long and convert in Tables.events
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+}

@@ -1,13 +1,296 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.warehouse.{Dwd, Dws, Publisher}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — every capability from SURVEY.md §2 with a
+  * DuckDB-checkable oracle. Column names/types are aliased
+  * identically on both sides; money sums ride DECIMAL(12,2) so they
+  * are order-independent; similarity scores that depend on float
+  * accumulation order are excluded from hashed output (ranks/ids
+  * only).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Dws.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 warehouse
+    "q1_pricing_summary" -> (Dws.pricingSummary(_, _)),
+    "dws_traffic_pageview" -> (Dws.trafficPageView(_, _)),
+    "dws_traffic_keyword" -> (Dws.trafficKeyword(_, _)),
+    "dws_traffic_home_detail" -> (Dws.trafficHomeDetail(_, _)),
+    "dws_user_login" -> (Dws.userLogin(_, _)),
+    "dws_user_register" -> (Dws.userRegister(_, _)),
+    "dws_trade_cart_uu" -> (Dws.tradeCartUu(_, _)),
+    "dwd_trade_order_detail" -> (Dwd.tradeOrderDetail(_, _)),
+    "dwd_trade_order_cancel" -> (Dwd.tradeOrderCancel(_, _)),
+    "dwd_trade_pay_suc" -> (Dwd.tradePaySuc(_, _)),
+    "dwd_trade_refund" -> (Dwd.tradeRefund(_, _)),
+    "dws_trade_sku_order" -> (Dws.tradeSkuOrder(_, _)),
+    "dws_trade_province_order" -> (Dws.tradeProvinceOrder(_, _)),
+    "dwd_comment_dic_join" -> (Dwd.commentDicJoin(_, _)),
+    "pub_gmv_daily" -> (Publisher.gmvDaily(_, _)),
+    "pub_province_topn" -> (Publisher.provinceTopN(_, _)),
+    "pub_channel_uvct" -> (Publisher.channelUvCt(_, _)),
+    "q5_star_join" -> (Publisher.starJoinRevenue(_, _)),
+    "q3_segment_revenue" -> (Publisher.segmentRevenue(_, _)),
+    "dwd_visitor_state_repair" -> (Dwd.visitorStateRepair(_, _)),
+    // §2.2 LLM pipeline
+    "dedup_exact" -> (Dedup.exact(_, _)),
+    "dedup_minhash_lsh" -> (Dedup.minhashLsh(_, _)),
+    "dedup_simhash" -> (Dedup.simhash(_, _)),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDupExact(s, d).select("id_a", "id_b")),
+    "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
+    "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
+    "text_langid" -> (TextAnalysis.langId(_, _)),
+    "text_quality" -> (TextAnalysis.quality(_, _)),
+    "text_tokens" -> (TextAnalysis.tokens(_, _)),
+    "text_fingerprint" -> (TextAnalysis.fingerprintGroups(_, _)),
+    "mm_binary_meta" -> (Multimodal.binaryMeta(_, _)),
+  )
+
+  private val money = "CAST(%s AS DECIMAL(12,2))"
+  private def m(c: String) = money.format(c)
+  private val rev =
+    s"${m("l_extendedprice")} * (1 - ${m("l_discount")})"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(${m("l_quantity")}) AS DOUBLE) AS sum_qty,
+         | CAST(SUM(${m("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+         | CAST(SUM($rev) AS DOUBLE) AS sum_disc_price,
+         | CAST(SUM($rev * (1 + ${m("l_tax")})) AS DOUBLE) AS sum_charge,
+         | CAST(SUM(${m("l_quantity")}) AS DOUBLE) / COUNT(*) AS avg_qty,
+         | COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "dws_traffic_pageview" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS wstart,
+        | event_type, COUNT(*) AS pv_ct, COUNT(DISTINCT user_id) AS uv_ct,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "dws_traffic_keyword" ->
+      """SELECT kw AS keyword, COUNT(*) AS kw_ct FROM (
+        | SELECT unnest(string_split(lower(text), ' ')) AS kw FROM documents) t
+        |WHERE kw <> '' GROUP BY kw""".stripMargin,
+    "dws_traffic_home_detail" ->
+      """SELECT CAST(ts AS DATE) AS cur_date, event_type,
+        | COUNT(DISTINCT user_id) AS uv_ct, COUNT(*) AS pv_ct
+        |FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2""".stripMargin,
+    "dws_user_login" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |g AS (SELECT user_id, d,
+        |      lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d FROM ud)
+        |SELECT d, COUNT(*) AS uu_ct,
+        | COUNT(CASE WHEN prev_d IS NOT NULL
+        |   AND datediff('day', prev_d, d) > 7 THEN 1 END) AS back_ct
+        |FROM g GROUP BY d""".stripMargin,
+    "dws_user_register" ->
+      """SELECT CAST(ts AS DATE) AS cur_date, COUNT(*) AS register_ct,
+        | COUNT(DISTINCT user_id) AS register_uu
+        |FROM events WHERE event_type = 'signup' GROUP BY 1""".stripMargin,
+    "dws_trade_cart_uu" ->
+      """SELECT CAST(ts AS DATE) AS cur_date,
+        | COUNT(DISTINCT user_id) AS cart_uu
+        |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
+    "dwd_trade_order_detail" ->
+      s"""SELECT l_orderkey AS order_id, CAST(l_linenumber AS INT) AS line_id,
+         | o_custkey AS user_id, CAST(o_orderdate AS DATE) AS order_date,
+         | o_orderstatus AS order_status, l_partkey AS sku_id,
+         | l_quantity AS sku_num, l_extendedprice AS split_original_amount,
+         | CAST($rev AS DOUBLE) AS split_total_amount
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "dwd_trade_order_cancel" ->
+      s"""SELECT l_orderkey AS order_id, CAST(l_linenumber AS INT) AS line_id,
+         | o_custkey AS user_id, CAST(o_orderdate AS DATE) AS order_date,
+         | o_orderstatus AS order_status, l_partkey AS sku_id,
+         | l_quantity AS sku_num, l_extendedprice AS split_original_amount,
+         | CAST($rev AS DOUBLE) AS split_total_amount
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderstatus = 'F'""".stripMargin,
+    "dwd_trade_pay_suc" ->
+      s"""SELECT l_orderkey AS order_id, CAST(l_linenumber AS INT) AS line_id,
+         | o_custkey AS user_id, CAST(o_orderdate AS DATE) AS order_date,
+         | o_orderstatus AS order_status, l_partkey AS sku_id,
+         | l_quantity AS sku_num, l_extendedprice AS split_original_amount,
+         | CAST($rev AS DOUBLE) AS split_total_amount
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderstatus = 'P'""".stripMargin,
+    "dwd_trade_refund" ->
+      s"""SELECT l_orderkey AS order_id, CAST(l_linenumber AS INT) AS line_id,
+         | o_custkey AS user_id, l_partkey AS sku_id,
+         | l_quantity AS refund_num, CAST($rev AS DOUBLE) AS refund_amount
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_returnflag = 'R'""".stripMargin,
+    "dws_trade_sku_order" ->
+      s"""SELECT p_brand AS trademark, p_type AS category,
+         | l_partkey AS sku_id, p_name AS sku_name, COUNT(*) AS order_ct,
+         | CAST(SUM(${m("l_quantity")}) AS DOUBLE) AS sku_num,
+         | CAST(SUM($rev) AS DOUBLE) AS order_amount
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "dws_trade_province_order" ->
+      s"""SELECT n_name AS province_name, r_name AS region_name,
+         | COUNT(DISTINCT o_orderkey) AS order_ct,
+         | CAST(SUM(${m("o_totalprice")}) AS DOUBLE) AS order_amount
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2""".stripMargin,
+    "dwd_comment_dic_join" ->
+      """SELECT s_suppkey AS supplier_id, s_name AS supplier_name,
+        | n_name AS nation_name, r_name AS region_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "pub_gmv_daily" ->
+      s"""SELECT CAST(o_orderdate AS DATE) AS cur_date,
+         | CAST(SUM(${m("o_totalprice")}) AS DOUBLE) AS gmv,
+         | COUNT(*) AS order_ct
+         |FROM orders GROUP BY 1""".stripMargin,
+    "pub_province_topn" ->
+      s"""WITH pa AS (
+         | SELECT n_name AS province_name,
+         |  CAST(SUM(${m("o_totalprice")}) AS DOUBLE) AS order_amount
+         | FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1)
+         |SELECT province_name, order_amount, rk FROM (
+         | SELECT province_name, order_amount, row_number() OVER
+         |  (ORDER BY order_amount DESC, province_name) AS rk FROM pa) t
+         |WHERE rk <= 10""".stripMargin,
+    "pub_channel_uvct" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ch,
+        | COUNT(DISTINCT user_id) AS uv_ct, COUNT(*) AS pv_ct
+        |FROM events GROUP BY 1""".stripMargin,
+    "q5_star_join" ->
+      s"""SELECT n_name AS nation_name, CAST(SUM($rev) AS DOUBLE) AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         | JOIN lineitem ON o_orderkey = l_orderkey
+         | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         | JOIN nation ON s_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' GROUP BY 1""".stripMargin,
+    "q3_segment_revenue" ->
+      s"""WITH agg AS (
+         | SELECT l_orderkey AS order_id, CAST(o_orderdate AS DATE) AS order_date,
+         |  o_orderpriority, CAST(SUM($rev) AS DOUBLE) AS revenue
+         | FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         | WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         | GROUP BY 1, 2, 3)
+         |SELECT order_id, order_date, o_orderpriority, revenue, rk FROM (
+         | SELECT *, row_number() OVER (ORDER BY revenue DESC, order_id) AS rk
+         | FROM agg) t
+         |WHERE rk <= 10""".stripMargin,
+    "dwd_visitor_state_repair" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id,
+        | CASE WHEN CAST(e.ts AS DATE) = f.first_d THEN 1 ELSE 0 END AS is_new
+        |FROM events e JOIN f ON e.user_id = f.user_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+        | COUNT(*) AS dup_ct
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        |  FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        | CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+        |      FROM e)
+        |SELECT id_a, id_b FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum([a.v[i + 1] * b.v[i + 1] for i in range(0, len(a.v))])
+        |   / (a.nrm * b.nrm) AS cos
+        | FROM n a JOIN n b ON a.vec_id < b.vec_id) t
+        |WHERE cos >= 0.4""".stripMargin,
+    "sim_topk_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+        |      FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+        |      WHERE vec_id < 20),
+        |s AS (SELECT query_id, e2.vec_id AS neighbor_id,
+        |  list_sum([qv[i + 1] * e2.v[i + 1] for i in range(0, len(qv))])
+        |   / (qn * e2.nrm) AS cos
+        | FROM q, n e2 WHERE e2.vec_id <> query_id)
+        |SELECT query_id, rk, neighbor_id FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        | FROM s) t
+        |WHERE rk <= 5""".stripMargin,
+    "text_langid" ->
+      """SELECT doc_id, pred_lang,
+        | CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS label_match
+        |FROM (
+        | SELECT doc_id, lang, CASE
+        |  WHEN regexp_matches(lower(text), '[一-鿿]') THEN 'zh'
+        |  WHEN regexp_matches(lower(text), '[぀-ヿ]') THEN 'ja'
+        |  WHEN regexp_matches(lower(text), '[Ѐ-ӿ]') THEN 'ru'
+        |  WHEN regexp_matches(lower(text), '[äöüß]') THEN 'de'
+        |  WHEN regexp_matches(lower(text), '[àâçèéêëîïôùû]') THEN 'fr'
+        |  WHEN regexp_matches(lower(text), '[áíñóú]') THEN 'es'
+        |  WHEN regexp_matches(lower(text), '(^| )(the|and|of|to|a|is)( |$)')
+        |   THEN 'en'
+        |  ELSE 'und' END AS pred_lang
+        | FROM documents) t""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars_calc,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(list_sum([length(x) for x in toks]) AS DOUBLE)
+        |  / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+        | stop_ct / n_toks AS stopword_ratio,
+        | alpha / n_chars AS alpha_ratio,
+        | stop_ct / n_toks * 0.3 + alpha / n_chars * 0.4
+        |  + least(n_toks / 100.0, 1.0) * 0.3 AS quality_score
+        |FROM (
+        | SELECT doc_id, text, toks,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  CAST(len(toks) AS DOUBLE) AS n_toks,
+        |  CAST(len(list_filter(toks, x -> list_contains(
+        |   ['the','a','of','and','to','is','in','that','it','for'], x)))
+        |   AS DOUBLE) AS stop_ct,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |   AS DOUBLE) AS alpha
+        | FROM (SELECT doc_id, text,
+        |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |       FROM documents) a) b""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(lower(text), ' '),
+        |  x -> x <> '')) AS BIGINT) AS ws_tokens,
+        | CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |  x -> x <> '')) AS BIGINT) AS re_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |  list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' '))
+        |  AS fp,
+        | MIN(doc_id) AS keep_id, COUNT(*) AS dup_ct
+        |FROM documents GROUP BY 1""".stripMargin,
+  )
 }

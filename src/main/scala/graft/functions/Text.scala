@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions (all codegen'd built-ins — no UDFs).
+  *
+  * Re-expresses the reference's text handling (keyword splitting via a
+  * Flink UDTF, gmall2024-realtime-master/realtime-dws/realtime-dws-
+  * traffic-source-keyword-page-view-window/src/main/java/com/atguigu/
+  * gmall/realtime/dws/function/KeywordUDTF.java:1) plus the
+  * LLM-pipeline text operators (language ID, quality scoring, token
+  * counting, fingerprinting) mandated by the brief.
+  *
+  * Every function here is a pure `Column` expression, so it runs
+  * inside whole-stage codegen and scales linearly with input — no
+  * shuffle, no driver involvement.
+  */
+object Text {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def wsTokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Regex subtokens: maximal [a-z0-9] runs — a cheap BPE-ish
+    * pre-tokenization. Pattern kept to a POSIX-safe class so any SQL
+    * oracle (Java regex vs RE2) agrees byte-for-byte.
+    */
+  def regexTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Character n-gram shingles over the lowercased text, distinct.
+    * i ranges 1..len-n+1 (one short shingle when len < n) — mirrors
+    * `[substr(lower(text), i, n) for i in range(1, greatest(len-n+2, 2))]`.
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val lo = lower(text)
+    val hi = greatest(length(lo) - lit(n - 2), lit(2)) - lit(1)
+    array_distinct(transform(sequence(lit(1), hi),
+      i => substring(lo, i, lit(n))))
+  }
+
+  /** Word n-gram shingles (space-joined), distinct. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = wsTokens(text)
+    val hi = greatest(size(toks) - lit(n - 2), lit(2)) - lit(1)
+    array_distinct(transform(sequence(lit(1), hi),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Heuristic language ID: script/diacritic character classes first,
+    * then an English-stopword fallback. Deterministic and
+    * SQL-mirrorable (see SparkEntry.oracleSql("text_langid")).
+    */
+  def langId(text: Column): Column = {
+    val t = lower(text)
+    when(t.rlike("[一-鿿]"), "zh")
+      .when(t.rlike("[぀-ヿ]"), "ja")
+      .when(t.rlike("[Ѐ-ӿ]"), "ru")
+      .when(t.rlike("[äöüß]"), "de")
+      .when(t.rlike("[àâçèéêëîïôùû]"), "fr")
+      .when(t.rlike("[áíñóú]"), "es")
+      .when(t.rlike("(^| )(the|and|of|to|a|is)( |$)"), "en")
+      .otherwise("und")
+  }
+
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "is", "in", "that", "it", "for")
+
+  /** Token count (whitespace). */
+  def tokenCount(text: Column): Column = size(wsTokens(text)).cast("long")
+
+  /** Quality signals: char count, token count, mean token length,
+    * stopword ratio, alpha ratio, and a fixed linear quality score.
+    * All divisions are double-typed and single-op, so a SQL oracle
+    * reproduces them bit-for-bit.
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = wsTokens(text)
+    val nChars = length(text).cast("double")
+    val nToks = size(toks).cast("double")
+    val meanLen = aggregate(transform(toks, t => length(t)), lit(0L),
+      (acc, x) => acc + x).cast("double") / nToks
+    val stopCt = size(filter(toks,
+      t => t.isin(stopwords: _*))).cast("double")
+    val alpha = length(regexp_replace(lower(text), "[^a-z]", "")).cast("double")
+    Seq(
+      nChars.cast("long").as("n_chars_calc"),
+      nToks.cast("long").as("n_tokens"),
+      meanLen.as("mean_token_len"),
+      (stopCt / nToks).as("stopword_ratio"),
+      (alpha / nChars).as("alpha_ratio"),
+      (stopCt / nToks * lit(0.3) + alpha / nChars * lit(0.4) +
+        least(nToks / lit(100.0), lit(1.0)) * lit(0.3)).as("quality_score"))
+  }
+
+  /** Key-collision fingerprint (OpenRefine-style): digest of the
+    * sorted distinct whitespace tokens. Two docs differing only in
+    * word order / duplication collide.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(wsTokens(text)))))
+}

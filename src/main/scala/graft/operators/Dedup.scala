@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.functions.{Text, Vectors}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication at training-pipeline scale.
+  *
+  * Four families, in increasing fuzziness: exact (hash groupBy),
+  * MinHash+LSH (set similarity), SimHash (weighted bit fingerprint),
+  * and embedding-cosine. All are expressed as declarative plans:
+  * the quadratic "compare everything" step never materializes — LSH
+  * banding / bit-banding turns candidate generation into an equi-join
+  * on bucket keys, which shuffles only (bucket, id) pairs. That is
+  * the property that survives 100 TB: cost is O(docs × sig_len) map
+  * side + a bucket-join whose fan-in is tuned by band width.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest, keep the min id.
+    * One shuffle on the digest; at scale the digest groupBy is the
+    * canonical map-side-combinable aggregation.
+    */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_ct"))
+
+  /** Shingle-set table: (doc_id, shingles array, n_shingles). */
+  private def shingled(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.charShingles(col("text"), n).as("shingles"))
+
+  private val MinhashPrime = 2038074743L
+
+  /** 64-permutation MinHash signature over xxhash64'd shingles.
+    * Permutation coefficients are fixed literals (splitmix-style
+    * constants) — no driver randomness, identical on every executor.
+    */
+  private def minhashSig(shingles: Column, perms: Int): Column = {
+    val hashed = transform(shingles, sh => pmod(xxhash64(sh), lit(MinhashPrime)))
+    val coeffs = (0 until perms).map { i =>
+      val a = 2862933555777941757L * (i + 1) % MinhashPrime
+      val b = 3037000493L * (i + 7) % MinhashPrime
+      (math.abs(a) max 1L, math.abs(b))
+    }
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(hashed, h => pmod(h * a + b, lit(MinhashPrime))))
+    }: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs with exact-Jaccard verification.
+    *
+    * shingle → 64-perm signature → `bands` bands of width
+    * 64/bands → band-bucket equi-join → candidate pairs → verified
+    * against true shingle-set Jaccard ≥ threshold. Only candidates
+    * (pairs agreeing on ≥1 band) ever pay the set-intersection cost.
+    */
+  def minhashLsh(s: SparkSession, d: String, ngram: Int = 12,
+      threshold: Double = 0.5, perms: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = bands
+    val r = perms / rows
+    val sh = shingled(s, d, ngram).cache()
+    val sig = sh.select(col("doc_id"),
+      minhashSig(col("shingles"), perms).as("sig"))
+    val banded = sig.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(rows - 1)),
+        b => hash(slice(col("sig"), b * r + 1, lit(r)), b))))
+      .toDF("doc_id", "band", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprint per document. The per-bit ±1 votes
+    * are a single groupBy with 64 map-side-combinable sums — shuffle
+    * carries 64 longs per doc, not the tokens.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.wsTokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
+        .as(s"v$b"))
+    val fp = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band join for candidates, then
+    * hamming(a,b) ≤ maxHamming verification via bit_count(xor).
+    */
+  def simhashNearDup(s: SparkSession, d: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(s, d).cache()
+    val banded = fp.select(col("doc_id"), col("simhash"), posexplode(
+      array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "simhash", "band", "piece")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.piece") === col("b.piece") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard pairs via shingle inverted index: explode
+    * distinct shingles, self-join on shingle (rare keys → small
+    * groups), count co-occurrences, divide by union size. This is the
+    * ground truth the LSH variants are tested against.
+    */
+  def ngramJaccard(s: SparkSession, d: String, ngram: Int = 12,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(s, d, ngram)
+      .select(col("doc_id"), size(col("shingles")).as("n"),
+        explode(col("shingles")).as("sh"))
+    val sizes = sh.select("doc_id", "n").distinct()
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-dup pairs, exact quadratic variant (the oracle /
+    * ground truth — see [[lshNearDup]] for the scale path).
+    */
+  def embeddingNearDupExact(s: SparkSession, d: String,
+      threshold: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Vectors.cosineWithNorms(col("a.v"), col("b.v"),
+          col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding near-dup via random-hyperplane LSH buckets: pairs are
+    * only compared inside a bucket — the join is an equi-join on
+    * bucket id, so shuffle volume is O(n), not O(n²).
+    */
+  def embeddingNearDupLsh(s: SparkSession, d: String,
+      threshold: Double = 0.4, nBits: Int = 8): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+      .withColumn("bucket", Vectors.lshBucket(col("v"), 64, nBits))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Vectors.cosineWithNorms(col("a.v"), col("b.v"),
+          col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.functions.Text
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the documents table — language ID,
+  * quality scoring, token counting, fingerprinting. All per-row
+  * column expressions (no shuffle except the dedup groupBy in
+  * [[fingerprintGroups]]), so they scale as pure scans.
+  */
+object TextAnalysis {
+
+  /** Predicted language + agreement with the labeled lang column. */
+  def langId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.langId(col("text")).as("pred_lang"),
+      when(Text.langId(col("text")) === col("lang"), 1).otherwise(0)
+        .as("label_match"))
+
+  /** Quality signals + linear quality score per document. */
+  def quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id") +: Text.qualityColumns(col("text")): _*)
+
+  /** Whitespace and regex-subtoken counts. */
+  def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.tokenCount(col("text")).as("ws_tokens"),
+      size(Text.regexTokens(col("text"))).cast("long").as("re_tokens"),
+      length(col("text")).cast("long").as("n_chars_calc"))
+
+  /** Fingerprint clusters: docs sharing a sorted-distinct-token
+    * digest are duplicates under bag-of-words equivalence.
+    */
+  def fingerprintGroups(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(Text.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_ct"))
+}

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated star schema (TESTDATA.md).
+  *
+  * Maps the reference's domain onto the testdata: the page-view log
+  * topic (reference DwdBaseLog.java) → `events`; order_info →
+  * `orders`; order_detail → `lineitem`; sku/spu/trademark dims →
+  * `part`; province/region → `nation`/`region`; user_info →
+  * `customer`; documents/embeddings back the LLM-pipeline operators.
+  *
+  * All reads are plain parquet scans so Catalyst keeps predicate
+  * pushdown and column pruning; at warehouse scale these would be
+  * partitioned (orders/lineitem by date) and the loaders stay valid —
+  * partition pruning composes with the same call sites.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    require(all.contains(name), s"unknown table: $name")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark reads
+    * as a nanos long (spark.sql.legacy.parquet.nanosAsLong) — convert
+    * to a proper timestamp at the scan edge (micro truncation, same
+    * wall time DuckDB sees).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

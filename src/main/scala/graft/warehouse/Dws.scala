@@ -1,0 +1,156 @@
+package graft.warehouse
+
+import graft.functions.Text
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DWS layer: windowed/daily summary aggregations.
+  *
+  * The reference computes these as Flink tumbling-event-time windows
+  * with keyed-state UV dedup (gmall2024-realtime-master/realtime-dws/
+  * .../DwsTrafficVcChArIsNewPageViewWindow.java:58) sunk to
+  * Doris/ClickHouse aggregate tables. Batch-side each is a single
+  * groupBy on (time-bucket × dims) — one shuffle, map-side partial
+  * aggregation free from Catalyst. UV ("keyed state dedup") becomes
+  * count(DISTINCT …), which Spark plans as a two-stage expand +
+  * partial agg — the distributed equivalent of the per-key ValueState.
+  */
+object Dws {
+  import Dwd.dec
+
+  /** Flagship pricing summary (Doris-aggregate-table shape): one
+    * groupBy over the biggest fact with decimal-exact money math.
+    * Shipdate filter pushes to the parquet scan; the agg is map-side
+    * combinable so the shuffle carries ≤ (flags × statuses) rows per
+    * task regardless of input scale.
+    */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) *
+          (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** Hourly pv/uv/value per event_type.
+    * Ref: DwsTrafficVcChArIsNewPageViewWindow.java:58.
+    * The window start is emitted as a formatted string so parquet and
+    * the DuckDB oracle agree on type and value exactly.
+    */
+  def trafficPageView(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("pv_ct"),
+        countDistinct(col("user_id")).as("uv_ct"),
+        sum(dec(col("value"))).cast("double").as("value_sum"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("wstart"),
+        col("event_type"), col("pv_ct"), col("uv_ct"), col("value_sum"))
+
+  /** Keyword split + count — the KeywordUDTF analogue: explode is
+    * Spark's generator-UDTF, fully codegen'd.
+    * Ref: KeywordUDTF.java:1, DwsTrafficSourceKeywordPageViewWindow.java:1.
+    */
+  def trafficKeyword(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(Text.wsTokens(col("text"))).as("keyword"))
+      .groupBy("keyword").agg(count(lit(1)).as("kw_ct"))
+
+  /** Home/detail page UV+PV per day.
+    * Ref: DwsTrafficHomeDetailPageViewWindow.java:1 (page_id in
+    * ('home','good_detail') → event_type in ('view','click')).
+    */
+  def trafficHomeDetail(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .groupBy(to_date(col("ts")).as("cur_date"), col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("uv_ct"),
+        count(lit(1)).as("pv_ct"))
+
+  /** Daily unique users + 7-day-returning users. The reference keeps
+    * last-login-date in keyed state (DwsUserUserLoginWindow.java:1);
+    * batch-side that state is a lag() window function over the
+    * deduped user-day stream — partitioned by user_id, so the sort is
+    * per-user and tiny.
+    */
+  def userLogin(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    ud.withColumn("prev_d", lag(col("d"), 1).over(w))
+      .groupBy(col("d"))
+      .agg(
+        count(lit(1)).as("uu_ct"),
+        count(when(col("prev_d").isNotNull &&
+          datediff(col("d"), col("prev_d")) > 7, 1)).as("back_ct"))
+  }
+
+  /** Daily register counts. Ref: DwsUserUserRegisterWindow.java:1. */
+  def userRegister(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "signup")
+      .groupBy(to_date(col("ts")).as("cur_date"))
+      .agg(
+        count(lit(1)).as("register_ct"),
+        countDistinct(col("user_id")).as("register_uu"))
+
+  /** Daily cart-add unique users ("click" as the cart-add analogue).
+    * Ref: DwsTradeCartAddUuWindow.java:1 (first-event-per-day keyed
+    * state ≡ count distinct per day).
+    */
+  def tradeCartUu(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("cur_date"))
+      .agg(countDistinct(col("user_id")).as("cart_uu"))
+
+  /** Per-SKU order summary with dim enrichment. The reference
+    * enriches sku→spu→trademark→category via async HBase lookups
+    * (DwsTradeSkuOrderWindow.java:1, DimAsyncFunction.java:1); here
+    * the dim (part) is broadcast — zero shuffle on the fact side, the
+    * single shuffle is the final groupBy on sku.
+    */
+  def tradeSkuOrder(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(
+        col("p_brand").as("trademark"),
+        col("p_type").as("category"),
+        col("l_partkey").as("sku_id"),
+        col("p_name").as("sku_name"))
+      .agg(
+        count(lit(1)).as("order_ct"),
+        sum(dec(col("l_quantity"))).cast("double").as("sku_num"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("order_amount"))
+  }
+
+  /** Province/region order summary: fact aggregated after broadcast
+    * dim joins. Ref: DwsTradeProvinceOrderWindow.java:1.
+    */
+  def tradeProvinceOrder(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name").as("province_name"), col("r_name").as("region_name"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("order_ct"),
+        sum(dec(col("o_totalprice"))).cast("double").as("order_amount"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.warehouse
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Serving-layer analytics — the queries the reference's Spring
+  * publisher runs against Doris/ClickHouse (gmall2024-realtime-master/
+  * gmall2024-publisher/src/main/java/com/atguigu/gmall/mapper/
+  * TradeStatsMapper.java:1, TrafficStatsMapper.java:1), re-expressed
+  * directly over the warehouse. Also the classic star-join shapes
+  * those dashboards reduce to.
+  */
+object Publisher {
+  import Dwd.dec
+
+  /** GMV + order count per day. Ref: TradeStatsMapper.java:1. */
+  def gmvDaily(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("cur_date"))
+      .agg(
+        sum(dec(col("o_totalprice"))).cast("double").as("gmv"),
+        count(lit(1)).as("order_ct"))
+
+  /** Top-10 provinces by order amount, deterministic rank (amount
+    * desc, name asc tiebreak). Ref: TradeProvinceOrderAmount.java:1.
+    * The rank runs over ~25 post-aggregation rows — the window's
+    * single partition is fine because the heavy lifting (the fact
+    * aggregation) already reduced cardinality by 6 orders of
+    * magnitude.
+    */
+  def provinceTopN(s: SparkSession, d: String, topN: Int = 10): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val agg = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("province_name"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("order_amount"))
+    val w = Window.orderBy(col("order_amount").desc, col("province_name"))
+    agg.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topN)
+  }
+
+  /** Channel UV/PV — channel derived from the JSON props payload,
+    * mirroring the reference's pervasive JSONObject parsing
+    * (TrafficStatsMapper.java:1). get_json_object is codegen'd.
+    */
+  def channelUvCt(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("ch"),
+        col("user_id"))
+      .groupBy("ch")
+      .agg(
+        countDistinct(col("user_id")).as("uv_ct"),
+        count(lit(1)).as("pv_ct"))
+
+  /** Local-supplier-volume star join: 6 tables, region filter pushed
+    * to the region dim scan, dims broadcast. The only shuffles are
+    * the two fact-fact joins (orders⋈lineitem on orderkey,
+    * customer⋈orders on custkey) and the final 25-group agg.
+    */
+  def starJoinRevenue(s: SparkSession, d: String,
+      region: String = "ASIA"): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d).filter(col("r_name") === region)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name").as("nation_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** Top-10 revenue among a segment's unshipped orders (shipped-date
+    * after cutoff), deterministic tiebreak on order id.
+    */
+  def segmentRevenue(s: SparkSession, d: String,
+      segment: String = "BUILDING", cutoff: String = "1998-01-01"): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === segment)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+    val agg = c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(
+        col("l_orderkey").as("order_id"),
+        to_date(col("o_orderdate")).as("order_date"),
+        col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+    val w = Window.orderBy(col("revenue").desc, col("order_id"))
+    agg.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+  }
+}
