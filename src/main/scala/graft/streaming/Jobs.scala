@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expressions of the reference's Flink
+  * topology (SURVEY.md §2.3). Each job is a pure transform from
+  * streaming DataFrame(s) to a streaming DataFrame, so tests drive
+  * them with file sources + memory sinks and production would bind
+  * Kafka + a ClickHouse/Doris-shaped sink without touching the logic.
+  */
+object Jobs {
+
+  /** Watermarked tumbling-window traffic aggregation — the
+    * DwsTrafficVcChArIsNewPageViewWindow.java:118 window, with pv,
+    * approximate uv (HLL — the streaming-safe distinct; exact UV is
+    * [[uvFirstVisit]]'s job) and value sum per hour × event_type.
+    * Watermark bounds state exactly like the reference's watermark
+    * strategy bounds window GC.
+    */
+  def pageViewWindow(events: DataFrame, watermark: String = "10 minutes")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("pv_ct"),
+        approx_count_distinct(col("user_id")).as("uv_ct_approx"),
+        sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("pv_ct"), col("uv_ct_approx"), col("value_sum"))
+
+  /** One fired record per (user, day). */
+  case class UvHit(user_id: Long, cur_date: String, event_id: Long)
+  /** Internal row shape for [[uvFirstVisit]] (public: encoder codegen
+    * needs access).
+    */
+  case class UvEvent(event_id: Long, user_id: Long, cur_date: String)
+
+  /** Exact first-visit-per-day dedup via per-key state — the direct
+    * analogue of the reference's `lastVisitDateState` ValueState with
+    * 1-day TTL (DwsTrafficVcChArIsNewPageViewWindow.java:66-92).
+    * State is one date string per user, so state size is bounded by
+    * users, not events. Pass `stateTtl` to expire idle users (the
+    * reference's StateTtlConfig) — it costs timeout-driven
+    * micro-batches, so leave it off when the key space is bounded.
+    */
+  def uvFirstVisit(events: DataFrame, stateTtl: Option[String] = None)
+      : Dataset[UvHit] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val timeoutConf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("cur_date"))
+      .as[UvEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (uid: Long, evs: Iterator[UvEvent], state: GroupState[String]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var last = state.getOption.getOrElse("")
+            val out = scala.collection.mutable.ArrayBuffer[UvHit]()
+            evs.toSeq.sortBy(e => (e.cur_date, e.event_id)).foreach { e =>
+              if (e.cur_date != last) {
+                out += UvHit(uid, e.cur_date, e.event_id)
+                last = e.cur_date
+              }
+            }
+            state.update(last)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+        })
+  }
+
+  /** Stream-stream interval join: detail events join order events
+    * within [0, tolerance] of the order time — the Flink intervalJoin
+    * in DwdTradeOrderDetail.java:1 / Test01_IntervalJoin.java:1.
+    * Watermarks on both sides + the range predicate let Spark GC join
+    * state; without them the join state grows unboundedly.
+    */
+  def intervalJoin(orders: DataFrame, details: DataFrame,
+      tolerance: String = "interval 120 days"): DataFrame = {
+    val o = orders.withWatermark("o_time", "1 hour")
+    val d = details.withWatermark("d_time", "1 hour")
+    d.join(o,
+      d("d_orderkey") === o("o_orderkey") &&
+      d("d_time") >= o("o_time") &&
+      d("d_time") <= o("o_time") + expr(tolerance))
+  }
+
+  /** Stream-static broadcast dim join — the DimMapFunction/
+    * DimAsyncFunction HBase+Redis lookup (realtime-common/.../
+    * DimAsyncFunction.java:1) collapses to a broadcast hash join: the
+    * dim ships once per executor and the stream never shuffles.
+    */
+  def dimJoin(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
+  /** Log splitter — DwdBaseLog.java:1 fans the raw log into page /
+    * err / start / action side-output streams. Structured Streaming
+    * expresses each side output as a filter on the shared source; the
+    * source is read once per micro-batch and the filters are
+    * codegen'd predicates, so this costs one scan, not four.
+    */
+  def logSplit(logs: DataFrame): Map[String, DataFrame] = Map(
+    "err" -> logs.filter(col("event_type") === "error"),
+    "start" -> logs.filter(col("event_type") === "signup"),
+    "action" -> logs.filter(col("event_type").isin("click", "purchase")),
+    "page" -> logs.filter(col("event_type") === "view"))
+}

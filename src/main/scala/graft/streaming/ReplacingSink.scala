@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Upsert-by-key sink — the ClickHouse ReplacingMergeTree /Doris
+  * aggregate-model semantics the reference sinks into
+  * (realtime-common/.../ClickHouseUtil.java:1, FlinkSinkUtil.java:1):
+  * for each key, the row with the highest version wins.
+  *
+  * Implementation: per micro-batch, (1) collapse the batch to its
+  * latest row per key (cheap, batch-local), (2) merge with the
+  * current snapshot keeping max-version rows. Parquet has no MERGE,
+  * so the merge rewrites the snapshot — correct and idempotent
+  * (replayed batches converge), which is the property checkpoint
+  * recovery needs. At warehouse scale the same foreachBatch body
+  * targets a real MergeTree/Doris table (or Iceberg/Delta MERGE) and
+  * step (2) becomes the storage engine's job — step (1)'s map-side
+  * collapse is still worth doing to shrink the write.
+  */
+object ReplacingSink {
+
+  def start(stream: DataFrame, keyCols: Seq[String], versionCol: String,
+      path: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsert(batch, keyCols, versionCol, path)
+      }
+      .start()
+
+  /** One merge step; also usable from batch jobs. */
+  def upsert(batch: DataFrame, keyCols: Seq[String], versionCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val merged =
+      if (new java.io.File(path).exists()) {
+        val cur = spark.read.parquet(path)
+        cur.unionByName(latest.select(cur.columns.map(col): _*))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      } else latest
+    // rewrite via temp dir: parquet overwrite would clobber its own input
+    val tmp = path + "__tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new java.io.File(path)
+    if (fs.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(fs)
+    }
+    new java.io.File(tmp).renameTo(fs)
+  }
+}

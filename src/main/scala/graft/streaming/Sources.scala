@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming source adapters.
+  *
+  * The reference consumes Kafka topics (gmall2024-realtime-master/
+  * realtime-common/src/main/java/com/atguigu/gmall/realtime/common/
+  * util/FlinkSourceUtil.java:1). This container has no Kafka, so the
+  * jobs take any streaming DataFrame with the right columns; these
+  * adapters provide the file-based equivalent (each parquet drop = a
+  * micro-batch, the same at-least-once replayable contract a Kafka
+  * offset range gives). Swapping in `spark.readStream.format("kafka")`
+  * changes nothing downstream.
+  */
+object Sources {
+
+  /** Schema of events.parquet as Spark reads it (ts = TIMESTAMP(NANOS)
+    * arrives as a nanos long under nanosAsLong).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Stream of events from a directory/glob of parquet files, with
+    * ts converted to a proper timestamp at the edge.
+    */
+  def events(s: SparkSession, pathGlob: String): DataFrame =
+    s.readStream.schema(eventsRawSchema).parquet(pathGlob)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** CDC-style change records synthesized from events — the shape the
+    * reference's ods_db topic carries (op/table/data envelope,
+    * DwdBaseDb.java:1). Used by [[CdcRouter]] and its tests.
+    */
+  def cdcFromEvents(events: DataFrame): DataFrame =
+    events.select(
+      col("ts"),
+      // event_type stands in for the source table name
+      col("event_type").as("table"),
+      when(col("value") < 10, "delete")
+        .when(col("value") < 50, "update").otherwise("insert").as("op"),
+      to_json(struct(col("event_id"), col("user_id"), col("value")))
+        .as("data"))
+}

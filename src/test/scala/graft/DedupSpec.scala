@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  test("exact dedup partitions the corpus") {
+    val groups = Dedup.exact(s, d).collect()
+    val docs = graft.sources.Tables.documents(s, d).count()
+    assert(groups.map(_.getAs[Long]("dup_ct")).sum === docs)
+  }
+
+  test("minhash-LSH finds the exact-jaccard near-dup pairs (high recall, no false positives)") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Dedup.ngramJaccard(s, d))
+    val lsh = pairs(Dedup.minhashLsh(s, d))
+    assert(truth.nonEmpty)
+    // verification step removes false positives entirely
+    assert((lsh -- truth).isEmpty)
+    val recall = (lsh & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("simhash: identical docs collide, fingerprints are stable") {
+    val fp = Dedup.simhash(s, d)
+    val docs = graft.sources.Tables.documents(s, d).count()
+    assert(fp.count() === docs)
+    // deterministic across runs
+    val a = fp.orderBy("doc_id").limit(5).collect().map(_.getLong(1)).toSeq
+    val b = Dedup.simhash(s, d).orderBy("doc_id").limit(5).collect()
+      .map(_.getLong(1)).toSeq
+    assert(a === b)
+  }
+
+  test("simhash near-dup finds word-reordered documents") {
+    // simhash is order-insensitive over token bags: a doc and its
+    // sorted-token version must land at hamming 0
+    import s.implicits._
+    val docs = graft.sources.Tables.documents(s, d).limit(20)
+      .select(col("doc_id"), col("text"))
+    val shuffled = docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", array_sort(split(col("text"), " "))).as("text"))
+    val all = docs.union(shuffled)
+    all.createOrReplaceTempView("simhash_test_docs")
+    // run the same pipeline on the synthetic union
+    val tok = all.select(col("doc_id"), explode(
+      graft.functions.Text.wsTokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
+        .as(s"v$b"))
+    val fpExpr = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fps = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fpExpr.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 20).foreach { i =>
+      assert(fps(i.toLong) === fps(i + 100000L),
+        s"doc $i: reordering changed the simhash")
+    }
+  }
+
+  test("embedding LSH near-dup is a subset of exact near-dup") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingNearDupExact(s, d))
+    val lsh = pairs(Dedup.embeddingNearDupLsh(s, d))
+    assert(exact.nonEmpty)
+    assert((lsh -- exact).isEmpty)
+  }
+
+  test("ANN LSH returns a subset of valid neighbors with nonzero recall") {
+    val bf = Similarity.bruteForceTopK(s, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.annLsh(s, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(bf.size === 100) // 20 queries × k=5
+    val recall = (ann & bf).size.toDouble / bf.size
+    assert(recall > 0.05, s"recall $recall")
+    info(f"ANN recall vs brute force: $recall%.2f with ${ann.size} candidates")
+  }
+}

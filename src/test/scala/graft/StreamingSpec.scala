@@ -1,0 +1,149 @@
+package graft
+
+import graft.sources.Tables
+import graft.streaming.{CdcRouter, Jobs, ReplacingSink, Sources}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** FileStreamSource wants a directory; stage the single parquet
+    * file behind a symlink in a temp dir.
+    */
+  private def stage(table: String): String = {
+    val dir = Files.createTempDirectory(s"stream-$table")
+    Files.createSymbolicLink(dir.resolve(s"$table.parquet"),
+      java.nio.file.Paths.get(s"$d/$table.parquet"))
+    dir.toString
+  }
+
+  private def eventsStream = Sources.events(s, stage("events"))
+
+  test("pageViewWindow matches the batch aggregation (pv + value)") {
+    val q = Jobs.pageViewWindow(eventsStream)
+      .writeStream.format("memory").queryName("pvw")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = s.sql("SELECT sum(pv_ct), count(*) FROM pvw").collect()(0)
+      val batch = Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("pv"))
+      assert(got.getLong(0) === Tables.events(s, d).count())
+      assert(got.getLong(1) === batch.count())
+    } finally q.stop()
+  }
+
+  test("uvFirstVisit emits exactly one hit per (user, day)") {
+    val q = Jobs.uvFirstVisit(eventsStream)
+      .writeStream.format("memory").queryName("uvh")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("uv-ck")).start()
+    try {
+      q.processAllAvailable()
+      val hits = s.sql("SELECT count(*), count(DISTINCT user_id, cur_date) FROM uvh")
+        .collect()(0)
+      val expected = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("dd")).distinct().count()
+      assert(hits.getLong(0) === expected, "one emit per user-day")
+      assert(hits.getLong(1) === expected, "no duplicate user-days")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches the batch range join") {
+    val o = s.readStream.schema(Tables.orders(s, d).schema)
+      .parquet(stage("orders"))
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("o_time"))
+    val li = s.readStream.schema(Tables.lineitem(s, d).schema)
+      .parquet(stage("lineitem"))
+      .select(col("l_orderkey").as("d_orderkey"),
+        col("l_shipdate").cast("timestamp").as("d_time"))
+    val q = Jobs.intervalJoin(o, li)
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ivj-ck")).start()
+    try {
+      q.processAllAvailable()
+      val got = s.sql("SELECT count(*) FROM ivj").collect()(0).getLong(0)
+      val expected = Tables.lineitem(s, d).join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("interval 120 days"))
+        .count()
+      assert(got === expected)
+      assert(got > 0)
+    } finally q.stop()
+  }
+
+  test("dim broadcast join enriches the stream without shuffling it") {
+    val dim = Tables.nation(s, d)
+    val enriched = Jobs.dimJoin(
+      eventsStream.withColumn("nk", (col("user_id") % 25).cast("int")),
+      dim, "nk", "n_nationkey")
+    val q = enriched.writeStream.format("memory").queryName("dimj")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = s.sql("SELECT count(*), count(n_name) FROM dimj").collect()(0)
+      assert(rows.getLong(0) === Tables.events(s, d).count())
+      assert(rows.getLong(1) === rows.getLong(0), "every event enriched")
+    } finally q.stop()
+  }
+
+  test("log splitter partitions the stream by type (one scan, four sinks)") {
+    val splits = Jobs.logSplit(eventsStream)
+    val queries = splits.map { case (name, df) =>
+      name -> df.writeStream.format("memory").queryName(s"split_$name")
+        .outputMode("append").start()
+    }
+    try {
+      queries.values.foreach(_.processAllAvailable())
+      val counts = splits.keys.map(n =>
+        n -> s.sql(s"SELECT count(*) FROM split_$n").collect()(0).getLong(0)).toMap
+      val byType = Tables.events(s, d).groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts("err") === byType("error"))
+      assert(counts("start") === byType("signup"))
+      assert(counts("page") === byType("view"))
+      assert(counts("action") === byType("click") + byType("purchase"))
+    } finally queries.values.foreach(_.stop())
+  }
+
+  test("CDC router writes configured tables, drops deletes and unknowns") {
+    val base = tmp("cdc-out")
+    val routes = Map(
+      "click" -> CdcRouter.Route(s"$base/click"),
+      "error" -> CdcRouter.Route(s"$base/error", keepDeletes = true))
+    val q = CdcRouter.start(Sources.cdcFromEvents(eventsStream), routes,
+      tmp("cdc-ck"))
+    try q.processAllAvailable() finally q.stop()
+    val cdcBatch = Sources.cdcFromEvents(Tables.events(s, d))
+    val clicks = s.read.parquet(s"$base/click")
+    assert(clicks.count() === cdcBatch
+      .filter(col("table") === "click" && col("op") =!= "delete").count())
+    assert(clicks.filter(col("op") === "delete").count() === 0)
+    val errors = s.read.parquet(s"$base/error")
+    assert(errors.count() === cdcBatch.filter(col("table") === "error").count())
+    assert(!new java.io.File(s"$base/view").exists(), "unrouted table dropped")
+  }
+
+  test("replacing sink keeps the max-version row per key across batches") {
+    import s.implicits._
+    val out = tmp("rep-out") + "/snap"
+    val b1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
+    val b2 = Seq((1L, "a2", 2L), (3L, "c", 1L)).toDF("k", "v", "ver")
+    val b0 = Seq((1L, "stale", 0L)).toDF("k", "v", "ver")
+    ReplacingSink.upsert(b1, Seq("k"), "ver", out)
+    ReplacingSink.upsert(b2, Seq("k"), "ver", out)
+    ReplacingSink.upsert(b0, Seq("k"), "ver", out) // replay of older data
+    val got = s.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toMap
+    assert(got === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  test("token functions on known strings") {
+    import s.implicits._
+    val df = Seq(
+      ("the quick  brown fox", 4, 4),
+      ("a-b c_9 ??", 2, 3),   // ws: ["a-b","c_9","??"] minus none → 3? see below
+      ("", 0, 0)
+    ).toDF("text", "ws", "re")
+    val got = df.select(
+      col("ws"), col("re"),
+      size(Text.wsTokens(col("text"))).as("ws_got"),
+      size(Text.regexTokens(col("text"))).as("re_got")).collect()
+    // "the quick  brown fox": double space yields an empty token → filtered
+    assert(got(0).getAs[Int]("ws_got") === 4)
+    assert(got(0).getAs[Int]("re_got") === 4)
+    // "a-b c_9 ??": ws tokens = [a-b, c_9, ??] = 3; regex runs = [a, b, c, 9]
+    assert(got(1).getAs[Int]("ws_got") === 3)
+    assert(got(1).getAs[Int]("re_got") === 4)
+    assert(got(2).getAs[Int]("ws_got") === 0)
+    assert(got(2).getAs[Int]("re_got") === 0)
+  }
+
+  test("fingerprint is word-order and duplication insensitive") {
+    import s.implicits._
+    val df = Seq(
+      ("alpha beta gamma", "gamma beta alpha beta"),
+      ("x y", "y x x")
+    ).toDF("t1", "t2")
+    val got = df.select(
+      (Text.fingerprint(col("t1")) === Text.fingerprint(col("t2"))).as("eq"))
+      .collect()
+    assert(got.forall(_.getBoolean(0)))
+  }
+
+  test("langid picks scripts and stopwords deterministically") {
+    import s.implicits._
+    val df = Seq(
+      ("der große fluß läuft", "de"),
+      ("c'est déjà l'été", "fr"),
+      ("the cat sat", "en"),
+      ("zzz qqq", "und")
+    ).toDF("text", "expected")
+    val got = df.select(Text.langId(col("text")).as("got"), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("quality columns are in range over the corpus") {
+    val q = TextAnalysis.quality(s, d).collect()
+    q.foreach { r =>
+      val score = r.getAs[Double]("quality_score")
+      assert(score >= 0.0 && score <= 1.0)
+      assert(r.getAs[Double]("stopword_ratio") <= 1.0)
+      assert(r.getAs[Double]("alpha_ratio") <= 1.0)
+    }
+  }
+
+  test("multimodal feature extraction: stable shape and checksum parity") {
+    val feats = Multimodal.extractFeatures(s, d).collect()
+    val docs = graft.sources.Tables.documents(s, d).count()
+    assert(feats.length.toLong === docs)
+    assert(feats.forall(_.features.length === 8))
+    val meta = Multimodal.binaryMeta(s, d)
+      .select("doc_id", "n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    feats.foreach(f => assert(f.n_bytes === meta(f.doc_id)))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.warehouse.{Dwd, Dws, Publisher}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarehouseSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  test("pricing summary: 6 flag×status groups, totals reconcile") {
+    val q1 = Dws.pricingSummary(s, d).collect()
+    assert(q1.length === 6)
+    val totalOrders = q1.map(_.getAs[Long]("count_order")).sum
+    val liCount = graft.sources.Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp")).count()
+    assert(totalOrders === liCount)
+  }
+
+  test("order detail join preserves lineitem grain") {
+    val det = Dwd.tradeOrderDetail(s, d)
+    assert(det.count() === graft.sources.Tables.lineitem(s, d).count())
+    // cancel + pay + open partition the same grain
+    val byStatus = Dwd.tradeOrderCancel(s, d).count() +
+      Dwd.tradePaySuc(s, d).count()
+    assert(byStatus < det.count())
+  }
+
+  test("province order: every nation appears exactly once per region") {
+    val p = Dws.tradeProvinceOrder(s, d).collect()
+    assert(p.length === 25)
+    assert(p.map(_.getAs[String]("province_name")).distinct.length === 25)
+  }
+
+  test("province topN is rank-ordered and deterministic") {
+    val top = Publisher.provinceTopN(s, d).orderBy("rk").collect()
+    assert(top.map(_.getAs[Long]("rk")).toSeq === (1L to 10L))
+    val amounts = top.map(_.getAs[Double]("order_amount"))
+    assert(amounts.zip(amounts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("visitor state repair marks each user new exactly once per first day") {
+    val rep = Dwd.visitorStateRepair(s, d)
+    val newPerUser = rep.filter(col("is_new") === 1)
+      .groupBy("user_id").count().collect()
+    // a user can have several events on their first day — all flagged new;
+    // but every user must have at least one is_new event
+    val users = graft.sources.Tables.events(s, d)
+      .select("user_id").distinct().count()
+    assert(newPerUser.length.toLong === users)
+  }
+
+  test("user login back_ct never exceeds uu_ct") {
+    val rows = Dws.userLogin(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("back_ct") <= r.getAs[Long]("uu_ct"))
+    }
+  }
+}
