@@ -23,31 +23,38 @@ object Dedup {
     * canonical map-side-combinable aggregation.
     */
   def exact(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d))
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_ct"))
 
-  /** Shingle-set table: (doc_id, shingles array, n_shingles). */
+  /** Shingle table: (doc_id, shingles array, hashed int64 array).
+    * The hash column is materialized once so downstream consumers
+    * (64 minhash permutations, the inverted-index join) shuffle and
+    * scan 8-byte longs, never the 12-char strings.
+    */
   private def shingled(s: SparkSession, d: String, n: Int): DataFrame =
-    Tables.documents(s, d).select(
+    Tables.spread(Tables.documents(s, d)).select(
       col("doc_id"),
       Text.charShingles(col("text"), n).as("shingles"))
+      .withColumn("hashed", transform(col("shingles"), sh => xxhash64(sh)))
 
   private val MinhashPrime = 2038074743L
 
-  /** 64-permutation MinHash signature over xxhash64'd shingles.
-    * Permutation coefficients are fixed literals (splitmix-style
+  /** 64-permutation MinHash signature over pre-hashed (raw 64-bit)
+    * shingles: h ↦ ((h mod p)·a + b) mod p with a, b < p ≈ 2^31 — the
+    * product stays under 2^63, so it is exact under ANSI arithmetic
+    * (no overflow). Coefficients are fixed literals (splitmix-style
     * constants) — no driver randomness, identical on every executor.
     */
-  private def minhashSig(shingles: Column, perms: Int): Column = {
-    val hashed = transform(shingles, sh => pmod(xxhash64(sh), lit(MinhashPrime)))
+  private def minhashSig(hashed: Column, perms: Int): Column = {
     val coeffs = (0 until perms).map { i =>
       val a = 2862933555777941757L * (i + 1) % MinhashPrime
       val b = 3037000493L * (i + 7) % MinhashPrime
       (math.abs(a) max 1L, math.abs(b))
     }
     array(coeffs.map { case (a, b) =>
-      array_min(transform(hashed, h => pmod(h * a + b, lit(MinhashPrime))))
+      array_min(transform(hashed,
+        h => pmod(pmod(h, lit(MinhashPrime)) * a + b, lit(MinhashPrime))))
     }: _*)
   }
 
@@ -64,7 +71,7 @@ object Dedup {
     val r = perms / rows
     val sh = shingled(s, d, ngram).cache()
     val sig = sh.select(col("doc_id"),
-      minhashSig(col("shingles"), perms).as("sig"))
+      minhashSig(col("hashed"), perms).as("sig"))
     val banded = sig.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(rows - 1)),
         b => hash(slice(col("sig"), b * r + 1, lit(r)), b))))
@@ -76,8 +83,8 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val withSets = cand
-      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(sh.select(col("doc_id").as("id_a"), col("hashed").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("hashed").as("sh_b")), "id_b")
     withSets
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", col("inter") /
@@ -91,7 +98,7 @@ object Dedup {
     * carries 64 longs per doc, not the tokens.
     */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+    val tok = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), explode(Text.wsTokens(col("text"))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val votes = (0 until 64).map(b =>
@@ -132,9 +139,13 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, d: String, ngram: Int = 12,
       threshold: Double = 0.5): DataFrame = {
+    // explode the *hashed* shingles: the inverted index shuffles and
+    // sort-merges 8-byte longs instead of 12-char strings, and it's
+    // cached because it feeds both sides of the self-join
     val sh = shingled(s, d, ngram)
       .select(col("doc_id"), size(col("shingles")).as("n"),
-        explode(col("shingles")).as("sh"))
+        explode(col("hashed")).as("sh"))
+      .cache()
     val sizes = sh.select("doc_id", "n").distinct()
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -154,7 +165,8 @@ object Dedup {
     */
   def embeddingNearDupExact(s: SparkSession, d: String,
       threshold: Double = 0.4): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
+    Vectors.ensureRegistered(s)
+    val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
       Vectors.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -171,7 +183,8 @@ object Dedup {
     */
   def embeddingNearDupLsh(s: SparkSession, d: String,
       threshold: Double = 0.4, nBits: Int = 8): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
+    Vectors.ensureRegistered(s)
+    val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
       Vectors.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
       .withColumn("bucket", Vectors.lshBucket(col("v"), 64, nBits))

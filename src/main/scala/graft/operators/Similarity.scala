@@ -23,7 +23,8 @@ object Similarity {
     */
   def bruteForceTopK(s: SparkSession, d: String, nQueries: Int = 20,
       k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
+    Vectors.ensureRegistered(s)
+    val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
       Vectors.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
     val q = e.filter(col("vec_id") < nQueries)
@@ -47,7 +48,8 @@ object Similarity {
     */
   def annLsh(s: SparkSession, d: String, nQueries: Int = 20,
       k: Int = 5, nBits: Int = 6): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
+    Vectors.ensureRegistered(s)
+    val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
       Vectors.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
       .withColumn("bucket", Vectors.lshBucket(col("v"), 64, nBits))

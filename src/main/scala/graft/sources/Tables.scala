@@ -25,6 +25,19 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Widen a narrow scan to cluster parallelism. A single parquet
+    * file with one row group scans as ONE partition no matter what
+    * `maxPartitionBytes` says — so a CPU-heavy operator downstream
+    * runs single-threaded. Conditional: already-wide inputs (the
+    * normal case at warehouse scale, where tables are thousands of
+    * files) pass through untouched, so this costs nothing on a real
+    * cluster and only pays one small shuffle on consolidated inputs.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

@@ -62,7 +62,7 @@ object Dws {
     * Ref: KeywordUDTF.java:1, DwsTrafficSourceKeywordPageViewWindow.java:1.
     */
   def trafficKeyword(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d))
       .select(explode(Text.wsTokens(col("text"))).as("keyword"))
       .groupBy("keyword").agg(count(lit(1)).as("kw_ct"))
 

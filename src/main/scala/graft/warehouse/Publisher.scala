@@ -48,7 +48,7 @@ object Publisher {
     * (TrafficStatsMapper.java:1). get_json_object is codegen'd.
     */
   def channelUvCt(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    Tables.spread(Tables.events(s, d))
       .select(
         (get_json_object(col("props"), "$.k").cast("long") % 10).as("ch"),
         col("user_id"))
