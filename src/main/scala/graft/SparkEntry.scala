@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.warehouse.{Dwd, Dws, Publisher}
+import graft.warehouse.{Analytics, Dwd, Dws, Publisher}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — every capability from SURVEY.md §2 with a
@@ -39,6 +39,13 @@ object SparkEntry {
     "q5_star_join" -> (Publisher.starJoinRevenue(_, _)),
     "q3_segment_revenue" -> (Publisher.segmentRevenue(_, _)),
     "dwd_visitor_state_repair" -> (Dwd.visitorStateRepair(_, _)),
+    "analytics_sessionize" -> (Analytics.sessionize(_, _)),
+    "analytics_sku_topn" -> (Analytics.skuTopNPerCategory(_, _)),
+    "analytics_gmv_running" -> (Analytics.gmvRunning(_, _)),
+    "analytics_event_pivot" -> (Analytics.eventPivot(_, _)),
+    "analytics_anti_dormant" -> (Analytics.dormantParts(_, _)),
+    "analytics_rollup" -> (Analytics.revenueRollup(_, _)),
+    "analytics_approx_stats" -> (Analytics.approxStats(_, _)),
     // §2.2 LLM pipeline
     "dedup_exact" -> (Dedup.exact(_, _)),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh(_, _)),
@@ -196,6 +203,64 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id,
         | CASE WHEN CAST(e.ts AS DATE) = f.first_d THEN 1 ELSE 0 END AS is_new
         |FROM events e JOIN f ON e.user_id = f.user_id""".stripMargin,
+    "analytics_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, us, CASE WHEN
+        |  lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL OR
+        |  us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |  THEN 1 ELSE 0 END AS is_new FROM e),
+        |s AS (SELECT user_id, us, SUM(is_new) OVER
+        |  (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING)
+        |  AS sess_id FROM g)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        | COUNT(*) AS n_events, MAX(us) - MIN(us) AS dur_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "analytics_sku_topn" ->
+      s"""WITH sku AS (
+         | SELECT p_type AS category, l_partkey AS sku_id,
+         |  CAST(SUM($rev) AS DOUBLE) AS amount
+         | FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2)
+         |SELECT category, sku_id, amount, rk FROM (
+         | SELECT *, row_number() OVER
+         |  (PARTITION BY category ORDER BY amount DESC, sku_id) AS rk
+         | FROM sku) t
+         |WHERE rk <= 3""".stripMargin,
+    "analytics_gmv_running" ->
+      s"""WITH g AS (SELECT CAST(o_orderdate AS DATE) AS cur_date,
+         |  SUM(${m("o_totalprice")}) AS gmv_dec FROM orders GROUP BY 1)
+         |SELECT cur_date, CAST(gmv_dec AS DOUBLE) AS gmv,
+         | CAST(SUM(gmv_dec) OVER
+         |  (ORDER BY cur_date ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         |  AS running_gmv,
+         | CAST(SUM(gmv_dec) OVER (ORDER BY cur_date
+         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |  / CAST(COUNT(*) OVER (ORDER BY cur_date
+         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma7
+         |FROM g""".stripMargin,
+    "analytics_event_pivot" ->
+      """SELECT CAST(ts AS DATE) AS cur_date,
+        | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_ct,
+        | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_ct,
+        | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_ct,
+        | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_ct,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_ct
+        |FROM events GROUP BY 1""".stripMargin,
+    "analytics_anti_dormant" ->
+      """SELECT p_partkey AS part_id, p_brand AS brand FROM part
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM lineitem
+        | WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-02-01')""".stripMargin,
+    "analytics_rollup" ->
+      s"""SELECT coalesce(r_name, 'ALL') AS region_name,
+         | coalesce(n_name, 'ALL') AS nation_name,
+         | CAST(SUM(${m("o_totalprice")}) AS DOUBLE) AS amount,
+         | COUNT(*) AS order_ct
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
         | COUNT(*) AS dup_ct

@@ -1,0 +1,149 @@
+package graft.warehouse
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Analytics beyond the reference's fixed dashboards — the query
+  * shapes a Doris/ClickHouse serving layer answers ad hoc
+  * (sessionization, per-group top-N, running windows, pivots,
+  * retention, rollups, sketches), expressed as single declarative
+  * plans.
+  *
+  * FP discipline: anything summed inside a window function rides
+  * DECIMAL until after the window — engines disagree on frame
+  * accumulation order (segment trees vs running sums), and decimal
+  * makes that unobservable.
+  */
+object Analytics {
+  import Dwd.dec
+
+  /** Gap-based sessionization (30-min inactivity closes a session):
+    * one session row per (user, session). The reference's session
+    * counting (sv_ct in DwsTrafficVcChArIsNewPageViewWindow.java:95)
+    * keys on last_page_id; gap sessions generalize it. Windows
+    * partition by user_id, so sorts are per-user and parallel; the
+    * microsecond-integer gap comparison is engine-exact.
+    */
+  def sessionize(s: SparkSession, d: String,
+      gapSeconds: Long = 1800): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val flagged = ev.withColumn("is_new",
+      when(lag(col("us"), 1).over(w).isNull ||
+        col("us") - lag(col("us"), 1).over(w) > gapSeconds * 1000000L, 1)
+        .otherwise(0))
+    flagged
+      .withColumn("sess_id", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("dur_us"))
+  }
+
+  /** Top-3 SKUs by revenue within each category — per-group rank,
+    * partitioned on the group key (no global sort).
+    */
+  def skuTopNPerCategory(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    val sku = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_type").as("category"), col("l_partkey").as("sku_id"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("amount"))
+    val w = Window.partitionBy("category")
+      .orderBy(col("amount").desc, col("sku_id"))
+    sku.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+  }
+
+  /** Daily GMV with running total and 7-day moving average. The sums
+    * stay DECIMAL inside the frames (engine-exact under any frame
+    * evaluation order) and surface as double.
+    */
+  def gmvRunning(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("cur_date"))
+      .agg(sum(dec(col("o_totalprice"))).as("gmv_dec"))
+    val wAll = Window.orderBy("cur_date")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val w7 = Window.orderBy("cur_date").rowsBetween(-6, 0)
+    daily
+      .withColumn("gmv", col("gmv_dec").cast("double"))
+      .withColumn("running_gmv", sum(col("gmv_dec")).over(wAll).cast("double"))
+      .withColumn("ma7",
+        sum(col("gmv_dec")).over(w7).cast("double") /
+          count(lit(1)).over(w7).cast("double"))
+      .select("cur_date", "gmv", "running_gmv", "ma7")
+  }
+
+  /** Manual pivot: one column per event type per day (the Doris
+    * aggregate-table column layout).
+    */
+  def eventPivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("cur_date"))
+      .agg(
+        count(when(col("event_type") === types.head, 1)).as(s"${types.head}_ct"),
+        types.tail.map(t =>
+          count(when(col("event_type") === t, 1)).as(s"${t}_ct")): _*)
+  }
+
+  /** Dormant SKUs: parts with no shipment inside the window — a
+    * left-anti join (NOT EXISTS). The probe side is pre-aggregated to
+    * distinct keys, so the anti join shuffles each key once however
+    * many fact rows matched.
+    */
+  def dormantParts(s: SparkSession, d: String, from: String = "1998-01-01",
+      until: String = "1998-02-01"): DataFrame = {
+    val shipped = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_partkey")).distinct()
+    Tables.part(s, d)
+      .join(shipped, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey").as("part_id"), col("p_brand").as("brand"))
+  }
+
+  /** Region ▸ nation revenue with ROLLUP subtotals (the cube-style
+    * pre-aggregation a Doris aggregate model materializes). Null
+    * grouping keys surface as 'ALL'.
+    */
+  def revenueRollup(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("amount"),
+        count(lit(1)).as("order_ct"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("amount"), col("order_ct"))
+  }
+
+  /** Sketch-based stats per order priority: HLL distinct customers +
+    * approximate quantiles — the streaming-safe forms of the
+    * reference's UV counts, graded against exact values in the test
+    * suite (no SQL oracle: sketch outputs are algorithm-specific).
+    */
+  def approxStats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.02).as("uu_approx"),
+        countDistinct(col("o_custkey")).as("uu_exact"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+          .as("p50_approx"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(1000))
+          .as("p95_approx"))
+}

@@ -50,6 +50,25 @@ class WarehouseSpec extends AnyFunSuite {
     assert(newPerUser.length.toLong === users)
   }
 
+  test("approx sketches are within 5% of exact values") {
+    val rows = graft.warehouse.Analytics.approxStats(s, d).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("uu_exact").toDouble
+      val approx = r.getAs[Long]("uu_approx").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"HLL off by >5%: $approx vs $exact")
+      assert(r.getAs[Double]("p50_approx") < r.getAs[Double]("p95_approx"))
+    }
+  }
+
+  test("sessionize: session stats reconcile with event counts") {
+    val sess = graft.warehouse.Analytics.sessionize(s, d).collect()
+    val events = graft.sources.Tables.events(s, d).count()
+    assert(sess.map(_.getAs[Long]("n_events")).sum === events)
+    assert(sess.forall(_.getAs[Long]("dur_us") >= 0))
+  }
+
   test("user login back_ct never exceeds uu_ct") {
     val rows = Dws.userLogin(s, d).collect()
     assert(rows.nonEmpty)
