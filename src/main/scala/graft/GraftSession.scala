@@ -16,9 +16,13 @@ object GraftSession {
   /** Build a local session; `cores` drives both parallelism and the
     * shuffle-partition floor (never the default 200 in local mode).
     */
-  def local(cores: Int = 32, appName: String = "graft"): SparkSession =
-    tune(SparkSession.builder().master(s"local[$cores]").appName(appName), cores)
-      .getOrCreate()
+  def local(cores: Int = 32, appName: String = "graft",
+      extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    val b = tune(
+      SparkSession.builder().master(s"local[$cores]").appName(appName), cores)
+    extraConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
 
   /** Apply graft's standard configuration to any builder (cluster or
     * local) — everything here is scale-neutral.

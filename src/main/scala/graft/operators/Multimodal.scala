@@ -82,4 +82,43 @@ object Multimodal {
         }
       }
   }
+
+  /** "Resized" media record: payload downsampled to `targetBytes` by
+    * stride sampling — the stand-in for an image resize (STUB: a real
+    * implementation decodes, resizes, re-encodes; the partition-batch
+    * shape and the shrunken-payload contract are what matter to the
+    * plan).
+    */
+  case class ResizedMedia(doc_id: Long, orig_bytes: Long, payload: Array[Byte])
+
+  def resize(s: SparkSession, d: String, targetBytes: Int = 64): Dataset[ResizedMedia] = {
+    import s.implicits._
+    mediaTable(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val stride = math.max(1, p.length / targetBytes)
+        ResizedMedia(id, p.length.toLong,
+          p.indices.by(stride).map(p).toArray.take(targetBytes))
+      })
+  }
+
+  /** "Frame sampling" for a video-like payload: cut the byte stream
+    * into fixed-size frames and keep every `every`-th one (STUB codec;
+    * real frame extraction slots into the same per-partition batch).
+    * One output row per kept frame — the explode-style fan-out a
+    * video pipeline needs, with frame index for downstream ordering.
+    */
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  def sampleFrames(s: SparkSession, d: String, frameBytes: Int = 32,
+      every: Int = 4): Dataset[Frame] = {
+    import s.implicits._
+    mediaTable(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        p.grouped(frameBytes).zipWithIndex.collect {
+          case (frame, i) if i % every == 0 => Frame(id, i, frame)
+        }
+      })
+  }
 }

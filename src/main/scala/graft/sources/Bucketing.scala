@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table support: co-locate both sides of a recurring
+  * fact⋈fact join so the join needs NO shuffle at read time.
+  *
+  * At warehouse scale the orders⋈lineitem join is the one shuffle the
+  * declarative plan can't avoid — unless both tables are written
+  * bucketed (and sorted) by the join key, in which case Spark's scan
+  * reports the partitioning and the sort-merge join elides both
+  * Exchanges and both Sorts. This is the batch equivalent of the
+  * reference keying both Kafka topics by order_id so the Flink join
+  * is local (FlinkSourceUtil.java:1).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted managed table. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Bucket the orders/lineitem pair by order key. */
+  def bucketTradeTables(s: SparkSession, d: String, buckets: Int = 16): Unit = {
+    writeBucketed(Tables.orders(s, d), "orders_b", "o_orderkey", buckets)
+    writeBucketed(Tables.lineitem(s, d), "lineitem_b", "l_orderkey", buckets)
+  }
+
+  /** The order-detail join over the bucketed tables — same result as
+    * Dwd.tradeOrderDetail, zero shuffles in the plan. The merge hint
+    * keeps the planner from broadcasting a locally-small side (which
+    * would bypass the bucketing this utility exists to exploit; at
+    * warehouse scale neither side is broadcastable anyway).
+    */
+  def bucketedOrderDetail(s: SparkSession): DataFrame = {
+    val o = s.table("orders_b").hint("merge")
+    val li = s.table("lineitem_b").hint("merge")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{Multimodal, Skew}
+import graft.sources.{Bucketing, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-pattern checks: bucketed joins elide shuffles, salted joins
+  * preserve results, multimodal batch ops keep their contracts.
+  */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  test("bucketed order-detail join plans with zero Exchange") {
+    Bucketing.bucketTradeTables(s, d, buckets = 8)
+    val joined = Bucketing.bucketedOrderDetail(s)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() === Tables.lineitem(s, d).count())
+  }
+
+  test("salted join is row-identical to the plain join") {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+    val plain = li.join(o, Seq("o_orderkey")).count()
+    val salted = Skew.saltedJoin(li, o, "o_orderkey", salts = 4).count()
+    assert(salted === plain)
+  }
+
+  test("two-phase salted aggregation matches direct aggregation") {
+    val ev = Tables.events(s, d)
+    val direct = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.twoPhaseAgg(ev, "event_type", salts = 4,
+      partial = Seq(count(lit(1)).as("pn")),
+      merge = Seq(sum(col("pn")).cast("long").as("n"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === direct)
+  }
+
+  test("multimodal resize shrinks payloads, frame sampling keeps every 4th") {
+    val resized = Multimodal.resize(s, d, targetBytes = 64).collect()
+    assert(resized.forall(r => r.payload.length <= 64 && r.payload.nonEmpty))
+    val frames = Multimodal.sampleFrames(s, d, frameBytes = 32, every = 4)
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 4 === 0))
+    // doc 0: n_chars=128 → 4 frames of 32B → frames 0 kept
+    val doc0 = frames.filter(_.doc_id == 0L)
+    assert(doc0.map(_.frame_idx).toSet === Set(0))
+  }
+}
