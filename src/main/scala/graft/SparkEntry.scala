@@ -46,6 +46,11 @@ object SparkEntry {
     "analytics_anti_dormant" -> (Analytics.dormantParts(_, _)),
     "analytics_rollup" -> (Analytics.revenueRollup(_, _)),
     "analytics_approx_stats" -> (Analytics.approxStats(_, _)),
+    "q6_forecast_revenue" -> (Publisher.forecastRevenue(_, _)),
+    "q4_priority_refund" -> (Publisher.priorityRefundExists(_, _)),
+    "sim_ann_ivf" -> (Similarity.annIvf(_, _)),
+    "text_winnow" -> ((s, d) =>
+      TextAnalysis.winnow(s, d).select("doc_id", "n_fp")),
     // §2.2 LLM pipeline
     "dedup_exact" -> (Dedup.exact(_, _)),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh(_, _)),
@@ -203,6 +208,28 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id,
         | CASE WHEN CAST(e.ts AS DATE) = f.first_d THEN 1 ELSE 0 END AS is_new
         |FROM events e JOIN f ON e.user_id = f.user_id""".stripMargin,
+    "q6_forecast_revenue" ->
+      s"""SELECT CAST(SUM(${m("l_extendedprice")} * ${m("l_discount")})
+         |  AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         | AND l_shipdate < TIMESTAMP '1997-01-01'
+         | AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+    "q4_priority_refund" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_ct FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "text_winnow" ->
+      """SELECT doc_id, CAST(len(list_distinct([
+        |  list_min(h[i:i+3]) for i in range(1, greatest(len(h) - 3, 1) + 1)
+        | ])) AS INT) AS n_fp
+        |FROM (SELECT doc_id,
+        |  [list_reduce([CAST(ascii(substr(g, j, 1)) AS BIGINT)
+        |     for j in range(1, 9)], (a, b) -> a * 31 + b)
+        |   for g in [substr(lower(text), i, 8)
+        |     for i in range(1, greatest(length(lower(text)) - 6, 2))]] AS h
+        | FROM documents) t""".stripMargin,
     "analytics_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |g AS (SELECT user_id, us, CASE WHEN

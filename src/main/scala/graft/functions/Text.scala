@@ -33,12 +33,29 @@ object Text {
     * i ranges 1..len-n+1 (one short shingle when len < n) — mirrors
     * `[substr(lower(text), i, n) for i in range(1, greatest(len-n+2, 2))]`.
     */
-  def charShingles(text: Column, n: Int): Column = {
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(charShinglesAll(text, n))
+
+  /** Positional character n-grams (NOT distinct, document order
+    * preserved) — the input for window-based schemes like winnowing.
+    */
+  def charShinglesAll(text: Column, n: Int): Column = {
     val lo = lower(text)
     val hi = greatest(length(lo) - lit(n - 2), lit(2)) - lit(1)
-    array_distinct(transform(sequence(lit(1), hi),
-      i => substring(lo, i, lit(n))))
+    transform(sequence(lit(1), hi), i => substring(lo, i, lit(n)))
   }
+
+  /** Polynomial rolling hash of a k-char gram: fold acc·31 + code
+    * over the code points. For k ≤ 12 the value stays far below 2^63
+    * (no ANSI overflow), and the fold is reproducible in any engine
+    * with a left reduce — which is what lets a SQL oracle check a
+    * rolling-hash scheme exactly.
+    */
+  def polyHash(gram: Column, k: Int): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(k)),
+        i => ascii(substring(gram, i, lit(1))).cast("long")),
+      lit(0L), (acc, x) => acc * 31 + x)
 
   /** Word n-gram shingles (space-joined), distinct. */
   def wordShingles(text: Column, n: Int): Column = {

@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the dense dot product.
   *
@@ -55,11 +55,66 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Full MinHash signature in one pass: for an array of raw 64-bit
+  * shingle hashes, computes `perms` permutation minima with a tight
+  * primitive loop. The composable form (64 × `array_min(transform)`)
+  * walks the array through interpreted higher-order functions — Spark
+  * does not codegen HOFs — costing ~50ns per element per perm; this
+  * evaluates the whole 64-perm signature in one JIT'd nested loop.
+  * Coefficients are derived from the permutation index (splitmix-type
+  * constants mod p), identical on every executor.
+  */
+case class MinHashSignature(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  private val P = 2038074743L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  @transient private lazy val perms: Int =
+    right.eval(null).asInstanceOf[Int]
+  @transient private lazy val coeffs: Array[(Long, Long)] =
+    Array.tabulate(perms) { i =>
+      val a = 2862933555777941757L * (i + 1) % P
+      val b = 3037000493L * (i + 7) % P
+      (math.abs(a) max 1L, math.abs(b))
+    }
+
+  override def nullSafeEval(arr: Any, p: Any): Any = {
+    val hs = arr.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sig = Array.fill(perms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      val hp = { val m = h % P; if (m < 0) m + P else m }
+      var j = 0
+      while (j < perms) {
+        val v = (hp * coeffs(j)._1 + coeffs(j)._2) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Register graft's native functions on a session (idempotent).
-    * Needed before [[Vectors.dot]] resolves `graft_dot`.
+    * Needed before [[Vectors.dot]] / [[graft.operators.Dedup]]
+    * resolve `graft_dot` / `graft_minhash_sig`.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig",
+      exprs => MinHashSignature(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -40,23 +40,13 @@ object Dedup {
 
   private val MinhashPrime = 2038074743L
 
-  /** 64-permutation MinHash signature over pre-hashed (raw 64-bit)
-    * shingles: h ↦ ((h mod p)·a + b) mod p with a, b < p ≈ 2^31 — the
-    * product stays under 2^63, so it is exact under ANSI arithmetic
-    * (no overflow). Coefficients are fixed literals (splitmix-style
-    * constants) — no driver randomness, identical on every executor.
+  /** MinHash signature via the native
+    * [[graft.functions.MinHashSignature]] expression — one JIT'd
+    * nested loop instead of `perms` interpreted `array_min(transform)`
+    * passes (Spark does not codegen higher-order functions).
     */
-  private def minhashSig(hashed: Column, perms: Int): Column = {
-    val coeffs = (0 until perms).map { i =>
-      val a = 2862933555777941757L * (i + 1) % MinhashPrime
-      val b = 3037000493L * (i + 7) % MinhashPrime
-      (math.abs(a) max 1L, math.abs(b))
-    }
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(hashed,
-        h => pmod(pmod(h, lit(MinhashPrime)) * a + b, lit(MinhashPrime))))
-    }: _*)
-  }
+  private def minhashSig(hashed: Column, perms: Int): Column =
+    call_function("graft_minhash_sig", hashed, lit(perms))
 
   /** MinHash + LSH near-dup pairs with exact-Jaccard verification.
     *
@@ -67,6 +57,7 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, d: String, ngram: Int = 12,
       threshold: Double = 0.5, perms: Int = 64, bands: Int = 16): DataFrame = {
+    Vectors.ensureRegistered(s)
     val rows = bands
     val r = perms / rows
     val sh = shingled(s, d, ngram).cache()

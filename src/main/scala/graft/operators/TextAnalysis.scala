@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.Text
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis queries over the documents table — language ID,
@@ -40,4 +40,30 @@ object TextAnalysis {
     Tables.documents(s, d)
       .groupBy(Text.fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_ct"))
+
+  /** Winnowing document sketch (rolling-hash fingerprinting, the
+    * MOSS scheme): hash every k-gram, then keep the minimum hash of
+    * each sliding window of `w` consecutive k-gram hashes. Guarantees
+    * any shared substring of length ≥ w+k-1 contributes a shared
+    * fingerprint — the local-similarity dual of MinHash's global set
+    * similarity. Pure column expressions; output one row per doc with
+    * the distinct selected fingerprints.
+    */
+  /** Column form of the winnowing sketch: distinct window-minima of
+    * the rolling k-gram hashes.
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+    val hashes = transform(Text.charShinglesAll(text, k),
+      g => Text.polyHash(g, k))
+    val nWin = greatest(size(hashes) - lit(w - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), nWin),
+      i => array_min(slice(hashes, i, lit(w)))))
+  }
+
+  def winnow(s: SparkSession, d: String, k: Int = 8, w: Int = 4): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"),
+        winnowFingerprints(col("text"), k, w).as("fingerprints"))
+      .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
+        col("fingerprints"))
 }

@@ -81,6 +81,32 @@ object Publisher {
         .cast("double").as("revenue"))
   }
 
+  /** Forecast-revenue-change filter-and-sum (the TPC-H Q6 shape): a
+    * pure scan query — every predicate pushes to parquet, no join, a
+    * single global sum. The canonical "is pushdown working" probe.
+    */
+  def forecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  /** Orders having at least one refunded line, counted per priority —
+    * EXISTS semantics as a left-semi join (the probe side reduced to
+    * distinct keys before the join).
+    */
+  def priorityRefundExists(s: SparkSession, d: String): DataFrame = {
+    val refunded = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+    Tables.orders(s, d)
+      .join(refunded, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_ct"))
+  }
+
   /** Top-10 revenue among a segment's unshipped orders (shipped-date
     * after cutoff), deterministic tiebreak on order id.
     */

