@@ -1,0 +1,30 @@
+package graft
+
+import graft.functions.{DotProduct, MinHashSignature}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extensions wiring graft's native expressions into any
+  * session at build time — the deployment-grade alternative to the
+  * per-operator `Vectors.ensureRegistered` fallback:
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)         // programmatic
+  *   // or spark.sql.extensions=graft.GraftExtensions (config/submit)
+  *
+  * After registration the functions are usable from SQL too:
+  * `SELECT graft_dot(a.v, b.v) FROM ...`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      exprs => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
+      exprs => MinHashSignature(exprs(0), exprs(1))))
+  }
+}

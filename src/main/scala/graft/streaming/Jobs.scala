@@ -101,6 +101,26 @@ object Jobs {
       dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
+  /** The full DWS trade topology in one job — detail stream ⋈
+    * broadcast dim → watermarked tumbling window → money agg
+    * (DwsTradeSkuOrderWindow.java:1: window + reduce + async dim
+    * enrichment, collapsed to a declarative plan). `details` needs
+    * (d_time timestamp, sku_id, amount); `dim` needs (sku_id key +
+    * attributes).
+    */
+  def skuOrderWindow(details: DataFrame, dim: DataFrame, dimKey: String,
+      groupCol: String, watermark: String = "1 hour",
+      win: String = "1 day"): DataFrame =
+    details
+      .withWatermark("d_time", watermark)
+      .join(broadcast(dim), col("sku_id") === col(dimKey))
+      .groupBy(window(col("d_time"), win), col(groupCol))
+      .agg(
+        count(lit(1)).as("order_ct"),
+        sum(col("amount")).as("order_amount"))
+      .select(col("window.start").as("wstart"), col(groupCol),
+        col("order_ct"), col("order_amount"))
+
   /** Log splitter — DwdBaseLog.java:1 fans the raw log into page /
     * err / start / action side-output streams. Structured Streaming
     * expresses each side output as a filter on the shared source; the

@@ -66,6 +66,26 @@ object StreamingDemo {
       spark.read.parquet(s"$cdcOut/error").count(),
       cdcBatch.filter(col("table") === "error").count())
 
+    val liStage = Files.createTempDirectory("demo-li")
+    Files.createSymbolicLink(liStage.resolve("lineitem.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/lineitem.parquet"))
+    val liStream = spark.readStream
+      .schema(Tables.lineitem(spark, sfDir).schema).parquet(liStage.toString)
+      .select(col("l_shipdate").cast("timestamp").as("d_time"),
+        col("l_partkey").as("sku_id"), col("l_extendedprice").as("amount"))
+    val sku = Jobs.skuOrderWindow(liStream,
+      Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")),
+      "p_partkey", "p_brand")
+      .writeStream.format("memory").queryName("demo_sku")
+      .outputMode("complete").start()
+    sku.processAllAvailable(); sku.stop()
+    check("skuOrderWindow groups",
+      spark.sql("SELECT count(*) FROM demo_sku").collect()(0).getLong(0),
+      Tables.lineitem(spark, sfDir)
+        .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+        .groupBy(window(col("l_shipdate").cast("timestamp"), "1 day"),
+          col("p_brand")).count().count())
+
     val repOut = Files.createTempDirectory("demo-rep").toString + "/snap"
     val rep = ReplacingSink.start(
       events.select(col("user_id").as("k"), col("event_type").as("v"),

@@ -1,0 +1,43 @@
+package graft.tools
+
+import graft.{GraftExtensions, GraftSession}
+import org.apache.spark.sql.SparkSession
+
+/** Drives the deployment path for graft's native functions: a session
+  * built with GraftExtensions resolves graft_dot / graft_minhash_sig
+  * from raw SQL — the same wiring `spark.sql.extensions=
+  * graft.GraftExtensions` gives spark-submit jobs. Also exercises the
+  * typed Dataset layer against the decimal DataFrame sum.
+  */
+object ExtensionsDemo {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.tune(
+      SparkSession.builder().master("local[4]")
+        .appName("graft-extensions-demo")
+        .withExtensions(new GraftExtensions), 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = false
+    def check(name: String, ok: Boolean): Unit = {
+      if (!ok) failed = true
+      println(s"[ext] $name: ${if (ok) "OK" else "FAIL"}")
+    }
+
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .collect()(0).getDouble(0)
+    check("graft_dot from SQL via extensions", dot == 11.0)
+    val sig = spark.sql(
+      "SELECT size(graft_minhash_sig(array(1L, 2L, 3L), 64))")
+      .collect()(0).getInt(0)
+    check("graft_minhash_sig from SQL via extensions", sig == 64)
+
+    val typed = graft.warehouse.Typed.revenueByFlag(spark, d).collect().toMap
+    check("typed aggregator returns all flags",
+      typed.keySet == Set("A", "N", "R"))
+    check("typed revenue positive", typed.values.forall(_ > 0))
+
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

@@ -21,6 +21,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() === Tables.lineitem(s, d).count())
   }
 
+  test("typed revenue aggregator matches the DataFrame decimal sum") {
+    import org.apache.spark.sql.types.DecimalType
+    val typed = graft.warehouse.Typed.revenueByFlag(s, d).collect()
+      .map { case (flag, rev) => flag -> rev }.toMap
+    val df = Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1) - col("l_discount").cast(DecimalType(12, 2))))
+        .cast("double").as("revenue")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(typed.keySet === df.keySet)
+    typed.foreach { case (k, v) =>
+      assert(math.abs(v - df(k)) < 1e-6, s"$k: $v vs ${df(k)}")
+    }
+  }
+
+  test("native functions are usable from raw SQL once registered") {
+    graft.functions.Vectors.ensureRegistered(s)
+    val r = s.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp")
+      .collect()(0).getDouble(0)
+    assert(r === 11.0)
+    val sig = s.sql(
+      "SELECT size(graft_minhash_sig(array(1L, 2L, 3L), 64)) AS n")
+      .collect()(0).getInt(0)
+    assert(sig === 64)
+    // the extensions class itself must inject without throwing
+    new graft.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("salted join is row-identical to the plain join") {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))

@@ -81,6 +81,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("skuOrderWindow: stream dim-join + window agg matches batch") {
+    val li = s.readStream.schema(Tables.lineitem(s, d).schema)
+      .parquet(stage("lineitem"))
+      .select(col("l_shipdate").cast("timestamp").as("d_time"),
+        col("l_partkey").as("sku_id"),
+        col("l_extendedprice").as("amount"))
+    val dim = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    val q = Jobs.skuOrderWindow(li, dim, "p_partkey", "p_brand")
+      .writeStream.format("memory").queryName("skuw")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = s.sql("SELECT count(*), sum(order_ct) FROM skuw").collect()(0)
+      val batch = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(window(col("l_shipdate").cast("timestamp"), "1 day"),
+          col("p_brand")).count()
+      assert(got.getLong(0) === batch.count())
+      assert(got.getLong(1) === Tables.lineitem(s, d).count())
+    } finally q.stop()
+  }
+
   test("dim broadcast join enriches the stream without shuffling it") {
     val dim = Tables.nation(s, d)
     val enriched = Jobs.dimJoin(
