@@ -51,6 +51,8 @@ object SparkEntry {
     "sim_ann_ivf" -> (Similarity.annIvf(_, _)),
     "text_winnow" -> ((s, d) =>
       TextAnalysis.winnow(s, d).select("doc_id", "n_fp")),
+    "text_corpus_stats" -> (TextAnalysis.corpusStats(_, _)),
+    "pipeline_clean_corpus" -> (TextAnalysis.cleanCorpus(_, _)),
     // §2.2 LLM pipeline
     "dedup_exact" -> (Dedup.exact(_, _)),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh(_, _)),
@@ -230,6 +232,33 @@ object SparkEntry {
         |   for g in [substr(lower(text), i, 8)
         |     for i in range(1, greatest(length(lower(text)) - 6, 2))]] AS h
         | FROM documents) t""".stripMargin,
+    "text_corpus_stats" ->
+      """SELECT lang, COUNT(*) AS doc_ct,
+        | CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars_sum,
+        | CAST(SUM(CAST(len(list_filter(string_split(lower(text), ' '),
+        |   x -> x <> '')) AS BIGINT)) AS BIGINT) AS tokens_sum,
+        | MIN(length(text)) AS min_chars, MAX(length(text)) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "pipeline_clean_corpus" ->
+      """WITH toks AS (SELECT doc_id, lang, source, text,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        | FROM documents),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        | GROUP BY md5(array_to_string(list_sort(list_distinct(
+        |   list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' '))),
+        |scored AS (SELECT t.doc_id, t.lang, t.source,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(tk, x -> list_contains(
+        |    ['the','a','of','and','to','is','in','that','it','for'], x)))
+        |   AS DOUBLE) / CAST(len(tk) AS DOUBLE) * 0.3
+        |  + CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |   AS DOUBLE) / CAST(length(text) AS DOUBLE) * 0.4
+        |  + least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.3
+        |   AS quality_score
+        | FROM toks t JOIN keep k ON t.doc_id = k.doc_id)
+        |SELECT doc_id, lang, source, n_tokens, quality_score FROM scored
+        |WHERE n_tokens >= 10 AND n_tokens <= 100000
+        | AND quality_score >= 0.5""".stripMargin,
     "analytics_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |g AS (SELECT user_id, us, CASE WHEN

@@ -81,6 +81,30 @@ object Text {
       .otherwise("und")
   }
 
+  /** Search-keyword segmentation, CJK-aware: Han runs are split into
+    * overlapping character bigrams (the standard analyzer fallback
+    * when no dictionary segmenter like IK is available — reference
+    * KeywordUtil.java:1 uses IK), everything else splits on
+    * whitespace. Pure column expressions: the Han runs are isolated
+    * with regexp_replace padding, then bigrammed per token.
+    */
+  def segmentKeywords(text: Column): Column = {
+    // put spaces around every Han char, then whitespace-split; a Han
+    // run of length n becomes n single chars → bigram adjacent pairs
+    val spaced = regexp_replace(lower(text), "([一-鿿])", " $1 ")
+    val toks = filter(split(spaced, "\\s+"), t => t =!= "")
+    // adjacent-pair bigrams over single-Han tokens; keep non-Han as-is
+    val n = size(toks)
+    val bigrams = transform(sequence(lit(1), greatest(n - 1, lit(1))),
+      i => when(
+        element_at(toks, i).rlike("^[一-鿿]$") &&
+          element_at(toks, i + 1).rlike("^[一-鿿]$"),
+        concat(element_at(toks, i), element_at(toks, i + 1)))
+        .otherwise(null))
+    val singles = filter(toks, t => !t.rlike("^[一-鿿]$"))
+    concat(singles, filter(bigrams, b => b.isNotNull))
+  }
+
   private val stopwords =
     Seq("the", "a", "of", "and", "to", "is", "in", "that", "it", "for")
 
@@ -107,8 +131,20 @@ object Text {
       meanLen.as("mean_token_len"),
       (stopCt / nToks).as("stopword_ratio"),
       (alpha / nChars).as("alpha_ratio"),
-      (stopCt / nToks * lit(0.3) + alpha / nChars * lit(0.4) +
-        least(nToks / lit(100.0), lit(1.0)) * lit(0.3)).as("quality_score"))
+      qualityScore(text).as("quality_score"))
+  }
+
+  /** The scalar quality score alone (same formula as the last column
+    * of [[qualityColumns]]).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = wsTokens(text)
+    val nChars = length(text).cast("double")
+    val nToks = size(toks).cast("double")
+    val stopCt = size(filter(toks, t => t.isin(stopwords: _*))).cast("double")
+    val alpha = length(regexp_replace(lower(text), "[^a-z]", "")).cast("double")
+    stopCt / nToks * lit(0.3) + alpha / nChars * lit(0.4) +
+      least(nToks / lit(100.0), lit(1.0)) * lit(0.3)
   }
 
   /** Key-collision fingerprint (OpenRefine-style): digest of the

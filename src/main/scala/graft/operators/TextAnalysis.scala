@@ -49,6 +49,44 @@ object TextAnalysis {
     * similarity. Pure column expressions; output one row per doc with
     * the distinct selected fingerprints.
     */
+  /** Corpus profile per language label: doc counts, char/token
+    * volume, length extremes — the summary a pipeline reads before
+    * choosing filter thresholds.
+    */
+  def corpusStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("doc_ct"),
+        sum(length(col("text")).cast("long")).as("chars_sum"),
+        sum(size(Text.wsTokens(col("text"))).cast("long")).as("tokens_sum"),
+        min(length(col("text"))).as("min_chars"),
+        max(length(col("text"))).as("max_chars"))
+
+  /** The end-to-end cleaning pipeline in one plan: fingerprint-dedup
+    * (keep lowest doc_id per bag-of-words class) ∘ quality floor ∘
+    * length band. This is the composition a training-data pipeline
+    * actually ships — each stage is one of this module's operators,
+    * fused by Catalyst into a single job (the dedup groupBy is the
+    * only shuffle).
+    */
+  def cleanCorpus(s: SparkSession, d: String, minQuality: Double = 0.5,
+      minTokens: Int = 10, maxTokens: Int = 100000): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keep = docs
+      .groupBy(Text.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val toks = Text.wsTokens(col("text"))
+    docs.join(keep, "doc_id")
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("quality_score", Text.qualityScore(col("text")))
+      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("quality_score") >= minQuality)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("quality_score"))
+  }
+
   /** Column form of the winnowing sketch: distinct window-minima of
     * the rolling k-gram hashes.
     */

@@ -55,6 +55,29 @@ class TextSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("CJK-aware keyword segmentation: Han bigrams + latin words") {
+    import s.implicits._
+    val df = Seq(
+      ("小米手机 flagship", Seq("flagship", "小米", "米手", "手机")),
+      ("plain english only", Seq("plain", "english", "only")),
+      ("图书", Seq("图书"))
+    ).toDF("text", "expected")
+    df.select(Text.segmentKeywords(col("text")).as("got"), col("expected"))
+      .collect().foreach { r =>
+        assert(r.getSeq[String](0).toSet === r.getSeq[String](1).toSet,
+          s"got ${r.getSeq[String](0)} expected ${r.getSeq[String](1)}")
+      }
+  }
+
+  test("clean corpus pipeline: deduped, bounded, quality-floored") {
+    val cleaned = graft.operators.TextAnalysis.cleanCorpus(s, d).collect()
+    assert(cleaned.nonEmpty)
+    assert(cleaned.forall(_.getAs[Double]("quality_score") >= 0.5))
+    assert(cleaned.forall(_.getAs[Long]("n_tokens") >= 10))
+    // dedup: cleaned ids are fingerprint-group minima, so distinct
+    assert(cleaned.map(_.getAs[Long]("doc_id")).distinct.length === cleaned.length)
+  }
+
   test("quality columns are in range over the corpus") {
     val q = TextAnalysis.quality(s, d).collect()
     q.foreach { r =>
