@@ -57,36 +57,44 @@ object Similarity {
       Vectors.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
       .cache()
+    // centroids: evenly-strided corpus rows, collected to the driver
+    // (nCells × dim doubles — the same "tiny broadcast config" shape
+    // the reference ships to every task) and inlined as literals, so
+    // cell assignment is a pure per-row expression: no join, no
+    // window, no shuffle.
     val total = e.count()
     val stride = math.max(1L, total / nCells)
     val cents = e.filter(col("vec_id") % stride === 0 &&
         col("vec_id") / stride < nCells)
-      .select((col("vec_id") / stride).cast("int").as("cell"),
-        col("v").as("cv"), col("nrm").as("cn"))
-    // assign every vector to its best cell (rank over cell scores)
-    def assign(df: DataFrame, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(cents), lit(true))
-        .withColumn("cscore", Vectors.cosineWithNorms(
-          col("v"), col("cv"), col("nrm"), col("cn")))
-      val w = Window.partitionBy(df.columns.map(col): _*)
-        .orderBy(col("cscore").desc, col("cell"))
-      scored.withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= keep)
-        .drop("cv", "cn", "cscore", "crk")
-    }
-    val corpus = assign(e, keep = 1)
-    val queries = assign(
-      e.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn")).withColumnRenamed("qv", "v")
-        .withColumnRenamed("qn", "nrm"), keep = nProbe)
-      .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qn")
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val cellScores = array(cents.map { case (cv, cn) =>
+      Vectors.dot(col("v"), typedLit(cv)) / (col("nrm") * cn)
+    }: _*)
+    val bestCell = (array_position(col("__scores"),
+      array_max(col("__scores"))) - 1).cast("int")
+    val corpus = e.withColumn("__scores", cellScores)
+      .withColumn("cell", bestCell).drop("__scores")
+    // queries probe their nProbe best cells: sort (score, idx) structs
+    // descending — a 16-element in-row sort, not a window
+    val ranked = array_sort(
+      transform(sequence(lit(0), lit(cents.length - 1)),
+        i => struct(element_at(col("__scores"), i + 1).as("s"), i.as("i"))),
+      (a, b) => when(a("s") > b("s"), -1).when(a("s") < b("s"), 1)
+        .otherwise(a("i").cast("int") - b("i").cast("int")))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .withColumn("__scores", cellScores)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(transform(slice(ranked, 1, nProbe), x => x("i")))
+          .as("cell"))
+      .drop("__scores")
     val scored = corpus.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Vectors.cosineWithNorms(col("qv"), col("v"), col("qn"), col("nrm"))
           .as("cos"))
-      .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))

@@ -101,6 +101,24 @@ object Jobs {
       dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
+  /** Keyword window count — the streaming form of
+    * DwsTrafficSourceKeywordPageViewWindow.java:1: extract the search
+    * term from the page log (here: the JSON props payload), explode
+    * via the generator (Spark's UDTF analogue of KeywordUDTF.java:1),
+    * tumbling-window count. Works on any stream with (ts, props).
+    */
+  def keywordWindow(events: DataFrame, watermark: String = "10 minutes",
+      win: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(
+        concat_ws(" ", lit("kw"),
+          get_json_object(col("props"), "$.k")), " ")).as("keyword"))
+      .groupBy(window(col("ts"), win), col("keyword"))
+      .agg(count(lit(1)).as("keyword_ct"))
+      .select(col("window.start").as("wstart"), col("keyword"),
+        col("keyword_ct"))
+
   /** The full DWS trade topology in one job — detail stream ⋈
     * broadcast dim → watermarked tumbling window → money agg
     * (DwsTradeSkuOrderWindow.java:1: window + reduce + async dim

@@ -66,6 +66,13 @@ object StreamingDemo {
       spark.read.parquet(s"$cdcOut/error").count(),
       cdcBatch.filter(col("table") === "error").count())
 
+    val kw = Jobs.keywordWindow(events).writeStream.format("memory")
+      .queryName("demo_kw").outputMode("complete").start()
+    kw.processAllAvailable(); kw.stop()
+    check("keywordWindow total keywords",
+      spark.sql("SELECT sum(keyword_ct) FROM demo_kw").collect()(0).getLong(0),
+      Tables.events(spark, sfDir).count() * 2)
+
     val liStage = Files.createTempDirectory("demo-li")
     Files.createSymbolicLink(liStage.resolve("lineitem.parquet"),
       java.nio.file.Paths.get(s"$sfDir/lineitem.parquet"))

@@ -81,6 +81,18 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("keywordWindow: streaming explode + window count matches batch") {
+    val q = Jobs.keywordWindow(eventsStream)
+      .writeStream.format("memory").queryName("kww")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = s.sql("SELECT sum(keyword_ct) FROM kww").collect()(0).getLong(0)
+      // each event yields 2 keywords: the "kw" marker + the props value
+      assert(got === Tables.events(s, d).count() * 2)
+    } finally q.stop()
+  }
+
   test("skuOrderWindow: stream dim-join + window agg matches batch") {
     val li = s.readStream.schema(Tables.lineitem(s, d).schema)
       .parquet(stage("lineitem"))
