@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSignature}
+import graft.functions.{DotProduct, MinHashSignature, ShingleHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
       exprs => MinHashSignature(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      exprs => ShingleHashes(exprs(0), exprs(1))))
   }
 }

@@ -105,6 +105,74 @@ case class MinHashSignature(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Distinct rolling-hash character shingles in one pass: lowercases
+  * the text, computes a polynomial rolling hash of every n-char
+  * window (finalized with a splitmix64-style mixer), and returns the
+  * sorted-distinct hash array. Replaces
+  * `array_distinct(transform(sequence, substring)) + xxhash64` — four
+  * interpreted HOF passes materializing a string array per row — with
+  * one JIT'd loop producing longs directly. Set semantics (distinct,
+  * unordered) are what every consumer (Jaccard counts, MinHash,
+  * intersections) needs, so the hash basis change is invisible.
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  @transient private lazy val n: Int = right.eval(null).asInstanceOf[Int]
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override def nullSafeEval(textAny: Any, nAny: Any): Any = {
+    val text = textAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.toString
+    val len = text.length
+    val B = 1099511628211L // FNV prime as the rolling base
+    if (len <= n) {
+      var h = 0L
+      var i = 0
+      while (i < len) { h = h * B + text.charAt(i); i += 1 }
+      return new GenericArrayData(Array(mix(h)))
+    }
+    val count = len - n + 1
+    val out = new Array[Long](count)
+    // B^(n-1) for the roll-off term (wrapping arithmetic is fine here:
+    // this is JVM code, not ANSI SQL)
+    var bPow = 1L
+    var j = 0
+    while (j < n - 1) { bPow *= B; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < n) { h = h * B + text.charAt(i); i += 1 }
+    out(0) = mix(h)
+    i = 1
+    while (i < count) {
+      h = (h - text.charAt(i - 1) * bPow) * B + text.charAt(i + n - 1)
+      out(i) = mix(h)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var uniq = 1
+    i = 1
+    while (i < count) {
+      if (out(i) != out(uniq - 1)) { out(uniq) = out(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Register graft's native functions on a session (idempotent).
     * Needed before [[Vectors.dot]] / [[graft.operators.Dedup]]
@@ -116,5 +184,8 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig",
       exprs => MinHashSignature(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_hashes",
+      exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
   }
 }

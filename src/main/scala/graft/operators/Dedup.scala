@@ -27,16 +27,18 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_ct"))
 
-  /** Shingle table: (doc_id, shingles array, hashed int64 array).
-    * The hash column is materialized once so downstream consumers
-    * (64 minhash permutations, the inverted-index join) shuffle and
-    * scan 8-byte longs, never the 12-char strings.
+  /** Shingle table: (doc_id, hashed int64 shingle-set array) via the
+    * native [[graft.functions.ShingleHashes]] rolling-hash expression
+    * — one JIT'd pass per document, no string-array materialization;
+    * every downstream consumer (Jaccard counts, minhash, band joins,
+    * intersections) needs only set semantics over the hashes.
     */
-  private def shingled(s: SparkSession, d: String, n: Int): DataFrame =
+  private def shingled(s: SparkSession, d: String, n: Int): DataFrame = {
+    Vectors.ensureRegistered(s)
     Tables.spread(Tables.documents(s, d)).select(
       col("doc_id"),
-      Text.charShingles(col("text"), n).as("shingles"))
-      .withColumn("hashed", transform(col("shingles"), sh => xxhash64(sh)))
+      call_function("graft_shingle_hashes", col("text"), lit(n)).as("hashed"))
+  }
 
   private val MinhashPrime = 2038074743L
 
@@ -134,7 +136,7 @@ object Dedup {
     // sort-merges 8-byte longs instead of 12-char strings, and it's
     // cached because it feeds both sides of the self-join
     val sh = shingled(s, d, ngram)
-      .select(col("doc_id"), size(col("shingles")).as("n"),
+      .select(col("doc_id"), size(col("hashed")).as("n"),
         explode(col("hashed")).as("sh"))
       .cache()
     val sizes = sh.select("doc_id", "n").distinct()

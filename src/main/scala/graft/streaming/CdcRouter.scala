@@ -30,11 +30,21 @@ object CdcRouter {
     */
   def start(cdc: DataFrame, routes: Map[String, Route],
       checkpoint: String): StreamingQuery =
+    startDynamic(cdc, () => routes, checkpoint)
+
+  /** Dynamic-config variant: `routes` is re-evaluated at every
+    * micro-batch, mirroring the reference's broadcast config stream
+    * (TableProcessFunction.java:1 watches the MySQL `table_process`
+    * table via CDC) — routing changes take effect on the next batch
+    * with no restart.
+    */
+  def startDynamic(cdc: DataFrame, routes: () => Map[String, Route],
+      checkpoint: String): StreamingQuery =
     cdc.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val cached = batch.cache()
-        try routes.foreach { case (table, route) =>
+        try routes().foreach { case (table, route) =>
           val rows = cached.filter(col("table") === table)
           val kept = if (route.keepDeletes) rows
                      else rows.filter(col("op") =!= "delete")

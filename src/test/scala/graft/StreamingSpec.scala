@@ -167,6 +167,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$base/view").exists(), "unrouted table dropped")
   }
 
+  test("CDC router picks up config changes between batches (no restart)") {
+    // two micro-batches: stage one file, process, stage another with a
+    // widened config — the second batch must route the newly-added table
+    val srcDir = Files.createTempDirectory("cdc-dyn-src")
+    val base = tmp("cdc-dyn-out")
+    @volatile var routes = Map("click" -> CdcRouter.Route(s"$base/click"))
+    val cdc = Sources.cdcFromEvents(Sources.events(s, srcDir.toString))
+    val q = CdcRouter.startDynamic(cdc, () => routes, tmp("cdc-dyn-ck"))
+    try {
+      Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      q.processAllAvailable()
+      assert(new java.io.File(s"$base/click").exists)
+      assert(!new java.io.File(s"$base/error").exists, "not yet configured")
+      routes = routes + ("error" -> CdcRouter.Route(s"$base/error", true))
+      // second batch: a copy of the data under a new file name
+      Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+        srcDir.resolve("events2.parquet"))
+      q.processAllAvailable()
+      assert(new java.io.File(s"$base/error").exists,
+        "new route active without restart")
+      val errs = s.read.parquet(s"$base/error").count()
+      val expect = Sources.cdcFromEvents(Tables.events(s, d))
+        .filter(col("table") === "error").count()
+      assert(errs === expect, "only the second batch routed to error")
+    } finally q.stop()
+  }
+
   test("replacing sink keeps the max-version row per key across batches") {
     import s.implicits._
     val out = tmp("rep-out") + "/snap"

@@ -8,6 +8,12 @@ class WarehouseSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val d = TestSpark.sf
 
+  test("driver entry() smoke: nonempty on a plain queries path") {
+    assert(SparkEntry.entry(s).count() > 0)
+    // every queries entry has either an oracle or is known rows-only
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("pricing summary: 6 flag×status groups, totals reconcile") {
     val q1 = Dws.pricingSummary(s, d).collect()
     assert(q1.length === 6)
