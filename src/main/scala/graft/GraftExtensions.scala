@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSignature, ShingleHashes}
+import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       exprs => ShingleHashes(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      exprs => SimHash64(exprs(0))))
   }
 }

@@ -60,6 +60,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDupExact(s, d).select("id_a", "id_b")),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.dedupClusters(Dedup.ngramJaccard(s, d))),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
     "text_langid" -> (TextAnalysis.langId(_, _)),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
@@ -173,6 +173,60 @@ case class ShingleHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash of a document in one pass: hash each whitespace
+  * token (FNV-1a then splitmix finalizer), accumulate ±1 bit votes,
+  * emit the sign fingerprint. SimHash is a per-document scalar — the
+  * explode → groupBy → 64-conditional-sums formulation shuffles every
+  * token; this expression keeps it map-side with zero shuffle.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override def nullSafeEval(textAny: Any): Any = {
+    val text = textAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.toString
+    val votes = new Array[Int](64)
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && text.charAt(i) == ' ') i += 1
+      if (i < len) {
+        var h = 0xcbf29ce484222325L // FNV-1a over the token
+        while (i < len && text.charAt(i) != ' ') {
+          h = (h ^ text.charAt(i)) * 1099511628211L
+          i += 1
+        }
+        val th = mix(h)
+        var b = 0
+        while (b < 64) {
+          if (((th >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Register graft's native functions on a session (idempotent).
     * Needed before [[Vectors.dot]] / [[graft.operators.Dedup]]
@@ -187,5 +241,7 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes",
       exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
   }
 }

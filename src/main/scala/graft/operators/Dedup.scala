@@ -86,22 +86,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash fingerprint per document. The per-bit ±1 votes
-    * are a single groupBy with 64 map-side-combinable sums — shuffle
-    * carries 64 longs per doc, not the tokens.
+  /** 64-bit SimHash fingerprint per document via the native
+    * [[graft.functions.SimHash64]] expression — SimHash is a
+    * per-document scalar, so it is computed map-side with ZERO
+    * shuffle (the explode → groupBy → 64-sums formulation shuffles
+    * every token).
     */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.spread(Tables.documents(s, d))
-      .select(col("doc_id"), explode(Text.wsTokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
-        .as(s"v$b"))
-    val fp = (0 until 64)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+    Vectors.ensureRegistered(s)
+    Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"),
+        call_function("graft_simhash64", col("text")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: 4×16-bit band join for candidates, then
@@ -153,8 +148,49 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Transitive closure of near-dup pairs into canonical clusters:
+    * iterative min-label propagation — each round, every node adopts
+    * the smallest label among itself and its neighbors; converges in
+    * O(diameter) rounds ≤ O(log n) for near-dup blobs. Each round is
+    * one join + one groupBy (both shuffles on id), with
+    * localCheckpoint breaking lineage so 100 iterations don't build a
+    * 100-deep plan. Output: (doc_id, cluster_id = min id in the
+    * component); docs absent from `pairs` are their own cluster and
+    * are omitted (callers union them back if needed).
+    */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // materialize the pair computation ONCE before mirroring: a union
+    // of two selects over an unmaterialized plan runs it twice
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster_id", "old"),
+        Seq("id")).filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   /** Embedding near-dup pairs, exact quadratic variant (the oracle /
-    * ground truth — see [[lshNearDup]] for the scale path).
+    * ground truth — see [[embeddingNearDupLsh]] for the scale path).
     */
   def embeddingNearDupExact(s: SparkSession, d: String,
       threshold: Double = 0.4): DataFrame = {

@@ -101,6 +101,17 @@ object Jobs {
       dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
+  /** Streaming exact dedup: keep the first arrival per key, dropping
+    * replays/duplicates across micro-batches; watermark bounds the
+    * dedup state (the streaming form of the exact-dedup groupBy, and
+    * the idempotence guard the reference gets from ClickHouse
+    * ReplacingMergeTree).
+    */
+  def streamingDedup(df: DataFrame, keys: Seq[String], tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Keyword window count — the streaming form of
     * DwsTrafficSourceKeywordPageViewWindow.java:1: extract the search
     * term from the page log (here: the JSON props payload), explode

@@ -42,29 +42,37 @@ class DedupSpec extends AnyFunSuite {
     // simhash is order-insensitive over token bags: a doc and its
     // sorted-token version must land at hamming 0
     import s.implicits._
+    graft.functions.Vectors.ensureRegistered(s)
     val docs = graft.sources.Tables.documents(s, d).limit(20)
       .select(col("doc_id"), col("text"))
     val shuffled = docs.select(
       (col("doc_id") + 100000).as("doc_id"),
       concat_ws(" ", array_sort(split(col("text"), " "))).as("text"))
-    val all = docs.union(shuffled)
-    all.createOrReplaceTempView("simhash_test_docs")
-    // run the same pipeline on the synthetic union
-    val tok = all.select(col("doc_id"), explode(
-      graft.functions.Text.wsTokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
-        .as(s"v$b"))
-    val fpExpr = (0 until 64)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val fps = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fpExpr.as("simhash"))
+    val fps = docs.union(shuffled)
+      .select(col("doc_id"),
+        call_function("graft_simhash64", col("text")).as("simhash"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0 until 20).foreach { i =>
       assert(fps(i.toLong) === fps(i + 100000L),
         s"doc $i: reordering changed the simhash")
+    }
+  }
+
+  test("dedup clusters: min-label propagation finds the transitive closure") {
+    import s.implicits._
+    // components: {1,2,3,9} (chain), {5,6}, singleton pairs absent
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L))
+    // and on the real near-dup graph: every member maps to the min id
+    val real = Dedup.dedupClusters(Dedup.ngramJaccard(s, d)).collect()
+    assert(real.nonEmpty)
+    val byCluster = real.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min === cid)
     }
   }
 

@@ -81,6 +81,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch replays") {
+    // stage the same file twice → the source delivers every event
+    // twice; dedup on event_id must keep exactly one of each
+    val dir = Files.createTempDirectory("dedup-src")
+    Files.createSymbolicLink(dir.resolve("a.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+      dir.resolve("b.parquet"))
+    val stream = Sources.events(s, dir.toString)
+    val q = Jobs.streamingDedup(stream, Seq("event_id"), "ts")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("sdedup-ck")).start()
+    try {
+      q.processAllAvailable()
+      val got = s.sql("SELECT count(*), count(DISTINCT event_id) FROM sdedup")
+        .collect()(0)
+      val expected = Tables.events(s, d).count()
+      assert(got.getLong(0) === expected, "each event exactly once")
+      assert(got.getLong(1) === expected)
+    } finally q.stop()
+  }
+
   test("keywordWindow: streaming explode + window count matches batch") {
     val q = Jobs.keywordWindow(eventsStream)
       .writeStream.format("memory").queryName("kww")
