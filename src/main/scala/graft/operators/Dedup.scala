@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Text, Vectors}
+import graft.functions.Vectors
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
