@@ -46,6 +46,8 @@ object SparkEntry {
     "analytics_anti_dormant" -> (Analytics.dormantParts(_, _)),
     "analytics_rollup" -> (Analytics.revenueRollup(_, _)),
     "analytics_approx_stats" -> (Analytics.approxStats(_, _)),
+    "analytics_funnel" -> (Analytics.funnel(_, _)),
+    "analytics_rfm" -> (Analytics.rfm(_, _)),
     "q6_forecast_revenue" -> (Publisher.forecastRevenue(_, _)),
     "q4_priority_refund" -> (Publisher.priorityRefundExists(_, _)),
     "sim_ann_ivf" -> (Similarity.annIvf(_, _)),
@@ -310,6 +312,36 @@ object SparkEntry {
         | WHERE l_partkey = p_partkey
         |  AND l_shipdate >= TIMESTAMP '1998-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-02-01')""".stripMargin,
+    "analytics_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e2.user_id, MIN(e2.us) AS t2 FROM e e2
+        |      JOIN v ON e2.user_id = v.user_id
+        |      WHERE e2.event_type = 'click' AND e2.us > v.t1
+        |       AND e2.us <= v.t1 + 86400000000 GROUP BY 1),
+        |p AS (SELECT e3.user_id, MIN(e3.us) AS t3 FROM e e3
+        |      JOIN c ON e3.user_id = c.user_id
+        |      WHERE e3.event_type = 'purchase' AND e3.us > c.t2
+        |       AND e3.us <= c.t2 + 86400000000 GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM v) AS viewed,
+        |       (SELECT COUNT(*) FROM c) AS clicked,
+        |       (SELECT COUNT(*) FROM p) AS purchased""".stripMargin,
+    "analytics_rfm" ->
+      s"""WITH base AS (
+         | SELECT o_custkey AS customer_id,
+         |  MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         |  COUNT(*) AS frequency,
+         |  CAST(SUM(${m("o_totalprice")}) AS DOUBLE) AS monetary
+         | FROM orders GROUP BY 1)
+         |SELECT customer_id, last_order, frequency, monetary,
+         | CAST(NTILE(4) OVER (ORDER BY last_order, customer_id) AS BIGINT)
+         |  AS r_bucket,
+         | CAST(NTILE(4) OVER (ORDER BY frequency, customer_id) AS BIGINT)
+         |  AS f_bucket,
+         | CAST(NTILE(4) OVER (ORDER BY monetary, customer_id) AS BIGINT)
+         |  AS m_bucket
+         |FROM base""".stripMargin,
     "analytics_rollup" ->
       s"""SELECT coalesce(r_name, 'ALL') AS region_name,
          | coalesce(n_name, 'ALL') AS nation_name,
