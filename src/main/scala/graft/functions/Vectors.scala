@@ -46,16 +46,19 @@ object Vectors {
     * pseudo-random planes. Plane coefficients come from a fixed
     * integer mix (Knuth multiplicative hash) so every executor — and
     * every round — derives the same planes with zero driver state.
+    * Each bit is one native `graft_dot` against a literal plane (an
+    * element_at-per-dimension expression tree blows past codegen
+    * limits and falls back to interpretation). Requires
+    * [[ensureRegistered]].
     */
   def lshBucket(v: Column, dim: Int, nBits: Int): Column = {
     val bits = (0 until nBits).map { j =>
-      val plane = (0 until dim).map { i =>
+      val plane = Array.tabulate(dim) { i =>
         val h = (((j.toLong * dim + i) * 2654435761L) & 0xffffffffL)
-        lit(h.toDouble / 4294967296.0 - 0.5)
+        h.toDouble / 4294967296.0 - 0.5
       }
-      val d = (0 until dim).map(i => element_at(v, i + 1) * plane(i))
-        .reduce(_ + _)
-      when(d > 0, lit(1L << (nBits - 1 - j))).otherwise(lit(0L))
+      when(dot(v, typedlit(plane)) > 0, lit(1L << (nBits - 1 - j)))
+        .otherwise(lit(0L))
     }
     bits.reduce((a, b) => a + b).as("lsh_bucket")
   }

@@ -31,6 +31,40 @@ object ReplacingSink {
       }
       .start()
 
+  /** Doris-aggregate-model variant: rows sharing a key MERGE by
+    * summing the value columns (the reference's Doris sum-agg tables,
+    * e.g. the DWS pv/uv rollups). Each batch pre-aggregates map-side,
+    * then the snapshot merge sums again — associative, so replay
+    * yields the same totals as one big batch only if each batch is
+    * delivered exactly once; pair with [[graft.streaming.Jobs
+    * .streamingDedup]] upstream when the source can replay.
+    */
+  def startSumming(stream: DataFrame, keyCols: Seq[String],
+      sumCols: Seq[String], path: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sumUpsert(batch, keyCols, sumCols, path)
+      }
+      .start()
+
+  /** One summing-merge step; also usable from batch jobs. */
+  def sumUpsert(batch: DataFrame, keyCols: Seq[String],
+      sumCols: Seq[String], path: String): Unit = {
+    val spark = batch.sparkSession
+    val aggs = sumCols.map(c => sum(col(c)).as(c))
+    val compact = batch.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val merged =
+      if (new java.io.File(path).exists()) {
+        val cur = spark.read.parquet(path)
+        cur.unionByName(compact.select(cur.columns.map(col): _*))
+          .groupBy(keyCols.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+      } else compact
+    replaceDir(merged, path)
+  }
+
   /** One merge step; also usable from batch jobs. */
   def upsert(batch: DataFrame, keyCols: Seq[String], versionCol: String,
       path: String): Unit = {
@@ -46,9 +80,15 @@ object ReplacingSink {
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       } else latest
-    // rewrite via temp dir: parquet overwrite would clobber its own input
+    replaceDir(merged, path)
+  }
+
+  /** Atomically-ish replace the snapshot dir (write to temp, swap):
+    * parquet overwrite would clobber its own input mid-read.
+    */
+  private def replaceDir(df: DataFrame, path: String): Unit = {
     val tmp = path + "__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = new java.io.File(path)
     if (fs.exists()) {
       def rm(f: java.io.File): Unit = {

@@ -218,6 +218,19 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("summing sink merges batches like a Doris sum-agg table") {
+    import s.implicits._
+    val out = tmp("sum-out") + "/snap"
+    val b1 = Seq(("a", 1L, 2.0), ("b", 2L, 3.0), ("a", 3L, 4.0))
+      .toDF("k", "pv", "amt")
+    val b2 = Seq(("a", 10L, 1.0), ("c", 1L, 1.0)).toDF("k", "pv", "amt")
+    ReplacingSink.sumUpsert(b1, Seq("k"), Seq("pv", "amt"), out)
+    ReplacingSink.sumUpsert(b2, Seq("k"), Seq("pv", "amt"), out)
+    val got = s.read.parquet(out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === Map("a" -> (14L, 7.0), "b" -> (2L, 3.0), "c" -> (1L, 1.0)))
+  }
+
   test("replacing sink keeps the max-version row per key across batches") {
     import s.implicits._
     val out = tmp("rep-out") + "/snap"
