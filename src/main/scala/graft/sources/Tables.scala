@@ -25,6 +25,20 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Register every table as a temp view so callers can work in raw
+    * SQL — the reference's BaseSQLApp pattern (gmall2024-realtime-
+    * master/realtime-common/.../base/BaseSQLApp.java:1) where each
+    * app body is `tableEnv.executeSql(...)`. With [[graft.
+    * GraftExtensions]] on the session, graft's native functions are
+    * available in those queries too.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    all.foreach { name =>
+      val df = if (name == "events") events(spark, sfDir)
+               else load(spark, sfDir, name)
+      df.createOrReplaceTempView(name)
+    }
+
   /** Widen a narrow scan to cluster parallelism. A single parquet
     * file with one row group scans as ONE partition no matter what
     * `maxPartitionBytes` says — so a CPU-heavy operator downstream

@@ -32,6 +32,13 @@ object ExtensionsDemo {
       .collect()(0).getInt(0)
     check("graft_minhash_sig from SQL via extensions", sig == 64)
 
+    graft.sources.Tables.registerViews(spark, d)
+    val sqlOnly = spark.sql("""
+      SELECT l_returnflag, count(*) AS ct,
+             avg(graft_dot(array(l_quantity), array(l_discount))) AS dotavg
+      FROM lineitem GROUP BY 1""").collect()
+    check("raw SQL over registered views + native fn", sqlOnly.length == 3)
+
     val typed = graft.warehouse.Typed.revenueByFlag(spark, d).collect().toMap
     check("typed aggregator returns all flags",
       typed.keySet == Set("A", "N", "R"))

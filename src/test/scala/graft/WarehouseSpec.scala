@@ -8,6 +8,24 @@ class WarehouseSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val d = TestSpark.sf
 
+  test("registerViews enables raw SQL over every table (BaseSQLApp parity)") {
+    graft.sources.Tables.registerViews(s, d)
+    graft.functions.Vectors.ensureRegistered(s)
+    val r = s.sql("""
+      SELECT n_name, count(*) AS ct FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1""").count()
+    assert(r === 25)
+    // events view carries the converted timestamp
+    val ts = s.sql("SELECT min(ts) FROM events").collect()(0)
+    assert(ts.get(0) != null)
+    // native functions work in SQL over the views
+    val simhashed = s.sql(
+      "SELECT graft_simhash64(text) AS h FROM documents LIMIT 5").count()
+    assert(simhashed === 5)
+  }
+
   test("driver entry() smoke: nonempty on a plain queries path") {
     assert(SparkEntry.entry(s).count() > 0)
     // every queries entry has either an oracle or is known rows-only
