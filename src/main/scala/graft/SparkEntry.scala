@@ -254,9 +254,9 @@ object SparkEntry {
         |  CAST(len(tk) AS BIGINT) AS n_tokens,
         |  CAST(len(list_filter(tk, x -> list_contains(
         |    ['the','a','of','and','to','is','in','that','it','for'], x)))
-        |   AS DOUBLE) / CAST(len(tk) AS DOUBLE) * 0.3
+        |   AS DOUBLE) / NULLIF(CAST(len(tk) AS DOUBLE), 0) * 0.3
         |  + CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-        |   AS DOUBLE) / CAST(length(text) AS DOUBLE) * 0.4
+        |   AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0) * 0.4
         |  + least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.3
         |   AS quality_score
         | FROM toks t JOIN keep k ON t.doc_id = k.doc_id)
@@ -439,10 +439,10 @@ object SparkEntry {
         | CAST(length(text) AS BIGINT) AS n_chars_calc,
         | CAST(len(toks) AS BIGINT) AS n_tokens,
         | CAST(list_sum([length(x) for x in toks]) AS DOUBLE)
-        |  / CAST(len(toks) AS DOUBLE) AS mean_token_len,
-        | stop_ct / n_toks AS stopword_ratio,
-        | alpha / n_chars AS alpha_ratio,
-        | stop_ct / n_toks * 0.3 + alpha / n_chars * 0.4
+        |  / NULLIF(CAST(len(toks) AS DOUBLE), 0) AS mean_token_len,
+        | stop_ct / NULLIF(n_toks, 0) AS stopword_ratio,
+        | alpha / NULLIF(n_chars, 0) AS alpha_ratio,
+        | stop_ct / NULLIF(n_toks, 0) * 0.3 + alpha / NULLIF(n_chars, 0) * 0.4
         |  + least(n_toks / 100.0, 1.0) * 0.3 AS quality_score
         |FROM (
         | SELECT doc_id, text, toks,

@@ -93,14 +93,18 @@ object Text {
     // run of length n becomes n single chars → bigram adjacent pairs
     val spaced = regexp_replace(lower(text), "([一-鿿])", " $1 ")
     val toks = filter(split(spaced, "\\s+"), t => t =!= "")
-    // adjacent-pair bigrams over single-Han tokens; keep non-Han as-is
+    // adjacent-pair bigrams over single-Han tokens; keep non-Han as-is.
+    // Guarded so i+1 never exceeds size(toks): with <2 tokens there are
+    // no bigrams (element_at past the end throws under ANSI mode).
     val n = size(toks)
-    val bigrams = transform(sequence(lit(1), greatest(n - 1, lit(1))),
-      i => when(
-        element_at(toks, i).rlike("^[一-鿿]$") &&
-          element_at(toks, i + 1).rlike("^[一-鿿]$"),
-        concat(element_at(toks, i), element_at(toks, i + 1)))
-        .otherwise(null))
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => when(
+          element_at(toks, i).rlike("^[一-鿿]$") &&
+            element_at(toks, i + 1).rlike("^[一-鿿]$"),
+          concat(element_at(toks, i), element_at(toks, i + 1)))
+          .otherwise(null)))
+      .otherwise(array().cast("array<string>"))
     val singles = filter(toks, t => !t.rlike("^[一-鿿]$"))
     concat(singles, filter(bigrams, b => b.isNotNull))
   }
@@ -120,8 +124,12 @@ object Text {
     val toks = wsTokens(text)
     val nChars = length(text).cast("double")
     val nToks = size(toks).cast("double")
+    // null-guarded denominators: a zero-token / zero-char doc yields
+    // NULL ratios (matching SQL NULLIF semantics), never NaN
+    val nToksNz = nullif(nToks, lit(0.0))
+    val nCharsNz = nullif(nChars, lit(0.0))
     val meanLen = aggregate(transform(toks, t => length(t)), lit(0L),
-      (acc, x) => acc + x).cast("double") / nToks
+      (acc, x) => acc + x).cast("double") / nToksNz
     val stopCt = size(filter(toks,
       t => t.isin(stopwords: _*))).cast("double")
     val alpha = length(regexp_replace(lower(text), "[^a-z]", "")).cast("double")
@@ -129,8 +137,8 @@ object Text {
       nChars.cast("long").as("n_chars_calc"),
       nToks.cast("long").as("n_tokens"),
       meanLen.as("mean_token_len"),
-      (stopCt / nToks).as("stopword_ratio"),
-      (alpha / nChars).as("alpha_ratio"),
+      (stopCt / nToksNz).as("stopword_ratio"),
+      (alpha / nCharsNz).as("alpha_ratio"),
       qualityScore(text).as("quality_score"))
   }
 
@@ -143,7 +151,9 @@ object Text {
     val nToks = size(toks).cast("double")
     val stopCt = size(filter(toks, t => t.isin(stopwords: _*))).cast("double")
     val alpha = length(regexp_replace(lower(text), "[^a-z]", "")).cast("double")
-    stopCt / nToks * lit(0.3) + alpha / nChars * lit(0.4) +
+    // NULLIF-guarded: degenerate docs score NULL (= oracle), not NaN
+    stopCt / nullif(nToks, lit(0.0)) * lit(0.3) +
+      alpha / nullif(nChars, lit(0.0)) * lit(0.4) +
       least(nToks / lit(100.0), lit(1.0)) * lit(0.3)
   }
 

@@ -1,10 +1,39 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+
+/** Input-type validation for graft's native expressions.
+  *
+  * `AbstractDataType` (and thus `ExpectsInputTypes`) is private[sql],
+  * but `checkInputDataTypes` is public Expression API — these helpers
+  * fail ANALYSIS (not runtime, not silent garbage) when raw SQL calls
+  * e.g. `graft_dot(embedding, embedding)` on an array<float> column,
+  * which `ArrayData.getDouble` would otherwise reinterpret bytewise.
+  */
+private[functions] object InputChecks {
+  def expect(fn: String, pos: Int, e: Expression, ok: DataType => Boolean,
+             expected: String): TypeCheckResult =
+    if (ok(e.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn argument ${pos + 1} requires $expected, got ${e.dataType.catalogString}")
+
+  def isDoubleArray(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  def firstFailure(checks: TypeCheckResult*): TypeCheckResult =
+    checks.find(_ != TypeCheckResult.TypeCheckSuccess)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+}
 
 /** Native Catalyst expression for the dense dot product.
   *
@@ -20,10 +49,16 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   // inputs must already be array<double> — Vectors.asDouble casts at
-  // the scan edge (AbstractDataType is private[sql], so no
-  // ExpectsInputTypes here)
+  // the scan edge; raw-SQL callers are rejected at analysis below
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.firstFailure(
+      InputChecks.expect(prettyName, 0, left, InputChecks.isDoubleArray,
+        "array<double> (cast array<float> embeddings first)"),
+      InputChecks.expect(prettyName, 1, right, InputChecks.isDoubleArray,
+        "array<double> (cast array<float> embeddings first)"))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -71,6 +106,13 @@ case class MinHashSignature(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.firstFailure(
+      InputChecks.expect(prettyName, 0, left, InputChecks.isLongArray,
+        "array<bigint> of shingle hashes"),
+      InputChecks.expect(prettyName, 1, right,
+        dt => dt == IntegerType && right.foldable, "a literal int perm count"))
 
   @transient private lazy val perms: Int =
     right.eval(null).asInstanceOf[Int]
@@ -120,6 +162,12 @@ case class ShingleHashes(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.firstFailure(
+      InputChecks.expect(prettyName, 0, left, _ == StringType, "a string"),
+      InputChecks.expect(prettyName, 1, right,
+        dt => dt == IntegerType && right.foldable, "a literal int shingle width"))
 
   @transient private lazy val n: Int = right.eval(null).asInstanceOf[Int]
 
@@ -184,6 +232,9 @@ case class SimHash64(child: Expression) extends UnaryExpression
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.expect(prettyName, 0, child, _ == StringType, "a string")
 
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

@@ -158,7 +158,7 @@ object Dedup {
     * component); docs absent from `pairs` are their own cluster and
     * are omitted (callers union them back if needed).
     */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // materialize the pair computation ONCE before mirroring: a union
     // of two selects over an unmaterialized plan runs it twice
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
@@ -170,20 +170,28 @@ object Dedup {
       .localCheckpoint()
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIters) {
+    while (!converged) {
+      // never return silently-non-converged labels: a component whose
+      // diameter exceeds the budget must fail loudly, not mislabel
+      if (iter >= maxIters)
+        throw new IllegalStateException(
+          s"dedupClusters: min-label propagation not converged after $maxIters rounds")
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
+      // `changed` falls out of nbr_min directly — convergence is a
+      // filter on the checkpointed result, not another join
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+            .as("changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("cluster_id", "old"),
-        Seq("id")).filter(col("cluster_id") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select("id", "cluster_id")
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("cluster_id"))

@@ -50,6 +50,37 @@ class ScaleSpec extends AnyFunSuite {
     new graft.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("native functions reject wrong input types at analysis") {
+    graft.functions.Vectors.ensureRegistered(s)
+    // array<float> must not be bytewise-reinterpreted as array<double>
+    val floatArr = "SELECT graft_dot(a, a) FROM " +
+      "(SELECT array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS a)"
+    val e1 = intercept[Exception](s.sql(floatArr).collect())
+    assert(e1.getMessage.contains("graft_dot"), e1.getMessage)
+    val e2 = intercept[Exception](
+      s.sql("SELECT graft_simhash64(42)").collect())
+    assert(e2.getMessage.contains("graft_simhash64"), e2.getMessage)
+    val e3 = intercept[Exception](
+      s.sql("SELECT graft_shingle_hashes('abc', 'x')").collect())
+    assert(e3.getMessage.contains("graft_shingle_hashes"), e3.getMessage)
+    val e4 = intercept[Exception](
+      s.sql("SELECT graft_minhash_sig(array('a', 'b'), 64)").collect())
+    assert(e4.getMessage.contains("graft_minhash_sig"), e4.getMessage)
+  }
+
+  test("segmentKeywords is safe on empty and single-token inputs") {
+    import s.implicits._
+    val df = Seq("", "hello", "苹果手机 case", "苹果").toDF("kw")
+      .select(col("kw"), graft.functions.Text.segmentKeywords(col("kw")).as("seg"))
+    val rows = df.collect().map(r => r.getString(0) ->
+      r.getSeq[String](1)).toMap
+    assert(rows("") === Seq.empty)
+    assert(rows("hello") === Seq("hello"))
+    assert(rows("苹果") === Seq("苹果"))
+    assert(rows("苹果手机 case").contains("case"))
+    assert(rows("苹果手机 case").exists(_ == "苹果"))
+  }
+
   test("salted join is row-identical to the plain join") {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
