@@ -403,6 +403,107 @@ object SparkEntry {
         |   / (a.nrm * b.nrm) AS cos
         | FROM n a JOIN n b ON a.vec_id < b.vec_id) t
         |WHERE cos >= 0.4""".stripMargin,
+    // LSH banding is an optimization that must not lose pairs at this
+    // threshold: the oracle is the EXACT shingle-set Jaccard — recall
+    // below 1.0 shows up as a hash mismatch, by design.
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        |  FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        | CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin,
+    // token hash = first 8 md5 bytes big-endian (u64), reproduced here
+    // via UBIGINT bit ops; the signed wrap at the end matches Spark's
+    // LongType fingerprint
+    "dedup_simhash" ->
+      """SELECT doc_id,
+        | CAST(fpu - CASE WHEN fpu >= 9223372036854775808::HUGEINT
+        |      THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+        |   AS BIGINT) AS simhash
+        |FROM (
+        | SELECT doc_id, CAST(coalesce(list_sum([
+        |   CASE WHEN 2*len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+        |        THEN (1::UBIGINT << b) ELSE 0::UBIGINT END
+        |   for b in range(0, 64)]), 0) AS HUGEINT) AS fpu
+        | FROM (
+        |  SELECT doc_id, [CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT)
+        |    for t in list_filter(string_split(lower(text), ' '), x -> x <> '')]
+        |    AS hs
+        |  FROM documents) a) b""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | substr(hex(encode(text)), 1, 8) AS magic,
+        | md5(text) AS checksum,
+        | source AS media_source
+        |FROM documents""".stripMargin,
+    "sim_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+        |      FROM e),
+        |bkt AS (SELECT vec_id, v, nrm,
+        |  list_sum([CASE WHEN
+        |    list_sum([v[i+1] *
+        |      ((((j*64+i)*2654435761) & 4294967295) / 4294967296.0 - 0.5)
+        |      for i in range(0,64)]) > 0
+        |    THEN (1::BIGINT << (5-j)) ELSE 0::BIGINT END
+        |    for j in range(0,6)]) AS bucket
+        |  FROM n),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket
+        |      FROM bkt WHERE vec_id < 20),
+        |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |  list_sum([qv[i+1]*c.v[i+1] for i in range(0,len(qv))])
+        |   / (qn * c.nrm) AS cos
+        | FROM q JOIN bkt c USING (bucket) WHERE c.vec_id <> query_id)
+        |SELECT query_id, rk, neighbor_id FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        | FROM s) t
+        |WHERE rk <= 5""".stripMargin,
+    "sim_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+        |      FROM e),
+        |tot AS (SELECT greatest(count(*)//16, 1) AS stride FROM e),
+        |cents AS (SELECT (vec_id // stride) AS cidx, v AS cv, nrm AS cn
+        |          FROM n, tot
+        |          WHERE vec_id % stride = 0 AND vec_id // stride < 16),
+        |cs AS (SELECT n.vec_id, cidx,
+        |  list_sum([n.v[i+1]*cv[i+1] for i in range(0,len(cv))])
+        |   / (n.nrm * cn) AS ccos
+        | FROM n CROSS JOIN cents),
+        |assign AS (SELECT vec_id, cidx AS cell FROM (
+        |  SELECT vec_id, cidx, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY ccos DESC, cidx) AS r FROM cs) t
+        |  WHERE r = 1),
+        |probes AS (SELECT vec_id AS query_id, cidx AS cell FROM (
+        |  SELECT vec_id, cidx, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY ccos DESC, cidx) AS r
+        |  FROM cs WHERE vec_id < 20) t
+        |  WHERE r <= 4),
+        |corpus AS (SELECT a.vec_id, a.cell, n.v, n.nrm
+        |           FROM assign a JOIN n USING (vec_id)),
+        |qv AS (SELECT p.query_id, p.cell, n.v AS qv, n.nrm AS qn
+        |       FROM probes p JOIN n ON n.vec_id = p.query_id),
+        |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |  list_sum([qv[i+1]*c.v[i+1] for i in range(0,len(qv))])
+        |   / (qn * c.nrm) AS cos
+        | FROM qv JOIN corpus c USING (cell) WHERE c.vec_id <> query_id)
+        |SELECT query_id, rk, neighbor_id FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        | FROM s) t
+        |WHERE rk <= 5""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

@@ -222,10 +222,12 @@ case class ShingleHashes(left: Expression, right: Expression)
 }
 
 /** 64-bit SimHash of a document in one pass: hash each whitespace
-  * token (FNV-1a then splitmix finalizer), accumulate ±1 bit votes,
-  * emit the sign fingerprint. SimHash is a per-document scalar — the
-  * explode → groupBy → 64-conditional-sums formulation shuffles every
-  * token; this expression keeps it map-side with zero shuffle.
+  * token (first 8 md5 bytes, big-endian — a uniform 64-bit hash any
+  * engine can reproduce, which is what makes the output
+  * oracle-checkable), accumulate ±1 bit votes, emit the sign
+  * fingerprint. SimHash is a per-document scalar — the explode →
+  * groupBy → 64-conditional-sums formulation shuffles every token;
+  * this expression keeps it map-side with zero shuffle.
   */
 case class SimHash64(child: Expression) extends UnaryExpression
     with CodegenFallback {
@@ -236,28 +238,24 @@ case class SimHash64(child: Expression) extends UnaryExpression
   override def checkInputDataTypes(): TypeCheckResult =
     InputChecks.expect(prettyName, 0, child, _ == StringType, "a string")
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   override def nullSafeEval(textAny: Any): Any = {
     val text = textAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       .toLowerCase.toString
     val votes = new Array[Int](64)
+    val md = SimHash64.digest.get()
     var i = 0
     val len = text.length
     while (i < len) {
       while (i < len && text.charAt(i) == ' ') i += 1
       if (i < len) {
-        var h = 0xcbf29ce484222325L // FNV-1a over the token
-        while (i < len && text.charAt(i) != ' ') {
-          h = (h ^ text.charAt(i)) * 1099511628211L
-          i += 1
-        }
-        val th = mix(h)
+        val start = i
+        while (i < len && text.charAt(i) != ' ') i += 1
+        md.reset()
+        val dig = md.digest(text.substring(start, i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var th = 0L
+        var k = 0
+        while (k < 8) { th = (th << 8) | (dig(k) & 0xffL); k += 1 }
         var b = 0
         while (b < 64) {
           if (((th >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
@@ -276,6 +274,11 @@ case class SimHash64(child: Expression) extends UnaryExpression
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object SimHash64 {
+  private val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
 object VectorExpressions {

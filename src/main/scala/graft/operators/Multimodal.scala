@@ -53,14 +53,16 @@ object Multimodal {
 
   /** Metadata extraction — pure column expressions over the binary
     * payload (length, leading "magic" bytes, checksum). No decode
-    * needed, so this path never leaves whole-stage codegen.
+    * needed, so this path never leaves whole-stage codegen. The
+    * checksum is md5 (not xxhash64) so an external engine can verify
+    * the exact bytes — the property a data-lake manifest needs.
     */
   def binaryMeta(s: SparkSession, d: String): DataFrame =
     mediaTable(s, d).select(
       col("doc_id"),
       length(col("payload")).cast("long").as("n_bytes"),
       hex(substring(col("payload"), 1, 4)).as("magic"),
-      xxhash64(col("payload")).as("checksum"),
+      md5(col("payload")).as("checksum"),
       col("media_source"))
 
   /** Batch feature extraction through the stub codec. Runs as

@@ -97,9 +97,11 @@ object Similarity {
           .as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
+    // rank-only output: the float score orders but is never emitted —
+    // engine-exact results (and hashable) regardless of fp accumulation
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
-      .select("query_id", "rk", "neighbor_id", "cos")
+      .select("query_id", "rk", "neighbor_id")
   }
 
   /** LSH-bucketed ANN: queries and corpus bucket on `nBits`
@@ -126,6 +128,6 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
-      .select("query_id", "rk", "neighbor_id", "cos")
+      .select("query_id", "rk", "neighbor_id")
   }
 }
