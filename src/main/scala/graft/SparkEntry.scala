@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, Temporal, TextAnalysis}
 import graft.warehouse.{Analytics, Dwd, Dws, Publisher}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -48,6 +48,11 @@ object SparkEntry {
     "analytics_approx_stats" -> (Analytics.approxStats(_, _)),
     "analytics_funnel" -> (Analytics.funnel(_, _)),
     "analytics_rfm" -> (Analytics.rfm(_, _)),
+    "analytics_retention" -> (Analytics.retentionCohorts(_, _)),
+    "analytics_path" -> (Analytics.pathTransitions(_, _)),
+    "temporal_asof_join" -> (Temporal.lastViewBeforePurchase(_, _)),
+    "temporal_interval_join" -> (Temporal.clicksBeforePurchase(_, _)),
+    "text_segment" -> (TextAnalysis.segmentCounts(_, _)),
     "q6_forecast_revenue" -> (Publisher.forecastRevenue(_, _)),
     "q4_priority_refund" -> (Publisher.priorityRefundExists(_, _)),
     "sim_ann_ivf" -> (Similarity.annIvf(_, _)),
@@ -403,6 +408,55 @@ object SparkEntry {
         |   / (a.nrm * b.nrm) AS cos
         | FROM n a JOIN n b ON a.vec_id < b.vec_id) t
         |WHERE cos >= 0.4""".stripMargin,
+    "analytics_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |           FROM events),
+        |f AS (SELECT user_id, MIN(d) AS cohort_date FROM e GROUP BY 1)
+        |SELECT cohort_date,
+        | CAST(date_diff('day', cohort_date, d) AS BIGINT) AS day_n,
+        | COUNT(DISTINCT e.user_id) AS users
+        |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "analytics_path" ->
+      """SELECT src_event, dst_event, COUNT(*) AS transitions FROM (
+        | SELECT event_type AS src_event,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS dst_event
+        | FROM events) t
+        |WHERE dst_event IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // DuckDB's native ASOF JOIN is the oracle for our union+window
+    // as-of formulation — two entirely different algorithms, same rows
+    "temporal_asof_join" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS us,
+        |    MAX(value) AS last_view_value
+        |   FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.us, v.last_view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.us >= v.us""".stripMargin,
+    "temporal_interval_join" ->
+      """SELECT p.event_id, p.user_id, COUNT(c.us) AS clicks_15m
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, epoch_us(ts) AS us FROM events
+        |           WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        |  AND c.us > p.us - 900000000 AND c.us <= p.us
+        |GROUP BY 1, 2""".stripMargin,
+    "text_segment" ->
+      """WITH seg AS (
+        | SELECT list_concat(
+        |   list_filter(toks, t -> NOT regexp_matches(t, '^[一-鿿]$')),
+        |   [toks[i] || toks[i+1] for i in range(1, greatest(len(toks), 1))
+        |    if regexp_matches(toks[i], '^[一-鿿]$')
+        |       AND regexp_matches(toks[i+1], '^[一-鿿]$')]) AS kws
+        | FROM (
+        |  SELECT list_filter(string_split_regex(
+        |    regexp_replace(lower(text), '([一-鿿])', ' \1 ', 'g'), '\s+'),
+        |    x -> x <> '') AS toks
+        |  FROM documents) a)
+        |SELECT kw, COUNT(*) AS kw_ct
+        |FROM (SELECT unnest(kws) AS kw FROM seg) t GROUP BY 1""".stripMargin,
     // LSH banding is an optimization that must not lose pairs at this
     // threshold: the oracle is the EXACT shingle-set Jaccard — recall
     // below 1.0 shows up as a hash mismatch, by design.

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins.
+  *
+  * The as-of join (each left row picks the latest right row with
+  * `right.ts <= left.ts` per key) is the batch analogue of the
+  * reference's dim-versioned lookup: a CDC-updated dimension row is
+  * valid until its next version, and facts must join the version in
+  * effect at event time (realtime-dim/.../DimSinkFunction.java:1
+  * keeps only the latest; this keeps every version addressable).
+  *
+  * Implementation is a single shuffle + sort, NOT a range join: tag
+  * and union both inputs, sort per key by (ts, side), and carry the
+  * last non-null right value forward with an unbounded-preceding
+  * `last(ignoreNulls)` frame. O((|L|+|R|) log) per key group, no
+  * quadratic candidate generation — the formulation that survives a
+  * billion-row fact table (partitioned by key, sorted once).
+  */
+object Temporal {
+
+  /** As-of join `left` to `right` on `key`: for each left row, the
+    * right row with the greatest `rightTs <= leftTs` (ties on equal
+    * timestamps take the right row — "value in effect at ts").
+    * `right` must be unique per (key, ts); pre-aggregate otherwise.
+    * Right value columns come back null when no right row precedes.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side 0 sorts before side 1 at equal ts, so a right row AT the
+    // left timestamp is visible to it (<= semantics)
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col(ts), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rTagged = right
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col(ts), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lTagged.unionByName(rTagged)
+      .select(Seq(col(key), col(ts), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++
+        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Time-bounded interval join, batch form of the reference's
+    * stream-stream interval join (DwdTradeOrderDetail.java:1): left
+    * rows match right rows of the same key whose timestamp falls in
+    * `(leftTs - lowerUs, leftTs]`. The equi-key shuffles; the range is
+    * a post-join filter — never a cross product. The right key column
+    * is dropped from the output (it duplicates the left's).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTsUs: Column, rightTsUs: Column, lowerUs: Long): DataFrame =
+    left.join(right.withColumnRenamed(key, "__rkey"),
+      left(key) === col("__rkey") &&
+        rightTsUs > leftTsUs - lowerUs && rightTsUs <= leftTsUs,
+      "left").drop("__rkey")
+
+  import graft.sources.Tables
+
+  /** As-of query: each purchase event carries the value of the same
+    * user's most recent view at-or-before it (microsecond grain).
+    */
+  def lastViewBeforePurchase(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    // unique per (key, ts): collapse same-microsecond views to the max
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+      .agg(max(col("value")).as("last_view_value"))
+    asOfJoin(purchases, views, "user_id", "us", Seq("last_view_value"))
+      .select("event_id", "user_id", "us", "last_view_value")
+  }
+
+  /** Interval query: clicks by the same user in the 15 minutes up to
+    * each purchase (inclusive) — the order⋈detail interval-join shape.
+    */
+  def clicksBeforePurchase(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    intervalJoin(p, c, "user_id", col("p_us"), col("c_us"), 900000000L)
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("c_us")).as("clicks_15m"))
+  }
+}

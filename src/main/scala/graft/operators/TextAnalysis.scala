@@ -33,6 +33,17 @@ object TextAnalysis {
       size(Text.regexTokens(col("text"))).cast("long").as("re_tokens"),
       length(col("text")).cast("long").as("n_chars_calc"))
 
+  /** CJK-aware keyword segmentation counts — the KeywordUDTF + IK
+    * analyzer analogue (Han runs become overlapping character
+    * bigrams, everything else splits on whitespace). One explode +
+    * one count aggregation; the segmentation itself is pure column
+    * expressions. Ref: KeywordUtil.java:1.
+    */
+  def segmentCounts(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .select(explode(Text.segmentKeywords(col("text"))).as("kw"))
+      .groupBy("kw").agg(count(lit(1)).as("kw_ct"))
+
   /** Fingerprint clusters: docs sharing a sorted-distinct-token
     * digest are duplicates under bag-of-words equivalence.
     */

@@ -31,6 +31,25 @@ object Jobs {
       .select(col("window.start").as("wstart"), col("event_type"),
         col("pv_ct"), col("uv_ct_approx"), col("value_sum"))
 
+  /** Session-window aggregation — gap-based sessions in streaming
+    * (the stateful dual of `Analytics.sessionize`): Spark's
+    * `session_window` merges events within `gap` of each other per
+    * user, watermark-bounded so closed sessions emit and their state
+    * is GC'd. The reference closes sessions implicitly per page visit
+    * (sv_ct in DwsTrafficVcChArIsNewPageViewWindow.java:95); this is
+    * the general inactivity-gap form.
+    */
+  def sessionWindow(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"), col("value_sum"))
+
   /** One fired record per (user, day). */
   case class UvHit(user_id: Long, cur_date: String, event_id: Long)
   /** Internal row shape for [[uvFirstVisit]] (public: encoder codegen

@@ -194,4 +194,32 @@ object Analytics {
           .as("p50_approx"),
         percentile_approx(col("o_totalprice"), lit(0.95), lit(1000))
           .as("p95_approx"))
+
+  /** Cohort retention: users grouped by first-active date, counted on
+    * each later active day. Two aggregations (first-seen, then cohort
+    * × offset) — both shuffle on user/cohort keys, no window over the
+    * whole table.
+    */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = ev.groupBy("user_id").agg(min(col("d")).as("cohort_date"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).cast("long").as("day_n"))
+      .agg(countDistinct(col("user_id")).as("users"))
+  }
+
+  /** Event-transition matrix (user path analysis): consecutive
+    * event-type pairs per user, counted. The lead window partitions
+    * on user_id — per-user sorts, fully parallel.
+    */
+  def pathTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("dst_event", lead(col("event_type"), 1).over(w))
+      .filter(col("dst_event").isNotNull)
+      .groupBy(col("event_type").as("src_event"), col("dst_event"))
+      .agg(count(lit(1)).as("transitions"))
+  }
 }

@@ -244,4 +244,47 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toMap
     assert(got === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
+
+  test("sessionWindow: streaming gap sessions match the batch window count") {
+    val q = Jobs.sessionWindow(eventsStream)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = s.sql("SELECT count(*), sum(n_events) FROM sess").collect()(0)
+      val batch = graft.warehouse.Analytics.sessionize(s, d)
+      assert(got.getLong(0) === batch.count(),
+        "session count matches the batch gap-sessionization")
+      assert(got.getLong(1) === Tables.events(s, d).count(),
+        "every event lands in exactly one session")
+    } finally q.stop()
+  }
+
+  test("uvFirstVisit runs on the RocksDB state store provider") {
+    // the state-store backend is a config swap, not a code change —
+    // exactly what a large keyed-state deployment flips on
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(conf)
+    s.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Jobs.uvFirstVisit(eventsStream)
+        .writeStream.format("memory").queryName("uvr")
+        .outputMode("append")
+        .option("checkpointLocation", tmp("uv-rocks-ck")).start()
+      try {
+        q.processAllAvailable()
+        val n = s.sql("SELECT count(*) FROM uvr").collect()(0).getLong(0)
+        val expected = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("dd"))
+          .distinct().count()
+        assert(n === expected)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(conf, v)
+        case None => s.conf.unset(conf)
+      }
+    }
+  }
 }

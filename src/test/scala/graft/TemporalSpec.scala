@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of / interval join semantics on hand-built frames. */
+class TemporalSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  test("asOfJoin picks the latest right row at-or-before each left ts") {
+    import s.implicits._
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 9L, 90.0))
+      .toDF("k", "t", "v")
+    val got = Temporal.asOfJoin(left, right, "k", "t", Seq("v"))
+      .select("tag", "v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("l1") === Some(100.0), "equal ts counts as at-or-before")
+    assert(got("l2") === Some(150.0), "latest preceding wins")
+    assert(got("l3") === None, "no preceding right row -> null")
+  }
+
+  test("asOfJoin matches a brute-force per-row max over the testdata") {
+    val d = TestSpark.sf
+    val got = Temporal.lastViewBeforePurchase(s, d)
+    // brute force: join all views per purchase, keep the max-us one
+    val ev = graft.sources.Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("vu"), unix_micros(col("ts")).as("vus"))
+      .agg(max(col("value")).as("vv"))
+    val brute = p.join(v, col("user_id") === col("vu") && col("vus") <= col("us"), "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_id").orderBy(col("vus").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("vv"))
+    val diff = got.select(col("event_id"), col("last_view_value").as("vv"))
+      .exceptAll(brute)
+    assert(diff.isEmpty, "as-of join equals brute-force latest-preceding")
+    assert(got.count() === p.count(), "one output row per purchase")
+  }
+
+  test("intervalJoin keeps unmatched left rows with zero counts") {
+    val d = TestSpark.sf
+    val got = Temporal.clicksBeforePurchase(s, d)
+    val purchases = graft.sources.Tables.events(s, d)
+      .filter(col("event_type") === "purchase").count()
+    assert(got.count() === purchases)
+    assert(got.filter(col("clicks_15m") === 0).count() > 0,
+      "some purchases have no clicks in the window")
+  }
+}
