@@ -30,6 +30,8 @@ object SparkEntry {
     "dwd_trade_order_cancel" -> (Dwd.tradeOrderCancel(_, _)),
     "dwd_trade_pay_suc" -> (Dwd.tradePaySuc(_, _)),
     "dwd_trade_refund" -> (Dwd.tradeRefund(_, _)),
+    "dwd_trade_refund_pay_suc" -> (Dwd.tradeRefundPaySuc(_, _)),
+    "dwd_trade_cart_add" -> (Dwd.tradeCartAdd(_, _)),
     "dws_trade_sku_order" -> (Dws.tradeSkuOrder(_, _)),
     "dws_trade_province_order" -> (Dws.tradeProvinceOrder(_, _)),
     "dwd_comment_dic_join" -> (Dwd.commentDicJoin(_, _)),
@@ -408,6 +410,23 @@ object SparkEntry {
         |   / (a.nrm * b.nrm) AS cos
         | FROM n a JOIN n b ON a.vec_id < b.vec_id) t
         |WHERE cos >= 0.4""".stripMargin,
+    "dwd_trade_refund_pay_suc" ->
+      s"""SELECT l_orderkey AS order_id,
+         | CAST(l_linenumber AS INT) AS line_id,
+         | o_custkey AS user_id, l_partkey AS sku_id,
+         | n_name AS nation_name,
+         | CAST(${m("l_extendedprice")} * (1 - ${m("l_discount")})
+         |   * (1 + ${m("l_tax")}) AS DOUBLE) AS refund_pay_amount
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R' AND l_linestatus = 'F'""".stripMargin,
+    "dwd_trade_cart_add" ->
+      """SELECT event_id, user_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS sku_id,
+        | CAST(ts AS DATE) AS cur_date, value AS add_num
+        |FROM events WHERE event_type = 'click'""".stripMargin,
     "analytics_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
         |           FROM events),

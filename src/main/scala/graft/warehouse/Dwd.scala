@@ -73,6 +73,49 @@ object Dwd {
           .cast("double").as("refund_amount"))
   }
 
+  /** Refund-payment-SUCCESS detail: refunded lines of finished
+    * orders, dim-enriched with the customer's nation (the base_dic
+    * lookup analogue), refund pay amount includes tax — the money
+    * actually returned. Three-way fact join + one broadcast dim.
+    * Ref: DwdTradeRefundPaySucDetail.java:1.
+    */
+  def tradeRefundPaySuc(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F")
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").cast("int").as("line_id"),
+        col("o_custkey").as("user_id"),
+        col("l_partkey").as("sku_id"),
+        col("n_name").as("nation_name"),
+        (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) *
+          (lit(1) + dec(col("l_tax"))))
+          .cast("double").as("refund_pay_amount"))
+  }
+
+  /** Cart-add fact with semi-structured props parsing: the reference
+    * splits JSON CDC/log rows into typed facts (DwdBaseLog.java:1,
+    * DwdTradeCartAdd.java:1); here the event `props` JSON column
+    * yields the sku — `get_json_object` is a codegen'd expression, so
+    * JSON extraction rides inside the scan-projection stage with zero
+    * extra passes.
+    */
+  def tradeCartAdd(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("sku_id"),
+        to_date(col("ts")).as("cur_date"),
+        col("value").as("add_num"))
+
   /** Small-dim lookup-join enrichment: supplier → nation → region.
     * The reference does this as a Flink lookup join against
     * HBase/base_dic with a Redis cache (DwdInteractionCommentInfo
