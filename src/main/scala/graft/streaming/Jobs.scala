@@ -111,6 +111,25 @@ object Jobs {
       d("d_time") <= o("o_time") + expr(tolerance))
   }
 
+  /** LEFT-OUTER stream-stream interval join: order rows emit even if
+    * no detail arrives inside the tolerance — nulls surface once the
+    * watermark passes the window end, exactly the late-data semantics
+    * the reference gets from its cancel-detail left join
+    * (DwdTradeOrderCancelDetail.java:1 keeps orders whose cancel
+    * event may never come). Both watermarks + the range bound the
+    * join state.
+    */
+  def intervalJoinLeftOuter(orders: DataFrame, details: DataFrame,
+      tolerance: String = "interval 120 days"): DataFrame = {
+    val o = orders.withWatermark("o_time", "1 hour")
+    val d = details.withWatermark("d_time", "1 hour")
+    o.join(d,
+      d("d_orderkey") === o("o_orderkey") &&
+      d("d_time") >= o("o_time") &&
+      d("d_time") <= o("o_time") + expr(tolerance),
+      "leftOuter")
+  }
+
   /** Stream-static broadcast dim join — the DimMapFunction/
     * DimAsyncFunction HBase+Redis lookup (realtime-common/.../
     * DimAsyncFunction.java:1) collapses to a broadcast hash join: the

@@ -81,6 +81,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream interval join emits unmatched orders") {
+    val o = s.readStream.schema(Tables.orders(s, d).schema)
+      .parquet(stage("orders"))
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("o_time"))
+    // details restricted to half the keyspace so some orders CANNOT match
+    val li = s.readStream.schema(Tables.lineitem(s, d).schema)
+      .parquet(stage("lineitem"))
+      .filter(col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey").as("d_orderkey"),
+        col("l_shipdate").cast("timestamp").as("d_time"))
+    val q = Jobs.intervalJoinLeftOuter(o, li)
+      .writeStream.format("memory").queryName("ivjlo")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ivjlo-ck")).start()
+    try {
+      q.processAllAvailable()
+      // null-side rows emit only after the watermark passes; with a
+      // bounded file source the final batch closes all state
+      val matched = s.sql(
+        "SELECT count(*) FROM ivjlo WHERE d_orderkey IS NOT NULL")
+        .collect()(0).getLong(0)
+      val expectedMatched = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 2 === 0)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("interval 120 days"))
+        .count()
+      assert(matched === expectedMatched)
+      assert(matched > 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops cross-batch replays") {
     // stage the same file twice → the source delivers every event
     // twice; dedup on event_id must keep exactly one of each
