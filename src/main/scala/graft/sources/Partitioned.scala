@@ -1,0 +1,24 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Date-partitioned serving tables — the engine analogue of the
+  * reference's ClickHouse per-date partitions (TradeStatsMapper.java:1
+  * queries `PARTITION par#{date}`): DWS outputs land as
+  * `path/dt=YYYY-MM-DD/` parquet, and a dashboard query for one day
+  * scans exactly one partition (partition pruning happens at plan
+  * time — `PartitionFilters` in the scan, zero data files touched for
+  * other days). At 100 TB the serving layer lives or dies by this.
+  */
+object Partitioned {
+
+  /** Write `df` partitioned by `partCol` (hive-style directories). */
+  def write(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+
+  /** Read back with a partition predicate — prunes at plan time. */
+  def readDay(s: SparkSession, path: String, partCol: String,
+      day: String): DataFrame =
+    s.read.parquet(path).filter(col(partCol) === day)
+}

@@ -81,6 +81,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows("苹果手机 case").exists(_ == "苹果"))
   }
 
+  test("date-partitioned serving table prunes to one partition") {
+    val out = java.nio.file.Files.createTempDirectory("part-gmv").toString + "/gmv"
+    val daily = Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+        .as("gmv"))
+    graft.sources.Partitioned.write(daily, out, "dt")
+    val days = daily.count()
+    assert(days > 1, "need multiple partitions for the pruning test")
+    val someDay = daily.select("dt").orderBy("dt").first().getString(0)
+    val pruned = graft.sources.Partitioned.readDay(s, out, "dt", someDay)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filter:\n$plan")
+    // the pruned scan must read exactly the one day
+    assert(pruned.count() === 1)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    val meta = scan.metrics
+    // FileSourceScanExec reports number of files read; pruning means 1
+    // partition directory (not `days`)
+    pruned.collect()
+    val filesRead = meta.get("numFiles").map(_.value).getOrElse(-1L)
+    assert(filesRead >= 1 && filesRead < days,
+      s"expected pruned file count, got $filesRead of $days partitions")
+  }
+
   test("salted join is row-identical to the plain join") {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
