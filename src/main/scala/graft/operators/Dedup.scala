@@ -147,6 +147,10 @@ object Dedup {
         col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      // tiny result, expensive to produce: consumers that rebuild this
+      // exact plan (e.g. dedupClusters over the same corpus) hit the
+      // cache instead of re-running the inverted-index self-join
+      .cache()
   }
 
   /** Transitive closure of near-dup pairs into canonical clusters:
@@ -159,17 +163,48 @@ object Dedup {
     * component); docs absent from `pairs` are their own cluster and
     * are omitted (callers union them back if needed).
     */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 50,
+      localEdgeThreshold: Long = 5000000L): DataFrame = {
     // materialize the pair computation ONCE before mirroring: a union
     // of two selects over an unmaterialized plan runs it twice
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val nEdges = p.count()
+    // Hybrid small-side path (the same switch AQE makes for joins):
+    // the corpus-scale work — pair GENERATION — is always distributed;
+    // when the resulting edge set is tiny relative to the corpus (the
+    // normal near-dup case), the transitive closure runs as a driver
+    // union-find in one pass instead of O(diameter) distributed
+    // rounds. Union-by-min-root makes each final root the component's
+    // min id — labels identical to the iterative path and the
+    // recursive-CTE oracle.
+    if (nEdges <= localEdgeThreshold) {
+      val spark = pairs.sparkSession
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      p.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      import spark.implicits._
+      return rows.toDF("doc_id", "cluster_id")
+    }
     // partition the loop's working set by ITS size, not the session
     // default: near-dup edge sets are orders of magnitude smaller than
     // the corpus, and per-round overhead is proportional to task count.
     // ~1M edges per partition; grows with the data at warehouse scale.
-    val nParts = math.max(1, math.min(
-      pairs.sparkSession.sessionState.conf.numShufflePartitions,
-      (p.count() / 1000000L).toInt))
+    val nParts = math.max(1L, math.min(
+      pairs.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      nEdges / 1000000L)).toInt
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .repartition(nParts, col("dst"))

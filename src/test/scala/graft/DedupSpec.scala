@@ -74,6 +74,13 @@ class DedupSpec extends AnyFunSuite {
     byCluster.foreach { case (cid, members) =>
       assert(members.map(_.getLong(0)).min === cid)
     }
+    // the distributed iterative path (threshold 0 forces it) must
+    // produce byte-identical labels to the driver union-find
+    val dist = Dedup.dedupClusters(Dedup.ngramJaccard(s, d),
+        localEdgeThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uf = real.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === uf, "distributed and union-find labels diverge")
   }
 
   test("embedding LSH near-dup is a subset of exact near-dup") {
