@@ -279,6 +279,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
 
+  test("end-to-end: stream -> summing sink -> partitioned serving -> pruned read") {
+    // the full reference topology in one pass: events stream, Doris-style
+    // sum-merge sink, date-partitioned serving table, dashboard query
+    val snap = tmp("e2e-snap") + "/daily"
+    val serving = tmp("e2e-serve") + "/daily_dt"
+    // per-batch INCREMENTS sum-merge into the snapshot (the Doris
+    // sum-agg model): correct under any micro-batching, no state
+    val q = eventsStream.writeStream
+      .option("checkpointLocation", tmp("e2e-ck"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val part = batch
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+          .agg(count(lit(1)).as("pv"), sum(col("value")).as("value_sum"))
+        ReplacingSink.sumUpsert(part, Seq("dt"), Seq("pv", "value_sum"), snap)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // publish the snapshot as a date-partitioned serving table
+    graft.sources.Partitioned.write(s.read.parquet(snap), serving, "dt")
+    // dashboard query: one day, pruned scan, equals the batch answer
+    val day = "2024-01-15"
+    val got = graft.sources.Partitioned.readDay(s, serving, "dt", day)
+      .select(col("pv")).collect()
+    val expected = Tables.events(s, d)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === day).count()
+    assert(got.length === 1)
+    assert(got(0).getLong(0) === expected,
+      s"served pv for $day must equal the batch count")
+  }
+
   test("sessionWindow: streaming gap sessions match the batch window count") {
     val q = Jobs.sessionWindow(eventsStream)
       .writeStream.format("memory").queryName("sess")
