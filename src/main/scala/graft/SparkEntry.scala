@@ -69,6 +69,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDupExact(s, d).select("id_a", "id_b")),
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDupLsh(s, d).select("id_a", "id_b")),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.ngramJaccard(s, d))),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
@@ -409,6 +411,29 @@ object SparkEntry {
         |  list_sum([a.v[i + 1] * b.v[i + 1] for i in range(0, len(a.v))])
         |   / (a.nrm * b.nrm) AS cos
         | FROM n a JOIN n b ON a.vec_id < b.vec_id) t
+        |WHERE cos >= 0.4""".stripMargin,
+    // the LSH scale path graded directly: the oracle rebuilds the
+    // 8-bit hyperplane buckets, so a bucketing bug OR a lost pair
+    // fails the hash check
+    "dedup_embedding_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+        |      FROM e),
+        |bkt AS (SELECT vec_id, v, nrm,
+        |  list_sum([CASE WHEN
+        |    list_sum([v[i+1] *
+        |      ((((j*64+i)*2654435761) & 4294967295) / 4294967296.0 - 0.5)
+        |      for i in range(0,64)]) > 0
+        |    THEN (1::BIGINT << (7-j)) ELSE 0::BIGINT END
+        |    for j in range(0,8)]) AS bucket
+        |  FROM n)
+        |SELECT id_a, id_b FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum([a.v[i+1] * b.v[i+1] for i in range(0, len(a.v))])
+        |   / (a.nrm * b.nrm) AS cos
+        | FROM bkt a JOIN bkt b
+        |   ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
         |WHERE cos >= 0.4""".stripMargin,
     "dwd_trade_refund_pay_suc" ->
       s"""SELECT l_orderkey AS order_id,
