@@ -63,7 +63,11 @@ object Dws {
     */
   def trafficKeyword(s: SparkSession, d: String): DataFrame =
     Tables.spread(Tables.documents(s, d))
-      .select(explode(Text.wsTokens(col("text"))).as("keyword"))
+      // explode the raw split and drop empties as a ROW filter: unlike
+      // the array-filter HOF (never codegen'd), this whole pipeline
+      // stays inside one WholeStageCodegen span
+      .select(explode(split(lower(col("text")), " ")).as("keyword"))
+      .filter(col("keyword") =!= "")
       .groupBy("keyword").agg(count(lit(1)).as("kw_ct"))
 
   /** Home/detail page UV+PV per day.

@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.{Dedup, Temporal}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Seeded randomized property tests: operators vs independent
+  * in-memory reference implementations over many generated inputs.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  test("dedupClusters equals BFS closure on 30 random graphs") {
+    import s.implicits._
+    val rnd = new Random(42)
+    (1 to 30).foreach { trial =>
+      val n = 2 + rnd.nextInt(80)
+      val nEdges = 1 + rnd.nextInt(120)
+      val edges = Seq.fill(nEdges) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a + 1)
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        // reference: BFS transitive closure, label = component min
+        val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+        edges.foreach { case (a, b) =>
+          adj(a) = b :: adj.getOrElse(a, Nil)
+          adj(b) = a :: adj.getOrElse(b, Nil)
+        }
+        val label = scala.collection.mutable.Map.empty[Long, Long]
+        adj.keys.toSeq.sorted.foreach { start =>
+          if (!label.contains(start)) {
+            val comp = scala.collection.mutable.Set(start)
+            val queue = scala.collection.mutable.Queue(start)
+            while (queue.nonEmpty) {
+              val x = queue.dequeue()
+              adj(x).foreach { y =>
+                if (!comp.contains(y)) { comp += y; queue.enqueue(y) }
+              }
+            }
+            val m = comp.min
+            comp.foreach(c => label(c) = m)
+          }
+        }
+        val got = Dedup.dedupClusters(edges.toDF("id_a", "id_b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === label.toMap, s"trial $trial: graph $edges")
+      }
+    }
+  }
+
+  test("asOfJoin equals the in-memory reference on a random frame") {
+    import s.implicits._
+    val rnd = new Random(7)
+    val left = Seq.tabulate(600)(i =>
+      (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong))
+    val right = Seq.fill(400) {
+      (rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble())
+    }.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (k,ts)
+    val got = Temporal.asOfJoin(
+        left.toDF("row_id", "k", "t"), right.toDF("k", "t", "v"),
+        "k", "t", Seq("v")).collect()
+      .map(r => r.getAs[Long]("row_id") -> Option(r.getAs[Any]("v"))).toMap
+    left.foreach { case (id, k, t) =>
+      val want = right.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(id) === want, s"row $id key $k ts $t")
+    }
+  }
+
+  test("simhash is invariant under token reordering (100 random docs)") {
+    import s.implicits._
+    graft.functions.Vectors.ensureRegistered(s)
+    val rnd = new Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val docs = Seq.tabulate(100) { i =>
+      val toks = Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, toks.mkString(" "), rnd.shuffle(toks).mkString(" "))
+    }
+    val rows = docs.toDF("id", "a", "b")
+      .select(col("id"),
+        call_function("graft_simhash64", col("a")).as("ha"),
+        call_function("graft_simhash64", col("b")).as("hb"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"doc ${r.getLong(0)}: reorder changed simhash"))
+  }
+
+  test("native shingle hashes equal the HOF formulation's set size") {
+    import s.implicits._
+    graft.functions.Vectors.ensureRegistered(s)
+    val rnd = new Random(99)
+    val docs = Seq.tabulate(60) { i =>
+      val len = 1 + rnd.nextInt(60)
+      (i.toLong, Seq.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString)
+    }
+    val got = docs.toDF("id", "text")
+      .select(col("id"),
+        size(call_function("graft_shingle_hashes", col("text"), lit(12)))
+          .as("n_native"),
+        size(graft.functions.Text.charShingles(col("text"), 12))
+          .as("n_hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2),
+        s"doc ${r.getLong(0)}: native=${r.getInt(1)} hof=${r.getInt(2)}")
+    }
+  }
+}
