@@ -52,6 +52,7 @@ object SparkEntry {
     "analytics_rfm" -> (Analytics.rfm(_, _)),
     "analytics_retention" -> (Analytics.retentionCohorts(_, _)),
     "analytics_path" -> (Analytics.pathTransitions(_, _)),
+    "analytics_skew_salted" -> (Analytics.saltedNationStats(_, _)),
     "temporal_asof_join" -> (Temporal.lastViewBeforePurchase(_, _)),
     "temporal_interval_join" -> (Temporal.clicksBeforePurchase(_, _)),
     "text_segment" -> (TextAnalysis.segmentCounts(_, _)),
@@ -75,6 +76,9 @@ object SparkEntry {
       Dedup.dedupClusters(Dedup.ngramJaccard(s, d))),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
+    "sim_knn_join" -> (Similarity.knnJoin(_, _)),
+    "dedup_cross_source" -> (Dedup.crossSourceOverlap(_, _)),
+    "text_repetition" -> (TextAnalysis.repetitionStats(_, _)),
     "text_langid" -> (TextAnalysis.langId(_, _)),
     "text_quality" -> (TextAnalysis.quality(_, _)),
     "text_tokens" -> (TextAnalysis.tokens(_, _)),
@@ -467,6 +471,69 @@ object SparkEntry {
         |   AS dst_event
         | FROM events) t
         |WHERE dst_event IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // the salted join must be answer-identical to the plain join —
+    // the oracle IS the plain join
+    "analytics_skew_salted" ->
+      """SELECT n_name AS nation_name, COUNT(*) AS ev_ct,
+        | COUNT(DISTINCT user_id) AS uv_ct,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        |FROM events JOIN customer ON user_id = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        | FROM documents),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |  SELECT doc_id, unnest(tk) AS tok FROM toks) t GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, MAX(c) AS top_token_ct,
+        |       CAST(SUM(c) AS BIGINT) AS n_tokens FROM tc GROUP BY 1),
+        |bc AS (SELECT doc_id, bgm, COUNT(*) AS c FROM (
+        |  SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+        |    for i in range(1, len(tk))]) AS bgm FROM toks) t GROUP BY 1, 2),
+        |bt AS (SELECT doc_id, MAX(c) AS top_bigram_ct,
+        |       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |       COUNT(*) AS distinct_bigrams FROM bc GROUP BY 1)
+        |SELECT tt.doc_id, n_tokens, top_token_ct, top_bigram_ct,
+        | n_bigrams, distinct_bigrams,
+        | 1.0 - CAST(distinct_bigrams AS DOUBLE)
+        |  / NULLIF(CAST(n_bigrams AS DOUBLE), 0) AS dup_bigram_frac
+        |FROM tt LEFT JOIN bt ON tt.doc_id = bt.doc_id""".stripMargin,
+    "dedup_cross_source" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, CAST(substr(source, 4) AS INT) AS src_n, s
+        | FROM (
+        |  SELECT doc_id, source, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        |  FROM documents) t),
+        |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE src_n < 10),
+        |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE src_n >= 10)
+        |SELECT train_id, eval_id, COUNT(*) AS shared_ct
+        |FROM tr JOIN ev ON tr.s = ev.s
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 30""".stripMargin,
+    "sim_knn_join" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+        |      FROM e),
+        |bkt AS (SELECT vec_id, v, nrm,
+        |  list_sum([CASE WHEN
+        |    list_sum([v[i+1] *
+        |      ((((j*64+i)*2654435761) & 4294967295) / 4294967296.0 - 0.5)
+        |      for i in range(0,64)]) > 0
+        |    THEN (1::BIGINT << (5-j)) ELSE 0::BIGINT END
+        |    for j in range(0,6)]) AS bucket
+        |  FROM n),
+        |s AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_sum([a.v[i+1]*c.v[i+1] for i in range(0,len(a.v))])
+        |   / (a.nrm * c.nrm) AS cos
+        | FROM bkt a JOIN bkt c
+        |   ON a.bucket = c.bucket AND c.vec_id <> a.vec_id)
+        |SELECT query_id, rk, neighbor_id FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        | FROM s) t
+        |WHERE rk <= 5""".stripMargin,
     // DuckDB's native ASOF JOIN is the oracle for our union+window
     // as-of formulation — two entirely different algorithms, same rows
     "temporal_asof_join" ->

@@ -163,4 +163,27 @@ object Text {
     */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(wsTokens(text)))))
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe =
+    "(\\+?\\d{1,3}[-. ]?)?(\\(\\d{3}\\)|\\d{3})[-. ]?\\d{3}[-. ]?\\d{4}"
+  private val ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** PII redaction for corpus cleaning: emails, phone numbers and
+    * IPv4 addresses are replaced with typed placeholder tokens. Pure
+    * regexp_replace chain — codegen'd, zero shuffle, linear scan; the
+    * standard pre-training scrub pass.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Per-class PII match counts (for filtering / reporting). */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(emailRe)).cast("long").as("email_ct"),
+    regexp_count(text, lit(phoneRe)).cast("long").as("phone_ct"),
+    regexp_count(text, lit(ipv4Re)).cast("long").as("ip_ct"))
 }

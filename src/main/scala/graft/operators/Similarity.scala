@@ -104,6 +104,36 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id")
   }
 
+  /** Full KNN self-join: EVERY corpus vector gets its top-k
+    * neighbors — the primitive behind embedding-cluster dedup and
+    * diversity sampling, where the "query set" is the corpus itself
+    * and broadcasting it is impossible. Both sides bucket on
+    * hyperplane signs and the candidate join is an equi-join on
+    * bucket id, so shuffle volume is O(n), never the O(n²) cross
+    * product; the per-query top-k window partitions by vec_id (high
+    * cardinality — no single-partition sort anywhere).
+    */
+  def knnJoin(s: SparkSession, d: String, k: Int = 5,
+      nBits: Int = 6): DataFrame = {
+    Vectors.ensureRegistered(s)
+    val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+      .withColumn("bucket", Vectors.lshBucket(col("v"), 64, nBits))
+      .cache()
+    val scored = e.as("q").join(e.as("c"),
+        col("q.bucket") === col("c.bucket") &&
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        Vectors.cosineWithNorms(col("q.v"), col("c.v"),
+          col("q.nrm"), col("c.nrm")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id")
+  }
+
   /** LSH-bucketed ANN: queries and corpus bucket on `nBits`
     * hyperplane signs; scoring happens only within a bucket. Recall
     * vs [[bruteForceTopK]] is asserted in the test suite; trading

@@ -44,6 +44,40 @@ object TextAnalysis {
       .select(explode(Text.segmentKeywords(col("text"))).as("kw"))
       .groupBy("kw").agg(count(lit(1)).as("kw_ct"))
 
+  /** Repetition signals per document (the Gopher-rules family):
+    * most-frequent-token count, word-bigram totals/distincts, and the
+    * duplicate-bigram fraction — the filters a training pipeline uses
+    * to drop boilerplate and degenerate generations. Counting the
+    * max-frequency element per doc is an explode → (doc, gram)
+    * groupBy → per-doc max: both aggregations are map-side
+    * combinable and key on (doc_id, gram) / doc_id, so the shuffles
+    * stay balanced at corpus scale (no global hot key).
+    */
+  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), Text.wsTokens(col("text")).as("tk"))
+    val tokTop = toks.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max(col("c")).as("top_token_ct"),
+        sum(col("c")).as("n_tokens"))
+    val bigrams = when(size(col("tk")) >= 2,
+      transform(sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bgTop = toks.select(col("doc_id"), explode(bigrams).as("bgm"))
+      .groupBy("doc_id", "bgm").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max(col("c")).as("top_bigram_ct"),
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"))
+    tokTop.join(bgTop, Seq("doc_id"), "left")
+      .withColumn("dup_bigram_frac",
+        lit(1.0) - col("distinct_bigrams").cast("double") /
+          nullif(col("n_bigrams").cast("double"), lit(0.0)))
+  }
+
   /** Fingerprint clusters: docs sharing a sorted-distinct-token
     * digest are duplicates under bag-of-words equivalence.
     */

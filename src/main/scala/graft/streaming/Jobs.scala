@@ -150,6 +150,65 @@ object Jobs {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** One emitted candidate near-dup pair (id_a < id_b). */
+  case class NearDupPair(id_a: Long, id_b: Long)
+  /** Internal row shape for [[streamingNearDup]]. */
+  case class BandedDoc(bkey: String, doc_id: Long, sig: Seq[Long])
+
+  /** Streaming MinHash near-dup detection: each arriving document is
+    * shingled and minhash-signed MAP-SIDE (native expressions), then
+    * exploded into LSH band buckets; per-bucket keyed state holds the
+    * signatures seen so far, and a new arrival emits a pair for every
+    * stored doc whose signature agrees on ≥ `simThreshold` of the
+    * minhash components. The streaming dual of [[graft.operators.
+    * Dedup.minhashLsh]]: state is bounded per bucket (`maxPerBucket`,
+    * oldest evicted), the same pair may surface from several bands —
+    * consumers dedup downstream, exactly like the batch candidate
+    * stage. Input needs (doc_id long, text string).
+    */
+  def streamingNearDup(docs: DataFrame, ngram: Int = 12, perms: Int = 64,
+      bands: Int = 16, simThreshold: Double = 0.7,
+      maxPerBucket: Int = 64): Dataset[NearDupPair] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.Vectors.ensureRegistered(s)
+    val r = perms / bands
+    val banded = docs
+      .select(col("doc_id"),
+        call_function("graft_minhash_sig",
+          call_function("graft_shingle_hashes", col("text"), lit(ngram)),
+          lit(perms)).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * r + 1, lit(r)), b))))
+      .toDF("doc_id", "sig", "band", "bucket")
+      .select(concat_ws(":", col("band"), col("bucket")).as("bkey"),
+        col("doc_id"), col("sig"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[BandedDoc],
+         state: GroupState[List[BandedDoc]]) => {
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.LinkedHashSet[NearDupPair]()
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (!seen.exists(_.doc_id == d.doc_id)) {
+              seen.foreach { o =>
+                val eq = d.sig.iterator.zip(o.sig.iterator)
+                  .count(p => p._1 == p._2).toDouble / d.sig.length
+                if (eq >= simThreshold)
+                  out += NearDupPair(math.min(d.doc_id, o.doc_id),
+                    math.max(d.doc_id, o.doc_id))
+              }
+              seen = (d :: seen).take(maxPerBucket)
+            }
+          }
+          state.update(seen)
+          out.iterator
+        })
+  }
+
   /** Keyword window count — the streaming form of
     * DwsTrafficSourceKeywordPageViewWindow.java:1: extract the search
     * term from the page log (here: the JSON props payload), explode

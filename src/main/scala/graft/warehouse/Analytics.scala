@@ -210,6 +210,32 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("users"))
   }
 
+  /** Per-nation event stats through an explicitly SALTED fact⋈dim
+    * join ([[graft.operators.Skew.saltedJoin]]): the events fact gets
+    * a uniform salt, the (renamed) customer dim is replicated
+    * `salts`×, and the join key becomes (user_id, salt) — a hot user
+    * spreads over `salts` reducers instead of one. The result is
+    * row-identical to the plain join (the oracle IS the plain join),
+    * which is exactly the property that makes salting safe to deploy:
+    * it changes the physical distribution, never the answer.
+    */
+  def saltedNationStats(s: SparkSession, d: String,
+      salts: Int = 8): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), dec(col("value")).as("value_dec"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    val joined = graft.operators.Skew.saltedJoin(ev, cust, "user_id", salts)
+    joined
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation_name"))
+      .agg(
+        count(lit(1)).as("ev_ct"),
+        countDistinct(col("user_id")).as("uv_ct"),
+        sum(col("value_dec")).cast("double").as("value_sum"))
+  }
+
   /** Event-transition matrix (user path analysis): consecutive
     * event-type pairs per user, counted. The lead window partitions
     * on user_id — per-user sorts, fully parallel.

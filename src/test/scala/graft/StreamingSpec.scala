@@ -323,6 +323,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingNearDup emits the same pairs as the batch banding rule") {
+    val docs = s.readStream.schema(Tables.documents(s, d).schema)
+      .parquet(stage("documents"))
+      .select(col("doc_id"), col("text"))
+    val q = Jobs.streamingNearDup(docs)
+      .writeStream.format("memory").queryName("snd")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("snd-ck")).start()
+    try {
+      q.processAllAvailable()
+      val got = s.sql("SELECT DISTINCT id_a, id_b FROM snd").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch reference: identical signatures/banding, agreement >= 0.7
+      graft.functions.Vectors.ensureRegistered(s)
+      val sig = Tables.documents(s, d).select(col("doc_id"),
+        call_function("graft_minhash_sig",
+          call_function("graft_shingle_hashes", col("text"), lit(12)),
+          lit(64)).as("sig"))
+      val banded = sig.select(col("doc_id"), col("sig"), posexplode(
+        transform(sequence(lit(0), lit(15)),
+          b => hash(slice(col("sig"), b * 4 + 1, lit(4)), b))))
+        .toDF("doc_id", "sig", "band", "bucket")
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.sig").as("sa"), col("b.sig").as("sb"))
+        .distinct()
+      val expected = cand.withColumn("agree",
+          size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+            p => p)).cast("double") / size(col("sa")))
+        .filter(col("agree") >= 0.7)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty, "corpus contains near-dups by construction")
+    } finally q.stop()
+  }
+
   test("uvFirstVisit runs on the RocksDB state store provider") {
     // the state-store backend is a config swap, not a code change —
     // exactly what a large keyed-state deployment flips on

@@ -88,6 +88,48 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("PII redaction masks emails, phones, IPs and counts them") {
+    import s.implicits._
+    val df = Seq(
+      ("mail bob.smith+x@corp.example.com now", 1L, 0L, 0L),
+      ("call (415) 555-2671 or +1 415.555.2671", 0L, 2L, 0L),
+      ("host 192.168.0.1 is up", 0L, 0L, 1L),
+      ("nothing sensitive here", 0L, 0L, 0L)
+    ).toDF("text", "email", "phone", "ip")
+    val cols = Seq(col("email"), col("phone"), col("ip"),
+      Text.redactPii(col("text")).as("red")) ++ Text.piiCounts(col("text"))
+    val got = df.select(cols: _*).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("email_ct") === r.getAs[Long]("email"))
+      assert(r.getAs[Long]("phone_ct") === r.getAs[Long]("phone"))
+      assert(r.getAs[Long]("ip_ct") === r.getAs[Long]("ip"))
+      val red = r.getAs[String]("red")
+      assert(!red.contains("@") || red.contains("<EMAIL>"))
+      assert(!red.contains("192.168"))
+      assert(!red.contains("555-2671") && !red.contains("555.2671"))
+    }
+  }
+
+  test("repetition stats flag a degenerate doc and pass a varied one") {
+    import s.implicits._
+    // build a tiny corpus inline through the same column logic the
+    // operator uses — top-bigram fraction separates the repeated doc
+    val df = Seq(
+      (1L, "spam ham spam ham spam ham spam ham"),
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val tk = Text.wsTokens(col("text"))
+    val bigrams = transform(sequence(lit(1), size(tk) - 1),
+      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
+    val got = df.select(col("doc_id"), explode(bigrams).as("bgm"))
+      .groupBy("doc_id", "bgm").count()
+      .groupBy("doc_id").agg(max("count").as("top"), sum("count").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L)._1 === 4L)          // "spam ham" appears 4 times
+    assert(got(2L)._1 === 1L)          // no repeated bigram
+    assert(got(1L)._2 === 7L && got(2L)._2 === 7L)
+  }
+
   test("multimodal feature extraction: stable shape and checksum parity") {
     val feats = Multimodal.extractFeatures(s, d).collect()
     val docs = graft.sources.Tables.documents(s, d).count()
