@@ -78,7 +78,9 @@ object SparkEntry {
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
     "sim_knn_join" -> (Similarity.knnJoin(_, _)),
     "dedup_cross_source" -> (Dedup.crossSourceOverlap(_, _)),
+    "dedup_containment" -> (Dedup.containment(_, _)),
     "text_repetition" -> (TextAnalysis.repetitionStats(_, _)),
+    "corpus_sample_stratified" -> (TextAnalysis.sampleStratified(_, _)),
     "text_langid" -> (TextAnalysis.langId(_, _)),
     "text_quality" -> (TextAnalysis.quality(_, _)),
     "text_tokens" -> (TextAnalysis.tokens(_, _)),
@@ -511,6 +513,30 @@ object SparkEntry {
         |SELECT train_id, eval_id, COUNT(*) AS shared_ct
         |FROM tr JOIN ev ON tr.s = ev.s
         |GROUP BY 1, 2 HAVING COUNT(*) >= 30""".stripMargin,
+    "dedup_containment" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        |  FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        | CAST(c AS DOUBLE) / sa.n AS c_ab,
+        | CAST(c AS DOUBLE) / sb.n AS c_ba
+        |FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE greatest(CAST(c AS DOUBLE) / sa.n,
+        |               CAST(c AS DOUBLE) / sb.n) >= 0.8""".stripMargin,
+    "corpus_sample_stratified" ->
+      """SELECT doc_id, lang, source, bucket FROM (
+        | SELECT doc_id, lang, source,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |   % 100 AS BIGINT) AS bucket
+        | FROM documents) t
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 20
+        |                    WHEN lang = 'de' THEN 40 ELSE 80 END""".stripMargin,
     "sim_knn_join" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

@@ -242,6 +242,31 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 
+  /** Asymmetric containment pairs: C(A→B) = |A∩B| / |A| over shingle
+    * sets — catches quotes, excerpts and supersets that symmetric
+    * Jaccard misses (a 50-line doc embedded in a 5000-line doc has
+    * tiny Jaccard but containment ≈ 1). Same inverted-index join as
+    * [[ngramJaccard]]; a pair survives if EITHER direction's
+    * containment clears the threshold.
+    */
+  def containment(s: SparkSession, d: String, ngram: Int = 12,
+      threshold: Double = 0.8): DataFrame = {
+    val base = shingled(s, d, ngram).cache()
+    val sizes = base.select(col("doc_id"), size(col("hashed")).as("n"))
+    val sh = base.select(col("doc_id"), explode(col("hashed")).as("sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("c_ab", col("c").cast("double") / col("na"))
+      .withColumn("c_ba", col("c").cast("double") / col("nb"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select("id_a", "id_b", "c_ab", "c_ba")
+  }
+
   /** Train/eval decontamination: pairs of documents from a "train"
     * source split and an "eval" split sharing ≥ `minShared` distinct
     * character n-grams — the GPT-3-style n-gram-overlap check run

@@ -132,6 +132,26 @@ object TextAnalysis {
         col("quality_score"))
   }
 
+  /** Deterministic stratified corpus sampling: each doc hashes to a
+    * bucket in [0,100) via md5 of its id, and a per-language rate
+    * decides survival — the reproducible "downsample over-represented
+    * languages" pass of a training pipeline. No RNG: the same doc
+    * survives on every engine, every run, every cluster size (which
+    * is what makes the sample auditable and the op SQL-oracle-able).
+    * Pure map-side filter — zero shuffle at any scale.
+    */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 100
+    val rate = when(col("lang") === "en", 20)
+      .when(col("lang") === "de", 40)
+      .otherwise(80)
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+  }
+
   /** Column form of the winnowing sketch: distinct window-minima of
     * the rolling k-gram hashes.
     */
