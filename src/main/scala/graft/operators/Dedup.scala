@@ -125,8 +125,15 @@ object Dedup {
     * groups), count co-occurrences, divide by union size. This is the
     * ground truth the LSH variants are tested against.
     */
-  def ngramJaccard(s: SparkSession, d: String, ngram: Int = 12,
-      threshold: Double = 0.5): DataFrame = {
+  /** Shingle-set co-occurrence: (pair intersection counts, per-doc
+    * set sizes) over the inverted index. The pair table is CACHED —
+    * identical plans mean [[ngramJaccard]] and [[containment]] (and
+    * anything else doing exact set-overlap math) share one
+    * materialization of the expensive self-join instead of each
+    * paying it.
+    */
+  private def shingleCoOccurrence(s: SparkSession, d: String,
+      ngram: Int): (DataFrame, DataFrame) = {
     // cache the COMPACT per-doc hash arrays (docs × 1 array row), not
     // the exploded index: sizes come from the arrays for free instead
     // of a distinct() over millions of exploded rows, and both join
@@ -140,6 +147,13 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("c"))
+      .cache()
+    (inter, sizes)
+  }
+
+  def ngramJaccard(s: SparkSession, d: String, ngram: Int = 12,
+      threshold: Double = 0.5): DataFrame = {
+    val (inter, sizes) = shingleCoOccurrence(s, d, ngram)
     inter
       .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
@@ -251,13 +265,7 @@ object Dedup {
     */
   def containment(s: SparkSession, d: String, ngram: Int = 12,
       threshold: Double = 0.8): DataFrame = {
-    val base = shingled(s, d, ngram).cache()
-    val sizes = base.select(col("doc_id"), size(col("hashed")).as("n"))
-    val sh = base.select(col("doc_id"), explode(col("hashed")).as("sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("c"))
+    val (inter, sizes) = shingleCoOccurrence(s, d, ngram)
     inter
       .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
