@@ -103,6 +103,23 @@ object StreamingDemo {
       spark.read.parquet(repOut).count(),
       Tables.events(spark, sfDir).select("user_id").distinct().count())
 
+    // streaming near-dup over the documents table: candidate pairs
+    // from per-bucket MinHash state match the batch banding rule
+    val docStage = Files.createTempDirectory("demo-docs")
+    Files.createSymbolicLink(docStage.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    val docs = spark.readStream
+      .schema(Tables.documents(spark, sfDir).schema)
+      .parquet(docStage.toString)
+      .select(col("doc_id"), col("text"))
+    val nd = Jobs.streamingNearDup(docs).writeStream.format("memory")
+      .queryName("demo_nd").outputMode("append")
+      .option("checkpointLocation", ck()).start()
+    nd.processAllAvailable(); nd.stop()
+    val ndPairs = spark.sql(
+      "SELECT count(DISTINCT id_a, id_b) FROM demo_nd").collect()(0).getLong(0)
+    check("streaming near-dup found pairs", if (ndPairs > 0) 1 else 0, 1)
+
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -106,6 +106,32 @@ class ScaleSpec extends AnyFunSuite {
       s"expected pruned file count, got $filesRead of $days partitions")
   }
 
+  test("HLL sketch serving table: mergeable cross-day UV within 5% of exact") {
+    val out = java.nio.file.Files.createTempDirectory("sketch").toString + "/uv"
+    val ev = Tables.events(s, d)
+    graft.warehouse.Sketched.write(ev, out)
+    // partitions hold pre-aggregated rows (one per (dt, event_type))
+    val served = s.read.parquet(out)
+    assert(served.count() ===
+      ev.select(to_date(col("ts")), col("event_type")).distinct().count())
+    // cross-day merge: sketches union instead of rescanning raw events
+    val merged = graft.warehouse.Sketched
+      .uvAcrossDays(s, out, "0000-01-01", "9999-12-31")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("pv"), countDistinct(col("user_id")).as("uv"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(merged.keySet === exact.keySet)
+    exact.foreach { case (et, (pv, uv)) =>
+      assert(merged(et)._1 === pv, s"pv additive-exact for $et")
+      val est = merged(et)._2.toDouble
+      assert(math.abs(est - uv) <= math.max(1.0, uv * 0.05),
+        s"uv estimate $est vs exact $uv for $et")
+    }
+  }
+
   test("salted join is row-identical to the plain join") {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
