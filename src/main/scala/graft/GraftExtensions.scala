@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       exprs => SimHash64(exprs(0))))
+    // whole-operator extension: the native as-of join strategy, so a
+    // config-only session (spark.sql.extensions=graft.GraftExtensions)
+    // plans graft.plans.AsOfJoinNode without any runtime registration
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

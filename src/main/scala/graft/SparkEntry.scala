@@ -54,6 +54,7 @@ object SparkEntry {
     "analytics_path" -> (Analytics.pathTransitions(_, _)),
     "analytics_skew_salted" -> (Analytics.saltedNationStats(_, _)),
     "temporal_asof_join" -> (Temporal.lastViewBeforePurchase(_, _)),
+    "temporal_asof_native" -> (Temporal.lastViewBeforePurchaseNative(_, _)),
     "temporal_interval_join" -> (Temporal.clicksBeforePurchase(_, _)),
     "text_segment" -> (TextAnalysis.segmentCounts(_, _)),
     "q6_forecast_revenue" -> (Publisher.forecastRevenue(_, _)),
@@ -563,6 +564,17 @@ object SparkEntry {
     // DuckDB's native ASOF JOIN is the oracle for our union+window
     // as-of formulation — two entirely different algorithms, same rows
     "temporal_asof_join" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS us,
+        |    MAX(value) AS last_view_value
+        |   FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.us, v.last_view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.us >= v.us""".stripMargin,
+    // the custom Catalyst operator (AsOfJoinExec) against the same
+    // independent DuckDB ASOF JOIN implementation
+    "temporal_asof_native" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS us,
         |    MAX(value) AS last_view_value
         |   FROM events WHERE event_type = 'view' GROUP BY 1, 2),

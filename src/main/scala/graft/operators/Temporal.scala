@@ -70,11 +70,8 @@ object Temporal {
 
   import graft.sources.Tables
 
-  /** As-of query: each purchase event carries the value of the same
-    * user's most recent view at-or-before it (microsecond grain).
-    */
-  def lastViewBeforePurchase(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
+  private def asOfInputs(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     val ev = Tables.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
@@ -82,7 +79,29 @@ object Temporal {
     val views = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
       .agg(max(col("value")).as("last_view_value"))
+    (purchases, views)
+  }
+
+  /** As-of query: each purchase event carries the value of the same
+    * user's most recent view at-or-before it (microsecond grain).
+    */
+  def lastViewBeforePurchase(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (purchases, views) = asOfInputs(s, d)
     asOfJoin(purchases, views, "user_id", "us", Seq("last_view_value"))
+      .select("event_id", "user_id", "us", "last_view_value")
+  }
+
+  /** Same query through the custom Catalyst operator
+    * ([[graft.plans.AsOfJoinExec]]) — graded against the same DuckDB
+    * ASOF JOIN oracle, so the native plan's correctness is checked by
+    * an entirely independent implementation.
+    */
+  def lastViewBeforePurchaseNative(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (purchases, views) = asOfInputs(s, d)
+    graft.plans.AsOfJoin(purchases, views, "user_id", "us",
+        Seq("last_view_value"))
       .select("event_id", "user_id", "us", "last_view_value")
   }
 

@@ -44,6 +44,50 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.count() === p.count(), "one output row per purchase")
   }
 
+  test("native AsOfJoinExec equals the composed asOfJoin on testdata") {
+    val d = TestSpark.sf
+    val ev = graft.sources.Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+      .agg(max(col("value")).as("last_view_value"))
+    val native = graft.plans.AsOfJoin(p, v, "user_id", "us",
+      Seq("last_view_value"))
+    // the physical plan must be OUR operator (nodeName renders the
+    // Exec suffix away), with no dangling `!`-marked references
+    val planStr = native.queryExecution.executedPlan.toString
+    assert(planStr.contains("AsOfJoin"), planStr)
+    assert(!planStr.contains("!Sort") && !planStr.contains("!Exchange"),
+      s"unresolved references in plan:\n$planStr")
+    val composed = Temporal.asOfJoin(p, v, "user_id", "us",
+      Seq("last_view_value"))
+      .select(native.columns.map(col): _*)
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty,
+      "native exec and union+window formulation must agree row-for-row")
+    assert(native.count() === p.count())
+  }
+
+  test("native AsOfJoinExec equals an in-memory reference on random data") {
+    import s.implicits._
+    val rnd = new scala.util.Random(21)
+    val left = Seq.tabulate(800)(i =>
+      (i.toLong, rnd.nextInt(15).toLong, rnd.nextInt(500).toLong))
+    val right = Seq.fill(500) {
+      (rnd.nextInt(15).toLong, rnd.nextInt(500).toLong, rnd.nextDouble())
+    }.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val got = graft.plans.AsOfJoin(
+        left.toDF("row_id", "k", "t"), right.toDF("k", "t", "v"),
+        "k", "t", Seq("v")).collect()
+      .map(r => r.getAs[Long]("row_id") -> Option(r.getAs[Any]("v"))).toMap
+    left.foreach { case (id, k, t) =>
+      val want = right.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(id) === want, s"row $id key $k ts $t")
+    }
+  }
+
   test("intervalJoin keeps unmatched left rows with zero counts") {
     val d = TestSpark.sf
     val got = Temporal.clicksBeforePurchase(s, d)
