@@ -38,5 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // config-only session (spark.sql.extensions=graft.GraftExtensions)
     // plans graft.plans.AsOfJoinNode without any runtime registration
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // ...and the matching optimizer rule (left-predicate pushdown
+    // through the custom node)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

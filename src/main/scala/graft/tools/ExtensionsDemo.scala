@@ -44,6 +44,21 @@ object ExtensionsDemo {
       typed.keySet == Set("A", "N", "R"))
     check("typed revenue positive", typed.values.forall(_ > 0))
 
+    // custom operator through the INJECTED planner strategy alone:
+    // build the logical node directly — no runtime registration —
+    // so only GraftExtensions' injectPlannerStrategy can plan it
+    val l = spark.sql("SELECT * FROM VALUES (1L, 10L), (1L, 20L) AS t(k, ts)")
+    val r = spark.sql("SELECT * FROM VALUES (1L, 15L, 1.5D) AS t(k, ts, v)")
+    def a(df: org.apache.spark.sql.DataFrame, n: String) =
+      df.queryExecution.analyzed.output.find(_.name == n).get
+    val node = graft.plans.AsOfJoinNode(
+      l.queryExecution.analyzed, r.queryExecution.analyzed,
+      a(l, "k"), a(l, "ts"), a(r, "k"), a(r, "ts"), Seq(a(r, "v")))
+    val asof = org.apache.spark.sql.classic.GraftSqlBridge.ofRows(spark, node)
+      .collect().map(row => row.getLong(1) -> Option(row.get(2))).toMap
+    check("as-of exec planned via injected strategy",
+      asof == Map(10L -> None, 20L -> Some(1.5)))
+
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -88,6 +88,37 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("optimizer rule pushes left-only filters through AsOfJoinNode") {
+    val d = TestSpark.sf
+    val ev = graft.sources.Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+      .agg(max(col("value")).as("last_view_value"))
+    val joined = graft.plans.AsOfJoin(p, v, "user_id", "us",
+      Seq("last_view_value"))
+    val filtered = joined.filter(col("event_id") < 100)
+    val opt = filtered.queryExecution.optimizedPlan
+    // after the rule, the left-only predicate sits BELOW the custom
+    // node (then Spark's own rules carry it into the scan)
+    val nodeIdx = opt.collect {
+      case n: graft.plans.AsOfJoinNode => n
+    }
+    assert(nodeIdx.nonEmpty, s"node missing:\n$opt")
+    val leftOfNode = nodeIdx.head.left.toString
+    assert(leftOfNode.contains("event_id"),
+      s"filter not pushed below the as-of node:\n$opt")
+    assert(!opt.toString.startsWith("Filter"),
+      s"filter still on top of the plan:\n$opt")
+    // and the answer is unchanged
+    val expected = Temporal.asOfJoin(p, v, "user_id", "us",
+      Seq("last_view_value")).filter(col("event_id") < 100)
+      .select(filtered.columns.map(col): _*)
+    assert(filtered.exceptAll(expected).isEmpty &&
+      expected.exceptAll(filtered).isEmpty)
+  }
+
   test("intervalJoin keeps unmatched left rows with zero counts") {
     val d = TestSpark.sf
     val got = Temporal.clicksBeforePurchase(s, d)
