@@ -15,12 +15,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table. */
+  /** Write `df` as a bucketed+sorted managed table. Extra sort
+    * columns (e.g. a timestamp after the key) let ORDER-sensitive
+    * consumers — the sort-merge as-of join — read pre-sorted buckets.
+    * Coalesced to one writer task so each bucket is one file, which
+    * is what lets the scan REPORT the sort order to the planner.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key).sortBy(key)
+      buckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+    val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(sorts.head, sorts.tail: _*)
       .format("parquet").saveAsTable(table)
+  }
 
   /** Bucket the orders/lineitem pair by order key. */
   def bucketTradeTables(s: SparkSession, d: String, buckets: Int = 16): Unit = {

@@ -106,6 +106,31 @@ class ScaleSpec extends AnyFunSuite {
       s"expected pruned file count, got $filesRead of $days partitions")
   }
 
+  test("native as-of join over bucketed+sorted tables plans ZERO exchanges") {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+      .agg(max(col("value")).as("last_view_value"))
+    graft.sources.Bucketing.writeBucketed(p, "purchases_b", "user_id", 4,
+      Seq("user_id", "us"))
+    graft.sources.Bucketing.writeBucketed(v, "views_b", "user_id", 4,
+      Seq("user_id", "us"))
+    val joined = graft.plans.AsOfJoin(
+      s.table("purchases_b"), s.table("views_b"),
+      "user_id", "us", Seq("last_view_value"))
+    joined.collect() // force final AQE plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed as-of must not shuffle:\n$plan")
+    // same answer as the shuffling plan over the raw frames
+    val expected = graft.plans.AsOfJoin(p, v, "user_id", "us",
+      Seq("last_view_value")).select(joined.columns.map(col): _*)
+    assert(joined.exceptAll(expected).isEmpty &&
+      expected.exceptAll(joined).isEmpty)
+  }
+
   test("HLL sketch serving table: mergeable cross-day UV within 5% of exact") {
     val out = java.nio.file.Files.createTempDirectory("sketch").toString + "/uv"
     val ev = Tables.events(s, d)
