@@ -82,6 +82,7 @@ object SparkEntry {
     "dedup_containment" -> (Dedup.containment(_, _)),
     "text_repetition" -> (TextAnalysis.repetitionStats(_, _)),
     "corpus_sample_stratified" -> (TextAnalysis.sampleStratified(_, _)),
+    "corpus_assign_ids" -> (TextAnalysis.assignStableIds(_, _)),
     "text_langid" -> (TextAnalysis.langId(_, _)),
     "text_quality" -> (TextAnalysis.quality(_, _)),
     "text_tokens" -> (TextAnalysis.tokens(_, _)),
@@ -530,6 +531,13 @@ object SparkEntry {
         |FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE greatest(CAST(c AS DOUBLE) / sa.n,
         |               CAST(c AS DOUBLE) / sb.n) >= 0.8""".stripMargin,
+    // the scalable two-pass enumeration (range partition + offset
+    // pass) must equal the single-sort window formulation exactly
+    "corpus_assign_ids" ->
+      """SELECT doc_id,
+        | CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+        |  AS stable_id
+        |FROM documents""".stripMargin,
     "corpus_sample_stratified" ->
       """SELECT doc_id, lang, source, bucket FROM (
         | SELECT doc_id, lang, source,

@@ -152,6 +152,27 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
   }
 
+  /** Contiguous stable ids for the whole corpus (0..n-1 in doc_id
+    * order) — the enumeration step before sharding/packing a training
+    * corpus. A global `row_number() OVER (ORDER BY ...)` window is a
+    * SINGLE-partition sort — the one thing that cannot scale; this
+    * uses range partitioning (sampled split points, parallel sort)
+    * plus RDD `zipWithIndex` (one count pass for partition offsets,
+    * one pass to emit — the genuine per-partition-imperative case
+    * where an RDD is the right tool). Identical output to the window
+    * formulation, which is exactly what the oracle checks.
+    */
+  def assignStableIds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[Long]
+      .rdd.zipWithIndex()
+      .toDF("doc_id", "stable_id")
+  }
+
   /** Column form of the winnowing sketch: distinct window-minima of
     * the rolling k-gram hashes.
     */
