@@ -88,6 +88,27 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("native AsOfJoinExec handles string keys and sparse matches") {
+    import s.implicits._
+    val rnd = new scala.util.Random(33)
+    val keys = Vector("alpha", "beta", "gamma", "delta", "", "只")
+    val left = Seq.tabulate(300)(i =>
+      (i.toLong, keys(rnd.nextInt(keys.size)), rnd.nextInt(100).toLong))
+    // right covers only half the keyspace → some keys never match
+    val right = Seq.fill(120) {
+      (keys(rnd.nextInt(3)), rnd.nextInt(100).toLong, rnd.nextDouble())
+    }.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val got = graft.plans.AsOfJoin(
+        left.toDF("row_id", "k", "t"), right.toDF("k", "t", "v"),
+        "k", "t", Seq("v")).collect()
+      .map(r => r.getAs[Long]("row_id") -> Option(r.getAs[Any]("v"))).toMap
+    left.foreach { case (id, k, t) =>
+      val want = right.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(id) === want, s"row $id key '$k' ts $t")
+    }
+  }
+
   test("optimizer rule pushes left-only filters through AsOfJoinNode") {
     val d = TestSpark.sf
     val ev = graft.sources.Tables.events(s, d)
