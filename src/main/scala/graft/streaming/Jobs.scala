@@ -209,6 +209,26 @@ object Jobs {
         })
   }
 
+  /** Versioned-dim enrichment: each micro-batch as-of joins against a
+    * VERSIONED dimension table — every fact picks the dim row in
+    * effect at its event time, not the current snapshot. This is the
+    * exact semantics the reference approximates with its HBase+Redis
+    * lookup (DimAsyncFunction.java:1 serves only the latest version;
+    * facts arriving late get the wrong dim). Runs the custom
+    * [[graft.plans.AsOfJoinExec]] operator per batch via foreachBatch
+    * — the batch/streaming unification the declarative layer buys.
+    */
+  def asOfDimEnrich(stream: DataFrame, dimVersions: DataFrame,
+      key: String, ts: String, vals: Seq[String], outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.plans.AsOfJoin(batch, dimVersions, key, ts, vals)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** Keyword window count — the streaming form of
     * DwsTrafficSourceKeywordPageViewWindow.java:1: extract the search
     * term from the page log (here: the JSON props payload), explode

@@ -323,6 +323,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asOfDimEnrich: streamed facts join the dim version in effect") {
+    val ev = Tables.events(s, d)
+    // versioned dim: each (user, time) view value is one dim version
+    val dim = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+      .agg(max(col("value")).as("dim_v"))
+    val facts = eventsStream.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val out = tmp("asof-out") + "/enriched"
+    val q = Jobs.asOfDimEnrich(facts, dim, "user_id", "us",
+      Seq("dim_v"), out, tmp("asof-ck"))
+    try q.processAllAvailable() finally q.stop()
+    val got = s.read.parquet(out)
+    val batchFacts = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val expected = graft.plans.AsOfJoin(batchFacts, dim, "user_id", "us",
+      Seq("dim_v")).select(got.columns.map(col): _*)
+    assert(got.count() === batchFacts.count())
+    assert(got.exceptAll(expected).isEmpty &&
+      expected.exceptAll(got).isEmpty,
+      "streamed enrichment must equal the batch as-of join")
+  }
+
   test("streamingNearDup emits the same pairs as the batch banding rule") {
     val docs = s.readStream.schema(Tables.documents(s, d).schema)
       .parquet(stage("documents"))
