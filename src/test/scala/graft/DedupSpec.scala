@@ -83,6 +83,24 @@ class DedupSpec extends AnyFunSuite {
     assert(dist === uf, "distributed and union-find labels diverge")
   }
 
+  test("containment dominates Jaccard on every shared pair") {
+    // J(A,B) = |∩|/|∪| ≤ |∩|/max(|A|,|B|) ≤ min(C(A→B), C(B→A)):
+    // any pair passing the Jaccard threshold must show containment
+    // at least that high in both directions
+    val jac = graft.operators.Dedup.ngramJaccard(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cont = graft.operators.Dedup.containment(s, d, threshold = 0.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(jac.nonEmpty)
+    jac.foreach { case (pair, j) =>
+      val (cab, cba) = cont(pair)
+      assert(math.min(cab, cba) >= j - 1e-12,
+        s"pair $pair: jaccard $j exceeds containment ($cab, $cba)")
+    }
+  }
+
   test("embedding LSH near-dup is a subset of exact near-dup") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect()
