@@ -48,6 +48,44 @@ object ReplacingSink {
       }
       .start()
 
+  /** Doris-HLL-model variant: each key keeps additive counters PLUS a
+    * mergeable DataSketches HLL of `idCol` — `hll_union_agg` folds the
+    * batch sketch into the stored one, so the snapshot serves exact
+    * sums and approximate distincts per key without ever re-reading
+    * past batches. This is the streaming dual of
+    * [[graft.warehouse.Sketched]]: there sketches merge across
+    * PARTITIONS at read time; here they merge across MICRO-BATCHES at
+    * write time.
+    */
+  def startSketching(stream: DataFrame, keyCols: Seq[String],
+      idCol: String, path: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sketchUpsert(batch, keyCols, idCol, path)
+      }
+      .start()
+
+  /** One sketch-merge step; also usable from batch jobs. */
+  def sketchUpsert(batch: DataFrame, keyCols: Seq[String], idCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val compact = batch.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("pv_ct"),
+        hll_sketch_agg(col(idCol)).as("uv_sketch"))
+    val merged =
+      if (new java.io.File(path).exists()) {
+        val cur = spark.read.parquet(path)
+        cur.unionByName(compact.select(cur.columns.map(col): _*))
+          .groupBy(keyCols.map(col): _*)
+          .agg(
+            sum(col("pv_ct")).cast("long").as("pv_ct"),
+            hll_union_agg(col("uv_sketch")).as("uv_sketch"))
+      } else compact
+    replaceDir(merged, path)
+  }
+
   /** One summing-merge step; also usable from batch jobs. */
   def sumUpsert(batch: DataFrame, keyCols: Seq[String],
       sumCols: Seq[String], path: String): Unit = {

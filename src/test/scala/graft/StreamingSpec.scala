@@ -323,6 +323,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sketching sink merges HLL state across micro-batches") {
+    // two staged copies of half the events each + maxFilesPerTrigger=1
+    // forces at least two micro-batches with overlapping users
+    val dir = Files.createTempDirectory("sketch-src")
+    Files.createSymbolicLink(dir.resolve("a.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+      dir.resolve("b.parquet"))
+    val stream = s.readStream
+      .schema(s.read.parquet(s"$d/events.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val out = tmp("sketch-sink") + "/snap"
+    val q = ReplacingSink.startSketching(
+      stream.select(col("event_type"), col("user_id")),
+      Seq("event_type"), "user_id", out, tmp("sketch-sink-ck"))
+    try q.processAllAvailable() finally q.stop()
+    val got = s.read.parquet(out)
+      .select(col("event_type"), col("pv_ct"),
+        hll_sketch_estimate(col("uv_sketch")).as("uv_est"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.events(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("pv"), countDistinct(col("user_id")).as("uv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === exact.keySet)
+    exact.foreach { case (et, (pv, uv)) =>
+      // events delivered twice → pv doubles; uv (distinct) must NOT
+      assert(got(et)._1 === 2 * pv, s"pv additive for $et")
+      assert(math.abs(got(et)._2.toDouble - uv) <= math.max(1.0, uv * 0.05),
+        s"uv estimate ${got(et)._2} vs exact $uv for $et")
+    }
+  }
+
   test("asOfDimEnrich: streamed facts join the dim version in effect") {
     val ev = Tables.events(s, d)
     // versioned dim: each (user, time) view value is one dim version
