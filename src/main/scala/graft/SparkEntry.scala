@@ -75,6 +75,11 @@ object SparkEntry {
       Dedup.embeddingNearDupLsh(s, d).select("id_a", "id_b")),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.ngramJaccard(s, d))),
+    // the scale path: transitive closure over LSH candidates — the
+    // pair input is O(docs) bucket-joined, not the exact co-occurrence
+    // scan; same oracle because banding loses no >=0.5 pair here
+    "dedup_clusters_lsh" -> ((s, d) =>
+      Dedup.dedupClusters(Dedup.minhashLsh(s, d))),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
     "sim_knn_join" -> (Similarity.knnJoin(_, _)),
@@ -387,6 +392,32 @@ object SparkEntry {
         |FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin,
     "dedup_clusters" ->
+      """WITH RECURSIVE
+        |sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        |  FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM i
+        |          JOIN sz sa ON sa.doc_id = id_a
+        |          JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.lbl FROM edges e, reach r WHERE e.dst = r.id)
+        |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
+        |GROUP BY 1""".stripMargin,
+    // identical oracle on purpose: the LSH-candidate closure must
+    // reach the same clusters as the exact-pair closure (banding
+    // recall is part of the grade)
+    "dedup_clusters_lsh" ->
       """WITH RECURSIVE
         |sh AS (
         | SELECT DISTINCT doc_id, s FROM (
