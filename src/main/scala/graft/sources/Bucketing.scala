@@ -18,13 +18,21 @@ object Bucketing {
   /** Write `df` as a bucketed+sorted managed table. Extra sort
     * columns (e.g. a timestamp after the key) let ORDER-sensitive
     * consumers — the sort-merge as-of join — read pre-sorted buckets.
-    * Coalesced to one writer task so each bucket is one file, which
-    * is what lets the scan REPORT the sort order to the planner.
+    *
+    * The pre-write `repartition(buckets, key)` uses the same
+    * Murmur3 HashPartitioning the bucket spec uses, so every writer
+    * task holds exactly the rows of one bucket: one file per bucket
+    * (which is what lets the scan REPORT the sort order to the
+    * planner), written by `buckets` tasks in parallel rather than a
+    * single coalesced writer.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+    import org.apache.spark.sql.functions.col
     val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
-    df.coalesce(1).write.mode(SaveMode.Overwrite)
+    df.repartition(buckets, col(key))
+      .sortWithinPartitions(sorts.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(sorts.head, sorts.tail: _*)
       .format("parquet").saveAsTable(table)
   }

@@ -21,6 +21,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() === Tables.lineitem(s, d).count())
   }
 
+  test("bucketed write runs parallel tasks yet yields one file per bucket") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val buckets = 8
+    val taskCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        taskCount.incrementAndGet()
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      Bucketing.writeBucketed(Tables.orders(s, d), "orders_pw",
+        "o_orderkey", buckets)
+      // listener delivery is async; wait for the task-end events
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (taskCount.get() <= 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally s.sparkContext.removeSparkListener(listener)
+    // the final write stage is `buckets` tasks — a coalesce(1) writer
+    // would show up here as a single-task serialization point
+    assert(taskCount.get() > 1,
+      s"bucketed write used ${taskCount.get()} task(s); must parallelize")
+    // still exactly one data file per bucket, so the scan can report
+    // per-bucket sort order to the planner
+    val loc = s.sql("DESCRIBE TABLE EXTENDED orders_pw").collect()
+      .find(_.getString(0) == "Location").get.getString(1)
+    val dataFiles = new java.io.File(new java.net.URI(loc)).listFiles()
+      .filter(f => f.getName.startsWith("part-"))
+    assert(dataFiles.length === buckets,
+      s"expected $buckets bucket files, got ${dataFiles.length}")
+    // and the bucketed scan still elides the Exchange
+    val joined = s.table("orders_pw").hint("merge")
+      .join(s.table("orders_pw").hint("merge"), "o_orderkey")
+    assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("typed revenue aggregator matches the DataFrame decimal sum") {
     import org.apache.spark.sql.types.DecimalType
     val typed = graft.warehouse.Typed.revenueByFlag(s, d).collect()
