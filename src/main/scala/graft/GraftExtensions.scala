@@ -38,8 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // config-only session (spark.sql.extensions=graft.GraftExtensions)
     // plans graft.plans.AsOfJoinNode without any runtime registration
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-    // ...and the matching optimizer rule (left-predicate pushdown
-    // through the custom node)
+    e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+    // ...and the matching optimizer rules (left-predicate pushdown
+    // through the custom nodes)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughIntervalJoin)
   }
 }

@@ -56,6 +56,7 @@ object SparkEntry {
     "temporal_asof_join" -> (Temporal.lastViewBeforePurchase(_, _)),
     "temporal_asof_native" -> (Temporal.lastViewBeforePurchaseNative(_, _)),
     "temporal_interval_join" -> (Temporal.clicksBeforePurchase(_, _)),
+    "temporal_interval_native" -> (Temporal.clicksBeforePurchaseNative(_, _)),
     "text_segment" -> (TextAnalysis.segmentCounts(_, _)),
     "q6_forecast_revenue" -> (Publisher.forecastRevenue(_, _)),
     "q4_priority_refund" -> (Publisher.priorityRefundExists(_, _)),
@@ -623,6 +624,17 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.us >= v.us""".stripMargin,
     "temporal_interval_join" ->
+      """SELECT p.event_id, p.user_id, COUNT(c.us) AS clicks_15m
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, epoch_us(ts) AS us FROM events
+        |           WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        |  AND c.us > p.us - 900000000 AND c.us <= p.us
+        |GROUP BY 1, 2""".stripMargin,
+    // the custom IntervalJoinExec against the identical range-join
+    // oracle the composed formulation is graded on
+    "temporal_interval_native" ->
       """SELECT p.event_id, p.user_id, COUNT(c.us) AS clicks_15m
         |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
         |      WHERE event_type = 'purchase') p

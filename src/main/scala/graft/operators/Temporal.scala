@@ -105,17 +105,37 @@ object Temporal {
       .select("event_id", "user_id", "us", "last_view_value")
   }
 
-  /** Interval query: clicks by the same user in the 15 minutes up to
-    * each purchase (inclusive) — the order⋈detail interval-join shape.
-    */
-  def clicksBeforePurchase(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
+  private def intervalInputs(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     val ev = Tables.events(s, d)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
     val c = ev.filter(col("event_type") === "click")
       .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    (p, c)
+  }
+
+  /** Interval query: clicks by the same user in the 15 minutes up to
+    * each purchase (inclusive) — the order⋈detail interval-join shape.
+    */
+  def clicksBeforePurchase(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (p, c) = intervalInputs(s, d)
     intervalJoin(p, c, "user_id", col("p_us"), col("c_us"), 900000000L)
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("c_us")).as("clicks_15m"))
+  }
+
+  /** Same interval query through the custom Catalyst operator
+    * ([[graft.plans.IntervalJoinExec]]) — graded against the same
+    * DuckDB range-join oracle. The exec evaluates the range inside
+    * the merge walk, so no Filter node sits above it in the plan.
+    */
+  def clicksBeforePurchaseNative(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (p, c) = intervalInputs(s, d)
+    graft.plans.IntervalJoin(p, c, "user_id", "p_us", "c_us",
+        900000000L, Seq("c_us"))
       .groupBy(col("event_id"), col("user_id"))
       .agg(count(col("c_us")).as("clicks_15m"))
   }

@@ -149,4 +149,85 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.filter(col("clicks_15m") === 0).count() > 0,
       "some purchases have no clicks in the window")
   }
+
+  test("native IntervalJoinExec equals the composed intervalJoin on testdata") {
+    val d = TestSpark.sf
+    val native = Temporal.clicksBeforePurchaseNative(s, d)
+    val composed = Temporal.clicksBeforePurchase(s, d)
+      .select(native.columns.map(col): _*)
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty,
+      "native exec and equi-join+range-filter formulation must agree")
+  }
+
+  test("native IntervalJoinExec plans with no Filter above the exec") {
+    val d = TestSpark.sf
+    val ev = graft.sources.Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    val joined = graft.plans.IntervalJoin(p, c, "user_id", "p_us", "c_us",
+      900000000L, Seq("c_us"))
+    // AQE wraps the physical plan; collect() inside the unwrapped tree
+    val plan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val execs = plan.collect { case e: graft.plans.IntervalJoinExec => e }
+    assert(execs.nonEmpty, s"IntervalJoinExec missing:\n$plan")
+    // the range predicate lives INSIDE the merge walk: no FilterExec
+    // may sit between the exec and the plan root
+    val filterAbove = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.child.collectFirst {
+            case e: graft.plans.IntervalJoinExec => e }.nonEmpty => f
+    }
+    assert(filterAbove.isEmpty,
+      s"range filter survived above the exec:\n$plan")
+  }
+
+  test("native IntervalJoinExec equals an in-memory reference on random data") {
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(600)(i =>
+      (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(400).toLong))
+    val right = Seq.fill(900) {
+      (rnd.nextInt(12).toLong, rnd.nextInt(400).toLong, rnd.nextInt(10000).toLong)
+    }
+    val lower = 25L
+    val got = graft.plans.IntervalJoin(
+        left.toDF("row_id", "k", "lt"), right.toDF("k", "rt", "v"),
+        "k", "lt", "rt", lower, Seq("rt", "v")).collect()
+      .map(r => (r.getAs[Long]("row_id"),
+        Option(r.getAs[Any]("rt")), Option(r.getAs[Any]("v"))))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_.toString)).toMap
+    left.foreach { case (id, k, lt) =>
+      val want = right.filter(r => r._1 == k && r._2 > lt - lower && r._2 <= lt)
+        .map(r => (Option[Any](r._2), Option[Any](r._3))).sortBy(_.toString)
+      val expect = if (want.isEmpty) Seq((None, None)) else want
+      assert(got(id) === expect, s"row $id key $k ts $lt")
+    }
+  }
+
+  test("optimizer rule pushes left-only filters through IntervalJoinNode") {
+    val d = TestSpark.sf
+    val ev = graft.sources.Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    val joined = graft.plans.IntervalJoin(p, c, "user_id", "p_us", "c_us",
+      900000000L, Seq("c_us"))
+    val filtered = joined.filter(col("event_id") < 100)
+    val opt = filtered.queryExecution.optimizedPlan
+    val nodes = opt.collect { case n: graft.plans.IntervalJoinNode => n }
+    assert(nodes.nonEmpty, s"node missing:\n$opt")
+    assert(nodes.head.left.toString.contains("event_id"),
+      s"filter not pushed below the interval node:\n$opt")
+    assert(!opt.toString.startsWith("Filter"),
+      s"filter still on top of the plan:\n$opt")
+  }
 }
