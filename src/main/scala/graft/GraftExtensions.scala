@@ -43,5 +43,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // through the custom nodes)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughIntervalJoin)
+    // raw-SQL surface for the custom joins:
+    //   SELECT * FROM graft_asof_join('l', 'r', 'key', 'ts', 'val')
+    // the TVF parses to an unresolved marker; the resolution rule
+    // swaps in AsOfJoinNode/IntervalJoinNode once the sides resolve
+    e.injectTableFunction((graft.plans.AsOfSql.asOfIdent,
+      graft.plans.AsOfSql.asOfInfo,
+      exprs => graft.plans.AsOfSql.asOfBuilder(exprs)))
+    e.injectTableFunction((graft.plans.AsOfSql.intervalIdent,
+      graft.plans.AsOfSql.intervalInfo,
+      exprs => graft.plans.AsOfSql.intervalBuilder(exprs)))
+    e.injectResolutionRule(_ => graft.plans.AsOfSql.ResolveGraftJoins)
   }
 }

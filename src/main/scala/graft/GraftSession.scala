@@ -28,6 +28,10 @@ object GraftSession {
     * local) — everything here is scale-neutral.
     */
   def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b
+    // native functions + custom-join strategies/rules + the raw-SQL
+    // TVF surface (graft_asof_join / graft_interval_join); the
+    // config-file equivalent is spark.sql.extensions=graft.GraftExtensions
+    .withExtensions(new GraftExtensions)
     .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -55,8 +55,10 @@ object SparkEntry {
     "analytics_skew_salted" -> (Analytics.saltedNationStats(_, _)),
     "temporal_asof_join" -> (Temporal.lastViewBeforePurchase(_, _)),
     "temporal_asof_native" -> (Temporal.lastViewBeforePurchaseNative(_, _)),
+    "temporal_asof_sql" -> (Temporal.lastViewBeforePurchaseSql(_, _)),
     "temporal_interval_join" -> (Temporal.clicksBeforePurchase(_, _)),
     "temporal_interval_native" -> (Temporal.clicksBeforePurchaseNative(_, _)),
+    "temporal_interval_sql" -> (Temporal.clicksBeforePurchaseSql(_, _)),
     "text_segment" -> (TextAnalysis.segmentCounts(_, _)),
     "q6_forecast_revenue" -> (Publisher.forecastRevenue(_, _)),
     "q4_priority_refund" -> (Publisher.priorityRefundExists(_, _)),
@@ -623,7 +625,28 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.us, v.last_view_value
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.us >= v.us""".stripMargin,
+    // the raw-SQL TVF surface (graft_asof_join) against the same
+    // independent DuckDB ASOF JOIN implementation
+    "temporal_asof_sql" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS us,
+        |    MAX(value) AS last_view_value
+        |   FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.us, v.last_view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.us >= v.us""".stripMargin,
     "temporal_interval_join" ->
+      """SELECT p.event_id, p.user_id, COUNT(c.us) AS clicks_15m
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, epoch_us(ts) AS us FROM events
+        |           WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        |  AND c.us > p.us - 900000000 AND c.us <= p.us
+        |GROUP BY 1, 2""".stripMargin,
+    // the raw-SQL TVF surface (graft_interval_join), same oracle
+    "temporal_interval_sql" ->
       """SELECT p.event_id, p.user_id, COUNT(c.us) AS clicks_15m
         |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
         |      WHERE event_type = 'purchase') p

@@ -115,6 +115,22 @@ object Temporal {
     (p, c)
   }
 
+  /** The as-of query written in RAW SQL through the TVF surface
+    * ([[graft.plans.AsOfSql]]) — how a view-registry user reaches the
+    * custom operator without the Scala API. Same DuckDB ASOF oracle.
+    */
+  def lastViewBeforePurchaseSql(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (purchases, views) = asOfInputs(s, d)
+    purchases.createOrReplaceTempView("asof_purchases")
+    views.createOrReplaceTempView("asof_views")
+    s.sql(
+      """SELECT event_id, user_id, us, last_view_value
+        |FROM graft_asof_join('asof_purchases', 'asof_views',
+        |                     'user_id', 'us', 'last_view_value')
+        |""".stripMargin)
+  }
+
   /** Interval query: clicks by the same user in the 15 minutes up to
     * each purchase (inclusive) — the order⋈detail interval-join shape.
     */
@@ -138,5 +154,20 @@ object Temporal {
         900000000L, Seq("c_us"))
       .groupBy(col("event_id"), col("user_id"))
       .agg(count(col("c_us")).as("clicks_15m"))
+  }
+
+  /** The interval query in RAW SQL through the TVF surface — reaches
+    * [[graft.plans.IntervalJoinExec]] from a plain `spark.sql` call.
+    */
+  def clicksBeforePurchaseSql(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (p, c) = intervalInputs(s, d)
+    p.createOrReplaceTempView("iv_purchases")
+    c.createOrReplaceTempView("iv_clicks")
+    s.sql(
+      """SELECT event_id, user_id, COUNT(c_us) AS clicks_15m
+        |FROM graft_interval_join('iv_purchases', 'iv_clicks',
+        |       'user_id', 'p_us', 'c_us', '900000000', 'c_us')
+        |GROUP BY event_id, user_id""".stripMargin)
   }
 }

@@ -212,6 +212,46 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("raw-SQL TVF surface reaches both custom execs") {
+    val d = TestSpark.sf
+    val sqlAsOf = Temporal.lastViewBeforePurchaseSql(s, d)
+    assert(sqlAsOf.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val api = Temporal.lastViewBeforePurchaseNative(s, d)
+      .select(sqlAsOf.columns.map(col): _*)
+    assert(sqlAsOf.exceptAll(api).isEmpty && api.exceptAll(sqlAsOf).isEmpty,
+      "SQL surface and Scala API must produce identical as-of rows")
+    val sqlIv = Temporal.clicksBeforePurchaseSql(s, d)
+    assert(sqlIv.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+    val apiIv = Temporal.clicksBeforePurchaseNative(s, d)
+      .select(sqlIv.columns.map(col): _*)
+    assert(sqlIv.exceptAll(apiIv).isEmpty && apiIv.exceptAll(sqlIv).isEmpty,
+      "SQL surface and Scala API must produce identical interval rows")
+  }
+
+  test("TVF rejects malformed arguments with a clear message") {
+    val d = TestSpark.sf
+    graft.sources.Tables.registerViews(s, d)
+    val e1 = intercept[Exception](
+      s.sql("SELECT * FROM graft_asof_join('events', 'events')").collect())
+    assert(e1.getMessage.contains("graft_asof_join"), e1.getMessage)
+    val e2 = intercept[Exception](s.sql(
+      "SELECT * FROM graft_asof_join('events', 'events', 'no_such_col', " +
+        "'ts', 'value')").collect())
+    assert(e2.getMessage.contains("no_such_col"), e2.getMessage)
+  }
+
+  test("SQL self-join through the TVF dedups shared exprIds") {
+    val d = TestSpark.sf
+    graft.sources.Tables.registerViews(s, d)
+    // both sides are the SAME view — the resolution rule must
+    // re-alias the right side or the node is ambiguous
+    val df = s.sql(
+      """SELECT COUNT(*) AS n FROM graft_asof_join(
+        |  'orders', 'orders', 'o_custkey', 'o_orderkey', 'o_totalprice')
+        |""".stripMargin)
+    assert(df.collect()(0).getLong(0) > 0)
+  }
+
   test("optimizer rule pushes left-only filters through IntervalJoinNode") {
     val d = TestSpark.sf
     val ev = graft.sources.Tables.events(s, d)
