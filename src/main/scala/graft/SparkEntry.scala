@@ -96,6 +96,7 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.tokens(_, _)),
     "text_fingerprint" -> (TextAnalysis.fingerprintGroups(_, _)),
     "mm_binary_meta" -> (Multimodal.binaryMeta(_, _)),
+    "mm_image_dims" -> (Multimodal.imageDims(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -721,6 +722,15 @@ object SparkEntry {
         | substr(hex(encode(text)), 1, 8) AS magic,
         | md5(text) AS checksum,
         | source AS media_source
+        |FROM documents""".stripMargin,
+    // the Spark side ENCODES a real PNG per doc (javax.imageio) and
+    // DECODES it back; the oracle recomputes the generation
+    // arithmetic, so a hash match proves the codec roundtrip
+    "mm_image_dims" ->
+      """SELECT doc_id,
+        | CAST(8 + doc_id % 24 AS BIGINT) AS width,
+        | CAST(8 + (doc_id * 7) % 24 AS BIGINT) AS height,
+        | CAST((doc_id * 31) % 256 AS BIGINT) AS px00
         |FROM documents""".stripMargin,
     "sim_ann_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
