@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // min-of-k per query: a shared host's load spikes corrupt single
+    // timings (a 0.4s query once benched at 47s under external load);
+    // the min is the plan's cost, the JSON records k and the 1-min
+    // load so the artifact is interpretable without a re-run
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       cpus.toInt).getOrCreate()
@@ -14,19 +19,34 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => }
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // failures must not break the JSON line, but must be VISIBLE:
-      // a swallowed exception reads as a suspiciously fast query
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = Seq.newBuilder[Double]
+      var failed = false
+      var i = 0
+      while (i < runs && !failed) {
+        val t0 = System.nanoTime()
+        // failures must not break the JSON line, but must be VISIBLE
+        // both on stderr and STRUCTURALLY in the "errors" key — a
+        // swallowed exception otherwise reads as a fast query
+        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          failed = true
+          errors += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        i += 1
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ts = times.result()
+      name -> (if (ts.isEmpty) 0.0 else ts.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs,"load":$load,"runs":$runs}""")
     spark.stop()
   }
 }
