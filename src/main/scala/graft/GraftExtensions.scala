@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SimHash64}
+import graft.functions.{DictSegment, DotProduct, MinHashSignature, ShingleHashes, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       exprs => SimHash64(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_dict_segment"),
+      new ExpressionInfo(classOf[DictSegment].getName, "graft_dict_segment"),
+      exprs => DictSegment(exprs(0))))
     // whole-operator extension: the native as-of join strategy, so a
     // config-only session (spark.sql.extensions=graft.GraftExtensions)
     // plans graft.plans.AsOfJoinNode without any runtime registration

