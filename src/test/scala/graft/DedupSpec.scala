@@ -113,6 +113,24 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("kmeans: total assignment, stable labels, Lloyd descent") {
+    import graft.operators.Similarity
+    val total = graft.sources.Tables.embeddings(s, d).count()
+    val one = Similarity.kmeansClusters(s, d, k = 8, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = Similarity.kmeansClusters(s, d, k = 8, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two.size.toLong === total, "every vector assigned")
+    assert(two.values.toSet.size === 8, "all cells populated")
+    // determinism: same call → identical labels
+    val again = Similarity.kmeansClusters(s, d, k = 8, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === two)
+    // the second Lloyd round must actually move assignments (the
+    // trained upgrade over the one-shot strided cells)
+    assert(one !== two, "iteration 2 should refine the init assignment")
+  }
+
   test("containment dominates Jaccard on every shared pair") {
     // J(A,B) = |∩|/|∪| ≤ |∩|/max(|A|,|B|) ≤ min(C(A→B), C(B→A)):
     // any pair passing the Jaccard threshold must show containment

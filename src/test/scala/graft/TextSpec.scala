@@ -91,6 +91,24 @@ class TextSpec extends AnyFunSuite {
       }
   }
 
+  test("tfidf top-k: rare repeated terms outrank common ones") {
+    val rows = graft.operators.TextAnalysis.tfidfTopTerms(s, d, k = 3)
+      .collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val rks = rs.map(_.getLong(2)).sorted
+      assert(rks.toSeq === (1L to rks.length).toSeq, s"doc $doc ranks $rks")
+      assert(rks.length <= 3)
+    }
+    // stopword-ish terms should essentially never win rank 1: their
+    // df is near N, so idf ≈ 1 while rarer repeated terms get boosted
+    val rank1 = rows.filter(_.getLong(2) == 1L).map(_.getString(1))
+    val stopish = Set("the", "a", "of", "and", "to", "is", "in")
+    assert(rank1.count(stopish.contains).toDouble / rank1.length < 0.2,
+      "stopwords dominate rank-1 TF-IDF — idf weighting is broken")
+  }
+
   test("clean corpus pipeline: deduped, bounded, quality-floored") {
     val cleaned = graft.operators.TextAnalysis.cleanCorpus(s, d).collect()
     assert(cleaned.nonEmpty)
