@@ -94,6 +94,12 @@ object Multimodal {
   // Real image codec (javax.imageio — public, in-JVM, no native libs)
   // ---------------------------------------------------------------
 
+  // ImageIO defaults to a DISK-backed stream cache per encode/decode;
+  // everything here is in-memory byte arrays, so keep the codec off
+  // the filesystem (matters on tmp-constrained executors; measured
+  // neutral at this image size)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decode any ImageIO-supported payload; None when the bytes are
     * not a decodable image (the stub fallback's trigger).
     */

@@ -192,6 +192,40 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // at warehouse scale a selective dim predicate should cut the
+    // fact scan BEFORE the shuffle: Spark's InjectRuntimeFilter adds
+    // a bloom built from the filtered build side and applies it as
+    // might_contain on the probe side. Thresholds are tuned for test
+    // data sizes; the assertion is the plan SHAPE, which is
+    // size-independent.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+      val sel = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000.0) // selective build side
+        .select("o_orderkey", "o_orderstatus")
+      val joined = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$opt")
+      // and the result is unchanged by the pruning
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = li.join(sel, li("l_orderkey") === sel("o_orderkey")).count()
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(joined.count() === plain)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("salted join is row-identical to the plain join") {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
