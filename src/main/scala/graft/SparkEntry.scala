@@ -56,6 +56,8 @@ object SparkEntry {
     "temporal_asof_join" -> (Temporal.lastViewBeforePurchase(_, _)),
     "temporal_asof_native" -> (Temporal.lastViewBeforePurchaseNative(_, _)),
     "temporal_asof_sql" -> (Temporal.lastViewBeforePurchaseSql(_, _)),
+    "temporal_asof_broadcast" -> (Temporal.lastViewBeforePurchaseBroadcast(_, _)),
+    "dim_scd2_build" -> (Temporal.userValueScd2(_, _)),
     "temporal_interval_join" -> (Temporal.clicksBeforePurchase(_, _)),
     "temporal_interval_native" -> (Temporal.clicksBeforePurchaseNative(_, _)),
     "temporal_interval_sql" -> (Temporal.clicksBeforePurchaseSql(_, _)),
@@ -669,6 +671,25 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.us, v.last_view_value
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.us >= v.us""".stripMargin,
+    // broadcast as-of (per-key binary search, fact side unshuffled)
+    // against the same independent DuckDB ASOF JOIN implementation
+    "temporal_asof_broadcast" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS us,
+        |    MAX(value) AS last_view_value
+        |   FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.us, v.last_view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.us >= v.us""".stripMargin,
+    // SCD2 validity intervals from the change feed: one lead window
+    "dim_scd2_build" ->
+      """SELECT user_id, us AS valid_from_us,
+        | lead(us) OVER (PARTITION BY user_id ORDER BY us) AS valid_to_us,
+        | last_view_value
+        |FROM (SELECT user_id, epoch_us(ts) AS us,
+        |    MAX(value) AS last_view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2) v""".stripMargin,
     // the raw-SQL TVF surface (graft_asof_join) against the same
     // independent DuckDB ASOF JOIN implementation
     "temporal_asof_sql" ->

@@ -156,6 +156,98 @@ object Temporal {
       .agg(count(col("c_us")).as("clicks_15m"))
   }
 
+  /** SCD2 dim builder: turn a CDC-style change feed (key, ts, value)
+    * into versioned dimension rows with validity intervals —
+    * `[valid_from_us, valid_to_us)` half-open, the last version open
+    * (null). This is the batch materialization of what the
+    * reference's HBase dim layer loses (DimSinkFunction.java:1 keeps
+    * only the latest version); an as-of join against the change feed
+    * and an interval-containment join against this table answer
+    * identically. One window over (key, ts) — single shuffle on the
+    * key, the partition-friendly SCD2 shape.
+    */
+  def scd2Build(changes: DataFrame, key: String, ts: String,
+      valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    changes.select(
+      Seq(col(key), col(ts).as("valid_from_us"),
+        lead(col(ts), 1).over(w).as("valid_to_us")) ++
+        valueCols.map(col): _*)
+  }
+
+  /** SCD2 query over the view change feed: per-user view-value
+    * versions with validity intervals.
+    */
+  def userValueScd2(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (_, views) = asOfInputs(s, d)
+    scd2Build(views, "user_id", "us", Seq("last_view_value"))
+  }
+
+  /** Broadcast as-of join — the third physical strategy in the as-of
+    * family (after the shuffling SMJ exec and its zero-Exchange
+    * bucketed form): when the versioned dim is small (the common
+    * case — dim versions ≪ facts), ship a per-key sorted timestamp
+    * index to every task and binary-search it per fact row. The FACT
+    * SIDE NEVER SHUFFLES OR SORTS — the plan is scan → mapPartitions,
+    * embarrassingly parallel, the same trade Spark's own
+    * BroadcastHashJoin makes. Right must be unique per (key, ts);
+    * key/ts must be long-backed.
+    */
+  def asOfJoinBroadcast(left: DataFrame, right: DataFrame, key: String,
+      ts: String, valueCols: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val valSchema = valueCols.map(c => right.schema(c))
+    val outSchema = StructType(left.schema.fields ++
+      valSchema.map(_.copy(nullable = true)))
+    val rIdx = right.select((Seq(col(key), col(ts)) ++ valueCols.map(col)): _*)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) =>
+        val sorted = rows.sortBy(_.getLong(1))
+        (k, (sorted.map(_.getLong(1)), sorted.map(r =>
+          Array.tabulate(valueCols.length)(i => r.get(i + 2)))))
+      }
+    val bc = spark.sparkContext.broadcast(rIdx)
+    val keyOrd = left.schema.fieldIndex(key)
+    val tsOrd = left.schema.fieldIndex(ts)
+    val nVals = valueCols.length
+    left.mapPartitions { it =>
+      val idx = bc.value
+      it.map { row =>
+        val vals: Array[Any] =
+          if (row.isNullAt(keyOrd) || row.isNullAt(tsOrd)) new Array[Any](nVals)
+          else idx.get(row.getLong(keyOrd)) match {
+            case Some((tss, vs)) =>
+              // greatest right ts <= left ts: binary search for the
+              // insertion point, take the element before it
+              var lo = 0; var hi = tss.length
+              val t = row.getLong(tsOrd)
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (tss(mid) <= t) lo = mid + 1 else hi = mid
+              }
+              if (lo == 0) new Array[Any](nVals) else vs(lo - 1)
+            case None => new Array[Any](nVals)
+          }
+        Row.fromSeq(row.toSeq ++ vals)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** The as-of query through the broadcast strategy — same DuckDB
+    * ASOF oracle as the SMJ variants; plan-asserted shuffle-free.
+    */
+  def lastViewBeforePurchaseBroadcast(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (purchases, views) = asOfInputs(s, d)
+    asOfJoinBroadcast(purchases, views, "user_id", "us",
+        Seq("last_view_value"))
+      .select("event_id", "user_id", "us", "last_view_value")
+  }
+
   /** The interval query in RAW SQL through the TVF surface — reaches
     * [[graft.plans.IntervalJoinExec]] from a plain `spark.sql` call.
     */

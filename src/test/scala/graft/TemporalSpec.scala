@@ -212,6 +212,45 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast as-of: fact side never shuffles, rows match the SMJ exec") {
+    val d = TestSpark.sf
+    val bcast = Temporal.lastViewBeforePurchaseBroadcast(s, d)
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Sort"),
+      s"broadcast as-of must not shuffle or sort the fact side:\n$plan")
+    val smj = Temporal.lastViewBeforePurchaseNative(s, d)
+      .select(bcast.columns.map(col): _*)
+    assert(bcast.exceptAll(smj).isEmpty && smj.exceptAll(bcast).isEmpty,
+      "broadcast and sort-merge as-of must agree row-for-row")
+  }
+
+  test("SCD2 intervals answer point-in-time lookups like the as-of join") {
+    val d = TestSpark.sf
+    val scd2 = Temporal.userValueScd2(s, d)
+    // half-open validity: every non-final version ends where the next
+    // starts; finals are open
+    val bad = scd2.filter(col("valid_to_us").isNotNull &&
+      col("valid_to_us") <= col("valid_from_us")).count()
+    assert(bad === 0, "validity intervals must be strictly increasing")
+    // containment join against the intervals == as-of join against
+    // the raw change feed
+    val ev = graft.sources.Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val viaScd2 = p.join(scd2.withColumnRenamed("user_id", "sk"),
+        col("user_id") === col("sk") &&
+          col("us") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("us") < col("valid_to_us")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("last_view_value"))
+    val viaAsOf = Temporal.lastViewBeforePurchase(s, d)
+      .select(viaScd2.columns.map(col): _*)
+    assert(viaScd2.exceptAll(viaAsOf).isEmpty &&
+      viaAsOf.exceptAll(viaScd2).isEmpty,
+      "interval containment over SCD2 must equal as-of over the feed")
+  }
+
   test("raw-SQL TVF surface reaches both custom execs") {
     val d = TestSpark.sf
     val sqlAsOf = Temporal.lastViewBeforePurchaseSql(s, d)
