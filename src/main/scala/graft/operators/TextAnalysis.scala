@@ -77,9 +77,15 @@ object TextAnalysis {
     */
   def tfidfTopTerms(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(s, d)
+    // cache the (doc, term, tf) aggregate: both the scores and the
+    // document frequencies derive from it, and without the cache
+    // Catalyst re-scans and re-explodes the corpus for each (no
+    // exchange reuse across different groupings). Disk-spillable at
+    // corpus scale — same shared-cache pattern as the dedup family.
     val tf = docs
       .select(col("doc_id"), explode(Text.wsTokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
