@@ -12,6 +12,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Jobs {
 
+  /** Attach observed health metrics to any stream (or batch frame):
+    * per-micro-batch row count, value sum, and null-key count surface
+    * through `StreamingQueryProgress.observedMetrics` (or
+    * `QueryExecutionListener` for batch) WITHOUT a second aggregation
+    * pass — the accumulator rides the existing plan. This is the
+    * Flink-metrics analogue the reference exposes per job; at scale
+    * it is the difference between monitoring a pipeline and
+    * re-running it to count its rows.
+    */
+  def withObservedMetrics(df: DataFrame,
+      name: String = "graft_metrics"): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("rows"),
+      sum(col("value")).as("value_sum"),
+      count_if(col("user_id").isNull).as("null_users"))
+
   /** Watermarked tumbling-window traffic aggregation — the
     * DwsTrafficVcChArIsNewPageViewWindow.java:118 window, with pv,
     * approximate uv (HLL — the streaming-safe distinct; exact UV is

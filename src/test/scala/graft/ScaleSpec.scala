@@ -235,6 +235,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("AQE splits a skewed join partition at runtime (no manual salting)") {
+    import s.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // hot key 0 carries ~all left rows; the static plan would put
+      // them in ONE task — AQE must split that partition at runtime
+      val left = s.range(0, 300000)
+        .select(when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id"))
+          .as("k"), col("id").as("payload"))
+      val right = s.range(0, 1000).select(col("id").as("k"),
+        (col("id") * 2).as("rv"))
+      val joined = left.join(right, "k")
+      // execute THIS dataframe's own QueryExecution so ITS adaptive
+      // plan finalizes (count()/write() would finalize a copy)
+      joined.queryExecution.executedPlan.execute().count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("two-phase salted aggregation matches direct aggregation") {
     val ev = Tables.events(s, d)
     val direct = ev.groupBy("event_type")

@@ -279,6 +279,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
 
+  test("observed metrics ride the stream without a second aggregation") {
+    val observed = Jobs.withObservedMetrics(eventsStream)
+    val q = observed.writeStream.format("noop").start()
+    try q.processAllAvailable() finally q.stop()
+    val metrics = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("graft_metrics")))
+    assert(metrics.nonEmpty, "no observed metrics in progress events")
+    val totalRows = metrics.map(_.getAs[Long]("rows")).sum
+    val exact = Tables.events(s, d).count()
+    assert(totalRows === exact,
+      s"observed row count $totalRows != table count $exact")
+    val valueSum = metrics.map(_.getAs[Double]("value_sum")).sum
+    val exactSum = Tables.events(s, d)
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+    assert(math.abs(valueSum - exactSum) < 1e-6 * math.abs(exactSum))
+    assert(metrics.map(_.getAs[Long]("null_users")).sum === 0L)
+  }
+
   test("JDBC sink: transactional ledger makes replayed batches exactly-once") {
     import graft.streaming.JdbcSink
     import s.implicits._
