@@ -121,33 +121,10 @@ object ReplacingSink {
     replaceDir(merged, path)
   }
 
-  /** Replace the snapshot dir via write-to-temp + two checked renames:
-    * parquet overwrite would clobber its own input mid-read. The old
-    * snapshot is renamed ASIDE (not deleted) before tmp is promoted,
-    * so a crash at any point leaves either the old or the new snapshot
-    * recoverable on disk; every renameTo result is checked — a false
-    * return (e.g. a cross-filesystem tmp path) throws instead of
-    * silently losing the snapshot.
+  /** Crash-recoverable snapshot swap — shared with the batch
+    * compaction utility (see [[graft.sources.Compaction.replaceDir]]
+    * for the protocol).
     */
-  private def replaceDir(df: DataFrame, path: String): Unit = {
-    val tmp = path + "__tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dst = new java.io.File(path)
-    val old = new java.io.File(path + "__old")
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
-    rm(old) // leftover from a previous crashed swap
-    if (dst.exists() && !dst.renameTo(old))
-      throw new java.io.IOException(
-        s"ReplacingSink: failed to move current snapshot $path aside")
-    if (!new java.io.File(tmp).renameTo(dst)) {
-      // roll back so readers still see the previous snapshot
-      if (old.exists()) old.renameTo(dst)
-      throw new java.io.IOException(
-        s"ReplacingSink: failed to promote $tmp to $path (cross-filesystem tmp?)")
-    }
-    rm(old)
-  }
+  private def replaceDir(df: DataFrame, path: String): Unit =
+    graft.sources.Compaction.replaceDir(df, path)
 }

@@ -278,6 +278,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("compaction bin-packs small files and preserves every row") {
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = Tables.orders(s, d).limit(5000)
+    df.repartition(40).write.parquet(dir) // fragmented: 40 small files
+    val before = s.read.parquet(dir)
+    val beforeRows = before.collect().toSet
+    val stats = Compaction.compact(s, dir, targetBytes = 512L << 10)
+    assert(stats.filesBefore === 40)
+    assert(stats.filesAfter < 40 && stats.filesAfter >= 1,
+      s"expected fewer files, got ${stats.filesAfter}")
+    assert(stats.rows === beforeRows.size)
+    assert(s.read.parquet(dir).collect().toSet === beforeRows,
+      "compaction must preserve the exact rows")
+    // idempotent: already-compact tables are left untouched
+    val again = Compaction.compact(s, dir, targetBytes = 512L << 10)
+    assert(again.filesAfter === stats.filesAfter)
+  }
+
   test("multimodal resize shrinks payloads, frame sampling keeps every 4th") {
     val resized = Multimodal.resize(s, d, targetBytes = 64).collect()
     assert(resized.forall(r => r.payload.length <= 64 && r.payload.nonEmpty))
