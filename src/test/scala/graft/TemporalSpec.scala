@@ -224,6 +224,26 @@ class TemporalSpec extends AnyFunSuite {
       "broadcast and sort-merge as-of must agree row-for-row")
   }
 
+  test("broadcast as-of equals an in-memory reference on random data") {
+    import s.implicits._
+    val rnd = new scala.util.Random(55)
+    val left = Seq.tabulate(700)(i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(300).toLong))
+    // right covers only part of the keyspace; unique per (key, ts)
+    val right = Seq.fill(250) {
+      (rnd.nextInt(12).toLong, rnd.nextInt(300).toLong, rnd.nextDouble())
+    }.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val got = Temporal.asOfJoinBroadcast(
+        left.toDF("row_id", "k", "t"), right.toDF("k", "t", "v"),
+        "k", "t", Seq("v")).collect()
+      .map(r => r.getAs[Long]("row_id") -> Option(r.getAs[Any]("v"))).toMap
+    left.foreach { case (id, k, t) =>
+      val want = right.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(id) === want, s"row $id key $k ts $t")
+    }
+  }
+
   test("SCD2 intervals answer point-in-time lookups like the as-of join") {
     val d = TestSpark.sf
     val scd2 = Temporal.userValueScd2(s, d)
