@@ -48,7 +48,10 @@ object Multimodal {
     * metadata extraction is projection-only.
     */
   def mediaTable(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+    // spread: a consolidated single-file corpus scans as ONE
+    // partition, which would serialize every codec downstream; at
+    // warehouse scale (thousands of files) this is a no-op
+    Tables.spread(Tables.documents(s, d)).select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("payload"),
       col("source").as("media_source"))
@@ -155,10 +158,13 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** One synthetic PNG per document — the image-corpus stand-in. */
+  /** One synthetic PNG per document — the image-corpus stand-in.
+    * spread() parallelizes the encode across the session's cores (a
+    * single-file corpus scans as one partition otherwise).
+    */
   def imageTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    Tables.spread(Tables.documents(s, d).select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => (id, makePng(id))))
       .toDF("doc_id", "png")
   }

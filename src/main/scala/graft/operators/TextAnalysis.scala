@@ -14,7 +14,7 @@ object TextAnalysis {
 
   /** Predicted language + agreement with the labeled lang column. */
   def langId(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+    Tables.spread(Tables.documents(s, d)).select(
       col("doc_id"),
       Text.langId(col("text")).as("pred_lang"),
       when(Text.langId(col("text")) === col("lang"), 1).otherwise(0)
@@ -22,12 +22,12 @@ object TextAnalysis {
 
   /** Quality signals + linear quality score per document. */
   def quality(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d))
       .select(col("doc_id") +: Text.qualityColumns(col("text")): _*)
 
   /** Whitespace and regex-subtoken counts. */
   def tokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+    Tables.spread(Tables.documents(s, d)).select(
       col("doc_id"),
       Text.tokenCount(col("text")).as("ws_tokens"),
       size(Text.regexTokens(col("text"))).cast("long").as("re_tokens"),
@@ -58,7 +58,7 @@ object TextAnalysis {
     val phrases = Seq(
       "苹果手机壳", "小米电视机", "华为平板电脑", "运动鞋男",
       "连衣裙女夏", "洗衣机全自动", "蓝牙耳机无线", "充电器快充")
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d))
       .select(element_at(typedlit(phrases),
         (col("doc_id") % 8 + 1).cast("int")).as("phrase"))
       .select(explode(call_function("graft_dict_segment", col("phrase")))
@@ -82,7 +82,7 @@ object TextAnalysis {
     // Catalyst re-scans and re-explodes the corpus for each (no
     // exchange reuse across different groupings). Disk-spillable at
     // corpus scale — same shared-cache pattern as the dedup family.
-    val tf = docs
+    val tf = Tables.spread(docs)
       .select(col("doc_id"), explode(Text.wsTokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
