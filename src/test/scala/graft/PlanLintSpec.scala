@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan lint over EVERY registered query: the plan-shape rules that
+  * keep the suite 100 TB-safe, made durable so a regression (a lost
+  * broadcast hint, a join key typo degrading to a cross product)
+  * fails CI instead of surfacing as a cluster fire.
+  */
+class PlanLintSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  /** The only queries allowed a BroadcastNestedLoopJoin — each is an
+    * intentional small-side or documented-quadratic shape:
+    * - analytics_funnel: two 1-row scalar-count crossJoins
+    * - dedup_embedding: the documented quadratic ground-truth
+    *   baseline (the graded scale path is dedup_embedding_lsh)
+    * - sim_topk_bruteforce: the documented brute-force ANN baseline
+    *   (broadcast query set, non-equi self-pair filter)
+    * - text_tfidf_topk: a 1-row corpus-count crossJoin
+    */
+  private val bnljAllowed = Set(
+    "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
+    "text_tfidf_topk")
+
+  test("no query plans a CartesianProduct; BNLJ only where documented") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(s, d).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("scan-heavy fact queries push their filters into the parquet scan") {
+    // spot the load-bearing pushdowns: if these regress, the scans
+    // read the whole fact table at warehouse scale
+    val mustPush = Seq("q6_forecast_revenue", "temporal_asof_join",
+      "analytics_anti_dormant")
+    val nonEmptyPush = "PushedFilters: \\[[^\\]]".r
+    mustPush.foreach { name =>
+      val plan = SparkEntry.queries(name)(s, d)
+        .queryExecution.executedPlan.toString
+      assert(nonEmptyPush.findFirstIn(plan).isDefined,
+        s"$name: no filters pushed to scan:\n${plan.take(2000)}")
+    }
+  }
+}
