@@ -11,6 +11,42 @@ import scala.util.Random
 class PropertySpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
 
+  test("FMM segmentation invariants hold on 200 random Han strings") {
+    import graft.functions.DictSegmenter
+    val rnd = new Random(99)
+    val vocab = DictSegmenter.words
+    val filler = "春夏秋冬东南西北大小多少" // chars outside the dictionary
+    val dictSet = vocab.toSet
+    (1 to 200).foreach { _ =>
+      // random concatenation of dict words and filler chars
+      val parts = Seq.fill(rnd.nextInt(8) + 1) {
+        if (rnd.nextBoolean()) vocab(rnd.nextInt(vocab.size))
+        else filler(rnd.nextInt(filler.length)).toString
+      }
+      val text = parts.mkString
+      val segs = {
+        val arr = DictSegmenter.segment(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+      }
+      // (1) lossless: segments rejoin to the input
+      assert(segs.mkString === text, s"lossy segmentation of '$text'")
+      // (2) every multi-char segment is a dictionary word
+      segs.filter(_.length > 1).foreach(seg =>
+        assert(dictSet(seg), s"non-dict multi-char segment '$seg' in '$text'"))
+      // (3) greedy: no single-char segment starts a dictionary word
+      // at its position (else FMM would have taken it)
+      segs.zipWithIndex.foreach { case (seg, i) =>
+        if (seg.length == 1 && !dictSet(seg)) {
+          val pos = segs.take(i).map(_.length).sum
+          val ahead = text.substring(pos)
+          assert(!vocab.exists(w => ahead.startsWith(w)),
+            s"missed dict match at $pos in '$text'")
+        }
+      }
+    }
+  }
+
   test("dedupClusters equals BFS closure on 30 random graphs") {
     import s.implicits._
     val rnd = new Random(42)
