@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -54,7 +55,7 @@ class CdcTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-cdc($path)"
   override def schema(): StructType = CdcSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CdcScanBuilder(path)
 }
@@ -97,16 +98,56 @@ class CdcScan(path: String, pushed: Array[Filter], required: StructType)
     s"graft-cdc $path, PushedFilters: [${pushed.mkString(", ")}], " +
     s"ReadSchema: ${required.catalogString}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    CdcScan.listFiles(path).map(f => CdcInputPartition(f))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(pushed, required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcMicroBatchStream(path, pushed, required)
+}
+
+object CdcScan {
+  def listFiles(path: String): Array[String] = {
     val dir = new java.io.File(path)
     val files =
       if (dir.isFile) Array(dir)
       else Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && !f.getName.startsWith("."))
-    files.sortBy(_.getName).map(f => CdcInputPartition(f.getAbsolutePath))
+    files.map(_.getAbsolutePath).sorted
+  }
+}
+
+/** Offset = the SET of changelog files already emitted (sorted,
+  * newline-joined in the checkpoint) — no file-naming-order
+  * assumption, so late-renamed or out-of-order log rotations are
+  * still picked up exactly once. Each micro-batch reads the files
+  * that appeared since the last offset, one partition per file, with
+  * the same pushdown/pruning as the batch scan. (A 100 TB deployment
+  * would compact the seen-set the way FileStreamSource compacts its
+  * log — the offset is already just names, not contents.)
+  */
+class CdcMicroBatchStream(path: String, pushed: Array[Filter],
+    required: StructType) extends MicroBatchStream {
+
+  private case class CdcOffset(files: Set[String]) extends Offset {
+    override def json(): String = files.toSeq.sorted.mkString("\n")
+  }
+
+  override def initialOffset(): Offset = CdcOffset(Set.empty)
+  override def latestOffset(): Offset = CdcOffset(CdcScan.listFiles(path).toSet)
+  override def deserializeOffset(json: String): Offset =
+    CdcOffset(json.split("\n").filter(_.nonEmpty).toSet)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[CdcOffset].files
+    val now = end.asInstanceOf[CdcOffset].files
+    (now -- seen).toArray.sorted.map(CdcInputPartition(_))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory(pushed, required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class CdcInputPartition(file: String) extends InputPartition

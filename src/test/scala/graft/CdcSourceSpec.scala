@@ -57,6 +57,32 @@ class CdcSourceSpec extends AnyFunSuite {
       Seq(100L, 101L, 102L, 103L, 200L, 201L))
   }
 
+  test("streams the changelog: new files arrive as new micro-batches, exactly once") {
+    val dir = Files.createTempDirectory("cdc-stream")
+    Files.write(dir.resolve("log-000.jsonl"),
+      """{"table":"t1","type":"insert","ts":1,"data":{"id":1}}
+        |{"table":"t1","type":"insert","ts":2,"data":{"id":2}}
+        |""".stripMargin.getBytes("UTF-8"))
+    val stream = s.readStream.format("graft-cdc").load(dir.toString)
+    val q = stream.writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(s.sql("SELECT count(*) FROM cdc_stream").collect()(0).getLong(0) === 2)
+      // a new changelog file appears → exactly its rows arrive
+      Files.write(dir.resolve("log-001.jsonl"),
+        """{"table":"t2","type":"update","ts":3,"data":{"id":3}}
+          |""".stripMargin.getBytes("UTF-8"))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT ts FROM cdc_stream ORDER BY ts").collect()
+        .map(_.getLong(0)).toSeq
+      assert(rows === Seq(1L, 2L, 3L), "each file delivered exactly once")
+    } finally q.stop()
+  }
+
   test("one partition per file; feeds the CDC router input shape") {
     val dir = writeChangelog()
     val df = s.read.format("graft-cdc").load(dir)
