@@ -39,7 +39,8 @@ class CdcSource extends TableProvider with DataSourceRegister {
     CdcSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new CdcTable(properties.get("path"))
+    new CdcTable(properties.get("path"),
+      CdcEnvelope(Option(properties.get("envelope")).getOrElse("maxwell")))
 }
 
 object CdcSource {
@@ -50,17 +51,85 @@ object CdcSource {
     StructField("data", StringType)))
 }
 
-class CdcTable(path: String) extends Table with SupportsRead {
+/** Envelope dialect: how (table, op, ts, data) sit inside each JSON
+  * line. Maxwell is the reference's shape; Debezium (flattened, the
+  * unwrap-SMT output) maps op codes c/u/d/r and takes `after` as the
+  * payload (`before` for deletes). Selected per read via
+  * `.option("envelope", "maxwell" | "debezium")`.
+  */
+sealed trait CdcEnvelope extends Serializable {
+  /** Lines that can satisfy EqualTo(col, v) must contain one of
+    * these substrings — the pre-parse fast path (conservative).
+    */
+  def needles(col: String, v: String): Seq[String]
+  /** (table, op, ts, dataJson) or None for non-row lines. */
+  def parse(node: com.fasterxml.jackson.databind.JsonNode,
+      mapper: com.fasterxml.jackson.databind.ObjectMapper)
+      : Option[(String, String, Long, String)]
+}
+
+object CdcEnvelope {
+  def apply(name: String): CdcEnvelope = name.toLowerCase match {
+    case "maxwell" => Maxwell
+    case "debezium" => Debezium
+    case other => throw new IllegalArgumentException(
+      s"graft-cdc envelope must be maxwell or debezium, got: $other")
+  }
+
+  case object Maxwell extends CdcEnvelope {
+    override def needles(col: String, v: String): Seq[String] = {
+      val field = if (col == "op") "type" else col
+      Seq("\"" + field + "\":\"" + v + "\"")
+    }
+    override def parse(node: com.fasterxml.jackson.databind.JsonNode,
+        mapper: com.fasterxml.jackson.databind.ObjectMapper)
+        : Option[(String, String, Long, String)] =
+      for {
+        table <- Option(node.get("table")).map(_.asText)
+        op <- Option(node.get("type")).map(_.asText)
+      } yield (table, op,
+        Option(node.get("ts")).map(_.asLong(0L)).getOrElse(0L),
+        Option(node.get("data")).map(mapper.writeValueAsString).orNull)
+  }
+
+  case object Debezium extends CdcEnvelope {
+    private val opMap = Map("c" -> "insert", "u" -> "update",
+      "d" -> "delete", "r" -> "insert")
+    private val opCodes: Map[String, Seq[String]] =
+      Map("insert" -> Seq("c", "r"), "update" -> Seq("u"),
+        "delete" -> Seq("d"))
+    override def needles(col: String, v: String): Seq[String] =
+      if (col == "op")
+        opCodes.getOrElse(v, Seq(v)).map(c => "\"op\":\"" + c + "\"")
+      else Seq("\"" + col + "\":\"" + v + "\"")
+    override def parse(node: com.fasterxml.jackson.databind.JsonNode,
+        mapper: com.fasterxml.jackson.databind.ObjectMapper)
+        : Option[(String, String, Long, String)] =
+      for {
+        table <- Option(node.get("source")).flatMap(s =>
+          Option(s.get("table"))).map(_.asText)
+        code <- Option(node.get("op")).map(_.asText)
+        op <- opMap.get(code)
+      } yield {
+        val payload = if (op == "delete") "before" else "after"
+        (table, op,
+          Option(node.get("ts_ms")).map(_.asLong(0L)).getOrElse(0L),
+          Option(node.get(payload)).map(mapper.writeValueAsString).orNull)
+      }
+  }
+}
+
+class CdcTable(path: String, envelope: CdcEnvelope) extends Table with SupportsRead {
   require(path != null, "graft-cdc requires a path")
   override def name(): String = s"graft-cdc($path)"
   override def schema(): StructType = CdcSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CdcScanBuilder(path)
+    new CdcScanBuilder(path, envelope)
 }
 
-class CdcScanBuilder(path: String) extends ScanBuilder
+class CdcScanBuilder(path: String, envelope: CdcEnvelope) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -87,11 +156,11 @@ class CdcScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new CdcScan(path, pushed, required)
+  override def build(): Scan = new CdcScan(path, envelope, pushed, required)
 }
 
-class CdcScan(path: String, pushed: Array[Filter], required: StructType)
-    extends Scan with Batch {
+class CdcScan(path: String, envelope: CdcEnvelope, pushed: Array[Filter],
+    required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -101,10 +170,10 @@ class CdcScan(path: String, pushed: Array[Filter], required: StructType)
   override def planInputPartitions(): Array[InputPartition] =
     CdcScan.listFiles(path).map(f => CdcInputPartition(f))
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory(pushed, required)
+    new CdcReaderFactory(envelope, pushed, required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(path, pushed, required)
+    new CdcMicroBatchStream(path, envelope, pushed, required)
 }
 
 object CdcScan {
@@ -127,8 +196,8 @@ object CdcScan {
   * would compact the seen-set the way FileStreamSource compacts its
   * log — the offset is already just names, not contents.)
   */
-class CdcMicroBatchStream(path: String, pushed: Array[Filter],
-    required: StructType) extends MicroBatchStream {
+class CdcMicroBatchStream(path: String, envelope: CdcEnvelope,
+    pushed: Array[Filter], required: StructType) extends MicroBatchStream {
 
   private case class CdcOffset(files: Set[String]) extends Offset {
     override def json(): String = files.toSeq.sorted.mkString("\n")
@@ -145,18 +214,18 @@ class CdcMicroBatchStream(path: String, pushed: Array[Filter],
     (now -- seen).toArray.sorted.map(CdcInputPartition(_))
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory(pushed, required)
+    new CdcReaderFactory(envelope, pushed, required)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 case class CdcInputPartition(file: String) extends InputPartition
 
-class CdcReaderFactory(pushed: Array[Filter], required: StructType)
-    extends PartitionReaderFactory {
+class CdcReaderFactory(envelope: CdcEnvelope, pushed: Array[Filter],
+    required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CdcPartitionReader(
-      partition.asInstanceOf[CdcInputPartition].file, pushed, required)
+      partition.asInstanceOf[CdcInputPartition].file, envelope, pushed, required)
 }
 
 /** Streams one changelog file: raw-substring prefilter → JSON parse →
@@ -164,8 +233,9 @@ class CdcReaderFactory(pushed: Array[Filter], required: StructType)
   * parse is Jackson (ships with Spark), one ObjectMapper per
   * partition — codec init amortized like any per-partition reader.
   */
-class CdcPartitionReader(file: String, pushed: Array[Filter],
-    required: StructType) extends PartitionReader[InternalRow] {
+class CdcPartitionReader(file: String, envelope: CdcEnvelope,
+    pushed: Array[Filter], required: StructType)
+    extends PartitionReader[InternalRow] {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val reader = new java.io.BufferedReader(
@@ -174,16 +244,13 @@ class CdcPartitionReader(file: String, pushed: Array[Filter],
       java.nio.charset.StandardCharsets.UTF_8))
   private var row: InternalRow = null
 
-  // substring fast path: a line that doesn't contain "table":"v"
-  // can't satisfy EqualTo(table, v) — skip it without parsing
+  // substring fast path: a line containing none of the envelope's
+  // needles for EqualTo(col, v) can't satisfy it — skip the parse
   private val prefilters: Array[String => Boolean] = pushed.collect {
     case EqualTo(a, v: String) =>
-      val needle = "\"" + jsonField(a) + "\":\"" + v + "\""
-      (line: String) => line.contains(needle)
+      val needles = envelope.needles(a, v)
+      (line: String) => needles.exists(line.contains)
   }
-
-  private def jsonField(col: String): String =
-    if (col == "op") "type" else col // Maxwell calls the op "type"
 
   private def passes(table: String, op: String): Boolean =
     pushed.forall {
@@ -200,20 +267,17 @@ class CdcPartitionReader(file: String, pushed: Array[Filter],
     while (line != null && row == null) {
       if (line.nonEmpty && prefilters.forall(_(line))) {
         try {
-          val node = mapper.readTree(line)
-          val table = Option(node.get("table")).map(_.asText).orNull
-          val op = Option(node.get("type")).map(_.asText).orNull
-          if (table != null && op != null && passes(table, op)) {
-            val ts = Option(node.get("ts")).map(_.asLong(0L)).getOrElse(0L)
-            val values = required.fields.map(_.name match {
-              case "table" => UTF8String.fromString(table)
-              case "op" => UTF8String.fromString(op)
-              case "ts" => ts
-              case "data" =>
-                Option(node.get("data")).map(d => UTF8String.fromString(
-                  mapper.writeValueAsString(d))).orNull
-            })
-            row = InternalRow.fromSeq(values.toIndexedSeq)
+          envelope.parse(mapper.readTree(line), mapper).foreach {
+            case (table, op, ts, data) if passes(table, op) =>
+              val values = required.fields.map(_.name match {
+                case "table" => UTF8String.fromString(table)
+                case "op" => UTF8String.fromString(op)
+                case "ts" => ts
+                case "data" =>
+                  if (data == null) null else UTF8String.fromString(data)
+              })
+              row = InternalRow.fromSeq(values.toIndexedSeq)
+            case _ => ()
           }
         } catch { case _: com.fasterxml.jackson.core.JacksonException => () }
       }

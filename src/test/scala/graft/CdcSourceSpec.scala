@@ -83,6 +83,30 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Debezium envelope: op codes map, delete takes before, ts_ms read") {
+    val dir = Files.createTempDirectory("cdc-dbz")
+    Files.write(dir.resolve("dbz-000.jsonl"),
+      """{"op":"c","ts_ms":1000,"source":{"table":"order_info"},"after":{"id":1,"amount":50}}
+        |{"op":"u","ts_ms":1001,"source":{"table":"order_info"},"before":{"id":1,"amount":50},"after":{"id":1,"amount":60}}
+        |{"op":"d","ts_ms":1002,"source":{"table":"order_info"},"before":{"id":1,"amount":60}}
+        |{"op":"r","ts_ms":1003,"source":{"table":"user_info"},"after":{"id":7}}
+        |""".stripMargin.getBytes("UTF-8"))
+    val df = s.read.format("graft-cdc")
+      .option("envelope", "debezium").load(dir.toString)
+    val rows = df.orderBy("ts").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.map(_._2).toSeq === Seq("insert", "update", "delete", "insert"))
+    assert(rows(2)._4.contains("\"amount\":60"), "delete carries the before image")
+    assert(rows(3)._1 === "user_info", "snapshot read maps to insert")
+    // pushdown on the mapped op name: insert must match BOTH c and r
+    val ins = s.read.format("graft-cdc")
+      .option("envelope", "debezium").load(dir.toString)
+      .filter(col("op") === "insert")
+    assert(ins.count() === 2)
+    val plan = ins.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(op,insert)"), s"op filter not pushed:\n$plan")
+  }
+
   test("one partition per file; feeds the CDC router input shape") {
     val dir = writeChangelog()
     val df = s.read.format("graft-cdc").load(dir)
