@@ -88,6 +88,7 @@ object SparkEntry {
     "dedup_clusters_lsh" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.minhashLsh(s, d))),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
+    "sim_filtered_ann" -> (Similarity.filteredTopK(_, _)),
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
     "sim_knn_join" -> (Similarity.knnJoin(_, _)),
     "sim_kmeans" -> (Similarity.kmeansClusters(_, _)),
@@ -897,6 +898,26 @@ object SparkEntry {
         |  list_sum([qv[i + 1] * e2.v[i + 1] for i in range(0, len(qv))])
         |   / (qn * e2.nrm) AS cos
         | FROM q, n e2 WHERE e2.vec_id <> query_id)
+        |SELECT query_id, rk, neighbor_id FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        | FROM s) t
+        |WHERE rk <= 5""".stripMargin,
+    // hybrid structured+vector query (AnalyticDB-V shape): the lang
+    // predicate pre-filters the corpus before any distance math
+    "sim_filtered_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+        |      FROM e),
+        |c AS (SELECT n.* FROM n JOIN documents d ON n.vec_id = d.doc_id
+        |      WHERE d.lang = 'en'),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+        |      WHERE vec_id < 20),
+        |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |  list_sum([qv[i + 1] * c.v[i + 1] for i in range(0, len(qv))])
+        |   / (qn * c.nrm) AS cos
+        | FROM q, c WHERE c.vec_id <> query_id)
         |SELECT query_id, rk, neighbor_id FROM (
         | SELECT query_id, neighbor_id, row_number() OVER
         |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk

@@ -104,6 +104,42 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id")
   }
 
+  /** Hybrid filtered ANN — vector search constrained by a structured
+    * predicate (the AnalyticDB-V "query fusion" shape, VLDB 2020):
+    * top-k neighbors among only the documents matching `lang`. This
+    * is the PRE-FILTER strategy: the predicate joins/filters the
+    * corpus BEFORE any distance math, so the expensive dot products
+    * run only on survivors — correct whenever the predicate is
+    * selective. (The post-filter alternative — ANN first, predicate
+    * after — wins only when the predicate keeps most of the corpus
+    * and an index would be bypassed; with our bucketed ANN both
+    * compose, bucket-join then filter.) The predicate reaches the
+    * documents scan as a PushedFilter and the filtered dim broadcasts.
+    */
+  def filteredTopK(s: SparkSession, d: String, lang: String = "en",
+      nQueries: Int = 20, k: Int = 5): DataFrame = {
+    Vectors.ensureRegistered(s)
+    val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val allowed = Tables.documents(s, d)
+      .filter(col("lang") === lang).select(col("doc_id"))
+    val corpus = e.join(broadcast(allowed), e("vec_id") === allowed("doc_id"))
+      .drop("doc_id")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosineWithNorms(col("qv"), col("v"), col("qn"), col("nrm"))
+          .as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id")
+  }
+
   /** Distributed k-means (Lloyd) over the embedding corpus — the
     * semantic-clustering primitive a training pipeline uses for
     * diversity sampling and cluster-balanced dedup, and the trained

@@ -18,11 +18,13 @@ class PlanLintSpec extends AnyFunSuite {
     *   baseline (the graded scale path is dedup_embedding_lsh)
     * - sim_topk_bruteforce: the documented brute-force ANN baseline
     *   (broadcast query set, non-equi self-pair filter)
+    * - sim_filtered_ann: same broadcast-queries shape over the
+    *   predicate-filtered corpus (pre-filter hybrid search)
     * - text_tfidf_topk: a 1-row corpus-count crossJoin
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
-    "text_tfidf_topk")
+    "sim_filtered_ann", "text_tfidf_topk")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
