@@ -48,6 +48,7 @@ object SparkEntry {
     "analytics_anti_dormant" -> (Analytics.dormantParts(_, _)),
     "analytics_rollup" -> (Analytics.revenueRollup(_, _)),
     "analytics_approx_stats" -> (Analytics.approxStats(_, _)),
+    "analytics_exact_quantiles" -> (Analytics.exactQuantiles(_, _)),
     "analytics_funnel" -> (Analytics.funnel(_, _)),
     "analytics_rfm" -> (Analytics.rfm(_, _)),
     "analytics_retention" -> (Analytics.retentionCohorts(_, _)),
@@ -336,6 +337,15 @@ object SparkEntry {
         | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_ct,
         | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_ct,
         | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_ct
+        |FROM events GROUP BY 1""".stripMargin,
+    // Spark `percentile` and DuckDB `quantile_cont` share the linear
+    // interpolation definition; 6dp rounding both sides absorbs
+    // arithmetic-order ulps
+    "analytics_exact_quantiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.25), 6) AS q25,
+        | round(quantile_cont(value, 0.50), 6) AS q50,
+        | round(quantile_cont(value, 0.90), 6) AS q90
         |FROM events GROUP BY 1""".stripMargin,
     "analytics_anti_dormant" ->
       """SELECT p_partkey AS part_id, p_brand AS brand FROM part

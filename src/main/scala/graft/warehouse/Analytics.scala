@@ -195,6 +195,23 @@ object Analytics {
         percentile_approx(col("o_totalprice"), lit(0.95), lit(1000))
           .as("p95_approx"))
 
+  /** EXACT interpolated quantiles per group — the hash-graded
+    * companion to [[approxStats]] (whose sketches are rows-only by
+    * nature). Spark's `percentile` and DuckDB's `quantile_cont` share
+    * the same linear-interpolation definition; rounding to 6dp on
+    * both sides absorbs any last-ulp arithmetic-order difference. At
+    * scale exact percentiles sort-per-group: correct for dashboard
+    * grain (groups ≪ rows); the sketch variant stays the
+    * streaming/mergeable path.
+    */
+  def exactQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 6).as("q25"),
+        round(expr("percentile(value, 0.50)"), 6).as("q50"),
+        round(expr("percentile(value, 0.90)"), 6).as("q90"))
+
   /** Cohort retention: users grouped by first-active date, counted on
     * each later active day. Two aggregations (first-seen, then cohort
     * × offset) — both shuffle on user/cohort keys, no window over the
