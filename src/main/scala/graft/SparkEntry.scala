@@ -47,6 +47,7 @@ object SparkEntry {
     "analytics_event_pivot" -> (Analytics.eventPivot(_, _)),
     "analytics_anti_dormant" -> (Analytics.dormantParts(_, _)),
     "analytics_rollup" -> (Analytics.revenueRollup(_, _)),
+    "analytics_cube" -> (Analytics.eventCube(_, _)),
     "analytics_approx_stats" -> (Analytics.approxStats(_, _)),
     "analytics_exact_quantiles" -> (Analytics.exactQuantiles(_, _)),
     "analytics_funnel" -> (Analytics.funnel(_, _)),
@@ -393,6 +394,17 @@ object SparkEntry {
          | JOIN nation ON c_nationkey = n_nationkey
          | JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    // full 2^n subtotal lattice + grouping bitmask; DECIMAL(18,6)
+    // sums are exact so the hash is order-independent
+    "analytics_cube" ->
+      """SELECT coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS dt,
+        | coalesce(event_type, 'ALL') AS event_type,
+        | CAST(GROUPING(CAST(ts AS DATE)) * 2 + GROUPING(event_type)
+        |   AS BIGINT) AS gid,
+        | COUNT(*) AS ct,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |GROUP BY CUBE(CAST(ts AS DATE), event_type)""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
         | COUNT(*) AS dup_ct

@@ -195,6 +195,29 @@ object Analytics {
         percentile_approx(col("o_totalprice"), lit(0.95), lit(1000))
           .as("p95_approx"))
 
+  /** CUBE over (event day, event type) with grouping_id — the full
+    * 2^n subtotal lattice the rollup's linear hierarchy doesn't
+    * cover, plus the bitmask that disambiguates "null value" from
+    * "aggregated-out dimension" (the Doris/ClickHouse pre-agg table
+    * layout generator). Same shuffle budget as a plain groupBy: Spark
+    * expands the grouping sets in one pass, partial-agg map side.
+    */
+  def eventCube(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(to_date(col("ts")).as("dt"), col("event_type"), col("value"))
+      .cube(col("dt"), col("event_type"))
+      // DECIMAL(18,6): exact representation of the 4dp values, so
+      // the sum is order-independent and engine-exact (the money
+      // dec() is (12,2) — too narrow for this column's precision).
+      // grouping_id() must be computed IN the cube's agg.
+      .agg(grouping_id().as("gid"), count(lit(1)).as("ct"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("value_sum"))
+      .select(
+        coalesce(col("dt").cast("string"), lit("ALL")).as("dt"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("gid"), col("ct"), col("value_sum"))
+
   /** EXACT interpolated quantiles per group — the hash-graded
     * companion to [[approxStats]] (whose sketches are rows-only by
     * nature). Spark's `percentile` and DuckDB's `quantile_cont` share
