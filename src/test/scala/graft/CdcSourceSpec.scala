@@ -107,6 +107,29 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(plan.contains("EqualTo(op,insert)"), s"op filter not pushed:\n$plan")
   }
 
+  test("end-to-end ODS: graft-cdc stream through the CdcRouter to per-table sinks") {
+    import graft.streaming.CdcRouter
+    val dir = Files.createTempDirectory("cdc-e2e")
+    Files.write(dir.resolve("log-000.jsonl"),
+      """{"table":"order_info","type":"insert","ts":1,"data":{"id":1}}
+        |{"table":"order_info","type":"delete","ts":2,"data":{"id":1}}
+        |{"table":"user_info","type":"insert","ts":3,"data":{"id":7}}
+        |{"table":"ignored_tbl","type":"insert","ts":4,"data":{"id":9}}
+        |""".stripMargin.getBytes("UTF-8"))
+    val out = Files.createTempDirectory("cdc-e2e-out")
+    val routes = Map(
+      "order_info" -> CdcRouter.Route(s"$out/order_info"),
+      "user_info" -> CdcRouter.Route(s"$out/user_info", keepDeletes = true))
+    val stream = s.readStream.format("graft-cdc").load(dir.toString)
+    val q = CdcRouter.start(stream, routes,
+      Files.createTempDirectory("cdc-e2e-ck").toString)
+    try q.processAllAvailable() finally q.stop()
+    // order_info: delete dropped -> 1 row; user_info: 1; ignored: none
+    assert(s.read.parquet(s"$out/order_info").count() === 1)
+    assert(s.read.parquet(s"$out/user_info").count() === 1)
+    assert(!new java.io.File(s"$out/ignored_tbl").exists())
+  }
+
   test("one partition per file; feeds the CDC router input shape") {
     val dir = writeChangelog()
     val df = s.read.format("graft-cdc").load(dir)
