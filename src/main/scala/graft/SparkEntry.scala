@@ -48,6 +48,7 @@ object SparkEntry {
     "analytics_anti_dormant" -> (Analytics.dormantParts(_, _)),
     "analytics_rollup" -> (Analytics.revenueRollup(_, _)),
     "analytics_cube" -> (Analytics.eventCube(_, _)),
+    "analytics_sliding_window" -> (Analytics.slidingTraffic(_, _)),
     "analytics_approx_stats" -> (Analytics.approxStats(_, _)),
     "analytics_exact_quantiles" -> (Analytics.exactQuantiles(_, _)),
     "analytics_funnel" -> (Analytics.funnel(_, _)),
@@ -394,6 +395,18 @@ object SparkEntry {
          | JOIN nation ON c_nationkey = n_nationkey
          | JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    // hopping windows: every event lands in size/slide = 4 windows;
+    // window starts are pure epoch-micros arithmetic on both sides
+    "analytics_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value
+        |           FROM events),
+        |w AS (SELECT (us // 900000000) * 900000000 - k * 900000000 AS ws_us,
+        |        event_type, value
+        |      FROM e CROSS JOIN range(0, 4) r(k))
+        |SELECT ws_us, ws_us + 3600000000 AS we_us, event_type,
+        | COUNT(*) AS pv,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
     // full 2^n subtotal lattice + grouping bitmask; DECIMAL(18,6)
     // sums are exact so the hash is order-independent
     "analytics_cube" ->

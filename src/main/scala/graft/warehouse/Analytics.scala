@@ -195,6 +195,24 @@ object Analytics {
         percentile_approx(col("o_totalprice"), lit(0.95), lit(1000))
           .as("p95_approx"))
 
+  /** Sliding (hopping) window traffic aggregation in BATCH — each
+    * event lands in size/slide = 4 overlapping hour windows, the
+    * Flink HOP window the reference's tumbling DWS jobs generalize
+    * to. Spark expands the windows with a generator (no self-join);
+    * window boundaries surface as epoch micros so the oracle is pure
+    * integer arithmetic (no engine time-bucket-origin semantics).
+    */
+  def slidingTraffic(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("pv"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("value_sum"))
+      .select(
+        unix_micros(col("window.start")).as("ws_us"),
+        unix_micros(col("window.end")).as("we_us"),
+        col("event_type"), col("pv"), col("value_sum"))
+
   /** CUBE over (event day, event type) with grouping_id — the full
     * 2^n subtotal lattice the rollup's linear hierarchy doesn't
     * cover, plus the bitmask that disambiguates "null value" from
