@@ -51,6 +51,9 @@ object SparkEntry {
     "analytics_sliding_window" -> (Analytics.slidingTraffic(_, _)),
     "analytics_approx_stats" -> (Analytics.approxStats(_, _)),
     "analytics_exact_quantiles" -> (Analytics.exactQuantiles(_, _)),
+    "analytics_mom_growth" -> (Analytics.momGrowth(_, _)),
+    "analytics_corr" -> (Analytics.corrQtyPrice(_, _)),
+    "analytics_histogram" -> (Analytics.orderTotalHistogram(_, _)),
     "analytics_funnel" -> (Analytics.funnel(_, _)),
     "analytics_rfm" -> (Analytics.rfm(_, _)),
     "analytics_retention" -> (Analytics.retentionCohorts(_, _)),
@@ -349,6 +352,50 @@ object SparkEntry {
         | round(quantile_cont(value, 0.50), 6) AS q50,
         | round(quantile_cont(value, 0.90), 6) AS q90
         |FROM events GROUP BY 1""".stripMargin,
+    // lag over a tiny month-grain aggregate; growth is one double
+    // division of exact decimal sums, 6dp-rounded on both sides
+    "analytics_mom_growth" ->
+      s"""WITH m AS (
+         | SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |  SUM(${m("o_totalprice")}) AS gmv_dec
+         | FROM orders GROUP BY 1)
+         |SELECT month, CAST(gmv_dec AS DOUBLE) AS gmv,
+         | CAST(lag(gmv_dec) OVER (ORDER BY month) AS DOUBLE) AS prev_gmv,
+         | round(CAST(gmv_dec - lag(gmv_dec) OVER (ORDER BY month) AS DOUBLE)
+         |   / CAST(lag(gmv_dec) OVER (ORDER BY month) AS DOUBLE), 6)
+         |  AS growth
+         |FROM m""".stripMargin,
+    // Pearson r from EXACT decimal moment sums (order-independent),
+    // final formula in identical double arithmetic on both engines —
+    // never the engine's own streaming corr (accumulation-order
+    // dependent)
+    "analytics_corr" ->
+      """WITH mo AS (
+        | SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |  SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+        |  SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+        |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  AS corr_qty_price
+        |FROM mo""".stripMargin,
+    "analytics_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 30000.0) AS BIGINT) AS bucket,
+         | COUNT(*) AS ct,
+         | CAST(MIN(${m("o_totalprice")}) AS DOUBLE) AS min_total,
+         | CAST(MAX(${m("o_totalprice")}) AS DOUBLE) AS max_total
+         |FROM orders GROUP BY 1""".stripMargin,
     "analytics_anti_dormant" ->
       """SELECT p_partkey AS part_id, p_brand AS brand FROM part
         |WHERE NOT EXISTS (

@@ -306,4 +306,71 @@ object Analytics {
       .groupBy(col("event_type").as("src_event"), col("dst_event"))
       .agg(count(lit(1)).as("transitions"))
   }
+
+  /** Month-over-month GMV growth — the lag-window trend query every
+    * serving dashboard carries. The global window orders MONTHS (rows
+    * after aggregation: tens, not millions), so the single-partition
+    * sort is over a vanishingly small aggregate — the scalable shape
+    * for period-over-period queries at any fact size. Sums stay
+    * DECIMAL through the lag; the growth ratio is one double division
+    * of exact decimals, rounded to 6dp on both engines.
+    */
+  def momGrowth(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(sum(dec(col("o_totalprice"))).as("gmv_dec"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("prev_dec", lag(col("gmv_dec"), 1).over(w))
+      .select(col("month"),
+        col("gmv_dec").cast("double").as("gmv"),
+        col("prev_dec").cast("double").as("prev_gmv"),
+        round((col("gmv_dec") - col("prev_dec")).cast("double") /
+          col("prev_dec").cast("double"), 6).as("growth"))
+  }
+
+  /** Pearson correlation of quantity vs extended price per return
+    * flag — computed from EXACT decimal moment sums (n, Σx, Σy, Σxy,
+    * Σx², Σy²), not the engine's streaming `corr`: decimal sums are
+    * order-independent, so the final double formula is engine-exact
+    * where a float accumulator would drift with partition order. One
+    * map-side-combinable aggregation — the moments pattern is also
+    * exactly what a 1000-executor two-pass statistics job ships.
+    */
+  def corrQtyPrice(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(18, 2))
+    val y = col("l_extendedprice").cast(DecimalType(18, 2))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast(DecimalType(38, 4))).as("sxy"),
+        sum((x * x).cast(DecimalType(38, 4))).as("sxx"),
+        sum((y * y).cast(DecimalType(38, 4))).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("corr_qty_price"))
+  }
+
+  /** Equi-width histogram of order totals (fixed bounds, 20×30k
+    * buckets) — the profile pass before choosing filter thresholds.
+    * Pure map-side bucket assignment + one combinable count: the
+    * histogram an engine can compute over 100 TB in a single scan.
+    * Min/max per bucket ride DECIMAL so they hash engine-exact.
+    */
+  def orderTotalHistogram(s: SparkSession, d: String,
+      width: Int = 30000): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / lit(width.toDouble))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("ct"),
+        min(dec(col("o_totalprice"))).cast("double").as("min_total"),
+        max(dec(col("o_totalprice"))).cast("double").as("max_total"))
 }
