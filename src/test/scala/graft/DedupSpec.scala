@@ -203,4 +203,41 @@ class DedupSpec extends AnyFunSuite {
     assert(recall > 0.05, s"recall $recall")
     info(f"ANN recall vs brute force: $recall%.2f with ${ann.size} candidates")
   }
+
+  test("chunk dedup: kept counts bounded, duplicated segments removed once") {
+    val rows = Dedup.chunkDedup(s, d).collect()
+    val docs = graft.sources.Tables.documents(s, d).count()
+    assert(rows.length === docs)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_chunks"); val k = r.getAs[Long]("n_kept")
+      assert(k >= 0 && k <= n, s"doc ${r.getLong(0)}: kept $k of $n")
+      assert((k > 0) === (r.getAs[String]("kept_md5") != null))
+    }
+    // every distinct segment survives exactly once corpus-wide: total
+    // kept == number of distinct segments
+    val total = rows.map(_.getAs[Long]("n_kept")).sum
+    import org.apache.spark.sql.functions._
+    val segs = graft.sources.Tables.documents(s, d)
+      .select(graft.functions.Text.wsTokens(col("text")).as("tk"))
+      .select(explode(transform(
+        sequence(lit(0L), greatest(ceil(size(col("tk")) / lit(10.0))
+          .cast("long"), lit(1L)) - 1),
+        i => array_join(slice(col("tk"), (i * 10 + 1).cast("int"), lit(10)), " ")))
+        .as("chunk"))
+      .select(countDistinct(col("chunk"))).collect()(0).getLong(0)
+    assert(total === segs, s"kept $total vs distinct segments $segs")
+  }
+
+  test("bloom decontamination equals the exact anti-join at any fpp") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val tight = ids(Dedup.bloomDecontaminate(s, d, fpp = 0.001))
+    val loose = ids(Dedup.bloomDecontaminate(s, d, fpp = 0.3))
+    // the confirm join must erase the Bloom filter's error rate
+    assert(tight === loose, "answer varied with fpp — confirm join leaks")
+    // contaminated docs (any shared shingle with eval) must be gone
+    val contaminated = Dedup.crossSourceOverlap(s, d, minShared = 1)
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    assert((tight & contaminated).isEmpty)
+  }
 }
