@@ -104,6 +104,8 @@ object SparkEntry {
     "dedup_containment" -> (Dedup.containment(_, _)),
     "text_repetition" -> (TextAnalysis.repetitionStats(_, _)),
     "corpus_sample_stratified" -> (TextAnalysis.sampleStratified(_, _)),
+    "pipeline_pack_greedy" -> (TextAnalysis.packGreedy(_, _)),
+    "pipeline_domain_mix" -> (TextAnalysis.domainMix(_, _)),
     "corpus_assign_ids" -> (TextAnalysis.assignStableIds(_, _)),
     "text_langid" -> (TextAnalysis.langId(_, _)),
     "text_quality" -> (TextAnalysis.quality(_, _)),
@@ -707,6 +709,46 @@ object SparkEntry {
         | CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
         |  AS stable_id
         |FROM documents""".stripMargin,
+    // the sequential fill-with-reset recurrence replayed as a
+    // recursive CTE walking rn order per source — first-fit-in-order
+    // bin ids must match the mapPartitions linear pass exactly
+    "pipeline_pack_greedy" ->
+      """WITH RECURSIVE d AS (
+        | SELECT source, doc_id,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS BIGINT) AS nt,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        | FROM documents),
+        |p AS (
+        | SELECT source, doc_id, rn, nt, nt AS fill, CAST(0 AS BIGINT) AS bin
+        | FROM d WHERE rn = 1
+        | UNION ALL
+        | SELECT d.source, d.doc_id, d.rn, d.nt,
+        |  CASE WHEN p.fill + d.nt <= 128 THEN p.fill + d.nt ELSE d.nt END,
+        |  CASE WHEN p.fill + d.nt <= 128 THEN p.bin ELSE p.bin + 1 END
+        | FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, doc_id, nt AS n_tokens, bin AS bin_id
+        |FROM p""".stripMargin,
+    // identical double arithmetic both sides: T = min(n/target), then
+    // per-lang floor(min(T*target/n, 1) * 1e6) ppm thresholds over
+    // the same md5 bucket as corpus_sample_stratified
+    "pipeline_domain_mix" ->
+      """WITH tg AS (SELECT * FROM (VALUES ('en', 0.30), ('de', 0.20),
+        |  ('es', 0.20), ('fr', 0.15), ('zh', 0.15)) t(lang, target)),
+        |c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |j AS (SELECT c.lang, c.n, tg.target FROM c JOIN tg USING (lang)),
+        |tm AS (SELECT MIN(CAST(n AS DOUBLE) / target) AS t FROM j),
+        |r AS (SELECT lang, CAST(floor(least(
+        |        (t * target) / CAST(n AS DOUBLE), 1.0) * 1000000) AS BIGINT)
+        |       AS accept_ppm
+        |      FROM j, tm)
+        |SELECT doc_id, dd.lang, source, bucket_ppm FROM (
+        | SELECT doc_id, lang, source,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |   % 1000000 AS BIGINT) AS bucket_ppm
+        | FROM documents) dd
+        |JOIN r ON dd.lang = r.lang
+        |WHERE bucket_ppm < accept_ppm""".stripMargin,
     "corpus_sample_stratified" ->
       """SELECT doc_id, lang, source, bucket FROM (
         | SELECT doc_id, lang, source,

@@ -227,6 +227,75 @@ object TextAnalysis {
       .toDF("doc_id", "stable_id")
   }
 
+  /** Greedy sequence packing: fill fixed `budget`-token context
+    * windows with whole documents, per source shard, in doc_id order
+    * — the bin-packing pass that turns a cleaned corpus into training
+    * sequences. First-fit-in-order semantics: a doc joins the current
+    * bin iff it fits, else it opens the next bin (an over-budget doc
+    * gets a bin alone).
+    *
+    * The running-fill-with-reset recurrence is inherently sequential
+    * PER SHARD, so this is the genuine `mapPartitions` case: each
+    * shard's docs are co-located (`repartition(source)`) and sorted
+    * (`sortWithinPartitions`), then one linear pass assigns bins.
+    * Shards are independent — 100 TB parallelism is the shard count
+    * (a skewed mega-source would sub-shard on a deterministic doc_id
+    * range split, same semantics per sub-shard).
+    */
+  def packGreedy(s: SparkSession, d: String, budget: Long = 128): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var curSrc: String = null
+        var fill = 0L
+        var bin = 0L
+        it.map { case (src, id, nt) =>
+          if (src != curSrc) { curSrc = src; bin = 0L; fill = nt }
+          else if (fill + nt <= budget) fill += nt
+          else { bin += 1; fill = nt }
+          (src, id, nt, bin)
+        }
+      }
+      .toDF("source", "doc_id", "n_tokens", "bin_id")
+  }
+
+  /** Domain-mixture resampling: downsample each language to hit a
+    * target mixture (en 30 / de 20 / es 20 / fr 15 / zh 15) at the
+    * largest feasible output size (no upsampling — the binding
+    * language keeps 100%). Two passes: a tiny per-language count
+    * (broadcast back as acceptance thresholds in ppm), then a pure
+    * MAP-SIDE deterministic md5-bucket filter — the same
+    * hash-threshold selection as [[sampleStratified]], but with the
+    * rates COMPUTED from the observed counts instead of fixed. Zero
+    * shuffle on the corpus side at any scale; rank-exact mixtures
+    * would need a per-language global sort, which is exactly what
+    * this shape avoids.
+    */
+  def domainMix(s: SparkSession, d: String): DataFrame = {
+    val targets = Seq("en" -> 0.30, "de" -> 0.20, "es" -> 0.20,
+      "fr" -> 0.15, "zh" -> 0.15)
+    val docs = Tables.documents(s, d)
+    val withT = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("target", element_at(typedlit(targets.toMap), col("lang")))
+    // max feasible total: min over languages of n / target
+    val tMin = withT.agg(min(col("n").cast("double") / col("target")).as("t"))
+    val rates = withT.crossJoin(broadcast(tMin))
+      .select(col("lang"), floor(least(
+          (col("t") * col("target")) / col("n").cast("double"), lit(1.0))
+        * 1000000).cast("long").as("accept_ppm"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 1000000
+    docs.join(broadcast(rates), "lang")
+      .withColumn("bucket_ppm", bucket)
+      .filter(col("bucket_ppm") < col("accept_ppm"))
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket_ppm"))
+  }
+
   /** Column form of the winnowing sketch: distinct window-minima of
     * the rolling k-gram hashes.
     */

@@ -170,6 +170,67 @@ class TextSpec extends AnyFunSuite {
     assert(got(1L)._2 === 7L && got(2L)._2 === 7L)
   }
 
+  test("greedy packing: bins fit the budget, order-contiguous per source") {
+    val rows = graft.operators.TextAnalysis.packGreedy(s, d, budget = 128)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("bin_id")))
+    val docs = graft.sources.Tables.documents(s, d).count()
+    assert(rows.length.toLong === docs, "every doc packed")
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val inOrder = g.sortBy(_._2)
+      // bin ids are nondecreasing in doc order, starting at 0
+      assert(inOrder.head._4 === 0L)
+      inOrder.sliding(2).foreach { case Array((_, _, _, b1), (_, _, _, b2)) =>
+        assert(b2 === b1 || b2 === b1 + 1, s"$src: bin jump $b1 -> $b2")
+      case _ => ()
+      }
+      // every bin respects the budget unless it holds one oversize doc
+      inOrder.groupBy(_._4).foreach { case (bin, members) =>
+        val tot = members.map(_._3).sum
+        assert(tot <= 128 || members.length === 1,
+          s"$src bin $bin: $tot tokens in ${members.length} docs")
+      }
+      // greedy invariant: a doc in a fresh bin would NOT have fit the
+      // previous bin
+      inOrder.sliding(2).foreach {
+        case Array((_, _, _, b1), (_, _, nt2, b2)) if b2 === b1 + 1 =>
+          val prevFill = inOrder.filter(_._4 == b1).map(_._3).sum
+          assert(prevFill + nt2 > 128,
+            s"$src: doc opened bin $b2 but would have fit bin $b1")
+        case _ => ()
+      }
+    }
+  }
+
+  test("domain mix: binding language kept fully, others downsampled toward target") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(s, d)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = graft.operators.TextAnalysis.domainMix(s, d)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = Map("en" -> 0.30, "de" -> 0.20, "es" -> 0.20,
+      "fr" -> 0.15, "zh" -> 0.15)
+    // the binding language (min n/target) survives ~fully
+    val binding = before.keys.minBy(l => before(l) / targets(l))
+    assert(after(binding).toDouble / before(binding) > 0.95,
+      s"binding lang $binding was downsampled")
+    // nothing upsampled; every language represented
+    targets.keys.foreach { l =>
+      assert(after.getOrElse(l, 0L) <= before(l))
+      assert(after.getOrElse(l, 0L) > 0L, s"$l vanished")
+    }
+    // realized mixture within hash noise of target (±50% relative at
+    // this tiny corpus size)
+    val total = after.values.sum.toDouble
+    targets.foreach { case (l, t) =>
+      val got = after(l) / total
+      assert(math.abs(got - t) / t < 0.5, f"$l: got $got%.3f want $t%.2f")
+    }
+  }
+
   test("multimodal feature extraction: stable shape and checksum parity") {
     val feats = Multimodal.extractFeatures(s, d).collect()
     val docs = graft.sources.Tables.documents(s, d).count()
