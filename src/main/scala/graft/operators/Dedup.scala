@@ -388,8 +388,12 @@ object Dedup {
       substring(col("source"), 4, 10).cast("int").as("src_n"),
       call_function("graft_shingle_hashes",
         col("text"), lit(ngram)).as("hashed"))
+    // cache the small eval-shingle set: the sizing count, the Bloom
+    // build, and the confirm join would otherwise each re-scan and
+    // re-shingle the eval corpus
     val evalSh = docs.filter(col("src_n") >= 10)
       .select(explode(col("hashed")).as("sh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sizing pass over the small eval side only
     val nEval = math.max(evalSh.count(), 1L)
     val bf = s.sparkContext.broadcast(

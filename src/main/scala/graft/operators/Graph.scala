@@ -44,8 +44,13 @@ object Graph {
     var rank: DataFrame =
       deg.select(col("src").as("id"), lit(1000000L).as("pr"))
     (1 to iters).foreach { _ =>
+      // rank is one row per NODE (the dim cardinality, not the edge
+      // count) — broadcast it so the cached edge set never reshuffles
+      // per round; only the contribution sum exchanges on dst. At
+      // billions of nodes this flips to a co-partitioned sort-merge
+      // join (drop the hint), same plan otherwise.
       rank = withDeg
-        .join(rank.withColumnRenamed("id", "src"), "src")
+        .join(broadcast(rank.withColumnRenamed("id", "src")), "src")
         .select(col("dst").as("id"), expr("pr DIV deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("sc"))
         .select(col("id"), (lit(150000L) + expr("(sc * 85) DIV 100")).as("pr"))

@@ -40,7 +40,8 @@ class CdcSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new CdcTable(properties.get("path"),
-      CdcEnvelope(Option(properties.get("envelope")).getOrElse("maxwell")))
+      CdcEnvelope(Option(properties.get("envelope")).getOrElse("maxwell")),
+      Option(properties.get("maxFileAgeMs")).map(_.toLong).getOrElse(0L))
 }
 
 object CdcSource {
@@ -119,17 +120,19 @@ object CdcEnvelope {
   }
 }
 
-class CdcTable(path: String, envelope: CdcEnvelope) extends Table with SupportsRead {
+class CdcTable(path: String, envelope: CdcEnvelope,
+    maxFileAgeMs: Long = 0L) extends Table with SupportsRead {
   require(path != null, "graft-cdc requires a path")
   override def name(): String = s"graft-cdc($path)"
   override def schema(): StructType = CdcSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CdcScanBuilder(path, envelope)
+    new CdcScanBuilder(path, envelope, maxFileAgeMs)
 }
 
-class CdcScanBuilder(path: String, envelope: CdcEnvelope) extends ScanBuilder
+class CdcScanBuilder(path: String, envelope: CdcEnvelope,
+    maxFileAgeMs: Long = 0L) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -156,11 +159,12 @@ class CdcScanBuilder(path: String, envelope: CdcEnvelope) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new CdcScan(path, envelope, pushed, required)
+  override def build(): Scan =
+    new CdcScan(path, envelope, pushed, required, maxFileAgeMs)
 }
 
 class CdcScan(path: String, envelope: CdcEnvelope, pushed: Array[Filter],
-    required: StructType) extends Scan with Batch {
+    required: StructType, maxFileAgeMs: Long = 0L) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -173,7 +177,7 @@ class CdcScan(path: String, envelope: CdcEnvelope, pushed: Array[Filter],
     new CdcReaderFactory(envelope, pushed, required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(path, envelope, pushed, required)
+    new CdcMicroBatchStream(path, envelope, pushed, required, maxFileAgeMs)
 }
 
 object CdcScan {
@@ -190,28 +194,66 @@ object CdcScan {
 /** Offset = the SET of changelog files already emitted (sorted,
   * newline-joined in the checkpoint) — no file-naming-order
   * assumption, so late-renamed or out-of-order log rotations are
-  * still picked up exactly once. Each micro-batch reads the files
-  * that appeared since the last offset, one partition per file, with
-  * the same pushdown/pruning as the batch scan. (A 100 TB deployment
-  * would compact the seen-set the way FileStreamSource compacts its
-  * log — the offset is already just names, not contents.)
+  * still picked up exactly once.
+  *
+  * SEEN-SET COMPACTION (`maxFileAgeMs` option, default off): with an
+  * age bound, the offset carries an mtime WATERMARK (`w:<ts>` first
+  * line) plus only the file names younger than it — the same
+  * compaction contract as Spark's FileStreamSource `maxFileAge`:
+  * files older than the horizon are assumed already processed and a
+  * log rotation that back-dates a file past the horizon is ignored.
+  * This bounds checkpoint offset size by churn-rate × age-window
+  * instead of stream lifetime — the difference between a 10-year CDC
+  * stream checkpointing kilobytes vs gigabytes. The watermark only
+  * advances (clamped monotone within a run), so a deleted
+  * newest-file can never resurrect older names.
   */
 class CdcMicroBatchStream(path: String, envelope: CdcEnvelope,
-    pushed: Array[Filter], required: StructType) extends MicroBatchStream {
+    pushed: Array[Filter], required: StructType,
+    maxFileAgeMs: Long = 0L) extends MicroBatchStream {
 
-  private case class CdcOffset(files: Set[String]) extends Offset {
-    override def json(): String = files.toSeq.sorted.mkString("\n")
+  private case class CdcOffset(watermark: Long, files: Set[String])
+      extends Offset {
+    override def json(): String =
+      (s"w:$watermark" +: files.toSeq.sorted).mkString("\n")
   }
 
-  override def initialOffset(): Offset = CdcOffset(Set.empty)
-  override def latestOffset(): Offset = CdcOffset(CdcScan.listFiles(path).toSet)
-  override def deserializeOffset(json: String): Offset =
-    CdcOffset(json.split("\n").filter(_.nonEmpty).toSet)
+  // driver-side monotone clamp; recomputed after restart (safe: the
+  // set difference below re-dedupes whatever the listing says)
+  private var lastWatermark = 0L
+
+  override def initialOffset(): Offset = CdcOffset(0L, Set.empty)
+
+  override def latestOffset(): Offset = {
+    val all = CdcScan.listFiles(path)
+    if (maxFileAgeMs <= 0L) CdcOffset(0L, all.toSet)
+    else {
+      val mtimes = all.map(f => f -> new java.io.File(f).lastModified())
+      val maxM = if (mtimes.isEmpty) 0L else mtimes.map(_._2).max
+      lastWatermark = math.max(lastWatermark, maxM - maxFileAgeMs)
+      CdcOffset(lastWatermark,
+        mtimes.filter(_._2 >= lastWatermark).map(_._1).toSet)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val lines = json.split("\n").filter(_.nonEmpty)
+    val (w, files) = lines.headOption match {
+      case Some(h) if h.startsWith("w:") => (h.drop(2).toLong, lines.tail)
+      case _ => (0L, lines) // legacy uncompacted offsets
+    }
+    lastWatermark = math.max(lastWatermark, w)
+    CdcOffset(w, files.toSet)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[CdcOffset].files
-    val now = end.asInstanceOf[CdcOffset].files
-    (now -- seen).toArray.sorted.map(CdcInputPartition(_))
+    val s = start.asInstanceOf[CdcOffset]
+    val e = end.asInstanceOf[CdcOffset]
+    // a file absent from BOTH sets (aged past the watermark between
+    // batches without ever listing) cannot occur: the watermark lags
+    // the newest mtime by the age window, and latestOffset keeps
+    // every file at-or-above it
+    (e.files -- s.files).toArray.sorted.map(CdcInputPartition(_))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory(envelope, pushed, required)

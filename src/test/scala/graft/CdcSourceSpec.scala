@@ -83,6 +83,47 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("offset compaction: aged-out names leave the checkpoint, rows still exactly-once") {
+    val dir = Files.createTempDirectory("cdc-compact")
+    def log(name: String, ts: Long, ageMs: Long): Unit = {
+      val p = dir.resolve(name)
+      Files.write(p,
+        s"""{"table":"t","type":"insert","ts":$ts,"data":{"id":$ts}}\n"""
+          .getBytes("UTF-8"))
+      p.toFile.setLastModified(System.currentTimeMillis() - ageMs)
+    }
+    log("log-000.jsonl", 1, 60000) // a minute old
+    val stream = s.readStream.format("graft-cdc")
+      .option("maxFileAgeMs", "5000").load(dir.toString)
+    val ck = Files.createTempDirectory("cdc-compact-ck")
+    val q = stream.writeStream.format("memory").queryName("cdc_compact")
+      .outputMode("append").option("checkpointLocation", ck.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // the old file is within the first batch's horizon? No: the
+      // watermark trails the NEWEST mtime, so a single old file is
+      // still newest and gets read
+      assert(s.sql("SELECT count(*) FROM cdc_compact")
+        .collect()(0).getLong(0) === 1)
+      // a fresh file advances the watermark past log-000's mtime
+      log("log-001.jsonl", 2, 0)
+      q.processAllAvailable()
+      val rows = s.sql("SELECT ts FROM cdc_compact ORDER BY ts").collect()
+        .map(_.getLong(0)).toSeq
+      assert(rows === Seq(1L, 2L), "compaction must not re-deliver or drop")
+      // the latest committed offset no longer carries the aged-out name
+      val offsets = ck.resolve("offsets").toFile.listFiles()
+        .filter(f => f.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      val last = new String(Files.readAllBytes(
+        offsets.last.toPath), "UTF-8")
+      assert(last.contains("w:"), s"no watermark in offset: $last")
+      assert(!last.contains("log-000"),
+        s"aged-out file still in the offset: $last")
+      assert(last.contains("log-001"), "young file must stay in the offset")
+    } finally q.stop()
+  }
+
   test("Debezium envelope: op codes map, delete takes before, ts_ms read") {
     val dir = Files.createTempDirectory("cdc-dbz")
     Files.write(dir.resolve("dbz-000.jsonl"),
