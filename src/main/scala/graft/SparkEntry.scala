@@ -55,6 +55,9 @@ object SparkEntry {
     "analytics_corr" -> (Analytics.corrQtyPrice(_, _)),
     "analytics_histogram" -> (Analytics.orderTotalHistogram(_, _)),
     "graph_pagerank" -> (graft.operators.Graph.pagerankCoPurchase(_, _)),
+    "analytics_heavy_hitters" -> (Analytics.heavyHitters(_, _)),
+    "analytics_key_skew" -> (Analytics.keySkewProfile(_, _)),
+    "dim_merge_upsert" -> (Temporal.mergeUpsert(_, _)),
     "analytics_funnel" -> (Analytics.funnel(_, _)),
     "analytics_rfm" -> (Analytics.rfm(_, _)),
     "analytics_retention" -> (Analytics.retentionCohorts(_, _)),
@@ -395,6 +398,67 @@ object SparkEntry {
         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |  AS corr_qty_price
         |FROM mo""".stripMargin,
+    // the CMS prefilter is confirmed exactly, so the oracle is the
+    // plain groupBy+HAVING ground truth at any sketch error
+    "analytics_heavy_hitters" ->
+      """SELECT user_id, COUNT(*) AS ct FROM events
+        |GROUP BY 1
+        |HAVING COUNT(*) >= (
+        | SELECT (6 * COUNT(*)) // (5 * COUNT(DISTINCT user_id))
+        | FROM events)""".stripMargin,
+    // integer cross-multiplied hot-key test (c*n_keys > 2*total) —
+    // no division anywhere, engine-exact
+    "analytics_key_skew" ->
+      """WITH p1 AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem
+        |            GROUP BY 1),
+        |t1 AS (SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS total
+        |       FROM p1),
+        |p2 AS (SELECT l_suppkey AS k, COUNT(*) AS c FROM lineitem
+        |       GROUP BY 1),
+        |t2 AS (SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS total
+        |       FROM p2),
+        |p3 AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders
+        |       GROUP BY 1),
+        |t3 AS (SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS total
+        |       FROM p3),
+        |p4 AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+        |t4 AS (SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS total
+        |       FROM p4)
+        |SELECT 'lineitem.l_partkey' AS fact_key, n_keys, total AS total_rows,
+        | MAX(c) AS max_ct, MIN(c) AS min_ct,
+        | COUNT(CASE WHEN c * n_keys > 2 * total THEN 1 END) AS hot_keys
+        |FROM p1, t1 GROUP BY 1, 2, 3
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey', n_keys, total,
+        | MAX(c), MIN(c),
+        | COUNT(CASE WHEN c * n_keys > 2 * total THEN 1 END)
+        |FROM p2, t2 GROUP BY 1, 2, 3
+        |UNION ALL
+        |SELECT 'orders.o_custkey', n_keys, total,
+        | MAX(c), MIN(c),
+        | COUNT(CASE WHEN c * n_keys > 2 * total THEN 1 END)
+        |FROM p3, t3 GROUP BY 1, 2, 3
+        |UNION ALL
+        |SELECT 'events.user_id', n_keys, total,
+        | MAX(c), MIN(c),
+        | COUNT(CASE WHEN c * n_keys > 2 * total THEN 1 END)
+        |FROM p4, t4 GROUP BY 1, 2, 3""".stripMargin,
+    // MERGE INTO semantics replayed: newest change per key wins,
+    // full-outer against the dim, op tags disambiguate the branches
+    "dim_merge_upsert" ->
+      """WITH upd AS (
+        | SELECT user_id AS k, value AS new_bal FROM (
+        |  SELECT user_id, value, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        | WHERE rn = 1)
+        |SELECT coalesce(c_custkey, k) AS cust_id, c_name,
+        | coalesce(new_bal, c_acctbal) AS acctbal,
+        | CASE WHEN c_custkey IS NULL THEN 'insert'
+        |      WHEN k IS NULL THEN 'keep'
+        |      ELSE 'update' END AS op
+        |FROM customer FULL OUTER JOIN upd ON c_custkey = k""".stripMargin,
     // three damped rounds unrolled; all-integer ppm arithmetic makes
     // the scores order-independent, so the hash grade is exact
     "graph_pagerank" ->

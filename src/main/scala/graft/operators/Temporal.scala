@@ -184,6 +184,35 @@ object Temporal {
     scd2Build(views, "user_id", "us", Seq("last_view_value"))
   }
 
+  /** Batch SCD1 MERGE (the `MERGE INTO` / Delta-upsert shape, SCD2's
+    * latest-version-only sibling): fold the newest change per key
+    * into the dim — matched rows take the new value (`update`),
+    * unmatched base rows pass through (`keep`), unmatched changes
+    * become `insert`s. One per-key window on the (small) change feed
+    * + one full-outer join on the dim key; both shuffle on the key
+    * once, which is the minimal MERGE plan at any scale (Delta/
+    * Iceberg add file-pruning around exactly this join).
+    */
+  def mergeUpsert(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")).desc, col("event_id").desc)
+    val upd = Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("k"), col("value").as("new_bal"))
+    Tables.customer(s, d)
+      .join(upd, col("c_custkey") === col("k"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("cust_id"),
+        col("c_name"),
+        coalesce(col("new_bal"), col("c_acctbal")).as("acctbal"),
+        when(col("c_custkey").isNull, lit("insert"))
+          .when(col("k").isNull, lit("keep"))
+          .otherwise(lit("update")).as("op"))
+  }
+
   /** Broadcast as-of join — the third physical strategy in the as-of
     * family (after the shuffling SMJ exec and its zero-Exchange
     * bucketed form): when the versioned dim is small (the common

@@ -359,6 +359,59 @@ object Analytics {
           .as("corr_qty_price"))
   }
 
+  /** Heavy hitters with a Count-Min-Sketch prefilter + exact confirm
+    * — the frequency dual of the Bloom decontamination pattern. One
+    * CMS built over the stream broadcasts to every executor; the
+    * groupBy then only shuffles occurrences of keys the sketch calls
+    * heavy (CMS overestimates, so the candidate set is a SUPERSET —
+    * no false negatives), and the exact HAVING strips the
+    * overestimates. At 100 TB the shuffle carries the heavy minority
+    * instead of every key; the answer is exactly the full-groupBy
+    * ground truth, which is what the oracle checks. Threshold =
+    * 1.2× the mean events/key, in cross-multiplied integer form.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"))
+    // tiny two-count pass for the data-derived threshold (the same
+    // scalar a production job takes from config)
+    val r = ev.agg(count(lit(1)).as("n"),
+      countDistinct(col("user_id")).as("u")).collect()(0)
+    val t = (6L * r.getLong(0)) / (5L * r.getLong(1))
+    val cms = s.sparkContext.broadcast(
+      ev.stat.countMinSketch("user_id", 0.001, 0.99, 42))
+    val isHeavy = udf((uid: Long) => cms.value.estimateCount(uid) >= t)
+    ev.filter(isHeavy(col("user_id")))
+      .groupBy("user_id").agg(count(lit(1)).as("ct"))
+      .filter(col("ct") >= t)
+  }
+
+  /** Join-key skew profiler: per-key count distributions for the
+    * fact keys a planner shuffles on — the diagnostic read before
+    * choosing salting factors / AQE skew thresholds. One combinable
+    * groupBy per key + a 1-row broadcast of the totals; "hot" is the
+    * integer cross-multiplied `c × n_keys > 2 × total` (no division,
+    * engine-exact).
+    */
+  def keySkewProfile(s: SparkSession, d: String): DataFrame = {
+    def profile(df: DataFrame, key: String, label: String): DataFrame = {
+      val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      val tot = counts.agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("total"))
+      counts.crossJoin(broadcast(tot))
+        .groupBy(col("n_keys"), col("total"))
+        .agg(max(col("c")).as("max_ct"), min(col("c")).as("min_ct"),
+          count(when(col("c") * col("n_keys") > lit(2) * col("total"), 1))
+            .as("hot_keys"))
+        .select(lit(label).as("fact_key"), col("n_keys"),
+          col("total").as("total_rows"), col("max_ct"), col("min_ct"),
+          col("hot_keys"))
+    }
+    profile(Tables.lineitem(s, d), "l_partkey", "lineitem.l_partkey")
+      .union(profile(Tables.lineitem(s, d), "l_suppkey", "lineitem.l_suppkey"))
+      .union(profile(Tables.orders(s, d), "o_custkey", "orders.o_custkey"))
+      .union(profile(Tables.events(s, d), "user_id", "events.user_id"))
+  }
+
   /** Equi-width histogram of order totals (fixed bounds, 20×30k
     * buckets) — the profile pass before choosing filter thresholds.
     * Pure map-side bucket assignment + one combinable count: the

@@ -93,6 +93,51 @@ class WarehouseSpec extends AnyFunSuite {
     assert(sess.forall(_.getAs[Long]("dur_us") >= 0))
   }
 
+  test("heavy hitters: CMS prefilter answer equals the exact groupBy") {
+    import org.apache.spark.sql.functions._
+    val got = graft.warehouse.Analytics.heavyHitters(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = graft.sources.Tables.events(s, d)
+    val n = ev.count(); val u = ev.select("user_id").distinct().count()
+    val t = (6L * n) / (5L * u)
+    val exact = ev.groupBy("user_id").count()
+      .filter(col("count") >= t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === exact)
+    assert(got.nonEmpty, "threshold should catch someone at this SF")
+  }
+
+  test("skew profile: totals reconcile and max>=min") {
+    val rows = graft.warehouse.Analytics.keySkewProfile(s, d).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_ct") >= r.getAs[Long]("min_ct"))
+      assert(r.getAs[Long]("n_keys") > 0)
+      assert(r.getAs[Long]("hot_keys") >= 0)
+    }
+    val li = graft.sources.Tables.lineitem(s, d).count()
+    assert(rows.find(_.getString(0) == "lineitem.l_partkey").get
+      .getAs[Long]("total_rows") === li)
+  }
+
+  test("merge upsert: every base row survives, updates take the newest value") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Temporal.mergeUpsert(s, d)
+    val byOp = out.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nCust = graft.sources.Tables.customer(s, d).count()
+    assert(byOp.getOrElse("keep", 0L) + byOp.getOrElse("update", 0L) === nCust)
+    // one output row per merged key
+    assert(out.select("cust_id").distinct().count() === out.count())
+    // an updated row carries its user's newest event value
+    val sample = out.filter(col("op") === "update").limit(1).collect()(0)
+    val newest = graft.sources.Tables.events(s, d)
+      .filter(col("user_id") === sample.getAs[Long]("cust_id"))
+      .orderBy(unix_micros(col("ts")).desc, col("event_id").desc)
+      .select("value").collect()(0).getDouble(0)
+    assert(sample.getAs[Double]("acctbal") === newest)
+  }
+
   test("user login back_ct never exceeds uu_ct") {
     val rows = Dws.userLogin(s, d).collect()
     assert(rows.nonEmpty)
