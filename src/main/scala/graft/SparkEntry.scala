@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Multimodal, Similarity, Temporal, TextAnalysis}
-import graft.warehouse.{Analytics, Dwd, Dws, Publisher}
+import graft.warehouse.{Analytics, Dwd, Dws, Incremental, Publisher}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — every capability from SURVEY.md §2 with a
@@ -58,6 +58,8 @@ object SparkEntry {
     "analytics_heavy_hitters" -> (Analytics.heavyHitters(_, _)),
     "analytics_key_skew" -> (Analytics.keySkewProfile(_, _)),
     "dim_merge_upsert" -> (Temporal.mergeUpsert(_, _)),
+    "dim_snapshot_diff" -> (Temporal.snapshotDiff(_, _)),
+    "analytics_incremental_gmv" -> (Incremental.dailyGmv(_, _)),
     "analytics_funnel" -> (Analytics.funnel(_, _)),
     "analytics_rfm" -> (Analytics.rfm(_, _)),
     "analytics_retention" -> (Analytics.retentionCohorts(_, _)),
@@ -108,6 +110,7 @@ object SparkEntry {
     "dedup_containment" -> (Dedup.containment(_, _)),
     "text_repetition" -> (TextAnalysis.repetitionStats(_, _)),
     "corpus_sample_stratified" -> (TextAnalysis.sampleStratified(_, _)),
+    "corpus_sample_bottomk" -> (TextAnalysis.sampleBottomK(_, _)),
     "pipeline_pack_greedy" -> (TextAnalysis.packGreedy(_, _)),
     "pipeline_domain_mix" -> (TextAnalysis.domainMix(_, _)),
     "corpus_assign_ids" -> (TextAnalysis.assignStableIds(_, _)),
@@ -459,6 +462,34 @@ object SparkEntry {
         |      WHEN k IS NULL THEN 'keep'
         |      ELSE 'update' END AS op
         |FROM customer FULL OUTER JOIN upd ON c_custkey = k""".stripMargin,
+    // the oracle is the FULL recompute — a hash match proves the
+    // base+delta partial merge is exactly equivalent
+    "analytics_incremental_gmv" ->
+      """SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv
+        |FROM orders GROUP BY 1""".stripMargin,
+    // both snapshots rebuilt from the same deterministic splits, then
+    // full-outer diffed; unchanged rows dropped
+    "dim_snapshot_diff" ->
+      """WITH a AS (
+        | SELECT o_custkey AS cust_id, COUNT(*) AS a_n,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS a_tot
+        | FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+        |b AS (
+        | SELECT o_custkey AS cust_id, COUNT(*) AS b_n,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS b_tot
+        | FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1)
+        |SELECT cust_id, a_n, b_n,
+        | CAST(a_tot AS DOUBLE) AS a_tot, CAST(b_tot AS DOUBLE) AS b_tot,
+        | CASE WHEN a_n IS NULL THEN 'added'
+        |      WHEN b_n IS NULL THEN 'deleted'
+        |      WHEN a_n <> b_n OR a_tot <> b_tot THEN 'changed'
+        |      ELSE 'unchanged' END AS op
+        |FROM a FULL OUTER JOIN b USING (cust_id)
+        |WHERE (CASE WHEN a_n IS NULL THEN 'added'
+        |      WHEN b_n IS NULL THEN 'deleted'
+        |      WHEN a_n <> b_n OR a_tot <> b_tot THEN 'changed'
+        |      ELSE 'unchanged' END) <> 'unchanged'""".stripMargin,
     // three damped rounds unrolled; all-integer ppm arithmetic makes
     // the scores order-independent, so the hash grade is exact
     "graph_pagerank" ->
@@ -843,6 +874,15 @@ object SparkEntry {
         | FROM documents) dd
         |JOIN r ON dd.lang = r.lang
         |WHERE bucket_ppm < accept_ppm""".stripMargin,
+    // same md5 sort key both engines (lowercase hex, ASCII order);
+    // doc_id tiebreak makes the top-k deterministic
+    "corpus_sample_bottomk" ->
+      """SELECT doc_id, lang, source, rk FROM (
+        | SELECT doc_id, lang, source, row_number() OVER (
+        |   PARTITION BY lang
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents) t
+        |WHERE rk <= 100""".stripMargin,
     "corpus_sample_stratified" ->
       """SELECT doc_id, lang, source, bucket FROM (
         | SELECT doc_id, lang, source,

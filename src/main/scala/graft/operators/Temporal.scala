@@ -277,6 +277,47 @@ object Temporal {
       .select("event_id", "user_id", "us", "last_view_value")
   }
 
+  /** Snapshot reconciliation — the table-diff dual of
+    * [[mergeUpsert]]: given two snapshots of the same keyed state,
+    * emit the change feed that turns A into B (added / deleted /
+    * changed rows; unchanged rows are dropped before they reach any
+    * sink). This is the audit/backfill primitive: diff yesterday's
+    * dim against today's, or a recomputed table against the serving
+    * copy, and ship only the delta.
+    *
+    * Snapshots here are per-customer order rollups over two
+    * deterministic order subsets (parity / mod-3 splits), chosen so
+    * all four ops genuinely occur. Shape: one co-partitioned
+    * full-outer join on the key — both sides shuffle once; at
+    * warehouse scale both snapshots would be bucketed by key and the
+    * join goes zero-Exchange (the same story ScaleSpec proves for
+    * the bucketed as-of). Decimal sums make 'changed' an exact
+    * comparison, never a float epsilon.
+    */
+  def snapshotDiff(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import graft.warehouse.Dwd.dec
+    def snap(pred: Column, prefix: String): DataFrame =
+      graft.sources.Tables.orders(s, d)
+        .filter(pred)
+        .groupBy(col("o_custkey").as("cust_id"))
+        .agg(count(lit(1)).as(s"${prefix}_n"),
+          sum(dec(col("o_totalprice"))).as(s"${prefix}_tot"))
+    val a = snap(col("o_orderkey") % 2 === 0, "a")
+    val b = snap(col("o_orderkey") % 3 =!= 0, "b")
+    a.join(b, Seq("cust_id"), "full_outer")
+      .withColumn("op",
+        when(col("a_n").isNull, lit("added"))
+          .when(col("b_n").isNull, lit("deleted"))
+          .when(col("a_n") =!= col("b_n") ||
+            col("a_tot") =!= col("b_tot"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("op") =!= "unchanged")
+      .select(col("cust_id"), col("a_n"), col("b_n"),
+        col("a_tot").cast("double").as("a_tot"),
+        col("b_tot").cast("double").as("b_tot"), col("op"))
+  }
+
   /** The interval query in RAW SQL through the TVF surface — reaches
     * [[graft.plans.IntervalJoinExec]] from a plain `spark.sql` call.
     */

@@ -206,6 +206,29 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
   }
 
+  /** EXACT-SIZE per-stratum sampling: the k docs with the smallest
+    * md5(doc_id) per language — "give me exactly 1000 uniform docs
+    * per domain", where [[sampleStratified]]'s rate filter gives a
+    * binomial-sized sample. Deterministic (no RNG), so the sample is
+    * reproducible and auditable on any engine at any parallelism.
+    *
+    * Plan shape: `row_number() <= k` over high-cardinality partitions
+    * — Spark's InferWindowGroupLimit rewrites it to a PARTIAL top-k
+    * per input partition before the shuffle (WindowGroupLimit in the
+    * plan), so each of 1000 executors forwards at most k rows per
+    * language instead of its whole slice: the shuffle carries
+    * O(strata × k × partitions), not O(corpus).
+    */
+  def sampleBottomK(s: SparkSession, d: String, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("source"), col("rk"))
+  }
+
   /** Contiguous stable ids for the whole corpus (0..n-1 in doc_id
     * order) — the enumeration step before sharding/packing a training
     * corpus. A global `row_number() OVER (ORDER BY ...)` window is a

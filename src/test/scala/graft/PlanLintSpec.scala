@@ -21,10 +21,15 @@ class PlanLintSpec extends AnyFunSuite {
     * - sim_filtered_ann: same broadcast-queries shape over the
     *   predicate-filtered corpus (pre-filter hybrid search)
     * - text_tfidf_topk: a 1-row corpus-count crossJoin
+    * - analytics_key_skew: 1-row per-key totals crossJoined onto the
+    *   per-key counts (the cross-multiplied hot test)
+    * - pipeline_domain_mix: the 1-row max-feasible-total crossJoin
+    *   onto the tiny per-language count table
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
-    "sim_filtered_ann", "text_tfidf_topk")
+    "sim_filtered_ann", "text_tfidf_topk", "analytics_key_skew",
+    "pipeline_domain_mix")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

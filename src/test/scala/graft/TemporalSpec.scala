@@ -329,4 +329,32 @@ class TemporalSpec extends AnyFunSuite {
     assert(!opt.toString.startsWith("Filter"),
       s"filter still on top of the plan:\n$opt")
   }
+
+  test("snapshot diff is exactly the change feed that turns A into B") {
+    val d = TestSpark.sf
+    val diff = graft.operators.Temporal.snapshotDiff(s, d).collect()
+    assert(diff.nonEmpty && !diff.exists(_.getAs[String]("op") == "unchanged"))
+    // rebuild both snapshots brute-force and check every emitted op
+    val orders = graft.sources.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val aN = orders.filter(_._1 % 2 == 0).groupBy(_._2).view.mapValues(_.length)
+    val bN = orders.filter(_._1 % 3 != 0).groupBy(_._2).view.mapValues(_.length)
+    diff.foreach { r =>
+      val k = r.getAs[Long]("cust_id")
+      r.getAs[String]("op") match {
+        case "added"   => assert(!aN.contains(k) && bN.contains(k))
+        case "deleted" => assert(aN.contains(k) && !bN.contains(k))
+        case "changed" => assert(aN.contains(k) && bN.contains(k))
+      }
+    }
+    // keys NOT in the diff must agree between snapshots (count-wise)
+    val diffKeys = diff.map(_.getAs[Long]("cust_id")).toSet
+    (aN.keySet ++ bN.keySet).filterNot(diffKeys).foreach { k =>
+      assert(aN.get(k) == bN.get(k))
+    }
+    // all four-ish ops genuinely occur on this data
+    val ops = diff.map(_.getAs[String]("op")).toSet
+    assert(ops == Set("added", "deleted", "changed"), ops.toString)
+  }
 }

@@ -231,6 +231,23 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("bottom-k sample: exactly k per language, top-k pushed below the shuffle") {
+    val k = 7
+    val sample = TextAnalysis.sampleBottomK(s, d, k)
+    val perLang = sample.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langSizes = graft.sources.Tables.documents(s, d)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    langSizes.foreach { case (l, n) =>
+      assert(perLang(l) === math.min(k.toLong, n), l)
+    }
+    // rank filter must rewrite to a partial top-k (WindowGroupLimit)
+    // so executors forward k rows per stratum, not their whole slice
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("multimodal feature extraction: stable shape and checksum parity") {
     val feats = Multimodal.extractFeatures(s, d).collect()
     val docs = graft.sources.Tables.documents(s, d).count()

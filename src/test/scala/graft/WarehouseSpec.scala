@@ -145,4 +145,18 @@ class WarehouseSpec extends AnyFunSuite {
       assert(r.getAs[Long]("back_ct") <= r.getAs[Long]("uu_ct"))
     }
   }
+
+  test("incremental merge equals the one-shot recompute exactly") {
+    val merged = graft.warehouse.Incremental.dailyGmv(s, d)
+    val full = graft.sources.Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("gmv"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    // the merge stage reads agg-grain rows, not the fact table: both
+    // inputs to the final groupBy are already day-grain
+    assert(merged.count() === full.count())
+  }
 }
