@@ -60,6 +60,8 @@ object SparkEntry {
     "dim_merge_upsert" -> (Temporal.mergeUpsert(_, _)),
     "dim_snapshot_diff" -> (Temporal.snapshotDiff(_, _)),
     "analytics_incremental_gmv" -> (Incremental.dailyGmv(_, _)),
+    "analytics_kmv_distinct" -> (graft.warehouse.Sketched.kmvDistinct(_, _)),
+    "layout_zorder" -> (graft.sources.ZOrder.lineitemZKeys(_, _)),
     "analytics_funnel" -> (Analytics.funnel(_, _)),
     "analytics_rfm" -> (Analytics.rfm(_, _)),
     "analytics_retention" -> (Analytics.retentionCohorts(_, _)),
@@ -490,6 +492,48 @@ object SparkEntry {
         |      WHEN b_n IS NULL THEN 'deleted'
         |      WHEN a_n <> b_n OR a_tot <> b_tot THEN 'changed'
         |      ELSE 'unchanged' END) <> 'unchanged'""".stripMargin,
+    // KMV sketch replayed bit-for-bit: same 48-bit md5-prefix hashes,
+    // same bottom-k, same integer-division estimate
+    "analytics_kmv_distinct" ->
+      """WITH dh AS (
+        | SELECT DISTINCT event_type,
+        |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |   ::UBIGINT AS BIGINT) AS h
+        | FROM events),
+        |bk AS (
+        | SELECT event_type, h, row_number() OVER (
+        |   PARTITION BY event_type ORDER BY h) AS rk
+        | FROM dh)
+        |SELECT event_type, COUNT(*) AS n_kept,
+        | CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+        |      ELSE 17732923532771328 // MAX(h) END AS BIGINT)
+        |  AS est_distinct
+        |FROM bk WHERE rk <= 64 GROUP BY event_type""".stripMargin,
+    // the Morton interleave replayed as the same five mask-spread
+    // steps per dimension, all BIGINT shifts
+    "layout_zorder" ->
+      """WITH sp AS (
+        | SELECT l_partkey, l_suppkey,
+        |  l_partkey % 65536 AS x0, l_suppkey % 65536 AS y0
+        | FROM lineitem),
+        |s1 AS (
+        | SELECT l_partkey, l_suppkey,
+        |  (x0 | (x0 << 8)) & 16711935 AS x1,
+        |  (y0 | (y0 << 8)) & 16711935 AS y1 FROM sp),
+        |s2 AS (
+        | SELECT l_partkey, l_suppkey,
+        |  (x1 | (x1 << 4)) & 252645135 AS x2,
+        |  (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+        |s3 AS (
+        | SELECT l_partkey, l_suppkey,
+        |  (x2 | (x2 << 2)) & 858993459 AS x3,
+        |  (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        |s4 AS (
+        | SELECT l_partkey, l_suppkey,
+        |  (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |  (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+        |SELECT l_partkey, l_suppkey, x4 | (y4 << 1) AS zkey
+        |FROM s4""".stripMargin,
     // three damped rounds unrolled; all-integer ppm arithmetic makes
     // the scores order-independent, so the hash grade is exact
     "graph_pagerank" ->

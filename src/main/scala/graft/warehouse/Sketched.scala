@@ -46,4 +46,38 @@ object Sketched {
         sum(col("pv_ct")).as("pv_ct"),
         hll_sketch_estimate(hll_union_agg(col("uv_sketch")))
           .as("uv_estimate"))
+
+  /** KMV (k-minimum-values / bottom-k) distinct sketch — the OTHER
+    * classic mergeable distinct counter next to HLL, and the one
+    * whose whole state is plain rows: the k smallest 48-bit hashes of
+    * the key per group. Estimate = (k-1) · 2^48 / h_k — ALL-LONG
+    * integer arithmetic (48-bit hashes keep (k-1)·2^48 ≪ 2^63), so
+    * unlike HLL the sketch AND the estimate are engine-exact and the
+    * DuckDB oracle replays them bit-for-bit: a hash-graded
+    * approximate-distinct, where [[uvAcrossDays]]'s HLL can only be
+    * tolerance-graded.
+    *
+    * Merge = union two row-sets, keep the k smallest — the same
+    * build-once/merge-many serving contract as the HLL columns.
+    * Shape: distinct (map-side-combinable) then per-group bottom-k
+    * via the WindowGroupLimit partial top-k — executors forward at
+    * most k hashes per group, never their full key slice.
+    */
+  def kmvDistinct(s: SparkSession, d: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 12),
+      16, 10).cast("long")
+    val w = Window.partitionBy("event_type").orderBy("h")
+    graft.sources.Tables.events(s, d)
+      .select(col("event_type"), h.as("h")).distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy("event_type")
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("n_kept"))
+      .select(col("event_type"), col("n_kept"),
+        when(col("n_kept") < k, col("n_kept"))
+          // `div`, not `/`: Spark's `/` on longs is double division
+          .otherwise(expr(s"${(k - 1).toLong * (1L << 48)}L div hk"))
+          .cast("long").as("est_distinct"))
+  }
 }

@@ -192,6 +192,43 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered files cover small rectangles of BOTH dimensions") {
+    import graft.sources.ZOrder
+    val out = java.nio.file.Files.createTempDirectory("zorder").toString + "/li"
+    // two comparable-cardinality 8-bit dimensions (suppkey has ~10
+    // distinct values at this SF — nothing to cluster there)
+    val li = Tables.lineitem(s, d).select(
+      (col("l_partkey") % 256).as("x"), (col("l_orderkey") % 256).as("y"))
+    val files = 16
+    ZOrder.clusterWrite(li, col("x"), col("y"), out, files)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(parts.length === files)
+    // per-file spans on each dimension: z-clustering should shrink
+    // BOTH well below the global span (1-D sorting shrinks only one)
+    def avgSpan(c: String): Double = parts.map { p =>
+      val r = s.read.parquet(p).agg(min(col(c)), max(col(c))).head()
+      (r.getLong(1) - r.getLong(0)).toDouble
+    }.sum / parts.length
+    val g = li.agg(max("x") - min("x"), max("y") - min("y")).head()
+    assert(avgSpan("x") < g.getLong(0) * 0.55, "x span must shrink per file")
+    assert(avgSpan("y") < g.getLong(1) * 0.55, "y span must shrink per file")
+  }
+
+  test("KMV sketch: estimate tracks exact distinct; merge == rebuild") {
+    val kmv = graft.warehouse.Sketched.kmvDistinct(s, d)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("uv"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kmv.keySet === exact.keySet)
+    exact.foreach { case (et, uv) =>
+      // k=64 gives ~1/sqrt(62) ≈ 13% standard error; allow 3σ
+      assert(math.abs(kmv(et) - uv) <= math.max(3.0, uv * 0.4),
+        s"$et: est ${kmv(et)} vs exact $uv")
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // at warehouse scale a selective dim predicate should cut the
     // fact scan BEFORE the shuffle: Spark's InjectRuntimeFilter adds
