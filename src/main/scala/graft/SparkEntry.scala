@@ -106,6 +106,7 @@ object SparkEntry {
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
     "sim_knn_join" -> (Similarity.knnJoin(_, _)),
     "sim_kmeans" -> (Similarity.kmeansClusters(_, _)),
+    "sim_ann_pq" -> (Similarity.annPq(_, _)),
     "dedup_cross_source" -> (Dedup.crossSourceOverlap(_, _)),
     "dedup_chunks" -> (Dedup.chunkDedup(_, _)),
     "dedup_bloom_decontaminate" -> (Dedup.bloomDecontaminate(_, _)),
@@ -975,6 +976,39 @@ object SparkEntry {
         |           PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2) t
         |       WHERE rn = 1)
         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM a2""".stripMargin,
+    // PQ replayed end-to-end: same strided codebooks, same exact-
+    // integer subspace distances, same first-min code assignment,
+    // same ADC sum — bit-for-bit, so ranks hash-match
+    "sim_ann_pq" ->
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(round(x * 1000) AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |tot AS (SELECT COUNT(*) AS n FROM emb),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+        |          FROM emb, tot
+        |          WHERE vec_id % greatest(1, n // 16) = 0
+        |            AND vec_id // greatest(1, n // 16) < 16),
+        |dists AS (SELECT e.vec_id, g.u, s.j,
+        |    list_sum(list_transform(range(2),
+        |      i -> (e.v[g.u * 2 + i + 1] - s.v[g.u * 2 + i + 1])
+        |         * (e.v[g.u * 2 + i + 1] - s.v[g.u * 2 + i + 1]))) AS dist
+        |  FROM emb e CROSS JOIN range(0, 32) AS g(u) CROSS JOIN seeds s),
+        |codes AS (SELECT vec_id, u, j AS code FROM (
+        |    SELECT vec_id, u, j, row_number() OVER (
+        |      PARTITION BY vec_id, u ORDER BY dist, j) AS rn FROM dists) t
+        |  WHERE rn = 1),
+        |adc AS (SELECT dq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    SUM(dq.dist) AS adist
+        |  FROM codes c
+        |  JOIN dists dq ON dq.u = c.u AND dq.j = c.code
+        |  WHERE dq.vec_id < 20 AND c.vec_id <> dq.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rk, neighbor_id FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
+        | FROM adc) t
+        |WHERE rk <= 5""".stripMargin,
     "sim_knn_join" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

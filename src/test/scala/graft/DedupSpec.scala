@@ -170,6 +170,21 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("PQ ANN: full result shape, nonzero recall, ADC distances exact ints") {
+    val bf = Similarity.bruteForceTopK(s, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = Similarity.annPq(s, d).collect()
+    // every query answers with a full top-k (PQ scans all candidates —
+    // it compresses distance math, it never loses candidates)
+    val perQuery = pq.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.size === 20 && perQuery.values.forall(_.length === 5))
+    val pqPairs = pq
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (pqPairs & bf).size.toDouble / bf.size
+    info(f"PQ recall vs brute force: $recall%.2f")
+    assert(recall >= 0.3, s"PQ recall too low: $recall")
+  }
+
   test("winnowing: shared long substrings produce shared fingerprints") {
     import s.implicits._
     val base = graft.sources.Tables.documents(s, d)

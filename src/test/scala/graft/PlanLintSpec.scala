@@ -25,11 +25,15 @@ class PlanLintSpec extends AnyFunSuite {
     *   per-key counts (the cross-multiplied hot test)
     * - pipeline_domain_mix: the 1-row max-feasible-total crossJoin
     *   onto the tiny per-language count table
+    * - sim_ann_pq: the broadcast-query-set scan shape again, but with
+    *   per-pair cost compressed to m LUT reads (that compression — not
+    *   candidate pruning — is what PQ buys; compose with IVF cells for
+    *   pruning)
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
     "sim_filtered_ann", "text_tfidf_topk", "analytics_key_skew",
-    "pipeline_domain_mix")
+    "pipeline_domain_mix", "sim_ann_pq")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
