@@ -111,6 +111,8 @@ object SparkEntry {
     "dedup_chunks" -> (Dedup.chunkDedup(_, _)),
     "dedup_bloom_decontaminate" -> (Dedup.bloomDecontaminate(_, _)),
     "dedup_containment" -> (Dedup.containment(_, _)),
+    "dedup_edit_distance" -> (Dedup.editDistancePairs(_, _)),
+    "text_lm_score" -> (TextAnalysis.lmScore(_, _)),
     "text_repetition" -> (TextAnalysis.repetitionStats(_, _)),
     "corpus_sample_stratified" -> (TextAnalysis.sampleStratified(_, _)),
     "corpus_sample_bottomk" -> (TextAnalysis.sampleBottomK(_, _)),
@@ -919,6 +921,38 @@ object SparkEntry {
         | FROM documents) dd
         |JOIN r ON dd.lang = r.lang
         |WHERE bucket_ppm < accept_ppm""".stripMargin,
+    // same blocking, same 40-char heads, same classic Levenshtein
+    "dedup_edit_distance" ->
+      """WITH h AS (
+        | SELECT doc_id, substr(lower(text), 1, 40) AS head,
+        |  substr(lower(text), 1, 8) AS blk
+        | FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | levenshtein(a.head, b.head) AS dist
+        |FROM h a JOIN h b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 10""".stripMargin,
+    // integer-ppm MLE conditionals: engine-exact where log-probs
+    // would not be; sums cast back to BIGINT (DuckDB SUM is HUGEINT)
+    "text_lm_score" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+        | FROM documents),
+        |bg AS (
+        | SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i + 1]}
+        |    for i in range(1, greatest(len(t), 1))]) AS u
+        |  FROM toks) x),
+        |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+        |cu AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY 1),
+        |pd AS (
+        | SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM((cb.cb * 1000000) // cu.cu) AS BIGINT) AS sum_ppm
+        | FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+        | GROUP BY 1)
+        |SELECT d.doc_id, pd.n_bigrams, pd.sum_ppm,
+        | pd.sum_ppm // pd.n_bigrams AS avg_ppm
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
     // same md5 sort key both engines (lowercase hex, ASCII order);
     // doc_id tiebreak makes the top-k deterministic
     "corpus_sample_bottomk" ->

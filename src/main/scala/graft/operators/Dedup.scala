@@ -429,4 +429,31 @@ object Dedup {
           col("a.nrm"), col("b.nrm")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Edit-distance near-dup pairs — the entity-resolution "blocking"
+    * shape: candidates come from an EQUI-join on a cheap block key
+    * (here the 8-char head prefix — near-identical openings land in
+    * the same block), then the expensive Levenshtein DP runs only
+    * within blocks. Shuffle is O(n) on the block key and the
+    * quadratic work is bounded by block size, the same contract as
+    * the LSH/band joins elsewhere in this family; the trade is
+    * recall (a pair whose first 8 chars differ is missed — a real
+    * pipeline adds a second blocking pass, e.g. a SimHash band, and
+    * unions candidates). Distance runs on a fixed 40-char head, so
+    * per-pair cost is capped at 40×40 DP cells regardless of doc
+    * length.
+    */
+  def editDistancePairs(s: SparkSession, d: String,
+      headLen: Int = 40, blockLen: Int = 8,
+      maxDist: Int = 10): DataFrame = {
+    val h = Tables.documents(s, d).select(col("doc_id"),
+        substring(lower(col("text")), 1, headLen).as("head"))
+      .withColumn("blk", substring(col("head"), 1, blockLen))
+    h.as("a").join(h.as("b"),
+        col("a.blk") === col("b.blk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        levenshtein(col("a.head"), col("b.head")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -271,32 +271,31 @@ object Similarity {
       .cache()
     val total = e.count()
     val stride = math.max(1L, total / ks)
-    val seeds = e.filter(col("vec_id") % stride === 0 &&
+    // flattened (ks × dim) codebook literal for the native PQ family
+    // (the m×ks composed-expression form blows past codegen method
+    // limits and re-evaluates interpreted — 23s vs ~2s at sf0.1)
+    val cbFlat = e.filter(col("vec_id") % stride === 0 &&
         col("vec_id") / stride < ks)
       .orderBy("vec_id").collect()
-      .map(_.getSeq[Double](1).toArray)
-    // exact-integer squared L2 between v's subspace u and seed j's
-    def subDist(v: Column, u: Int, j: Int): Column =
-      (0 until sub).map { i =>
-        val diff = element_at(v, u * sub + i + 1) - lit(seeds(j)(u * sub + i))
-        diff * diff
-      }.reduce(_ + _)
-    def lut(v: Column, u: Int): Column =
-      array((0 until ks).map(j => subDist(v, u, j)): _*)
-    // encode: per subspace, first-minimum centroid index
-    val corpus = e.select(col("vec_id") +: (0 until m).map { u =>
-      val arr = lut(col("v"), u)
-      (array_position(arr, array_min(arr)) - 1).cast("int").as(s"code$u")
-    }: _*)
-    // queries carry their LUTs; the corpus never shuffles
+      .flatMap(_.getSeq[Double](1))
+    // encode: per subspace, first-minimum centroid index. CACHED —
+    // this is the index build, done once per corpus; without the
+    // materialization boundary CollapseProject folds the encode into
+    // the post-join projection and re-runs it per (query, candidate)
+    // pair
+    val corpus = e.select(col("vec_id"),
+      call_function("graft_pq_encode", col("v"), typedLit(cbFlat),
+        lit(m), lit(ks)).as("codes")).cache()
+    // queries carry their LUTs (computed once per query row, before
+    // the join); the corpus never shuffles
     val q = e.filter(col("vec_id") < nQueries).select(
-      col("vec_id").as("query_id") +:
-        (0 until m).map(u => lut(col("v"), u).as(s"lut$u")): _*)
-    val adc = (0 until m).map(u =>
-      element_at(col(s"lut$u"), col(s"code$u") + 1)).reduce(_ + _)
+      col("vec_id").as("query_id"),
+      call_function("graft_pq_lut", col("v"), typedLit(cbFlat),
+        lit(m), lit(ks)).as("lut"))
     val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        adc.as("adist"))
+        call_function("graft_pq_adc", col("lut"), col("codes"), lit(ks))
+          .as("adist"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist"), col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))

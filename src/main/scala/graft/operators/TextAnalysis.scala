@@ -206,6 +206,47 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
   }
 
+  /** Corpus-trained bigram language-model scoring — the CCNet-style
+    * "perplexity filter" shape (train an n-gram LM, score every doc,
+    * filter the tail), with the likelihood kept in INTEGER ppm
+    * arithmetic so the score is engine-exact: per bigram,
+    * p_ppm = 1e6·count(w1,w2) div count(w1·) — the MLE conditional
+    * scaled to parts-per-million with integer division — and a doc
+    * scores the sum and integer mean of its bigrams' p_ppm.
+    * (Production would sum log-probs; ln() is transcendental and not
+    * bit-portable across engines, and the ppm mean ranks fluent-vs-
+    * junk documents the same way for filtering purposes.)
+    *
+    * Scale shape: training IS the aggregation — two map-side-
+    * combinable groupBys over the exploded bigrams (the distributed
+    * LM-count job), then two equi-joins to score and one per-doc
+    * re-aggregation. Every stage keys on high-cardinality columns;
+    * nothing collects to the driver. At 100 TB the bigram table is
+    * itself big data and stays partitioned by word — exactly why
+    * scoring is a join, not a broadcast.
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), Text.wsTokens(col("text")).as("t"))
+    val bigrams = toks
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = bigrams.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val perDoc = bigrams.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .withColumn("p_ppm", expr("cb * 1000000 div cu"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sum_ppm"))
+      .withColumn("avg_ppm", expr("sum_ppm div n_bigrams"))
+    // docs with <2 tokens survive with null scores (none in testdata,
+    // but a real corpus has them and they must not vanish)
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+  }
+
   /** EXACT-SIZE per-stratum sampling: the k docs with the smallest
     * md5(doc_id) per language — "give me exactly 1000 uniform docs
     * per domain", where [[sampleStratified]]'s rate filter gives a

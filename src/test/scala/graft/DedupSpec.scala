@@ -170,6 +170,34 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("edit-distance blocking: every emitted pair verifies, none exceeds the cap") {
+    val pairs = Dedup.editDistancePairs(s, d).collect()
+    assert(pairs.nonEmpty, "testdata contains same-head near-dups")
+    val heads = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      assert(a < b)
+      val d0 = r.getAs[Int]("dist")
+      assert(d0 <= 10 && d0 === lev(heads(a), heads(b)),
+        s"pair ($a,$b) dist $d0")
+    }
+  }
+
   test("PQ ANN: full result shape, nonzero recall, ADC distances exact ints") {
     val bf = Similarity.bruteForceTopK(s, d).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet

