@@ -61,6 +61,10 @@ object SparkEntry {
     "dim_snapshot_diff" -> (Temporal.snapshotDiff(_, _)),
     "analytics_incremental_gmv" -> (Incremental.dailyGmv(_, _)),
     "analytics_kmv_distinct" -> (graft.warehouse.Sketched.kmvDistinct(_, _)),
+    "analytics_gap_fill" -> (Analytics.gapFillDaily(_, _)),
+    "analytics_unpivot" -> (Analytics.lineitemUnpivot(_, _)),
+    "analytics_grouping_sets" -> (Analytics.revenueGroupingSets(_, _)),
+    "analytics_rank_suite" -> (Analytics.orderRankSuite(_, _)),
     "layout_zorder" -> (graft.sources.ZOrder.lineitemZKeys(_, _)),
     "analytics_funnel" -> (Analytics.funnel(_, _)),
     "analytics_rfm" -> (Analytics.rfm(_, _)),
@@ -495,6 +499,65 @@ object SparkEntry {
         |      WHEN b_n IS NULL THEN 'deleted'
         |      WHEN a_n <> b_n OR a_tot <> b_tot THEN 'changed'
         |      ELSE 'unchanged' END) <> 'unchanged'""".stripMargin,
+    // spine via generate_series; carry-forward via IGNORE NULLS
+    // last_value over the same unbounded-preceding frame
+    "analytics_gap_fill" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+        |  COUNT(*) AS n_orders,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS gmv_dec
+        | FROM orders GROUP BY 1, 2),
+        |b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+        |        MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+        |sp0 AS (
+        | SELECT p.prio, b.d0,
+        |  unnest(range(0, CAST(b.d1 - b.d0 AS BIGINT) + 1)) AS i
+        | FROM (SELECT DISTINCT prio FROM daily) p CROSS JOIN b),
+        |spine AS (
+        | SELECT prio, CAST(d0 + CAST(i AS INT) AS DATE) AS day FROM sp0)
+        |SELECT s.prio, s.day,
+        | coalesce(d.n_orders, 0) AS n_orders,
+        | CAST(coalesce(d.gmv_dec, 0) AS DOUBLE) AS gmv,
+        | CAST(last_value(d.gmv_dec IGNORE NULLS) OVER (
+        |   PARTITION BY s.prio ORDER BY s.day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS gmv_carry
+        |FROM spine s LEFT JOIN daily d ON s.prio = d.prio
+        | AND s.day = d.day""".stripMargin,
+    "analytics_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, m.measure, m.val FROM lineitem,
+        |LATERAL (VALUES
+        | ('quantity', CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE)),
+        | ('extendedprice',
+        |   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)),
+        | ('discount', CAST(CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE)),
+        | ('tax', CAST(CAST(l_tax AS DECIMAL(12,2)) AS DOUBLE))
+        |) m(measure, val)""".stripMargin,
+    "analytics_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        | coalesce(l_linestatus, 'ALL') AS lstatus,
+        | CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+        |   AS BIGINT) AS gid,
+        | COUNT(*) AS ct,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin,
+    // rank family over coarse buckets (real ties); ntile over the
+    // unique total order (position-based, needs determinism)
+    "analytics_rank_suite" ->
+      """SELECT o_orderkey, o_orderpriority AS prio,
+        | CAST(dense_rank() OVER wt AS INT) AS drank,
+        | CAST(ntile(4) OVER wu AS INT) AS quartile,
+        | percent_rank() OVER wt AS prank,
+        | cume_dist() OVER wt AS cdist
+        |FROM orders
+        |WINDOW wt AS (PARTITION BY o_orderpriority
+        |  ORDER BY CAST(floor(o_totalprice / 10000) AS BIGINT)),
+        |wu AS (PARTITION BY o_orderpriority
+        |  ORDER BY CAST(floor(o_totalprice / 10000) AS BIGINT),
+        |   o_orderkey)""".stripMargin,
     // KMV sketch replayed bit-for-bit: same 48-bit md5-prefix hashes,
     // same bottom-k, same integer-division estimate
     "analytics_kmv_distinct" ->

@@ -426,4 +426,102 @@ object Analytics {
       .agg(count(lit(1)).as("ct"),
         min(dec(col("o_totalprice"))).cast("double").as("min_total"),
         max(dec(col("o_totalprice"))).cast("double").as("max_total"))
+
+  /** Time-series gap filling + carry-forward interpolation — the
+    * ClickHouse `WITH FILL` / dashboard-spine shape: a complete
+    * day spine per group (so charts and window math see every day,
+    * including zero-activity ones), missing counts filled with 0 and
+    * the last known aggregate carried forward (`last(ignoreNulls)`
+    * over an unbounded-preceding frame).
+    *
+    * Scale shape: the spine is groups × days — agg-grain, tiny next
+    * to the fact table whatever the SF — built by exploding one
+    * `sequence(min_day, max_day)` per group; the fill join and the
+    * carry-forward window both key on the group, so everything
+    * shuffles at spine grain, never fact grain.
+    */
+  def gapFillDaily(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("prio"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).as("gmv_dec"))
+    val bounds = Tables.orders(s, d)
+      .agg(min(col("o_orderdate").cast("date")).as("d0"),
+        max(col("o_orderdate").cast("date")).as("d1"))
+    val spine = daily.select(col("prio")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("prio"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("prio").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("prio", "day"), "left")
+      .select(col("prio"), col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("gmv_dec"), lit(0).cast(DecimalType(12, 2)))
+          .cast("double").as("gmv"),
+        last(col("gmv_dec"), ignoreNulls = true).over(w)
+          .cast("double").as("gmv_carry"))
+  }
+
+  /** UNPIVOT (melt) — the wide→long inverse of [[eventPivot]]: one
+    * row per (lineitem, measure). Pure per-row row-generation, zero
+    * shuffle; the long form is what generic metric sinks and ML
+    * feature stores ingest.
+    */
+  def lineitemUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dec(col("l_quantity")).cast("double").as("quantity"),
+        dec(col("l_extendedprice")).cast("double").as("extendedprice"),
+        dec(col("l_discount")).cast("double").as("discount"),
+        dec(col("l_tax")).cast("double").as("tax"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount"),
+          col("tax")),
+        "measure", "val")
+
+  /** Explicit GROUPING SETS with grouping_id — the general subtotal
+    * lattice ROLLUP/CUBE specialize: only the three groupings a
+    * dashboard actually serves, not the full 2^n. Same partial/final
+    * aggregation shape as any groupBy — Spark expands the sets
+    * map-side (Expand), so the fact table is still scanned once.
+    */
+  def revenueGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        | coalesce(l_linestatus, 'ALL') AS lstatus,
+        | grouping_id(l_returnflag, l_linestatus) AS gid,
+        | COUNT(*) AS ct,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin)
+  }
+
+  /** The rank-window suite: dense_rank / ntile / percent_rank /
+    * cume_dist per order within its priority class — the four
+    * ranking primitives beyond plain row_number/rank, in one window
+    * pass (one shuffle on the partition key, per-group sorts).
+    * percent_rank and cume_dist are ratios of small exact ints —
+    * engine-identical doubles, safe to hash.
+    */
+  def orderRankSuite(s: SparkSession, d: String): DataFrame = {
+    // rank-family functions order by a COARSE bucket so ties exist
+    // (that's what separates dense_rank/percent_rank/cume_dist from
+    // row_number); ntile assigns by row POSITION, so it gets a
+    // unique total order or it is nondeterministic across engines
+    val bucket = floor(col("o_totalprice") / 10000).cast("long")
+    val wTies = Window.partitionBy("o_orderpriority").orderBy(bucket)
+    val wTotal = Window.partitionBy("o_orderpriority")
+      .orderBy(bucket, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+        dense_rank().over(wTies).as("drank"),
+        ntile(4).over(wTotal).as("quartile"),
+        percent_rank().over(wTies).as("prank"),
+        cume_dist().over(wTies).as("cdist"))
+  }
 }

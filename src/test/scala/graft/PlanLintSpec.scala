@@ -29,11 +29,14 @@ class PlanLintSpec extends AnyFunSuite {
     *   per-pair cost compressed to m LUT reads (that compression — not
     *   candidate pruning — is what PQ buys; compose with IVF cells for
     *   pruning)
+    * - analytics_gap_fill: the 1-row (min_day, max_day) bounds
+    *   crossJoined onto the tiny distinct-groups frame to build the
+    *   day spine
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
     "sim_filtered_ann", "text_tfidf_topk", "analytics_key_skew",
-    "pipeline_domain_mix", "sim_ann_pq")
+    "pipeline_domain_mix", "sim_ann_pq", "analytics_gap_fill")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -146,6 +146,32 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("gap fill: contiguous spine per group, carry-forward holds value") {
+    val rows = graft.warehouse.Analytics.gapFillDaily(s, d).collect()
+    val byPrio = rows.groupBy(_.getAs[String]("prio"))
+    byPrio.foreach { case (p, rs) =>
+      val days = rs.map(_.getAs[java.sql.Date]("day").toLocalDate).sorted
+      // spine is gapless: day count == span
+      assert(days.length.toLong ===
+        java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last) + 1,
+        s"$p spine has gaps")
+      // carry-forward: once a value appears it never goes null, and on
+      // zero-order days it equals the previous day's carry
+      val sortedRows = rs.sortBy(_.getAs[java.sql.Date]("day").toLocalDate
+        .toEpochDay)
+      sortedRows.sliding(2).foreach {
+        case Array(a, b) =>
+          if (!a.isNullAt(a.fieldIndex("gmv_carry")))
+            assert(!b.isNullAt(b.fieldIndex("gmv_carry")), s"$p carry lost")
+          if (b.getAs[Long]("n_orders") == 0 &&
+              !a.isNullAt(a.fieldIndex("gmv_carry")))
+            assert(b.getAs[Double]("gmv_carry") ===
+              a.getAs[Double]("gmv_carry"), s"$p carry changed on gap day")
+        case _ =>
+      }
+    }
+  }
+
   test("incremental merge equals the one-shot recompute exactly") {
     val merged = graft.warehouse.Incremental.dailyGmv(s, d)
     val full = graft.sources.Tables.orders(s, d)
