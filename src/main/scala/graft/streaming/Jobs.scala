@@ -294,4 +294,78 @@ object Jobs {
     "start" -> logs.filter(col("event_type") === "signup"),
     "action" -> logs.filter(col("event_type").isin("click", "purchase")),
     "page" -> logs.filter(col("event_type") === "view"))
+
+  /** Input shape for [[paymentTimeoutAlerts]]: `kind` is "order" or
+    * "pay".
+    */
+  case class OrderKindEvent(order_id: Long, kind: String,
+      ts: java.sql.Timestamp)
+  /** One alert per order whose payment never arrived in time. */
+  case class TimeoutAlert(order_id: Long, order_ts: java.sql.Timestamp,
+      deadline_ts: java.sql.Timestamp)
+
+  /** Payment-timeout detection — the Flink-CEP "A not followed by B
+    * within T" pattern (the reference's order/payment timeout apps
+    * side-output unpaid orders; the CDC cancel fact
+    * DwdTradeOrderCancelDetail.java:1 is the batch echo of the same
+    * business rule), rebuilt on `flatMapGroupsWithState` with EVENT-
+    * TIME timeouts: per order key the state holds (order_ts, paid);
+    * an unpaid order arms `setTimeoutTimestamp(order_ts + T)` and the
+    * alert fires exactly when the WATERMARK — not wall clock —
+    * passes the deadline, so replays and backfills produce identical
+    * alerts (processing-time CEP would not).
+    *
+    * Out-of-order safe: a payment that arrives before its order row
+    * marks the key paid and parks a cleanup timeout, so neither
+    * arrival order leaks state nor alerts. State is O(open orders
+    * inside the watermark), the same bound the reference's CEP
+    * within-clause guarantees.
+    */
+  def paymentTimeoutAlerts(events: DataFrame, timeoutMs: Long = 900000L,
+      watermark: String = "10 minutes"): Dataset[TimeoutAlert] = {
+    val s = events.sparkSession
+    import s.implicits._
+    // state: (order_ts_millis or MinValue if unseen, paid)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("order_id"), col("kind"), col("ts"))
+      .as[OrderKindEvent]
+      .groupByKey(_.order_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (oid: Long, evs: Iterator[OrderKindEvent],
+            state: GroupState[(Long, Boolean)]) => {
+          if (state.hasTimedOut) {
+            val (orderTs, paid) = state.get
+            state.remove()
+            if (!paid && orderTs != Long.MinValue)
+              Iterator.single(TimeoutAlert(oid,
+                new java.sql.Timestamp(orderTs),
+                new java.sql.Timestamp(orderTs + timeoutMs)))
+            else Iterator.empty
+          } else {
+            var (orderTs, paid) = state.getOption
+              .getOrElse((Long.MinValue, false))
+            var maxSeen = Long.MinValue
+            evs.foreach { e =>
+              val ms = e.ts.getTime
+              maxSeen = math.max(maxSeen, ms)
+              if (e.kind == "pay") paid = true
+              else if (orderTs == Long.MinValue || ms < orderTs) orderTs = ms
+            }
+            if (paid && orderTs != Long.MinValue) {
+              // pattern satisfied (or refuted) — drop the key now
+              state.remove()
+            } else {
+              state.update((orderTs, paid))
+              // unpaid order: alert when the watermark passes the
+              // deadline; orphan payment: park a cleanup timeout so
+              // the key cannot leak if the order row never shows
+              val base = if (orderTs != Long.MinValue) orderTs else maxSeen
+              state.setTimeoutTimestamp(base + timeoutMs)
+            }
+            Iterator.empty
+          }
+        })
+  }
 }

@@ -626,4 +626,44 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("payment timeout: watermark-driven alerts for unpaid orders only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // base time well past the epoch: the initial watermark is 0, and
+    // Structured Streaming drops input rows with event time <= the
+    // current watermark as late — an epoch-0 event is silently lost
+    def ts(min: Long) = new java.sql.Timestamp((100 + min) * 60000L)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val alerts = graft.streaming.Jobs.paymentTimeoutAlerts(
+      mem.toDF().toDF("order_id", "kind", "ts"),
+      timeoutMs = 15 * 60000L, watermark = "10 minutes")
+    val q = alerts.writeStream.format("memory").queryName("pay_timeout")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("cep-ckpt")).start()
+    // order 1 pays in time; order 2 never pays; order 3's payment
+    // arrives BEFORE its order row (out-of-order); order 4 unpaid
+    mem.addData((1L, "order", ts(0)), (2L, "order", ts(0)),
+      (3L, "pay", ts(1)), (4L, "order", ts(2)))
+    q.processAllAvailable()
+    mem.addData((1L, "pay", ts(5)), (3L, "order", ts(0)))
+    q.processAllAvailable()
+    // no watermark movement yet: nothing may have fired
+    assert(s.sql("SELECT * FROM pay_timeout").count() === 0)
+    // push the watermark past every deadline (evt 60 → wm 50 > 17)
+    mem.addData((99L, "order", ts(60)))
+    q.processAllAvailable()
+    // one more batch so armed timeouts fire against the new watermark
+    mem.addData((99L, "pay", ts(61)))
+    q.processAllAvailable()
+    q.stop()
+    val fired = s.sql("SELECT order_id, order_ts, deadline_ts FROM pay_timeout")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+    assert(fired.map(_._1).sorted.toSeq === Seq(2L, 4L),
+      s"got ${fired.toSeq}")
+    fired.foreach { case (_, o, dl) =>
+      assert(dl.getTime - o.getTime === 15 * 60000L)
+    }
+  }
 }
