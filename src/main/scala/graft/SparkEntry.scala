@@ -55,6 +55,9 @@ object SparkEntry {
     "analytics_corr" -> (Analytics.corrQtyPrice(_, _)),
     "analytics_histogram" -> (Analytics.orderTotalHistogram(_, _)),
     "graph_pagerank" -> (graft.operators.Graph.pagerankCoPurchase(_, _)),
+    "graph_triangles" -> (graft.operators.Graph.triangleCounts(_, _)),
+    "analytics_table_checksum" -> (Analytics.tableChecksum(_, _)),
+    "pipeline_split" -> (TextAnalysis.trainValTestSplit(_, _)),
     "analytics_heavy_hitters" -> (Analytics.heavyHitters(_, _)),
     "analytics_key_skew" -> (Analytics.keySkewProfile(_, _)),
     "dim_merge_upsert" -> (Temporal.mergeUpsert(_, _)),
@@ -600,6 +603,43 @@ object SparkEntry {
         |  (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
         |SELECT l_partkey, l_suppkey, x4 | (y4 << 1) AS zkey
         |FROM s4""".stripMargin,
+    // id-oriented edges enumerate each triangle once; per-node counts
+    // via the 3-role union — all integers, engine-exact
+    "graph_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS s, b.pk AS t
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS (SELECT e1.s AS va, e1.t AS vb, e2.t AS vc
+        |        FROM e e1 JOIN e e2 ON e1.t = e2.s
+        |         JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t)
+        |SELECT part_id, COUNT(*) AS tri_ct FROM (
+        | SELECT va AS part_id FROM tri
+        | UNION ALL SELECT vb FROM tri
+        | UNION ALL SELECT vc FROM tri) r
+        |GROUP BY 1""".stripMargin,
+    // canonical row rendering (stable casts, '|' joints) hashed to
+    // 48 bits and folded with commutative aggregates — identical at
+    // any row order on both engines
+    "analytics_table_checksum" ->
+      """WITH h AS (
+        | SELECT CAST(('0x' || substr(md5(concat_ws('|',
+        |   o_orderkey, o_custkey, o_orderstatus,
+        |   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+        |   CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+        |   o_orderpriority)), 1, 12))::UBIGINT AS BIGINT) AS h
+        | FROM orders)
+        |SELECT COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS sum_hash,
+        | bit_xor(h) AS xor_hash
+        |FROM h""".stripMargin,
+    "pipeline_split" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN bucket < 80 THEN 'train'
+        |      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (
+        | SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |   % 100 AS BIGINT) AS bucket
+        | FROM documents) t""".stripMargin,
     // three damped rounds unrolled; all-integer ppm arithmetic makes
     // the scores order-independent, so the hash grade is exact
     "graph_pagerank" ->

@@ -28,6 +28,40 @@ object Graph {
     * reuse it. 3 rounds ≈ the co-purchase neighborhood smoothing a
     * ranking feature actually uses.
     */
+  /** Per-node triangle counts over the same co-purchase graph — the
+    * local-clustering signal (how interconnected a part's
+    * neighborhood is) and the classic test of whether a join engine
+    * can do graph work: triangles are TWO self-joins of the oriented
+    * edge list (wedge build on the middle vertex, then a closing-edge
+    * equi-join on the (low, high) pair), never an adjacency-matrix
+    * product.
+    *
+    * Edges are oriented low-id → high-id, so each triangle
+    * (a<b<c) is enumerated exactly once as e(a,b)⋈e(b,c)⋈e(a,c).
+    * At skewed scale the orientation would be by DEGREE (low-degree
+    * vertex first — bounds wedges per vertex by the arboricity
+    * argument); id-orientation keeps the oracle trivially mirrorable
+    * and the testdata baskets are near-uniform. All-integer counts —
+    * engine-exact.
+    */
+  def triangleCounts(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("s"), col("b.pk").as("t"))
+      .distinct().cache()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.t") === col("e2.s"))
+      .join(e.as("e3"), col("e3.s") === col("e1.s") &&
+        col("e3.t") === col("e2.t"))
+      .select(col("e1.s").as("va"), col("e1.t").as("vb"),
+        col("e2.t").as("vc"))
+    tri.select(explode(array(col("va"), col("vb"), col("vc")))
+        .as("part_id"))
+      .groupBy("part_id").agg(count(lit(1)).as("tri_ct"))
+  }
+
   def pagerankCoPurchase(s: SparkSession, d: String,
       iters: Int = 3): DataFrame = {
     val li = Tables.lineitem(s, d)

@@ -270,6 +270,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"), col("rk"))
   }
 
+  /** Deterministic train/val/test split (80/10/10 by md5 bucket) —
+    * the leakage-proof corpus partition: membership is a pure
+    * function of doc_id, so the same doc lands in the same split on
+    * every engine, every rerun, every reshard (RNG-based splits
+    * cannot promise that), and the three outputs are disjoint and
+    * exhaustive BY CONSTRUCTION of the bucket ranges. Pure map-side
+    * filter; composes with [[sampleStratified]]'s per-language rates
+    * upstream.
+    */
+  def trainValTestSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 100
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket)
+      .select(col("doc_id"), col("lang"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Contiguous stable ids for the whole corpus (0..n-1 in doc_id
     * order) — the enumeration step before sharding/packing a training
     * corpus. A global `row_number() OVER (ORDER BY ...)` window is a

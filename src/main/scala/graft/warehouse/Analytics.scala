@@ -501,6 +501,30 @@ object Analytics {
         |  (l_returnflag), ())""".stripMargin)
   }
 
+  /** Order-independent table checksum — the "did the copy corrupt
+    * anything" primitive for replication, backfill, and engine-
+    * migration audits at 100 TB: one scan, one 48-bit hash per row
+    * over a CANONICAL string rendering (stable casts, '|' joints),
+    * folded with commutative aggregates (sum / xor / count) so the
+    * result is identical at any partitioning, any row order, any
+    * cluster size. Comparing two engines' checksums IS this repo's
+    * whole grading methodology, distilled into an operator users run
+    * themselves.
+    */
+  def tableChecksum(s: SparkSession, d: String): DataFrame = {
+    val rowStr = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      dec(col("o_totalprice")).cast("string"),
+      col("o_orderdate").cast("date").cast("string"),
+      col("o_orderpriority"))
+    val h48 = conv(substring(md5(rowStr), 1, 12), 16, 10).cast("long")
+    Tables.orders(s, d)
+      .select(h48.as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h")).as("sum_hash"),
+        expr("bit_xor(h)").as("xor_hash"))
+  }
+
   /** The rank-window suite: dense_rank / ntile / percent_rank /
     * cume_dist per order within its priority class — the four
     * ranking primitives beyond plain row_number/rank, in one window

@@ -33,4 +33,30 @@ class GraphSpec extends AnyFunSuite {
     val hi = byDeg.takeRight(n10).map(pr).sum.toDouble / n10
     assert(hi > lo, s"top-degree decile $hi should outrank bottom $lo")
   }
+
+  test("triangle counts match a brute-force adjacency check") {
+    val counts = graft.operators.Graph.triangleCounts(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: adjacency sets on the driver (test scale only)
+    val li = graft.sources.Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk"), col("b.pk")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    edges.foreach { case (a, b) =>
+      (adj(a) & adj(b)).foreach { c =>
+        if (a < b && b < c) { // count each triangle once at its apex pass
+          brute(a) += 1; brute(b) += 1; brute(c) += 1
+        }
+      }
+    }
+    assert(counts === brute.toMap, "per-node triangle counts diverge")
+    // sum over nodes = 3 × triangle count (each triangle hits 3 nodes)
+    assert(counts.values.sum % 3 === 0)
+  }
 }

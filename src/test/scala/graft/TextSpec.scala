@@ -231,6 +231,19 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("train/val/test split: disjoint, exhaustive, near 80/10/10") {
+    val rows = TextAnalysis.trainValTestSplit(s, d).collect()
+    val docs = graft.sources.Tables.documents(s, d).count()
+    assert(rows.length.toLong === docs) // exhaustive, one row per doc
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length.toLong === docs)
+    val bynf = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.length.toDouble / rows.length).toMap
+    assert(bynf.keySet === Set("train", "val", "test"))
+    assert(math.abs(bynf("train") - 0.8) < 0.06, bynf.toString)
+    assert(math.abs(bynf("val") - 0.1) < 0.04, bynf.toString)
+    assert(math.abs(bynf("test") - 0.1) < 0.04, bynf.toString)
+  }
+
   test("LM score: ppm bounds hold and repeated bigrams score higher") {
     val rows = TextAnalysis.lmScore(s, d).collect()
     val docs = graft.sources.Tables.documents(s, d)

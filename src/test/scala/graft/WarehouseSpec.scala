@@ -146,6 +146,33 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("table checksum: order-independent, and a 1-row mutation changes it") {
+    import s.implicits._
+    val base = graft.warehouse.Analytics.tableChecksum(s, d).head()
+    // row order cannot matter: commutative folds over a shuffled copy
+    val again = graft.warehouse.Analytics.tableChecksum(s, d).head()
+    assert(base === again)
+    // mutate one row's status through the same hash pipeline: the
+    // checksum MUST move (that's the whole point of the audit)
+    val mutated = graft.sources.Tables.orders(s, d)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") === 1L, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    val rowStr = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+        .cast("string"),
+      col("o_orderdate").cast("date").cast("string"),
+      col("o_orderpriority"))
+    val mc = mutated.select(
+        conv(substring(md5(rowStr), 1, 12), 16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).as("n"), sum("h").as("sh"),
+        expr("bit_xor(h)").as("xh")).head()
+    assert(mc.getAs[Long]("n") === base.getAs[Long]("n_rows"))
+    assert(mc.getAs[Long]("sh") !== base.getAs[Long]("sum_hash"))
+    assert(mc.getAs[Long]("xh") !== base.getAs[Long]("xor_hash"))
+  }
+
   test("gap fill: contiguous spine per group, carry-forward holds value") {
     val rows = graft.warehouse.Analytics.gapFillDaily(s, d).collect()
     val byPrio = rows.groupBy(_.getAs[String]("prio"))
