@@ -56,6 +56,8 @@ object SparkEntry {
     "analytics_histogram" -> (Analytics.orderTotalHistogram(_, _)),
     "graph_pagerank" -> (graft.operators.Graph.pagerankCoPurchase(_, _)),
     "graph_triangles" -> (graft.operators.Graph.triangleCounts(_, _)),
+    "analytics_assoc_rules" -> (graft.operators.Graph.assocRules(_, _)),
+    "analytics_outliers" -> (Analytics.valueOutliers(_, _)),
     "analytics_table_checksum" -> (Analytics.tableChecksum(_, _)),
     "pipeline_split" -> (TextAnalysis.trainValTestSplit(_, _)),
     "analytics_heavy_hitters" -> (Analytics.heavyHitters(_, _)),
@@ -603,6 +605,44 @@ object SparkEntry {
         |  (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
         |SELECT l_partkey, l_suppkey, x4 | (y4 << 1) AS zkey
         |FROM s4""".stripMargin,
+    // integer-ppm confidence/lift over the same basket self-join;
+    // total baskets inlined identically on both sides
+    "analytics_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_ab
+        |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |          GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |singles AS (SELECT pk, COUNT(*) AS n_one FROM li GROUP BY 1),
+        |tot AS (SELECT COUNT(DISTINCT ok) AS t FROM li),
+        |dir AS (SELECT pa AS ante, pb AS cons, n_ab FROM pairs
+        |        UNION ALL SELECT pb, pa, n_ab FROM pairs)
+        |SELECT ante, cons, n_ab,
+        | (n_ab * 1000000) // a.n_one AS conf_ppm,
+        | (n_ab * t * 1000000) // (a.n_one * c.n_one) AS lift_ppm
+        |FROM dir
+        |JOIN singles a ON a.pk = ante
+        |JOIN singles c ON c.pk = cons
+        |CROSS JOIN tot""".stripMargin,
+    // moments -> mu/sigma doubles derive from exact decimal sums, so
+    // the flag predicate evaluates identically on both engines
+    "analytics_outliers" ->
+      """WITH m AS (
+        | SELECT event_type AS etype, COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(12,2))) AS sx,
+        |  SUM(CAST(CAST(value AS DECIMAL(12,2))
+        |    * CAST(value AS DECIMAL(12,2)) AS DECIMAL(38,4))) AS sxx
+        | FROM events GROUP BY 1),
+        |mm AS (SELECT etype, CAST(sx AS DOUBLE) / n AS mu,
+        |        sqrt(CAST(sxx AS DOUBLE) / n
+        |          - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+        |         AS sigma
+        |       FROM m)
+        |SELECT event_id, etype,
+        | CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value
+        |FROM events JOIN mm ON event_type = etype
+        |WHERE abs(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) - mu)
+        |  > sigma * 3.0""".stripMargin,
     // id-oriented edges enumerate each triangle once; per-node counts
     // via the 3-role union — all integers, engine-exact
     "graph_triangles" ->

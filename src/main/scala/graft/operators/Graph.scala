@@ -28,6 +28,44 @@ object Graph {
     * reuse it. 3 rounds ≈ the co-purchase neighborhood smoothing a
     * ranking feature actually uses.
     */
+  /** Market-basket association rules over co-purchased parts — the
+    * support / confidence / lift triple of classic basket mining
+    * (the reference's domain IS e-commerce carts), in INTEGER ppm so
+    * every ratio is engine-exact: conf(a→b) = 1e6·n(ab) div n(a),
+    * lift scaled by total baskets. Pair support comes from the same
+    * basket self-join as the co-purchase graph (bounded by basket
+    * size², never |parts|²); per-part support is one combinable
+    * groupBy; both directions of each rule emit via a union. The
+    * min-support floor keeps the rule set the interesting minority —
+    * at 100 TB that floor is what bounds the shuffle, same role as
+    * the CMS screen in the heavy-hitters query.
+    */
+  def assocRules(s: SparkSession, d: String,
+      minSupport: Long = 5): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val singles = li.groupBy(col("pk")).agg(count(lit(1)).as("n_one"))
+    val total = li.select(col("ok")).distinct().count()
+    val directed = pairs.select(col("pa").as("ante"), col("pb").as("cons"),
+        col("n_ab"))
+      .unionByName(pairs.select(col("pb").as("ante"), col("pa").as("cons"),
+        col("n_ab")))
+    directed
+      .join(singles.withColumnRenamed("pk", "ante")
+        .withColumnRenamed("n_one", "n_a"), "ante")
+      .join(singles.withColumnRenamed("pk", "cons")
+        .withColumnRenamed("n_one", "n_c"), "cons")
+      .select(col("ante"), col("cons"), col("n_ab"),
+        expr("n_ab * 1000000 div n_a").as("conf_ppm"),
+        expr(s"n_ab * $total * 1000000 div (n_a * n_c)").as("lift_ppm"))
+  }
+
   /** Per-node triangle counts over the same co-purchase graph — the
     * local-clustering signal (how interconnected a part's
     * neighborhood is) and the classic test of whether a join engine

@@ -21,4 +21,26 @@ object Partitioned {
   def readDay(s: SparkSession, path: String, partCol: String,
       day: String): DataFrame =
     s.read.parquet(path).filter(col(partCol) === day)
+
+  /** Idempotent partition backfill: overwrite ONLY the partitions
+    * present in `df`, leave every other directory untouched — the
+    * dynamic `partitionOverwriteMode` contract that makes "re-run
+    * yesterday's job" safe (static overwrite mode would drop the
+    * whole table; appending would double-count). This is THE
+    * correction primitive for a date-partitioned lake: recompute one
+    * day from source, land it atomically per-partition, serving
+    * queries on other days never notice.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+      partCol: String): Unit = {
+    val s = df.sparkSession
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

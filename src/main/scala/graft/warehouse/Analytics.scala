@@ -501,6 +501,36 @@ object Analytics {
         |  (l_returnflag), ())""".stripMargin)
   }
 
+  /** Z-score outlier flags from EXACT decimal moments — the one-scan
+    * anomaly screen: per event type, mean and variance derive
+    * from (n, Σx, Σx²) decimal sums (order-independent, so the
+    * doubles they cast to are engine-exact — the same moments
+    * discipline as [[corrQtyPrice]]), then every event's
+    * |x−μ|/σ > threshold test is a pure map-side expression against
+    * the broadcast per-type moment table. Two scans total (moments +
+    * flags) — at 100 TB the alternative, a per-group window, would
+    * sort the whole fact table to compute a per-row constant.
+    */
+  def valueOutliers(s: SparkSession, d: String,
+      threshold: Double = 3.0): DataFrame = {
+    val x = dec(col("value"))
+    val moments = Tables.events(s, d)
+      .groupBy(col("event_type").as("etype"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"),
+        sum((x * x).cast(DecimalType(38, 4))).as("sxx"))
+      .select(col("etype"),
+        (col("sx").cast("double") / col("n")).as("mu"),
+        sqrt(col("sxx").cast("double") / col("n") -
+          (col("sx").cast("double") / col("n")) *
+          (col("sx").cast("double") / col("n"))).as("sigma"))
+    Tables.events(s, d)
+      .join(broadcast(moments), col("event_type") === col("etype"))
+      .filter(abs(dec(col("value")).cast("double") - col("mu")) >
+        col("sigma") * threshold)
+      .select(col("event_id"), col("etype"),
+        dec(col("value")).cast("double").as("value"))
+  }
+
   /** Order-independent table checksum — the "did the copy corrupt
     * anything" primitive for replication, backfill, and engine-
     * migration audits at 100 TB: one scan, one 48-bit hash per row

@@ -192,6 +192,27 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition overwrite: backfilled day replaced, others untouched") {
+    import s.implicits._
+    import graft.sources.Partitioned
+    val path = java.nio.file.Files.createTempDirectory("dynpart").toString + "/t"
+    Partitioned.write(Seq(
+      ("2026-08-01", 1L, 10.0), ("2026-08-01", 2L, 20.0),
+      ("2026-08-02", 3L, 30.0)).toDF("dt", "id", "v"), path, "dt")
+    // backfill ONLY day 2 with corrected rows
+    Partitioned.overwritePartitions(
+      Seq(("2026-08-02", 99L, 99.9)).toDF("dt", "id", "v"), path, "dt")
+    val after = s.read.parquet(path).collect()
+      .map(r => s"${r.getAs[Any]("dt")}|${r.getAs[Any]("id")}|" +
+        s"${r.getAs[Any]("v")}").toSet
+    assert(after === Set("2026-08-01|1|10.0", "2026-08-01|2|20.0",
+      "2026-08-02|99|99.9"),
+      s"day 1 must survive, day 2 must be replaced: $after")
+    // the session conf must not leak out of the call
+    assert(s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"))
+  }
+
   test("z-ordered files cover small rectangles of BOTH dimensions") {
     import graft.sources.ZOrder
     val out = java.nio.file.Files.createTempDirectory("zorder").toString + "/li"

@@ -146,6 +146,27 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("outliers: every flagged event is beyond 3 sigma of its type") {
+    val flagged = graft.warehouse.Analytics.valueOutliers(s, d).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("etype"),
+        r.getAs[Double]("value")))
+    assert(flagged.nonEmpty)
+    val rows = graft.sources.Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val stats = rows.groupBy(_._2).view.mapValues { rs =>
+      val xs = rs.map(_._3)
+      val mu = xs.sum / xs.length
+      (mu, math.sqrt(xs.map(x => x * x).sum / xs.length - mu * mu))
+    }.toMap
+    flagged.foreach { case (_, p, x) =>
+      val (mu, sig) = stats(p)
+      assert(math.abs(x - mu) > 2.9 * sig, s"$x not an outlier for $p")
+    }
+  }
+
   test("table checksum: order-independent, and a 1-row mutation changes it") {
     import s.implicits._
     val base = graft.warehouse.Analytics.tableChecksum(s, d).head()
