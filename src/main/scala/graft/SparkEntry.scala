@@ -66,6 +66,8 @@ object SparkEntry {
     "dim_snapshot_diff" -> (Temporal.snapshotDiff(_, _)),
     "analytics_incremental_gmv" -> (Incremental.dailyGmv(_, _)),
     "analytics_kmv_distinct" -> (graft.warehouse.Sketched.kmvDistinct(_, _)),
+    "analytics_kmv_native" ->
+      (graft.warehouse.Sketched.kmvDistinctNative(_, _)),
     "analytics_gap_fill" -> (Analytics.gapFillDaily(_, _)),
     "analytics_unpivot" -> (Analytics.lineitemUnpivot(_, _)),
     "analytics_grouping_sets" -> (Analytics.revenueGroupingSets(_, _)),
@@ -566,6 +568,23 @@ object SparkEntry {
     // KMV sketch replayed bit-for-bit: same 48-bit md5-prefix hashes,
     // same bottom-k, same integer-division estimate
     "analytics_kmv_distinct" ->
+      """WITH dh AS (
+        | SELECT DISTINCT event_type,
+        |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |   ::UBIGINT AS BIGINT) AS h
+        | FROM events),
+        |bk AS (
+        | SELECT event_type, h, row_number() OVER (
+        |   PARTITION BY event_type ORDER BY h) AS rk
+        | FROM dh)
+        |SELECT event_type, COUNT(*) AS n_kept,
+        | CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+        |      ELSE 17732923532771328 // MAX(h) END AS BIGINT)
+        |  AS est_distinct
+        |FROM bk WHERE rk <= 64 GROUP BY event_type""".stripMargin,
+    // same oracle as analytics_kmv_distinct: the native aggregate
+    // must produce the identical sketch
+    "analytics_kmv_native" ->
       """WITH dh AS (
         | SELECT DISTINCT event_type,
         |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))

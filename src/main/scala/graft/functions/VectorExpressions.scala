@@ -448,6 +448,8 @@ object VectorExpressions {
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv", exprs => KmvSketchAgg(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_encode",
       exprs => PqEncode(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

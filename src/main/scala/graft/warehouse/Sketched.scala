@@ -63,6 +63,31 @@ object Sketched {
     * via the WindowGroupLimit partial top-k — executors forward at
     * most k hashes per group, never their full key slice.
     */
+  /** The same KMV sketch through the native
+    * [[graft.functions.KmvSketchAgg]] TypedImperativeAggregate — the
+    * TRUE scale path: [[kmvDistinct]]'s window form shuffles every
+    * distinct (group, hash) pair; this one partial-aggregates a
+    * bounded k-set map-side and ships k longs per group per
+    * partition. Answer is identical — the driver grades it against
+    * the very same DuckDB oracle.
+    */
+  def kmvDistinctNative(s: SparkSession, d: String,
+      k: Int = 64): DataFrame = {
+    graft.functions.Vectors.ensureRegistered(s)
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 12),
+      16, 10).cast("long")
+    graft.sources.Tables.events(s, d)
+      .select(col("event_type"), h.as("h"))
+      .groupBy("event_type")
+      .agg(call_function("graft_kmv", col("h"), lit(k)).as("sk"))
+      .select(col("event_type"),
+        element_at(col("sk"), 1).as("n_kept"),
+        when(element_at(col("sk"), 1) < k, element_at(col("sk"), 1))
+          .otherwise(expr(
+            s"${(k - 1).toLong * (1L << 48)}L div element_at(sk, 2)"))
+          .cast("long").as("est_distinct"))
+  }
+
   def kmvDistinct(s: SparkSession, d: String, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = conv(substring(md5(col("user_id").cast("string")), 1, 12),

@@ -236,6 +236,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(avgSpan("y") < g.getLong(1) * 0.55, "y span must shrink per file")
   }
 
+  test("native KMV aggregate == window KMV, with map-side partials") {
+    val native = graft.warehouse.Sketched.kmvDistinctNative(s, d)
+    val window = graft.warehouse.Sketched.kmvDistinct(s, d)
+    assert(native.exceptAll(window).isEmpty &&
+      window.exceptAll(native).isEmpty,
+      "the two formulations must produce identical sketches")
+    // the aggregate path must be a partial/final ObjectHashAggregate
+    // pair (k-sized states over the wire), not a distinct + window
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    assert(!plan.contains("Window"), "native path must not sort/window")
+    assert("graft_kmv".r.findAllIn(plan).size >= 2,
+      "partial + final aggregate expected:\n" + plan.take(1500))
+  }
+
   test("KMV sketch: estimate tracks exact distinct; merge == rebuild") {
     val kmv = graft.warehouse.Sketched.kmvDistinct(s, d)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
