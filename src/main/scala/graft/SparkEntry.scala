@@ -58,6 +58,8 @@ object SparkEntry {
     "graph_triangles" -> (graft.operators.Graph.triangleCounts(_, _)),
     "analytics_assoc_rules" -> (graft.operators.Graph.assocRules(_, _)),
     "analytics_outliers" -> (Analytics.valueOutliers(_, _)),
+    "analytics_winsorize" -> (Analytics.winsorizedValues(_, _)),
+    "pipeline_pseudonymize" -> (Analytics.pseudonymize(_, _)),
     "analytics_table_checksum" -> (Analytics.tableChecksum(_, _)),
     "pipeline_split" -> (TextAnalysis.trainValTestSplit(_, _)),
     "analytics_heavy_hitters" -> (Analytics.heavyHitters(_, _)),
@@ -643,6 +645,24 @@ object SparkEntry {
         |JOIN singles a ON a.pk = ante
         |JOIN singles c ON c.pk = cons
         |CROSS JOIN tot""".stripMargin,
+    // bounds 6dp-rounded BEFORE the clamp on both engines (raw
+    // interpolated percentiles agree only to ~1 ulp)
+    "analytics_winsorize" ->
+      """WITH b AS (
+        | SELECT event_type AS etype,
+        |  round(quantile_cont(value, 0.01), 6) AS p01,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        | FROM events GROUP BY 1)
+        |SELECT event_id, etype,
+        | round(least(greatest(value, p01), p99), 6) AS value_w,
+        | CAST(value < p01 OR value > p99 AS INT) AS clamped
+        |FROM events JOIN b ON event_type = etype""".stripMargin,
+    "pipeline_pseudonymize" ->
+      """SELECT event_id,
+        | substr(md5('graft-pepper|' || CAST(user_id AS VARCHAR)), 1, 16)
+        |  AS user_token,
+        | event_type
+        |FROM events""".stripMargin,
     // moments -> mu/sigma doubles derive from exact decimal sums, so
     // the flag predicate evaluates identically on both engines
     "analytics_outliers" ->

@@ -531,6 +531,47 @@ object Analytics {
         dec(col("value")).cast("double").as("value"))
   }
 
+  /** Percentile winsorization — the standard tail-clamping
+    * normalization before aggregates/features meet heavy-tailed
+    * values: per type, values clamp to [P1, P99]. Exact interpolated
+    * percentiles (not sketches) from one aggregation per type,
+    * broadcast back; the clamp itself is map-side. Percentile
+    * interpolation is engine-exact only to ~1 ulp, so the bounds are
+    * 6dp-ROUNDED before clamping on BOTH engines — otherwise a value
+    * sitting between two engines' raw bounds flips its clamp flag
+    * and the hash grade is noise.
+    */
+  def winsorizedValues(s: SparkSession, d: String): DataFrame = {
+    val bounds = Tables.events(s, d)
+      .groupBy(col("event_type").as("etype"))
+      .agg(round(expr("percentile(value, 0.01)"), 6).as("p01"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+    Tables.events(s, d)
+      .join(broadcast(bounds), col("event_type") === col("etype"))
+      .select(col("event_id"), col("etype"),
+        round(least(greatest(col("value"), col("p01")), col("p99")), 6)
+          .as("value_w"),
+        (col("value") < col("p01") || col("value") > col("p99"))
+          .cast("int").as("clamped"))
+  }
+
+  /** Join-preserving pseudonymization — the GDPR-pipeline primitive:
+    * user ids become salted-hash tokens, so downstream joins,
+    * groupBys, and retention math still work (same id → same token,
+    * everywhere, deterministically) while raw identifiers never
+    * leave the trust boundary. Pure map-side expression; the salt is
+    * the revocation lever (rotate it and every token severs).
+    * Complements the regex PII redaction in
+    * [[graft.functions.Text.redactPii]].
+    */
+  def pseudonymize(s: SparkSession, d: String,
+      salt: String = "graft-pepper"): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        substring(md5(concat_ws("|", lit(salt),
+          col("user_id").cast("string"))), 1, 16).as("user_token"),
+        col("event_type"))
+
   /** Order-independent table checksum — the "did the copy corrupt
     * anything" primitive for replication, backfill, and engine-
     * migration audits at 100 TB: one scan, one 48-bit hash per row

@@ -167,6 +167,36 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("pseudonymization is join-preserving and 1:1 per user") {
+    val tok = graft.warehouse.Analytics.pseudonymize(s, d)
+    val raw = graft.sources.Tables.events(s, d)
+    // same per-key histogram: grouping by token == grouping by raw id
+    val tokCounts = tok.groupBy("user_token").count()
+      .select(col("count")).collect().map(_.getLong(0)).sorted.toSeq
+    val rawCounts = raw.groupBy("user_id").count()
+      .select(col("count")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(tokCounts === rawCounts)
+    // bijection on this corpus: distinct tokens == distinct users
+    assert(tok.select("user_token").distinct().count() ===
+      raw.select("user_id").distinct().count())
+  }
+
+  test("winsorize: clamped rows sit exactly on a bound, others unchanged") {
+    val rows = graft.warehouse.Analytics.winsorizedValues(s, d).collect()
+    val clamped = rows.filter(_.getAs[Int]("clamped") == 1)
+    assert(clamped.nonEmpty && clamped.length < rows.length / 10,
+      s"${clamped.length}/${rows.length} clamped — expected a small tail")
+    val byType = rows.groupBy(_.getAs[String]("etype"))
+    byType.foreach { case (_, rs) =>
+      val ws = rs.map(_.getAs[Double]("value_w"))
+      val bounds = Set(ws.min, ws.max)
+      rs.filter(_.getAs[Int]("clamped") == 1).foreach { r =>
+        assert(bounds.contains(r.getAs[Double]("value_w")),
+          "clamped value must land on a percentile bound")
+      }
+    }
+  }
+
   test("table checksum: order-independent, and a 1-row mutation changes it") {
     import s.implicits._
     val base = graft.warehouse.Analytics.tableChecksum(s, d).head()
