@@ -137,6 +137,7 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.tokens(_, _)),
     "text_fingerprint" -> (TextAnalysis.fingerprintGroups(_, _)),
     "mm_binary_meta" -> (Multimodal.binaryMeta(_, _)),
+    "mm_audio_chunks" -> (Multimodal.audioChunks(_, _)),
     "mm_image_dims" -> (Multimodal.imageDims(_, _)),
   )
 
@@ -1410,6 +1411,18 @@ object SparkEntry {
         |    for t in list_filter(string_split(lower(text), ' '), x -> x <> '')]
         |    AS hs
         |  FROM documents) a) b""".stripMargin,
+    // byte-exact chunk boundaries replayed on the hex rendering
+    // (2 hex chars = 1 byte; DuckDB has no blob substr)
+    "mm_audio_chunks" ->
+      """SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+        | md5(u.c) AS chunk_md5,
+        | CAST(length(u.c) // 2 AS BIGINT) AS chunk_bytes
+        |FROM (
+        | SELECT doc_id, unnest([{'i': i,
+        |   'c': substr(hex(encode(text)), i * 512 + 1, 512)}
+        |   for i in range(0, CAST(ceil(
+        |     octet_length(encode(text)) * 2 / 512.0) AS INT))]) AS u
+        | FROM documents) x""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

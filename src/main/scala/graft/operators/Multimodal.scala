@@ -70,6 +70,33 @@ object Multimodal {
       md5(col("payload")).as("checksum"),
       col("media_source"))
 
+  /** Fixed-size chunk framing over the binary payload — the audio
+    * analogue of video frame sampling: a PCM/codec stream processes
+    * as bounded windows (here 256-byte frames), each independently
+    * checksummed and sized, so downstream per-chunk decode (STT,
+    * VAD, spectrogram) parallelizes WITHIN a document, not just
+    * across documents. Pure row-generation (one explode over an
+    * in-row sequence) — no shuffle, no UDF; the chunk table is the
+    * unit a 100 TB audio pipeline schedules.
+    *
+    * Chunking happens on the HEX rendering (2 chars = 1 byte) so an
+    * external engine can replay byte-exact chunk boundaries without
+    * blob slicing support.
+    */
+  def audioChunks(s: SparkSession, d: String, chunkBytes: Int = 256)
+      : DataFrame = {
+    val w = chunkBytes * 2
+    mediaTable(s, d)
+      .select(col("doc_id"), hex(col("payload")).as("h"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(length(h) / $w.0) AS INT) - 1)," +
+          s" i -> substring(h, i * $w + 1, $w))"))
+        .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        md5(col("c")).as("chunk_md5"),
+        (length(col("c")) / 2).cast("long").as("chunk_bytes"))
+  }
+
   /** Batch feature extraction. PNG payloads go through the REAL codec
     * (javax.imageio decode → per-channel pixel means); anything
     * undecodable falls back to the stub. Runs as mapPartitions over

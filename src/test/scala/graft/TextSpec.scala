@@ -281,6 +281,25 @@ class TextSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("audio chunking: frames tile the payload exactly") {
+    val chunks = Multimodal.audioChunks(s, d).collect()
+    val meta = Multimodal.binaryMeta(s, d)
+      .select("doc_id", "n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === meta.keySet)
+    byDoc.foreach { case (id, cs) =>
+      // chunk sizes sum to the payload size; only the LAST chunk may
+      // be short; indices are contiguous from 0
+      assert(cs.map(_.getAs[Long]("chunk_bytes")).sum === meta(id))
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      assert(sorted.map(_.getAs[Long]("chunk_idx")).toSeq ===
+        (0L until cs.length.toLong))
+      sorted.init.foreach(c =>
+        assert(c.getAs[Long]("chunk_bytes") === 256L, s"doc $id"))
+    }
+  }
+
   test("multimodal feature extraction: stable shape and checksum parity") {
     val feats = Multimodal.extractFeatures(s, d).collect()
     val docs = graft.sources.Tables.documents(s, d).count()
