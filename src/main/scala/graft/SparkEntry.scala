@@ -59,6 +59,7 @@ object SparkEntry {
     "analytics_assoc_rules" -> (graft.operators.Graph.assocRules(_, _)),
     "analytics_outliers" -> (Analytics.valueOutliers(_, _)),
     "analytics_winsorize" -> (Analytics.winsorizedValues(_, _)),
+    "analytics_set_ops" -> (Analytics.segmentSetOps(_, _)),
     "pipeline_pseudonymize" -> (Analytics.pseudonymize(_, _)),
     "analytics_table_checksum" -> (Analytics.tableChecksum(_, _)),
     "pipeline_split" -> (TextAnalysis.trainValTestSplit(_, _)),
@@ -646,6 +647,17 @@ object SparkEntry {
         |JOIN singles a ON a.pk = ante
         |JOIN singles c ON c.pk = cons
         |CROSS JOIN tot""".stripMargin,
+    // identical ANSI precedence both engines: INTERSECT binds
+    // tighter than EXCEPT
+    "analytics_set_ops" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |WHERE event_type = 'view'
+        |INTERSECT
+        |SELECT user_id, CAST(ts AS DATE) FROM events
+        |WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id, CAST(ts AS DATE) FROM events
+        |WHERE event_type = 'error'""".stripMargin,
     // bounds 6dp-rounded BEFORE the clamp on both engines (raw
     // interpolated percentiles agree only to ~1 ulp)
     "analytics_winsorize" ->

@@ -432,7 +432,20 @@ case class PqAdc(lut: Expression, codes: Expression, ksExpr: Expression)
     var s = 0.0
     var u = 0
     val m = ca.numElements()
-    while (u < m) { s += la.getDouble(u * ksV + ca.getInt(u)); u += 1 }
+    // raw-SQL callers can hand mismatched arrays — fail loudly, not
+    // with a bare ArrayIndexOutOfBounds from ArrayData internals
+    if (m * ksV != la.numElements())
+      throw new IllegalArgumentException(
+        s"graft_pq_adc: lut has ${la.numElements()} entries, expected " +
+          s"codes(${m}) * ks($ksV)")
+    while (u < m) {
+      val code = ca.getInt(u)
+      if (code < 0 || code >= ksV)
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: code $code out of [0, $ksV) at subspace $u")
+      s += la.getDouble(u * ksV + code)
+      u += 1
+    }
     s
   }
 

@@ -89,8 +89,11 @@ object Multimodal {
     mediaTable(s, d)
       .select(col("doc_id"), hex(col("payload")).as("h"))
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, CAST(ceil(length(h) / $w.0) AS INT) - 1)," +
-          s" i -> substring(h, i * $w + 1, $w))"))
+        // empty payload guard: sequence(0, -1) DESCENDS in Spark and
+        // would fabricate two bogus chunks for a zero-byte payload
+        s"CASE WHEN length(h) = 0 THEN array() ELSE " +
+          s"transform(sequence(0, CAST(ceil(length(h) / $w.0) AS INT) - 1)," +
+          s" i -> substring(h, i * $w + 1, $w)) END"))
         .as(Seq("chunk_idx", "c")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         md5(col("c")).as("chunk_md5"),

@@ -531,6 +531,28 @@ object Analytics {
         dec(col("value")).cast("double").as("value"))
   }
 
+  /** Bag-algebra set operations — INTERSECT / EXCEPT with their
+    * ANSI precedence (INTERSECT binds tighter), the audience-
+    * segmentation shape ("user-days with a view AND a purchase,
+    * minus any user-day that hit an error" — day-grain keys: every
+    * user does everything eventually in this testdata). Each leg is a pushdown-filtered scan; the set ops
+    * plan as aggregations/anti-joins on user_id — one shuffle each,
+    * no distinct-materialization on the driver. Set ops plan on the
+    * composite (user, day) key.
+    */
+  def segmentSetOps(s: SparkSession, d: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      """SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |WHERE event_type = 'view'
+        |INTERSECT
+        |SELECT user_id, CAST(ts AS DATE) FROM events
+        |WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id, CAST(ts AS DATE) FROM events
+        |WHERE event_type = 'error'""".stripMargin)
+  }
+
   /** Percentile winsorization — the standard tail-clamping
     * normalization before aggregates/features meet heavy-tailed
     * values: per type, values clamp to [P1, P99]. Exact interpolated
