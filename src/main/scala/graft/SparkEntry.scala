@@ -121,6 +121,7 @@ object SparkEntry {
     "sim_knn_join" -> (Similarity.knnJoin(_, _)),
     "sim_kmeans" -> (Similarity.kmeansClusters(_, _)),
     "sim_ann_pq" -> (Similarity.annPq(_, _)),
+    "sim_ann_ivfpq" -> (Similarity.annIvfPq(_, _)),
     "dedup_cross_source" -> (Dedup.crossSourceOverlap(_, _)),
     "dedup_chunks" -> (Dedup.chunkDedup(_, _)),
     "dedup_bloom_decontaminate" -> (Dedup.bloomDecontaminate(_, _)),
@@ -1232,6 +1233,63 @@ object SparkEntry {
         |  FROM codes c
         |  JOIN dists dq ON dq.u = c.u AND dq.j = c.code
         |  WHERE dq.vec_id < 20 AND c.vec_id <> dq.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rk, neighbor_id FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
+        | FROM adc) t
+        |WHERE rk <= 5""".stripMargin,
+    // the two graded CTE chains composed verbatim: IVF assign/probes
+    // on raw-double cosine, PQ codes/LUT on quantized L2, ADC only
+    // within probed cells
+    "sim_ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+        |      FROM e),
+        |tot AS (SELECT greatest(count(*)//16, 1) AS stride FROM e),
+        |cents AS (SELECT (vec_id // stride) AS cidx, v AS cv, nrm AS cn
+        |          FROM n, tot
+        |          WHERE vec_id % stride = 0 AND vec_id // stride < 16),
+        |cs AS (SELECT n.vec_id, cidx,
+        |  list_sum([n.v[i+1]*cv[i+1] for i in range(0,len(cv))])
+        |   / (n.nrm * cn) AS ccos
+        | FROM n CROSS JOIN cents),
+        |assign AS (SELECT vec_id, cidx AS cell FROM (
+        |  SELECT vec_id, cidx, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY ccos DESC, cidx) AS r FROM cs) t
+        |  WHERE r = 1),
+        |probes AS (SELECT vec_id AS query_id, cidx AS cell FROM (
+        |  SELECT vec_id, cidx, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY ccos DESC, cidx) AS r
+        |  FROM cs WHERE vec_id < 20) t
+        |  WHERE r <= 4),
+        |emb AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(round(x * 1000) AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |seeds AS (SELECT row_number() OVER (ORDER BY e2.vec_id) - 1 AS j,
+        |           e2.v
+        |          FROM emb e2, tot
+        |          WHERE e2.vec_id % stride = 0
+        |            AND e2.vec_id // stride < 16),
+        |dists AS (SELECT e2.vec_id, g.u, s2.j,
+        |    list_sum(list_transform(range(2),
+        |      i -> (e2.v[g.u * 2 + i + 1] - s2.v[g.u * 2 + i + 1])
+        |         * (e2.v[g.u * 2 + i + 1] - s2.v[g.u * 2 + i + 1]))) AS dist
+        |  FROM emb e2 CROSS JOIN range(0, 32) AS g(u) CROSS JOIN seeds s2),
+        |codes AS (SELECT vec_id, u, j AS code FROM (
+        |    SELECT vec_id, u, j, row_number() OVER (
+        |      PARTITION BY vec_id, u ORDER BY dist, j) AS rn FROM dists) t
+        |  WHERE rn = 1),
+        |adc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    SUM(dq.dist) AS adist
+        |  FROM probes p
+        |  JOIN assign a ON a.cell = p.cell
+        |  JOIN codes c ON c.vec_id = a.vec_id
+        |  JOIN dists dq ON dq.vec_id = p.query_id
+        |   AND dq.u = c.u AND dq.j = c.code
+        |  WHERE c.vec_id <> p.query_id
         |  GROUP BY 1, 2)
         |SELECT query_id, rk, neighbor_id FROM (
         | SELECT query_id, neighbor_id, row_number() OVER (

@@ -454,6 +454,53 @@ case class PqAdc(lut: Expression, codes: Expression, ksExpr: Expression)
     copy(lut = c(0), codes = c(1), ksExpr = c(2))
 }
 
+/** Intersection of two SORTED long arrays, keeping elements greater
+  * than a threshold — the per-edge kernel of triangle counting
+  * (common neighbors above the closing vertex). The composable form
+  * (`filter(array_intersect(a, b), x -> x > t)`) walks boxed
+  * ArrayData through two interpreted higher-order functions per row;
+  * this is one primitive merge walk, O(|a|+|b|), no allocation
+  * beyond the result.
+  */
+case class SortedIntersectGreater(a: Expression, b: Expression,
+    t: Expression) extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(a, b, t)
+  override def nullable: Boolean = a.nullable || b.nullable || t.nullable
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sorted_intersect_gt"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.firstFailure(
+      InputChecks.expect(prettyName, 0, a, InputChecks.isLongArray,
+        "a sorted array<bigint>"),
+      InputChecks.expect(prettyName, 1, b, InputChecks.isLongArray,
+        "a sorted array<bigint>"),
+      InputChecks.expect(prettyName, 2, t,
+        dt => dt == LongType, "a bigint threshold"))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val av = a.eval(input); val bv = b.eval(input); val tv = t.eval(input)
+    if (av == null || bv == null || tv == null) return null
+    val x = av.asInstanceOf[ArrayData]
+    val y = bv.asInstanceOf[ArrayData]
+    val thr = tv.asInstanceOf[Long]
+    val nx = x.numElements(); val ny = y.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](8)
+    var i = 0; var j = 0
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi < yj) i += 1
+      else if (xi > yj) j += 1
+      else { if (xi > thr) out += xi; i += 1; j += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression =
+    copy(a = c(0), b = c(1), t = c(2))
+}
+
 object VectorExpressions {
   /** Register graft's native functions on a session (idempotent).
     * Needed before [[Vectors.dot]] / [[graft.operators.Dedup]]
@@ -462,6 +509,10 @@ object VectorExpressions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv", exprs => KmvSketchAgg(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect_gt",
+      exprs => SortedIntersectGreater(exprs(0), exprs(1), exprs(2)),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_encode",
       exprs => PqEncode(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")

