@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // through the custom nodes)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughIntervalJoin)
+    // materialized-view rewrite: queries matching the registered
+    // canonical aggregate are spliced onto the precomputed summary
+    e.injectOptimizerRule(session => graft.plans.SummaryRewrite(session))
     // raw-SQL surface for the custom joins:
     //   SELECT * FROM graft_asof_join('l', 'r', 'key', 'ts', 'val')
     // the TVF parses to an unresolved marker; the resolution rule

