@@ -61,6 +61,7 @@ object SparkEntry {
     "analytics_winsorize" -> (Analytics.winsorizedValues(_, _)),
     "analytics_set_ops" -> (Analytics.segmentSetOps(_, _)),
     "dws_traffic_daily_mv" -> (Dws.trafficDailyViaMv(_, _)),
+    "dws_traffic_monthly_mv" -> (Dws.trafficMonthlyViaMv(_, _)),
     "pipeline_pseudonymize" -> (Analytics.pseudonymize(_, _)),
     "analytics_table_checksum" -> (Analytics.tableChecksum(_, _)),
     "pipeline_split" -> (TextAnalysis.trainValTestSplit(_, _)),
@@ -654,6 +655,13 @@ object SparkEntry {
     // answer
     "dws_traffic_daily_mv" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS pv_ct,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // roll-up containment: the Spark side is served from the DAILY
+    // summary; the oracle aggregates raw events at month grain
+    "dws_traffic_monthly_mv" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+        | event_type, COUNT(*) AS pv_ct,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
     // identical ANSI precedence both engines: INTERSECT binds

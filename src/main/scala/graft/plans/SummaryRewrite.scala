@@ -1,12 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, ExprId, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, ExprId, Literal, NamedExpression, TruncDate, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.DateType
+import org.apache.spark.sql.types.{DateType, StringType}
 
 /** Materialized-view rewrite — the serving-layer trick that makes a
   * precomputed DWS table transparent: when a session registers a
@@ -51,6 +51,8 @@ case class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     plan.transform {
       case agg: Aggregate if matchesCanonicalShape(agg) =>
         splice(path.get, agg).getOrElse(agg)
+      case agg: Aggregate if matchesMonthlyShape(agg) =>
+        spliceRollup(path.get, agg).getOrElse(agg)
     }
   }
 
@@ -137,6 +139,103 @@ case class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       agg.aggregateExpressions.forall(o =>
         roleOf(resolve)(o).exists(canonicalCols.contains))
   }
+
+  // ----- roll-up containment: monthly grain served by the daily MV
+
+  /** month-of-ts: cast(date_trunc('month', ts) as date). */
+  private def isMonthExpr(e: Expression): Boolean = e match {
+    case Cast(t: TruncTimestamp, DateType, _, _) =>
+      (t.format match {
+        case Literal(s, StringType) =>
+          s != null && s.toString.equalsIgnoreCase("month")
+        case _ => false
+      }) && t.references.nonEmpty && t.references.forall(_.name == "ts")
+    case _ => false
+  }
+
+  private def roleOfMonthly(resolve: Expression => Expression)(
+      o: NamedExpression): Option[String] = {
+    val body = o match {
+      case Alias(inner, _) => inner
+      case a: AttributeReference => a
+    }
+    stripCast(body) match {
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case c: Count if c.children.forall(_.foldable) && o.name == "pv_ct" =>
+          Some("pv_ct")
+        case sm: Sum if sm.references.nonEmpty &&
+            sm.references.forall(_.name == "value") &&
+            o.name == "value_sum" =>
+          Some("value_sum")
+        case _ => None
+      }
+      case other => resolve(other) match {
+        case m if isMonthExpr(m) && o.name == "month" => Some("month")
+        case t if isEventTypeExpr(t) && o.name == "event_type" =>
+          Some("event_type")
+        case _ => None
+      }
+    }
+  }
+
+  /** The COARSER canonical grain: (month-of-ts, event_type) with the
+    * same aggregate bodies — servable by RE-AGGREGATING the daily
+    * summary because count and sum are decomposable (count rolls up
+    * as sum of partial counts).
+    */
+  private def matchesMonthlyShape(agg: Aggregate): Boolean = {
+    if (!isEventsRelation(agg.child)) return false
+    val resolve = childResolver(agg)
+    val grouping = agg.groupingExpressions.map(resolve)
+    agg.groupingExpressions.length == 2 &&
+      grouping.exists(isMonthExpr) && grouping.exists(isEventTypeExpr) &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(o => roleOfMonthly(resolve)(o).isDefined)
+  }
+
+  /** Monthly splice: Aggregate(trunc(day,'month'), event_type) over
+    * the summary, partial counts SUMMED, sums re-summed and cast back
+    * to the original decimal type so parents see identical schema.
+    */
+  private def spliceRollup(path: String, agg: Aggregate)
+      : Option[LogicalPlan] =
+    try {
+      val resolve = childResolver(agg)
+      val summary = session.read.parquet(path).queryExecution.analyzed
+      val byName = summary.output.map(a => a.name -> a).toMap
+      if (!canonicalCols.forall(byName.contains)) return None
+      val monthOfDay = TruncDate(byName("day"), Literal("month"))
+      def reSum(src: Expression): Expression =
+        AggregateExpression(Sum(src), Complete, isDistinct = false)
+      val outs: Seq[NamedExpression] = agg.aggregateExpressions.map { o =>
+        val role = roleOfMonthly(resolve)(o).getOrElse(return None)
+        val preCast = o match {
+          case Alias(Cast(inner, _, _, _), _) => inner.dataType
+          case other => other.dataType
+        }
+        val body: Expression = role match {
+          case "month" =>
+            if (monthOfDay.dataType != preCast) return None
+            monthOfDay
+          case "event_type" =>
+            if (byName("event_type").dataType != preCast) return None
+            byName("event_type")
+          case "pv_ct" =>
+            val b = reSum(byName("pv_ct"))
+            if (b.dataType != preCast) return None
+            b
+          case "value_sum" =>
+            // re-summing widens the decimal; cast back to the
+            // original type (safe: same data, coarser grain)
+            Cast(reSum(byName("value_sum")), preCast)
+        }
+        val cast = if (body.dataType == o.dataType) body
+          else Cast(body, o.dataType)
+        Alias(cast, o.name)(exprId = o.exprId)
+      }
+      logInfo(s"graft MV rewrite (roll-up): monthly aggregate -> $path")
+      Some(Aggregate(Seq(monthOfDay, byName("event_type")), outs, summary))
+    } catch { case _: Exception => None }
 
   /** Replace the aggregate with a Project over the summary relation,
     * aliased to the aggregate's own output exprIds (parents stay

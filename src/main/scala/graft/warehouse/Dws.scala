@@ -176,6 +176,33 @@ object Dws {
         col("value_sum").cast("double").as("value_sum"))
   }
 
+  /** The COARSER canonical grain [[graft.plans.SummaryRewrite]]
+    * serves by ROLL-UP: month-of-ts × event_type with the same
+    * aggregate bodies. With the daily MV registered, this never
+    * touches raw events — the optimizer re-aggregates the day-grain
+    * summary (count rolls up as sum of partial counts).
+    */
+  def trafficMonthly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("month", col("ts")).cast("date").as("month"),
+        col("event_type"))
+      .agg(count(lit(1)).as("pv_ct"),
+        sum(dec(col("value"))).as("value_sum"))
+
+  /** Monthly dashboard through the DAILY materialized view — the
+    * one-summary-serves-many-grains payoff. Same registration
+    * mechanics as [[trafficDailyViaMv]].
+    */
+  def trafficMonthlyViaMv(s: SparkSession, d: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-mv")
+      .toString + "/events_daily"
+    trafficDaily(s, d).write.mode("overwrite").parquet(path)
+    s.conf.set("spark.graft.mv.eventsDaily", path)
+    trafficMonthly(s, d)
+      .select(col("month"), col("event_type"), col("pv_ct"),
+        col("value_sum").cast("double").as("value_sum"))
+  }
+
   def tradeProvinceOrder(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)

@@ -43,6 +43,22 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally s.conf.unset(key)
   }
 
+  test("roll-up: the MONTHLY grain re-aggregates the daily summary") {
+    val direct = graft.warehouse.Dws.trafficMonthly(s, d)
+      .select(col("month"), col("event_type"), col("pv_ct"),
+        col("value_sum").cast("double").as("value_sum"))
+      .collect().toSet
+    try {
+      val viaMv = graft.warehouse.Dws.trafficMonthlyViaMv(s, d)
+      val plan = scans(viaMv)
+      assert(plan.contains("events_daily"),
+        s"roll-up must read the daily summary:\n${plan.take(1500)}")
+      assert(!plan.contains("events.parquet"),
+        s"raw fact scan must be gone:\n${plan.take(1500)}")
+      assert(viaMv.collect().toSet === direct)
+    } finally s.conf.unset(key)
+  }
+
   test("non-matching aggregates are left alone") {
     val path = java.nio.file.Files.createTempDirectory("graft-mv")
       .toString + "/events_daily"
