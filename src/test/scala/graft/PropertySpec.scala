@@ -145,4 +145,60 @@ class PropertySpec extends AnyFunSuite {
         s"doc ${r.getLong(0)}: native=${r.getInt(1)} hof=${r.getInt(2)}")
     }
   }
+
+  test("sorted-intersect-gt equals the naive set formulation (300 random pairs)") {
+    import s.implicits._
+    graft.functions.Vectors.ensureRegistered(s)
+    val rnd = new Random(1234)
+    val cases = (1 to 300).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      (i.toLong, arr(), arr(), rnd.nextInt(40).toLong)
+    }
+    val got = cases.toDF("id", "a", "b", "t")
+      .select(col("id"),
+        call_function("graft_sorted_intersect_gt",
+          col("a"), col("b"), col("t")).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    cases.foreach { case (id, a, b, t) =>
+      val expect = a.toSet.intersect(b.toSet).filter(_ > t).toSeq.sorted
+      assert(got(id) === expect, s"case $id: a=$a b=$b t=$t")
+    }
+  }
+
+  test("PQ natives equal a scala reimplementation (100 random vectors)") {
+    import s.implicits._
+    graft.functions.Vectors.ensureRegistered(s)
+    val rnd = new Random(77)
+    val m = 8; val ks = 4; val dim = 16; val sub = dim / m
+    val cb = Array.fill(ks * dim)((rnd.nextInt(2001) - 1000).toDouble)
+    val vecs = (1 to 100).map(i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextInt(2001) - 1000).toDouble)))
+    def subDist(v: Seq[Double], u: Int, j: Int): Double =
+      (0 until sub).map { i =>
+        val d = v(u * sub + i) - cb(j * dim + u * sub + i); d * d
+      }.sum
+    def encode(v: Seq[Double]): Seq[Int] =
+      (0 until m).map(u => (0 until ks).minBy(j => (subDist(v, u, j), j)))
+    val got = vecs.toDF("id", "v")
+      .select(col("id"),
+        call_function("graft_pq_encode", col("v"), typedlit(cb),
+          lit(m), lit(ks)).as("codes"),
+        call_function("graft_pq_adc",
+          call_function("graft_pq_lut", col("v"), typedlit(cb),
+            lit(m), lit(ks)),
+          call_function("graft_pq_encode", col("v"), typedlit(cb),
+            lit(m), lit(ks)),
+          lit(ks)).as("self_adc"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2)))
+      .toSeq
+    got.foreach { case (id, codes, selfAdc) =>
+      val v = vecs(id.toInt - 1)._2
+      assert(codes === encode(v), s"vec $id codes")
+      // ADC of a vector against its own codes = sum of its per-
+      // subspace quantization errors (exact integers in doubles)
+      val expect = (0 until m).map(u => subDist(v, u, codes(u))).sum
+      assert(selfAdc === expect, s"vec $id adc")
+    }
+  }
 }
