@@ -60,6 +60,8 @@ object SparkEntry {
     "analytics_outliers" -> (Analytics.valueOutliers(_, _)),
     "analytics_winsorize" -> (Analytics.winsorizedValues(_, _)),
     "analytics_set_ops" -> (Analytics.segmentSetOps(_, _)),
+    "analytics_null_semantics" -> (Analytics.nullSemantics(_, _)),
+    "analytics_date_arith" -> (Analytics.dateArithmetic(_, _)),
     "dws_traffic_daily_mv" -> (Dws.trafficDailyViaMv(_, _)),
     "dws_traffic_monthly_mv" -> (Dws.trafficMonthlyViaMv(_, _)),
     "pipeline_pseudonymize" -> (Analytics.pseudonymize(_, _)),
@@ -664,6 +666,27 @@ object SparkEntry {
         | event_type, COUNT(*) AS pv_ct,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // same NULLIF-derived nulls both sides; NULL group key kept as
+    // its own group; count(col) skips nulls; <=> matches NULL to NULL
+    "analytics_null_semantics" ->
+      """SELECT nk, COUNT(*) AS n_all, COUNT(nval) AS n_nonnull,
+        | CAST(SUM(CAST(nval AS DECIMAL(12,2))) AS DOUBLE)
+        |  AS sum_skipnull,
+        | COUNT(CASE WHEN nk IS NOT DISTINCT FROM NULL THEN 1 END)
+        |  AS nullsafe_self
+        |FROM (
+        | SELECT nullif(event_id % 7, 0) AS nk,
+        |  nullif(value, value * 0 + 13.0) AS nval
+        | FROM events) t
+        |GROUP BY nk""".stripMargin,
+    "analytics_date_arith" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        | CAST(o_orderdate AS DATE) + 30 AS due_date,
+        | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+        |  AS BIGINT) AS age_days,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(day(CAST(o_orderdate AS DATE)) = 1 AS INT) AS is_month_start
+        |FROM orders""".stripMargin,
     // identical ANSI precedence both engines: INTERSECT binds
     // tighter than EXCEPT
     "analytics_set_ops" ->

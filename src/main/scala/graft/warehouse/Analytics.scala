@@ -531,6 +531,42 @@ object Analytics {
         dec(col("value")).cast("double").as("value"))
   }
 
+  /** Null-semantics suite — the behaviors that silently differ
+    * between engines if either side is sloppy, pinned down in one
+    * graded query: NULL group keys (one group, not dropped),
+    * null-safe equality (`<=>` matches NULL to NULL where `=` drops
+    * the row), COUNT(col) vs COUNT(*) under nulls, and aggregate
+    * null-skipping. The nullable key derives via NULLIF — both
+    * engines build the same nulls from the same data.
+    */
+  def nullSemantics(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      // every ~7th event gets a NULL bucket key
+      .withColumn("nk", nullif(col("event_id") % 7, lit(0)))
+      .withColumn("nval", nullif(col("value"), col("value") * 0 + 13.0))
+    ev.groupBy(col("nk"))
+      .agg(count(lit(1)).as("n_all"),
+        count(col("nval")).as("n_nonnull"),
+        sum(dec(col("nval"))).cast("double").as("sum_skipnull"),
+        count(when(col("nk") <=> lit(null), 1)).as("nullsafe_self"))
+  }
+
+  /** Date-arithmetic suite: date_add / datediff / last_day /
+    * month-boundary bucketing over order dates — the calendar math a
+    * reporting layer leans on, graded cross-engine (both engines
+    * implement the ANSI behaviors; the suite pins them).
+    */
+  def dateArithmetic(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"))
+      .select(col("o_orderkey"), col("od"),
+        date_add(col("od"), 30).as("due_date"),
+        datediff(lit("1998-12-31").cast("date"), col("od"))
+          .cast("long").as("age_days"),
+        last_day(col("od")).as("month_end"),
+        (dayofmonth(col("od")) === 1).cast("int").as("is_month_start"))
+
   /** Bag-algebra set operations — INTERSECT / EXCEPT with their
     * ANSI precedence (INTERSECT binds tighter), the audience-
     * segmentation shape ("user-days with a view AND a purchase,
