@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming re-expressions of the reference's Flink
   * topology (SURVEY.md §2.3). Each job is a pure transform from
@@ -294,6 +295,35 @@ object Jobs {
     "start" -> logs.filter(col("event_type") === "signup"),
     "action" -> logs.filter(col("event_type").isin("click", "purchase")),
     "page" -> logs.filter(col("event_type") === "view"))
+
+  /** Incremental materialized-view maintenance: each micro-batch of
+    * raw events folds into the day-grain summary via sum-merge
+    * (correct under ANY batching — counts and decimal sums are
+    * decomposable), then the serving copy is published with the
+    * canonical schema so [[graft.plans.SummaryRewrite]] can route
+    * dashboard queries onto it. This closes the reference's whole
+    * loop — Flink window aggregation → Doris aggregate table →
+    * dashboards — as: stream → incremental summary → optimizer
+    * rewrite. Returns a foreachBatch function for `writeStream`.
+    */
+  def maintainDailySummary(statePath: String, servingPath: String)
+      : (DataFrame, Long) => Unit = (batch: DataFrame, _: Long) => {
+    val part = batch
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("pv_ct"),
+        sum(col("value").cast(DecimalType(12, 2)))
+          .cast(DecimalType(22, 2)).as("value_sum"))
+    ReplacingSink.sumUpsert(part, Seq("day", "event_type"),
+      Seq("pv_ct", "value_sum"), statePath)
+    // publish with the canonical serving schema (sum-merge widens
+    // the decimal each fold; the registered MV type is (22,2))
+    val spark = batch.sparkSession
+    ReplacingSink.replaceDir(
+      spark.read.parquet(statePath)
+        .select(col("day"), col("event_type"), col("pv_ct"),
+          col("value_sum").cast(DecimalType(22, 2)).as("value_sum")),
+      servingPath)
+  }
 
   /** Input shape for [[paymentTimeoutAlerts]]: `kind` is "order" or
     * "pay".

@@ -125,6 +125,6 @@ object ReplacingSink {
     * compaction utility (see [[graft.sources.Compaction.replaceDir]]
     * for the protocol).
     */
-  private def replaceDir(df: DataFrame, path: String): Unit =
+  private[streaming] def replaceDir(df: DataFrame, path: String): Unit =
     graft.sources.Compaction.replaceDir(df, path)
 }

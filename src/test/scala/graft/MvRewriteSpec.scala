@@ -86,33 +86,17 @@ class MvRewriteSpec extends AnyFunSuite {
       .select(col("ts"), col("event_type"), col("value"))
       .collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    val serving = path + "_serving"
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
     val q = mem.toDF().toDF("ts", "event_type", "value")
       .writeStream.option("checkpointLocation", ck)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val part = batch.groupBy(col("ts").cast("date").as("day"),
-            col("event_type"))
-          .agg(count(lit(1)).as("pv_ct"),
-            sum(col("value").cast(
-              org.apache.spark.sql.types.DecimalType(12, 2)))
-              .cast(org.apache.spark.sql.types.DecimalType(22, 2))
-              .as("value_sum"))
-        graft.streaming.ReplacingSink.sumUpsert(part,
-          Seq("day", "event_type"), Seq("pv_ct", "value_sum"), path)
-      }.start()
+      .foreachBatch(
+        graft.streaming.Jobs.maintainDailySummary(path, serving))
+      .start()
     val (h1, h2) = rows.splitAt(rows.length / 2)
     mem.addData(h1.toSeq); q.processAllAvailable()
     mem.addData(h2.toSeq); q.processAllAvailable()
     q.stop()
-    // publish: normalize the serving schema (sum-merge widens the
-    // decimal on every fold; the canonical summary type is (22,2))
-    val serving = path + "_serving"
-    s.read.parquet(path)
-      .select(col("day"), col("event_type"), col("pv_ct"),
-        col("value_sum")
-          .cast(org.apache.spark.sql.types.DecimalType(22, 2))
-          .as("value_sum"))
-      .write.mode("overwrite").parquet(serving)
     // register the stream-maintained summary; the dashboard query is
     // rewritten onto it and matches the batch answer exactly
     s.conf.set(key, serving)
