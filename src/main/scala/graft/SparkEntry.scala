@@ -733,8 +733,9 @@ object SparkEntry {
         |SELECT event_id, etype,
         | CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value
         |FROM events JOIN mm ON event_type = etype
-        |WHERE abs(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) - mu)
-        |  > sigma * 3.0""".stripMargin,
+        |WHERE sigma > 0
+        |  AND abs(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) - mu)
+        |   > sigma * 3.0""".stripMargin,
     // id-oriented edges enumerate each triangle once; per-node counts
     // via the 3-role union — all integers, engine-exact
     "graph_triangles" ->

@@ -45,7 +45,9 @@ case class KmvSketchAgg(
       InputChecks.expect(prettyName, 0, child,
         dt => dt == LongType, "a bigint hash column"),
       InputChecks.expect(prettyName, 1, kExpr,
-        dt => dt == IntegerType && kExpr.foldable, "a literal int k"))
+        dt => dt == IntegerType && kExpr.foldable &&
+          kExpr.eval(null).asInstanceOf[Int] >= 1,
+        "a literal int k >= 1"))
 
   @transient private lazy val k: Int = kExpr.eval(null).asInstanceOf[Int]
 

@@ -525,7 +525,10 @@ object Analytics {
           (col("sx").cast("double") / col("n"))).as("sigma"))
     Tables.events(s, d)
       .join(broadcast(moments), col("event_type") === col("etype"))
-      .filter(abs(dec(col("value")).cast("double") - col("mu")) >
+      // sigma > 0: a constant group has no dispersion scale — every
+      // deviation would read as "infinite z"; flag nothing instead
+      .filter(col("sigma") > 0 &&
+        abs(dec(col("value")).cast("double") - col("mu")) >
         col("sigma") * threshold)
       .select(col("event_id"), col("etype"),
         dec(col("value")).cast("double").as("value"))
