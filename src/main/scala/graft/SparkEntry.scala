@@ -61,6 +61,9 @@ object SparkEntry {
     "analytics_winsorize" -> (Analytics.winsorizedValues(_, _)),
     "analytics_set_ops" -> (Analytics.segmentSetOps(_, _)),
     "analytics_null_semantics" -> (Analytics.nullSemantics(_, _)),
+    "analytics_histogram_eqdepth" ->
+      (Analytics.orderTotalHistogramEqDepth(_, _)),
+    "analytics_value_windows" -> (Analytics.orderValueWindows(_, _)),
     "analytics_date_arith" -> (Analytics.dateArithmetic(_, _)),
     "dws_traffic_daily_mv" -> (Dws.trafficDailyViaMv(_, _)),
     "dws_traffic_monthly_mv" -> (Dws.trafficMonthlyViaMv(_, _)),
@@ -666,6 +669,36 @@ object SparkEntry {
         | event_type, COUNT(*) AS pv_ct,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // quartile bounds 6dp-rounded both engines before bucketing
+    "analytics_histogram_eqdepth" ->
+      """WITH b AS (
+        | SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+        |  round(quantile_cont(o_totalprice, 0.50), 6) AS q2,
+        |  round(quantile_cont(o_totalprice, 0.75), 6) AS q3
+        | FROM orders)
+        |SELECT CAST(CASE WHEN o_totalprice <= q1 THEN 0
+        |      WHEN o_totalprice <= q2 THEN 1
+        |      WHEN o_totalprice <= q3 THEN 2 ELSE 3 END AS INT) AS bucket,
+        | COUNT(*) AS ct,
+        | CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  AS min_total,
+        | CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  AS max_total
+        |FROM orders, b GROUP BY 1""".stripMargin,
+    // unbounded-both-ways frames over a unique total order: all three
+    // value functions deterministic
+    "analytics_value_windows" ->
+      """SELECT o_orderkey, o_orderpriority AS prio,
+        | CAST(first_value(CAST(o_totalprice AS DECIMAL(12,2))) OVER w
+        |  AS DOUBLE) AS first_total,
+        | CAST(last_value(CAST(o_totalprice AS DECIMAL(12,2))) OVER w
+        |  AS DOUBLE) AS last_total,
+        | CAST(nth_value(CAST(o_totalprice AS DECIMAL(12,2)), 2) OVER w
+        |  AS DOUBLE) AS second_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     // same NULLIF-derived nulls both sides; NULL group key kept as
     // its own group; count(col) skips nulls; <=> matches NULL to NULL
     "analytics_null_semantics" ->

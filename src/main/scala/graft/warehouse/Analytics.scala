@@ -534,6 +534,53 @@ object Analytics {
         dec(col("value")).cast("double").as("value"))
   }
 
+  /** Equi-DEPTH histogram — the quantile-bucketed dual of
+    * [[orderTotalHistogram]]'s fixed-width buckets: bucket bounds are
+    * exact quartiles (6dp-rounded both engines, same discipline as
+    * [[winsorizedValues]]), so each bucket holds ~25% of rows
+    * whatever the distribution. Two scans (bounds + bucketing), the
+    * bucket test is a map-side expression against 1 broadcast row —
+    * the same shape histograms take at any scale.
+    */
+  def orderTotalHistogramEqDepth(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.orders(s, d)
+      .agg(round(expr("percentile(o_totalprice, 0.25)"), 6).as("q1"),
+        round(expr("percentile(o_totalprice, 0.50)"), 6).as("q2"),
+        round(expr("percentile(o_totalprice, 0.75)"), 6).as("q3"))
+    Tables.orders(s, d).crossJoin(broadcast(b))
+      .select(
+        when(col("o_totalprice") <= col("q1"), 0)
+          .when(col("o_totalprice") <= col("q2"), 1)
+          .when(col("o_totalprice") <= col("q3"), 2)
+          .otherwise(3).cast("int").as("bucket"),
+        dec(col("o_totalprice")).as("tot"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("ct"),
+        min(col("tot")).cast("double").as("min_total"),
+        max(col("tot")).cast("double").as("max_total"))
+  }
+
+  /** Value-window suite: first/last/nth value over explicit frames —
+    * the "compare each row to its group's opener/closer" reporting
+    * shape. Frames are UNBOUNDED BOTH WAYS over a UNIQUE total order
+    * (date, then key), so all three functions are deterministic on
+    * any engine; money rides decimal through the frame and surfaces
+    * double.
+    */
+  def orderValueWindows(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+        first(dec(col("o_totalprice"))).over(w).cast("double")
+          .as("first_total"),
+        last(dec(col("o_totalprice"))).over(w).cast("double")
+          .as("last_total"),
+        nth_value(dec(col("o_totalprice")), 2).over(w).cast("double")
+          .as("second_total"))
+  }
+
   /** Null-semantics suite — the behaviors that silently differ
     * between engines if either side is sloppy, pinned down in one
     * graded query: NULL group keys (one group, not dropped),

@@ -32,11 +32,14 @@ class PlanLintSpec extends AnyFunSuite {
     * - analytics_gap_fill: the 1-row (min_day, max_day) bounds
     *   crossJoined onto the tiny distinct-groups frame to build the
     *   day spine
+    * - analytics_histogram_eqdepth: the 1-row quartile-bounds
+    *   crossJoin onto the fact scan (map-side bucket test)
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
     "sim_filtered_ann", "text_tfidf_topk", "analytics_key_skew",
-    "pipeline_domain_mix", "sim_ann_pq", "analytics_gap_fill")
+    "pipeline_domain_mix", "sim_ann_pq", "analytics_gap_fill",
+    "analytics_histogram_eqdepth")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
