@@ -192,6 +192,46 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("CBO: collected stats reorder a join, selective dim first") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    Tables.lineitem(s, d).write.mode("overwrite").saveAsTable("cbo_li")
+    Tables.orders(s, d).write.mode("overwrite").saveAsTable("cbo_o")
+    Tables.nation(s, d).write.mode("overwrite").saveAsTable("cbo_n")
+    Seq("cbo_li", "cbo_o", "cbo_n").foreach(t =>
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+    // the query text joins the two FACT tables first; the selective
+    // nation filter comes last syntactically
+    def plan() = s.sql(
+      """SELECT count(*) FROM cbo_li l
+        |JOIN cbo_o o ON l.l_orderkey = o.o_orderkey
+        |JOIN cbo_n n ON o.o_custkey % 25 = n.n_nationkey
+        |WHERE n.n_name = 'CHINA'""".stripMargin)
+      .queryExecution.optimizedPlan
+    def innermostTables(p: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan): Set[String] = {
+      val joins = p.collect { case j: Join => j }
+      val inner = joins.last // bottom-most in collect order
+      inner.collectLeaves().map(_.toString)
+        .map(t => Seq("cbo_li", "cbo_o", "cbo_n").find(t.contains)
+          .getOrElse("?")).toSet
+    }
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      // stats-driven reorder: the innermost join becomes
+      // orders ⋈ (filtered nation) — the selective pair — and the
+      // big lineitem side joins last
+      assert(innermostTables(plan()) === Set("cbo_o", "cbo_n"),
+        s"CBO should join the selective dim first:\n${plan().treeString}")
+    } finally {
+      s.conf.unset("spark.sql.cbo.enabled")
+      s.conf.unset("spark.sql.cbo.joinReorder.enabled")
+    }
+    // without CBO the syntactic order stands (fact ⋈ fact first)
+    assert(innermostTables(plan()) === Set("cbo_li", "cbo_o"),
+      s"without CBO the written order should hold:\n${plan().treeString}")
+  }
+
   test("dynamic partition overwrite: backfilled day replaced, others untouched") {
     import s.implicits._
     import graft.sources.Partitioned
