@@ -38,6 +38,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dict_segment"),
       new ExpressionInfo(classOf[DictSegment].getName, "graft_dict_segment"),
       exprs => DictSegment(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[graft.functions.PqEncode].getName,
+        "graft_pq_encode"),
+      exprs => graft.functions.PqEncode(exprs(0), exprs(1), exprs(2),
+        exprs(3))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_pq_lut"),
+      new ExpressionInfo(classOf[graft.functions.PqLut].getName,
+        "graft_pq_lut"),
+      exprs => graft.functions.PqLut(exprs(0), exprs(1), exprs(2),
+        exprs(3))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[graft.functions.PqAdc].getName,
+        "graft_pq_adc"),
+      exprs => graft.functions.PqAdc(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_sorted_intersect_gt"),
+      new ExpressionInfo(
+        classOf[graft.functions.SortedIntersectGreater].getName,
+        "graft_sorted_intersect_gt"),
+      exprs => graft.functions.SortedIntersectGreater(exprs(0), exprs(1),
+        exprs(2))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[graft.functions.KmvSketchAgg].getName,
+        "graft_kmv"),
+      exprs => graft.functions.KmvSketchAgg(exprs(0), exprs(1))))
     // whole-operator extension: the native as-of join strategy, so a
     // config-only session (spark.sql.extensions=graft.GraftExtensions)
     // plans graft.plans.AsOfJoinNode without any runtime registration

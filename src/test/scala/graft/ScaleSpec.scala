@@ -81,6 +81,16 @@ class ScaleSpec extends AnyFunSuite {
       "SELECT size(graft_minhash_sig(array(1L, 2L, 3L), 64)) AS n")
       .collect()(0).getInt(0)
     assert(sig === 64)
+    // the PQ / intersect / KMV families reach raw SQL too
+    val isect = s.sql(
+      "SELECT graft_sorted_intersect_gt(array(1L,3L,5L), array(3L,5L,7L), 3L)")
+      .collect()(0).getSeq[Long](0)
+    assert(isect === Seq(5L))
+    val kmv = s.sql(
+      """SELECT graft_kmv(h, 2) FROM
+        |(SELECT CAST(id * 37 % 101 AS BIGINT) AS h FROM range(50))""".stripMargin)
+      .collect()(0).getSeq[Long](0)
+    assert(kmv(0) === 2L && kmv(1) > 0L)
     // the extensions class itself must inject without throwing
     new graft.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
