@@ -83,6 +83,7 @@ object SparkEntry {
     "analytics_grouping_sets" -> (Analytics.revenueGroupingSets(_, _)),
     "analytics_rank_suite" -> (Analytics.orderRankSuite(_, _)),
     "layout_zorder" -> (graft.sources.ZOrder.lineitemZKeys(_, _)),
+    "layout_zorder3" -> (graft.sources.ZOrder.lineitemZKeys3(_, _)),
     "analytics_funnel" -> (Analytics.funnel(_, _)),
     "analytics_rfm" -> (Analytics.rfm(_, _)),
     "analytics_retention" -> (Analytics.retentionCohorts(_, _)),
@@ -611,6 +612,34 @@ object SparkEntry {
         |      ELSE 17732923532771328 // MAX(h) END AS BIGINT)
         |  AS est_distinct
         |FROM bk WHERE rk <= 64 GROUP BY event_type""".stripMargin,
+    // three 10-bit dims spread to every 3rd position, same four
+    // mask steps both engines; floor() before the bigint cast
+    // (DuckDB's double cast rounds, Spark's truncates)
+    "layout_zorder3" ->
+      """WITH sp AS (
+        | SELECT l_orderkey, l_linenumber,
+        |  l_partkey % 1024 AS x0, l_orderkey % 1024 AS y0,
+        |  CAST(floor(l_extendedprice) AS BIGINT) % 1024 AS z0
+        | FROM lineitem),
+        |s1 AS (SELECT l_orderkey, l_linenumber,
+        |  (x0 | (x0 << 16)) & 50331903 AS x1,
+        |  (y0 | (y0 << 16)) & 50331903 AS y1,
+        |  (z0 | (z0 << 16)) & 50331903 AS z1 FROM sp),
+        |s2 AS (SELECT l_orderkey, l_linenumber,
+        |  (x1 | (x1 << 8)) & 50393103 AS x2,
+        |  (y1 | (y1 << 8)) & 50393103 AS y2,
+        |  (z1 | (z1 << 8)) & 50393103 AS z2 FROM s1),
+        |s3 AS (SELECT l_orderkey, l_linenumber,
+        |  (x2 | (x2 << 4)) & 51130563 AS x3,
+        |  (y2 | (y2 << 4)) & 51130563 AS y3,
+        |  (z2 | (z2 << 4)) & 51130563 AS z3 FROM s2),
+        |s4 AS (SELECT l_orderkey, l_linenumber,
+        |  (x3 | (x3 << 2)) & 153391689 AS x4,
+        |  (y3 | (y3 << 2)) & 153391689 AS y4,
+        |  (z3 | (z3 << 2)) & 153391689 AS z4 FROM s3)
+        |SELECT l_orderkey, l_linenumber,
+        | x4 | (y4 << 1) | (z4 << 2) AS zkey3
+        |FROM s4""".stripMargin,
     // the Morton interleave replayed as the same five mask-spread
     // steps per dimension, all BIGINT shifts
     "layout_zorder" ->

@@ -37,6 +37,33 @@ object ZOrder {
   def zkey(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** Spread the low 10 bits of x to every 3rd position (0,3,...,27). */
+  private def spread10x3(x: Column): Column = {
+    val a = x.bitwiseAND(lit(0x3FFL))
+    val b = (a.bitwiseOR(shiftleft(a, 16))).bitwiseAND(lit(0x030000FFL))
+    val c = (b.bitwiseOR(shiftleft(b, 8))).bitwiseAND(lit(0x0300F00FL))
+    val e = (c.bitwiseOR(shiftleft(c, 4))).bitwiseAND(lit(0x030C30C3L))
+    (e.bitwiseOR(shiftleft(e, 2))).bitwiseAND(lit(0x09249249L))
+  }
+
+  /** 30-bit Morton key of three 10-bit dimensions — the realistic
+    * lake-clustering arity (OPTIMIZE ZORDER BY (a, b, c)): each added
+    * dimension trades per-dimension resolution for coverage, which is
+    * exactly the Morton-curve contract.
+    */
+  def zkey3(x: Column, y: Column, z: Column): Column =
+    spread10x3(x)
+      .bitwiseOR(shiftleft(spread10x3(y), 1))
+      .bitwiseOR(shiftleft(spread10x3(z), 2))
+
+  /** Generic clustered write on any precomputed key column. */
+  def clusterWriteKey(df: DataFrame, key: Column, path: String,
+      files: Int): Unit =
+    df.withColumn("zkey", key)
+      .repartitionByRange(files, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(path)
+
   /** Cluster `df` into `files` z-ordered parquet files: range
     * partition on the z-key (sampled split points — parallel sort,
     * no single-partition funnel), sort within each, write one file
@@ -58,4 +85,14 @@ object ZOrder {
     Tables.lineitem(s, d).select(
       col("l_partkey"), col("l_suppkey"),
       zkey(col("l_partkey") % 65536, col("l_suppkey") % 65536).as("zkey"))
+
+  /** The 3-D key over (part, order, whole-dollar price) — floor()
+    * before the bigint cast on BOTH engines (DuckDB's double→bigint
+    * cast rounds where Spark's truncates).
+    */
+  def lineitemZKeys3(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      zkey3(col("l_partkey") % 1024, col("l_orderkey") % 1024,
+        floor(col("l_extendedprice")).cast("long") % 1024).as("zkey3"))
 }

@@ -301,6 +301,31 @@ class ScaleSpec extends AnyFunSuite {
       "partial + final aggregate expected:\n" + plan.take(1500))
   }
 
+  test("3-D z-order: per-file rectangles shrink on ALL THREE dimensions") {
+    import graft.sources.ZOrder
+    val out = java.nio.file.Files.createTempDirectory("zorder3").toString + "/li"
+    val li = Tables.lineitem(s, d).select(
+      (col("l_partkey") % 256).as("x"), (col("l_orderkey") % 256).as("y"),
+      (floor(col("l_extendedprice")).cast("long") % 256).as("z"))
+    val files = 16
+    ZOrder.clusterWriteKey(li,
+      ZOrder.zkey3(col("x"), col("y"), col("z")), out, files)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(parts.length === files)
+    def avgSpan(c: String): Double = parts.map { p =>
+      val r = s.read.parquet(p).agg(min(col(c)), max(col(c))).head()
+      (r.getLong(1) - r.getLong(0)).toDouble
+    }.sum / parts.length
+    val g = li.agg(max("x") - min("x"), max("y") - min("y"),
+      max("z") - min("z")).head()
+    // 16 files over a 3-D space: coarser per-dim split than 2-D, but
+    // every dimension must still shrink below the global span
+    assert(avgSpan("x") < g.getLong(0) * 0.75, "x span must shrink")
+    assert(avgSpan("y") < g.getLong(1) * 0.75, "y span must shrink")
+    assert(avgSpan("z") < g.getLong(2) * 0.75, "z span must shrink")
+  }
+
   test("KMV sketch: estimate tracks exact distinct; merge == rebuild") {
     val kmv = graft.warehouse.Sketched.kmvDistinct(s, d)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
