@@ -63,6 +63,7 @@ object SparkEntry {
     "analytics_null_semantics" -> (Analytics.nullSemantics(_, _)),
     "analytics_histogram_eqdepth" ->
       (Analytics.orderTotalHistogramEqDepth(_, _)),
+    "analytics_contribution" -> (Analytics.gmvContribution(_, _)),
     "analytics_value_windows" -> (Analytics.orderValueWindows(_, _)),
     "analytics_date_arith" -> (Analytics.dateArithmetic(_, _)),
     "dws_traffic_daily_mv" -> (Dws.trafficDailyViaMv(_, _)),
@@ -698,6 +699,17 @@ object SparkEntry {
         | event_type, COUNT(*) AS pv_ct,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // exact cents + integer ppm division — engine-exact shares
+    "analytics_contribution" ->
+      """WITH p AS (
+        | SELECT o_orderpriority AS prio,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+        |   AS cents
+        | FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM p)
+        |SELECT prio, cents,
+        | CAST((cents * 1000000) // total_cents AS BIGINT) AS share_ppm
+        |FROM p, t""".stripMargin,
     // quartile bounds 6dp-rounded both engines before bucketing
     "analytics_histogram_eqdepth" ->
       """WITH b AS (

@@ -534,6 +534,25 @@ object Analytics {
         dec(col("value")).cast("double").as("value"))
   }
 
+  /** Percent-of-total contribution — each priority class's share of
+    * GMV in integer ppm: exact decimal sums → exact cents → integer
+    * division, so the shares are engine-exact (a double ratio would
+    * hash-mismatch on the last ulp). The total comes from an
+    * unbounded window over the 5-row aggregate — agg-grain work, no
+    * second scan of the fact table and no 1-row crossJoin.
+    */
+  def gmvContribution(s: SparkSession, d: String): DataFrame = {
+    val byPrio = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byPrio
+      .withColumn("total_cents", sum(col("cents")).over(w))
+      .select(col("prio"), col("cents"),
+        expr("cents * 1000000 div total_cents").as("share_ppm"))
+  }
+
   /** Equi-DEPTH histogram — the quantile-bucketed dual of
     * [[orderTotalHistogram]]'s fixed-width buckets: bucket bounds are
     * exact quartiles (6dp-rounded both engines, same discipline as
