@@ -300,8 +300,8 @@ private[functions] trait PqParams { self: Expression =>
   @transient protected lazy val dim: Int = cbV.length / ksV
   @transient protected lazy val sub: Int = dim / mV
 
-  protected def paramChecks(fn: String): TypeCheckResult =
-    InputChecks.firstFailure(
+  protected def paramChecks(fn: String): TypeCheckResult = {
+    val typed = InputChecks.firstFailure(
       InputChecks.expect(fn, 1, cb,
         dt => InputChecks.isDoubleArray(dt) && cb.foldable,
         "a literal array<double> flattened (ks x dim) codebook"),
@@ -309,6 +309,31 @@ private[functions] trait PqParams { self: Expression =>
         dt => dt == IntegerType && mExpr.foldable, "a literal int m"),
       InputChecks.expect(fn, 3, ksExpr,
         dt => dt == IntegerType && ksExpr.foldable, "a literal int ks"))
+    if (typed != TypeCheckResult.TypeCheckSuccess) typed
+    else {
+      // shape validation at ANALYSIS time: a truncated/mis-sized
+      // codebook would otherwise silently derive a wrong dim/sub and
+      // produce garbage codes instead of an error
+      val mv = mExpr.eval(null)
+      val kv = ksExpr.eval(null)
+      val cv = cb.eval(null)
+      if (mv == null || kv == null || cv == null)
+        TypeCheckResult.TypeCheckFailure(s"$fn arguments must be non-null")
+      else {
+        val (m, ks) = (mv.asInstanceOf[Int], kv.asInstanceOf[Int])
+        val n = cv.asInstanceOf[ArrayData].numElements()
+        if (m <= 0 || ks <= 0)
+          TypeCheckResult.TypeCheckFailure(s"$fn requires m > 0 and ks > 0")
+        else if (n == 0 || n % ks != 0)
+          TypeCheckResult.TypeCheckFailure(
+            s"$fn codebook length $n is not a positive multiple of ks=$ks")
+        else if ((n / ks) % m != 0)
+          TypeCheckResult.TypeCheckFailure(
+            s"$fn codebook dim ${n / ks} is not a multiple of m=$m")
+        else TypeCheckResult.TypeCheckSuccess
+      }
+    }
+  }
 
   /** Exact-integer squared L2 between v's subspace u and seed j's. */
   protected def subDist(a: ArrayData, u: Int, j: Int): Double = {

@@ -1,12 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, ExprId, Literal, NamedExpression, TruncDate, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, ExprId, IntegralDivide, Literal, MicrosToTimestamp, NamedExpression, TruncDate, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DateType, StringType}
+import org.apache.spark.sql.types.{DateType, DecimalType, StringType}
 
 /** Materialized-view rewrite — the serving-layer trick that makes a
   * precomputed DWS table transparent: when a session registers a
@@ -79,9 +79,35 @@ case class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Structural canonical-body checks. Reference-name scans are NOT
+    * enough — `cast(ts + interval 1 day as date)` references only
+    * `ts` and is DateType, but is a different query. Each body must
+    * BE the canonical tree (modulo exprIds): the cast/trunc child is
+    * the bare column attribute, nothing else.
+    */
   private def isDayExpr(e: Expression): Boolean = e match {
-    case c @ Cast(_, DateType, _, _) =>
-      c.references.nonEmpty && c.references.forall(_.name == "ts")
+    case Cast(t, DateType, _, _) => isTsExpr(t)
+    case _ => false
+  }
+
+  /** The bare `ts` column: the timestamp attribute itself, or the
+    * [[graft.sources.Tables.events]] epoch-millis conversion
+    * (`timestamp_micros(ts DIV 1000)`) after the conversion Project
+    * collapses inline. Exactly these two trees — any arithmetic on
+    * top (`ts + interval 1 day`) is a different query.
+    */
+  private def isTsExpr(e: Expression): Boolean = e match {
+    case a: AttributeReference => a.name == "ts"
+    case m: MicrosToTimestamp => m.child match {
+      case d: IntegralDivide => (d.left match {
+        case a: AttributeReference => a.name == "ts"
+        case _ => false
+      }) && (d.right match {
+        case Literal(v, _) => v != null && v.toString == "1000"
+        case _ => false
+      })
+      case _ => false
+    }
     case _ => false
   }
 
@@ -95,6 +121,36 @@ case class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** Canonical `count(*)` / `count(lit)`: a single non-null foldable
+    * literal child, no DISTINCT, no FILTER. `count(null)` (always 0)
+    * and `count(DISTINCT …)` must NOT be served from pv_ct.
+    */
+  private def isCanonicalCount(ae: AggregateExpression): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+      case c: Count => c.children match {
+        case Seq(Literal(v, _)) => v != null
+        case _ => false
+      }
+      case _ => false
+    })
+
+  /** Canonical `sum(cast(value as decimal(12,2)))`: the Sum child —
+    * resolved one hop through a hoisting child Project — must be
+    * exactly that cast over the bare `value` attribute.
+    * `sum(-cast(value …))` has the same references and result type
+    * but is a different aggregate; structural match rejects it.
+    */
+  private def isCanonicalSum(resolve: Expression => Expression)(
+      ae: AggregateExpression): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+      case sm: Sum => resolve(sm.child) match {
+        case Cast(a: AttributeReference, d: DecimalType, _, _) =>
+          a.name == "value" && d.precision == 12 && d.scale == 2
+        case _ => false
+      }
+      case _ => false
+    })
+
   /** Classify an aggregate output against its canonical definition:
     * returns the summary column it may be served from, or None.
     * One Cast wrapper is tolerated (a collapsed-in parent cast —
@@ -107,15 +163,11 @@ case class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => a
     }
     stripCast(body) match {
-      case ae: AggregateExpression => ae.aggregateFunction match {
-        case c: Count if c.children.forall(_.foldable) && o.name == "pv_ct" =>
-          Some("pv_ct")
-        case sm: Sum if sm.references.nonEmpty &&
-            sm.references.forall(_.name == "value") &&
-            o.name == "value_sum" =>
+      case ae: AggregateExpression =>
+        if (isCanonicalCount(ae) && o.name == "pv_ct") Some("pv_ct")
+        else if (isCanonicalSum(resolve)(ae) && o.name == "value_sum")
           Some("value_sum")
-        case _ => None
-      }
+        else None
       case other => resolve(other) match {
         case d if isDayExpr(d) && o.name == "day" => Some("day")
         case t if isEventTypeExpr(t) && o.name == "event_type" =>
@@ -142,14 +194,17 @@ case class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
   // ----- roll-up containment: monthly grain served by the daily MV
 
-  /** month-of-ts: cast(date_trunc('month', ts) as date). */
+  /** month-of-ts: cast(date_trunc('month', ts) as date) — the trunc
+    * operand must be the bare `ts` attribute (structural, see
+    * [[isDayExpr]]).
+    */
   private def isMonthExpr(e: Expression): Boolean = e match {
     case Cast(t: TruncTimestamp, DateType, _, _) =>
       (t.format match {
         case Literal(s, StringType) =>
           s != null && s.toString.equalsIgnoreCase("month")
         case _ => false
-      }) && t.references.nonEmpty && t.references.forall(_.name == "ts")
+      }) && isTsExpr(t.timestamp)
     case _ => false
   }
 
@@ -160,15 +215,11 @@ case class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => a
     }
     stripCast(body) match {
-      case ae: AggregateExpression => ae.aggregateFunction match {
-        case c: Count if c.children.forall(_.foldable) && o.name == "pv_ct" =>
-          Some("pv_ct")
-        case sm: Sum if sm.references.nonEmpty &&
-            sm.references.forall(_.name == "value") &&
-            o.name == "value_sum" =>
+      case ae: AggregateExpression =>
+        if (isCanonicalCount(ae) && o.name == "pv_ct") Some("pv_ct")
+        else if (isCanonicalSum(resolve)(ae) && o.name == "value_sum")
           Some("value_sum")
-        case _ => None
-      }
+        else None
       case other => resolve(other) match {
         case m if isMonthExpr(m) && o.name == "month" => Some("month")
         case t if isEventTypeExpr(t) && o.name == "event_type" =>
@@ -225,9 +276,21 @@ case class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             if (b.dataType != preCast) return None
             b
           case "value_sum" =>
-            // re-summing widens the decimal; cast back to the
-            // original type (safe: same data, coarser grain)
-            Cast(reSum(byName("value_sum")), preCast)
+            // Re-summing widens the decimal; cast back to the
+            // original Sum result type so parents see identical
+            // schema. Only a pure precision-narrowing at the SAME
+            // scale is allowed: then overflow behavior is identical
+            // to the un-rewritten plan — the original Sum nulls
+            // (non-ANSI) / errors (ANSI) exactly when the true total
+            // exceeds its result precision, and so does this cast.
+            // Anything else (scale change, non-decimal) vetoes.
+            val b = reSum(byName("value_sum"))
+            (b.dataType, preCast) match {
+              case (w: DecimalType, p: DecimalType)
+                  if w.scale == p.scale && w.precision >= p.precision =>
+                Cast(b, preCast)
+              case _ => return None
+            }
         }
         val cast = if (body.dataType == o.dataType) body
           else Cast(body, o.dataType)

@@ -298,26 +298,53 @@ object Jobs {
 
   /** Incremental materialized-view maintenance: each micro-batch of
     * raw events folds into the day-grain summary via sum-merge
-    * (correct under ANY batching — counts and decimal sums are
-    * decomposable), then the serving copy is published with the
-    * canonical schema so [[graft.plans.SummaryRewrite]] can route
-    * dashboard queries onto it. This closes the reference's whole
-    * loop — Flink window aggregation → Doris aggregate table →
-    * dashboards — as: stream → incremental summary → optimizer
-    * rewrite. Returns a foreachBatch function for `writeStream`.
+    * (counts and decimal sums are decomposable), then the serving
+    * copy is published with the canonical schema so
+    * [[graft.plans.SummaryRewrite]] can route dashboard queries onto
+    * it. This closes the reference's whole loop — Flink window
+    * aggregation → Doris aggregate table → dashboards — as: stream →
+    * incremental summary → optimizer rewrite. Returns a foreachBatch
+    * function for `writeStream`.
+    *
+    * Replay-safe: foreachBatch is AT-LEAST-ONCE, and a sum-merge is
+    * not idempotent, so the state carries the last-applied batchId
+    * (`__last_batch`, committed ATOMICALLY with the fold by the
+    * `replaceDir` snapshot swap). A replayed micro-batch (batchId ≤
+    * last applied) skips the fold — no double counting — and only
+    * refreshes the serving copy, which is what a replay after a
+    * crash-between-writes needs.
     */
   def maintainDailySummary(statePath: String, servingPath: String)
-      : (DataFrame, Long) => Unit = (batch: DataFrame, _: Long) => {
-    val part = batch
-      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
-      .agg(count(lit(1)).as("pv_ct"),
-        sum(col("value").cast(DecimalType(12, 2)))
-          .cast(DecimalType(22, 2)).as("value_sum"))
-    ReplacingSink.sumUpsert(part, Seq("day", "event_type"),
-      Seq("pv_ct", "value_sum"), statePath)
-    // publish with the canonical serving schema (sum-merge widens
-    // the decimal each fold; the registered MV type is (22,2))
+      : (DataFrame, Long) => Unit = (batch: DataFrame, batchId: Long) => {
     val spark = batch.sparkSession
+    val cur =
+      if (new java.io.File(statePath).exists())
+        Some(spark.read.parquet(statePath))
+      else None
+    val lastApplied = cur.map { c =>
+      val r = c.agg(max(col("__last_batch"))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }.getOrElse(-1L)
+    if (batchId > lastApplied) {
+      val part = batch
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("pv_ct"),
+          sum(col("value").cast(DecimalType(12, 2)))
+            .cast(DecimalType(22, 2)).as("value_sum"))
+      val merged = cur match {
+        case Some(c) =>
+          c.drop("__last_batch").unionByName(part)
+            .groupBy(col("day"), col("event_type"))
+            .agg(sum(col("pv_ct")).cast("long").as("pv_ct"),
+              sum(col("value_sum"))
+                .cast(DecimalType(22, 2)).as("value_sum"))
+        case None => part
+      }
+      ReplacingSink.replaceDir(
+        merged.withColumn("__last_batch", lit(batchId)), statePath)
+    }
+    // publish with the canonical serving schema (always — a replayed
+    // batch may follow a crash before the serving copy landed)
     ReplacingSink.replaceDir(
       spark.read.parquet(statePath)
         .select(col("day"), col("event_type"), col("pv_ct"),

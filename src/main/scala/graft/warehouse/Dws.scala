@@ -156,25 +156,46 @@ object Dws {
       .agg(count(lit(1)).as("pv_ct"),
         sum(dec(col("value"))).as("value_sum"))
 
-  /** The dashboard query served THROUGH the materialized view: builds
-    * the summary once, registers it on the session
-    * (`spark.graft.mv.eventsDaily`), and returns the canonical
-    * aggregate — which the optimizer rule then splices onto the
-    * summary scan at execution time. The conf stays set for the
-    * session (that is what "registering an MV" means); only plans
-    * matching the canonical shape are affected. Graded against the
-    * direct aggregation oracle, so a broken splice is a failed hash,
-    * and the spec asserts the rewrite actually fired.
+  /** Registration scoped to ONE query: build the summary at a STABLE
+    * per-dataset path (repeat calls overwrite, no temp-dir growth),
+    * register it, eagerly cache+materialize the query while the conf
+    * is set (so its executed plan — the one the spec inspects and the
+    * one later actions reuse via the cache — IS the spliced plan),
+    * then restore the conf. A later canonical-shaped query on the
+    * same session is never silently served from a stale snapshot.
     */
-  def trafficDailyViaMv(s: SparkSession, d: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft-mv")
-      .toString + "/events_daily"
+  private def withMvRegistered(s: SparkSession, d: String)
+      (q: => DataFrame): DataFrame = {
+    val key = "spark.graft.mv.eventsDaily"
+    val path = sys.props("java.io.tmpdir") + "/graft-mv-" +
+      java.lang.Integer.toHexString(d.hashCode) + "/events_daily"
     trafficDaily(s, d).write.mode("overwrite").parquet(path)
-    s.conf.set("spark.graft.mv.eventsDaily", path)
-    trafficDaily(s, d)
-      .select(col("day"), col("event_type"), col("pv_ct"),
-        col("value_sum").cast("double").as("value_sum"))
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, path)
+    try {
+      val out = q.cache()
+      out.count() // force the rewritten plan while the MV is registered
+      out
+    } finally prior match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
   }
+
+  /** The dashboard query served THROUGH the materialized view: builds
+    * the summary once, registers it for the duration of this one
+    * query ([[withMvRegistered]]), and returns the canonical
+    * aggregate — which the optimizer rule splices onto the summary
+    * scan. Graded against the direct aggregation oracle, so a broken
+    * splice is a failed hash, and the spec asserts the rewrite
+    * actually fired.
+    */
+  def trafficDailyViaMv(s: SparkSession, d: String): DataFrame =
+    withMvRegistered(s, d) {
+      trafficDaily(s, d)
+        .select(col("day"), col("event_type"), col("pv_ct"),
+          col("value_sum").cast("double").as("value_sum"))
+    }
 
   /** The COARSER canonical grain [[graft.plans.SummaryRewrite]]
     * serves by ROLL-UP: month-of-ts × event_type with the same
@@ -193,15 +214,12 @@ object Dws {
     * one-summary-serves-many-grains payoff. Same registration
     * mechanics as [[trafficDailyViaMv]].
     */
-  def trafficMonthlyViaMv(s: SparkSession, d: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft-mv")
-      .toString + "/events_daily"
-    trafficDaily(s, d).write.mode("overwrite").parquet(path)
-    s.conf.set("spark.graft.mv.eventsDaily", path)
-    trafficMonthly(s, d)
-      .select(col("month"), col("event_type"), col("pv_ct"),
-        col("value_sum").cast("double").as("value_sum"))
-  }
+  def trafficMonthlyViaMv(s: SparkSession, d: String): DataFrame =
+    withMvRegistered(s, d) {
+      trafficMonthly(s, d)
+        .select(col("month"), col("event_type"), col("pv_ct"),
+          col("value_sum").cast("double").as("value_sum"))
+    }
 
   def tradeProvinceOrder(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)

@@ -21,18 +21,29 @@ class MvRewriteSpec extends AnyFunSuite {
       .collect().toSet
     try {
       val viaMv = graft.warehouse.Dws.trafficDailyViaMv(s, d)
+      // registration is SCOPED to the one query: the conf must not
+      // leak onto the session after the call returns
+      assert(s.conf.getOption(key).isEmpty,
+        "MV conf must be restored after the scoped query")
       val plan = scans(viaMv)
       assert(plan.contains("events_daily"),
         s"summary scan missing:\n${plan.take(1500)}")
       assert(!plan.contains("events.parquet"),
         s"raw fact scan must be gone:\n${plan.take(1500)}")
       assert(viaMv.collect().toSet === direct)
-      // parents keep working on the rewritten child. NOTE: the filter
-      // sits on an AGGREGATE OUTPUT (pv_ct) so it cannot push below
-      // the canonical aggregate — a grouping-key filter WOULD push
-      // under it and change the matched shape (that's the residual-
-      // predicate containment case this exact-match rule explicitly
-      // does not claim; see SummaryRewrite scaladoc)
+      // parents keep working on the rewritten child (explicit session
+      // registration here — the scoped helper restores the conf).
+      // NOTE: the filter sits on an AGGREGATE OUTPUT (pv_ct) so it
+      // cannot push below the canonical aggregate — a grouping-key
+      // filter WOULD push under it and change the matched shape
+      // (that's the residual-predicate containment case this
+      // exact-match rule explicitly does not claim; see
+      // SummaryRewrite scaladoc)
+      val path = java.nio.file.Files.createTempDirectory("graft-mv")
+        .toString + "/events_daily"
+      graft.warehouse.Dws.trafficDaily(s, d)
+        .write.mode("overwrite").parquet(path)
+      s.conf.set(key, path)
       val filtered = graft.warehouse.Dws.trafficDaily(s, d)
         .filter(col("pv_ct") > 0)
         .agg(sum(col("pv_ct")).as("views"))
@@ -107,6 +118,65 @@ class MvRewriteSpec extends AnyFunSuite {
       val direct = graft.warehouse.Dws.trafficDaily(s, d).collect().toSet
       s.conf.set(key, path)
       assert(dash.collect().toSet === direct)
+    } finally s.conf.unset(key)
+  }
+
+  test("summary maintenance skips replayed micro-batches (no double count)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-mv-idem")
+      .toString + "/state"
+    val serving = path + "_serving"
+    val fn = graft.streaming.Jobs.maintainDailySummary(path, serving)
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("ts"), col("event_type"), col("value"))
+    fn(ev, 0L)
+    val once = s.read.parquet(serving).collect().toSet
+    // at-least-once replay of the SAME batchId must be a no-op fold
+    fn(ev, 0L)
+    assert(s.read.parquet(serving).collect().toSet === once,
+      "replayed micro-batch double-counted the summary")
+    // a genuinely new batch still folds
+    fn(ev, 1L)
+    val twice = s.read.parquet(serving).collect()
+      .map(r => (r.getDate(0), r.getString(1)) -> r.getLong(2)).toMap
+    val base = once.toSeq
+      .map(r => (r.getDate(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(twice === base.map { case (k, v) => k -> v * 2 })
+  }
+
+  test("same-named but semantically different bodies are NOT spliced") {
+    import org.apache.spark.sql.types.DecimalType
+    val path = java.nio.file.Files.createTempDirectory("graft-mv")
+      .toString + "/events_daily"
+    graft.warehouse.Dws.trafficDaily(s, d)
+      .write.mode("overwrite").parquet(path)
+    s.conf.set(key, path)
+    try {
+      val ev = graft.sources.Tables.events(s, d)
+      def agg2(day: org.apache.spark.sql.Column,
+          sm: org.apache.spark.sql.Column) =
+        ev.groupBy(day.as("day"), col("event_type"))
+          .agg(count(lit(1)).as("pv_ct"), sm.as("value_sum"))
+      val canonSum = sum(col("value").cast(DecimalType(12, 2)))
+      // negated sum: same references, same result type, different query
+      val neg = agg2(col("ts").cast("date"),
+        sum(-col("value").cast(DecimalType(12, 2))))
+      assert(!scans(neg).contains("events_daily"),
+        "sum(-cast(value)) must not be served from value_sum")
+      // shifted day: cast-to-date whose only reference is ts, but not
+      // the canonical cast(ts as date)
+      val shifted = agg2(
+        (col("ts") + expr("interval 1 day")).cast("date"), canonSum)
+      assert(!scans(shifted).contains("events_daily"),
+        "cast(ts + interval 1 day as date) must not be served from day")
+      // count(DISTINCT value) aliased pv_ct: not count(*)
+      val dist = ev.groupBy(col("ts").cast("date").as("day"),
+          col("event_type"))
+        .agg(countDistinct(col("value")).as("pv_ct"), canonSum.as("value_sum"))
+      assert(!scans(dist).contains("events_daily"),
+        "count(DISTINCT …) must not be served from pv_ct")
+      // the canonical shape itself still splices under the same conf
+      val canon = agg2(col("ts").cast("date"), canonSum)
+      assert(scans(canon).contains("events_daily"))
     } finally s.conf.unset(key)
   }
 
