@@ -238,20 +238,16 @@ object Analytics {
 
   /** EXACT interpolated quantiles per group — the hash-graded
     * companion to [[approxStats]] (whose sketches are rows-only by
-    * nature). Spark's `percentile` and DuckDB's `quantile_cont` share
-    * the same linear-interpolation definition; rounding to 6dp on
-    * both sides absorbs any last-ulp arithmetic-order difference. At
-    * scale exact percentiles sort-per-group: correct for dashboard
-    * grain (groups ≪ rows); the sketch variant stays the
-    * streaming/mergeable path.
+    * nature), computed by [[graft.operators.Quantiles]] bounded-
+    * memory range-count selection (no per-group value map, no
+    * sort-per-group — the 100 TB-safe exact path). Matches DuckDB's
+    * `quantile_cont` linear interpolation; 6dp rounding on both
+    * sides absorbs last-ulp arithmetic-order differences.
     */
   def exactQuantiles(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(col("event_type"))
-      .agg(
-        round(expr("percentile(value, 0.25)"), 6).as("q25"),
-        round(expr("percentile(value, 0.50)"), 6).as("q50"),
-        round(expr("percentile(value, 0.90)"), 6).as("q90"))
+    graft.operators.Quantiles.groupQuantiles(
+      Tables.events(s, d), Seq("event_type"), "value",
+      Seq("q25" -> 0.25, "q50" -> 0.50, "q90" -> 0.90))
 
   /** Cohort retention: users grouped by first-active date, counted on
     * each later active day. Two aggregations (first-seen, then cohort
@@ -557,15 +553,15 @@ object Analytics {
     * [[orderTotalHistogram]]'s fixed-width buckets: bucket bounds are
     * exact quartiles (6dp-rounded both engines, same discipline as
     * [[winsorizedValues]]), so each bucket holds ~25% of rows
-    * whatever the distribution. Two scans (bounds + bucketing), the
-    * bucket test is a map-side expression against 1 broadcast row —
-    * the same shape histograms take at any scale.
+    * whatever the distribution. Bounds come from the bounded-memory
+    * [[graft.operators.Quantiles]] descent (~3 scans, O(1) state);
+    * the bucket test is a map-side expression against 1 broadcast
+    * row — the same shape histograms take at any scale.
     */
   def orderTotalHistogramEqDepth(s: SparkSession, d: String): DataFrame = {
-    val b = Tables.orders(s, d)
-      .agg(round(expr("percentile(o_totalprice, 0.25)"), 6).as("q1"),
-        round(expr("percentile(o_totalprice, 0.50)"), 6).as("q2"),
-        round(expr("percentile(o_totalprice, 0.75)"), 6).as("q3"))
+    val b = graft.operators.Quantiles.groupQuantiles(
+      Tables.orders(s, d), Seq.empty, "o_totalprice",
+      Seq("q1" -> 0.25, "q2" -> 0.50, "q3" -> 0.75))
     Tables.orders(s, d).crossJoin(broadcast(b))
       .select(
         when(col("o_totalprice") <= col("q1"), 0)
@@ -661,18 +657,19 @@ object Analytics {
   /** Percentile winsorization — the standard tail-clamping
     * normalization before aggregates/features meet heavy-tailed
     * values: per type, values clamp to [P1, P99]. Exact interpolated
-    * percentiles (not sketches) from one aggregation per type,
-    * broadcast back; the clamp itself is map-side. Percentile
+    * percentiles (not sketches) via the bounded-memory
+    * [[graft.operators.Quantiles]] descent, broadcast back; the
+    * clamp itself is map-side. Percentile
     * interpolation is engine-exact only to ~1 ulp, so the bounds are
     * 6dp-ROUNDED before clamping on BOTH engines — otherwise a value
     * sitting between two engines' raw bounds flips its clamp flag
     * and the hash grade is noise.
     */
   def winsorizedValues(s: SparkSession, d: String): DataFrame = {
-    val bounds = Tables.events(s, d)
-      .groupBy(col("event_type").as("etype"))
-      .agg(round(expr("percentile(value, 0.01)"), 6).as("p01"),
-        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+    val bounds = graft.operators.Quantiles.groupQuantiles(
+        Tables.events(s, d), Seq("event_type"), "value",
+        Seq("p01" -> 0.01, "p99" -> 0.99))
+      .withColumnRenamed("event_type", "etype")
     Tables.events(s, d)
       .join(broadcast(bounds), col("event_type") === col("etype"))
       .select(col("event_id"), col("etype"),
