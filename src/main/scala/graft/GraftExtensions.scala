@@ -67,6 +67,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.KmvSketchAgg].getName,
         "graft_kmv"),
       exprs => graft.functions.KmvSketchAgg(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[graft.functions.CmsEstimate].getName,
+        "graft_cms_estimate"),
+      exprs => graft.functions.CmsEstimate(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bloom_any"),
+      new ExpressionInfo(classOf[graft.functions.BloomAnyContain].getName,
+        "graft_bloom_any"),
+      exprs => graft.functions.BloomAnyContain(exprs(0), exprs(1))))
     // whole-operator extension: the native as-of join strategy, so a
     // config-only session (spark.sql.extensions=graft.GraftExtensions)
     // plans graft.plans.AsOfJoinNode without any runtime registration

@@ -559,5 +559,11 @@ object VectorExpressions {
       "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dict_segment", exprs => DictSegment(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_estimate",
+      exprs => CmsEstimate(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_any",
+      exprs => BloomAnyContain(exprs(0), exprs(1)), "built-in")
   }
 }

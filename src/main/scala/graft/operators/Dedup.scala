@@ -396,12 +396,16 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sizing pass over the small eval side only
     val nEval = math.max(evalSh.count(), 1L)
-    val bf = s.sparkContext.broadcast(
-      evalSh.stat.bloomFilter("sh", nEval, fpp))
-    val might = udf((shs: Seq[Long]) =>
-      shs != null && shs.exists(bf.value.mightContainLong))
+    val bf = evalSh.stat.bloomFilter("sh", nEval, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    // native codegen'd any-element probe over the inlined filter
+    // bytes (deserialized once per executor) — the map-side screen
+    // stays inside whole-stage codegen, no ScalaUDF on the corpus
+    // scan
     val train = docs.filter(col("src_n") < 10)
-      .withColumn("suspect", might(col("hashed")))
+      .withColumn("suspect", call_function("graft_bloom_any",
+        lit(bos.toByteArray), col("hashed")))
     val confirmed = train.filter(col("suspect"))
       .select(col("doc_id"), explode(col("hashed")).as("sh"))
       .join(broadcast(evalSh), "sh")

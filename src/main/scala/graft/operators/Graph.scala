@@ -74,12 +74,15 @@ object Graph {
     * equi-join on the (low, high) pair), never an adjacency-matrix
     * product.
     *
-    * Edges are oriented low-id → high-id, so each triangle
-    * (a<b<c) is enumerated exactly once as e(a,b)⋈e(b,c)⋈e(a,c).
-    * At skewed scale the orientation would be by DEGREE (low-degree
-    * vertex first — bounds wedges per vertex by the arboricity
-    * argument); id-orientation keeps the oracle trivially mirrorable
-    * and the testdata baskets are near-uniform. All-integer counts —
+    * Edges are oriented by (DEGREE, id) — lower endpoint first — the
+    * Schank/Wagner "forward" orientation: every out-neighborhood is
+    * bounded by √(2·edges) (each of v's k out-neighbors has degree ≥
+    * deg(v) ≥ k, so 2m ≥ k²), so NO vertex — hub or not — builds an
+    * unbounded adjacency row and the closing-edge join keys stay
+    * balanced. Each triangle a≺b≺c (in the orientation order) is
+    * enumerated exactly once at its lowest directed edge (a,b) via
+    * N⁺(a) ∩ N⁺(b); counts are orientation-invariant, so the oracle
+    * is the plain id-oriented wedge join. All-integer counts —
     * engine-exact.
     */
   def triangleCounts(s: SparkSession, d: String): DataFrame = {
@@ -89,31 +92,42 @@ object Graph {
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("s"), col("b.pk").as("t"))
       .distinct().cache()
+    // (degree, id) total order over vertices; orient each edge from
+    // its lower to its higher endpoint
+    val deg = e.select(col("s").as("v"))
+      .unionByName(e.select(col("t").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val sLower = col("ds") < col("dt") ||
+      (col("ds") === col("dt") && col("s") < col("t"))
+    val dirE = e
+      .join(deg.select(col("v").as("s"), col("dg").as("ds")), "s")
+      .join(deg.select(col("v").as("t"), col("dg").as("dt")), "t")
+      .select(when(sLower, col("s")).otherwise(col("t")).as("u"),
+        when(sLower, col("t")).otherwise(col("s")).as("w"))
+      .cache()
     // adjacency-LIST intersection, not a wedge join: materializing
-    // wedges (Σ deg² rows) costs ~20M intermediate rows on this
-    // graph; shipping each vertex's sorted neighbor list to its
-    // edges (two equi-joins) and intersecting in-row costs
-    // O(edges × avg-degree) with NO blowup row set. Triangle
-    // (a<b<c) counts once at edge (a,b) via common neighbors > b;
-    // a and b each gain size(common), each c gains 1. At skewed
-    // scale a hub's list caps via the same salting/sub-split story
-    // as every wide key here.
-    val adjAll = e.unionByName(e.select(col("t").as("s"), col("s").as("t")))
-      .groupBy("s").agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    // wedges (Σ deg⁺² rows) blows up the intermediate row set;
+    // shipping each vertex's sorted OUT-neighbor list (≤ √(2m)
+    // elements by the bound above) to its edges and intersecting
+    // in-row costs O(edges × √m) worst case with no blowup rows.
+    val adjPlus = dirE.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("w"))).as("nbrs"))
     graft.functions.Vectors.ensureRegistered(s)
-    val common = e
-      .join(adjAll.select(col("s"), col("nbrs").as("na")), "s")
-      .join(adjAll.select(col("s").as("t"), col("nbrs").as("nb")), "t")
-      .select(col("s"), col("t"),
+    val common = dirE
+      .join(adjPlus.select(col("u"), col("nbrs").as("na")), "u")
+      .join(adjPlus.select(col("u").as("w"), col("nbrs").as("nb")), "w")
+      .select(col("u"), col("w"),
         // native merge walk: the filter(array_intersect(...)) HOF
-        // pair runs interpreted and boxed per edge
+        // pair runs interpreted and boxed per edge. Orientation
+        // already guarantees x ≻ w for x ∈ N⁺(w), so the threshold
+        // is the universal lower bound (no extra filter needed).
         call_function("graft_sorted_intersect_gt",
-          col("na"), col("nb"), col("t")).as("cs"))
+          col("na"), col("nb"), lit(Long.MinValue)).as("cs"))
       .filter(size(col("cs")) > 0)
     common
       .select(explode(concat(
-        array_repeat(col("s"), size(col("cs"))),
-        array_repeat(col("t"), size(col("cs"))),
+        array_repeat(col("u"), size(col("cs"))),
+        array_repeat(col("w"), size(col("cs"))),
         col("cs"))).as("part_id"))
       .groupBy("part_id").agg(count(lit(1)).as("tri_ct"))
   }

@@ -373,10 +373,15 @@ object Analytics {
     val r = ev.agg(count(lit(1)).as("n"),
       countDistinct(col("user_id")).as("u")).collect()(0)
     val t = (6L * r.getLong(0)) / (5L * r.getLong(1))
-    val cms = s.sparkContext.broadcast(
-      ev.stat.countMinSketch("user_id", 0.001, 0.99, 42))
-    val isHeavy = udf((uid: Long) => cms.value.estimateCount(uid) >= t)
-    ev.filter(isHeavy(col("user_id")))
+    val cms = ev.stat.countMinSketch("user_id", 0.001, 0.99, 42)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    // native codegen'd probe over the inlined sketch bytes (112 KB
+    // literal, deserialized once per executor) — no ScalaUDF on the
+    // fact scan
+    graft.functions.Vectors.ensureRegistered(s)
+    ev.filter(call_function("graft_cms_estimate",
+        lit(bos.toByteArray), col("user_id")) >= t)
       .groupBy("user_id").agg(count(lit(1)).as("ct"))
       .filter(col("ct") >= t)
   }

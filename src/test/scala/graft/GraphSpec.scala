@@ -34,6 +34,57 @@ class GraphSpec extends AnyFunSuite {
     assert(hi > lo, s"top-degree decile $hi should outrank bottom $lo")
   }
 
+  test("hot-vertex graph: counts exact, hub adjacency bounded by sqrt(2m)") {
+    import s.implicits._
+    // synthetic baskets: a hub part rides in 30% of orders, the rest
+    // form a sparse ring — the skew shape the degree orientation
+    // exists for
+    val orders = (1 to 300).flatMap { ok =>
+      val ring = Seq(ok % 60, (ok % 60) + 1, (ok % 60) + 2)
+        .map(_.toLong + 100L)
+      val withHub = if (ok % 10 < 3) ring :+ 9999L else ring
+      withHub.map(pk => (ok.toLong, pk))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-hub").toString
+    orders.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(dir + "/lineitem.parquet")
+    val got = Graph.triangleCounts(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // oracle: the id-oriented wedge join (orientation-invariant)
+    val li = orders.toDF("ok", "pk")
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("s"), col("b.pk").as("t")).distinct().cache()
+    val tri = e.as("e1").join(e.as("e2"), col("e1.t") === col("e2.s"))
+      .join(e.as("e3"),
+        col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+      .select(col("e1.s").as("va"), col("e1.t").as("vb"), col("e2.t").as("vc"))
+    val want = tri.select(col("va").as("p"))
+      .unionByName(tri.select(col("vb").as("p")))
+      .unionByName(tri.select(col("vc").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("ct")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // the scale property: undirected hub degree is huge, but the
+    // (degree, id) orientation caps EVERY out-neighborhood at sqrt(2m)
+    val m = e.count()
+    val deg = e.select(col("s").as("v")).unionByName(e.select(col("t").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val maxUndirected = deg.agg(max("dg")).head().getLong(0)
+    assert(maxUndirected > math.sqrt(2.0 * m),
+      s"test graph not skewed enough (hub deg $maxUndirected, m=$m)")
+    val sLower = col("ds") < col("dt") ||
+      (col("ds") === col("dt") && col("s") < col("t"))
+    val maxOut = e
+      .join(deg.select(col("v").as("s"), col("dg").as("ds")), "s")
+      .join(deg.select(col("v").as("t"), col("dg").as("dt")), "t")
+      .select(when(sLower, col("s")).otherwise(col("t")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("outdeg"))
+      .agg(max("outdeg")).head().getLong(0)
+    assert(maxOut <= math.ceil(math.sqrt(2.0 * m)).toLong,
+      s"oriented out-degree $maxOut exceeds sqrt(2m)=${math.sqrt(2.0 * m)}")
+  }
+
   test("triangle counts match a brute-force adjacency check") {
     val counts = graft.operators.Graph.triangleCounts(s, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -53,6 +53,19 @@ class PlanLintSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("sketch-screened scans carry no ScalaUDF (native probes only)") {
+    // the CMS heavy-hitter prefilter and the Bloom decontamination
+    // screen both run on the full fact/corpus scan side — a ScalaUDF
+    // there breaks whole-stage codegen and boxes every row
+    Seq("analytics_heavy_hitters", "dedup_bloom_decontaminate")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(s, d)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("UDF"),
+          s"$name: ScalaUDF on the scan side:\n${plan.take(2000)}")
+      }
+  }
+
   test("scan-heavy fact queries push their filters into the parquet scan") {
     // spot the load-bearing pushdowns: if these regress, the scans
     // read the whole fact table at warehouse scale
