@@ -384,6 +384,32 @@ object SparkEntry {
         | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_ct,
         | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_ct
         |FROM events GROUP BY 1""".stripMargin,
+    // sketch outputs are algorithm-specific, so each engine grades
+    // ITS OWN sketch against ITS OWN exact value and emits a
+    // within-5% flag — identical booleans whenever both sketches
+    // honor their error contracts (exact uu rides along as the
+    // cross-engine-hashable anchor)
+    "analytics_approx_stats" ->
+      """WITH ex AS (
+        | SELECT o_orderpriority AS prio,
+        |  COUNT(DISTINCT o_custkey) AS uu_exact,
+        |  quantile_cont(o_totalprice, 0.50) AS p50_exact,
+        |  quantile_cont(o_totalprice, 0.95) AS p95_exact
+        | FROM orders GROUP BY 1),
+        |ap AS (
+        | SELECT o_orderpriority AS prio,
+        |  approx_count_distinct(o_custkey) AS uu_approx,
+        |  approx_quantile(o_totalprice, 0.50) AS p50_approx,
+        |  approx_quantile(o_totalprice, 0.95) AS p95_approx
+        | FROM orders GROUP BY 1)
+        |SELECT ex.prio, ex.uu_exact,
+        | CAST(abs(ap.uu_approx - ex.uu_exact)
+        |   <= ex.uu_exact * 0.05 AS INT) AS uu_ok,
+        | CAST(abs(ap.p50_approx - ex.p50_exact)
+        |   <= abs(ex.p50_exact) * 0.05 AS INT) AS p50_ok,
+        | CAST(abs(ap.p95_approx - ex.p95_exact)
+        |   <= abs(ex.p95_exact) * 0.05 AS INT) AS p95_ok
+        |FROM ex JOIN ap ON ex.prio = ap.prio""".stripMargin,
     // Spark `percentile` and DuckDB `quantile_cont` share the linear
     // interpolation definition; 6dp rounding both sides absorbs
     // arithmetic-order ulps

@@ -78,11 +78,12 @@ class WarehouseSpec extends AnyFunSuite {
     val rows = graft.warehouse.Analytics.approxStats(s, d).collect()
     assert(rows.length === 5)
     rows.foreach { r =>
-      val exact = r.getAs[Long]("uu_exact").toDouble
-      val approx = r.getAs[Long]("uu_approx").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"HLL off by >5%: $approx vs $exact")
-      assert(r.getAs[Double]("p50_approx") < r.getAs[Double]("p95_approx"))
+      assert(r.getAs[Long]("uu_exact") > 0)
+      // the graded tolerance flags must actually be TRUE — the
+      // sketches honor their error contracts on this data
+      assert(r.getAs[Int]("uu_ok") === 1, s"HLL off by >5%: $r")
+      assert(r.getAs[Int]("p50_ok") === 1, s"approx p50 off by >5%: $r")
+      assert(r.getAs[Int]("p95_ok") === 1, s"approx p95 off by >5%: $r")
     }
   }
 
