@@ -226,6 +226,103 @@ object Jobs {
         })
   }
 
+  /** State container for [[temporalJoinChangelog]]: right-side
+    * versions and left rows parked until the watermark certifies
+    * their match set is complete. Kryo-encoded (rows carry dynamic
+    * schemas).
+    */
+  case class TemporalState(
+      rights: List[(Long, org.apache.spark.sql.Row)],
+      pending: List[(Long, org.apache.spark.sql.Row)])
+
+  /** Event-time temporal (as-of) join where the RIGHT side is a
+    * CHANGELOG STREAM — the full Flink temporal-join semantics the
+    * reference approximates with its HBase+Redis latest-version
+    * lookup (DimAsyncFunction.java:42): every left fact is enriched
+    * with the right version in effect AT ITS EVENT TIME, and the
+    * answer is independent of batching and arrival order.
+    *
+    * Both streams union into one keyed envelope; per key,
+    * `flatMapGroupsWithState` parks left rows until the shared
+    * watermark passes their timestamp — at that point every right
+    * version with `rightTs <= leftTs` has arrived (that is the
+    * watermark contract), so the match is final. Emission is
+    * left-outer with null values, identical to the batch
+    * [[graft.plans.AsOfJoin]] operator, which is exactly what the
+    * spec asserts under deliberately out-of-order multi-batch
+    * arrival.
+    *
+    * State is bounded the same way Flink bounds it: per key, ONLY
+    * the latest right version at-or-below the watermark survives
+    * (older versions are dominated for every future left row), plus
+    * versions still inside the watermark window and lefts not yet
+    * certifiable. An event-time timeout re-flushes parked lefts when
+    * the watermark advances without new rows for the key.
+    */
+  def temporalJoinChangelog(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String, vals: Seq[String],
+      delay: String = "0 seconds"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.StructType
+    val lSchema = left.schema
+    val valsSchema = StructType(vals.map(right.schema(_)))
+    val outSchema = StructType(
+      lSchema.fields ++ valsSchema.fields.map(_.copy(nullable = true)))
+    val lEnv = left.select(
+      col(key).cast("string").as("__gk"), lit(0).as("__side"),
+      col(leftTs).cast("timestamp").as("__ts"),
+      unix_micros(col(leftTs).cast("timestamp")).as("__us"),
+      struct(lSchema.fieldNames.toIndexedSeq.map(col): _*).as("__lpay"),
+      lit(null).cast(valsSchema).as("__rvals"))
+    val rEnv = right.select(
+      col(key).cast("string").as("__gk"), lit(1).as("__side"),
+      col(rightTs).cast("timestamp").as("__ts"),
+      unix_micros(col(rightTs).cast("timestamp")).as("__us"),
+      lit(null).cast(lSchema).as("__lpay"),
+      struct(vals.toIndexedSeq.map(col): _*).as("__rvals"))
+    val env = lEnv.unionByName(rEnv).withWatermark("__ts", delay)
+    val nVals = valsSchema.length
+    env.groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+      .flatMapGroupsWithState[TemporalState, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, it: Iterator[Row], state: GroupState[TemporalState]) =>
+          val st = state.getOption.getOrElse(TemporalState(Nil, Nil))
+          var rights = st.rights
+          var pending = st.pending
+          it.foreach { r =>
+            val us = r.getLong(3)
+            if (r.getInt(1) == 0) pending ::= (us -> r.getStruct(4))
+            else rights ::= (us -> r.getStruct(5))
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // STRICTLY below the watermark: a row AT the watermark can
+          // still be joined by an equal-timestamp right arrival
+          val (ready, hold) = pending.partition(_._1 < wmUs)
+          val sortedRights = rights.sortBy(_._1)
+          val out = ready.sortBy(_._1).map { case (lus, lrow) =>
+            val m = sortedRights.takeWhile(_._1 <= lus).lastOption
+            Row.fromSeq(lrow.toSeq ++ (m match {
+              case Some((_, rv)) => rv.toSeq
+              case None => Seq.fill(nVals)(null)
+            }))
+          }
+          // eviction: the latest version at-or-below the watermark
+          // dominates all older ones for every future left row
+          val kept = sortedRights.filter(_._1 < wmUs).lastOption.toList ++
+            sortedRights.filter(_._1 >= wmUs)
+          if (hold.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(TemporalState(kept, hold))
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                hold.map(_._1).min / 1000L + 1,
+                state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }(Encoders.kryo[TemporalState], Encoders.row(outSchema))
+      .toDF(outSchema.fieldNames.toIndexedSeq: _*)
+  }
+
   /** Versioned-dim enrichment: each micro-batch as-of joins against a
     * VERSIONED dimension table — every fact picks the dim row in
     * effect at its event time, not the current snapshot. This is the

@@ -345,6 +345,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(JdbcSink.dorisAggDdl(cfg, types).contains("AGGREGATE KEY (k)"))
   }
 
+  test("raw-SQL graft_asof_join runs ON A STREAM against the versioned dim") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // versioned dim: 3 versions per key
+    val dim = (1L to 5L).flatMap(k => Seq(
+      (k, 100L * k, s"v1_$k"), (k, 100L * k + 30, s"v2_$k"),
+      (k, 100L * k + 60, s"v3_$k"))).toDF("k", "us", "dimval")
+    dim.createOrReplaceTempView("asof_dim_v")
+    val facts = (1L to 5L).flatMap(k =>
+      Seq((k, 100L * k - 1), (k, 100L * k + 45), (k, 100L * k + 99)))
+    val mem = MemoryStream[(Long, Long)]
+    mem.toDF().toDF("k", "us").createOrReplaceTempView("stream_facts_v")
+    // the SAME TVF SQL a batch user writes, over the streaming view —
+    // each micro-batch plans the custom AsOfJoinExec
+    val sdf = s.sql("SELECT * FROM graft_asof_join(" +
+      "'stream_facts_v', 'asof_dim_v', 'k', 'us', 'dimval')")
+    assert(sdf.isStreaming)
+    val q = sdf.writeStream.format("memory").queryName("asofsql")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = facts.splitAt(7)
+      mem.addData(h1); q.processAllAvailable()
+      mem.addData(h2); q.processAllAvailable()
+      val got = s.sql("SELECT k, us, dimval FROM asofsql").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val want = graft.plans.AsOfJoin(
+        facts.toDF("k", "us"), dim, "k", "us", Seq("dimval")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got === want)
+      assert(got.exists(_._3 == null), "pre-first-version facts stay null")
+    } finally q.stop()
+  }
+
+  test("changelog temporal join equals batch as-of under out-of-order batching") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val dimRows = (1L to 4L).flatMap(k => Seq(
+      (k, 1000L * k, s"v1_$k"), (k, 1000L * k + 300, s"v2_$k"),
+      (k, 1000L * k + 600, s"v3_$k")))
+    val factRows = (1L to 4L).flatMap(k => Seq(
+      (k, 1000L * k - 5, 0.1 * k), (k, 1000L * k + 299, 0.2 * k),
+      (k, 1000L * k + 300, 0.3 * k), (k, 1000L * k + 900, 0.4 * k)))
+    val lMem = MemoryStream[(Long, Long, Double)]
+    val rMem = MemoryStream[(Long, Long, String)]
+    val joined = Jobs.temporalJoinChangelog(
+      lMem.toDF().toDF("k", "us", "amt"),
+      rMem.toDF().toDF("k", "us", "dimval"),
+      // the lateness budget must cover the test's whole disorder
+      // window — rows beyond it are dropped by watermark contract
+      "k", "us", "us", Seq("dimval"), delay = "2 hours")
+    val q = joined.writeStream.format("memory").queryName("tjoin")
+      .outputMode("append").start()
+    try {
+      // deliberately out of order: late facts land AFTER newer dim
+      // versions, dim versions split across batches
+      val (d1, d2) = dimRows.partition(_._2 % 2 == 0)
+      val (f1, f2) = factRows.partition(_._2 % 3 == 0)
+      rMem.addData(d2); lMem.addData(f2); q.processAllAvailable()
+      rMem.addData(d1); lMem.addData(f1); q.processAllAvailable()
+      // two sentinel advances flush every parked left via watermark +
+      // event-time timeout
+      lMem.addData((999L, 10_000_000L, 0.0)); q.processAllAvailable()
+      lMem.addData((999L, 20_000_000L, 0.0)); q.processAllAvailable()
+      val got = s.sql(
+        "SELECT k, us, amt, dimval FROM tjoin WHERE k < 900").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getString(3))).toSet
+      val want = graft.plans.AsOfJoin(
+        factRows.toDF("k", "us", "amt"),
+        dimRows.toDF("k", "us", "dimval"),
+        "k", "us", Seq("dimval")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getString(3))).toSet
+      assert(got === want)
+      assert(got.exists(_._4 == null), "pre-first-version facts stay null")
+      assert(got.exists(_._4 != null), "matched facts carry dim versions")
+    } finally q.stop()
+  }
+
   test("JDBC sink: streaming foreachBatch path lands micro-batches") {
     import graft.streaming.JdbcSink
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
