@@ -77,6 +77,30 @@ object ZOrder {
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(path)
 
+  /** COMPOSED layout: hive-style date partitions with z-clustering
+    * INSIDE each partition — the real OPTIMIZE-by-partition shape
+    * (ClickHouse `PARTITION BY toYYYYMMDD(date) ORDER BY (a, b)`,
+    * reference TradeStatsMapper.java:27; Delta `OPTIMIZE ... WHERE
+    * date = X ZORDER BY (a, b)`). A date predicate prunes whole
+    * DIRECTORIES at plan time; within the surviving day, parquet
+    * footer min/max on the z-clustered dimensions skips most FILES.
+    * The two mechanisms compose because they act at different
+    * granularities — which is why every serious lake layout uses
+    * both.
+    *
+    * One shuffle total: a single range partitioning on
+    * (partition col, zkey) — sorted output means each writer task
+    * emits contiguous z-ranges, and a task whose range straddles a
+    * date boundary just writes one file into each directory. No
+    * per-partition re-shuffle, no single-writer funnel.
+    */
+  def clusterWritePartitioned(df: DataFrame, partCol: String,
+      x: Column, y: Column, path: String, files: Int): Unit =
+    df.withColumn("zkey", zkey(x, y))
+      .repartitionByRange(files, col(partCol), col("zkey"))
+      .sortWithinPartitions(col(partCol), col("zkey"))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** The graded key computation over lineitem's (part, supplier)
     * dimensions — the pair a mixed part/supplier workload would
     * cluster on. Pure map-side expression, zero shuffle.
