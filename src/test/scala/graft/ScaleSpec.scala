@@ -286,6 +286,63 @@ class ScaleSpec extends AnyFunSuite {
     assert(avgSpan("y") < g.getLong(1) * 0.55, "y span must shrink per file")
   }
 
+  test("composed layout: date-partition pruning AND z-order file skipping") {
+    import graft.sources.ZOrder
+    val out = java.nio.file.Files.createTempDirectory("zpart").toString + "/ev"
+    // controlled frame: the sf0.001 events generator correlates
+    // user ids with days (in-day span ~14) and days hold ~33 rows —
+    // nothing to cluster. 10 days x 2000 rows with decorrelated
+    // dimensions is the shape the layout exists for.
+    val ev = s.range(20000).select(
+      concat(lit("2024-01-"),
+        lpad((col("id") % 10 + 1).cast("string"), 2, "0")).as("dt"),
+      pmod(hash(col("id")), lit(256)).cast("long").as("x"),
+      pmod(hash(col("id") * 7 + 3), lit(256)).cast("long").as("y"))
+    ZOrder.clusterWritePartitioned(ev, "dt", col("x"), col("y"), out, 48)
+    val days = ev.select("dt").distinct().collect().map(_.getString(0)).sorted
+    assert(days.length > 5, "need many partitions")
+    // 1) the date predicate prunes whole directories at plan time
+    val someDay = days(days.length / 2)
+    val pruned = s.read.parquet(out).filter(col("dt") === someDay)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filter:\n$plan")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    val allFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("dt="))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+    val dayFiles = new java.io.File(s"$out/dt=$someDay").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val filesRead = scan.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+    assert(filesRead === dayFiles.length.toLong,
+      s"pruned scan read $filesRead files, day dir has ${dayFiles.length}")
+    assert(filesRead < allFiles.length,
+      "pruning must skip the other days' files")
+    // 2) WITHIN the surviving day, per-file rectangles shrink on both
+    // z dimensions, so footer min/max skips files too
+    // judge the shrink on the BUSIEST days — a boundary day with a
+    // handful of rows has nothing to cluster
+    val multiFileDays = days
+      .map(dd => dd -> new java.io.File(s"$out/dt=$dd").listFiles()
+        .count(_.getName.endsWith(".parquet")))
+      .filter(_._2 >= 3).sortBy(-_._2).map(_._1)
+    assert(multiFileDays.nonEmpty, "need a day with several files")
+    multiFileDays.take(3).foreach { dd =>
+      val fs = new java.io.File(s"$out/dt=$dd").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      def avgSpan(c: String): Double = fs.map { p =>
+        val r = s.read.parquet(p).agg(min(col(c)), max(col(c))).head()
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }.sum / fs.length
+      val g = s.read.parquet(s"$out/dt=$dd")
+        .agg(max("x") - min("x"), max("y") - min("y")).head()
+      assert(avgSpan("x") < g.getLong(0) * 0.8,
+        s"day $dd: x span must shrink per file")
+      assert(avgSpan("y") < g.getLong(1) * 0.8,
+        s"day $dd: y span must shrink per file")
+    }
+  }
+
   test("native KMV aggregate == window KMV, with map-side partials") {
     val native = graft.warehouse.Sketched.kmvDistinctNative(s, d)
     val window = graft.warehouse.Sketched.kmvDistinct(s, d)
@@ -381,6 +438,82 @@ class ScaleSpec extends AnyFunSuite {
     val plain = li.join(o, Seq("o_orderkey")).count()
     val salted = Skew.saltedJoin(li, o, "o_orderkey", salts = 4).count()
     assert(salted === plain)
+  }
+
+  test("hot-key suite: salting spreads a 20% key; pagerank survives the hub") {
+    // one user owns 20% of all events — the celebrity-key shape.
+    // (AQE's runtime split of the same shape is the next test;
+    // triangle counting's hub bound lives in GraphSpec.)
+    val n = 20000L
+    val hot = 42L
+    val ev = s.range(n).select(
+      when(col("id") % 5 === 0, lit(hot))
+        .otherwise(pmod(col("id"), lit(500L))).as("user_id"),
+      (col("id") % 97).cast("double").as("value"))
+    val dim = s.range(500).select(col("id").as("user_id"),
+      (col("id") % 25).as("nk"))
+    // row-identical to the plain join, per group and in total
+    val plain = ev.join(dim, "user_id").groupBy("nk")
+      .agg(count(lit(1)).as("ct"), sum("value").as("v")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val salted = graft.operators.Skew.saltedJoin(ev, dim, "user_id", 8)
+    val got = salted.groupBy("nk")
+      .agg(count(lit(1)).as("ct"), sum("value").as("v")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === plain.keySet)
+    got.foreach { case (k, (ct, v)) =>
+      assert(ct === plain(k)._1)
+      assert(math.abs(v - plain(k)._2) < 1e-6)
+    }
+    // the scale property: with the broadcast escape hatch closed
+    // (the 100 TB dim doesn't broadcast), the unsalted shuffle join
+    // funnels the hot key into one task; the salted join balances it
+    // (AQE coalescing would merge these tiny test partitions into
+    // one and hide the distribution; at real scale it coalesces to
+    // the advisory size, which preserves the salting benefit)
+    val skewConfs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prevSkew = skewConfs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    skewConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      def partSizes(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.rdd.mapPartitions(it => Iterator(it.size.toLong))
+          .collect().toSeq.filter(_ > 0)
+      val unsaltedSizes = partSizes(ev.join(dim, "user_id"))
+      val saltedSizes = partSizes(
+        graft.operators.Skew.saltedJoin(ev, dim, "user_id", 8))
+      val avg = n.toDouble / saltedSizes.length
+      assert(unsaltedSizes.max > saltedSizes.max,
+        s"salting did not reduce the max task: ${unsaltedSizes.max} vs " +
+          s"${saltedSizes.max}")
+      assert(saltedSizes.max <= avg * 1.4,
+        s"salted join still imbalanced: max ${saltedSizes.max}, avg $avg")
+    } finally prevSkew.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+    // two-phase aggregation on the same hot key: exact totals
+    val direct = ev.groupBy("user_id").agg(count(lit(1)).as("ct"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twoPhase = graft.operators.Skew.twoPhaseAgg(ev, "user_id", 8,
+      Seq(count(lit(1)).as("pct")), Seq(sum("pct").cast("long").as("ct")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twoPhase === direct)
+    // pagerank over a hub co-purchase graph: completes, deterministic,
+    // hub gets the top rank
+    val dir = java.nio.file.Files.createTempDirectory("graft-hub-pr").toString
+    import s.implicits._
+    (1 to 300).flatMap { ok =>
+      val ring = Seq(ok % 60, (ok % 60) + 1).map(_.toLong + 100L)
+      (if (ok % 5 == 0) ring :+ 9999L else ring).map(pk => (ok.toLong, pk))
+    }.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(dir + "/lineitem.parquet")
+    val pr = graft.operators.Graph.pagerankCoPurchase(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.maxBy(_._2)._1 === 9999L, "hub must take the top rank")
+    assert(pr === graft.operators.Graph.pagerankCoPurchase(s, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
   test("AQE splits a skewed join partition at runtime (no manual salting)") {
