@@ -1306,46 +1306,11 @@ object SparkEntry {
         | FROM documents) t
         |WHERE bucket < CASE WHEN lang = 'en' THEN 20
         |                    WHEN lang = 'de' THEN 40 ELSE 80 END""".stripMargin,
-    // two full Lloyd rounds, unrolled: strided init mirrored, exact
-    // integer-quantized sums (order-independent), expanded
-    // dot(c,c)-2*dot(v,c) metric evaluated left-to-right both sides,
-    // first-minimum tie-break — engine-exact, no tolerance
-    "sim_kmeans" ->
-      """WITH emb AS (
-        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-        |    x -> CAST(round(x * 1000) AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |tot AS (SELECT COUNT(*) AS n FROM emb),
-        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
-        |       FROM emb, tot
-        |       WHERE vec_id % greatest(1, n // 8) = 0
-        |         AND vec_id // greatest(1, n // 8) < 8),
-        |d1 AS (SELECT e.vec_id, c.cid,
-        |         list_sum(list_transform(c.v, x -> x * x))
-        |         - 2.0 * list_sum(list_transform(range(64),
-        |             i -> e.v[i + 1] * c.v[i + 1])) AS dist
-        |       FROM emb e CROSS JOIN c0 c),
-        |a1 AS (SELECT vec_id, cid FROM (
-        |         SELECT vec_id, cid, row_number() OVER (
-        |           PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1) t
-        |       WHERE rn = 1),
-        |m1 AS (SELECT a1.cid, g.i, CAST(SUM(e.v[g.i]) AS DOUBLE) / COUNT(*) AS mv
-        |       FROM a1 JOIN emb e USING (vec_id) CROSS JOIN range(1, 65) AS g(i)
-        |       GROUP BY 1, 2),
-        |c1 AS (SELECT c0.cid,
-        |         CASE WHEN m.cid IS NULL THEN c0.v ELSE m.v END AS v
-        |       FROM c0 LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS v
-        |                          FROM m1 GROUP BY cid) m ON m.cid = c0.cid),
-        |d2 AS (SELECT e.vec_id, c.cid,
-        |         list_sum(list_transform(c.v, x -> x * x))
-        |         - 2.0 * list_sum(list_transform(range(64),
-        |             i -> e.v[i + 1] * c.v[i + 1])) AS dist
-        |       FROM emb e CROSS JOIN c1 c),
-        |a2 AS (SELECT vec_id, cid FROM (
-        |         SELECT vec_id, cid, row_number() OVER (
-        |           PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2) t
-        |       WHERE rn = 1)
-        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM a2""".stripMargin,
+    // GENERATED oracle (Similarity.kmeansOracleSql): seeded
+    // farthest-first init (k unrolled stages) + 4 Lloyd rounds,
+    // every term engine-exact (integer-quantized sums, expanded
+    // metric, first-minimum tie-breaks) — no tolerance
+    "sim_kmeans" -> Similarity.kmeansOracleSql(k = 8, iters = 4),
     // PQ replayed end-to-end: same strided codebooks, same exact-
     // integer subspace distances, same first-min code assignment,
     // same ADC sum — bit-for-bit, so ranks hash-match

@@ -162,19 +162,22 @@ object Similarity {
     * oracle can be exact rather than tolerance-based.
     */
   def kmeansClusters(s: SparkSession, d: String, k: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 4, farthestInit: Boolean = true): DataFrame = {
     Vectors.ensureRegistered(s)
     val dim = 64
     val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
         transform(Vectors.asDouble(col("embedding")),
           x => round(x * 1000).cast("double")).as("v"))
       .cache()
-    val total = e.count()
-    val stride = math.max(1L, total / k)
-    var cents: IndexedSeq[Array[Double]] = e
-      .filter(col("vec_id") % stride === 0 && col("vec_id") / stride < k)
-      .orderBy("vec_id").collect()
-      .map(_.getSeq[Double](1).toArray).toIndexedSeq
+    var cents: IndexedSeq[Array[Double]] =
+      if (farthestInit) farthestFirstSeeds(e, k)
+      else {
+        val total = e.count()
+        val stride = math.max(1L, total / k)
+        e.filter(col("vec_id") % stride === 0 && col("vec_id") / stride < k)
+          .orderBy("vec_id").collect()
+          .map(_.getSeq[Double](1).toArray).toIndexedSeq
+      }
     def assigned: DataFrame = {
       val scores = array(cents.map { c =>
         val cc = c.map(x => x * x).sum
@@ -201,6 +204,113 @@ object Similarity {
       it += 1
     }
     assigned.select(col("vec_id"), col("cluster_id"))
+  }
+
+  /** Deterministic SEEDED farthest-first (k-center) initialization —
+    * the engine-exact counterpart of k-means++/k-means|| seeding:
+    * the probabilistic forms sample proportional to d², favoring
+    * far-from-chosen points; this takes the argmax outright, which
+    * is their determinization and needs no random draw an oracle
+    * would have to mirror bit-for-bit. The FIRST seed is a seeded
+    * pseudo-random pick (Knuth multiplicative hash of vec_id — the
+    * same derivation every executor and both engines compute
+    * identically); each next seed maximizes true squared distance
+    * (exact integer arithmetic on the quantized vectors) to the
+    * chosen set, ties broken by smallest vec_id.
+    *
+    * Scale shape: k-1 passes, each a one-row argmax collect over a
+    * cached map-side scoring against ≤ k broadcast centroid
+    * literals — the k-means|| trade (O(log n) rounds of bulk
+    * sampling) only pays off when k is large enough that k scans
+    * hurt; at dashboard-k it is strictly more machinery for the same
+    * seeds-quality goal.
+    */
+  private def farthestFirstSeeds(e: DataFrame,
+      k: Int): IndexedSeq[Array[Double]] = {
+    val scored = e.select(col("vec_id"),
+      pmod(col("vec_id") * 2654435761L, lit(4294967296L)).as("hh"),
+      col("v"), Vectors.dot(col("v"), col("v")).as("nn"))
+    val first = scored.orderBy(col("hh"), col("vec_id")).limit(1)
+      .collect()(0).getSeq[Double](2).toArray
+    val buf = scala.collection.mutable.ArrayBuffer(first)
+    while (buf.length < k) {
+      val dists = array(buf.toSeq.map { c =>
+        val cc = c.map(x => x * x).sum
+        col("nn") - lit(2.0) * Vectors.dot(col("v"), typedLit(c)) + lit(cc)
+      }: _*)
+      buf += scored.withColumn("md", array_min(dists))
+        .orderBy(col("md").desc, col("vec_id")).limit(1)
+        .collect()(0).getSeq[Double](2).toArray
+    }
+    buf.toIndexedSeq
+  }
+
+  /** DuckDB oracle GENERATOR for [[kmeansClusters]]: unrolls the
+    * seeded farthest-first init (k stages) and `iters` Lloyd rounds
+    * into one CTE chain — configurable where the previous oracle was
+    * a hand-written 2-round constant. Every term mirrors the Spark
+    * side exactly: integer-quantized vectors, Knuth-hash first seed,
+    * true squared distance for seeding, expanded `c·c − 2·v·c` for
+    * assignment (per-point shift cannot change an argmin over c),
+    * first-minimum tie-breaks, empty cells keep their centroid.
+    */
+  def kmeansOracleSql(k: Int, iters: Int, dim: Int = 64): String = {
+    require(k >= 2 && iters >= 1)
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(range($dim), i -> $a[i + 1] * $b[i + 1]))"
+    def cnorm(c: String): String =
+      s"list_sum(list_transform($c, x -> x * x))"
+    val init = new StringBuilder
+    init ++=
+      s"""emb AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(round(x * 1000) AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT vec_id, (vec_id * 2654435761) % 4294967296 AS hh,
+         |    v, ${cnorm("v")} AS nn FROM emb),
+         |cset1 AS (SELECT 0 AS cid, v FROM
+         |  (SELECT v FROM scored ORDER BY hh, vec_id LIMIT 1)),
+         |""".stripMargin
+    for (j <- 2 to k) {
+      init ++=
+        s"""mind$j AS (SELECT e.vec_id,
+           |    MIN(e.nn - 2.0 * ${dot("e.v", "c.v")} + ${cnorm("c.v")}) AS md
+           |  FROM scored e CROSS JOIN cset${j - 1} c GROUP BY e.vec_id),
+           |cset$j AS (SELECT * FROM cset${j - 1} UNION ALL
+           |  SELECT ${j - 1} AS cid, v FROM emb WHERE vec_id =
+           |    (SELECT vec_id FROM mind$j ORDER BY md DESC, vec_id LIMIT 1)),
+           |""".stripMargin
+    }
+    init ++= s"c0 AS (SELECT cid, v FROM cset$k),\n"
+    val rounds = new StringBuilder
+    def assignCte(t: Int, cents: String): String =
+      s"""d$t AS (SELECT e.vec_id, c.cid,
+         |    ${cnorm("c.v")} - 2.0 * ${dot("e.v", "c.v")} AS dist
+         |  FROM emb e CROSS JOIN $cents c),
+         |a$t AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$t) t
+         |  WHERE rn = 1),
+         |""".stripMargin
+    for (t <- 1 until iters) {
+      rounds ++= assignCte(t, s"c${t - 1}")
+      rounds ++=
+        s"""m$t AS (SELECT a$t.cid, g.i,
+           |    CAST(SUM(e.v[g.i]) AS DOUBLE) / COUNT(*) AS mv
+           |  FROM a$t JOIN emb e USING (vec_id)
+           |  CROSS JOIN range(1, ${dim + 1}) AS g(i) GROUP BY 1, 2),
+           |c$t AS (SELECT c${t - 1}.cid,
+           |    CASE WHEN m.cid IS NULL THEN c${t - 1}.v ELSE m.v END AS v
+           |  FROM c${t - 1} LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS v
+           |                            FROM m$t GROUP BY cid) m
+           |    ON m.cid = c${t - 1}.cid),
+           |""".stripMargin
+    }
+    rounds ++= assignCte(iters, s"c${iters - 1}")
+    val body = (init.toString + rounds.toString).stripSuffix(",\n")
+    s"""WITH $body
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM a$iters"""
+      .stripMargin
   }
 
   /** Full KNN self-join: EVERY corpus vector gets its top-k
