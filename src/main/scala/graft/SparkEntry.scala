@@ -39,6 +39,9 @@ object SparkEntry {
     "pub_province_topn" -> (Publisher.provinceTopN(_, _)),
     "pub_channel_uvct" -> (Publisher.channelUvCt(_, _)),
     "q5_star_join" -> (Publisher.starJoinRevenue(_, _)),
+    "q17_small_qty_revenue" -> (Publisher.smallQtyRevenue(_, _)),
+    "q18_large_orders" -> (Publisher.largeOrders(_, _)),
+    "q15_top_supplier" -> (Publisher.topSupplier(_, _)),
     "q3_segment_revenue" -> (Publisher.segmentRevenue(_, _)),
     "dwd_visitor_state_repair" -> (Dwd.visitorStateRepair(_, _)),
     "analytics_sessionize" -> (Analytics.sessionize(_, _)),
@@ -273,6 +276,40 @@ object SparkEntry {
          | JOIN nation ON s_nationkey = n_nationkey
          | JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA' GROUP BY 1""".stripMargin,
+    // correlated scalar subquery (Q17 shape): quantities are
+    // integer-valued doubles, so sum/count — and hence 0.2*avg — are
+    // bit-identical on both engines; the comparison decides the same
+    // way everywhere
+    "q17_small_qty_revenue" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    // IN-subquery over grouped HAVING + correlated scalar (Q18
+    // shape); exact integer quantity sums
+    "q18_large_orders" ->
+      """SELECT o_orderkey,
+        |  CAST((SELECT sum(l_quantity) FROM lineitem
+        |        WHERE l_orderkey = o.o_orderkey) AS BIGINT) AS sum_qty
+        |FROM orders o
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING sum(l_quantity) > 180)""".stripMargin,
+    // aggregate-of-aggregate max selection (Q15 shape); revenue in
+    // exact decimal through the max comparison
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM revenue)""".stripMargin,
     "q3_segment_revenue" ->
       s"""WITH agg AS (
          | SELECT l_orderkey AS order_id, CAST(o_orderdate AS DATE) AS order_date,

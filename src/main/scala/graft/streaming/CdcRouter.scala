@@ -52,4 +52,40 @@ object CdcRouter {
         } finally cached.unpersist()
       }
       .start()
+
+  /** SINGLE-PASS variant: ONE `partitionBy(table)` write per
+    * micro-batch instead of one filtered pass per route — the shape
+    * that matters when the config grows past dozens of tables (N
+    * passes over the batch become one). The trade: every table lands
+    * under `basePath/table=<name>/` (hive layout) instead of a
+    * per-route custom path; delete policy folds into one combined
+    * predicate evaluated map-side. Downstream per-table readers use
+    * `tablePath(basePath, name)`, and a partition-pruned scan of one
+    * table reads only its directory.
+    */
+  def startPartitioned(cdc: DataFrame, routes: () => Map[String, Route],
+      basePath: String, checkpoint: String): StreamingQuery =
+    cdc.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cfg = routes()
+        if (cfg.nonEmpty) {
+          val keepD = cfg.collect {
+            case (t, r) if r.keepDeletes => t
+          }.toSeq
+          val deletePolicy =
+            if (keepD.isEmpty) col("op") =!= "delete"
+            else col("op") =!= "delete" || col("table").isin(keepD: _*)
+          batch
+            .filter(col("table").isin(cfg.keys.toSeq: _*))
+            .filter(deletePolicy)
+            .write.mode(SaveMode.Append)
+            .partitionBy("table").parquet(basePath)
+        }
+      }
+      .start()
+
+  /** Where [[startPartitioned]] lands a given table's rows. */
+  def tablePath(basePath: String, table: String): String =
+    s"$basePath/table=$table"
 }

@@ -110,6 +110,66 @@ object Publisher {
   /** Top-10 revenue among a segment's unshipped orders (shipped-date
     * after cutoff), deterministic tiebreak on order id.
     */
+  /** TPC-H Q17 shape — CORRELATED SCALAR SUBQUERY: revenue lost to
+    * small-quantity orders of one brand, where "small" is each
+    * part's own 20%-of-average threshold. Catalyst DECORRELATES the
+    * subquery into an aggregate + join (no per-row re-execution —
+    * the property that makes the shape viable at all on a fact
+    * table); `.explain` shows one aggregation over lineitem joined
+    * back, not N subplans. Engine-exact: quantities are
+    * integer-valued doubles, so sum/count (and hence 0.2·avg) are
+    * bit-identical on both engines; money rides DECIMAL(12,2).
+    */
+  def smallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  /** TPC-H Q18 shape — IN-subquery over a grouped HAVING plus a
+    * correlated scalar re-read: large-volume orders. Both subqueries
+    * decorrelate to joins; the quantity sum is exact integer
+    * arithmetic.
+    */
+  def largeOrders(s: SparkSession, d: String,
+      minQty: Long = 180): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      s"""SELECT o_orderkey,
+         |  CAST((SELECT sum(l_quantity) FROM lineitem
+         |        WHERE l_orderkey = o.o_orderkey) AS BIGINT) AS sum_qty
+         |FROM orders o
+         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+         |                     GROUP BY l_orderkey
+         |                     HAVING sum(l_quantity) > $minQty)""".stripMargin)
+  }
+
+  /** TPC-H Q15 shape — aggregate-of-aggregate selection: the
+    * supplier(s) achieving MAX total revenue, via a scalar subquery
+    * over the same CTE (the view-based formulation). Revenue stays
+    * in exact decimal through the max comparison, so ties and the
+    * argmax are engine-exact.
+    */
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM revenue)""".stripMargin)
+  }
+
   def segmentRevenue(s: SparkSession, d: String,
       segment: String = "BUILDING", cutoff: String = "1998-01-01"): DataFrame = {
     val c = Tables.customer(s, d).filter(col("c_mktsegment") === segment)

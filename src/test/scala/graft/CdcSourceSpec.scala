@@ -171,6 +171,38 @@ class CdcSourceSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$out/ignored_tbl").exists())
   }
 
+  test("single-pass partitioned router equals the per-route loop") {
+    import graft.streaming.CdcRouter
+    val dir = Files.createTempDirectory("cdc-part")
+    Files.write(dir.resolve("log-000.jsonl"),
+      """{"table":"order_info","type":"insert","ts":1,"data":{"id":1}}
+        |{"table":"order_info","type":"delete","ts":2,"data":{"id":1}}
+        |{"table":"user_info","type":"insert","ts":3,"data":{"id":7}}
+        |{"table":"user_info","type":"delete","ts":4,"data":{"id":7}}
+        |{"table":"ignored_tbl","type":"insert","ts":5,"data":{"id":9}}
+        |""".stripMargin.getBytes("UTF-8"))
+    val base = Files.createTempDirectory("cdc-part-out").toString + "/ods"
+    val routes = Map(
+      "order_info" -> CdcRouter.Route("", keepDeletes = false),
+      "user_info" -> CdcRouter.Route("", keepDeletes = true))
+    val stream = s.readStream.format("graft-cdc").load(dir.toString)
+    val q = CdcRouter.startPartitioned(stream, () => routes, base,
+      Files.createTempDirectory("cdc-part-ck").toString)
+    try q.processAllAvailable() finally q.stop()
+    // one write, hive layout: order_info drops its delete, user_info
+    // keeps its delete, unconfigured table never lands
+    val order = s.read.parquet(CdcRouter.tablePath(base, "order_info"))
+    assert(order.count() === 1)
+    val user = s.read.parquet(CdcRouter.tablePath(base, "user_info"))
+    assert(user.count() === 2)
+    assert(!new java.io.File(s"$base/table=ignored_tbl").exists())
+    // a one-table read prunes to that table's directory
+    val pruned = s.read.parquet(base).filter(col("table") === "user_info")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"not pruned:\n${plan.take(800)}")
+    assert(pruned.count() === 2)
+  }
+
   test("one partition per file; feeds the CDC router input shape") {
     val dir = writeChangelog()
     val df = s.read.format("graft-cdc").load(dir)
