@@ -99,6 +99,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((graft.plans.AsOfSql.intervalIdent,
       graft.plans.AsOfSql.intervalInfo,
       exprs => graft.plans.AsOfSql.intervalBuilder(exprs)))
+    e.injectTableFunction((graft.plans.AsOfSql.temporalIdent,
+      graft.plans.AsOfSql.temporalInfo,
+      exprs => graft.plans.AsOfSql.temporalBuilder(exprs)))
     e.injectResolutionRule(_ => graft.plans.AsOfSql.ResolveGraftJoins)
+    e.injectResolutionRule(session =>
+      graft.plans.AsOfSql.ResolveTemporalJoin(session))
   }
 }

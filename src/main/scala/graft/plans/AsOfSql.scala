@@ -78,6 +78,62 @@ object AsOfSql {
       lowerUs = Some(a(5).toLong), valueCols = a.drop(6))
   }
 
+  /** Marker for the STREAMING changelog temporal join TVF. */
+  case class UnresolvedTemporalJoin(left: LogicalPlan, right: LogicalPlan,
+      key: String, leftTs: String, rightTs: String, delay: String,
+      valueCols: Seq[String]) extends BinaryNode {
+    override lazy val resolved: Boolean = false
+    override def output: Seq[Attribute] = Nil
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** graft_temporal_join(left, right, key, leftTs, rightTs, delay,
+    * valueCol...) — the raw-SQL surface of
+    * [[graft.streaming.Jobs.temporalJoinChangelog]]: event-time
+    * as-of enrichment where the right side is a CHANGELOG STREAM
+    * (Flink's `FOR SYSTEM_TIME AS OF` temporal join, which has no
+    * Spark SQL syntax). Works on batch frames too (one "micro
+    * batch"), but the point is two streaming temp views.
+    */
+  def temporalBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 7,
+      "graft_temporal_join(left, right, key, leftTs, rightTs, delay, " +
+      s"valueCol[, ...]) needs >= 7 arguments, got ${exprs.length}")
+    val a = exprs.map(litStr(_, "graft_temporal_join"))
+    UnresolvedTemporalJoin(
+      UnresolvedRelation(Seq(a(0))), UnresolvedRelation(Seq(a(1))),
+      key = a(2), leftTs = a(3), rightTs = a(4), delay = a(5),
+      valueCols = a.drop(6))
+  }
+
+  val temporalIdent = new FunctionIdentifier("graft_temporal_join")
+  val temporalInfo =
+    new ExpressionInfo(AsOfSql.getClass.getName, "graft_temporal_join")
+
+  /** Rewrites the resolved temporal marker by BUILDING the
+    * flatMapGroupsWithState pipeline through the Dataset API and
+    * splicing its analyzed plan — the construction needs encoders
+    * and a keyed-state function, which no hand-built logical node
+    * can express, so the rule delegates to the library builder.
+    */
+  case class ResolveTemporalJoin(session: org.apache.spark.sql.SparkSession)
+      extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.transformUp {
+        case UnresolvedTemporalJoin(l, r, key, lts, rts, delay, vals)
+            if l.resolved && r.resolved =>
+          val lDf = org.apache.spark.sql.classic.GraftSqlBridge
+            .ofRows(session, l)
+          val rDf = org.apache.spark.sql.classic.GraftSqlBridge
+            .ofRows(session, r)
+          graft.streaming.Jobs
+            .temporalJoinChangelog(lDf, rDf, key, lts, rts, vals, delay)
+            .queryExecution.analyzed
+      }
+  }
+
   val asOfIdent = new FunctionIdentifier("graft_asof_join")
   val asOfInfo = new ExpressionInfo(AsOfSql.getClass.getName, "graft_asof_join")
   val intervalIdent = new FunctionIdentifier("graft_interval_join")
