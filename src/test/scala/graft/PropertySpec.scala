@@ -11,6 +11,43 @@ import scala.util.Random
 class PropertySpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
 
+  test("quantile descent equals percentile() on 25 random adversarial frames") {
+    import s.implicits._
+    val rnd = new Random(4242)
+    (1 to 25).foreach { trial =>
+      val nGroups = rnd.nextInt(4) + 1
+      val rows = (0 until nGroups).flatMap { g =>
+        val size = rnd.nextInt(120) + 1
+        val shape = rnd.nextInt(4)
+        (0 until size).map { _ =>
+          val v = shape match {
+            case 0 => rnd.nextDouble() * 1e6 - 5e5 // continuous, signed
+            case 1 => rnd.nextInt(5).toDouble // tiny discrete domain
+            case 2 => math.pow(10, rnd.nextDouble() * 8) // heavy tail
+            case 3 => 7.125 // constant group
+          }
+          (s"g$g", v)
+        }
+      }
+      val ps = Seq.fill(rnd.nextInt(3) + 1)(
+        math.rint(rnd.nextDouble() * 1000) / 1000.0)
+        .distinct.zipWithIndex.map { case (p, i) => s"q$i" -> p }
+      val df = rows.toDF("g", "v")
+      // tiny buckets/small force deep multi-pass descents
+      val got = graft.operators.Quantiles
+        .groupQuantiles(df, Seq("g"), "v", ps, buckets = 8, small = 4)
+        .collect()
+        .map(r => r.getString(0) -> ps.indices.map(i => r.get(i + 1))).toMap
+      val refAggs = ps.map { case (n, p) =>
+        round(expr(s"percentile(v, ${p}d)"), 6).as(n)
+      }
+      val want = df.groupBy(col("g")).agg(refAggs.head, refAggs.tail: _*)
+        .collect()
+        .map(r => r.getString(0) -> ps.indices.map(i => r.get(i + 1))).toMap
+      assert(got === want, s"trial $trial with ps=$ps")
+    }
+  }
+
   test("FMM segmentation invariants hold on 200 random Han strings") {
     import graft.functions.DictSegmenter
     val rnd = new Random(99)

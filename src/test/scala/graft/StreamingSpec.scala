@@ -431,17 +431,20 @@ class StreamingSpec extends AnyFunSuite {
     import s.implicits._
     implicit val sq = s.sqlContext
     val dimRows = (1L to 3L).flatMap(k => Seq(
-      (k, 1000L * k, s"v1_$k"), (k, 1000L * k + 400, s"v2_$k")))
+      (k, 1000L * k, s"v1_$k", k * 10), (k, 1000L * k + 400, s"v2_$k", k * 20)))
     val factRows = (1L to 3L).flatMap(k => Seq(
       (k, 1000L * k - 5, 0.1 * k), (k, 1000L * k + 400, 0.2 * k),
       (k, 1000L * k + 800, 0.3 * k)))
     val lMem = MemoryStream[(Long, Long, Double)]
-    val rMem = MemoryStream[(Long, Long, String)]
+    val rMem = MemoryStream[(Long, Long, String, Long)]
     lMem.toDF().toDF("k", "us", "amt").createOrReplaceTempView("tj_facts_v")
-    rMem.toDF().toDF("k", "us", "dimval").createOrReplaceTempView("tj_dim_v")
-    // the Flink `FOR SYSTEM_TIME AS OF` surface as a TVF — no Scala
+    rMem.toDF().toDF("k", "us", "dimval", "region")
+      .createOrReplaceTempView("tj_dim_v")
+    // the Flink `FOR SYSTEM_TIME AS OF` surface as a TVF — no Scala;
+    // MULTIPLE value columns via the varargs tail
     val sdf = s.sql("SELECT * FROM graft_temporal_join(" +
-      "'tj_facts_v', 'tj_dim_v', 'k', 'us', 'us', '2 hours', 'dimval')")
+      "'tj_facts_v', 'tj_dim_v', 'k', 'us', 'us', '2 hours', " +
+      "'dimval', 'region')")
     assert(sdf.isStreaming)
     val q = sdf.writeStream.format("memory").queryName("tjsql")
       .outputMode("append").start()
@@ -452,15 +455,16 @@ class StreamingSpec extends AnyFunSuite {
       lMem.addData((999L, 10_000_000L, 0.0)); q.processAllAvailable()
       lMem.addData((999L, 20_000_000L, 0.0)); q.processAllAvailable()
       val got = s.sql(
-        "SELECT k, us, amt, dimval FROM tjsql WHERE k < 900").collect()
+        "SELECT k, us, amt, dimval, region FROM tjsql WHERE k < 900")
+        .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-          r.getString(3))).toSet
+          r.getString(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
       val want = graft.plans.AsOfJoin(
         factRows.toDF("k", "us", "amt"),
-        dimRows.toDF("k", "us", "dimval"),
-        "k", "us", Seq("dimval")).collect()
+        dimRows.toDF("k", "us", "dimval", "region"),
+        "k", "us", Seq("dimval", "region")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-          r.getString(3))).toSet
+          r.getString(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
       assert(got === want)
     } finally q.stop()
   }
