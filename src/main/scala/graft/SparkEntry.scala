@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Multimodal, Similarity, Temporal, TextAnalysis}
-import graft.warehouse.{Analytics, Dwd, Dws, Incremental, Publisher}
+import graft.warehouse.{Analytics, Dwd, Dws, Incremental, Publisher, Quality}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — every capability from SURVEY.md §2 with a
@@ -40,6 +40,7 @@ object SparkEntry {
     "pub_channel_uvct" -> (Publisher.channelUvCt(_, _)),
     "q5_star_join" -> (Publisher.starJoinRevenue(_, _)),
     "q17_small_qty_revenue" -> (Publisher.smallQtyRevenue(_, _)),
+    "dq_audit" -> (Quality.audit(_, _)),
     "q18_large_orders" -> (Publisher.largeOrders(_, _)),
     "q15_top_supplier" -> (Publisher.topSupplier(_, _)),
     "q3_segment_revenue" -> (Publisher.segmentRevenue(_, _)),
@@ -276,6 +277,38 @@ object SparkEntry {
          | JOIN nation ON s_nationkey = n_nationkey
          | JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA' GROUP BY 1""".stripMargin,
+    // data-quality audit: exact integer counts per check; the range
+    // rules are deliberately tight so several counts are nonzero and
+    // the hash proves the counting
+    "dq_audit" ->
+      """SELECT 'orders_pk_unique' AS check,
+        |  COUNT(*) - COUNT(DISTINCT o_orderkey) AS violations FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_pk_unique',
+        |  COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_order_orphans', COUNT(*) FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'orders_customer_orphans', COUNT(*) FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'orders_status_null',
+        |  COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END) FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_discount_gt10pct',
+        |  COUNT(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 END)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_qty_gt40',
+        |  COUNT(CASE WHEN l_quantity < 1.0 OR l_quantity > 40.0 THEN 1 END)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_total_gt300k',
+        |  COUNT(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 300000.0
+        |        THEN 1 END)
+        |FROM orders""".stripMargin,
     // correlated scalar subquery (Q17 shape): quantities are
     // integer-valued doubles, so sum/count — and hence 0.2*avg — are
     // bit-identical on both engines; the comparison decides the same

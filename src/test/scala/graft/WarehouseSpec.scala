@@ -74,6 +74,34 @@ class WarehouseSpec extends AnyFunSuite {
     assert(newPerUser.length.toLong === users)
   }
 
+  test("data-quality primitives count violations exactly") {
+    import s.implicits._
+    import graft.warehouse.Quality
+    val dup = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("k", "v")
+    assert(Quality.uniquenessViolations(dup, "u", Seq("k"))
+      .head().getLong(1) === 2L) // 4 rows, 2 distinct keys
+    assert(Quality.uniquenessViolations(dup, "u", Seq("k", "v"))
+      .head().getLong(1) === 1L) // only the exact duplicate pair
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(1L, 1L, 3L).toDF("fk")
+    assert(Quality.orphanViolations(child, "fk", parent, "pk", "o")
+      .head().getLong(1) === 1L)
+    val vals = Seq(0.5, 1.5, 2.5, -1.0).toDF("x")
+    assert(Quality.rangeViolations(vals, "x", 0.0, 2.0, "r")
+      .head().getLong(1) === 2L)
+    assert(Quality.nullViolations(
+      Seq(Some("a"), None, Some("b")).toDF("c"), "c", "n")
+      .head().getLong(1) === 1L)
+    // the graded report: structural rules hold on the warehouse
+    // tables, tight business rules count nonzero rows
+    val audit = Quality.audit(s, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit("orders_pk_unique") === 0L)
+    assert(audit("lineitem_order_orphans") === 0L)
+    assert(audit("lineitem_qty_gt40") > 0L)
+  }
+
   test("approx sketches are within 5% of exact values") {
     val rows = graft.warehouse.Analytics.approxStats(s, d).collect()
     assert(rows.length === 5)
