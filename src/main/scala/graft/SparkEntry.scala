@@ -60,6 +60,7 @@ object SparkEntry {
     "analytics_histogram" -> (Analytics.orderTotalHistogram(_, _)),
     "graph_pagerank" -> (graft.operators.Graph.pagerankCoPurchase(_, _)),
     "graph_triangles" -> (graft.operators.Graph.triangleCounts(_, _)),
+    "graph_khop_reach" -> (graft.operators.Graph.kHopReach(_, _)),
     "analytics_assoc_rules" -> (graft.operators.Graph.assocRules(_, _)),
     "analytics_outliers" -> (Analytics.valueOutliers(_, _)),
     "analytics_winsorize" -> (Analytics.winsorizedValues(_, _)),
@@ -908,6 +909,25 @@ object SparkEntry {
         |   > sigma * 3.0""".stripMargin,
     // id-oriented edges enumerate each triangle once; per-node counts
     // via the 3-role union — all integers, engine-exact
+    // BFS with frontier dedup, 2 hops from a 1-in-20 source sample;
+    // exact distinct-node counts
+    "graph_khop_reach" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |und AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT src, dst FROM und
+        |      UNION ALL SELECT dst, src FROM und),
+        |h1 AS (SELECT src, dst FROM e WHERE src % 20 = 0),
+        |h2 AS (SELECT h1.src, e.dst FROM h1
+        |       JOIN e ON e.src = h1.dst),
+        |reach2 AS (SELECT DISTINCT src, dst FROM
+        |             (SELECT src, dst FROM h1
+        |              UNION ALL SELECT src, dst FROM h2) u
+        |           WHERE dst <> src)
+        |SELECT h1c.src AS part_id, h1c.k1_ct, r2.k2_ct FROM
+        | (SELECT src, COUNT(*) AS k1_ct FROM h1 GROUP BY 1) h1c
+        | JOIN (SELECT src, COUNT(*) AS k2_ct FROM reach2 GROUP BY 1) r2
+        |   ON h1c.src = r2.src""".stripMargin,
     "graph_triangles" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |e AS (SELECT DISTINCT a.pk AS s, b.pk AS t

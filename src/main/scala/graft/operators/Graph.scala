@@ -132,6 +132,41 @@ object Graph {
       .groupBy("part_id").agg(count(lit(1)).as("tri_ct"))
   }
 
+  /** K-hop reachability over the co-purchase graph: for a sampled
+    * set of source parts, the count of DISTINCT parts within 1 and
+    * within ≤2 hops — the neighborhood-size signal behind related-
+    * item widening and graph feature engineering. The scale
+    * discipline is FRONTIER DEDUP: each hop expands from the
+    * DISTINCT (source, node) frontier, never the raw path multiset,
+    * so intermediate rows are bounded by sources × reachable-nodes
+    * instead of exploding with path multiplicity (the difference
+    * between BFS and path enumeration). Hops are equi-joins on the
+    * frontier node; counts are exact integers.
+    */
+  def kHopReach(s: SparkSession, d: String,
+      sampleMod: Int = 20): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+    val e = und.unionByName(
+        und.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    val h1 = e.filter(col("src") % sampleMod === 0)
+    val h2 = h1.select(col("src"), col("dst").as("mid"))
+      .join(e.select(col("src").as("mid"), col("dst")), "mid")
+      .select(col("src"), col("dst"))
+    val reach2 = h1.unionByName(h2)
+      .filter(col("dst") =!= col("src")).distinct()
+    h1.groupBy(col("src"))
+      .agg(count(lit(1)).as("k1_ct")) // h1 is already distinct pairs
+      .join(reach2.groupBy(col("src")).agg(count(lit(1)).as("k2_ct")),
+        "src")
+      .select(col("src").as("part_id"), col("k1_ct"), col("k2_ct"))
+  }
+
   def pagerankCoPurchase(s: SparkSession, d: String,
       iters: Int = 3): DataFrame = {
     val li = Tables.lineitem(s, d)

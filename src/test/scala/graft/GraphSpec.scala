@@ -34,6 +34,30 @@ class GraphSpec extends AnyFunSuite {
     assert(hi > lo, s"top-degree decile $hi should outrank bottom $lo")
   }
 
+  test("k-hop reach equals driver-side BFS on the co-purchase graph") {
+    val got = Graph.kHopReach(s, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    val li = graft.sources.Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("s0"), col("b.pk").as("t0")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    und.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    got.foreach { case (src, (k1, k2)) =>
+      assert(src % 20 === 0)
+      val n1 = adj(src)
+      val n2 = (n1 ++ n1.flatMap(adj)) - src
+      assert(k1 === n1.size.toLong, s"k1 mismatch at $src")
+      assert(k2 === n2.size.toLong, s"k2 mismatch at $src")
+    }
+  }
+
   test("hot-vertex graph: counts exact, hub adjacency bounded by sqrt(2m)") {
     import s.implicits._
     // synthetic baskets: a hub part rides in 30% of orders, the rest
