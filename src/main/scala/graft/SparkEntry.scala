@@ -41,6 +41,8 @@ object SparkEntry {
     "q5_star_join" -> (Publisher.starJoinRevenue(_, _)),
     "q17_small_qty_revenue" -> (Publisher.smallQtyRevenue(_, _)),
     "dq_audit" -> (Quality.audit(_, _)),
+    "analytics_global_topk" -> (Analytics.globalTopK(_, _)),
+    "analytics_full_outer" -> (Analytics.fullOuterActivity(_, _)),
     "q18_large_orders" -> (Publisher.largeOrders(_, _)),
     "q15_top_supplier" -> (Publisher.topSupplier(_, _)),
     "q3_segment_revenue" -> (Publisher.segmentRevenue(_, _)),
@@ -278,6 +280,23 @@ object SparkEntry {
          | JOIN nation ON s_nationkey = n_nationkey
          | JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA' GROUP BY 1""".stripMargin,
+    // deterministic global top-k (ties by key); plan-linted to
+    // TakeOrderedAndProject, never a full sort
+    "analytics_global_topk" ->
+      """SELECT o_orderkey,
+        | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    // full-outer null expansion on both sides (rare event types)
+    "analytics_full_outer" ->
+      """WITH s AS (SELECT user_id, COUNT(*) AS signup_ct FROM events
+        |           WHERE event_type = 'signup' GROUP BY 1),
+        |e AS (SELECT user_id, COUNT(*) AS error_ct FROM events
+        |      WHERE event_type = 'error' GROUP BY 1)
+        |SELECT COALESCE(s.user_id, e.user_id) AS user_id,
+        | COALESCE(s.signup_ct, 0) AS signup_ct,
+        | COALESCE(e.error_ct, 0) AS error_ct
+        |FROM s FULL OUTER JOIN e ON s.user_id = e.user_id""".stripMargin,
     // data-quality audit: exact integer counts per check; the range
     // rules are deliberately tight so several counts are nonzero and
     // the hash proves the counting

@@ -532,6 +532,39 @@ object Analytics {
     * flags) — at 100 TB the alternative, a per-group window, would
     * sort the whole fact table to compute a per-row constant.
     */
+  /** GLOBAL top-k without a global sort: `orderBy().limit(k)` plans
+    * as TakeOrderedAndProject — per-partition bounded heaps merged
+    * on the driver, O(k) memory everywhere, no full-table Exchange.
+    * The 100 TB difference between "top 100 orders" costing one scan
+    * versus a terasort. Ties broken by key for determinism.
+    */
+  def globalTopK(s: SparkSession, d: String, k: Int = 100): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+      .select(col("o_orderkey"), dec(col("o_totalprice"))
+        .cast("double").as("total"))
+
+  /** FULL OUTER join parity: per-user counts of two RARE event types
+    * merged with null-preserving semantics — many users have one
+    * side but not the other, so both null-expansion directions are
+    * exercised and graded (the reporting shape for "compare two
+    * cohort metrics without dropping anyone").
+    */
+  def fullOuterActivity(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def side(t: String, c: String) = ev.filter(col("event_type") === t)
+      .groupBy(col("user_id").as(s"${c}_uid"))
+      .agg(count(lit(1)).as(c))
+    side("signup", "signup_ct")
+      .join(side("error", "error_ct"),
+        col("signup_ct_uid") === col("error_ct_uid"), "full_outer")
+      .select(
+        coalesce(col("signup_ct_uid"), col("error_ct_uid")).as("user_id"),
+        coalesce(col("signup_ct"), lit(0L)).as("signup_ct"),
+        coalesce(col("error_ct"), lit(0L)).as("error_ct"))
+  }
+
   def valueOutliers(s: SparkSession, d: String,
       threshold: Double = 3.0): DataFrame = {
     val x = dec(col("value"))

@@ -66,6 +66,13 @@ class PlanLintSpec extends AnyFunSuite {
       }
   }
 
+  test("global top-k plans TakeOrderedAndProject, never a full sort") {
+    val plan = SparkEntry.queries("analytics_global_topk")(s, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected bounded-heap top-k:\n${plan.take(1200)}")
+  }
+
   test("scan-heavy fact queries push their filters into the parquet scan") {
     // spot the load-bearing pushdowns: if these regress, the scans
     // read the whole fact table at warehouse scale
