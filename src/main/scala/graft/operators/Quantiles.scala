@@ -70,32 +70,45 @@ object Quantiles {
     val global = groupCols.isEmpty
     val gcols = if (global) Seq("__g") else groupCols
     val keyed0 = if (global) fact0.withColumn("__g", lit(1)) else fact0
-    val fact = keyed0
+    val keyed = keyed0
       .select((gcols.map(col) :+ col(valueCol).cast("double").as("__v")): _*)
-      .filter(col("__v").isNotNull)
       .withColumn("__gk", concat_ws(SEP,
         gcols.map(c => coalesce(col(c).cast("string"), lit(NULLMARK))): _*))
+    val fact = keyed.filter(col("__v").isNotNull)
 
-    // pass 0: per-group extent — also captures the original group
-    // column VALUES for the output rows
-    val stats = fact.groupBy((col("__gk") +: gcols.map(col)): _*)
-      .agg(count(lit(1)).as("__n"), min("__v").as("__mn"), max("__v").as("__mx"))
+    // pass 0: per-group extent over the UNFILTERED frame — count(__v)
+    // ignores nulls, so an all-null group surfaces with n = 0 and
+    // emits a null-quantile row (matching SQL GROUP BY semantics)
+    // instead of disappearing. Also captures the original group
+    // column VALUES for the output rows.
+    val stats = keyed.groupBy((col("__gk") +: gcols.map(col)): _*)
+      .agg(count(col("__v")).as("__n"), min("__v").as("__mn"),
+        max("__v").as("__mx"))
       .collect()
+    // driver state is O(groups × quantiles) — the dashboard-grain
+    // contract. Fail loudly instead of silently OOMing the driver
+    // when someone points this at a high-cardinality key.
+    require(stats.length <= 100000,
+      s"groupQuantiles targets dashboard-grain groups; got " +
+        s"${stats.length} groups — use approx sketches for " +
+        "high-cardinality keys")
 
     // ranks needed per group: floor and ceil of p*(n-1) per quantile
     val states = mutable.Map[Target, State]()
     val groupInfo = stats.map { r =>
       val gk = r.getString(0)
       val n = r.getLong(gcols.length + 1)
-      val mn = r.getDouble(gcols.length + 2)
-      val mx = r.getDouble(gcols.length + 3)
-      ps.foreach { case (_, p) =>
-        val r0 = p * (n - 1)
-        val k = math.floor(r0).toLong
-        Seq(k, math.min(k + 1, n - 1)).distinct.foreach { rk =>
-          states.getOrElseUpdate(Target(gk, rk),
-            State(mn, mx, 0L, n,
-              if (mn == mx) Some(mn) else None))
+      if (n > 0) {
+        val mn = r.getDouble(gcols.length + 2)
+        val mx = r.getDouble(gcols.length + 3)
+        ps.foreach { case (_, p) =>
+          val r0 = p * (n - 1)
+          val k = math.floor(r0).toLong
+          Seq(k, math.min(k + 1, n - 1)).distinct.foreach { rk =>
+            states.getOrElseUpdate(Target(gk, rk),
+              State(mn, mx, 0L, n,
+                if (mn == mx) Some(mn) else None))
+          }
         }
       }
       gk -> (r, n)

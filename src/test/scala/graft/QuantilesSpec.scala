@@ -78,6 +78,17 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got.getDouble(2) === math.rint(next * 1e6) / 1e6)
   }
 
+  test("all-null group surfaces with null quantiles (SQL GROUP BY parity)") {
+    import s.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)),
+      ("b", None), ("b", None)).toDF("g", "v")
+    val got = graft.operators.Quantiles
+      .groupQuantiles(df, Seq("g"), "v", Seq("q50" -> 0.5))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else Double.box(r.getDouble(1)))).toMap
+    assert(got === Map("a" -> Double.box(2.0), "b" -> null))
+  }
+
   test("graded quantile queries carry no Percentile aggregate in their plans") {
     val qs = Seq(
       graft.warehouse.Analytics.exactQuantiles(s, d),
