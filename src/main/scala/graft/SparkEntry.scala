@@ -42,6 +42,7 @@ object SparkEntry {
     "q17_small_qty_revenue" -> (Publisher.smallQtyRevenue(_, _)),
     "dq_audit" -> (Quality.audit(_, _)),
     "analytics_global_topk" -> (Analytics.globalTopK(_, _)),
+    "corpus_sample_weighted" -> (TextAnalysis.sampleWeighted(_, _)),
     "analytics_full_outer" -> (Analytics.fullOuterActivity(_, _)),
     "q18_large_orders" -> (Publisher.largeOrders(_, _)),
     "q15_top_supplier" -> (Publisher.topSupplier(_, _)),
@@ -280,6 +281,19 @@ object SparkEntry {
          | JOIN nation ON s_nationkey = n_nationkey
          | JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA' GROUP BY 1""".stripMargin,
+    // weighted deterministic sampling: integer priority
+    // hash DIV weight, global bottom-k — reproducible on any engine
+    "corpus_sample_weighted" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |   CAST(1 + least(199, length(text) // 50) AS BIGINT) AS weight,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |     ::UBIGINT AS BIGINT) AS h
+        | FROM documents)
+        |SELECT doc_id, lang, weight FROM (
+        | SELECT doc_id, lang, weight,
+        |  row_number() OVER (ORDER BY h // weight, doc_id) AS rk
+        | FROM w) t
+        |WHERE rk <= 200""".stripMargin,
     // deterministic global top-k (ties by key); plan-linted to
     // TakeOrderedAndProject, never a full sort
     "analytics_global_topk" ->

@@ -270,6 +270,32 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"), col("rk"))
   }
 
+  /** WEIGHTED deterministic sampling — quality-weighted subset
+    * selection for corpus curation: each doc draws an integer
+    * priority `hash(doc_id) DIV weight` (higher weight → smaller
+    * expected priority → proportionally better selection odds at
+    * small sampling fractions) and the global bottom-k by
+    * (priority, id) is the sample. All-integer arithmetic, so the
+    * draw is reproducible on any engine and any reshard — the same
+    * property [[trainValTestSplit]] gets from md5 buckets — and the
+    * bottom-k of a union equals the merge of per-shard bottom-ks
+    * (mergeable, like every bottom-k sketch here). The weight is a
+    * deterministic length-derived stand-in for a model quality
+    * score; swap any integer column in. Plans as
+    * TakeOrderedAndProject — O(k) memory, no global sort.
+    */
+  def sampleWeighted(s: SparkSession, d: String, k: Int = 200): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("weight",
+        (lit(1) + least(lit(199), floor(length(col("text")) / lit(50))))
+          .cast("long"))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("prio", expr("h DIV weight"))
+      .orderBy(col("prio"), col("doc_id")).limit(k)
+      .select(col("doc_id"), col("lang"), col("weight"))
+
   /** Deterministic train/val/test split (80/10/10 by md5 bucket) —
     * the leakage-proof corpus partition: membership is a pure
     * function of doc_id, so the same doc lands in the same split on

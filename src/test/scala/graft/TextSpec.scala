@@ -9,6 +9,25 @@ class TextSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val d = TestSpark.sf
 
+  test("weighted sampling is deterministic and biased toward heavy docs") {
+    import org.apache.spark.sql.functions._
+    val once = graft.operators.TextAnalysis.sampleWeighted(s, d, 200)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val again = graft.operators.TextAnalysis.sampleWeighted(s, d, 200)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(once === again, "weighted draw must be reproducible")
+    assert(once.size === 200)
+    // selection bias: the sample's mean weight must exceed the
+    // corpus mean (that is what the weights are FOR)
+    val corpusMean = graft.sources.Tables.documents(s, d)
+      .select((lit(1) + least(lit(199),
+        floor(length(col("text")) / lit(50)))).cast("double").as("w"))
+      .agg(avg("w")).head().getDouble(0)
+    val sampleMean = once.toSeq.map(_._2).sum.toDouble / once.size
+    assert(sampleMean > corpusMean,
+      s"weighting had no effect: sample $sampleMean vs corpus $corpusMean")
+  }
+
   test("token functions on known strings") {
     import s.implicits._
     val df = Seq(
