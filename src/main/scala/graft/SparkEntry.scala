@@ -44,6 +44,7 @@ object SparkEntry {
     "analytics_global_topk" -> (Analytics.globalTopK(_, _)),
     "corpus_sample_weighted" -> (TextAnalysis.sampleWeighted(_, _)),
     "analytics_full_outer" -> (Analytics.fullOuterActivity(_, _)),
+    "analytics_rolling_wau" -> (Analytics.rollingWau(_, _)),
     "q18_large_orders" -> (Publisher.largeOrders(_, _)),
     "q15_top_supplier" -> (Publisher.topSupplier(_, _)),
     "q3_segment_revenue" -> (Publisher.segmentRevenue(_, _)),
@@ -301,6 +302,17 @@ object SparkEntry {
         | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    // exact rolling 7-day distinct users: dedup (user, day) first,
+    // fan out <=7 window days per pair, count distinct per day
+    "analytics_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |x AS (SELECT user_id, day + CAST(o AS INT) AS day
+        |      FROM ud CROSS JOIN range(0, 7) r(o))
+        |SELECT x.day, COUNT(DISTINCT x.user_id) AS wau_ct
+        |FROM x SEMI JOIN days ON x.day = days.day
+        |GROUP BY 1""".stripMargin,
     // full-outer null expansion on both sides (rare event types)
     "analytics_full_outer" ->
       """WITH s AS (SELECT user_id, COUNT(*) AS signup_ct FROM events

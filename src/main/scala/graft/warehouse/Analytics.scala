@@ -532,6 +532,28 @@ object Analytics {
     * flags) — at 100 TB the alternative, a per-group window, would
     * sort the whole fact table to compute a per-row constant.
     */
+  /** EXACT rolling 7-day active users per calendar day — the WAU
+    * dashboard line. Naive sliding-distinct re-reads 7 days of raw
+    * events per output day; this dedups to DISTINCT (user, day)
+    * pairs FIRST (one combinable aggregation over the fact scan),
+    * then fans each pair out to the ≤7 window days it contributes
+    * to (a generator over the already-deduped pairs — bounded by
+    * users × active-days × 7, tiny next to the event count) and
+    * counts distinct users per day. Output restricted to days that
+    * exist in the data via a broadcastable semi-join.
+    */
+  def rollingWau(s: SparkSession, d: String, window: Int = 7): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = ud.select(col("day")).distinct()
+    ud.select(col("user_id"),
+        explode(sequence(lit(0), lit(window - 1))).as("off"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau_ct"))
+  }
+
   /** GLOBAL top-k without a global sort: `orderBy().limit(k)` plans
     * as TakeOrderedAndProject — per-partition bounded heaps merged
     * on the driver, O(k) memory everywhere, no full-table Exchange.
