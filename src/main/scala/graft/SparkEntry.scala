@@ -45,6 +45,7 @@ object SparkEntry {
     "corpus_sample_weighted" -> (TextAnalysis.sampleWeighted(_, _)),
     "analytics_full_outer" -> (Analytics.fullOuterActivity(_, _)),
     "analytics_rolling_wau" -> (Analytics.rollingWau(_, _)),
+    "analytics_outliers_mad" -> (Analytics.madOutliers(_, _)),
     "q18_large_orders" -> (Publisher.largeOrders(_, _)),
     "q15_top_supplier" -> (Publisher.topSupplier(_, _)),
     "q3_segment_revenue" -> (Publisher.segmentRevenue(_, _)),
@@ -302,6 +303,23 @@ object SparkEntry {
         | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    // robust MAD outliers: median and MAD via exact quantiles
+    // (6dp-rounded), every flag operand an identical double on both
+    // engines
+    "analytics_outliers_mad" ->
+      """WITH m AS (SELECT event_type AS et,
+        |    round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+        |    round(abs(e.value - m.med), 6) AS dv
+        |  FROM events e JOIN m ON e.event_type = m.et),
+        |mad AS (SELECT event_type AS et2,
+        |    round(quantile_cont(dv, 0.5), 6) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT event_id, dev.event_type, round(value, 6) AS value_r,
+        |  med, mad
+        |FROM dev JOIN mad ON dev.event_type = mad.et2
+        |WHERE dv > mad * 3 * 1.4826""".stripMargin,
     // exact rolling 7-day distinct users: dedup (user, day) first,
     // fan out <=7 window days per pair, count distinct per day
     "analytics_rolling_wau" ->

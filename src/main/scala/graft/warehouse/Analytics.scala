@@ -532,6 +532,36 @@ object Analytics {
     * flags) — at 100 TB the alternative, a per-group window, would
     * sort the whole fact table to compute a per-row constant.
     */
+  /** Robust outliers via MEDIAN ABSOLUTE DEVIATION — the
+    * heavy-tail-safe dual of the z-score flags in [[valueOutliers]]
+    * (mean and sigma are themselves dragged by the outliers they
+    * should flag; median and MAD are not). Composes the
+    * bounded-memory [[graft.operators.Quantiles]] descent TWICE:
+    * per-type median, then the median of |value − median| over the
+    * derived frame — six bounded scans total, O(1) state, no
+    * Percentile buffer anywhere. Flag: |x − med| > 3 · 1.4826 · MAD
+    * (the Gaussian-consistency constant); every operand is an
+    * identical 6dp-rounded double on both engines, so the flags are
+    * engine-exact.
+    */
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val med = graft.operators.Quantiles.groupQuantiles(
+        Tables.events(s, d), Seq("event_type"), "value",
+        Seq("med" -> 0.5))
+      .withColumnRenamed("event_type", "et")
+    val dev = Tables.events(s, d)
+      .join(broadcast(med), col("event_type") === col("et"))
+      .withColumn("dv", round(abs(col("value") - col("med")), 6))
+    val mad = graft.operators.Quantiles.groupQuantiles(
+        dev, Seq("event_type"), "dv", Seq("mad" -> 0.5))
+      .withColumnRenamed("event_type", "et2")
+    dev.join(broadcast(mad), col("event_type") === col("et2"))
+      .filter(col("dv") > col("mad") * 3 * 1.4826)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value_r"),
+        col("med"), col("mad"))
+  }
+
   /** EXACT rolling 7-day active users per calendar day — the WAU
     * dashboard line. Naive sliding-distinct re-reads 7 days of raw
     * events per output day; this dedups to DISTINCT (user, day)
