@@ -388,15 +388,19 @@ object Dedup {
       substring(col("source"), 4, 10).cast("int").as("src_n"),
       call_function("graft_shingle_hashes",
         col("text"), lit(ngram)).as("hashed"))
-    // cache the small eval-shingle set: the sizing count, the Bloom
-    // build, and the confirm join would otherwise each re-scan and
-    // re-shingle the eval corpus
-    val evalSh = docs.filter(col("src_n") >= 10)
+    // the eval shingle set must fit in a broadcast anyway (the exact
+    // confirm join below ships it to every executor), so collect it
+    // ONCE: one eval-side scan feeds the sizing, the Bloom build and
+    // the confirm join. The previous persist() of this set was never
+    // unpersisted — a library user (or a bench loop) leaked one
+    // MEMORY_AND_DISK copy per call.
+    import org.apache.spark.sql.Encoders
+    val evalSh: Array[Long] = docs.filter(col("src_n") >= 10)
       .select(explode(col("hashed")).as("sh")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // sizing pass over the small eval side only
-    val nEval = math.max(evalSh.count(), 1L)
-    val bf = evalSh.stat.bloomFilter("sh", nEval, fpp)
+      .as[java.lang.Long](Encoders.LONG).collect().map(_.longValue)
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(evalSh.length.toLong, 1L), fpp)
+    evalSh.foreach(bf.putLong)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     // native codegen'd any-element probe over the inlined filter
@@ -406,9 +410,11 @@ object Dedup {
     val train = docs.filter(col("src_n") < 10)
       .withColumn("suspect", call_function("graft_bloom_any",
         lit(bos.toByteArray), col("hashed")))
+    val evalLocal = s.createDataset(evalSh.toIndexedSeq)(Encoders.scalaLong)
+      .toDF("sh")
     val confirmed = train.filter(col("suspect"))
       .select(col("doc_id"), explode(col("hashed")).as("sh"))
-      .join(broadcast(evalSh), "sh")
+      .join(broadcast(evalLocal), "sh")
       .select("doc_id").distinct()
     train.join(confirmed, Seq("doc_id"), "left_anti").select("doc_id")
   }

@@ -12,6 +12,35 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Undirected, deduplicated co-purchase edge list — parts sharing
+    * an order, oriented (s < t) — built ONCE per (session, dataset)
+    * and cached: triangles, k-hop reachability and PageRank all walk
+    * this same graph, and each used to rebuild it from the basket
+    * self-join independently (the dominant cost of all three). The
+    * registry hands every caller the same DataFrame so the cache
+    * entry is shared; if an external `clearCache()` dropped it, the
+    * next caller re-persists before use. Entries are per dataset
+    * path: Spark caching already snapshots the scan, so a changed
+    * dataset needs a new path (or session) — same contract as any
+    * cached DataFrame.
+    */
+  private val edgeRegistry =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val df = edgeRegistry.computeIfAbsent((s, d), _ => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("s"), col("b.pk").as("t"))
+        .distinct()
+    })
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
   /** PageRank over the part co-purchase graph (parts sharing an
     * order are linked), `iters` damped rounds, ALL-INTEGER
     * arithmetic: ranks live in ppm (start 1,000,000), per-edge
@@ -86,25 +115,25 @@ object Graph {
     * engine-exact.
     */
   def triangleCounts(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("s"), col("b.pk").as("t"))
-      .distinct().cache()
+    val e = coPurchaseEdges(s, d)
     // (degree, id) total order over vertices; orient each edge from
-    // its lower to its higher endpoint
+    // its lower to its higher endpoint. Degrees are one row per NODE
+    // (the parts-dim cardinality, not the edge count), so BROADCAST
+    // them into both orientation joins: the cached edge set never
+    // reshuffles and the directed list needs no second cache — it
+    // recomputes map-side from the one cached edge build. At
+    // billions of nodes this flips to a sort-merge join (drop the
+    // hint), same plan otherwise.
     val deg = e.select(col("s").as("v"))
       .unionByName(e.select(col("t").as("v")))
       .groupBy("v").agg(count(lit(1)).as("dg"))
     val sLower = col("ds") < col("dt") ||
       (col("ds") === col("dt") && col("s") < col("t"))
     val dirE = e
-      .join(deg.select(col("v").as("s"), col("dg").as("ds")), "s")
-      .join(deg.select(col("v").as("t"), col("dg").as("dt")), "t")
+      .join(broadcast(deg.select(col("v").as("s"), col("dg").as("ds"))), "s")
+      .join(broadcast(deg.select(col("v").as("t"), col("dg").as("dt"))), "t")
       .select(when(sLower, col("s")).otherwise(col("t")).as("u"),
         when(sLower, col("t")).otherwise(col("s")).as("w"))
-      .cache()
     // adjacency-LIST intersection, not a wedge join: materializing
     // wedges (Σ deg⁺² rows) blows up the intermediate row set;
     // shipping each vertex's sorted OUT-neighbor list (≤ √(2m)
@@ -145,15 +174,13 @@ object Graph {
     */
   def kHopReach(s: SparkSession, d: String,
       sampleMod: Int = 20): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val und = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .distinct()
+    // same cached co-purchase edge build as [[triangleCounts]] /
+    // [[pagerankCoPurchase]]; symmetrizing is a map-side union over
+    // the cached set, so no second cache is needed
+    val und = coPurchaseEdges(s, d)
+      .select(col("s").as("src"), col("t").as("dst"))
     val e = und.unionByName(
         und.select(col("dst").as("src"), col("src").as("dst")))
-      .cache()
     val h1 = e.filter(col("src") % sampleMod === 0)
     val h2 = h1.select(col("src"), col("dst").as("mid"))
       .join(e.select(col("src").as("mid"), col("dst")), "mid")
@@ -169,17 +196,16 @@ object Graph {
 
   def pagerankCoPurchase(s: SparkSession, d: String,
       iters: Int = 3): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val und = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .distinct()
+    val und = coPurchaseEdges(s, d)
+      .select(col("s").as("src"), col("t").as("dst"))
     val edges = und.union(und.select(col("dst").as("src"),
       col("src").as("dst")))
+    // degrees are node-cardinality — broadcast them like the rank
+    // vector below, so per-round recompute of the degree-annotated
+    // edge list is map-side over the one cached edge build (the
+    // previous per-query persist of this join was never freed)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withDeg = edges.join(broadcast(deg), "src")
     var rank: DataFrame =
       deg.select(col("src").as("id"), lit(1000000L).as("pr"))
     (1 to iters).foreach { _ =>

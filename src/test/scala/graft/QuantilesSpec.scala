@@ -89,6 +89,42 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got === Map("a" -> Double.box(2.0), "b" -> null))
   }
 
+  test("driver guard budgets targets×buckets and trips before any descent pass") {
+    import s.implicits._
+    // 2000 groups × 1 quantile ≈ up to 4000 (group, rank) targets;
+    // a 1000-row budget cannot fit even the 16-bucket floor, so the
+    // call must fail on the BUDGET message — thrown before the first
+    // histogram pass ever collects — not OOM or converge
+    val df = (1 to 2000).flatMap(g =>
+      Seq((s"g$g", 1.0), (s"g$g", 2.0), (s"g$g", 3.0))).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Quantiles.groupQuantiles(df, Seq("g"), "v",
+        Seq("q50" -> 0.5), driverBudget = 1000L)
+    }
+    assert(e.getMessage.contains("driver budget"),
+      s"wrong failure: ${e.getMessage}")
+    // the same call under the default budget auto-shrinks the bucket
+    // fan-out and still resolves exactly
+    val ok = graft.operators.Quantiles.groupQuantiles(df, Seq("g"), "v",
+      Seq("q50" -> 0.5), driverBudget = 16L * 2 * 2000 + 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ok("g7") === 2.0 && ok.size === 2000)
+  }
+
+  test("group-key encoding collision fails loudly instead of merging groups") {
+    import s.implicits._
+    // ("a<SEP>b", "c") and ("a", "b<SEP>c") both encode to the same
+    // key under the \u0001 separator scheme — distinct groups,
+    // one key. The operator must detect and refuse, not corrupt.
+    val df = Seq(("a\u0001b", "c", 1.0), ("a", "b\u0001c", 9.0))
+      .toDF("g1", "g2", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Quantiles.groupQuantiles(df, Seq("g1", "g2"), "v",
+        Seq("q50" -> 0.5))
+    }
+    assert(e.getMessage.contains("collision"), s"wrong failure: ${e.getMessage}")
+  }
+
   test("graded quantile queries carry no Percentile aggregate in their plans") {
     val qs = Seq(
       graft.warehouse.Analytics.exactQuantiles(s, d),
