@@ -45,7 +45,10 @@ object SparkEntry {
     "corpus_sample_weighted" -> (TextAnalysis.sampleWeighted(_, _)),
     "analytics_full_outer" -> (Analytics.fullOuterActivity(_, _)),
     "analytics_rolling_wau" -> (Analytics.rollingWau(_, _)),
+    "analytics_rolling_mau" -> ((s, d) => Analytics.rollingWau(s, d, 30)
+      .withColumnRenamed("wau_ct", "mau_ct")),
     "analytics_outliers_mad" -> (Analytics.madOutliers(_, _)),
+    "q21_waiting_suppliers" -> (Publisher.waitingSuppliers(_, _)),
     "q18_large_orders" -> (Publisher.largeOrders(_, _)),
     "q15_top_supplier" -> (Publisher.topSupplier(_, _)),
     "q3_segment_revenue" -> (Publisher.segmentRevenue(_, _)),
@@ -331,6 +334,35 @@ object SparkEntry {
         |SELECT x.day, COUNT(DISTINCT x.user_id) AS wau_ct
         |FROM x SEMI JOIN days ON x.day = days.day
         |GROUP BY 1""".stripMargin,
+    // same rolling-distinct operator at 4x the fanout (window=30):
+    // the bound claim is users x active-days x 30, still tiny next
+    // to the event count
+    "analytics_rolling_mau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |x AS (SELECT user_id, day + CAST(o AS INT) AS day
+        |      FROM ud CROSS JOIN range(0, 30) r(o))
+        |SELECT x.day, COUNT(DISTINCT x.user_id) AS mau_ct
+        |FROM x SEMI JOIN days ON x.day = days.day
+        |GROUP BY 1""".stripMargin,
+    // Q21 shape: multi-way correlated EXISTS + NOT EXISTS against
+    // the same fact, decorrelated to semi/anti joins; deterministic
+    // top-100 via (numwait DESC, s_name)
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     // full-outer null expansion on both sides (rare event types)
     "analytics_full_outer" ->
       """WITH s AS (SELECT user_id, COUNT(*) AS signup_ct FROM events

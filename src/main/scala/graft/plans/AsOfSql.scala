@@ -94,8 +94,14 @@ object AsOfSql {
     * [[graft.streaming.Jobs.temporalJoinChangelog]]: event-time
     * as-of enrichment where the right side is a CHANGELOG STREAM
     * (Flink's `FOR SYSTEM_TIME AS OF` temporal join, which has no
-    * Spark SQL syntax). Works on batch frames too (one "micro
-    * batch"), but the point is two streaming temp views.
+    * Spark SQL syntax). Works on batch frames too (the missing
+    * watermark reads as +∞, collapsing to one pass), but the point
+    * is two streaming temp views.
+    *
+    * Wide dims don't need N flat args: a valueCol may name a STRUCT
+    * column (carried through as one nested value), and the single
+    * valueCol `'*'` expands to every right column except the join
+    * key and the version timestamp.
     */
   def temporalBuilder(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length >= 7,
@@ -128,8 +134,15 @@ object AsOfSql {
             .ofRows(session, l)
           val rDf = org.apache.spark.sql.classic.GraftSqlBridge
             .ofRows(session, r)
+          // '*' expands to every right column except the join key and
+          // the version timestamp (struct columns pass through whole)
+          val vals2 =
+            if (vals == Seq("*"))
+              rDf.schema.fieldNames.toIndexedSeq.filterNot(n =>
+                conf.resolver(n, key) || conf.resolver(n, rts))
+            else vals
           graft.streaming.Jobs
-            .temporalJoinChangelog(lDf, rDf, key, lts, rts, vals, delay)
+            .temporalJoinChangelog(lDf, rDf, key, lts, rts, vals2, delay)
             .queryExecution.analyzed
       }
   }

@@ -23,10 +23,17 @@ object CdcRouter {
   case class Route(path: String, keepDeletes: Boolean = false)
 
   /** Start routing `cdc` (columns: ts, table, op, data) to parquet
-    * sinks. One scan per micro-batch; the per-table writes partition
-    * the batch by the routing key — at scale this is
-    * `partitionBy(table)` on a single write, used here per-route so
-    * each table controls its own path and delete policy.
+    * sinks. The DEFAULT execution is the single-pass shape: one
+    * `partitionBy` write job per micro-batch regardless of how many
+    * tables the config routes (the per-route filter loop would
+    * re-scan the batch once per table — N passes that matter when the
+    * config grows past dozens of tables). Per-route custom paths are
+    * honored by staging the partitioned write and renaming each
+    * table's files into its target (metadata-only on HDFS/local; on
+    * rename-less object stores prefer [[startPartitioned]]'s hive
+    * layout). Configs at or below `loopThreshold` routes keep the
+    * simple loop — at that size the extra passes are cheaper than the
+    * staging round-trip.
     */
   def start(cdc: DataFrame, routes: Map[String, Route],
       checkpoint: String): StreamingQuery =
@@ -36,20 +43,67 @@ object CdcRouter {
     * micro-batch, mirroring the reference's broadcast config stream
     * (TableProcessFunction.java:1 watches the MySQL `table_process`
     * table via CDC) — routing changes take effect on the next batch
-    * with no restart.
+    * with no restart. Same single-pass default as [[start]].
     */
   def startDynamic(cdc: DataFrame, routes: () => Map[String, Route],
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, loopThreshold: Int = 4): StreamingQuery =
     cdc.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cached = batch.cache()
-        try routes().foreach { case (table, route) =>
-          val rows = cached.filter(col("table") === table)
-          val kept = if (route.keepDeletes) rows
-                     else rows.filter(col("op") =!= "delete")
-          kept.write.mode(SaveMode.Append).parquet(route.path)
-        } finally cached.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cfg = routes()
+        if (cfg.nonEmpty) {
+          if (cfg.size <= loopThreshold) {
+            val cached = batch.cache()
+            try cfg.foreach { case (table, route) =>
+              val rows = cached.filter(col("table") === table)
+              val kept = if (route.keepDeletes) rows
+                         else rows.filter(col("op") =!= "delete")
+              kept.write.mode(SaveMode.Append).parquet(route.path)
+            } finally cached.unpersist()
+          } else {
+            // ONE write job: combined routing+delete predicate
+            // map-side, partitioned by a duplicate of the routing key
+            // (so the data files keep the `table` column the loop
+            // writes), staged next to the checkpoint, then each
+            // table's files rename into its route path. Job-UUID file
+            // names are collision-free under append.
+            val keepD = cfg.collect {
+              case (t, r) if r.keepDeletes => t
+            }.toSeq
+            val deletePolicy =
+              if (keepD.isEmpty) col("op") =!= "delete"
+              else col("op") =!= "delete" || col("table").isin(keepD: _*)
+            val stagingRoot = s"$checkpoint-staging"
+            val staging = s"$stagingRoot/$batchId"
+            batch
+              .filter(col("table").isin(cfg.keys.toSeq: _*))
+              .filter(deletePolicy)
+              .withColumn("__route", col("table"))
+              .write.mode(SaveMode.Overwrite)
+              .partitionBy("__route").parquet(staging)
+            val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+            val fs = new org.apache.hadoop.fs.Path(staging)
+              .getFileSystem(conf)
+            cfg.foreach { case (table, route) =>
+              val src = new org.apache.hadoop.fs.Path(staging,
+                s"__route=$table")
+              if (fs.exists(src)) {
+                val dst = new org.apache.hadoop.fs.Path(route.path)
+                fs.mkdirs(dst)
+                fs.listStatus(src)
+                  .filter(st => st.isFile &&
+                    !st.getPath.getName.startsWith("_") &&
+                    !st.getPath.getName.startsWith("."))
+                  .foreach { st =>
+                    fs.rename(st.getPath,
+                      new org.apache.hadoop.fs.Path(dst, st.getPath.getName))
+                  }
+              }
+            }
+            fs.delete(new org.apache.hadoop.fs.Path(stagingRoot), true)
+            ()
+          }
+        }
       }
       .start()
 

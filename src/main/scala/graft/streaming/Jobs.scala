@@ -294,7 +294,13 @@ object Jobs {
             if (r.getInt(1) == 0) pending ::= (us -> r.getStruct(4))
             else rights ::= (us -> r.getStruct(5))
           }
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // batch execution strips the watermark node (no watermark
+          // exists to read) — treat it as +∞: every right version is
+          // already present, so all lefts certify in this one pass
+          // and the result is exactly the batch as-of join
+          val wmUs =
+            try state.getCurrentWatermarkMs() * 1000L
+            catch { case _: UnsupportedOperationException => Long.MaxValue }
           // STRICTLY below the watermark: a row AT the watermark can
           // still be joined by an equal-timestamp right arrival
           val (ready, hold) = pending.partition(_._1 < wmUs)

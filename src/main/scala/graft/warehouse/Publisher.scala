@@ -150,6 +150,38 @@ object Publisher {
          |                     HAVING sum(l_quantity) > $minQty)""".stripMargin)
   }
 
+  /** TPC-H Q21 shape — MULTI-WAY CORRELATED EXISTS + NOT EXISTS
+    * against the SAME fact table, the hardest decorrelation Catalyst
+    * handles: suppliers who were the SOLE at-fault supplier on a
+    * finished multi-supplier order (this dataset carries no
+    * commit/receipt dates, so "at fault" is the returned-line flag —
+    * the correlation structure is Q21's exactly). Catalyst rewrites
+    * the EXISTS to a left-semi and the NOT EXISTS to a left-anti
+    * join, both equi-keyed on the order key with the supplier
+    * inequality as a join residual — no per-row subquery
+    * re-execution anywhere ([[graft.PlanLintSpec]] pins the absence
+    * of nested-loop shapes). Counts are exact integers; the top-100
+    * cut is total-ordered by (numwait DESC, s_name), so the boundary
+    * is engine-deterministic.
+    */
+  def waitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+  }
+
   /** TPC-H Q15 shape — aggregate-of-aggregate selection: the
     * supplier(s) achieving MAX total revenue, via a scalar subquery
     * over the same CTE (the view-based formulation). Revenue stays

@@ -47,32 +47,56 @@ object Quality {
     df.agg(count_if(col(c) < lo || col(c) > hi).as("violations"))
       .select(lit(name).as("check"), col("violations"))
 
+  /** ALL of a table's scan-shaped checks in ONE aggregation pass —
+    * the Deequ fusion: every uniqueness/null/range rule is a
+    * combinable aggregate over the same rows, so running them as
+    * separate frames re-reads the table once per rule. Emits the
+    * same `(check, violations)` rows as the single-check builders
+    * (one map-explode over the 1-row multi-aggregate result).
+    */
+  def fusedChecks(df: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val agged = df.agg(checks.head._2.as(checks.head._1),
+      checks.tail.map { case (n, c) => c.as(n) }: _*)
+    agged.select(explode(map(
+        checks.flatMap { case (n, _) => Seq(lit(n), col(n)) }: _*)))
+      .select(col("key").as("check"), col("value").as("violations"))
+  }
+
   /** The graded audit report over the warehouse tables: key
     * uniqueness, fact→dim integrity, mandatory columns, and business
     * ranges — a mix of must-be-zero structural rules and
     * deliberately tight business rules with nonzero counts, so the
     * hash grade proves the counting (an all-zero report would pass
     * on any bug that returns zero).
+    *
+    * One fused aggregation pass per fact table ([[fusedChecks]])
+    * plus the two anti-join integrity checks: 2 fact scans + 2
+    * anti-joins, where the per-check formulation was 8 scans — 4× the
+    * IO at 100 TB for identical output.
     */
   def audit(s: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(s, d)
     val li = Tables.lineitem(s, d)
     val cust = Tables.customer(s, d)
-    val checks = Seq(
-      uniquenessViolations(orders, "orders_pk_unique", Seq("o_orderkey")),
-      uniquenessViolations(li, "lineitem_pk_unique",
-        Seq("l_orderkey", "l_linenumber")),
+    val ordersPass = fusedChecks(orders, Seq(
+      "orders_pk_unique" ->
+        (count(lit(1)) - count_distinct(struct(col("o_orderkey")))),
+      "orders_status_null" -> count_if(col("o_orderstatus").isNull),
+      "orders_total_gt300k" ->
+        count_if(col("o_totalprice") < 0.0 || col("o_totalprice") > 300000.0)))
+    val liPass = fusedChecks(li, Seq(
+      "lineitem_pk_unique" -> (count(lit(1)) -
+        count_distinct(struct(col("l_orderkey"), col("l_linenumber")))),
+      "lineitem_discount_gt10pct" ->
+        count_if(col("l_discount") < 0.0 || col("l_discount") > 0.1),
+      "lineitem_qty_gt40" ->
+        count_if(col("l_quantity") < 1.0 || col("l_quantity") > 40.0)))
+    Seq(ordersPass, liPass,
       orphanViolations(li, "l_orderkey", orders, "o_orderkey",
         "lineitem_order_orphans"),
       orphanViolations(orders, "o_custkey", cust, "c_custkey",
-        "orders_customer_orphans"),
-      nullViolations(orders, "o_orderstatus", "orders_status_null"),
-      rangeViolations(li, "l_discount", 0.0, 0.1,
-        "lineitem_discount_gt10pct"),
-      rangeViolations(li, "l_quantity", 1.0, 40.0,
-        "lineitem_qty_gt40"),
-      rangeViolations(orders, "o_totalprice", 0.0, 300000.0,
-        "orders_total_gt300k"))
-    checks.reduce(_.unionByName(_))
+        "orders_customer_orphans"))
+      .reduce(_.unionByName(_))
   }
 }

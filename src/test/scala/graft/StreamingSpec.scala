@@ -224,6 +224,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$base/view").exists(), "unrouted table dropped")
   }
 
+  test("router default is single-pass: one write job per batch, loop parity") {
+    // 5 routes > loopThreshold (4) → the staged partitionBy path.
+    // Every data file written by one Spark write job carries the same
+    // job UUID in its name (part-<task>-<uuid>-...), so the distinct
+    // UUID count across ALL route dirs == write jobs per batch.
+    val base = tmp("cdc-sp-out")
+    val types = Seq("click", "view", "error", "signup", "purchase")
+    val routes = types.map(t =>
+      t -> CdcRouter.Route(s"$base/$t", keepDeletes = t == "error")).toMap
+    val q = CdcRouter.start(Sources.cdcFromEvents(eventsStream), routes,
+      tmp("cdc-sp-ck"))
+    try q.processAllAvailable() finally q.stop()
+    val cdcBatch = Sources.cdcFromEvents(Tables.events(s, d))
+    types.foreach { t =>
+      val got = s.read.parquet(s"$base/$t")
+      val want = cdcBatch.filter(col("table") === t &&
+        (if (t == "error") lit(true) else col("op") =!= "delete"))
+      assert(got.count() === want.count(), s"row count for $t")
+      // the partitioned write must keep the `table` column the loop
+      // writes (it is duplicated into the partition key, not moved)
+      assert(got.columns.sorted === Array("data", "op", "table", "ts"),
+        s"schema for $t")
+      assert(got.filter(col("table") =!= t).count() === 0L)
+    }
+    val uuidRe = "part-\\d+-([0-9a-f\\-]{36})".r
+    val uuids = types.flatMap { t =>
+      new java.io.File(s"$base/$t").listFiles.toSeq
+        .flatMap(f => uuidRe.findFirstMatchIn(f.getName).map(_.group(1)))
+    }.toSet
+    assert(uuids.size === 1,
+      s"expected ONE write job across all 5 routes, saw ${uuids.size}")
+  }
+
   test("CDC router picks up config changes between batches (no restart)") {
     // two micro-batches: stage one file, process, stage another with a
     // widened config — the second batch must route the newly-added table
@@ -426,6 +459,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("changelog temporal join runs on BATCH frames (no watermark → one pass)") {
+    // batch execution strips the watermark node; the operator treats
+    // the missing watermark as +∞ so every left certifies in one
+    // pass — the scaladoc's "works on batch frames too" contract
+    import s.implicits._
+    val dimRows = (1L to 4L).flatMap(k => Seq(
+      (k, 1000L * k, s"v1_$k"), (k, 1000L * k + 300, s"v2_$k")))
+    val factRows = (1L to 4L).flatMap(k => Seq(
+      (k, 1000L * k - 5, 0.1 * k), (k, 1000L * k + 299, 0.2 * k),
+      (k, 1000L * k + 301, 0.3 * k)))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))
+    val got = Jobs.temporalJoinChangelog(
+      factRows.toDF("k", "us", "amt"), dimRows.toDF("k", "us", "dimval"),
+      "k", "us", "us", Seq("dimval")).collect().map(key).toSet
+    val want = graft.plans.AsOfJoin(
+      factRows.toDF("k", "us", "amt"), dimRows.toDF("k", "us", "dimval"),
+      "k", "us", Seq("dimval")).collect().map(key).toSet
+    assert(got === want)
+    assert(got.exists(_._4 == null), "pre-first-version facts stay null")
+    assert(got.exists(_._4 != null), "matched facts carry dim versions")
+  }
+
   test("raw-SQL graft_temporal_join TVF: changelog streams via SQL == batch as-of") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._
@@ -466,6 +522,61 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
           r.getString(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
       assert(got === want)
+    } finally q.stop()
+  }
+
+  test("graft_temporal_join TVF: STRUCT value column and '*' expansion == batch as-of") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val dimRows = (1L to 3L).flatMap(k => Seq(
+      (k, 1000L * k, s"v1_$k", k * 10), (k, 1000L * k + 400, s"v2_$k", k * 20)))
+    val factRows = (1L to 3L).flatMap(k => Seq(
+      (k, 1000L * k - 5, 0.1 * k), (k, 1000L * k + 400, 0.2 * k),
+      (k, 1000L * k + 800, 0.3 * k)))
+    val lMem = MemoryStream[(Long, Long, Double)]
+    val rMem = MemoryStream[(Long, Long, String, Long)]
+    lMem.toDF().toDF("k", "us", "amt")
+      .createOrReplaceTempView("tjs_facts_v")
+    // the dim is ONE nested struct column — no flattening required
+    rMem.toDF().toDF("k", "us", "dimval", "region")
+      .select(col("k"), col("us"),
+        struct(col("dimval"), col("region")).as("info"))
+      .createOrReplaceTempView("tjs_dim_v")
+    val sdf = s.sql("SELECT * FROM graft_temporal_join(" +
+      "'tjs_facts_v', 'tjs_dim_v', 'k', 'us', 'us', '2 hours', 'info')")
+    assert(sdf.isStreaming)
+    assert(sdf.schema("info").dataType.isInstanceOf[
+      org.apache.spark.sql.types.StructType], "struct carried whole")
+    // '*' expands to every right column except key and version ts —
+    // here that is exactly the one struct column, same output shape
+    val star = s.sql("SELECT * FROM graft_temporal_join(" +
+      "'tjs_facts_v', 'tjs_dim_v', 'k', 'us', 'us', '2 hours', '*')")
+    assert(star.schema.fieldNames.toSeq === sdf.schema.fieldNames.toSeq)
+    val q = sdf.writeStream.format("memory").queryName("tjstruct")
+      .outputMode("append").start()
+    try {
+      rMem.addData(dimRows.filter(_._1 != 2L))
+      lMem.addData(factRows); q.processAllAvailable()
+      rMem.addData(dimRows.filter(_._1 == 2L)); q.processAllAvailable()
+      lMem.addData((999L, 10_000_000L, 0.0)); q.processAllAvailable()
+      lMem.addData((999L, 20_000_000L, 0.0)); q.processAllAvailable()
+      def flat(r: org.apache.spark.sql.Row, st: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2),
+          if (st == null) null else st.getString(0),
+          if (st == null) -1L else st.getLong(1))
+      val got = s.sql("SELECT * FROM tjstruct WHERE k < 900").collect()
+        .map(r => flat(r, if (r.isNullAt(3)) null else r.getStruct(3))).toSet
+      val want = graft.plans.AsOfJoin(
+        factRows.toDF("k", "us", "amt"),
+        dimRows.toDF("k", "us", "dimval", "region")
+          .select(col("k"), col("us"),
+            struct(col("dimval"), col("region")).as("info")),
+        "k", "us", Seq("info")).collect()
+        .map(r => flat(r, if (r.isNullAt(3)) null else r.getStruct(3))).toSet
+      assert(got === want)
+      assert(got.exists(_._4 == null), "pre-first-version facts stay null")
+      assert(got.exists(_._4 != null), "matched facts carry the struct dim")
     } finally q.stop()
   }
 

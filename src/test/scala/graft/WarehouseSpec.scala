@@ -95,11 +95,23 @@ class WarehouseSpec extends AnyFunSuite {
       .head().getLong(1) === 1L)
     // the graded report: structural rules hold on the warehouse
     // tables, tight business rules count nonzero rows
-    val audit = Quality.audit(s, d).collect()
+    val report = Quality.audit(s, d)
+    val audit = report.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(audit("orders_pk_unique") === 0L)
     assert(audit("lineitem_order_orphans") === 0L)
     assert(audit("lineitem_qty_gt40") > 0L)
+    // the audit is FUSED: each fact's scan-shaped rules share one
+    // aggregation pass, so the plan scans orders 3× (fused pass +
+    // both orphan-join sides) and lineitem 2× — not once per rule
+    // after execution AQE prints Final AND Initial trees — count
+    // scans in the final tree only
+    val plan = report.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    def nScans(t: String) = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains(s"$t.parquet"))
+    assert(nScans("orders") <= 3, s"orders scanned ${nScans("orders")}×")
+    assert(nScans("lineitem") <= 2, s"lineitem scanned ${nScans("lineitem")}×")
   }
 
   test("approx sketches are within 5% of exact values") {
