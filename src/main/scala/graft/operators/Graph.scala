@@ -12,34 +12,43 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Undirected, deduplicated co-purchase edge list — parts sharing
-    * an order, oriented (s < t) — built ONCE per (session, dataset)
-    * and cached: triangles, k-hop reachability and PageRank all walk
-    * this same graph, and each used to rebuild it from the basket
-    * self-join independently (the dominant cost of all three). The
-    * registry hands every caller the same DataFrame so the cache
-    * entry is shared; if an external `clearCache()` dropped it, the
-    * next caller re-persists before use. Entries are per dataset
-    * path: Spark caching already snapshots the scan, so a changed
-    * dataset needs a new path (or session) — same contract as any
-    * cached DataFrame.
+  /** Co-purchase pair counts — parts sharing an order, oriented
+    * (s < t), with the shared-basket count `n_st` — built ONCE per
+    * (session, dataset) and cached: triangles, k-hop reachability
+    * and PageRank walk the edge projection, association rules reads
+    * the counts, and each used to rebuild the same basket self-join
+    * independently (the dominant cost of all four). Counting while
+    * deduplicating is free — `distinct()` IS a groupBy — so one
+    * cache serves both shapes. The registry hands every caller the
+    * same DataFrame so the cache entry is shared; if an external
+    * `clearCache()` dropped it, the next caller re-persists before
+    * use. Entries are per dataset path: Spark caching already
+    * snapshots the scan, so a changed dataset needs a new path (or
+    * session) — same contract as any cached DataFrame.
     */
   private val edgeRegistry =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+  def coPurchasePairCounts(s: SparkSession, d: String): DataFrame = {
     val df = edgeRegistry.computeIfAbsent((s, d), _ => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
       li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("s"), col("b.pk").as("t"))
-        .distinct()
+        .groupBy(col("a.pk").as("s"), col("b.pk").as("t"))
+        .agg(count(lit(1)).as("n_st"))
     })
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df
   }
+
+  /** Undirected, deduplicated co-purchase edge list: the counted
+    * pair table minus its count column.
+    */
+  def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    coPurchasePairCounts(s, d).select(col("s"), col("t"))
 
   /** PageRank over the part co-purchase graph (parts sharing an
     * order are linked), `iters` damped rounds, ALL-INTEGER
@@ -74,10 +83,10 @@ object Graph {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-      .agg(count(lit(1)).as("n_ab"))
+    // pair supports come from the SAME cached basket self-join the
+    // graph queries walk ([[coPurchasePairCounts]])
+    val pairs = coPurchasePairCounts(s, d)
+      .select(col("s").as("pa"), col("t").as("pb"), col("n_st").as("n_ab"))
       .filter(col("n_ab") >= minSupport)
     val singles = li.groupBy(col("pk")).agg(count(lit(1)).as("n_one"))
     val total = li.select(col("ok")).distinct().count()

@@ -171,15 +171,23 @@ object AsOfSql {
               throw new IllegalArgumentException(
                 s"column $n not found on the $side side " +
                 s"(${p.output.map(_.name).mkString(", ")})"))
+          // '*' expands to every right column except the join key and
+          // the right timestamp — same ergonomic as the streaming
+          // temporal TVF (struct columns resolve and carry whole)
+          val valNames =
+            if (vals == Seq("*"))
+              rSafe.output.map(_.name).filterNot(n =>
+                conf.resolver(n, key) || conf.resolver(n, rts))
+            else vals
           lower match {
             case None => AsOfJoinNode(l, rSafe,
               attr(l, key, "left"), attr(l, lts, "left"),
               attr(rSafe, key, "right"), attr(rSafe, rts, "right"),
-              vals.map(attr(rSafe, _, "right")))
+              valNames.map(attr(rSafe, _, "right")))
             case Some(lo) => IntervalJoinNode(l, rSafe,
               attr(l, key, "left"), attr(l, lts, "left"),
               attr(rSafe, key, "right"), attr(rSafe, rts, "right"),
-              lo, vals.map(attr(rSafe, _, "right")))
+              lo, valNames.map(attr(rSafe, _, "right")))
           }
       }
   }

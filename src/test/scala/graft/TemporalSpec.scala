@@ -287,6 +287,41 @@ class TemporalSpec extends AnyFunSuite {
       "SQL surface and Scala API must produce identical interval rows")
   }
 
+  test("batch TVF: '*' expands right columns; struct values carry whole") {
+    val d = TestSpark.sf
+    val ev = graft.sources.Tables.events(s, d)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .createOrReplaceTempView("asofs_facts")
+    // dim carries ONE nested struct column (unique per key+ts)
+    ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+      .agg(max(col("value")).as("v"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("us"), struct(col("v"), col("n")).as("info"))
+      .createOrReplaceTempView("asofs_dim")
+    val star = s.sql("SELECT * FROM graft_asof_join(" +
+      "'asofs_facts', 'asofs_dim', 'user_id', 'us', '*')")
+    val explicit = s.sql("SELECT * FROM graft_asof_join(" +
+      "'asofs_facts', 'asofs_dim', 'user_id', 'us', 'info')")
+    assert(star.schema("info").dataType
+      .isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(star.schema.fieldNames.toSeq === explicit.schema.fieldNames.toSeq)
+    assert(star.exceptAll(explicit).isEmpty &&
+      explicit.exceptAll(star).isEmpty, "'*' == explicit value list")
+    // the struct's contents equal the flat two-column formulation
+    val flatDim = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+      .agg(max(col("value")).as("v"), count(lit(1)).as("n"))
+    val want = graft.operators.Temporal.asOfJoin(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us")),
+      flatDim, "user_id", "us", Seq("v", "n"))
+      .select(col("event_id"), col("v"), col("n"))
+    val got = star.select(col("event_id"),
+      col("info.v").as("v"), col("info.n").as("n"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("TVF rejects malformed arguments with a clear message") {
     val d = TestSpark.sf
     graft.sources.Tables.registerViews(s, d)
