@@ -49,6 +49,7 @@ object SparkEntry {
       .withColumnRenamed("wau_ct", "mau_ct")),
     "analytics_outliers_mad" -> (Analytics.madOutliers(_, _)),
     "q21_waiting_suppliers" -> (Publisher.waitingSuppliers(_, _)),
+    "q22_lapsed_customers" -> (Publisher.lapsedCustomers(_, _)),
     "q18_large_orders" -> (Publisher.largeOrders(_, _)),
     "q15_top_supplier" -> (Publisher.topSupplier(_, _)),
     "q3_segment_revenue" -> (Publisher.segmentRevenue(_, _)),
@@ -119,6 +120,7 @@ object SparkEntry {
     "sim_ann_ivf" -> (Similarity.annIvf(_, _)),
     "text_winnow" -> ((s, d) =>
       TextAnalysis.winnow(s, d).select("doc_id", "n_fp")),
+    "dedup_winnow_pairs" -> (TextAnalysis.winnowPairs(_, _)),
     "text_corpus_stats" -> (TextAnalysis.corpusStats(_, _)),
     "pipeline_clean_corpus" -> (TextAnalysis.cleanCorpus(_, _)),
     // §2.2 LLM pipeline
@@ -363,6 +365,23 @@ object SparkEntry {
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    // Q22 shape: uncorrelated scalar threshold (bal*n > S in exact
+    // decimal — no float-avg drift) + NOT EXISTS anti-join with a
+    // recency predicate
+    "q22_lapsed_customers" ->
+      """SELECT c_nationkey % 5 AS cntrycode, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+        |      (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+        |    > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)))
+        |              AS DECIMAL(18,2))
+        |       FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-10-01')
+        |GROUP BY c_nationkey % 5""".stripMargin,
     // full-outer null expansion on both sides (rare event types)
     "analytics_full_outer" ->
       """WITH s AS (SELECT user_id, COUNT(*) AS signup_ct FROM events
@@ -481,6 +500,25 @@ object SparkEntry {
         |   for g in [substr(lower(text), i, 8)
         |     for i in range(1, greatest(length(lower(text)) - 6, 2))]] AS h
         | FROM documents) t""".stripMargin,
+    // MOSS winnow-join: pairs sharing >= 40 window-minima
+    // fingerprints — the same polynomial-hash fingerprint build as
+    // text_winnow, unnested into an inverted index and self-joined
+    "dedup_winnow_pairs" ->
+      """WITH fp AS (
+        | SELECT doc_id, list_distinct([
+        |   list_min(h[i:i+3]) for i in range(1, greatest(len(h) - 3, 1) + 1)
+        |  ]) AS fps
+        | FROM (SELECT doc_id,
+        |   [list_reduce([CAST(ascii(substr(g, j, 1)) AS BIGINT)
+        |      for j in range(1, 9)], (a, b) -> a * 31 + b)
+        |    for g in [substr(lower(text), i, 8)
+        |      for i in range(1, greatest(length(lower(text)) - 6, 2))]] AS h
+        |  FROM documents) t),
+        |ix AS (SELECT doc_id, unnest(fps) AS fp FROM fp)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  count(*) AS shared_fp
+        |FROM ix a JOIN ix b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 40""".stripMargin,
     "text_corpus_stats" ->
       """SELECT lang, COUNT(*) AS doc_ct,
         | CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars_sum,

@@ -423,4 +423,27 @@ object TextAnalysis {
         winnowFingerprints(col("text"), k, w).as("fingerprints"))
       .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
         col("fingerprints"))
+
+  /** Near-dup pairs over the WINNOWED inverted index — the MOSS
+    * join: documents sharing ≥ `minShared` winnowing fingerprints.
+    * Same equi-join-on-hash shape as the full-shingle co-occurrence
+    * index ([[Dedup.ngramJaccard]]), but the index is the window
+    * MINIMA only — ~1/w the postings for the same guarantee (any
+    * shared run ≥ w+k-1 chars is caught), which is the 100 TB
+    * story: index size, shuffle volume and join input all shrink by
+    * the window factor before any pair is considered. The
+    * fingerprint build is cached so the self-join's two sides share
+    * one computation.
+    */
+  def winnowPairs(s: SparkSession, d: String, k: Int = 8, w: Int = 4,
+      minShared: Long = 40): DataFrame = {
+    val ix = winnow(s, d, k, w)
+      .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+      .cache()
+    ix.as("a").join(ix.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+  }
 }

@@ -182,6 +182,36 @@ object Publisher {
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
   }
 
+  /** TPC-H Q22 shape — UNCORRELATED SCALAR SUBQUERY threshold +
+    * anti-join: high-balance customers with no recent orders,
+    * bucketed by country code (nationkey mod 5 stands in for the
+    * phone prefix). The classic float hazard — `avg()` as a
+    * threshold drifts with summation order — is removed ALGEBRAICALLY:
+    * `bal > S/n` is evaluated as `bal·n > S` in exact decimal, so
+    * the qualifying set is engine-identical. The scalar subqueries
+    * plan as one-row subquery broadcasts (not a nested-loop join);
+    * NOT EXISTS decorrelates to a left-anti join on the customer
+    * key with the recency predicate pushed into the build side.
+    */
+  def lapsedCustomers(s: SparkSession, d: String,
+      cutoff: String = "2000-10-01"): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      s"""SELECT c_nationkey % 5 AS cntrycode, count(*) AS numcust,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS totacctbal
+         |FROM customer
+         |WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+         |      (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+         |    > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)))
+         |              AS DECIMAL(18,2))
+         |       FROM customer WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '$cutoff')
+         |GROUP BY c_nationkey % 5""".stripMargin)
+  }
+
   /** TPC-H Q15 shape — aggregate-of-aggregate selection: the
     * supplier(s) achieving MAX total revenue, via a scalar subquery
     * over the same CTE (the view-based formulation). Revenue stays
