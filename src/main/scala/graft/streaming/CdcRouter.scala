@@ -95,8 +95,15 @@ object CdcRouter {
                     !st.getPath.getName.startsWith("_") &&
                     !st.getPath.getName.startsWith("."))
                   .foreach { st =>
-                    fs.rename(st.getPath,
-                      new org.apache.hadoop.fs.Path(dst, st.getPath.getName))
+                    val to = new org.apache.hadoop.fs.Path(dst,
+                      st.getPath.getName)
+                    // rename returns FALSE (not an exception) on
+                    // cross-filesystem targets — losing the batch
+                    // silently once staging is deleted. Fail loudly;
+                    // cross-FS routes should use startPartitioned.
+                    require(fs.rename(st.getPath, to),
+                      s"rename ${st.getPath} -> $to failed (cross-" +
+                        "filesystem route path? use startPartitioned)")
                   }
               }
             }

@@ -251,6 +251,24 @@ class DedupSpec extends AnyFunSuite {
       "unrelated doc should not share everything")
   }
 
+  test("winnow-join pairs equal the brute-force fingerprint intersection") {
+    val pairs = graft.operators.TextAnalysis.winnowPairs(s, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force: intersect every doc pair's collected fingerprint
+    // sets on the driver (test-only — the operator's point is that
+    // the inverted-index join never materializes this)
+    val fps = graft.operators.TextAnalysis.winnow(s, d)
+      .select(col("doc_id"), col("fingerprints")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    val want = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      n = (fa & fb).size.toLong if n >= 40
+    } yield (a, b) -> n).toMap
+    assert(pairs === want)
+    assert(pairs.nonEmpty, "planted near-dups must surface")
+  }
+
   test("ANN LSH returns a subset of valid neighbors with nonzero recall") {
     val bf = Similarity.bruteForceTopK(s, d).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
