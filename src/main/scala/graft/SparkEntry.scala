@@ -50,6 +50,8 @@ object SparkEntry {
     "analytics_outliers_mad" -> (Analytics.madOutliers(_, _)),
     "q21_waiting_suppliers" -> (Publisher.waitingSuppliers(_, _)),
     "q22_lapsed_customers" -> (Publisher.lapsedCustomers(_, _)),
+    "q7_volume_shipping" -> (Publisher.volumeShipping(_, _)),
+    "q13_customer_dist" -> (Publisher.customerDistribution(_, _)),
     "q18_large_orders" -> (Publisher.largeOrders(_, _)),
     "q15_top_supplier" -> (Publisher.topSupplier(_, _)),
     "q3_segment_revenue" -> (Publisher.segmentRevenue(_, _)),
@@ -382,6 +384,37 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-10-01')
         |GROUP BY c_nationkey % 5""".stripMargin,
+    // Q7 shape: 6-way join, two nation aliases, disjunctive
+    // cross-alias predicate; revenue exact-decimal before the
+    // DOUBLE cast
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(12,2))))
+        |       AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+        |         l_extendedprice, l_discount
+        |  FROM supplier, lineitem, orders, customer,
+        |       nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    // Q13 shape: left-outer with the filter in the ON clause, then
+    // aggregate-of-aggregate distribution; exact integer counts
+    "q13_customer_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |   AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin,
     // full-outer null expansion on both sides (rare event types)
     "analytics_full_outer" ->
       """WITH s AS (SELECT user_id, COUNT(*) AS signup_ct FROM events

@@ -232,6 +232,64 @@ object Publisher {
         |WHERE total_rev = (SELECT max(total_rev) FROM revenue)""".stripMargin)
   }
 
+  /** TPC-H Q7 shape — bi-directional nation-pair volume shipping:
+    * a 6-way join (supplier→lineitem→orders→customer plus TWO
+    * aliases of nation) with a DISJUNCTIVE cross-alias predicate
+    * `(n1=A AND n2=B) OR (n1=B AND n2=A)`. The interesting plan
+    * property: Catalyst pushes the single-alias residues of the OR
+    * (`n1 IN (A,B)`, `n2 IN (A,B)`) down to each nation scan, so
+    * both dimension sides broadcast at 2 rows each and the fact
+    * side is filtered early; only the 4-row cross-pair residual
+    * evaluates post-join. Revenue sums in exact decimal before the
+    * final DOUBLE cast, grouped per (supp_nation, cust_nation,
+    * year) — the classic market-flow matrix.
+    */
+  def volumeShipping(s: SparkSession, d: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |         * (1 - CAST(l_discount AS DECIMAL(12,2))))
+         |       AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |         CAST(year(l_shipdate) AS INT) AS l_year,
+         |         l_extendedprice, l_discount
+         |  FROM supplier, lineitem, orders, customer,
+         |       nation n1, nation n2
+         |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+         |    AND c_nationkey = n2.n_nationkey
+         |    AND ((n1.n_name = '$nationA' AND n2.n_name = '$nationB')
+         |      OR (n1.n_name = '$nationB' AND n2.n_name = '$nationA'))
+         |) shipping
+         |GROUP BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: a LEFT
+    * OUTER join whose extra predicate lives in the ON clause (NOT
+    * the WHERE — moving it would silently drop zero-order
+    * customers), then an aggregate OF an aggregate (count per
+    * customer → histogram of those counts). Exercises
+    * outer-join-aware filter placement: Catalyst must keep
+    * `o_orderpriority <> X` on the stream side of the join, never
+    * pushing it below the null-supplying semantics. Counts are
+    * exact integers end-to-end.
+    */
+  def customerDistribution(s: SparkSession, d: String,
+      excludedPriority: String = "1-URGENT"): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      s"""SELECT c_count, count(*) AS custdist FROM (
+         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+         |  FROM customer c LEFT OUTER JOIN orders o
+         |    ON c.c_custkey = o.o_custkey
+         |   AND o.o_orderpriority <> '$excludedPriority'
+         |  GROUP BY c.c_custkey) c_orders
+         |GROUP BY c_count""".stripMargin)
+  }
+
   def segmentRevenue(s: SparkSession, d: String,
       segment: String = "BUILDING", cutoff: String = "1998-01-01"): DataFrame = {
     val c = Tables.customer(s, d).filter(col("c_mktsegment") === segment)
