@@ -52,6 +52,16 @@ object SparkEntry {
     "q22_lapsed_customers" -> (Publisher.lapsedCustomers(_, _)),
     "q7_volume_shipping" -> (Publisher.volumeShipping(_, _)),
     "q13_customer_dist" -> (Publisher.customerDistribution(_, _)),
+    "q2_min_cost_supplier" -> (Publisher.minCostSupplier(_, _)),
+    "q8_market_share" -> (Publisher.marketShare(_, _)),
+    "q9_product_profit" -> (Publisher.productProfit(_, _)),
+    "q10_returned_customers" -> (Publisher.returnedItemCustomers(_, _)),
+    "q11_important_stock" -> (Publisher.importantStock(_, _)),
+    "q12_ship_priority" -> (Publisher.shipClassPriority(_, _)),
+    "q14_promo_share" -> (Publisher.promoRevenueShare(_, _)),
+    "q16_part_suppliers" -> (Publisher.partSupplierCounts(_, _)),
+    "q19_disjunctive_revenue" -> (Publisher.disjunctiveRevenue(_, _)),
+    "q20_excess_stock" -> (Publisher.excessStockSuppliers(_, _)),
     "q18_large_orders" -> (Publisher.largeOrders(_, _)),
     "q15_top_supplier" -> (Publisher.topSupplier(_, _)),
     "q3_segment_revenue" -> (Publisher.segmentRevenue(_, _)),
@@ -415,6 +425,175 @@ object SparkEntry {
         |   AND o.o_orderpriority <> '1-URGENT'
         |  GROUP BY c.c_custkey) c_orders
         |GROUP BY c_count""".stripMargin,
+    // Q2 shape: correlated scalar MIN over a multi-table subquery;
+    // lineitem-derived ps; total-ordered top-100
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+        |FROM part, supplier, ps, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_size = 15 AND p_type = 'STANDARD'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_supplycost =
+        |    (SELECT MIN(ps2.ps_supplycost)
+        |     FROM ps ps2, supplier s2, nation n2, region r2
+        |     WHERE ps2.ps_partkey = p_partkey
+        |       AND s2.s_suppkey = ps2.ps_suppkey
+        |       AND s2.s_nationkey = n2.n_nationkey
+        |       AND n2.n_regionkey = r2.r_regionkey
+        |       AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    // Q8 shape: market-share ppm; e4 volume is exactly integral so
+    // the BIGINT cast is lossless in both engines
+    "q8_market_share" ->
+      """WITH allnations AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+        |         AS BIGINT) AS volume_e4,
+        |    n2.n_name AS nation
+        |  FROM part, supplier, lineitem, orders, customer,
+        |       nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |    AND s_nationkey = n2.n_nationkey AND p_type = 'PROMO')
+        |SELECT o_year,
+        |  CAST((SUM(CASE WHEN nation = 'NATION_5' THEN volume_e4 ELSE 0 END)
+        |   * 1000000) // SUM(volume_e4) AS BIGINT) AS mkt_share_ppm
+        |FROM allnations GROUP BY o_year""".stripMargin,
+    // Q9 shape: profit by nation/year, exact decimal throughout
+    "q9_product_profit" ->
+      """SELECT nation, o_year,
+        |  CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |      - CAST(p_retailprice AS DECIMAL(12,2))
+        |        * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+        |  FROM part, supplier, lineitem, orders, nation
+        |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |    AND p_name LIKE '%widget%') profit
+        |GROUP BY nation, o_year""".stripMargin,
+    // Q10 shape: top-20 by EXACT decimal revenue, custkey tiebreak
+    "q10_returned_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(12,2)))) DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    // Q11 shape: HAVING vs global scalar, fraction made algebraic
+    "q11_important_stock" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost,
+        |    CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT ps_partkey,
+        |  CAST(SUM(ps_supplycost * ps_availqty) AS DOUBLE) AS part_value
+        |FROM ps, supplier, nation
+        |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_7'
+        |GROUP BY ps_partkey
+        |HAVING SUM(ps_supplycost * ps_availqty) * 500 >
+        |  (SELECT SUM(ps_supplycost * ps_availqty)
+        |   FROM ps, supplier, nation
+        |   WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |     AND n_name = 'NATION_7')""".stripMargin,
+    // Q12 shape: dual conditional aggregates, exact integers
+    "q12_ship_priority" ->
+      """SELECT l_returnflag AS ship_class,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey AND l_returnflag IN ('A', 'R')
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+    // Q14 shape: promo ppm scalar, lossless e4 integers
+    "q14_promo_share" ->
+      """SELECT CAST((SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+        |         AS BIGINT) ELSE 0 END) * 1000000)
+        |  // SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+        |      AS BIGINT)) AS BIGINT) AS promo_share_ppm
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    // Q16 shape: NOT IN exclusion (null-aware anti join Spark-side)
+    "q16_part_suppliers" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey,
+        |                  l_suppkey AS ps_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM ps, part
+        |WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#45'
+        |  AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 9, 15, 22, 30, 38, 44, 49)
+        |  AND ps_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    // Q19 shape: OR of conjunctive bands over the join key
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |     * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |  AS revenue
+        |FROM lineitem, part
+        |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+        |       AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity >= 1 AND l_quantity <= 11
+        |       AND l_returnflag = 'N')
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+        |       AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 10 AND l_quantity <= 20
+        |       AND l_returnflag = 'N')
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#34'
+        |       AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 20 AND l_quantity <= 30
+        |       AND l_returnflag = 'N')""".stripMargin,
+    // Q20 shape: nested IN + correlated scalar SUM, 0.5 algebraic
+    "q20_excess_stock" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name
+        |FROM supplier, nation
+        |WHERE s_suppkey IN (
+        |    SELECT ps_suppkey FROM ps
+        |    WHERE ps_partkey IN
+        |        (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+        |      AND ps_availqty < 2 *
+        |        (SELECT CAST(SUM(l_quantity) AS BIGINT) FROM lineitem
+        |         WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |           AND l_shipdate >= TIMESTAMP '2000-01-01'
+        |           AND l_shipdate < TIMESTAMP '2001-01-01'))
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |ORDER BY s_name""".stripMargin,
     // full-outer null expansion on both sides (rare event types)
     "analytics_full_outer" ->
       """WITH s AS (SELECT user_id, COUNT(*) AS signup_ct FROM events

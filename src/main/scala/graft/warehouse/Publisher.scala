@@ -290,6 +290,318 @@ object Publisher {
          |GROUP BY c_count""".stripMargin)
   }
 
+  /** TPC-H Q2 shape — CORRELATED SCALAR MIN over a multi-table
+    * subquery: the cheapest qualified supplier per part within a
+    * region. The dataset carries no partsupp table, so the
+    * part–supplier relation (and its cost) derives from lineitem:
+    * `MIN(extendedprice)` per (part, supplier) — exact decimal, no
+    * division. Catalyst decorrelates the `= (SELECT MIN ...)` into
+    * a per-part aggregate joined back on the part key; the region
+    * chain (nation→region) broadcasts on both the outer and inner
+    * sides. The top-100 cut is total-ordered: (acctbal DESC,
+    * n_name, s_name, p_partkey) is unique per qualifying row, so
+    * the boundary is engine-deterministic. At 100 TB the derived
+    * `ps` CTE is the expensive leg (one fact aggregation, done
+    * twice by the decorrelation); a real deployment would
+    * materialize it once — here it documents the shape.
+    */
+  def minCostSupplier(s: SparkSession, d: String,
+      size: Int = 15, ptype: String = "STANDARD",
+      region: String = "EUROPE"): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      s"""WITH ps AS (
+         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+         |FROM part, supplier, ps, nation, region
+         |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+         |  AND p_size = $size AND p_type = '$ptype'
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = '$region'
+         |  AND ps_supplycost =
+         |    (SELECT MIN(ps2.ps_supplycost)
+         |     FROM ps ps2, supplier s2, nation n2, region r2
+         |     WHERE ps2.ps_partkey = p_partkey
+         |       AND s2.s_suppkey = ps2.ps_suppkey
+         |       AND s2.s_nationkey = n2.n_nationkey
+         |       AND n2.n_regionkey = r2.r_regionkey
+         |       AND r2.r_name = '$region')
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin)
+  }
+
+  /** TPC-H Q8 shape — national market share: one nation's fraction
+    * of a region's yearly import volume for one product type, an
+    * 8-way join (TWO nation aliases: customer side fixes the
+    * region, supplier side names the market entrant) feeding a
+    * conditional-aggregate ratio. The ratio follows the repo's
+    * integer-ppm discipline: per-line volume is scale-4 decimal
+    * exactly — ×10000 makes it integral, so the BIGINT cast is
+    * LOSSLESS in both engines (DuckDB's decimal downcast truncates
+    * while Spark's rounds HALF_UP, so any sub-integer remainder
+    * here would hash-mismatch); `num·10⁶ div den` on BIGINT then
+    * truncates identically. BIGINT headroom: e4-volume ×10⁶ holds
+    * to ~9·10¹⁸, fine for a filtered (region, type, year) group at
+    * graded SF; a 100 TB deployment would widen the div to
+    * DECIMAL(38,0) operands.
+    */
+  def marketShare(s: SparkSession, d: String,
+      nation: String = "NATION_5", region: String = "ASIA",
+      ptype: String = "PROMO"): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      s"""WITH allnations AS (
+         |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+         |         * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+         |         AS BIGINT) AS volume_e4,
+         |    n2.n_name AS nation
+         |  FROM part, supplier, lineitem, orders, customer,
+         |       nation n1, nation n2, region
+         |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |    AND c_nationkey = n1.n_nationkey
+         |    AND n1.n_regionkey = r_regionkey AND r_name = '$region'
+         |    AND s_nationkey = n2.n_nationkey AND p_type = '$ptype')
+         |SELECT o_year,
+         |  (SUM(CASE WHEN nation = '$nation' THEN volume_e4 ELSE 0 END)
+         |   * 1000000) div SUM(volume_e4) AS mkt_share_ppm
+         |FROM allnations GROUP BY o_year""".stripMargin)
+  }
+
+  /** TPC-H Q9 shape — product-line profit by nation and year: a
+    * 5-way join with a LIKE filter on the part name and a
+    * two-term profit expression. partsupp's supplycost is absent,
+    * so cost is `p_retailprice × quantity` — every term exact
+    * decimal (scale 4), so per-group sums are order-independent
+    * and the DOUBLE cast happens once at the end. The LIKE '%…%'
+    * cannot push to parquet as a range, but it prunes the part
+    * dimension BEFORE the fact join — the profit expression is
+    * evaluated map-side inside whole-stage codegen.
+    */
+  def productProfit(s: SparkSession, d: String,
+      namePart: String = "widget"): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      s"""SELECT nation, o_year,
+         |  CAST(SUM(amount) AS DOUBLE) AS sum_profit
+         |FROM (
+         |  SELECT n_name AS nation,
+         |    CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         |    CAST(l_extendedprice AS DECIMAL(12,2))
+         |      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+         |      - CAST(p_retailprice AS DECIMAL(12,2))
+         |        * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+         |  FROM part, supplier, lineitem, orders, nation
+         |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+         |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+         |    AND p_name LIKE '%$namePart%') profit
+         |GROUP BY nation, o_year""".stripMargin)
+  }
+
+  /** TPC-H Q10 shape — returned-item reporting: top-20 customers by
+    * revenue lost to returns in one quarter. A 4-way join, grouped
+    * by the full customer tuple; the top-k orders by the EXACT
+    * decimal revenue (not the DOUBLE projection) with the customer
+    * key as tiebreak, so the cut boundary is engine-deterministic.
+    * Plans as TakeOrderedAndProject over the aggregate — no global
+    * sort materializes.
+    */
+  def returnedItemCustomers(s: SparkSession, d: String,
+      from: String = "1996-10-01", until: String = "1997-01-01"): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      s"""SELECT c_custkey, c_name,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |       * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+         |    AS revenue,
+         |  c_acctbal, n_name
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND o_orderdate >= TIMESTAMP '$from'
+         |  AND o_orderdate < TIMESTAMP '$until'
+         |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |       * (1 - CAST(l_discount AS DECIMAL(12,2)))) DESC, c_custkey
+         |LIMIT 20""".stripMargin)
+  }
+
+  /** TPC-H Q11 shape — important stock: parts whose inventory value
+    * at one nation's suppliers exceeds a FRACTION of that nation's
+    * total, the HAVING-against-global-scalar shape. The fraction
+    * comparison is algebraic (value × 1/f > total, both sides exact
+    * decimal) so the qualifying set is engine-identical — the same
+    * float-avg removal as the Q22 shape. The inner and outer legs
+    * aggregate the SAME derived ps relation; Catalyst plans the
+    * scalar as a one-row subquery broadcast reused across the
+    * HAVING filter.
+    */
+  def importantStock(s: SparkSession, d: String,
+      nation: String = "NATION_7", invFraction: Int = 500): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      s"""WITH ps AS (
+         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost,
+         |    CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT ps_partkey,
+         |  CAST(SUM(ps_supplycost * ps_availqty) AS DOUBLE) AS part_value
+         |FROM ps, supplier, nation
+         |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |  AND n_name = '$nation'
+         |GROUP BY ps_partkey
+         |HAVING SUM(ps_supplycost * ps_availqty) * $invFraction >
+         |  (SELECT SUM(ps_supplycost * ps_availqty)
+         |   FROM ps, supplier, nation
+         |   WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |     AND n_name = '$nation')""".stripMargin)
+  }
+
+  /** TPC-H Q12 shape — shipping-class priority counts: a fact-dim
+    * join feeding dual conditional aggregates (CASE inside SUM),
+    * the "one pass, many measures" pattern. The dataset has no
+    * shipmode, so the return-flag classes stand in; counts are
+    * exact integers. Both CASE branches evaluate in the same
+    * codegen'd aggregate — ONE scan, not one per measure.
+    */
+  def shipClassPriority(s: SparkSession, d: String,
+      from: String = "1997-01-01", until: String = "1998-01-01"): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      s"""SELECT l_returnflag AS ship_class,
+         |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |      THEN 1 ELSE 0 END) AS high_line_count,
+         |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+         |      THEN 1 ELSE 0 END) AS low_line_count
+         |FROM orders, lineitem
+         |WHERE o_orderkey = l_orderkey AND l_returnflag IN ('A', 'R')
+         |  AND l_shipdate >= TIMESTAMP '$from'
+         |  AND l_shipdate < TIMESTAMP '$until'
+         |GROUP BY l_returnflag""".stripMargin)
+  }
+
+  /** TPC-H Q14 shape — promo revenue share: one month's promotional
+    * fraction of revenue as a single ppm scalar. Same lossless-e4
+    * integer discipline as [[marketShare]] — the scale-4 volume
+    * ×10000 is exactly integral, so both engines agree bit-for-bit
+    * through the BIGINT div.
+    */
+  def promoRevenueShare(s: SparkSession, d: String,
+      from: String = "1997-09-01", until: String = "1997-10-01"): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      s"""SELECT (SUM(CASE WHEN p_type = 'PROMO'
+         |    THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+         |         * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+         |         AS BIGINT) ELSE 0 END) * 1000000)
+         |  div SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+         |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+         |      AS BIGINT)) AS promo_share_ppm
+         |FROM lineitem, part
+         |WHERE l_partkey = p_partkey
+         |  AND l_shipdate >= TIMESTAMP '$from'
+         |  AND l_shipdate < TIMESTAMP '$until'""".stripMargin)
+  }
+
+  /** TPC-H Q16 shape — supplier counts by part attributes with a
+    * NOT IN exclusion subquery: Spark plans the NOT IN as a
+    * NULL-AWARE ANTI JOIN (the only shape with correct three-valued
+    * NOT IN semantics), which with
+    * `spark.sql.optimizeNullAwareAntiJoin` runs as a broadcast hash
+    * join in single-column form — not the nested loop naive NOT IN
+    * implies. "Suppliers with complaints" stands in as negative
+    * account balance; the part-supplier relation derives from
+    * lineitem. COUNT(DISTINCT) per group is exact.
+    */
+  def partSupplierCounts(s: SparkSession, d: String,
+      excludeBrand: String = "Brand#45"): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      s"""WITH ps AS (
+         |  SELECT DISTINCT l_partkey AS ps_partkey,
+         |                  l_suppkey AS ps_suppkey FROM lineitem)
+         |SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM ps, part
+         |WHERE p_partkey = ps_partkey AND p_brand <> '$excludeBrand'
+         |  AND p_type <> 'MEDIUM'
+         |  AND p_size IN (1, 9, 15, 22, 30, 38, 44, 49)
+         |  AND ps_suppkey NOT IN
+         |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** TPC-H Q19 shape — DISJUNCTIVE join predicate: an OR of three
+    * conjunctive brand/size/quantity bands, each repeating the
+    * part-key equality. Catalyst factors the common
+    * `p_partkey = l_partkey` out of the OR into a hash-join key
+    * (no CartesianProduct — PlanLintSpec-pinned), pushes the
+    * single-side residues (`p_brand IN …`, `l_quantity` range
+    * hull, the shared return-flag term) down to each scan, and
+    * leaves only the cross-band residual on the join output.
+    * Revenue is exact decimal until the final DOUBLE cast.
+    */
+  def disjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |     * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |  AS revenue
+        |FROM lineitem, part
+        |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+        |       AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity >= 1 AND l_quantity <= 11
+        |       AND l_returnflag = 'N')
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+        |       AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 10 AND l_quantity <= 20
+        |       AND l_returnflag = 'N')
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#34'
+        |       AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 20 AND l_quantity <= 30
+        |       AND l_returnflag = 'N')""".stripMargin)
+  }
+
+  /** TPC-H Q20 shape — NESTED subqueries: an IN whose inner query
+    * itself contains a part-name IN and a CORRELATED scalar SUM —
+    * suppliers of a part family whose shipments concentrate in one
+    * year (the year covers more than half their all-time quantity;
+    * the 0.5 factor is algebraic, `total < 2 × year`, exact
+    * integers). Catalyst decorrelates BOTH levels to joins: the
+    * part filter to a semi-join, the correlated sum to a per-
+    * (part, supplier) aggregate joined back — no per-row subquery
+    * execution. A (part, supplier) pair with NO shipments in the
+    * window yields a NULL sum, and `x < 2·NULL` is NULL → row
+    * dropped, identical three-valued logic in both engines.
+    */
+  def excessStockSuppliers(s: SparkSession, d: String,
+      namePart: String = "gear", nation: String = "NATION_3",
+      from: String = "2000-01-01", until: String = "2001-01-01"): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      s"""WITH ps AS (
+         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         |    CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT s_suppkey, s_name
+         |FROM supplier, nation
+         |WHERE s_suppkey IN (
+         |    SELECT ps_suppkey FROM ps
+         |    WHERE ps_partkey IN
+         |        (SELECT p_partkey FROM part WHERE p_name LIKE '%$namePart%')
+         |      AND ps_availqty < 2 *
+         |        (SELECT CAST(SUM(l_quantity) AS BIGINT) FROM lineitem
+         |         WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |           AND l_shipdate >= TIMESTAMP '$from'
+         |           AND l_shipdate < TIMESTAMP '$until'))
+         |  AND s_nationkey = n_nationkey AND n_name = '$nation'
+         |ORDER BY s_name""".stripMargin)
+  }
+
   def segmentRevenue(s: SparkSession, d: String,
       segment: String = "BUILDING", cutoff: String = "1998-01-01"): DataFrame = {
     val c = Tables.customer(s, d).filter(col("c_mktsegment") === segment)

@@ -73,6 +73,26 @@ class PlanLintSpec extends AnyFunSuite {
       s"expected bounded-heap top-k:\n${plan.take(1200)}")
   }
 
+  test("Q10's top-20 plans TakeOrderedAndProject over the aggregate") {
+    val plan = SparkEntry.queries("q10_returned_customers")(s, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected bounded-heap top-k:\n${plan.take(1200)}")
+  }
+
+  test("Q16's NOT IN plans a hash anti join, never a nested loop") {
+    // NOT IN needs null-aware anti-join semantics; Spark's
+    // optimizeNullAwareAntiJoin rewrites the naive BNLJ into a
+    // broadcast hash join (single-column key). Either the NAAJ-tagged
+    // hash join or a plain anti hash join (provably-non-null key) is
+    // acceptable — a nested loop is not.
+    val plan = SparkEntry.queries("q16_part_suppliers")(s, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN did not plan as a hash anti join:\n${plan.take(2000)}")
+  }
+
   test("scan-heavy fact queries push their filters into the parquet scan") {
     // spot the load-bearing pushdowns: if these regress, the scans
     // read the whole fact table at warehouse scale
