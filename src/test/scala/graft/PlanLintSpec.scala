@@ -34,12 +34,15 @@ class PlanLintSpec extends AnyFunSuite {
     *   day spine
     * - analytics_histogram_eqdepth: the 1-row quartile-bounds
     *   crossJoin onto the fact scan (map-side bucket test)
+    * - sim_range_search: the broadcast-query-set scan shape with a
+    *   threshold filter instead of a top-k window — the whole point
+    *   is that the plan is shuffle-free (asserted below)
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
     "sim_filtered_ann", "text_tfidf_topk", "analytics_key_skew",
     "pipeline_domain_mix", "sim_ann_pq", "analytics_gap_fill",
-    "analytics_histogram_eqdepth")
+    "analytics_histogram_eqdepth", "sim_range_search")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -91,6 +94,19 @@ class PlanLintSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"NOT IN did not plan as a hash anti join:\n${plan.take(2000)}")
+  }
+
+  test("range similarity search never shuffles on a key") {
+    // the radius query's scale story: corpus scanned once, queries
+    // broadcast, threshold filtered — no hash-partitioned Exchange
+    // means no key shuffle at any corpus size (the one permitted
+    // Exchange is spread()'s small-input round-robin, which the
+    // size guard removes on real data)
+    val plan = SparkEntry.queries("sim_range_search")(s, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"range search picked up a key shuffle:\n${plan.take(2000)}")
   }
 
   test("scan-heavy fact queries push their filters into the parquet scan") {

@@ -940,4 +940,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(dl.getTime - o.getTime === 15 * 60000L)
     }
   }
+
+  test("payment timeout on transformWithState == flatMapGroupsWithState") {
+    // the Spark 4.x operator-state API with real event-time timers —
+    // same input script as the FMGWS test above, same alerts out.
+    // TWS requires the RocksDB state store provider.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(conf)
+    s.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(min: Long) = new java.sql.Timestamp((100 + min) * 60000L)
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val alerts = graft.streaming.Tws.paymentTimeoutAlerts(
+        mem.toDF().toDF("order_id", "kind", "ts"),
+        timeoutMs = 15 * 60000L, watermark = "10 minutes")
+      val q = alerts.writeStream.format("memory").queryName("pay_tws")
+        .outputMode("append")
+        .option("checkpointLocation", tmp("tws-ckpt")).start()
+      try {
+        mem.addData((1L, "order", ts(0)), (2L, "order", ts(0)),
+          (3L, "pay", ts(1)), (4L, "order", ts(2)))
+        q.processAllAvailable()
+        mem.addData((1L, "pay", ts(5)), (3L, "order", ts(0)))
+        q.processAllAvailable()
+        assert(s.sql("SELECT * FROM pay_tws").count() === 0,
+          "nothing may fire before the watermark moves")
+        mem.addData((99L, "order", ts(60)))
+        q.processAllAvailable()
+        mem.addData((99L, "pay", ts(61)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val fired = s.sql("SELECT order_id, order_ts, deadline_ts FROM pay_tws")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      assert(fired.map(_._1).sorted.toSeq === Seq(2L, 4L),
+        s"got ${fired.toSeq}")
+      fired.foreach { case (_, o, dl) =>
+        assert(dl.getTime - o.getTime === 15 * 60000L)
+      }
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(conf, v)
+        case None => s.conf.unset(conf)
+      }
+    }
+  }
 }
