@@ -48,6 +48,16 @@ object SparkEntry {
     "analytics_rolling_mau" -> ((s, d) => Analytics.rollingWau(s, d, 30)
       .withColumnRenamed("wau_ct", "mau_ct")),
     "analytics_outliers_mad" -> (Analytics.madOutliers(_, _)),
+    "analytics_pareto" -> (Analytics.paretoShare(_, _)),
+    "analytics_multi_distinct" -> (Analytics.multiDistinctDaily(_, _)),
+    "analytics_interpurchase" -> (Analytics.interPurchaseDist(_, _)),
+    "analytics_new_returning" -> (Analytics.newVsReturning(_, _)),
+    "analytics_band_scan" -> (Analytics.bandScanCounts(_, _)),
+    "analytics_attribution" -> (Analytics.lastTouchAttribution(_, _)),
+    "pipeline_shuffle_order" -> (TextAnalysis.shuffleOrder(_, _)),
+    "text_length_buckets" -> (TextAnalysis.lengthBuckets(_, _)),
+    "dedup_contamination_score" -> (Dedup.contaminationScore(_, _)),
+    "graph_components" -> (graft.operators.Graph.components(_, _)),
     "q21_waiting_suppliers" -> (Publisher.waitingSuppliers(_, _)),
     "q22_lapsed_customers" -> (Publisher.lapsedCustomers(_, _)),
     "q7_volume_shipping" -> (Publisher.volumeShipping(_, _)),
@@ -361,6 +371,179 @@ object SparkEntry {
         |      FROM ud CROSS JOIN range(0, 30) r(o))
         |SELECT x.day, COUNT(DISTINCT x.user_id) AS mau_ct
         |FROM x SEMI JOIN days ON x.day = days.day
+        |GROUP BY 1""".stripMargin,
+    // exact integer cents; decile id is pure integer arithmetic on
+    // (rank-1)*10/n, share is integer ppm — engine-exact end to end
+    "analytics_pareto" ->
+      s"""WITH p AS (
+         | SELECT o_custkey,
+         |  CAST(SUM(${m("o_totalprice")}) * 100 AS BIGINT) AS cents
+         | FROM orders GROUP BY 1),
+         |r AS (
+         | SELECT cents,
+         |  row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+         |  COUNT(*) OVER () AS n
+         | FROM p)
+         |SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+         | COUNT(*) AS n_customers,
+         | CAST(SUM(cents) AS BIGINT) AS cents,
+         | CAST(SUM(cents) * 1000000 //
+         |   (SELECT SUM(cents) FROM p) AS BIGINT) AS share_ppm
+         |FROM r GROUP BY 1""".stripMargin,
+    // four distinct measures in one pass; the filtered distinct uses
+    // CASE-null so non-purchase rows vanish from the set
+    "analytics_multi_distinct" ->
+      """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS pv,
+        | COUNT(DISTINCT user_id) AS uv,
+        | COUNT(DISTINCT event_type) AS n_types,
+        | COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+        |   THEN user_id END) AS purchase_uv
+        |FROM events GROUP BY 1""".stripMargin,
+    // integer day gaps via lag; bucket edges are CASE comparisons on
+    // the integer (never floor(log2(double)) — libm-ulp-unsafe)
+    "analytics_interpurchase" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS od FROM orders),
+        |g AS (SELECT date_diff('day',
+        |    lag(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey),
+        |    od) AS gap_days FROM o)
+        |SELECT CAST(CASE WHEN gap_days <= 0 THEN 0
+        |   WHEN gap_days <= 2 THEN 1 WHEN gap_days <= 4 THEN 2
+        |   WHEN gap_days <= 8 THEN 3 WHEN gap_days <= 16 THEN 4
+        |   WHEN gap_days <= 32 THEN 5 ELSE 6 END AS INT) AS bucket,
+        | COUNT(*) AS ct,
+        | CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+        | CAST(MAX(gap_days) AS BIGINT) AS max_gap
+        |FROM g WHERE gap_days IS NOT NULL GROUP BY 1""".stripMargin,
+    // an order is new iff its date == the customer's first order
+    // date (date grain); exact cents, integer-ppm split
+    "analytics_new_returning" ->
+      s"""WITH t AS (
+         | SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+         |  CAST(${m("o_totalprice")} * 100 AS BIGINT) AS cents
+         | FROM orders),
+         |f AS (SELECT *, MIN(day) OVER (PARTITION BY o_custkey)
+         |   AS first_day FROM t)
+         |SELECT day,
+         | CAST(SUM(CASE WHEN day = first_day THEN cents ELSE 0 END)
+         |   AS BIGINT) AS new_cents,
+         | CAST(SUM(CASE WHEN day <> first_day THEN cents ELSE 0 END)
+         |   AS BIGINT) AS ret_cents,
+         | CAST(SUM(CASE WHEN day = first_day THEN cents ELSE 0 END)
+         |    * 1000000 //
+         |   (SUM(CASE WHEN day = first_day THEN cents ELSE 0 END)
+         |    + SUM(CASE WHEN day <> first_day THEN cents ELSE 0 END))
+         |   AS BIGINT) AS new_ppm
+         |FROM f GROUP BY 1""".stripMargin,
+    // TPC-DS q88 shape: eight band measures in ONE scan; band edges
+    // compare doubles to 2dp literals both engines parse identically
+    "analytics_band_scan" ->
+      """SELECT l_linestatus,
+        | CAST(SUM(CASE WHEN l_quantity <= 10 AND l_discount <= 0.04
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS b_lo_lo,
+        | CAST(SUM(CASE WHEN l_quantity <= 10 AND l_discount > 0.04
+        |   AND l_discount <= 0.07 THEN 1 ELSE 0 END) AS BIGINT) AS b_lo_mid,
+        | CAST(SUM(CASE WHEN l_quantity <= 10 AND l_discount > 0.07
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS b_lo_hi,
+        | CAST(SUM(CASE WHEN l_quantity > 10 AND l_quantity <= 30
+        |   AND l_discount <= 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS b_mid_lo,
+        | CAST(SUM(CASE WHEN l_quantity > 10 AND l_quantity <= 30
+        |   AND l_discount > 0.04 AND l_discount <= 0.07
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS b_mid_mid,
+        | CAST(SUM(CASE WHEN l_quantity > 10 AND l_quantity <= 30
+        |   AND l_discount > 0.07 THEN 1 ELSE 0 END) AS BIGINT) AS b_mid_hi,
+        | CAST(SUM(CASE WHEN l_quantity > 30 AND l_discount <= 0.04
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS b_hi_lo,
+        | CAST(SUM(CASE WHEN l_quantity > 30 AND l_discount > 0.04
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS b_hi_hi
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // the union + ignore-nulls last_value window IS the as-of shape;
+    // tie order (ts, is_p, event_id) is total, so the credited touch
+    // is deterministic on both engines
+    "analytics_attribution" ->
+      """WITH u AS (
+        | SELECT user_id, ts, event_id, event_type AS touch_type,
+        |  0 AS is_p
+        | FROM events WHERE event_type IN ('click', 'view', 'signup')
+        | UNION ALL
+        | SELECT user_id, ts, event_id, NULL, 1
+        | FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        | SELECT *, last_value(touch_type IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY ts, is_p, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS last_touch
+        | FROM u)
+        |SELECT coalesce(last_touch, 'none') AS touch_type,
+        | COUNT(*) AS purchases
+        |FROM w WHERE is_p = 1 GROUP BY 1""".stripMargin,
+    // md5 hex is identical across engines; the order key is the
+    // (hash, id) pair so the permutation is total and reproducible
+    "pipeline_shuffle_order" ->
+      """SELECT doc_id,
+        | md5(concat(42, ':', CAST(doc_id AS VARCHAR))) AS skey,
+        | row_number() OVER (
+        |   ORDER BY md5(concat(42, ':', CAST(doc_id AS VARCHAR))),
+        |    doc_id) AS pos
+        |FROM documents""".stripMargin,
+    // power-of-two bucket edges as integer CASE comparisons; token
+    // convention == text_tokens (split on ' ', drop empties)
+    "text_length_buckets" ->
+      """WITH t AS (
+        | SELECT source,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |   x -> x <> '')) AS BIGINT) AS n_tokens
+        | FROM documents)
+        |SELECT source,
+        | CAST(CASE WHEN n_tokens <= 16 THEN 0 WHEN n_tokens <= 32 THEN 1
+        |   WHEN n_tokens <= 64 THEN 2 WHEN n_tokens <= 128 THEN 3
+        |   WHEN n_tokens <= 256 THEN 4 WHEN n_tokens <= 512 THEN 5
+        |   ELSE 6 END AS INT) AS bucket,
+        | COUNT(*) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+        | CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+        | CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+        |FROM t GROUP BY 1, 2""".stripMargin,
+    // the ppm fraction the boolean screens threshold on; distinct
+    // per-doc shingles both sides, integer division engine-exact
+    "dedup_contamination_score" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(substr(source, 4) AS INT) AS src_n,
+        |  lower(text) AS lt
+        | FROM documents),
+        |sh AS (
+        | SELECT DISTINCT doc_id, src_n, s FROM (
+        |  SELECT doc_id, src_n, unnest([substr(lt, i, 12)
+        |   for i in range(1, greatest(length(lt) - 10, 2))]) AS s
+        |  FROM t) x),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE src_n >= 10),
+        |tr AS (SELECT doc_id, s FROM sh WHERE src_n < 10),
+        |tot AS (SELECT doc_id, COUNT(*) AS total_shingles
+        |        FROM tr GROUP BY 1),
+        |mt AS (SELECT doc_id, COUNT(*) AS matched_shingles
+        |       FROM tr SEMI JOIN ev ON tr.s = ev.s GROUP BY 1)
+        |SELECT tot.doc_id, total_shingles,
+        | coalesce(matched_shingles, 0) AS matched_shingles,
+        | CAST(coalesce(matched_shingles, 0) * 1000000 // total_shingles
+        |   AS BIGINT) AS overlap_ppm
+        |FROM tot LEFT JOIN mt ON tot.doc_id = mt.doc_id""".stripMargin,
+    // strong-edge closure: same recursive-CTE fixpoint as the dedup
+    // cluster oracles, over the >=3-basket co-purchase pairs
+    "graph_components" ->
+      """WITH RECURSIVE
+        |b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |      FROM lineitem),
+        |p AS (SELECT a.pk AS s, b2.pk AS t, COUNT(*) AS n
+        |      FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT s, t FROM p WHERE n >= 3),
+        |edges AS (SELECT s AS src, t AS dst FROM pairs
+        |          UNION ALL SELECT t, s FROM pairs),
+        |reach(id, lbl) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.lbl FROM edges e, reach r WHERE e.dst = r.id)
+        |SELECT id AS part_id, MIN(lbl) AS component_id FROM reach
         |GROUP BY 1""".stripMargin,
     // Q21 shape: multi-way correlated EXISTS + NOT EXISTS against
     // the same fact, decorrelated to semi/anti joins; deterministic

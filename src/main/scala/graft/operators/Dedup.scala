@@ -466,4 +466,37 @@ object Dedup {
         levenshtein(col("a.head"), col("b.head")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Graded contamination scoring — not the boolean screen
+    * ([[bloomDecontaminate]]) but the FRACTION of each train doc's
+    * distinct n-grams that appear anywhere in the eval split, in
+    * integer ppm. The number a curation pipeline thresholds ("drop
+    * above 20% overlap, flag above 5%"). Shape: distinct per-doc
+    * shingle hashes (8 bytes each, never the strings), one left-semi
+    * equi-join against the distinct eval shingle set for the matched
+    * count, one combinable groupBy for the totals — cost is index
+    * size × match rate, and the eval set rides the same join key, so
+    * nothing here is quadratic at 100 TB.
+    */
+  def contaminationScore(s: SparkSession, d: String,
+      ngram: Int = 12): DataFrame = {
+    Vectors.ensureRegistered(s)
+    val sh = Tables.spread(Tables.documents(s, d)).select(
+        col("doc_id"),
+        substring(col("source"), 4, 10).cast("int").as("src_n"),
+        explode(call_function("graft_shingle_hashes",
+          col("text"), lit(ngram))).as("sh"))
+      .distinct()
+    val evalSet = sh.filter(col("src_n") >= 10).select("sh").distinct()
+    val train = sh.filter(col("src_n") < 10)
+    val totals = train.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_shingles"))
+    val matched = train.join(evalSet, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("matched_shingles"))
+    totals.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_shingles"),
+        coalesce(col("matched_shingles"), lit(0L)).as("matched_shingles"))
+      .withColumn("overlap_ppm",
+        expr("matched_shingles * 1000000 div total_shingles"))
+  }
 }

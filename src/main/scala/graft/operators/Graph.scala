@@ -231,4 +231,24 @@ object Graph {
     }
     rank.select(col("id").as("part_id"), col("pr").as("pr_score"))
   }
+
+  /** Connected components over the STRONG co-purchase graph (pairs
+    * sharing >= `minCount` baskets): each part labeled with the min
+    * part id reachable through strong edges. Reuses the cached basket
+    * self-join for edges and [[graft.operators.Dedup.dedupClusters]]
+    * for the closure — the same hybrid that runs a driver union-find
+    * below the edge budget and O(diameter) distributed label
+    * propagation above it, so the operator survives a 100 TB basket
+    * table where the strong-edge set is still millions of rows. The
+    * min-support floor is what keeps components meaningful (and the
+    * closure bounded): the count-1 co-purchase graph is one giant
+    * hairball at any scale.
+    */
+  def components(s: SparkSession, d: String,
+      minCount: Long = 3): DataFrame =
+    graft.operators.Dedup.dedupClusters(
+        coPurchasePairCounts(s, d)
+          .filter(col("n_st") >= minCount)
+          .select(col("s").as("id_a"), col("t").as("id_b")))
+      .toDF("part_id", "component_id")
 }

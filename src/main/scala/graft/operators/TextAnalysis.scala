@@ -519,4 +519,47 @@ object TextAnalysis {
         (max(col("pos")) - min(col("pos")) + k).as("span_len"))
       .select("doc_id", "span_start", "span_len")
   }
+
+  /** Deterministic global training-order shuffle: every document gets
+    * a reproducible position from a seeded md5 sort key. Same seed →
+    * same order on any cluster size, re-runs resume identically, and
+    * adding documents only splices them in rather than reshuffling
+    * everyone (the key is per-row, not positional). The global
+    * row_number is a range-partitioned sort — the one global sort a
+    * training-data export genuinely owes, over (id, key) pairs only,
+    * never the payload (join the text back by doc_id after).
+    */
+  def shuffleOrder(s: SparkSession, d: String, seed: Int = 42): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
+          .as("skey"))
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("skey"), col("doc_id")))
+          .cast("long"))
+
+  /** Token-length profile per source: documents folded into
+    * power-of-two whitespace-token buckets (explicit CASE edges on
+    * the integer count — no float log2), with per-bucket document and
+    * token totals. The sequence-length histogram a packing/batching
+    * stage plans against; one scan, one tiny combinable aggregation.
+    */
+  def lengthBuckets(s: SparkSession, d: String): DataFrame = {
+    val nt = Text.tokenCount(col("text"))
+    Tables.spread(Tables.documents(s, d))
+      .select(col("source"), nt.as("n_tokens"))
+      .withColumn("bucket",
+        when(col("n_tokens") <= 16, 0)
+          .when(col("n_tokens") <= 32, 1)
+          .when(col("n_tokens") <= 64, 2)
+          .when(col("n_tokens") <= 128, 3)
+          .when(col("n_tokens") <= 256, 4)
+          .when(col("n_tokens") <= 512, 5)
+          .otherwise(6).cast("int"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+  }
 }

@@ -119,4 +119,22 @@ object ZOrder {
       col("l_orderkey"), col("l_linenumber"),
       zkey3(col("l_partkey") % 1024, col("l_orderkey") % 1024,
         floor(col("l_extendedprice")).cast("long") % 1024).as("zkey3"))
+
+  /** GLOBAL range-sorted write — the 1-D counterpart to z-ordering,
+    * for workloads that filter on ONE dominant dimension (almost
+    * always time). `repartitionByRange` samples split points so every
+    * writer sorts its own slice in parallel (no single-partition
+    * funnel, no driver sort), and because ranges are disjoint the
+    * files carry NON-OVERLAPPING [min, max] spans: a point or range
+    * predicate touches the one or two files whose footer stats admit
+    * it, and parquet's row-group stats prune WITHIN the file as well
+    * — at 100 TB that is the difference between reading 2 files and
+    * 20,000. Z-order buys ~sqrt pruning on two dimensions by giving
+    * up this perfect 1-D pruning; pick per workload.
+    */
+  def sortedWrite(df: DataFrame, sortCols: Seq[Column], path: String,
+      files: Int): Unit =
+    df.repartitionByRange(files, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("overwrite").parquet(path)
 }

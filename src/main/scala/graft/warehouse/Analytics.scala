@@ -1,7 +1,7 @@
 package graft.warehouse
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -852,5 +852,159 @@ object Analytics {
         ntile(4).over(wTotal).as("quartile"),
         percent_rank().over(wTies).as("prank"),
         cume_dist().over(wTies).as("cdist"))
+  }
+
+  /** Pareto concentration curve: customers ranked by lifetime revenue
+    * descending, folded into deciles, each decile reporting its share
+    * of total revenue in integer ppm. The "top 10% of customers drive
+    * X% of revenue" serving query. Revenue is exact integer cents; the
+    * decile id is integer arithmetic on (rank-1)*10/n, so bucketing is
+    * engine-exact. One shuffle builds the per-customer aggregate; the
+    * global rank is a single window over per-customer rows (orders-
+    * of-magnitude smaller than the fact) — a range-partitioned sort
+    * over customers, never over line items.
+    */
+  def paretoShare(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perCust
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("decile", expr("(rk - 1) * 10 div n"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("cents"))
+      .withColumn("share_ppm",
+        expr("cents * 1000000 div (sum(cents) over ())"))
+  }
+
+  /** Several COUNT(DISTINCT …) measures in ONE aggregation — Spark
+    * plans multi-distinct via Expand (each row replicated once per
+    * distinct set, tagged with a grouping id) feeding a single
+    * shuffle, not one scan per measure. The conditional distinct
+    * (users who ordered) rides the same pass as a filtered set.
+    * At 100 TB this is the difference between 1 fact scan and 4.
+    */
+  def multiDistinctDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("pv"),
+        countDistinct(col("user_id")).as("uv"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(when(col("event_type") === "purchase",
+          col("user_id"))).as("purchase_uv"))
+
+  /** Inter-purchase interval distribution: per-customer day gaps
+    * between consecutive orders (lag window, per-customer sorts),
+    * folded into explicit power-of-two day buckets. The bucket edges
+    * are CASE comparisons on an integer day diff — never
+    * floor(log2(double)), whose ulp disagreements across libm
+    * implementations would flip bucket membership at exact powers.
+    */
+  def interPurchaseDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    val gaps = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"))
+      .withColumn("gap_days",
+        datediff(col("od"), lag(col("od"), 1).over(w)).cast("long"))
+      .filter(col("gap_days").isNotNull)
+    gaps
+      .withColumn("bucket",
+        when(col("gap_days") <= 0, 0)
+          .when(col("gap_days") <= 2, 1)
+          .when(col("gap_days") <= 4, 2)
+          .when(col("gap_days") <= 8, 3)
+          .when(col("gap_days") <= 16, 4)
+          .when(col("gap_days") <= 32, 5)
+          .otherwise(6).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("ct"),
+        min(col("gap_days")).as("min_gap"),
+        max(col("gap_days")).as("max_gap"))
+  }
+
+  /** New-vs-returning revenue split per day: an order is "new" iff
+    * its date equals the customer's first order date (min-over-window
+    * on the date grain — duplicate first-day orders all count as
+    * new, the standard cohort convention). Exact cents; the split
+    * ratio is integer ppm. One window pass partitioned by customer,
+    * then one day-grain aggregation.
+    */
+  def newVsReturning(s: SparkSession, d: String): DataFrame = {
+    val wCust = Window.partitionBy("o_custkey")
+    val tagged = Tables.orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("first_day", min(col("day")).over(wCust))
+    tagged
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("day") === col("first_day"), col("cents"))
+          .otherwise(0L)).as("new_cents"),
+        sum(when(col("day") =!= col("first_day"), col("cents"))
+          .otherwise(0L)).as("ret_cents"))
+      .withColumn("new_ppm",
+        expr("new_cents * 1000000 div (new_cents + ret_cents)"))
+  }
+
+  /** Last-touch attribution: every purchase is credited to the same
+    * user's most recent click/view/signup at-or-before it (ties:
+    * touches outrank same-microsecond purchases, later event_id wins
+    * between touches), then purchases are counted per touch type.
+    * The union + ignore-nulls `last` window is the as-of-join shape
+    * inlined — one shuffle on user_id, per-user sorts, no join at
+    * all. Purchases with no preceding touch surface as 'none' rather
+    * than dropping.
+    */
+  def lastTouchAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val touches = ev
+      .filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type").as("touch_type"),
+        lit(0).as("is_p"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), lit(null).cast("string").as("touch_type"),
+        lit(1).as("is_p"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    touches.unionByName(purchases)
+      .withColumn("last_touch",
+        last(col("touch_type"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .groupBy(coalesce(col("last_touch"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("purchases"))
+  }
+
+  /** Multi-band single-scan counts (TPC-DS q88 shape): eight
+    * (quantity-band × discount-band) measures per line status
+    * computed as CASE-in-SUM inside ONE aggregation — one fact scan
+    * and one tiny shuffle replace eight self-UNIONed scans. The
+    * canonical "dashboard of counters" pattern at 100 TB.
+    */
+  def bandScanCounts(s: SparkSession, d: String): DataFrame = {
+    val q = col("l_quantity")
+    val disc = col("l_discount")
+    def band(c: Column, name: String) =
+      sum(when(c, 1L).otherwise(0L)).as(name)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        band(q <= 10 && disc <= 0.04, "b_lo_lo"),
+        band(q <= 10 && disc > 0.04 && disc <= 0.07, "b_lo_mid"),
+        band(q <= 10 && disc > 0.07, "b_lo_hi"),
+        band(q > 10 && q <= 30 && disc <= 0.04, "b_mid_lo"),
+        band(q > 10 && q <= 30 && disc > 0.04 && disc <= 0.07, "b_mid_mid"),
+        band(q > 10 && q <= 30 && disc > 0.07, "b_mid_hi"),
+        band(q > 30 && disc <= 0.04, "b_hi_lo"),
+        band(q > 30 && disc > 0.04, "b_hi_hi"))
   }
 }
