@@ -56,6 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_pq_adc"),
       exprs => graft.functions.PqAdc(exprs(0), exprs(1), exprs(2))))
     e.injectFunction((
+      new FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[graft.functions.SortedIntersectCount].getName,
+        "graft_sorted_intersect_count"),
+      exprs => graft.functions.SortedIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("graft_sorted_intersect_gt"),
       new ExpressionInfo(
         classOf[graft.functions.SortedIntersectGreater].getName,

@@ -43,8 +43,14 @@ object GraftSession {
     .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.filterPushdown", "true")
-    // the events table stores TIMESTAMP(NANOS) which Spark has no
-    // native type for; read as long and convert in Tables.events
+    // the events table has shipped under several parquet timestamp
+    // encodings (TIMESTAMP(NANOS), then timestamp[us] with
+    // isAdjustedToUTC=false). Read nanos as long (no native type) and
+    // read NTZ-annotated micros as plain TimestampType: the session is
+    // pinned to UTC so NTZ-vs-LTZ is the same instant, and the DuckDB
+    // oracle reads the file identically. Tables.events normalizes the
+    // remaining long-nanos case at the scan edge.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
 }

@@ -12,6 +12,7 @@ object Verify {
       cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce pulls the whole
       // query computation onto one thread; repartition keeps the
@@ -19,14 +20,21 @@ object Verify {
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // remove partial/stale output: a failed query must not leave a
-        // readable dir behind or the compare reads yesterday's answer
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete()
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        failures += name -> msg
+        // a failed query must not VANISH from the artifact (r5: 13
+        // broken queries left CORRECTNESS with 145 all-green keys —
+        // breakage read as a clean round). Overwrite any partial/stale
+        // output with a one-row `err` frame: the driver's compare then
+        // records the key with a schema/hash mismatch and the error
+        // text is visible in the dumped parquet itself.
+        import spark.implicits._
+        try Seq(msg.take(4000)).toDF("err").repartition(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name err-row write failed: ${e2.getMessage}")
         }
-        rm(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +52,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // structural failure record beside the dumps (machine-readable
+    // even if a reader ignores the per-query err frames)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), failJson)
     spark.stop()
   }
 }

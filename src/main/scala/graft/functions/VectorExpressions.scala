@@ -526,6 +526,48 @@ case class SortedIntersectGreater(a: Expression, b: Expression,
     copy(a = c(0), b = c(1), t = c(2))
 }
 
+/** |a ∩ b| for two SORTED long arrays — one merge walk, zero
+  * allocation. The confirm kernel of the prefix-filtered winnow join
+  * (per-candidate exact shared-fingerprint count): the composable
+  * `size(array_intersect(a, b))` walks boxed ArrayData and builds a
+  * throwaway array per row; at millions of candidate pairs that
+  * garbage dominates the join.
+  */
+case class SortedIntersectCount(a: Expression, b: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(a, b)
+  override def nullable: Boolean = a.nullable || b.nullable
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.firstFailure(
+      InputChecks.expect(prettyName, 0, a, InputChecks.isLongArray,
+        "a sorted array<bigint>"),
+      InputChecks.expect(prettyName, 1, b, InputChecks.isLongArray,
+        "a sorted array<bigint>"))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val av = a.eval(input); val bv = b.eval(input)
+    if (av == null || bv == null) return null
+    val x = av.asInstanceOf[ArrayData]
+    val y = bv.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var n = 0L
+    var i = 0; var j = 0
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi < yj) i += 1
+      else if (xi > yj) j += 1
+      else { n += 1L; i += 1; j += 1 }
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(a = c(0), b = c(1))
+}
+
 object VectorExpressions {
   /** Register graft's native functions on a session (idempotent).
     * Needed before [[Vectors.dot]] / [[graft.operators.Dedup]]
@@ -538,6 +580,9 @@ object VectorExpressions {
       "graft_sorted_intersect_gt",
       exprs => SortedIntersectGreater(exprs(0), exprs(1), exprs(2)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_encode",
       exprs => PqEncode(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")

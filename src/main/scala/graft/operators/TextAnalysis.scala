@@ -443,24 +443,62 @@ object TextAnalysis {
 
   /** Near-dup pairs over the WINNOWED inverted index — the MOSS
     * join: documents sharing ≥ `minShared` winnowing fingerprints.
-    * Same equi-join-on-hash shape as the full-shingle co-occurrence
-    * index ([[Dedup.ngramJaccard]]), but the index is the window
-    * MINIMA only — ~1/w the postings for the same guarantee (any
-    * shared run ≥ w+k-1 chars is caught), which is the 100 TB
-    * story: index size, shuffle volume and join input all shrink by
-    * the window factor before any pair is considered. The
-    * fingerprint build is cached so the self-join's two sides share
-    * one computation.
+    *
+    * NOT a raw fp-equi-join: winnowing minima concentrate on
+    * globally-small hash values, so a few hot fingerprints carry
+    * posting lists spanning a large fraction of the corpus and the
+    * naive self-join's pair fan-out is quadratic in posting length
+    * (the r5 artifact: 1996s cold at sf0.1 on a 1.5 MB corpus).
+    * Instead, the exact AllPairs/PPJoin prefix filter (Bayardo et
+    * al., WWW'07; Chaudhuri et al., ICDE'06):
+    *
+    *  1. order fingerprints globally by (document frequency, fp) —
+    *     rarest first;
+    *  2. each doc with n fingerprints joins only on its PREFIX, the
+    *     first n−T+1 in that order. Completeness is a theorem, not a
+    *     heuristic: if |A∩B| ≥ T, the order-smallest shared
+    *     fingerprint has ≥ T−1 shared fingerprints above it in both
+    *     docs, so it sits inside both prefixes. Hot fps order LAST,
+    *     so mega-postings land in suffixes and are never joined;
+    *  3. candidates confirm exactly with one native merge walk over
+    *     the two sorted fingerprint arrays
+    *     ([[graft.functions.SortedIntersectCount]]) — O(|A|+|B|)
+    *     per pair, no per-fp row explosion, no groupBy re-shuffle.
+    *
+    * The 100 TB story: index build and df-count are linear scans
+    * with map-side combine; the candidate join's shuffle keys are
+    * rare fps (bounded postings by construction); the confirm is a
+    * hash join on doc_id against the compact (doc → sorted fps)
+    * relation. Docs with fewer than T fingerprints can never
+    * qualify and are dropped before any shuffle.
     */
   def winnowPairs(s: SparkSession, d: String, k: Int = 8, w: Int = 4,
       minShared: Long = 40): DataFrame = {
-    val ix = winnow(s, d, k, w)
-      .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+    graft.functions.VectorExpressions.register(s)
+    val mins = winnow(s, d, k, w)
+      .filter(col("n_fp") >= minShared)
+      .select(col("doc_id"), array_sort(col("fingerprints")).as("sfp"))
       .cache()
-    ix.as("a").join(ix.as("b"),
+    val ix = mins.select(col("doc_id"), explode(col("sfp")).as("fp"))
+    val dfc = ix.groupBy("fp").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id")
+      .orderBy(col("df"), col("fp"))
+    val prefix = ix.join(dfc, "fp")
+      .select(col("doc_id"), col("fp"),
+        row_number().over(byRarity).as("rank"),
+        count(lit(1)).over(Window.partitionBy("doc_id")).as("n"))
+      .filter(col("rank") <= col("n") - lit(minShared) + 1)
+      .select("doc_id", "fp")
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared_fp"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(mins.select(col("doc_id").as("id_a"), col("sfp").as("fa")), "id_a")
+      .join(mins.select(col("doc_id").as("id_b"), col("sfp").as("fb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        call_function("graft_sorted_intersect_count",
+          col("fa"), col("fb")).as("shared_fp"))
       .filter(col("shared_fp") >= minShared)
   }
 

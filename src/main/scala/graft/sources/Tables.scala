@@ -70,19 +70,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark reads
-    * as a nanos long (spark.sql.legacy.parquet.nanosAsLong) — convert
-    * to a proper timestamp at the scan edge (micro truncation, same
-    * wall time DuckDB sees).
+  /** Normalize an `ts` column to session-zone TimestampType whatever
+    * the file-level encoding was. The testdata has shipped as
+    * TIMESTAMP(NANOS) (reads as a nanos long under nanosAsLong), as
+    * timestamp[us] isAdjustedToUTC=false (reads as TIMESTAMP_NTZ when
+    * inference is on), and as plain LTZ micros — a warehouse edge
+    * must absorb all three without touching any call site, the same
+    * role the reference centralizes in DateFormatUtil.java:1. The
+    * session runs in UTC, so the NTZ→LTZ cast preserves the instant
+    * and DuckDB-oracle parity.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else raw
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType => // legacy nanos encoding: micro truncation, same
+        // wall time DuckDB sees
+        df.withColumn(colName, timestamp_micros(expr(s"$colName DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

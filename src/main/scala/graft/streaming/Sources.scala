@@ -17,23 +17,41 @@ import org.apache.spark.sql.types._
   */
 object Sources {
 
-  /** Schema of events.parquet as Spark reads it (ts = TIMESTAMP(NANOS)
-    * arrives as a nanos long under nanosAsLong).
+  /** Schema of events.parquet as Spark reads it under the CURRENT
+    * testdata encoding (timestamp[us]; with inferTimestampNTZ off it
+    * arrives as TimestampType). [[eventsSchemaFor]] probes the actual
+    * files and overrides `ts` when the directory holds a different
+    * historical encoding, so a FileStreamSource never silently
+    * mis-decodes rows after a testdata regeneration (the r5 failure:
+    * a hardcoded nanos-long schema read micros files as garbage).
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Probe the on-disk `ts` encoding with a footer-only batch read.
+    * Falls back to [[eventsRawSchema]] for a not-yet-populated stream
+    * directory (files arriving later are expected to carry the
+    * current encoding).
+    */
+  def eventsSchemaFor(s: SparkSession, pathGlob: String): StructType =
+    try {
+      val onDisk = s.read.parquet(pathGlob).schema("ts").dataType
+      StructType(eventsRawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = onDisk) else f))
+    } catch { case _: Throwable => eventsRawSchema }
+
   /** Stream of events from a directory/glob of parquet files, with
-    * ts converted to a proper timestamp at the edge.
+    * ts normalized to a proper timestamp at the edge (shared with the
+    * batch path: graft.sources.Tables.normalizeTs).
     */
   def events(s: SparkSession, pathGlob: String): DataFrame =
-    s.readStream.schema(eventsRawSchema).parquet(pathGlob)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.sources.Tables.normalizeTs(
+      s.readStream.schema(eventsSchemaFor(s, pathGlob)).parquet(pathGlob))
 
   /** CDC-style change records synthesized from events — the shape the
     * reference's ods_db topic carries (op/table/data envelope,
