@@ -20,7 +20,12 @@ object Bench {
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => }
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=<regex> times a subset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.findFirstIn(n).isDefined)
+    }
+    val results = picked.map { case (name, fn) =>
       val times = Seq.newBuilder[Double]
       var failed = false
       var i = 0

@@ -56,6 +56,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_pq_adc"),
       exprs => graft.functions.PqAdc(exprs(0), exprs(1), exprs(2))))
     e.injectFunction((
+      new FunctionIdentifier("graft_winnow_fps"),
+      new ExpressionInfo(classOf[graft.functions.WinnowFps].getName,
+        "graft_winnow_fps"),
+      exprs => graft.functions.WinnowFps(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
       new FunctionIdentifier("graft_sorted_intersect_count"),
       new ExpressionInfo(
         classOf[graft.functions.SortedIntersectCount].getName,

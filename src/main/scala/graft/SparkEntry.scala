@@ -897,25 +897,27 @@ object SparkEntry {
         |   for g in [substr(lower(text), i, 8)
         |     for i in range(1, greatest(length(lower(text)) - 6, 2))]] AS h
         | FROM documents) t""".stripMargin,
-    // MOSS winnow-join: pairs sharing >= 40 window-minima
-    // fingerprints — the same polynomial-hash fingerprint build as
-    // text_winnow, unnested into an inverted index and self-joined
+    // MOSS winnow-join: pairs sharing >= 10 window-minima
+    // fingerprints at real MOSS parameters (k=25, w=25 — any shared
+    // run >= 49 chars is caught). 25-char grams use the mod-prime
+    // polynomial fold (see Text.polyHashMod) so the 64-bit fold
+    // never overflows in either engine.
     "dedup_winnow_pairs" ->
       """WITH fp AS (
         | SELECT doc_id, list_distinct([
-        |   list_min(h[i:i+3]) for i in range(1, greatest(len(h) - 3, 1) + 1)
+        |   list_min(h[i:i+24]) for i in range(1, greatest(len(h) - 24, 1) + 1)
         |  ]) AS fps
         | FROM (SELECT doc_id,
         |   [list_reduce([CAST(ascii(substr(g, j, 1)) AS BIGINT)
-        |      for j in range(1, 9)], (a, b) -> a * 31 + b)
-        |    for g in [substr(lower(text), i, 8)
-        |      for i in range(1, greatest(length(lower(text)) - 6, 2))]] AS h
+        |      for j in range(1, 26)], (a, b) -> (a * 31 + b) % 9007199254740881)
+        |    for g in [substr(lower(text), i, 25)
+        |      for i in range(1, greatest(length(lower(text)) - 23, 2))]] AS h
         |  FROM documents) t),
         |ix AS (SELECT doc_id, unnest(fps) AS fp FROM fp)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  count(*) AS shared_fp
         |FROM ix a JOIN ix b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 40""".stripMargin,
+        |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin,
     // suffix-array-style duplicated spans: maximal ranges whose
     // 20-grams occur >= 2 times corpus-wide; spans merge while the
     // gap between matched positions is <= 20 (overlap or touch)

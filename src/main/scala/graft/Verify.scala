@@ -13,7 +13,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // iteration aid: SPARK_GRAFT_VERIFY_ONLY=<regex> dumps a subset
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.r)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+      .foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce pulls the whole
       // query computation onto one thread; repartition keeps the
       // compute parallel and single-threads only the file write

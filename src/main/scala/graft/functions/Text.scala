@@ -57,6 +57,26 @@ object Text {
         i => ascii(substring(gram, i, lit(1))).cast("long")),
       lit(0L), (acc, x) => acc * 31 + x)
 
+  /** Prime modulus for [[polyHashMod]]: the largest prime below 2^53,
+    * so acc·31 < 2^58 never overflows a 64-bit signed int — in Spark
+    * OR in a SQL oracle whose BIGINT doesn't wrap (DuckDB raises on
+    * overflow rather than wrapping, so the plain [[polyHash]] fold is
+    * only cross-engine-reproducible for k ≤ 12).
+    */
+  val PolyHashP: Long = 9007199254740881L
+
+  /** Mod-prime polynomial rolling hash for grams longer than
+    * [[polyHash]]'s overflow-free range (k ≤ 12): fold
+    * acc = (acc·31 + code) mod P. Same left-reduce shape, still
+    * exactly reproducible in any engine with non-wrapping 64-bit
+    * integer arithmetic.
+    */
+  def polyHashMod(gram: Column, k: Int): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(k)),
+        i => ascii(substring(gram, i, lit(1))).cast("long")),
+      lit(0L), (acc, x) => (acc * 31 + x) % lit(PolyHashP))
+
   /** Word n-gram shingles (space-joined), distinct. */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = wsTokens(text)

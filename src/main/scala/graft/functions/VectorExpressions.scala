@@ -526,6 +526,90 @@ case class SortedIntersectGreater(a: Expression, b: Expression,
     copy(a = c(0), b = c(1), t = c(2))
 }
 
+/** Winnowing fingerprints of a text in one native pass: k-gram
+  * polynomial hashes (the exact Text.polyHash fold for k ≤ 12, the
+  * mod-2^53-prime Text.polyHashMod fold above — bit-identical to
+  * what a SQL oracle's list_reduce computes), then distinct
+  * window-of-w minima in first-occurrence order (what
+  * `array_distinct(transform(...))` yields).
+  *
+  * Exists because the compositional form
+  * (transform ∘ aggregate ∘ slice ∘ array_min) is interpreted
+  * per-element: ~200k boxed expression evals per 300-char document,
+  * and worse, a filter pushed into the projection re-inlines the
+  * whole gram build inside the window lambda — re-evaluated per
+  * window, the O(L²·k) cliff that turned a 500-doc corpus into a
+  * 333-second stage. One native eval is O(L·(k+w)) with zero
+  * allocation beyond the output array.
+  */
+case class WinnowFps(text: Expression, kExpr: Expression,
+    wExpr: Expression) extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(text, kExpr, wExpr)
+  override def nullable: Boolean = text.nullable
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_fps"
+
+  @transient private lazy val k: Int = kExpr.eval(null).asInstanceOf[Int]
+  @transient private lazy val w: Int = wExpr.eval(null).asInstanceOf[Int]
+  private val P = 9007199254740881L // == Text.PolyHashP
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.firstFailure(
+      InputChecks.expect(prettyName, 0, text, _ == StringType, "a string"),
+      InputChecks.expect(prettyName, 1, kExpr,
+        dt => dt == IntegerType && kExpr.foldable, "a literal int gram size"),
+      InputChecks.expect(prettyName, 2, wExpr,
+        dt => dt == IntegerType && wExpr.foldable, "a literal int window"))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val tv = text.eval(input)
+    if (tv == null) return null
+    val lo = tv.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.toString
+    // code points, matching ascii(substring(lo, i, 1)) per position
+    val n = lo.codePointCount(0, lo.length)
+    val cps = new Array[Int](n)
+    var ci = 0; var off = 0
+    while (off < lo.length) {
+      val cp = lo.codePointAt(off)
+      cps(ci) = cp; ci += 1; off += Character.charCount(cp)
+    }
+    val useMod = k > 12
+    val nG = math.max(n - k + 1, 1)
+    val h = new Array[Long](nG)
+    var i = 0
+    while (i < nG) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        val c = if (i + j < n) cps(i + j) else 0 // ascii('') == 0 pad
+        acc = acc * 31 + c
+        if (useMod) acc %= P
+        j += 1
+      }
+      h(i) = acc
+      i += 1
+    }
+    val nWin = math.max(nG - w + 1, 1)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](nWin min 64)
+    val seen = new java.util.HashSet[Long]()
+    i = 0
+    while (i < nWin) {
+      var m = Long.MaxValue
+      var j = i
+      val hi = math.min(i + w, nG)
+      while (j < hi) { if (h(j) < m) m = h(j); j += 1 }
+      if (seen.add(m)) out += m
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression =
+    copy(text = c(0), kExpr = c(1), wExpr = c(2))
+}
+
 /** |a ∩ b| for two SORTED long arrays — one merge walk, zero
   * allocation. The confirm kernel of the prefix-filtered winnow join
   * (per-candidate exact shared-fingerprint count): the composable
@@ -583,6 +667,9 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow_fps",
+      exprs => WinnowFps(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_encode",
       exprs => PqEncode(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")

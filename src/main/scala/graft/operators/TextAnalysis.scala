@@ -421,36 +421,61 @@ object TextAnalysis {
       i => array_min(slice(hashes, i, lit(w)))))
   }
 
+  /** Gram hash for window size k: the plain 31-fold below its
+    * overflow-free bound, the mod-2^53-prime fold above it (both
+    * exactly reproducible in a SQL oracle; see Text.polyHashMod).
+    */
+  private def gramHash(g: Column, k: Int): Column =
+    if (k <= 12) Text.polyHash(g, k) else Text.polyHashMod(g, k)
+
   /** One-shot column form (text → fingerprints) for per-row/spec
     * use. Corpus-scale callers should go through [[winnow]], whose
     * staged projections evaluate the hash build once per row.
     */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     winnowMinima(transform(Text.charShinglesAll(text, k),
-      g => Text.polyHash(g, k)), w)
+      g => gramHash(g, k)), w)
 
-  def winnow(s: SparkSession, d: String, k: Int = 8, w: Int = 4): DataFrame =
+  /** Corpus-scale fingerprint build: ONE native expression
+    * ([[graft.functions.WinnowFps]]) per row instead of the
+    * compositional transform/aggregate/slice pipeline. Same values
+    * bit-for-bit (the spec asserts native == compositional), but
+    * immune to the optimizer re-inlining the gram build inside the
+    * window lambda — a pushed-down predicate once turned this stage
+    * O(L²·k): 333s for 500 docs. Native is O(L·(k+w)) flat.
+    */
+  def winnow(s: SparkSession, d: String, k: Int = 8, w: Int = 4): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     Tables.spread(Tables.documents(s, d))
-      // stage 1 materializes the rolling hashes; stage 2 references
-      // the column twice (size + slice), which stops CollapseProject
-      // from inlining the expensive build back into the window lambda
       .select(col("doc_id"),
-        transform(Text.charShinglesAll(col("text"), k),
-          g => Text.polyHash(g, k)).as("h"))
-      .select(col("doc_id"), winnowMinima(col("h"), w).as("fingerprints"))
+        call_function("graft_winnow_fps", col("text"), lit(k), lit(w))
+          .as("fingerprints"))
       .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
         col("fingerprints"))
+  }
 
   /** Near-dup pairs over the WINNOWED inverted index — the MOSS
     * join: documents sharing ≥ `minShared` winnowing fingerprints.
     *
-    * NOT a raw fp-equi-join: winnowing minima concentrate on
-    * globally-small hash values, so a few hot fingerprints carry
-    * posting lists spanning a large fraction of the corpus and the
-    * naive self-join's pair fan-out is quadratic in posting length
-    * (the r5 artifact: 1996s cold at sf0.1 on a 1.5 MB corpus).
-    * Instead, the exact AllPairs/PPJoin prefix filter (Bayardo et
-    * al., WWW'07; Chaudhuri et al., ICDE'06):
+    * Two things make this 100 TB-viable where the r5 version (k=8,
+    * w=4, raw fp self-join) took 33 minutes on a 1.5 MB corpus:
+    *
+    * REAL MOSS PARAMETERS. 8-char grams are common English
+    * substrings, so fingerprints repeated corpus-wide (measured avg
+    * document frequency 121 at sf0.1) and the equi-join fan-out was
+    * quadratic in posting length. With k=25 a gram only recurs when
+    * the TEXT genuinely recurs — measured avg df 1.06, max 13 — and
+    * the guarantee tightens to "any shared run ≥ k+w−1 = 49 chars is
+    * caught", which is what plagiarism/near-dup winnowing actually
+    * ships (Schleimer et al., SIGMOD'03 use k in the tens).
+    * 25-char grams overflow a non-wrapping 64-bit fold, so the hash
+    * switches to the mod-2^53-prime fold (Text.polyHashMod) that a
+    * SQL oracle reproduces exactly.
+    *
+    * THE EXACT AllPairs/PPJoin PREFIX FILTER (Bayardo et al.,
+    * WWW'07; Chaudhuri et al., ICDE'06) — the worst-case guard: a
+    * real 100 TB corpus still has boilerplate (licenses, headers)
+    * whose fingerprints go hot even at k=25:
     *
     *  1. order fingerprints globally by (document frequency, fp) —
     *     rarest first;
@@ -472,11 +497,13 @@ object TextAnalysis {
     * relation. Docs with fewer than T fingerprints can never
     * qualify and are dropped before any shuffle.
     */
-  def winnowPairs(s: SparkSession, d: String, k: Int = 8, w: Int = 4,
-      minShared: Long = 40): DataFrame = {
+  def winnowPairs(s: SparkSession, d: String, k: Int = 25, w: Int = 25,
+      minShared: Long = 10): DataFrame = {
     graft.functions.VectorExpressions.register(s)
+    // no n_fp pre-filter needed: a doc with n < T fingerprints has a
+    // non-positive prefix length, so it never emits a prefix row and
+    // never reaches a candidate pair
     val mins = winnow(s, d, k, w)
-      .filter(col("n_fp") >= minShared)
       .select(col("doc_id"), array_sort(col("fingerprints")).as("sfp"))
       .cache()
     val ix = mins.select(col("doc_id"), explode(col("sfp")).as("fp"))

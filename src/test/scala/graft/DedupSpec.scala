@@ -251,19 +251,41 @@ class DedupSpec extends AnyFunSuite {
       "unrelated doc should not share everything")
   }
 
+  test("native winnow fingerprints == compositional form, both hash regimes") {
+    graft.functions.VectorExpressions.register(s)
+    import s.implicits._
+    // corpus texts + synthetic edges (short text, empty, repeats)
+    // 60 corpus docs: the compositional reference is interpreted and
+    // costs ~0.5s/doc at k=25 — the very reason the native expr exists
+    val docs = graft.sources.Tables.documents(s, d).select("doc_id", "text")
+      .limit(60)
+      .union(Seq((9001L, "ab"), (9002L, ""), (9003L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"))
+        .toDF("doc_id", "text"))
+    for ((k, w) <- Seq((8, 4), (25, 25))) {
+      val cmp = docs.select(
+          graft.operators.TextAnalysis.winnowFingerprints(col("text"), k, w)
+            .as("a"),
+          call_function("graft_winnow_fps", col("text"), lit(k), lit(w))
+            .as("b"))
+        .filter(not(col("a") === col("b")))
+      assert(cmp.count() === 0, s"k=$k w=$w mismatch")
+    }
+  }
+
   test("winnow-join pairs equal the brute-force fingerprint intersection") {
     val pairs = graft.operators.TextAnalysis.winnowPairs(s, d)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // brute force: intersect every doc pair's collected fingerprint
     // sets on the driver (test-only — the operator's point is that
-    // the inverted-index join never materializes this)
-    val fps = graft.operators.TextAnalysis.winnow(s, d)
+    // the prefix-filtered join never materializes this). Same MOSS
+    // parameters (k=25, w=25, T=10) as winnowPairs' defaults.
+    val fps = graft.operators.TextAnalysis.winnow(s, d, k = 25, w = 25)
       .select(col("doc_id"), col("fingerprints")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
     val want = (for {
       (a, fa) <- fps; (b, fb) <- fps if a < b
-      n = (fa & fb).size.toLong if n >= 40
+      n = (fa & fb).size.toLong if n >= 10
     } yield (a, b) -> n).toMap
     assert(pairs === want)
     assert(pairs.nonEmpty, "planted near-dups must surface")
