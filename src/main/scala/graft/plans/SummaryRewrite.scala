@@ -90,14 +90,22 @@ case class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The bare `ts` column: the timestamp attribute itself, or the
-    * [[graft.sources.Tables.events]] epoch-millis conversion
+  /** The bare `ts` column under ANY of the loader's normalization
+    * shapes ([[graft.sources.Tables.normalizeTs]]): the timestamp
+    * attribute itself, the NTZ→session-zone cast (`cast(ts as
+    * timestamp)` over a TIMESTAMP_NTZ scan — the session is pinned
+    * UTC, so the instant and the extracted day are unchanged), or
+    * the legacy epoch-nanos conversion
     * (`timestamp_micros(ts DIV 1000)`) after the conversion Project
-    * collapses inline. Exactly these two trees — any arithmetic on
-    * top (`ts + interval 1 day`) is a different query.
+    * collapses inline. Exactly these trees — any arithmetic on top
+    * (`ts + interval 1 day`) is a different query.
     */
   private def isTsExpr(e: Expression): Boolean = e match {
     case a: AttributeReference => a.name == "ts"
+    case Cast(a: AttributeReference,
+        org.apache.spark.sql.types.TimestampType, _, _)
+        if a.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+      a.name == "ts"
     case m: MicrosToTimestamp => m.child match {
       case d: IntegralDivide => (d.left match {
         case a: AttributeReference => a.name == "ts"

@@ -70,6 +70,42 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally s.conf.unset(key)
   }
 
+  test("encoding drift: NTZ-read session still splices the LTZ-built MV") {
+    // the r5 failure mode: testdata re-encoded ts as timestamp[us]
+    // NTZ and the MV serving path silently died (structural veto).
+    // The summary is built under the tuned session (NTZ inference
+    // off → ts reads as LTZ); the query runs in a DRIFTED session
+    // with NTZ inference on, the way an untuned deployment would
+    // read the same files. The splice must still fire — the loader's
+    // NTZ→UTC-session cast is one of the canonical ts shapes — and
+    // answers must match the tuned session's.
+    val path = java.nio.file.Files.createTempDirectory("graft-mv")
+      .toString + "/events_daily"
+    graft.warehouse.Dws.trafficDaily(s, d)
+      .write.mode("overwrite").parquet(path)
+    val sNtz = s.newSession()
+    sNtz.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    sNtz.conf.set(key, path)
+    try {
+      // drift must actually happen in this session or the test is vacuous
+      val raw = sNtz.read.parquet(s"$d/events.parquet").schema("ts").dataType
+      assert(raw == org.apache.spark.sql.types.TimestampNTZType,
+        s"expected a TIMESTAMP_NTZ read, got $raw — testdata encoding changed?")
+      val viaMv = graft.warehouse.Dws.trafficDaily(sNtz, d)
+      val plan = scans(viaMv)
+      assert(plan.contains("events_daily"),
+        s"drifted-encoding session must still serve from the MV:\n${plan.take(1500)}")
+      assert(!plan.contains("events.parquet"),
+        s"raw fact scan must be gone:\n${plan.take(1500)}")
+      val tuned = graft.warehouse.Dws.trafficDaily(s, d)
+        .select(col("day"), col("event_type"), col("pv_ct"),
+          col("value_sum").cast("double").as("value_sum")).collect().toSet
+      assert(viaMv.select(col("day"), col("event_type"), col("pv_ct"),
+        col("value_sum").cast("double").as("value_sum"))
+        .collect().toSet === tuned)
+    } finally { sNtz.conf.unset(key) }
+  }
+
   test("non-matching aggregates are left alone") {
     val path = java.nio.file.Files.createTempDirectory("graft-mv")
       .toString + "/events_daily"
