@@ -168,6 +168,7 @@ object SparkEntry {
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
     "sim_knn_join" -> (Similarity.knnJoin(_, _)),
     "sim_kmeans" -> (Similarity.kmeansClusters(_, _)),
+    "sim_semdedup" -> (Similarity.semDedupPairs(_, _)),
     "sim_ann_pq" -> (Similarity.annPq(_, _)),
     "sim_ann_ivfpq" -> (Similarity.annIvfPq(_, _)),
     "dedup_cross_source" -> (Dedup.crossSourceOverlap(_, _)),
@@ -1970,6 +1971,10 @@ object SparkEntry {
     // every term engine-exact (integer-quantized sums, expanded
     // metric, first-minimum tie-breaks) — no tolerance
     "sim_kmeans" -> Similarity.kmeansOracleSql(k = 8, iters = 4),
+    // SemDeDup screening: the kmeans CTE nested verbatim, then
+    // within-cluster all-BIGINT cos² ppm + per-cluster top-5
+    "sim_semdedup" ->
+      Similarity.semDedupOracleSql(k = 8, iters = 4, topN = 5),
     // PQ replayed end-to-end: same strided codebooks, same exact-
     // integer subspace distances, same first-min code assignment,
     // same ADC sum — bit-for-bit, so ranks hash-match

@@ -538,4 +538,83 @@ object Similarity {
       .filter(col("cos") >= tau)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
   }
+
+  /** SemDeDup screening (Abbas et al. 2023, arXiv:2303.09540):
+    * semantic near-duplicate detection as k-means clustering +
+    * pairwise cosine ONLY within each cluster — the design that
+    * makes embedding dedup tractable at corpus scale, because the
+    * quadratic term is bounded by cell size (k grows with the
+    * corpus, cells stay ~constant) and cells are embarrassingly
+    * parallel across executors. Reuses [[kmeansClusters]] (same
+    * seeded farthest-first + Lloyd rounds the `sim_kmeans` grade
+    * pins), so the cluster assignment is engine-exact.
+    *
+    * Graded output is each cluster's top-`topN` most-similar pairs
+    * with cos² in integer ppm — ALL-BIGINT arithmetic:
+    * `dp² div max((na·nb) div 10⁶, 1)` over the 1000-quantized
+    * vectors, every operand ≤ ~6.5e16 so both engines compute the
+    * identical integer (no decimal-width promotion, no float
+    * boundary). The production form thresholds the same number
+    * (`sim2_ppm > τ²·10⁶` drops the higher-id member); the corpus
+    * here has no true semantic dups (measured max cos ≈ 0.77), so
+    * the grade pins the extremes rather than an empty set.
+    */
+  def semDedupPairs(s: SparkSession, d: String, k: Int = 8,
+      iters: Int = 4, topN: Int = 5): DataFrame = {
+    Vectors.ensureRegistered(s)
+    val assign = kmeansClusters(s, d, k, iters)
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(Vectors.asDouble(col("embedding")),
+          x => round(x * 1000).cast("double")).as("v"))
+      .withColumn("nn", Vectors.dot(col("v"), col("v")).cast("long"))
+      .filter(col("nn") > 0)
+    val ce = assign.join(e, "vec_id")
+    val pairs = ce.as("a").join(ce.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cluster_id").as("cluster_id"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Vectors.dot(col("a.v"), col("b.v")).cast("long").as("dp"),
+        col("a.nn").as("na"), col("b.nn").as("nb"))
+      .filter(col("dp") > 0)
+      .withColumn("sim2_ppm",
+        expr("(dp * dp) DIV greatest((na * nb) DIV 1000000, 1)"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("sim2_ppm").desc, col("vec_a"), col("vec_b"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .select(col("cluster_id"), col("vec_a"), col("vec_b"),
+        col("sim2_ppm"))
+  }
+
+  /** DuckDB oracle for [[semDedupPairs]]: the generated k-means
+    * assignment CTE ([[kmeansOracleSql]]) nested as a subquery, then
+    * the same all-BIGINT within-cluster pair scoring and per-cluster
+    * top-N window.
+    */
+  def semDedupOracleSql(k: Int, iters: Int, topN: Int,
+      dim: Int = 64): String = {
+    val dot = s"list_sum(list_transform(range($dim), " +
+      "i -> a.v[i + 1] * b.v[i + 1]))"
+    s"""WITH assign AS (
+       |${kmeansOracleSql(k, iters, dim)}),
+       |en AS (SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
+       |  FROM (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(round(x * 1000) AS DOUBLE)) AS v FROM embeddings)
+       |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+       |p AS (SELECT ca.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    CAST($dot AS BIGINT) AS dp, a.nn AS na, b.nn AS nb
+       |  FROM assign ca JOIN assign cb
+       |    ON ca.cluster_id = cb.cluster_id AND ca.vec_id < cb.vec_id
+       |  JOIN en a ON a.vec_id = ca.vec_id
+       |  JOIN en b ON b.vec_id = cb.vec_id),
+       |scored AS (SELECT cluster_id, vec_a, vec_b,
+       |    (dp * dp) // greatest((na * nb) // 1000000, 1) AS sim2_ppm
+       |  FROM p WHERE dp > 0)
+       |SELECT cluster_id, vec_a, vec_b, sim2_ppm FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY sim2_ppm DESC, vec_a, vec_b) AS rn FROM scored)
+       |WHERE rn <= $topN""".stripMargin
+  }
 }

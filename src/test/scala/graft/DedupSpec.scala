@@ -291,6 +291,41 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.nonEmpty, "planted near-dups must surface")
   }
 
+  test("semdedup pairs: within-cluster, ranked, brute-force-exact top pair") {
+    val pairs = Similarity.semDedupPairs(s, d).collect()
+    val assign = Similarity.kmeansClusters(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pair is within one cluster, oriented, capped at topN
+    pairs.foreach { r =>
+      assert(assign(r.getLong(1)) === r.getLong(0))
+      assert(assign(r.getLong(2)) === r.getLong(0))
+      assert(r.getLong(1) < r.getLong(2))
+    }
+    val perCluster = pairs.groupBy(_.getLong(0))
+    assert(perCluster.values.forall(_.length <= 5))
+    // brute-force the global best pair on the driver and check it
+    // leads its cluster's list
+    val vecs = graft.sources.Tables.embeddings(s, d).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x * 1000).toDouble).toArray)
+      .toMap
+    def sim2(a: Long, b: Long): Long = {
+      val (va, vb) = (vecs(a), vecs(b))
+      val dp = va.zip(vb).map { case (x, y) => x * y }.sum.toLong
+      val na = va.map(x => x * x).sum.toLong
+      val nb = vb.map(x => x * x).sum.toLong
+      if (dp <= 0) -1L else (dp * dp) / math.max((na * nb) / 1000000L, 1L)
+    }
+    val best = (for {
+      (a, ca) <- assign.toSeq; (b, cb) <- assign.toSeq
+      if ca == cb && a < b
+    } yield (ca, a, b, sim2(a, b))).maxBy(t => (t._4, -t._2, -t._3))
+    val lead = pairs.filter(_.getLong(0) == best._1)
+      .minBy(r => (-r.getLong(3), r.getLong(1), r.getLong(2)))
+    assert((lead.getLong(1), lead.getLong(2), lead.getLong(3)) ===
+      ((best._2, best._3, best._4)))
+  }
+
   test("ANN LSH returns a subset of valid neighbors with nonzero recall") {
     val bf = Similarity.bruteForceTopK(s, d).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
