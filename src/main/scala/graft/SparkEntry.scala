@@ -53,6 +53,7 @@ object SparkEntry {
     "analytics_interpurchase" -> (Analytics.interPurchaseDist(_, _)),
     "analytics_new_returning" -> (Analytics.newVsReturning(_, _)),
     "analytics_band_scan" -> (Analytics.bandScanCounts(_, _)),
+    "analytics_stats_pushdown" -> (Analytics.tableStatsPushdown(_, _)),
     "analytics_attribution" -> (Analytics.lastTouchAttribution(_, _)),
     "pipeline_shuffle_order" -> (TextAnalysis.shuffleOrder(_, _)),
     "text_length_buckets" -> (TextAnalysis.lengthBuckets(_, _)),
@@ -458,6 +459,12 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN l_quantity > 30 AND l_discount > 0.04
         |   THEN 1 ELSE 0 END) AS BIGINT) AS b_hi_hi
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // footer-metadata aggregates: trivially the same numbers from a
+    // row scan — the interesting half is the PushedAggregation plan
+    // lint in ScaleSpec
+    "analytics_stats_pushdown" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key FROM orders""".stripMargin,
     // the union + ignore-nulls last_value window IS the as-of shape;
     // tie order (ts, is_p, event_id) is total, so the credited touch
     // is deterministic on both engines

@@ -1007,4 +1007,26 @@ object Analytics {
         band(q > 30 && disc <= 0.04, "b_hi_lo"),
         band(q > 30 && disc > 0.04, "b_hi_hi"))
   }
+
+  /** Table-stat aggregates served from PARQUET FOOTER METADATA, no
+    * row decode at all: COUNT(*)/MIN/MAX push into the DSv2 scan
+    * (`PushedAggregation` in the plan — ScaleSpec lints it), which
+    * answers from row-group statistics. At 100 TB this is the
+    * difference between a catalog-speed freshness probe and a full
+    * fact scan; it is also the one pushdown the default v1 parquet
+    * path can't do, so the query runs on a sibling session scoped to
+    * the v2 reader (`useV1SourceList=""`) — session-scoped rather
+    * than conf-flipped-and-restored because pushdown is consulted at
+    * PLAN time, not DataFrame-build time, and the sibling keeps the
+    * main session's bucketed-table scans (a v1 feature) untouched.
+    */
+  def tableStatsPushdown(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    Tables.orders(s2, d).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"))
+  }
 }

@@ -628,4 +628,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(img.getWidth === 8 && img.getHeight === 8)
     assert((img.getRGB(1, 0) & 0xff) === 7, "pixel formula must survive")
   }
+
+  test("parquet aggregate pushdown: COUNT/MIN/MAX answered from footer stats") {
+    val df = graft.warehouse.Analytics.tableStatsPushdown(s, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      s"aggregates must push into the scan:\n${plan.take(2000)}")
+    assert(plan.contains("COUNT(*)") && plan.contains("MIN(o_orderkey)") &&
+      plan.contains("MAX(o_orderkey)"),
+      s"all three aggregates must push:\n${plan.take(2000)}")
+    // and the metadata answer equals the row-scan answer
+    val direct = Tables.orders(s, d).agg(
+      count(lit(1)), min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    assert(df.head() === direct)
+  }
 }
