@@ -187,6 +187,7 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langId(_, _)),
     "text_quality" -> (TextAnalysis.quality(_, _)),
     "text_tokens" -> (TextAnalysis.tokens(_, _)),
+    "text_quality_model" -> (TextAnalysis.qualityModelScore(_, _)),
     "text_fingerprint" -> (TextAnalysis.fingerprintGroups(_, _)),
     "mm_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "mm_audio_chunks" -> (Multimodal.audioChunks(_, _)),
@@ -2417,6 +2418,30 @@ object SparkEntry {
         | FROM (SELECT doc_id, text,
         |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
         |       FROM documents) a) b""".stripMargin,
+    // hashed-feature linear quality model: token → mod-prime fold →
+    // bucket → Knuth-hash weight; mean weight per doc, all-integer.
+    // DuckDB's init-less list_reduce equals Spark's 0-seeded fold
+    // here because f(0, x) = x for this lambda.
+    "text_quality_model" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        | FROM documents)
+        |SELECT doc_id, source,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(list_sum(list_transform(toks, t ->
+        |   ((list_reduce([CAST(ascii(substr(t, i, 1)) AS BIGINT)
+        |       for i in range(1, length(t) + 1)],
+        |     (a, x) -> (a * 31 + x) % 9007199254740881) % 4096)
+        |    * 2654435761) % 2003)), 0)
+        |  // greatest(len(toks), 1) AS BIGINT) AS score_milli,
+        | CAST(CASE WHEN coalesce(list_sum(list_transform(toks, t ->
+        |   ((list_reduce([CAST(ascii(substr(t, i, 1)) AS BIGINT)
+        |       for i in range(1, length(t) + 1)],
+        |     (a, x) -> (a * 31 + x) % 9007199254740881) % 4096)
+        |    * 2654435761) % 2003)), 0)
+        |  // greatest(len(toks), 1) >= 1000 THEN 1 ELSE 0 END AS INT)
+        |  AS keep
+        |FROM t""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(len(list_filter(string_split(lower(text), ' '),

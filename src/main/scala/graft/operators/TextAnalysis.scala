@@ -603,6 +603,41 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("skey"), col("doc_id")))
           .cast("long"))
 
+  /** Model-scored quality filter — the SERVING half of a
+    * fastText-style linear quality classifier, the shape GPT-3/CCNet
+    * pipelines use to screen pretraining text: each token
+    * feature-hashes into D=4096 buckets, each bucket carries a
+    * weight, a document's score is its mean bucket weight, and the
+    * keep flag thresholds it. The weights here are a DETERMINISTIC
+    * stand-in (Knuth multiplicative hash of the bucket id, range
+    * [0, 2003) — no training happens in this sandbox); everything
+    * else is the production shape: featurize-and-score is one pass
+    * over tokens with the model riding the plan as data (at real
+    * scale a broadcast weights array or a join against a weights
+    * table — same plan), no shuffle at all before the per-doc
+    * output, and all-integer arithmetic both engines reproduce
+    * exactly. Token hash is the mod-prime fold (Text.polyHashMod
+    * semantics) over each whitespace token.
+    */
+  def qualityModelScore(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"),
+        Text.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("""aggregate(transform(toks, t ->
+            ((aggregate(transform(sequence(1, length(t)),
+                i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)),
+              CAST(0 AS BIGINT),
+              (a, x) -> (a * 31 + x) % 9007199254740881) % 4096)
+             * 2654435761) % 2003),
+          CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("w_sum"))
+      .withColumn("score_milli",
+        expr("w_sum DIV greatest(n_tokens, 1)"))
+      .withColumn("keep",
+        (col("score_milli") >= 1000).cast("int"))
+      .select("doc_id", "source", "n_tokens", "score_milli", "keep")
+
   /** Token-length profile per source: documents folded into
     * power-of-two whitespace-token buckets (explicit CASE edges on
     * the integer count — no float log2), with per-bucket document and
