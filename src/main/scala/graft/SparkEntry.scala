@@ -191,6 +191,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprintGroups(_, _)),
     "mm_binary_meta" -> (Multimodal.binaryMeta(_, _)),
     "mm_audio_chunks" -> (Multimodal.audioChunks(_, _)),
+    "mm_audio_energy" -> (Multimodal.audioEnergy(_, _)),
     "mm_image_dims" -> (Multimodal.imageDims(_, _)),
   )
 
@@ -2270,6 +2271,27 @@ object SparkEntry {
         |   for i in range(0, CAST(ceil(
         |     octet_length(encode(text)) * 2 / 512.0) AS INT))]) AS u
         | FROM documents) x""".stripMargin,
+    // PCM-8 energy/peak per chunk: hex-pair byte decode (strpos-17
+    // arithmetic identical both engines), Σ(v-128)^2 and max|v-128|
+    "mm_audio_energy" ->
+      """SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+        | CAST(length(u.c) // 2 AS BIGINT) AS chunk_bytes,
+        | CAST(list_sum(list_transform(smp, v ->
+        |   (v - 128) * (v - 128))) AS BIGINT) AS energy,
+        | CAST(list_max(list_transform(smp, v ->
+        |   abs(v - 128))) AS BIGINT) AS peak
+        |FROM (
+        | SELECT doc_id, u, list_transform(
+        |   range(1, length(u.c) // 2 + 1), i ->
+        |     strpos('0123456789ABCDEF', substr(u.c, 2*i-1, 1)) * 16
+        |     + strpos('0123456789ABCDEF', substr(u.c, 2*i, 1)) - 17)
+        |   AS smp
+        | FROM (
+        |  SELECT doc_id, unnest([{'i': i,
+        |    'c': substr(hex(encode(text)), i * 512 + 1, 512)}
+        |    for i in range(0, CAST(ceil(
+        |      octet_length(encode(text)) * 2 / 512.0) AS INT))]) AS u
+        |  FROM documents) x) y""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -100,6 +100,41 @@ object Multimodal {
         (length(col("c")) / 2).cast("long").as("chunk_bytes"))
   }
 
+  /** Per-chunk audio ENERGY over the framed binary payload — the
+    * silence-detection / loudness screen an audio pipeline runs
+    * before transcription: bytes decode as unsigned 8-bit PCM
+    * samples, each chunk reports Σ(v−128)² (integer energy) and the
+    * peak |v−128|. Byte access rides the same hex framing as
+    * [[audioChunks]] (the payload is opaque binary; a real PCM codec
+    * swaps in at the sample-decode lambda), the sample array is
+    * staged once per chunk so energy and peak share one decode, and
+    * every term is integer arithmetic a SQL oracle reproduces
+    * exactly. At real scale the per-sample lambda becomes a native
+    * expression like [[graft.functions.WinnowFps]] — the plumbing
+    * (framing, staging, schema) is the part that carries.
+    */
+  def audioEnergy(s: SparkSession, d: String, chunkBytes: Int = 256)
+      : DataFrame = {
+    val w = chunkBytes * 2
+    mediaTable(s, d)
+      .select(col("doc_id"), hex(col("payload")).as("h"))
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN length(h) = 0 THEN array() ELSE " +
+          s"transform(sequence(0, CAST(ceil(length(h) / $w.0) AS INT) - 1)," +
+          s" i -> substring(h, i * $w + 1, $w)) END"))
+        .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (length(col("c")) / 2).cast("long").as("chunk_bytes"),
+        expr("""transform(sequence(1, length(c) DIV 2), i ->
+            CAST(locate(substring(c, 2*i-1, 1), '0123456789ABCDEF') * 16
+               + locate(substring(c, 2*i, 1), '0123456789ABCDEF') - 17
+              AS BIGINT))""").as("smp"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_bytes"),
+        expr("""aggregate(transform(smp, v -> (v - 128) * (v - 128)),
+            CAST(0 AS BIGINT), (a, x) -> a + x)""").as("energy"),
+        expr("array_max(transform(smp, v -> abs(v - 128)))").as("peak"))
+  }
+
   /** Batch feature extraction. PNG payloads go through the REAL codec
     * (javax.imageio decode → per-channel pixel means); anything
     * undecodable falls back to the stub. Runs as mapPartitions over
