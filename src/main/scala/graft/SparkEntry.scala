@@ -54,6 +54,7 @@ object SparkEntry {
     "analytics_new_returning" -> (Analytics.newVsReturning(_, _)),
     "analytics_band_scan" -> (Analytics.bandScanCounts(_, _)),
     "analytics_stats_pushdown" -> (Analytics.tableStatsPushdown(_, _)),
+    "analytics_range_frame" -> (Analytics.trailingRangeRevenue(_, _)),
     "analytics_attribution" -> (Analytics.lastTouchAttribution(_, _)),
     "pipeline_shuffle_order" -> (TextAnalysis.shuffleOrder(_, _)),
     "text_length_buckets" -> (TextAnalysis.lengthBuckets(_, _)),
@@ -467,6 +468,19 @@ object SparkEntry {
     "analytics_stats_pushdown" ->
       """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
         |  max(o_orderkey) AS max_key FROM orders""".stripMargin,
+    // RANGE frame over an integer day index: same-day ties share one
+    // window (what ROWS can't express); exact cents
+    "analytics_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(datediff('day', DATE '1970-01-01',
+        |   CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+        | CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |   OVER (PARTITION BY o_custkey
+        |     ORDER BY datediff('day', DATE '1970-01-01',
+        |       CAST(o_orderdate AS DATE))
+        |     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS trail7_cents
+        |FROM orders""".stripMargin,
     // the union + ignore-nulls last_value window IS the as-of shape;
     // tie order (ts, is_p, event_id) is total, so the credited touch
     // is deterministic on both engines

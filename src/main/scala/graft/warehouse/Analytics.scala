@@ -1008,6 +1008,29 @@ object Analytics {
         band(q > 30 && disc > 0.04, "b_hi_hi"))
   }
 
+  /** RANGE-interval window frame: per customer, each order's trailing
+    * 7-day revenue — `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over
+    * the DAY NUMBER, which is the frame ROWS can't express (ties on a
+    * day must all see the same window; a rows frame would split
+    * them, and a same-day second order would see a different
+    * trailing sum). The ordering key is an integer day index
+    * (datediff from epoch) so the range arithmetic is exact and
+    * identical in both engines; money is exact cents. One shuffle on
+    * the partition key, per-partition sort — the frame itself adds
+    * no extra pass.
+    */
+  def trailingRangeRevenue(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("day_num")
+      .rangeBetween(-6, 0)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("trail7_cents", sum(col("cents")).over(w))
+      .select("o_custkey", "o_orderkey", "day_num", "trail7_cents")
+  }
+
   /** Table-stat aggregates served from PARQUET FOOTER METADATA, no
     * row decode at all: COUNT(*)/MIN/MAX push into the DSv2 scan
     * (`PushedAggregation` in the plan — ScaleSpec lints it), which
