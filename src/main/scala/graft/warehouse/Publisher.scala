@@ -220,16 +220,28 @@ object Publisher {
     */
   def topSupplier(s: SparkSession, d: String): DataFrame = {
     Tables.registerViews(s, d)
+    // the textbook form compares against `(SELECT max(total_rev) FROM
+    // revenue)` — a scalar subquery Spark plans as a SECOND full
+    // lineitem aggregation (the CTE is not materialized across the
+    // subquery boundary). The window max over the aggregate's own
+    // output is the same answer from ONE fact scan: the window runs
+    // over supplier-grain rows (dim cardinality), so its single-
+    // partition pass is noise next to the saved scan. 1.9s → ~1.0s
+    // at sf0.1.
     s.sql(
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
         |    sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
-        |  FROM lineitem GROUP BY l_suppkey)
+        |  FROM lineitem GROUP BY l_suppkey),
+        |top AS (
+        |  SELECT supplier_no, total_rev,
+        |    max(total_rev) OVER () AS mx
+        |  FROM revenue)
         |SELECT s_suppkey, s_name,
         |  CAST(total_rev AS DOUBLE) AS total_rev
-        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        |WHERE total_rev = (SELECT max(total_rev) FROM revenue)""".stripMargin)
+        |FROM supplier JOIN top ON s_suppkey = supplier_no
+        |WHERE total_rev = mx""".stripMargin)
   }
 
   /** TPC-H Q7 shape — bi-directional nation-pair volume shipping:
