@@ -55,6 +55,7 @@ object SparkEntry {
     "analytics_band_scan" -> (Analytics.bandScanCounts(_, _)),
     "analytics_stats_pushdown" -> (Analytics.tableStatsPushdown(_, _)),
     "analytics_range_frame" -> (Analytics.trailingRangeRevenue(_, _)),
+    "analytics_downsample" -> (Analytics.downsampleSeries(_, _)),
     "analytics_attribution" -> (Analytics.lastTouchAttribution(_, _)),
     "pipeline_shuffle_order" -> (TextAnalysis.shuffleOrder(_, _)),
     "text_length_buckets" -> (TextAnalysis.lengthBuckets(_, _)),
@@ -468,6 +469,18 @@ object SparkEntry {
     "analytics_stats_pushdown" ->
       """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
         |  max(o_orderkey) AS max_key FROM orders""".stripMargin,
+    // uniform time-bucket downsampling; integer-micros bucket
+    // arithmetic, decimal-routed value sum
+    "analytics_downsample" ->
+      """WITH ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        |mm AS (SELECT min(us) AS mn, max(us) AS mx FROM ev)
+        |SELECT event_type,
+        | CAST(least(49, ((us - mn) * 50) // (mx - mn + 1)) AS BIGINT)
+        |   AS bucket,
+        | count(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM ev, mm GROUP BY 1, 2""".stripMargin,
     // RANGE frame over an integer day index: same-day ties share one
     // window (what ROWS can't express); exact cents
     "analytics_range_frame" ->

@@ -1008,6 +1008,33 @@ object Analytics {
         band(q > 30 && disc > 0.04, "b_hi_hi"))
   }
 
+  /** Uniform time-bucket downsampling — the series-rendering
+    * primitive (a dashboard cannot plot 10⁹ raw points): the event
+    * span [min ts, max ts] divides into `buckets` uniform cells and
+    * each (event_type, cell) reports its count and value sum. The
+    * span comes from ONE scalar aggregate broadcast into the scan
+    * (a 1-row cross join — never a window over the event grain,
+    * which would single-partition the fact table), so the whole
+    * query is two combinable aggregation passes over the scan. All
+    * bucket arithmetic is integer micros; the value sum goes through
+    * DECIMAL(12,2) like every money path so the hash is
+    * order-independent.
+    */
+  def downsampleSeries(s: SparkSession, d: String,
+      buckets: Int = 50): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("value"))
+    val mm = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    ev.crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        least(lit(buckets - 1),
+          expr(s"((us - mn) * $buckets) DIV (mx - mn + 1)")).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+  }
+
   /** RANGE-interval window frame: per customer, each order's trailing
     * 7-day revenue — `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over
     * the DAY NUMBER, which is the frame ROWS can't express (ties on a
