@@ -37,12 +37,16 @@ class PlanLintSpec extends AnyFunSuite {
     * - sim_range_search: the broadcast-query-set scan shape with a
     *   threshold filter instead of a top-k window — the whole point
     *   is that the plan is shuffle-free (asserted below)
+    * - analytics_downsample: the 1-row (min, max) span aggregate
+    *   crossJoined onto the event scan (same bounds-broadcast shape
+    *   as gap_fill/histogram_eqdepth)
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
     "sim_filtered_ann", "text_tfidf_topk", "analytics_key_skew",
     "pipeline_domain_mix", "sim_ann_pq", "analytics_gap_fill",
-    "analytics_histogram_eqdepth", "sim_range_search")
+    "analytics_histogram_eqdepth", "sim_range_search",
+    "analytics_downsample")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
