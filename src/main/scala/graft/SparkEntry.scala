@@ -115,6 +115,8 @@ object SparkEntry {
     "dim_merge_upsert" -> (Temporal.mergeUpsert(_, _)),
     "dim_snapshot_diff" -> (Temporal.snapshotDiff(_, _)),
     "analytics_incremental_gmv" -> (Incremental.dailyGmv(_, _)),
+    "analytics_incremental_join" ->
+      (Incremental.maintainedOrderDetail(_, _)),
     "analytics_kmv_distinct" -> (graft.warehouse.Sketched.kmvDistinct(_, _)),
     "analytics_kmv_native" ->
       (graft.warehouse.Sketched.kmvDistinctNative(_, _)),
@@ -1201,6 +1203,16 @@ object SparkEntry {
       """SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv
         |FROM orders GROUP BY 1""".stripMargin,
+    // delta-rule join maintenance: the oracle is the one-shot join —
+    // a hash match proves A⋈B ∪ ΔA⋈(B∪ΔB) ∪ A⋈ΔB tiles the four
+    // quadrants exactly once (no dups, nothing missed)
+    "analytics_incremental_join" ->
+      """SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |   AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
     // both snapshots rebuilt from the same deterministic splits, then
     // full-outer diffed; unchanged rows dropped
     "dim_snapshot_diff" ->

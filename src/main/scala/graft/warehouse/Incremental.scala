@@ -50,4 +50,43 @@ object Incremental {
       .select(col("day"), col("n_orders"),
         col("gmv_dec").cast("double").as("gmv"))
   }
+
+  /** Incremental JOIN maintenance — the delta rule for a two-sided
+    * refresh (view-maintenance 101, and what a streaming
+    * changelog join materializes continuously):
+    *
+    *   (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ ΔA⋈(B ∪ ΔB) ∪ A⋈ΔB
+    *
+    * The three terms tile the four quadrants exactly once, so the
+    * maintained result is duplicate-free BY CONSTRUCTION — no
+    * dedup pass, which is what makes the identity usable at scale:
+    * a refresh joins delta-sized inputs against the other side
+    * (delta⋈history prunes by join key; history⋈history — the
+    * 100 TB term — is never recomputed). Parity splits stand in for
+    * base/delta snapshots, putting both halves on every join key so
+    * the union genuinely interleaves rather than concatenating
+    * disjoint ranges. Output is the maintained order-detail join
+    * rolled to day grain; the oracle is the one-shot join — merged
+    * == recomputed EXACTLY, decimal partials keeping the sum
+    * order-independent.
+    */
+  def maintainedOrderDetail(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      col("l_linenumber"),
+      (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1) - col("l_discount").cast(DecimalType(12, 2)))).as("rev"))
+    val a = orders.filter(col("o_orderkey") % 2 === 0)
+    val dA = orders.filter(col("o_orderkey") % 2 =!= 0)
+    val b = li.filter((col("l_orderkey") + col("l_linenumber")) % 2 === 0)
+    val dB = li.filter((col("l_orderkey") + col("l_linenumber")) % 2 =!= 0)
+    def j(o: DataFrame, l: DataFrame): DataFrame =
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_orderdate"), col("rev"))
+    j(a, b).unionByName(j(dA, b.unionByName(dB))).unionByName(j(a, dB))
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("rev")).cast("double").as("revenue"))
+  }
 }
