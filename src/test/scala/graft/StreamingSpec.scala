@@ -701,6 +701,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow: the streaming topology doubles as a bounded backfill") {
+    // the operational pattern: one topology serves both the live
+    // stream and historical backfill — AvailableNow processes
+    // everything staged (in micro-batches, here forced to ≥2 via
+    // maxFilesPerTrigger) then STOPS on its own, unlike
+    // processAllAvailable which needs the driver to decide when done
+    val dir = Files.createTempDirectory("backfill-src")
+    Files.createSymbolicLink(dir.resolve("a.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    val stream = s.readStream
+      .schema(Sources.eventsSchemaFor(s, s"$d/events.parquet"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val counted = graft.sources.Tables.normalizeTs(stream)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("pv"))
+    val q = counted.writeStream.format("memory").queryName("backfill")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow must self-terminate")
+      val got = s.sql("SELECT event_type, pv FROM backfill").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = Tables.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("pv")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === batch, "backfill result equals the batch aggregate")
+    } finally q.stop()
+  }
+
   test("sketching sink merges HLL state across micro-batches") {
     // two staged copies of half the events each + maxFilesPerTrigger=1
     // forces at least two micro-batches with overlapping users
