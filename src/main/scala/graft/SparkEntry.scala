@@ -41,6 +41,7 @@ object SparkEntry {
     "q5_star_join" -> (Publisher.starJoinRevenue(_, _)),
     "q17_small_qty_revenue" -> (Publisher.smallQtyRevenue(_, _)),
     "dq_audit" -> (Quality.audit(_, _)),
+    "dq_benford" -> (Quality.benfordAudit(_, _)),
     "analytics_global_topk" -> (Analytics.globalTopK(_, _)),
     "corpus_sample_weighted" -> (TextAnalysis.sampleWeighted(_, _)),
     "analytics_full_outer" -> (Analytics.fullOuterActivity(_, _)),
@@ -830,6 +831,20 @@ object SparkEntry {
         |FROM s FULL OUTER JOIN e ON s.user_id = e.user_id""".stripMargin,
     // data-quality audit: exact integer counts per check; the range
     // rules are deliberately tight so several counts are nonzero and
+    // leading digit from the exact-cents string (locale-free both
+    // engines); Benford expectations as integer ppm literals
+    "dq_benford" ->
+      """WITH t AS (SELECT CAST(substr(CAST(CAST(
+        |    CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit FROM orders),
+        |n AS (SELECT count(*) AS total FROM orders)
+        |SELECT digit, count(*) AS n,
+        | count(*) * 1000000 // (SELECT total FROM n) AS observed_ppm,
+        | CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+        |  WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |  WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+        |  WHEN 9 THEN 45757 END AS BIGINT) AS benford_ppm
+        |FROM t GROUP BY digit""".stripMargin,
     // the hash proves the counting
     "dq_audit" ->
       """SELECT 'orders_pk_unique' AS check,

@@ -99,4 +99,32 @@ object Quality {
         "orders_customer_orphans"))
       .reduce(_.unionByName(_))
   }
+
+  /** Benford first-digit audit over order amounts — the classic
+    * fabricated-data screen (naturally-occurring amounts follow
+    * log-uniform leading digits; synthetic or tampered ones don't).
+    * The leading digit comes from the STRING of the exact integer
+    * cents — locale-free and identical in any engine, where a
+    * log10-based significand would ride float rounding at decade
+    * boundaries. Output per digit: observed count, observed ppm, and
+    * the Benford expectation in ppm (floor(1e6·log10(1+1/d)) as
+    * integer literals — no runtime float), so the deviation is
+    * readable straight off the row. One combinable aggregation.
+    */
+  def benfordAudit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val expect = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val total = Tables.orders(s, d).count()
+    Tables.orders(s, d)
+      .select(substring(
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+          * 100).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("observed_ppm", expr(s"n * 1000000 DIV $total"))
+      .withColumn("benford_ppm",
+        element_at(typedLit(expect), col("digit")))
+  }
 }
