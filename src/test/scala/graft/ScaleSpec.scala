@@ -629,6 +629,31 @@ class ScaleSpec extends AnyFunSuite {
     assert((img.getRGB(1, 0) & 0xff) === 7, "pixel formula must survive")
   }
 
+  test("schema evolution: mergeSchema widens old files, rename maps through a view") {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("schema-evo").toString
+    // v1 files: (id, amount); v2 adds a nullable channel column —
+    // the files-written-years-apart reality of any long-lived table
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount")
+      .write.parquet(s"$dir/d=2024-01-01")
+    Seq((3L, 30.0, "app"), (4L, 40.0, "web"))
+      .toDF("id", "amount", "channel")
+      .write.parquet(s"$dir/d=2024-01-02")
+    val merged = s.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "amount", "channel", "d"))
+    // old rows surface the new column as NULL, no rewrite of v1 files
+    assert(merged.filter(col("channel").isNull).count() === 2)
+    assert(merged.count() === 4)
+    // rename without rewrite: serving views map old names to new —
+    // parquet has no column-mapping metadata (that's a table-format
+    // feature), so the view IS the compatibility layer
+    merged.withColumnRenamed("amount", "gross_amount")
+      .createOrReplaceTempView("evo_serving")
+    val got = s.sql(
+      "SELECT sum(gross_amount) FROM evo_serving").head().getDouble(0)
+    assert(got === 100.0)
+  }
+
   test("parquet aggregate pushdown: COUNT/MIN/MAX answered from footer stats") {
     val df = graft.warehouse.Analytics.tableStatsPushdown(s, d)
     val plan = df.queryExecution.executedPlan.toString
