@@ -79,6 +79,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_kmv"),
       exprs => graft.functions.KmvSketchAgg(exprs(0), exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("graft_bitmap_distinct"),
+      new ExpressionInfo(classOf[graft.functions.BitmapDistinctAgg].getName,
+        "graft_bitmap_distinct"),
+      exprs => graft.functions.BitmapDistinctAgg(exprs(0), exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("graft_cms_estimate"),
       new ExpressionInfo(classOf[graft.functions.CmsEstimate].getName,
         "graft_cms_estimate"),

@@ -198,6 +198,19 @@ object SparkEntry {
     "mm_audio_chunks" -> (Multimodal.audioChunks(_, _)),
     "mm_audio_energy" -> (Multimodal.audioEnergy(_, _)),
     "mm_image_dims" -> (Multimodal.imageDims(_, _)),
+    "dq_drift_psi" -> (Quality.driftPsi(_, _)),
+    "analytics_autocorr" -> (Analytics.autocorrGmv(_, _)),
+    "text_search_conjunctive" -> (TextAnalysis.searchConjunctive(_, _)),
+    "text_bm25_topk" -> (TextAnalysis.bm25TopK(_, _)),
+    "dedup_sorted_neighborhood" -> (Dedup.sortedNeighborhoodPairs(_, _)),
+    "graph_link_predict" ->
+      (graft.operators.Graph.commonNeighborPairs(_, _)),
+    "analytics_kmv_intersection" ->
+      (graft.warehouse.Sketched.kmvIntersection(_, _)),
+    "analytics_bitmap_uv" -> (graft.warehouse.Sketched.bitmapDailyUv(_, _)),
+    "analytics_seq_pattern" -> (Analytics.seqPattern(_, _)),
+    "analytics_exp_smooth" -> (Analytics.expSmoothGmv(_, _)),
+    "pipeline_gdpr_erase" -> (Quality.gdprErasePlan(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -2550,5 +2563,200 @@ object SparkEntry {
         |  AS fp,
         | MIN(doc_id) AS keep_id, COUNT(*) AS dup_ct
         |FROM documents GROUP BY 1""".stripMargin,
+    // all-integer drift surface: band counts + ppm shares + 1pp flag
+    // (the float PSI is Σ(pa−pb)·ln(pa/pb) over exactly these shares)
+    "dq_drift_psi" ->
+      """WITH o AS (
+        | SELECT o_orderdate < TIMESTAMP '1998-01-01' AS is_a,
+        |  LEAST(9, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT) // 5000000) AS band
+        | FROM orders),
+        |b AS (SELECT band, COUNT(*) FILTER (WHERE is_a) AS a_ct,
+        |        COUNT(*) FILTER (WHERE NOT is_a) AS b_ct
+        |      FROM o GROUP BY 1),
+        |t AS (SELECT CAST(SUM(a_ct) AS BIGINT) AS a_tot,
+        |        CAST(SUM(b_ct) AS BIGINT) AS b_tot FROM b)
+        |SELECT band, a_ct, b_ct,
+        | a_ct * 1000000 // a_tot AS a_ppm,
+        | b_ct * 1000000 // b_tot AS b_ppm,
+        | CAST(abs(a_ct * 1000000 // a_tot - b_ct * 1000000 // b_tot)
+        |   > 10000 AS BIGINT) AS drift_flag
+        |FROM b CROSS JOIN t""".stripMargin,
+    // lag-1/lag-7 Pearson off one window sort; exact DECIMAL moments,
+    // identical double formula both engines (same as analytics_corr)
+    "analytics_autocorr" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS g
+        | FROM orders GROUP BY 1),
+        |l AS (SELECT g, lag(g, 1) OVER (ORDER BY dt) AS g_1,
+        |        lag(g, 7) OVER (ORDER BY dt) AS g_7 FROM daily),
+        |p AS (SELECT lag_d, g, gp FROM l, LATERAL (VALUES
+        |        (1, g_1), (7, g_7)) v(lag_d, gp) WHERE gp IS NOT NULL),
+        |mo AS (SELECT lag_d, COUNT(*) AS n,
+        |  SUM(CAST(g AS DECIMAL(19,0))) AS sx,
+        |  SUM(CAST(gp AS DECIMAL(19,0))) AS sy,
+        |  SUM(CAST(CAST(g AS DECIMAL(19,0)) * CAST(gp AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS sxy,
+        |  SUM(CAST(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS sxx,
+        |  SUM(CAST(CAST(gp AS DECIMAL(19,0)) * CAST(gp AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS syy
+        | FROM p GROUP BY 1)
+        |SELECT lag_d, n,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  AS autocorr
+        |FROM mo""".stripMargin,
+    // AND-of-terms boolean retrieval: distinct terms per doc, HAVING
+    // = the posting intersection
+    "text_search_conjunctive" ->
+      """SELECT doc_id, COUNT(*) AS n_hit FROM (
+        | SELECT doc_id, unnest(list_distinct(list_filter(
+        |   string_split(lower(text), ' '), x -> x <> ''))) AS term
+        | FROM documents) u
+        |WHERE term IN ('spark', 'window', 'merge')
+        |GROUP BY 1 HAVING COUNT(*) = 3""".stripMargin,
+    // BM25 ranks; per-term partials pivoted and summed in literal
+    // term order so the float total is expression-deterministic
+    "text_bm25_topk" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(list_filter(
+        |   string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS dl
+        |  FROM documents),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_len FROM dl),
+        |tf AS (SELECT doc_id, t AS term, COUNT(*) AS tf FROM (
+        |   SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |     x -> x <> '')) AS t FROM documents) u
+        |  WHERE t IN ('hash', 'join', 'spark') GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |p AS (SELECT tf.doc_id, tf.term,
+        |   ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+        |   (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *
+        |     CAST(dl.dl * n_docs AS DOUBLE) / CAST(tot_len AS DOUBLE)))
+        |   AS sc
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN st),
+        |pv AS (SELECT doc_id,
+        |   coalesce(MAX(CASE WHEN term = 'hash' THEN sc END), 0.0) AS s1,
+        |   coalesce(MAX(CASE WHEN term = 'join' THEN sc END), 0.0) AS s2,
+        |   coalesce(MAX(CASE WHEN term = 'spark' THEN sc END), 0.0) AS s3
+        |  FROM p GROUP BY 1)
+        |SELECT doc_id, rk FROM (
+        | SELECT doc_id, CAST(row_number() OVER (
+        |   ORDER BY s1 + s2 + s3 DESC, doc_id) AS BIGINT) AS rk FROM pv) t
+        |WHERE rk <= 10""".stripMargin,
+    // sorted-neighborhood slide replayed with the same partitioned
+    // window order; pair set is engine-exact
+    "dedup_sorted_neighborhood" ->
+      """WITH h AS (SELECT doc_id, substr(lower(text), 1, 40) AS head,
+        |   substr(lower(text), 1, 1) AS pfx FROM documents),
+        |l AS (SELECT doc_id, head,
+        |  lead(doc_id, 1) OVER w AS nid_1, lead(head, 1) OVER w AS nhead_1,
+        |  lead(doc_id, 2) OVER w AS nid_2, lead(head, 2) OVER w AS nhead_2,
+        |  lead(doc_id, 3) OVER w AS nid_3, lead(head, 3) OVER w AS nhead_3
+        | FROM h WINDOW w AS (PARTITION BY pfx ORDER BY head, doc_id)),
+        |p AS (SELECT doc_id, head, nid, nhead FROM l, LATERAL (VALUES
+        |   (nid_1, nhead_1), (nid_2, nhead_2), (nid_3, nhead_3))
+        |   v(nid, nhead) WHERE nid IS NOT NULL)
+        |SELECT LEAST(doc_id, nid) AS id_a, GREATEST(doc_id, nid) AS id_b,
+        | levenshtein(head, nhead) AS dist
+        |FROM p WHERE levenshtein(head, nhead) <= 10""".stripMargin,
+    // strong-subgraph (n_st >= 2) common-neighbor candidates minus
+    // existing edges; integer-ppm Jaccard over exact degrees
+    "graph_link_predict" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT a.pk AS s, b.pk AS t, COUNT(*) AS n_st
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2),
+        |se AS (SELECT s, t FROM e WHERE n_st >= 2),
+        |und AS (SELECT s AS w, t AS n FROM se
+        |        UNION ALL SELECT t, s FROM se),
+        |deg AS (SELECT w, COUNT(*) AS deg FROM und GROUP BY 1),
+        |wedge AS (SELECT a.n AS u, b.n AS v, COUNT(*) AS cn
+        |          FROM und a JOIN und b ON a.w = b.w AND a.n < b.n
+        |          GROUP BY 1, 2),
+        |ne AS (SELECT u, v, cn FROM wedge
+        |       WHERE NOT EXISTS (SELECT 1 FROM se
+        |         WHERE se.s = wedge.u AND se.t = wedge.v))
+        |SELECT u, v, cn,
+        | cn * 1000000 // (du.deg + dv.deg - cn) AS jaccard_ppm
+        |FROM ne JOIN deg du ON ne.u = du.w
+        | JOIN deg dv ON ne.v = dv.w""".stripMargin,
+    // KMV set algebra replayed bit-for-bit: union bottom-k over the
+    // same 48-bit hashes, membership flags reduced per hash, integer
+    // ρ-scaled intersection estimate
+    "analytics_kmv_intersection" ->
+      """WITH pu AS (
+        | SELECT user_id,
+        |  MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_a,
+        |  MAX(CASE WHEN event_type = 'cart' THEN 1 ELSE 0 END) AS in_b
+        | FROM events WHERE event_type IN ('view', 'cart') GROUP BY 1),
+        |ph AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |    1, 12))::UBIGINT AS BIGINT) AS h,
+        |   MAX(in_a) AS in_a, MAX(in_b) AS in_b
+        |  FROM pu GROUP BY 1),
+        |bk AS (SELECT h, in_a, in_b,
+        |   row_number() OVER (ORDER BY h) AS rk FROM ph),
+        |agg AS (SELECT COUNT(*) AS n_kept, MAX(h) AS hk,
+        |   CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+        |  FROM bk WHERE rk <= 64),
+        |u AS (SELECT n_kept, n_both,
+        |   CAST(CASE WHEN n_kept < 64 THEN n_kept
+        |        ELSE 17732923532771328 // hk END AS BIGINT) AS est_union
+        |  FROM agg)
+        |SELECT n_kept, n_both, est_union,
+        | n_both * est_union // n_kept AS est_inter FROM u""".stripMargin,
+    // the native bitmap aggregate must equal the exact distinct
+    "analytics_bitmap_uv" ->
+      """SELECT CAST(ts AS DATE) AS dt, COUNT(DISTINCT user_id) AS uv
+        |FROM events GROUP BY 1""".stripMargin,
+    // MATCH_RECOGNIZE-lite: ordered per-user path string, greedy
+    // regex counted identically by Java regex and RE2
+    "analytics_seq_pattern" ->
+      """WITH seq AS (
+        | SELECT user_id, string_agg(event_type, ','
+        |   ORDER BY epoch_us(ts), event_id) AS path
+        | FROM events GROUP BY 1)
+        |SELECT user_id, CAST(len(regexp_extract_all(path,
+        |   'view,(click,)+purchase')) AS BIGINT) AS n_hits
+        |FROM seq
+        |WHERE len(regexp_extract_all(path,
+        |   'view,(click,)+purchase')) > 0""".stripMargin,
+    // the same integer recurrence sₜ = (2gₜ+6sₜ₋₁)>>3, replayed as a
+    // recursive CTE over the day index
+    "analytics_exp_smooth" ->
+      """WITH RECURSIVE daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS g
+        | FROM orders GROUP BY 1),
+        |idx AS (SELECT row_number() OVER (ORDER BY dt) AS rn, dt, g
+        |        FROM daily),
+        |sm AS (
+        | SELECT rn, dt, g, g AS s FROM idx WHERE rn = 1
+        | UNION ALL
+        | SELECT i.rn, i.dt, i.g, (i.g * 2 + sm.s * 6) // 8
+        | FROM idx i JOIN sm ON i.rn = sm.rn + 1)
+        |SELECT dt, g, s FROM sm""".stripMargin,
+    // erasure cascade counts: seed → orders → lineitem, plus events
+    "pipeline_gdpr_erase" ->
+      """WITH seed AS (SELECT c_custkey AS k FROM customer
+        |             WHERE c_custkey % 97 = 0),
+        |o AS (SELECT o_orderkey FROM orders
+        |      WHERE o_custkey IN (SELECT k FROM seed)),
+        |l AS (SELECT 1 AS x FROM lineitem
+        |      WHERE l_orderkey IN (SELECT o_orderkey FROM o)),
+        |e AS (SELECT 1 AS x FROM events
+        |      WHERE user_id IN (SELECT k FROM seed))
+        |SELECT 'customer' AS tbl, (SELECT COUNT(*) FROM seed) AS purge_ct
+        |UNION ALL SELECT 'orders', (SELECT COUNT(*) FROM o)
+        |UNION ALL SELECT 'lineitem', (SELECT COUNT(*) FROM l)
+        |UNION ALL SELECT 'events', (SELECT COUNT(*) FROM e)""".stripMargin,
   )
 }

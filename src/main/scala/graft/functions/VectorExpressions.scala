@@ -661,6 +661,9 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv", exprs => KmvSketchAgg(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bitmap_distinct",
+      exprs => BitmapDistinctAgg(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sorted_intersect_gt",
       exprs => SortedIntersectGreater(exprs(0), exprs(1), exprs(2)),
       "built-in")

@@ -157,6 +157,11 @@ object Dedup {
       val tSizes = s"graft_shingle_sizes_$tag"
       if (!s.catalog.tableExists(tInter) ||
           !s.catalog.tableExists(tSizes)) {
+        // a previous JVM's layout may survive on disk while this
+        // catalog starts empty — clear the orphaned locations or
+        // saveAsTable dies with LOCATION_ALREADY_EXISTS
+        graft.sources.Bucketing.dropStaleLocation(s, tInter)
+        graft.sources.Bucketing.dropStaleLocation(s, tSizes)
         val base = shingled(s, d, ngram).cache()
         val sizes = base.select(col("doc_id"), size(col("hashed")).as("n"))
         // sort-merge self-join on the 8-byte hash (shuffle-hash
@@ -493,6 +498,41 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         levenshtein(col("a.head"), col("b.head")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Sorted-neighborhood near-dup pairs (Hernández/Stolfo SNM) — the
+    * third classic blocking strategy beside the equi-block
+    * ([[editDistancePairs]]) and the LSH band joins: sort the corpus
+    * by a normalized key and compare each record only to its `win−1`
+    * successors, so candidate count is O(n·win) BY CONSTRUCTION —
+    * no block-size skew can blow it up (the failure mode the r5
+    * winnow join hit). The slide is window `lead`s off ONE sort (no
+    * self-join, no range join); the sort window is PARTITIONED by
+    * the key's first character so it distributes — near-dups whose
+    * heads diverge in char 1 are the (documented) recall trade,
+    * the same contract as the prefix block. Both engines run the
+    * identical partitioned order, so the pair set is engine-exact.
+    */
+  def sortedNeighborhoodPairs(s: SparkSession, d: String,
+      headLen: Int = 40, win: Int = 4, maxDist: Int = 10): DataFrame = {
+    val h = Tables.spread(Tables.documents(s, d)).select(col("doc_id"),
+        substring(lower(col("text")), 1, headLen).as("head"))
+      .withColumn("pfx", substring(col("head"), 1, 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pfx").orderBy(col("head"), col("doc_id"))
+    val leads = h.select(col("doc_id") +: col("head") +:
+      (1 until win).flatMap(i => Seq(
+        lead(col("doc_id"), i).over(w).as(s"nid_$i"),
+        lead(col("head"), i).over(w).as(s"nhead_$i"))): _*)
+    leads.select(col("doc_id"), col("head"),
+        explode(array((1 until win).map(i =>
+          struct(col(s"nid_$i").as("nid"), col(s"nhead_$i").as("nhead"))): _*))
+          .as("nb"))
+      .filter(col("nb.nid").isNotNull)
+      .select(least(col("doc_id"), col("nb.nid")).as("id_a"),
+        greatest(col("doc_id"), col("nb.nid")).as("id_b"),
+        levenshtein(col("head"), col("nb.nhead")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
 

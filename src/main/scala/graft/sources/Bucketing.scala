@@ -26,9 +26,28 @@ object Bucketing {
     * planner), written by `buckets` tasks in parallel rather than a
     * single coalesced writer.
     */
+  /** Remove a stale on-disk location for a managed table the CURRENT
+    * catalog does not know. A derived layout written by a previous
+    * JVM survives in the warehouse dir while the in-memory metastore
+    * starts empty — `saveAsTable` then fails with
+    * LOCATION_ALREADY_EXISTS and every consumer of the layout errors
+    * (this took all six graph queries down in a fresh-JVM verify).
+    * A compute-once layout must be REBUILDABLE whenever the catalog
+    * forgot it; deleting the orphaned location is safe exactly
+    * because no catalog entry points at it.
+    */
+  def dropStaleLocation(s: SparkSession, table: String): Unit =
+    if (!s.catalog.tableExists(table)) {
+      val wh = s.sessionState.conf.warehousePath
+      val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
     import org.apache.spark.sql.functions.col
+    dropStaleLocation(df.sparkSession, table)
     val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
     df.repartition(buckets, col(key))
       .sortWithinPartitions(sorts.map(col): _*)

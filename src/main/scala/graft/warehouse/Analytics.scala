@@ -375,6 +375,116 @@ object Analytics {
           .as("corr_qty_price"))
   }
 
+  /** Lag-k autocorrelation of the daily GMV series (k = 1 day and
+    * 7 days — trend persistence and weekly seasonality), the series
+    * diagnostic behind anomaly alerts on the reference's GMV board
+    * (TradeStatsController.java's daily curve). The daily series is
+    * exact integer cents; both lags come off ONE window sort
+    * (`lag(g, k)` over the same date order), the two (g, g₋ₖ) pair
+    * streams stack via a map-explode — no self-join — and each lag's
+    * Pearson moments are one combinable aggregation in DECIMAL, so
+    * the correlation is engine-exact to the final rounded double.
+    *
+    * Scale shape: the aggregation grain is days (tiny for any fact
+    * volume), so the window sort is over the already-reduced series —
+    * the 100 TB cost is the one fact scan feeding the daily rollup.
+    */
+  def autocorrGmv(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+    val w = Window.orderBy(col("dt"))
+    // DECIMAL(19): one digit past int64 so BOTH engines run the
+    // product in 128-bit storage (DuckDB's DECIMAL(18) multiply
+    // overflows its int64 fast path at sf0.1 daily-GMV magnitudes)
+    val x = col("g").cast(DecimalType(19, 0))
+    val y = col("gp").cast(DecimalType(19, 0))
+    daily.select(col("g"),
+        lag(col("g"), 1).over(w).as("g_1"),
+        lag(col("g"), 7).over(w).as("g_7"))
+      .select(col("g"), explode(map(
+        lit(1), col("g_1"), lit(7), col("g_7"))).as(Seq("lag_d", "gp")))
+      .filter(col("gp").isNotNull)
+      .groupBy(col("lag_d"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast(DecimalType(38, 0))).as("sxy"),
+        sum((x * x).cast(DecimalType(38, 0))).as("sxx"),
+        sum((y * y).cast(DecimalType(38, 0))).as("syy"))
+      .select(col("lag_d"), col("n"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("autocorr"))
+  }
+
+  /** Sequential pattern match over per-user event paths — the
+    * MATCH_RECOGNIZE shape (view → one-or-more clicks → purchase,
+    * contiguous) without the syntax: each user's events sort into a
+    * comma-joined type string via `sort_array(collect_list(struct))`
+    * (deterministic total order on (ts, event_id) — collect_list
+    * alone has no order contract) and the pattern is a regex counted
+    * with `regexp_extract_all`. Event types are distinct full tokens
+    * between delimiters, so substring aliasing can't happen; greedy
+    * `(click,)+` matches identically in Java regex and RE2.
+    *
+    * Scale shape: state is per-user and bounded by that user's
+    * events (the same contract as the funnel/CEP family); the
+    * groupBy shuffles each event once. A pathological single-user
+    * skew would salt the key first — the path regex composes over
+    * concatenated day slices.
+    */
+  def seqPattern(s: SparkSession, d: String,
+      pattern: String = "view,(click,)+purchase"): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), struct(unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("seq"))
+      .select(col("user_id"),
+        array_join(transform(col("seq"), e => e("event_type")), ",")
+          .as("path"))
+      .select(col("user_id"),
+        size(regexp_extract_all(col("path"), lit(pattern), lit(0)))
+          .cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+
+  /** Integer EWMA over the daily GMV series — the smoothing pass a
+    * dashboard overlays on [[autocorrGmv]]'s raw curve: s₁ = g₁,
+    * sₜ = (2gₜ + 6sₜ₋₁) >> 3 (α = ¼ with a power-of-two divisor so
+    * the recurrence is pure integer shifts — engine-exact where a
+    * float EWMA would drift and a ÷10 would ride double rounding).
+    * A recurrence can't be a window function; here the day-grain
+    * series (already reduced from the fact scan — the ONLY big
+    * input) folds through one `aggregate` HOF over the sorted
+    * array, and the oracle replays the identical recurrence as a
+    * recursive CTE. The collect is a single array of days — bounded
+    * by calendar length, never by fact volume.
+    */
+  def expSmoothGmv(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+    daily
+      .agg(sort_array(collect_list(struct(col("dt"), col("g")))).as("ser"))
+      .select(explode(aggregate(col("ser"),
+        expr("CAST(array() AS array<struct<dt:date,g:bigint,s:bigint>>)"),
+        (acc, e) => concat(acc, array(struct(
+          e("dt").as("dt"), e("g").as("g"),
+          when(size(acc) === 0, e("g"))
+            .otherwise(shiftright(
+              e("g") * 2 + element_at(acc, -1)("s") * 6, 3)).as("s"))))))
+        .as("r"))
+      .select(col("r.dt").as("dt"), col("r.g").as("g"), col("r.s").as("s"))
+  }
+
   /** Heavy hitters with a Count-Min-Sketch prefilter + exact confirm
     * — the frequency dual of the Bloom decontamination pattern. One
     * CMS built over the stream broadcasts to every executor; the

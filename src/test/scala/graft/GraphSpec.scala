@@ -134,4 +134,30 @@ class GraphSpec extends AnyFunSuite {
     // sum over nodes = 3 × triangle count (each triangle hits 3 nodes)
     assert(counts.values.sum % 3 === 0)
   }
+  test("link prediction: candidates are non-adjacent, Jaccard bounded, cn verified") {
+    val rs = Graph.commonNeighborPairs(s, d).collect()
+    val strong = Graph.coPurchasePairCounts(s, d)
+      .filter(col("n_st") >= 2).select("s", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // neighbor sets of the strong subgraph
+    val nbrs = strong.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rs.foreach { r =>
+      val (u, v, cn, j) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("jaccard_ppm"))
+      assert(u < v, "pair orientation")
+      assert(!strong.contains((u, v)), s"($u,$v) is an existing edge")
+      val expect = (nbrs.getOrElse(u, Set.empty) &
+        nbrs.getOrElse(v, Set.empty)).size.toLong
+      assert(cn === expect, s"cn($u,$v)")
+      assert(j > 0 && j <= 1000000L)
+    }
+    // completeness: every non-adjacent pair with a common strong
+    // neighbor is present
+    val expectPairs = nbrs.keys.toSeq.combinations(2).map(_.sorted)
+      .collect { case Seq(a, b)
+        if (nbrs(a) & nbrs(b)).nonEmpty && !strong.contains((a, b)) =>
+          (a, b) }.toSet
+    assert(rs.map(r => (r.getLong(0), r.getLong(1))).toSet === expectPairs)
+  }
 }

@@ -667,4 +667,24 @@ class ScaleSpec extends AnyFunSuite {
       count(lit(1)), min(col("o_orderkey")), max(col("o_orderkey"))).head()
     assert(df.head() === direct)
   }
+  test("derived layouts rebuild over a stale warehouse location (fresh-metastore crash recovery)") {
+    import s.implicits._
+    val tbl = "graft_stale_layout_probe"
+    // simulate a previous JVM's leftover: data on disk, no catalog row
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = s.sessionState.conf.warehousePath
+    val path = new org.apache.hadoop.fs.Path(wh, tbl)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(path)
+    val f = fs.create(new org.apache.hadoop.fs.Path(path, "junk.parquet"))
+    f.write(Array[Byte](1, 2, 3)); f.close()
+    assert(!s.catalog.tableExists(tbl) && fs.exists(path))
+    // the bucketed writer must clear the orphan and succeed — this
+    // exact shape took all six graph queries down in a fresh-JVM
+    // verify before the fix
+    graft.sources.Bucketing.writeBucketed(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), tbl, "k", 2)
+    assert(s.table(tbl).count() === 2)
+    s.sql(s"DROP TABLE $tbl")
+  }
 }

@@ -329,4 +329,31 @@ class TextSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     feats.foreach(f => assert(f.n_bytes === meta(f.doc_id)))
   }
+  test("conjunctive search equals brute-force AND over tokenized docs") {
+    val rs = graft.operators.TextAnalysis.searchConjunctive(s, d).collect()
+    val terms = Set("spark", "window", "merge")
+    val expect = graft.sources.Tables.documents(s, d)
+      .select("doc_id", "text").collect().collect {
+        case r if terms.subsetOf(
+            r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSet) =>
+          r.getLong(0)
+      }.toSet
+    assert(rs.map(_.getLong(0)).toSet === expect)
+    assert(rs.forall(_.getLong(1) === 3L))
+  }
+
+  test("bm25: ranks are 1..k, every ranked doc contains a query term, ordering sane") {
+    val rs = graft.operators.TextAnalysis.bm25TopK(s, d).collect()
+    val ranks = rs.map(_.getLong(1)).sorted
+    assert(ranks === (1L to ranks.length).toArray.toSeq, "dense rank run")
+    assert(ranks.length <= 10)
+    val terms = Set("hash", "join", "spark")
+    val byId = graft.sources.Tables.documents(s, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rs.foreach { r =>
+      val toks = byId(r.getLong(0)).toLowerCase.split(" ").toSet
+      assert((terms & toks).nonEmpty, s"doc ${r.getLong(0)} has no query term")
+    }
+  }
 }

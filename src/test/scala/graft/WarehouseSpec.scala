@@ -304,4 +304,119 @@ class WarehouseSpec extends AnyFunSuite {
     // inputs to the final groupBy are already day-grain
     assert(merged.count() === full.count())
   }
+  test("PSI drift bands: ppm shares sum to ~1e6, counts partition the table") {
+    val rs = graft.warehouse.Quality.driftPsi(s, d).collect()
+    assert(rs.nonEmpty && rs.length <= 10)
+    val aTot = rs.map(_.getAs[Long]("a_ct")).sum
+    val bTot = rs.map(_.getAs[Long]("b_ct")).sum
+    assert(aTot + bTot === graft.sources.Tables.orders(s, d).count())
+    // integer-floor ppm shares: within one ulp-per-band of 1e6
+    val aPpm = rs.map(_.getAs[Long]("a_ppm")).sum
+    val bPpm = rs.map(_.getAs[Long]("b_ppm")).sum
+    assert(aPpm > 1000000L - rs.length && aPpm <= 1000000L, s"a_ppm=$aPpm")
+    assert(bPpm > 1000000L - rs.length && bPpm <= 1000000L, s"b_ppm=$bPpm")
+  }
+
+  test("autocorr: two lags, each in [-1, 1], n matches the series") {
+    val rs = graft.warehouse.Analytics.autocorrGmv(s, d).collect()
+    assert(rs.map(_.getAs[Int]("lag_d")).toSet === Set(1, 7))
+    val days = graft.sources.Tables.orders(s, d)
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    rs.foreach { r =>
+      val ac = r.getAs[Double]("autocorr")
+      assert(ac >= -1.0 && ac <= 1.0, s"autocorr out of range: $ac")
+      assert(r.getAs[Long]("n") === days - r.getAs[Int]("lag_d"))
+    }
+  }
+
+  test("bitmap aggregate: exact daily UV equals COUNT(DISTINCT), merges across partitions") {
+    val got = graft.warehouse.Sketched.bitmapDailyUv(s, d).collect()
+      .map(r => r.getAs[java.sql.Date]("dt").toString -> r.getAs[Long]("uv"))
+      .toMap
+    val exact = graft.sources.Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("dt"))
+      .agg(countDistinct(col("user_id")).as("uv")).collect()
+      .map(r => r.getAs[java.sql.Date]("dt").toString -> r.getAs[Long]("uv"))
+      .toMap
+    assert(got === exact)
+    // the map-side partial path is exercised: events scan at sf0.001
+    // spreads over defaultParallelism partitions, so every group's
+    // bitmap merged >1 partial
+    assert(got.size > 1)
+  }
+
+  test("bitmap aggregate fails loudly on an id outside the declared domain") {
+    graft.functions.Vectors.ensureRegistered(s)
+    import s.implicits._
+    val bad = Seq(1L, 7L, 1024L).toDF("id")
+    val e = intercept[Exception] {
+      bad.agg(call_function("graft_bitmap_distinct", col("id"), lit(1024L)))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("KMV intersection: estimator consistency and contract vs exact overlap") {
+    val r = graft.warehouse.Sketched.kmvIntersection(s, d).collect()(0)
+    val nKept = r.getAs[Long]("n_kept")
+    val nBoth = r.getAs[Long]("n_both")
+    val estU = r.getAs[Long]("est_union")
+    val estI = r.getAs[Long]("est_inter")
+    assert(nBoth <= nKept && estI <= estU)
+    val ev = graft.sources.Tables.events(s, d)
+    val a = ev.filter(col("event_type") === "view")
+      .select("user_id").distinct()
+    val b = ev.filter(col("event_type") === "cart")
+      .select("user_id").distinct()
+    val exactU = a.union(b).distinct().count()
+    val exactI = a.intersect(b).count()
+    // sketch error at k=64 is ~1/sqrt(64) = 12.5%; allow 3 sigma
+    assert(math.abs(estU - exactU).toDouble <= 0.4 * exactU + 2,
+      s"union est $estU vs exact $exactU")
+    assert(math.abs(estI - exactI).toDouble <= 0.4 * exactU + 2,
+      s"inter est $estI vs exact $exactI")
+  }
+  test("seq pattern: regex hits replay exactly on driver-sorted paths") {
+    val got = graft.warehouse.Analytics.seqPattern(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val paths = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).map { case (u, evs) =>
+        u -> evs.sortBy(e => (e._2, e._3)).map(_._4).mkString(",")
+      }
+    val re = "view,(click,)+purchase".r
+    val expect = paths.map { case (u, p) =>
+      u -> re.findAllIn(p).length.toLong }.filter(_._2 > 0)
+    assert(got === expect)
+  }
+
+  test("exp smoothing: recurrence replays exactly, s stays inside the running envelope") {
+    val rs = graft.warehouse.Analytics.expSmoothGmv(s, d).collect()
+      .sortBy(_.getAs[java.sql.Date]("dt").toLocalDate.toEpochDay)
+    assert(rs.nonEmpty)
+    var prev = -1L
+    rs.foreach { r =>
+      val (g, sm) = (r.getAs[Long]("g"), r.getAs[Long]("s"))
+      val expect = if (prev < 0) g else (g * 2 + prev * 6) >> 3
+      assert(sm === expect, s"recurrence broke at ${r.get(0)}")
+      prev = sm
+    }
+  }
+
+  test("gdpr erase plan: cascade counts are consistent and exact") {
+    val got = graft.warehouse.Quality.gdprErasePlan(s, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seed = graft.sources.Tables.customer(s, d)
+      .filter(col("c_custkey") % 97 === 0)
+    assert(got("customer") === seed.count())
+    val orders = graft.sources.Tables.orders(s, d)
+      .join(seed.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+    assert(got("orders") === orders.count())
+    // every erased order's lineitems go: per-order fanout >= 1 row
+    assert(got("lineitem") >= got("orders"))
+    assert(got.keySet === Set("customer", "orders", "lineitem", "events"))
+  }
 }
