@@ -209,6 +209,8 @@ object SparkEntry {
       (graft.warehouse.Sketched.kmvIntersection(_, _)),
     "analytics_bitmap_uv" -> (graft.warehouse.Sketched.bitmapDailyUv(_, _)),
     "analytics_seq_pattern" -> (Analytics.seqPattern(_, _)),
+    "analytics_ab_test" -> (Analytics.abTest(_, _)),
+    "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
     "analytics_exp_smooth" -> (Analytics.expSmoothGmv(_, _)),
     "pipeline_gdpr_erase" -> (Quality.gdprErasePlan(_, _)),
   )
@@ -2744,6 +2746,59 @@ object SparkEntry {
         | SELECT i.rn, i.dt, i.g, (i.g * 2 + sm.s * 6) // 8
         | FROM idx i JOIN sm ON i.rn = sm.rn + 1)
         |SELECT dt, g, s FROM sm""".stripMargin,
+    // cross-multiplied exact two-proportion test: 1.96² = 38416/10000
+    // is rational, so the significance flag never touches a float
+    // (HUGEINT here, DECIMAL(38,0) in Spark — both exact integers)
+    "analytics_ab_test" ->
+      """WITH pu AS (
+        | SELECT user_id,
+        |  MAX(CASE WHEN event_type = 'purchase' AND value >= 95.0
+        |      THEN 1 ELSE 0 END) AS conv,
+        |  user_id % 2 = 0 AS grp
+        | FROM events GROUP BY 1),
+        |a AS (SELECT
+        |  COUNT(*) FILTER (WHERE grp) AS n1,
+        |  CAST(SUM(CASE WHEN grp THEN conv ELSE 0 END) AS BIGINT) AS c1,
+        |  COUNT(*) FILTER (WHERE NOT grp) AS n2,
+        |  CAST(SUM(CASE WHEN NOT grp THEN conv ELSE 0 END) AS BIGINT)
+        |    AS c2
+        | FROM pu)
+        |SELECT n1, c1, n2, c2,
+        | c1 * 1000000 // n1 AS rate1_ppm,
+        | c2 * 1000000 // n2 AS rate2_ppm,
+        | CAST(10000 * CAST(c1 * n2 - c2 * n1 AS HUGEINT)
+        |        * CAST(c1 * n2 - c2 * n1 AS HUGEINT) * (n1 + n2)
+        |   > 38416 * CAST(c1 + c2 AS HUGEINT)
+        |        * (n1 + n2 - c1 - c2) * n1 * n2 AS BIGINT) AS significant
+        |FROM a""".stripMargin,
+    // equal-share credit: integer division FIRST (1e6 DIV n_prior),
+    // then the per-channel multiply — identically ordered both sides
+    "analytics_attribution_linear" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |  event_id FROM events),
+        |c AS (SELECT event_type,
+        |  coalesce(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    OVER w, 0) AS n_click,
+        |  coalesce(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    OVER w, 0) AS n_view,
+        |  coalesce(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    OVER w, 0) AS n_signup
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT n_click, n_view, n_signup,
+        |   n_click + n_view + n_signup AS n_prior
+        |  FROM c WHERE event_type = 'purchase'),
+        |x AS (SELECT channel, credit FROM p, LATERAL (VALUES
+        |  ('click', CASE WHEN n_prior > 0
+        |    THEN n_click * (1000000 // n_prior) ELSE 0 END),
+        |  ('view', CASE WHEN n_prior > 0
+        |    THEN n_view * (1000000 // n_prior) ELSE 0 END),
+        |  ('signup', CASE WHEN n_prior > 0
+        |    THEN n_signup * (1000000 // n_prior) ELSE 0 END),
+        |  ('none', CASE WHEN n_prior = 0 THEN 1000000 ELSE 0 END))
+        |  v(channel, credit))
+        |SELECT channel, CAST(SUM(credit) AS BIGINT) AS credit_ppm
+        |FROM x GROUP BY 1""".stripMargin,
     // erasure cascade counts: seed → orders → lineitem, plus events
     "pipeline_gdpr_erase" ->
       """WITH seed AS (SELECT c_custkey AS k FROM customer

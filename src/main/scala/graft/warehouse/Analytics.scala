@@ -424,6 +424,86 @@ object Analytics {
           .as("autocorr"))
   }
 
+  /** Two-proportion A/B significance test with EXACT integer
+    * arithmetic — the experiment-readout query, normally a float
+    * z-test, made engine-exact by cross-multiplication: the pooled
+    * z² comparison  Δ² > z²·p̂q̂(1/n1+1/n2)  clears every denominator
+    * into  10000·K²·N > 38416·C·(N−C)·n1·n2  (K = c1n2−c2n1,
+    * C = c1+c2, N = n1+n2; 1.96² = 38416/10000 is RATIONAL — no
+    * float enters the decision). Spark runs the products in
+    * DECIMAL(38,0), the oracle in HUGEINT; both are exact integers,
+    * so the significance FLAG is hash-gradeable where a z-score
+    * double would ride libm. One scan → per-user conversion flag →
+    * one 1-row aggregation.
+    */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("value") >= 95.0, 1).otherwise(0))
+        .as("conv"))
+      .withColumn("grp", col("user_id") % 2 === 0)
+    perUser.agg(
+        count_if(col("grp")).as("n1"),
+        sum(when(col("grp"), col("conv")).otherwise(0)).cast("long")
+          .as("c1"),
+        count_if(!col("grp")).as("n2"),
+        sum(when(!col("grp"), col("conv")).otherwise(0)).cast("long")
+          .as("c2"))
+      .select(col("n1"), col("c1"), col("n2"), col("c2"),
+        expr("c1 * 1000000 DIV n1").as("rate1_ppm"),
+        expr("c2 * 1000000 DIV n2").as("rate2_ppm"),
+        {
+          val k = (col("c1") * col("n2") - col("c2") * col("n1")).cast(d38)
+          val bigN = (col("n1") + col("n2")).cast(d38)
+          val bigC = (col("c1") + col("c2")).cast(d38)
+          val lhs = lit(10000).cast(d38) * k * k * bigN
+          val rhs = lit(38416).cast(d38) * bigC *
+            (bigN - bigC) * col("n1").cast(d38) * col("n2").cast(d38)
+          (lhs > rhs).cast("long").as("significant")
+        })
+  }
+
+  /** Linear multi-touch attribution — every touch before a purchase
+    * shares the credit equally (the fairness dual of
+    * [[lastTouchAttribution]]): per purchase each prior touch earns
+    * `1e6 DIV n_prior` ppm, so channel credit is
+    * `n_channel · (1e6 DIV n_prior)` — integer division FIRST, then
+    * the multiply, identically ordered in both engines. Prior-touch
+    * counts are running conditional sums over ONE per-user window
+    * sort (rows-preceding frame, (ts, event_id) total order); the
+    * three channels and the no-touch bucket stack via map-explode —
+    * no join anywhere. State per user is a frame counter, the same
+    * scale contract as the funnel family.
+    */
+  def linearAttribution(s: SparkSession, d: String): DataFrame = {
+    val touches = Seq("click", "view", "signup")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val counted = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      // coalesce: the frame is EMPTY on a user's first event, and an
+      // all-NULL count would drop a first-event purchase from every
+      // bucket including 'none'
+      .select(col("event_type") +: touches.map(t =>
+        coalesce(sum(when(col("event_type") === t, 1).otherwise(0)).over(w),
+          lit(0L)).as(s"n_$t")): _*)
+    val p = counted.filter(col("event_type") === "purchase")
+      .withColumn("n_prior", touches.map(t => col(s"n_$t")).reduce(_ + _))
+    p.select(explode(map(
+        (touches.flatMap(t => Seq(lit(t),
+          when(col("n_prior") > 0,
+            col(s"n_$t") * expr("1000000 DIV n_prior")).otherwise(0L))) ++
+         Seq(lit("none"),
+           when(col("n_prior") === 0, 1000000L).otherwise(0L))): _*))
+        .as(Seq("channel", "credit")))
+      .groupBy("channel")
+      .agg(sum(col("credit")).cast("long").as("credit_ppm"))
+  }
+
   /** Sequential pattern match over per-user event paths — the
     * MATCH_RECOGNIZE shape (view → one-or-more clicks → purchase,
     * contiguous) without the syntax: each user's events sort into a

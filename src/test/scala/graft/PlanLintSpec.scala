@@ -40,13 +40,18 @@ class PlanLintSpec extends AnyFunSuite {
     * - analytics_downsample: the 1-row (min, max) span aggregate
     *   crossJoined onto the event scan (same bounds-broadcast shape
     *   as gap_fill/histogram_eqdepth)
+    * - dq_drift_psi: the 1-row (a_tot, b_tot) totals crossJoined onto
+    *   the ≤10-row band frame (ppm denominators)
+    * - text_bm25_topk: the 1-row (n_docs, tot_len) corpus-stats
+    *   crossJoin onto the query-term postings (same shape as
+    *   text_tfidf_topk's N)
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
     "sim_filtered_ann", "text_tfidf_topk", "analytics_key_skew",
     "pipeline_domain_mix", "sim_ann_pq", "analytics_gap_fill",
     "analytics_histogram_eqdepth", "sim_range_search",
-    "analytics_downsample")
+    "analytics_downsample", "dq_drift_psi", "text_bm25_topk")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
