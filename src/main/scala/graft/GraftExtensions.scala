@@ -84,6 +84,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bitmap_distinct"),
       exprs => graft.functions.BitmapDistinctAgg(exprs(0), exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("graft_bitmap_bytes"),
+      new ExpressionInfo(classOf[graft.functions.BitmapBytesAgg].getName,
+        "graft_bitmap_bytes"),
+      exprs => graft.functions.BitmapBytesAgg(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bitmap_or_count"),
+      new ExpressionInfo(classOf[graft.functions.BitmapOrCount].getName,
+        "graft_bitmap_or_count"),
+      exprs => graft.functions.BitmapOrCount(exprs(0))))
+    e.injectFunction((
       new FunctionIdentifier("graft_cms_estimate"),
       new ExpressionInfo(classOf[graft.functions.CmsEstimate].getName,
         "graft_cms_estimate"),

@@ -208,6 +208,8 @@ object SparkEntry {
     "analytics_kmv_intersection" ->
       (graft.warehouse.Sketched.kmvIntersection(_, _)),
     "analytics_bitmap_uv" -> (graft.warehouse.Sketched.bitmapDailyUv(_, _)),
+    "analytics_bitmap_range_uv" ->
+      (graft.warehouse.Sketched.bitmapRangeUv(_, _)),
     "analytics_seq_pattern" -> (Analytics.seqPattern(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -2746,6 +2748,18 @@ object SparkEntry {
         | SELECT i.rn, i.dt, i.g, (i.g * 2 + sm.s * 6) // 8
         | FROM idx i JOIN sm ON i.rn = sm.rn + 1)
         |SELECT dt, g, s FROM sm""".stripMargin,
+    // stored-day-bitmap OR+popcount must equal the semi-join rolling
+    // WAU (the bitmap algebra is exact, so the ground truth IS the
+    // oracle); calendar-range window on both sides
+    "analytics_bitmap_range_uv" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |x AS (SELECT user_id, day + CAST(o AS INT) AS day
+        |      FROM ud CROSS JOIN range(0, 7) r(o))
+        |SELECT x.day, COUNT(DISTINCT x.user_id) AS wau_ct
+        |FROM x SEMI JOIN days ON x.day = days.day
+        |GROUP BY 1""".stripMargin,
     // cross-multiplied exact two-proportion test: 1.96² = 38416/10000
     // is rational, so the significance flag never touches a float
     // (HUGEINT here, DECIMAL(38,0) in Spark — both exact integers)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType}
 
 /** Growable word-aligned bitset — the aggregation buffer for
   * [[BitmapDistinctAgg]]. Grows to the highest bit SEEN (doubling),
@@ -41,6 +41,84 @@ final class GraftBitset(var words: Array[Long]) {
   }
 }
 
+/** Shared buffer mechanics for the bitmap aggregates: bounded-domain
+  * id set, loud out-of-range failure, word-trimmed wire format.
+  */
+abstract class BitmapAggBase
+    extends TypedImperativeAggregate[GraftBitset] {
+  def child: Expression
+  def maxIdExpr: Expression
+
+  override def children: Seq[Expression] = Seq(child, maxIdExpr)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.firstFailure(
+      InputChecks.expect(prettyName, 0, child,
+        dt => dt == LongType || dt == IntegerType, "an integral id column"),
+      InputChecks.expect(prettyName, 1, maxIdExpr,
+        dt => dt == LongType && maxIdExpr.foldable &&
+          maxIdExpr.eval(null).asInstanceOf[Long] >= 1L,
+        "a literal bigint domain bound >= 1"))
+
+  @transient private lazy val maxId: Long =
+    maxIdExpr.eval(null).asInstanceOf[Long]
+
+  override def createAggregationBuffer(): GraftBitset = new GraftBitset()
+
+  override def update(buf: GraftBitset, input: InternalRow): GraftBitset = {
+    val v = child.eval(input)
+    if (v != null) {
+      val id = v match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+      if (id < 0 || id >= maxId)
+        throw new IllegalArgumentException(
+          s"$prettyName: id $id outside [0, $maxId) — " +
+          "dictionary-encode ids first (stable-id enumeration)")
+      buf.set(id)
+    }
+    buf
+  }
+
+  override def merge(buf: GraftBitset, other: GraftBitset): GraftBitset = {
+    buf.or(other)
+    buf
+  }
+
+  override def serialize(buf: GraftBitset): Array[Byte] =
+    BitmapCodec.write(buf)
+
+  override def deserialize(bytes: Array[Byte]): GraftBitset =
+    BitmapCodec.read(bytes)
+}
+
+/** Wire format shared by the aggregate buffers AND the serving
+  * column: `[int32 nWords][nWords × int64]`, trailing zero words
+  * trimmed so sparse groups ship small.
+  */
+object BitmapCodec {
+  def write(buf: GraftBitset): Array[Byte] = {
+    var n = buf.words.length
+    while (n > 0 && buf.words(n - 1) == 0L) n -= 1
+    val bb = ByteBuffer.allocate(4 + 8 * n)
+    bb.putInt(n)
+    var i = 0
+    while (i < n) { bb.putLong(buf.words(i)); i += 1 }
+    bb.array()
+  }
+
+  def read(bytes: Array[Byte]): GraftBitset = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val words = new Array[Long](math.max(n, 4))
+    var i = 0
+    while (i < n) { words(i) = bb.getLong; i += 1 }
+    new GraftBitset(words)
+  }
+}
+
 /** EXACT distinct count over a bounded non-negative integer id domain
   * via a bitmap aggregate — `graft_bitmap_distinct(id, maxId)` — the
   * dense little sibling of RoaringBitmap's COUNT DISTINCT serving
@@ -69,69 +147,12 @@ case class BitmapDistinctAgg(
     maxIdExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[GraftBitset] {
+  extends BitmapAggBase {
 
   override def prettyName: String = "graft_bitmap_distinct"
-  override def children: Seq[Expression] = Seq(child, maxIdExpr)
-  override def nullable: Boolean = false
   override def dataType: DataType = LongType
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    InputChecks.firstFailure(
-      InputChecks.expect(prettyName, 0, child,
-        dt => dt == LongType || dt == IntegerType, "an integral id column"),
-      InputChecks.expect(prettyName, 1, maxIdExpr,
-        dt => dt == LongType && maxIdExpr.foldable &&
-          maxIdExpr.eval(null).asInstanceOf[Long] >= 1L,
-        "a literal bigint domain bound >= 1"))
-
-  @transient private lazy val maxId: Long =
-    maxIdExpr.eval(null).asInstanceOf[Long]
-
-  override def createAggregationBuffer(): GraftBitset = new GraftBitset()
-
-  override def update(buf: GraftBitset, input: InternalRow): GraftBitset = {
-    val v = child.eval(input)
-    if (v != null) {
-      val id = v match {
-        case l: java.lang.Long => l.longValue()
-        case i: java.lang.Integer => i.longValue()
-      }
-      if (id < 0 || id >= maxId)
-        throw new IllegalArgumentException(
-          s"graft_bitmap_distinct: id $id outside [0, $maxId) — " +
-          "dictionary-encode ids first (stable-id enumeration)")
-      buf.set(id)
-    }
-    buf
-  }
-
-  override def merge(buf: GraftBitset, other: GraftBitset): GraftBitset = {
-    buf.or(other)
-    buf
-  }
-
   override def eval(buf: GraftBitset): Any = buf.cardinality
-
-  override def serialize(buf: GraftBitset): Array[Byte] = {
-    // trim trailing zero words so sparse groups ship small
-    var n = buf.words.length
-    while (n > 0 && buf.words(n - 1) == 0L) n -= 1
-    val bb = ByteBuffer.allocate(4 + 8 * n)
-    bb.putInt(n)
-    var i = 0
-    while (i < n) { bb.putLong(buf.words(i)); i += 1 }
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): GraftBitset = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val words = new Array[Long](math.max(n, 4))
-    var i = 0
-    while (i < n) { words(i) = bb.getLong; i += 1 }
-    new GraftBitset(words)
-  }
 
   override def withNewMutableAggBufferOffset(
       newOffset: Int): BitmapDistinctAgg =
@@ -142,4 +163,95 @@ case class BitmapDistinctAgg(
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): Expression =
     copy(child = c(0), maxIdExpr = c(1))
+}
+
+/** The bitmap ITSELF as a serving column — `graft_bitmap_bytes(id,
+  * maxId)` returns the serialized set, which is what a Doris
+  * BITMAP_UNION aggregate table materializes per (day, dim) row:
+  * pre-aggregated once, then ANY date-range/dim-slice UV is an OR +
+  * popcount over the stored bitmaps ([[BitmapOrCount]]) with no
+  * rescan of the fact table. Same buffer, same wire format, same
+  * loud domain contract as [[BitmapDistinctAgg]].
+  */
+case class BitmapBytesAgg(
+    child: Expression,
+    maxIdExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends BitmapAggBase {
+
+  override def prettyName: String = "graft_bitmap_bytes"
+  override def dataType: DataType = BinaryType
+
+  override def eval(buf: GraftBitset): Any = BitmapCodec.write(buf)
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): BitmapBytesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): BitmapBytesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0), maxIdExpr = c(1))
+}
+
+/** OR + popcount over an array of serialized bitmaps —
+  * `graft_bitmap_or_count(array<binary>)`, the read side of the
+  * bitmap serving column: a trailing-window UV is
+  * `or_count(collect_list(day_bitmap) over range-frame)`. Runs at
+  * the AGGREGATE grain (days × dims), never on the fact scan, so a
+  * reference-object call from generated code is all the codegen this
+  * needs (same pattern as the CMS/Bloom probes).
+  */
+case class BitmapOrCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bitmap_or_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.expect(prettyName, 0, child,
+      dt => dt == org.apache.spark.sql.types.ArrayType(BinaryType, true) ||
+            dt == org.apache.spark.sql.types.ArrayType(BinaryType, false),
+      "an array<binary> of serialized bitmaps")
+
+  /** Called from both interpreted and generated code. */
+  def orCount(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    var acc: Array[Long] = null
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val bb = ByteBuffer.wrap(arr.getBinary(i))
+        val n = bb.getInt
+        if (acc == null) acc = new Array[Long](n)
+        else if (acc.length < n) acc = java.util.Arrays.copyOf(acc, n)
+        var w = 0
+        while (w < n) { acc(w) |= bb.getLong; w += 1 }
+      }
+      i += 1
+    }
+    var c = 0L
+    if (acc != null) {
+      var w = 0
+      while (w < acc.length) { c += java.lang.Long.bitCount(acc(w)); w += 1 }
+    }
+    c
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    orCount(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("bitmapOr", this,
+        classOf[BitmapOrCount].getName)
+      s"${ev.value} = $ref.orCount($v);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): BitmapOrCount =
+    copy(child = c)
 }

@@ -166,4 +166,32 @@ object Sketched {
       .agg(call_function("graft_bitmap_distinct", col("user_id"),
         lit(1L << 24)).as("uv"))
   }
+
+  /** Trailing-window UV served from STORED day bitmaps — the full
+    * Doris BITMAP_UNION aggregate-table loop: the fact table reduces
+    * ONCE to one bitmap per day (`graft_bitmap_bytes`), and every
+    * 7-day window answer is an OR + popcount over ≤7 stored bitmaps
+    * (`graft_bitmap_or_count` over a RANGE-frame collect) — no
+    * rescan, no per-(user, day) distinct shuffle, exact. Same answer
+    * as the semi-join rolling-WAU formulation, which is the oracle.
+    * The range frame is calendar days (day-index integer), so gap
+    * days don't silently widen the window.
+    */
+  def bitmapRangeUv(s: SparkSession, d: String,
+      windowDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Vectors.ensureRegistered(s)
+    val daily = graft.sources.Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(call_function("graft_bitmap_bytes", col("user_id"),
+        lit(1L << 24)).as("bm"))
+      .withColumn("day_idx", datediff(col("day"),
+        lit("1970-01-01").cast("date")))
+    val w = Window.orderBy(col("day_idx"))
+      .rangeBetween(-(windowDays - 1), 0)
+    daily
+      .withColumn("wau_ct", call_function("graft_bitmap_or_count",
+        collect_list(col("bm")).over(w)))
+      .select(col("day"), col("wau_ct"))
+  }
 }

@@ -475,4 +475,26 @@ class WarehouseSpec extends AnyFunSuite {
     val total = got.values.sum
     assert(total <= 1000000L * nPurch, "over-credited")
   }
+  test("bitmap serving column: stored day bitmaps OR to the exact rolling WAU") {
+    val viaBitmap = graft.warehouse.Sketched.bitmapRangeUv(s, d).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("wau_ct")).toMap
+    val viaDistinct = graft.warehouse.Analytics.rollingWau(s, d).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("wau_ct")).toMap
+    assert(viaBitmap === viaDistinct)
+    // the wire format round-trips through SQL too: two known sets
+    graft.functions.Vectors.ensureRegistered(s)
+    import s.implicits._
+    val bms = Seq(1L -> 5L, 1L -> 7L, 2L -> 7L, 2L -> 9L).toDF("g", "id")
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.call_function(
+        "graft_bitmap_bytes", col("id"),
+        org.apache.spark.sql.functions.lit(1024L)).as("bm"))
+    val union = bms.agg(org.apache.spark.sql.functions.call_function(
+      "graft_bitmap_or_count",
+      org.apache.spark.sql.functions.collect_list(col("bm"))))
+      .collect()(0).getLong(0)
+    assert(union === 3L, "OR of {5,7} and {7,9} must count {5,7,9}")
+  }
 }
