@@ -94,6 +94,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bitmap_or_count"),
       exprs => graft.functions.BitmapOrCount(exprs(0))))
     e.injectFunction((
+      new FunctionIdentifier("graft_bitmap_union"),
+      new ExpressionInfo(classOf[graft.functions.BitmapUnionAgg].getName,
+        "graft_bitmap_union"),
+      exprs => graft.functions.BitmapUnionAgg(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bitmap_card"),
+      new ExpressionInfo(classOf[graft.functions.BitmapCardinality].getName,
+        "graft_bitmap_card"),
+      exprs => graft.functions.BitmapCardinality(exprs(0))))
+    e.injectFunction((
       new FunctionIdentifier("graft_cms_estimate"),
       new ExpressionInfo(classOf[graft.functions.CmsEstimate].getName,
         "graft_cms_estimate"),

@@ -215,6 +215,7 @@ object SparkEntry {
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
     "analytics_exp_smooth" -> (Analytics.expSmoothGmv(_, _)),
     "pipeline_gdpr_erase" -> (Quality.gdprErasePlan(_, _)),
+    "analytics_hierarchy_rollup" -> (Analytics.hierarchyRollup(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -2813,6 +2814,25 @@ object SparkEntry {
         |  v(channel, credit))
         |SELECT channel, CAST(SUM(credit) AS BIGINT) AS credit_ppm
         |FROM x GROUP BY 1""".stripMargin,
+    // iterative-join climb == recursive CTE over the same derived
+    // category edges; exact DECIMAL revenue through every level
+    "analytics_hierarchy_rollup" ->
+      s"""WITH RECURSIVE edges AS (
+         | SELECT DISTINCT c, parent FROM (
+         |  SELECT 3000 + p_partkey % 1000 AS c,
+         |    2000 + p_partkey % 100 AS parent FROM part
+         |  UNION ALL
+         |  SELECT 2000 + p_partkey % 100, 1000 + p_partkey % 10
+         |  FROM part) u),
+         |leafrev AS (
+         | SELECT 3000 + l_partkey % 1000 AS c, SUM($rev) AS rev
+         | FROM lineitem GROUP BY 1),
+         |climb(c, rev) AS (
+         | SELECT c, rev FROM leafrev
+         | UNION ALL
+         | SELECT e.parent, cl.rev FROM climb cl JOIN edges e ON cl.c = e.c)
+         |SELECT c AS top_id, CAST(SUM(rev) AS DOUBLE) AS revenue
+         |FROM climb WHERE c >= 1000 AND c < 2000 GROUP BY 1""".stripMargin,
     // erasure cascade counts: seed → orders → lineitem, plus events
     "pipeline_gdpr_erase" ->
       """WITH seed AS (SELECT c_custkey AS k FROM customer

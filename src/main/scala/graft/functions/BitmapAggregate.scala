@@ -196,6 +196,92 @@ case class BitmapBytesAgg(
     copy(child = c(0), maxIdExpr = c(1))
 }
 
+/** BITMAP_UNION — the Doris aggregate of the same name: folds
+  * SERIALIZED bitmaps (the [[BitmapBytesAgg]] column) into their
+  * union, returning the merged serialized bitmap. This is what lets
+  * a streaming sink maintain an exact per-key UV bitmap across
+  * micro-batches (stored ∪ batch each flush) and what rolls daily
+  * bitmaps up to weeks/months in batch — pre-aggregation over
+  * pre-aggregation, all exact.
+  */
+case class BitmapUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[GraftBitset] {
+
+  override def prettyName: String = "graft_bitmap_union"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.expect(prettyName, 0, child, _ == BinaryType,
+      "a binary serialized bitmap column")
+
+  override def createAggregationBuffer(): GraftBitset = new GraftBitset()
+
+  override def update(buf: GraftBitset, input: InternalRow): GraftBitset = {
+    val v = child.eval(input)
+    if (v != null) buf.or(BitmapCodec.read(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: GraftBitset, other: GraftBitset): GraftBitset = {
+    buf.or(other)
+    buf
+  }
+
+  override def eval(buf: GraftBitset): Any = BitmapCodec.write(buf)
+  override def serialize(buf: GraftBitset): Array[Byte] =
+    BitmapCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): GraftBitset =
+    BitmapCodec.read(bytes)
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): BitmapUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): BitmapUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+}
+
+/** Popcount of one serialized bitmap — the serving-read scalar
+  * (`graft_bitmap_card`): SELECT key, graft_bitmap_card(uv_bm) from
+  * the sink snapshot. Reference-object codegen; grain = serving
+  * rows.
+  */
+case class BitmapCardinality(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bitmap_card"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.expect(prettyName, 0, child, _ == BinaryType,
+      "a binary serialized bitmap")
+
+  /** Called from both interpreted and generated code. */
+  def card(bytes: Array[Byte]): Long = BitmapCodec.read(bytes).cardinality
+
+  override def nullSafeEval(v: Any): Any = card(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("bitmapCard", this,
+        classOf[BitmapCardinality].getName)
+      s"${ev.value} = $ref.card($v);"
+    })
+
+  override protected def withNewChildInternal(
+      c: Expression): BitmapCardinality = copy(child = c)
+}
+
 /** OR + popcount over an array of serialized bitmaps —
   * `graft_bitmap_or_count(array<binary>)`, the read side of the
   * bitmap serving column: a trailing-window UV is

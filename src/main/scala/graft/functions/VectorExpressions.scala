@@ -670,6 +670,12 @@ object VectorExpressions {
       "graft_bitmap_or_count",
       exprs => BitmapOrCount(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bitmap_union",
+      exprs => BitmapUnionAgg(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bitmap_card",
+      exprs => BitmapCardinality(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sorted_intersect_gt",
       exprs => SortedIntersectGreater(exprs(0), exprs(1), exprs(2)),
       "built-in")

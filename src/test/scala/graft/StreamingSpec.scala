@@ -764,6 +764,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("bitmap sink: exact per-key UV under doubled (at-least-once) delivery") {
+    // same two-copy forcing shape as the HLL sink test — but the
+    // bitmap UV must be EXACT, not within tolerance, and the OR's
+    // idempotence is precisely what absorbs the duplicate delivery
+    val dir = Files.createTempDirectory("bm-src")
+    Files.createSymbolicLink(dir.resolve("a.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+      dir.resolve("b.parquet"))
+    val stream = s.readStream
+      .schema(s.read.parquet(s"$d/events.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val out = tmp("bm-sink") + "/snap"
+    val q = ReplacingSink.startBitmap(
+      stream.select(col("event_type"), col("user_id")),
+      Seq("event_type"), "user_id", 1L << 24, out, tmp("bm-sink-ck"))
+    try q.processAllAvailable() finally q.stop()
+    graft.functions.Vectors.ensureRegistered(s)
+    val got = s.read.parquet(out)
+      .select(col("event_type"), col("pv_ct"),
+        call_function("graft_bitmap_card", col("uv_bm")).as("uv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val exact = Tables.events(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("pv"), countDistinct(col("user_id")).as("uv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.keySet === exact.keySet)
+    exact.foreach { case (et, (pv, uv)) =>
+      assert(got(et)._1 === 2 * pv, s"pv additive for $et")
+      assert(got(et)._2 === uv, s"bitmap UV must be EXACT for $et")
+    }
+  }
+
   test("asOfDimEnrich: streamed facts join the dim version in effect") {
     val ev = Tables.events(s, d)
     // versioned dim: each (user, time) view value is one dim version

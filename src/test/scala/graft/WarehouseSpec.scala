@@ -497,4 +497,21 @@ class WarehouseSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(union === 3L, "OR of {5,7} and {7,9} must count {5,7,9}")
   }
+  test("hierarchy rollup: revenue is conserved to the roots, loud on a cycle") {
+    val rs = graft.warehouse.Analytics.hierarchyRollup(s, d).collect()
+    assert(rs.length === 10, "ten top-level categories")
+    assert(rs.forall(r => { val t = r.getLong(0); t >= 1000 && t < 2000 }))
+    val total = rs.map(_.getDouble(1)).sum
+    val expect = graft.sources.Tables.lineitem(s, d)
+      .agg(sum(graft.warehouse.Dwd.dec(col("l_extendedprice")) *
+        (lit(1) - graft.warehouse.Dwd.dec(col("l_discount"))))
+        .cast("double")).collect()(0).getDouble(0)
+    assert(math.abs(total - expect) < 1e-6 * expect,
+      s"climb lost revenue: $total vs $expect")
+    // the depth budget fails loudly when rows cannot reach a root
+    val e = intercept[IllegalArgumentException] {
+      graft.warehouse.Analytics.hierarchyRollup(s, d, maxDepth = 1)
+    }
+    assert(e.getMessage.contains("still climbing"))
+  }
 }
