@@ -125,6 +125,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // materialized-view rewrite: queries matching the registered
     // canonical aggregate are spliced onto the precomputed summary
     e.injectOptimizerRule(session => graft.plans.SummaryRewrite(session))
+    // declared dense-id columns serve COUNT(DISTINCT) through the
+    // native bitmap aggregate — plan changes, answer provably doesn't
+    e.injectOptimizerRule(session => graft.plans.BitmapCountRewrite(session))
     // raw-SQL surface for the custom joins:
     //   SELECT * FROM graft_asof_join('l', 'r', 'key', 'ts', 'val')
     // the TVF parses to an unresolved marker; the resolution rule

@@ -232,4 +232,39 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(q.count() > 0)
     } finally s.conf.unset(key)
   }
+  test("bitmap rewrite: declared column serves COUNT(DISTINCT) via the native aggregate") {
+    val bk = "spark.graft.bitmap.countDistinct"
+    def dailyUv = graft.sources.Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("dt"))
+      .agg(countDistinct(col("user_id")).as("uv"))
+    val plainPlan = dailyUv.queryExecution.executedPlan.toString
+    assert(!plainPlan.contains("graft_bitmap_distinct"),
+      "no rewrite without the declaration")
+    val baseline = dailyUv.collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    s.conf.set(bk, s"events.parquet:user_id:${1L << 24}")
+    try {
+      val rewritten = dailyUv
+      assert(rewritten.queryExecution.executedPlan.toString
+        .contains("graft_bitmap_distinct"), "declared column must rewrite")
+      val got = rewritten.collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+      assert(got === baseline, "rewrite must not change the answer")
+      // relation gate: same column name on another table is untouched
+      val other = graft.sources.Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")))
+      assert(!other.queryExecution.executedPlan.toString
+        .contains("graft_bitmap_distinct"))
+    } finally s.conf.unset(bk)
+    // a mis-declared domain fails loudly, never a silent wrong count
+    s.conf.set(bk, "events.parquet:user_id:10")
+    try {
+      val e = intercept[Exception] { dailyUv.collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("outside")), s"got: ${msgs(e)}")
+    } finally s.conf.unset(bk)
+  }
 }
