@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       exprs => SimHash64(exprs(0))))
     e.injectFunction((
+      new FunctionIdentifier("graft_rep_stats"),
+      new ExpressionInfo(classOf[graft.functions.RepStats].getName,
+        "graft_rep_stats"),
+      exprs => graft.functions.RepStats(exprs(0))))
+    e.injectFunction((
       new FunctionIdentifier("graft_dict_segment"),
       new ExpressionInfo(classOf[DictSegment].getName, "graft_dict_segment"),
       exprs => DictSegment(exprs(0))))

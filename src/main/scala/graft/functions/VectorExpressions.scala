@@ -229,6 +229,67 @@ case class ShingleHashes(left: Expression, right: Expression)
   * groupBy → 64-conditional-sums formulation shuffles every token;
   * this expression keeps it map-side with zero shuffle.
   */
+/** Per-document repetition statistics in ONE pass —
+  * `graft_rep_stats(text)` → `[top_token_ct, n_tokens,
+  * top_bigram_ct, n_bigrams, distinct_bigrams]`. These are
+  * per-document scalars (the Gopher-rules repetition screens), so
+  * the explode → (doc, gram) groupBy → per-doc max formulation pays
+  * two corpus-wide shuffles for numbers each row could compute
+  * locally; this expression tokenizes once (same contract as
+  * `Text.wsTokens`: lowercase, single-space split, empties dropped)
+  * and counts tokens + adjacent bigrams in per-row hash maps — zero
+  * shuffle, the whole query becomes a scan. Same discipline as
+  * [[SimHash64]] one paragraph up.
+  */
+case class RepStats(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rep_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.expect(prettyName, 0, child, _ == StringType, "a string")
+
+  override def nullSafeEval(textAny: Any): Any = {
+    val text = textAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.toString
+    val tokCt = new java.util.HashMap[String, Integer]()
+    val bgCt = new java.util.HashMap[String, Integer]()
+    var nTokens = 0L
+    var nBigrams = 0L
+    var prev: String = null
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && text.charAt(i) == ' ') i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && text.charAt(i) != ' ') i += 1
+        val tok = text.substring(start, i)
+        nTokens += 1
+        tokCt.merge(tok, 1, (a, b) => a + b)
+        if (prev != null) {
+          nBigrams += 1
+          bgCt.merge(prev + " " + tok, 1, (a, b) => a + b)
+        }
+        prev = tok
+      }
+    }
+    def maxV(m: java.util.HashMap[String, Integer]): Long = {
+      var mx = 0L
+      val it = m.values().iterator()
+      while (it.hasNext) { val v = it.next().longValue(); if (v > mx) mx = v }
+      mx
+    }
+    new GenericArrayData(Array(maxV(tokCt), nTokens, maxV(bgCt),
+      nBigrams, bgCt.size.toLong))
+  }
+
+  override protected def withNewChildInternal(c: Expression): RepStats =
+    copy(child = c)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression
     with CodegenFallback {
 
@@ -704,6 +765,8 @@ object VectorExpressions {
       exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rep_stats", exprs => RepStats(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dict_segment", exprs => DictSegment(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

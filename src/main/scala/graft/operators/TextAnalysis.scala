@@ -172,32 +172,32 @@ object TextAnalysis {
   /** Repetition signals per document (the Gopher-rules family):
     * most-frequent-token count, word-bigram totals/distincts, and the
     * duplicate-bigram fraction — the filters a training pipeline uses
-    * to drop boilerplate and degenerate generations. Counting the
-    * max-frequency element per doc is an explode → (doc, gram)
-    * groupBy → per-doc max: both aggregations are map-side
-    * combinable and key on (doc_id, gram) / doc_id, so the shuffles
-    * stay balanced at corpus scale (no global hot key).
+    * to drop boilerplate and degenerate generations. These are
+    * per-document SCALARS, so the whole query is one corpus scan:
+    * the native `graft_rep_stats` expression tokenizes once and
+    * counts tokens + adjacent bigrams in per-row hash maps (the
+    * explode → (doc, gram) groupBy → per-doc max formulation this
+    * replaces paid two corpus-wide shuffles for numbers every row
+    * can compute locally — same zero-shuffle discipline as SimHash).
     */
   def repetitionStats(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.spread(Tables.documents(s, d))
-      .select(col("doc_id"), Text.wsTokens(col("text")).as("tk"))
-    val tokTop = toks.select(col("doc_id"), explode(col("tk")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        max(col("c")).as("top_token_ct"),
-        sum(col("c")).as("n_tokens"))
-    val bigrams = when(size(col("tk")) >= 2,
-      transform(sequence(lit(1), size(col("tk")) - 1),
-        i => concat_ws(" ", element_at(col("tk"), i),
-          element_at(col("tk"), i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val bgTop = toks.select(col("doc_id"), explode(bigrams).as("bgm"))
-      .groupBy("doc_id", "bgm").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        max(col("c")).as("top_bigram_ct"),
-        sum(col("c")).as("n_bigrams"),
-        count(lit(1)).as("distinct_bigrams"))
-    tokTop.join(bgTop, Seq("doc_id"), "left")
+    graft.functions.Vectors.ensureRegistered(s)
+    Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"),
+        call_function("graft_rep_stats", col("text")).as("r"))
+      .filter(element_at(col("r"), 2) > 0)
+      .select(col("doc_id"),
+        element_at(col("r"), 1).as("top_token_ct"),
+        element_at(col("r"), 2).as("n_tokens"),
+        // bigram fields are NULL (not 0) for sub-2-token docs — the
+        // left-join semantics of the old two-shuffle formulation,
+        // which the oracle mirrors
+        when(element_at(col("r"), 4) > 0, element_at(col("r"), 3))
+          .as("top_bigram_ct"),
+        when(element_at(col("r"), 4) > 0, element_at(col("r"), 4))
+          .as("n_bigrams"),
+        when(element_at(col("r"), 4) > 0, element_at(col("r"), 5))
+          .as("distinct_bigrams"))
       .withColumn("dup_bigram_frac",
         lit(1.0) - col("distinct_bigrams").cast("double") /
           nullif(col("n_bigrams").cast("double"), lit(0.0)))
