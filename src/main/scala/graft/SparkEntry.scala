@@ -216,6 +216,7 @@ object SparkEntry {
     "analytics_exp_smooth" -> (Analytics.expSmoothGmv(_, _)),
     "pipeline_gdpr_erase" -> (Quality.gdprErasePlan(_, _)),
     "analytics_hierarchy_rollup" -> (Analytics.hierarchyRollup(_, _)),
+    "analytics_motif_search" -> (Analytics.motifSearch(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -2814,6 +2815,48 @@ object SparkEntry {
         |  v(channel, credit))
         |SELECT channel, CAST(SUM(credit) AS BIGINT) AS credit_ppm
         |FROM x GROUP BY 1""".stripMargin,
+    // motif search: Pearson-similar historical windows to the last
+    // 7-day window, exact DECIMAL moments, trivial-match exclusion
+    "analytics_motif_search" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS g
+        | FROM orders GROUP BY 1),
+        |idx AS (SELECT row_number() OVER (ORDER BY dt) AS rn, dt, g
+        |        FROM daily),
+        |mx AS (SELECT MAX(rn) AS nmax FROM idx),
+        |pos AS (SELECT rn - o AS start_rn, o AS p, dt, g
+        |        FROM idx CROSS JOIN range(0, 7) r(o)
+        |        WHERE rn - o >= 1),
+        |q AS (SELECT p, g AS qg FROM pos CROSS JOIN mx
+        |      WHERE start_rn = nmax - 6),
+        |cand AS (SELECT pos.start_rn, pos.p, pos.dt, pos.g, q.qg
+        |         FROM pos CROSS JOIN mx JOIN q ON pos.p = q.p
+        |         WHERE pos.start_rn < nmax - 12),
+        |mo AS (SELECT start_rn, COUNT(*) AS n,
+        |  MAX(CASE WHEN p = 0 THEN dt END) AS start_day,
+        |  SUM(CAST(g AS DECIMAL(19,0))) AS sx,
+        |  SUM(CAST(qg AS DECIMAL(19,0))) AS sy,
+        |  SUM(CAST(CAST(g AS DECIMAL(19,0)) * CAST(qg AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS sxy,
+        |  SUM(CAST(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS sxx,
+        |  SUM(CAST(CAST(qg AS DECIMAL(19,0)) * CAST(qg AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS syy
+        | FROM cand GROUP BY 1 HAVING COUNT(*) = 7),
+        |sc AS (SELECT start_day,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS sim
+        | FROM mo)
+        |SELECT start_day, sim, rk FROM (
+        | SELECT start_day, sim, CAST(row_number() OVER (
+        |   ORDER BY sim DESC, start_day) AS BIGINT) AS rk FROM sc) t
+        |WHERE rk <= 5""".stripMargin,
     // iterative-join climb == recursive CTE over the same derived
     // category edges; exact DECIMAL revenue through every level
     "analytics_hierarchy_rollup" ->

@@ -424,6 +424,62 @@ object Analytics {
           .as("autocorr"))
   }
 
+  /** Time-series motif search — subsequence similarity in the
+    * matrix-profile shape (EDBT'19 streaming-similarity family): find
+    * the k historical `w`-day windows of daily GMV most similar to
+    * the LAST window, similarity = Pearson correlation (shift/scale
+    * invariant, the z-normalized-distance equivalent) computed from
+    * exact DECIMAL moments with the same rounded-double finish as
+    * [[corrQtyPrice]]. Windows materialize as (start, position)
+    * pairs off ONE day-grain explode — w rows per day, never a
+    * fact-table fanout; the query window and the series length ride
+    * 1-row/W-row broadcasts (no driver scalar); windows overlapping
+    * the query are excluded (the trivial-match exclusion zone every
+    * motif definition applies). Ranks break ties on start day.
+    */
+  def motifSearch(s: SparkSession, d: String, w: Int = 7,
+      k: Int = 5): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+    val idx = daily.withColumn("rn",
+      row_number().over(Window.orderBy("dt")))
+    val mx = idx.agg(max(col("rn")).as("nmax"))
+    val pos = idx.crossJoin(broadcast(mx))
+      .select(col("rn"), col("dt"), col("g"), col("nmax"),
+        explode(sequence(lit(0), lit(w - 1))).as("p"))
+      .select((col("rn") - col("p")).as("start_rn"), col("p"),
+        col("dt"), col("g"), col("nmax"))
+      .filter(col("start_rn") >= 1)
+    val q = pos.filter(col("start_rn") === col("nmax") - (w - 1))
+      .select(col("p"), col("g").as("qg"))
+    val cand = pos.filter(col("start_rn") < col("nmax") - (2 * w - 2))
+      .join(broadcast(q), "p")
+    val x = col("g").cast(DecimalType(19, 0))
+    val y = col("qg").cast(DecimalType(19, 0))
+    val moments = cand.groupBy("start_rn")
+      .agg(count(lit(1)).as("n"),
+        max(when(col("p") === 0, col("dt"))).as("start_day"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast(DecimalType(38, 0))).as("sxy"),
+        sum((x * x).cast(DecimalType(38, 0))).as("sxx"),
+        sum((y * y).cast(DecimalType(38, 0))).as("syy"))
+      .filter(col("n") === w)
+    val corr = round(
+      (col("n").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+      (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) *
+       sqrt(col("n").cast("double") * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double"))), 6)
+    moments.withColumn("sim", corr)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("sim").desc, col("start_day"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("start_day"), col("sim"), col("rk"))
+  }
+
   /** Hierarchical rollup to the root of a category tree — the
     * BOM-explosion / drill-up shape (org charts, category trees):
     * leaf revenue climbs an edge TABLE level by level until every

@@ -514,4 +514,22 @@ class WarehouseSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("still climbing"))
   }
+  test("motif search: ranks dense, similarity bounded, exclusion zone respected") {
+    val rs = graft.warehouse.Analytics.motifSearch(s, d).collect()
+    assert(rs.nonEmpty && rs.length <= 5)
+    assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq ===
+      (1L to rs.length).toSeq)
+    rs.foreach(r => {
+      val sim = r.getAs[Double]("sim")
+      assert(sim >= -1.0 && sim <= 1.0 + 1e-9)
+    })
+    // no returned window may overlap the query window (trivial-match
+    // exclusion): start_day + 2w - 2 < last day
+    val lastDay = graft.sources.Tables.orders(s, d)
+      .agg(max(to_date(col("o_orderdate")))).collect()(0)
+      .getDate(0).toLocalDate
+    rs.foreach(r => assert(r.getAs[java.sql.Date]("start_day")
+      .toLocalDate.plusDays(12).isBefore(lastDay.minusDays(6).plusDays(1)),
+      "window leaks into the exclusion zone"))
+  }
 }
