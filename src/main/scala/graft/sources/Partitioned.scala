@@ -43,4 +43,40 @@ object Partitioned {
         s.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  /** TTL retention sweep — the ClickHouse `TTL date + INTERVAL n DAY`
+    * semantic for a date-partitioned lake table: drop every
+    * `dt=YYYY-MM-DD` partition strictly older than `cutoffDay`,
+    * never touching newer ones, and return the audit report
+    * `(partition, n_files, bytes, action)` for BOTH kept and dropped
+    * partitions. `dryRun = true` produces the identical report with
+    * zero deletes — the review step before an irreversible sweep.
+    * Partition-directory deletion is idempotent (a crashed sweep
+    * re-runs to the same end state), and the serving reader never
+    * sees a half-dropped partition because deletion is per-directory
+    * (the pruning unit), not per-file.
+    */
+  def retentionSweep(s: SparkSession, path: String, partCol: String,
+      cutoffDay: String, dryRun: Boolean = false): DataFrame = {
+    import s.implicits._
+    val root = new java.io.File(path)
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(partCol + "="))
+    val report = parts.toSeq.map { dir =>
+      val day = dir.getName.drop(partCol.length + 1)
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile)
+      val expired = day < cutoffDay
+      val action =
+        if (!expired) "keep"
+        else if (dryRun) "would_drop" else "drop"
+      if (expired && !dryRun) {
+        files.foreach(_.delete())
+        Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        dir.delete()
+      }
+      (dir.getName, files.length.toLong, files.map(_.length).sum, action)
+    }
+    report.toDF("partition", "n_files", "bytes", "action")
+  }
 }

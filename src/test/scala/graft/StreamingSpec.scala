@@ -799,6 +799,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("per-batch dim refresh: a foreachBatch re-read sees dim updates between micro-batches") {
+    // the operational contract behind every stream-static dim join: a
+    // DataFrame captured OUTSIDE foreachBatch pins its file listing,
+    // so dim updates are invisible; re-reading INSIDE the batch body
+    // picks up the current snapshot — the Spark analogue of the
+    // reference's per-record dim lookup freshness (DimApp broadcast
+    // state updates)
+    import s.implicits._
+    val dimPath = tmp("dimref") + "/dim"
+    Seq((1L, "v1")).toDF("k", "dim_v").write.mode("overwrite")
+      .parquet(dimPath)
+    val srcDir = Files.createTempDirectory("dimref-src")
+    Seq((1L, "a")).toDF("k", "payload").write
+      .parquet(srcDir.toString + "/b1")
+    val outRows = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val stream = s.readStream
+      .schema("k LONG, payload STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString + "/*")
+    val q = stream.writeStream
+      .option("checkpointLocation", tmp("dimref-ck"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dimNow = s.read.parquet(dimPath)   // fresh listing per batch
+        val joined = batch.join(dimNow, "k")
+          .select(col("payload"), col("dim_v")).collect()
+        outRows.synchronized {
+          outRows ++= joined.map(r => (r.getString(0), r.getString(1)))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // update the dim, then land a second micro-batch
+      Seq((1L, "v2")).toDF("k", "dim_v").write.mode("overwrite")
+        .parquet(dimPath)
+      Seq((1L, "b")).toDF("k", "payload").write
+        .parquet(srcDir.toString + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = outRows.toMap
+    assert(got("a") === "v1", "first batch must see the original dim")
+    assert(got("b") === "v2", "second batch must see the UPDATED dim")
+  }
+
   test("asOfDimEnrich: streamed facts join the dim version in effect") {
     val ev = Tables.events(s, d)
     // versioned dim: each (user, time) view value is one dim version
