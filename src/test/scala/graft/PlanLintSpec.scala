@@ -131,4 +131,25 @@ class PlanLintSpec extends AnyFunSuite {
         s"$name: no filters pushed to scan:\n${plan.take(2000)}")
     }
   }
+  test("shuffle budgets: per-row operators stay scan-shaped, window ops one shuffle") {
+    // structural regression guard for the r6 zero-/one-shuffle
+    // designs: a lost optimization shows up as an extra Exchange
+    // long before it shows up in a bench number
+    def shuffles(name: String): Int = {
+      val plan = SparkEntry.queries(name)(s, d)
+        .queryExecution.executedPlan.toString
+      ("Exchange hashpartitioning".r.findAllIn(plan).length
+        + "Exchange rangepartitioning".r.findAllIn(plan).length
+        + "Exchange SinglePartition".r.findAllIn(plan).length)
+    }
+    // per-document scalars must never shuffle (modulo the spread
+    // round-robin, which is not a hash/range Exchange)
+    assert(shuffles("text_repetition") === 0, "rep stats must be a scan")
+    // one partitioned window sort, nothing else
+    assert(shuffles("dedup_sorted_neighborhood") <= 1)
+    // one groupBy carrying bitmaps
+    assert(shuffles("analytics_bitmap_uv") <= 1)
+    // window sort + channel rollup
+    assert(shuffles("analytics_attribution_linear") <= 2)
+  }
 }
