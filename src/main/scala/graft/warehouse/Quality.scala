@@ -198,4 +198,42 @@ object Quality {
         .select(lit("events").as("tbl"), col("purge_ct")))
       .reduce(_.unionByName(_))
   }
+
+  /** Per-column table profile of `orders` — null count, exact
+    * distinct count, and (for columns with a total order that both
+    * engines format identically: integers, exact-cents money,
+    * timestamps as epoch micros) min/max as BIGINT. One wide
+    * aggregation row over ONE scan, unpivoted to a row per column —
+    * the profiling pass a catalog runs on ingest. Exact distincts
+    * over multiple columns expand the scan (one Expand branch per
+    * distinct) — that's the honest cost of an exact profile; the
+    * approximate variant is `analytics_approx_stats`.
+    */
+  def profile(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.orders(s, d)
+    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
+      .cast("long")
+    def stats(c: String, numeric: org.apache.spark.sql.Column)
+        : Seq[org.apache.spark.sql.Column] = Seq(
+      count_if(col(c).isNull).as(s"${c}_nulls"),
+      count_distinct(col(c)).as(s"${c}_distinct"),
+      min(numeric).as(s"${c}_min"), max(numeric).as(s"${c}_max"))
+    val aggs =
+      stats("o_orderkey", col("o_orderkey")) ++
+      stats("o_custkey", col("o_custkey")) ++
+      stats("o_totalprice", cents) ++
+      stats("o_orderdate", unix_micros(col("o_orderdate"))) ++
+      stats("o_orderstatus", lit(null).cast("long")) ++
+      stats("o_orderpriority", lit(null).cast("long"))
+    val wide = t.agg(aggs.head, aggs.tail: _*)
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+      "o_orderdate", "o_orderstatus", "o_orderpriority")
+    wide.select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"),
+        col(s"${c}_nulls").as("null_ct"),
+        col(s"${c}_distinct").as("distinct_ct"),
+        col(s"${c}_min").as("min_num"),
+        col(s"${c}_max").as("max_num"))): _*)).as("r"))
+      .select("r.*")
+  }
 }

@@ -403,6 +403,18 @@ class DedupSpec extends AnyFunSuite {
     assert(spans.map(_._1) === Set(0L, 1L, 3L))
     assert(spans.size === 4)
   }
+  test("near-dup rate report agrees with the pair set it summarizes") {
+    val r = Dedup.nearDupRate(s, d).collect()(0)
+    val pairs = Dedup.ngramJaccard(s, d).collect()
+    val touched = pairs.flatMap(p => Seq(p.getLong(0), p.getLong(1)))
+      .distinct.length
+    val nDocs = graft.sources.Tables.documents(s, d).count()
+    assert(r.getAs[Long]("n_docs") === nDocs)
+    assert(r.getAs[Long]("pair_ct") === pairs.length.toLong)
+    assert(r.getAs[Long]("dup_docs") === touched.toLong)
+    assert(r.getAs[Long]("dup_ppm") === touched * 1000000L / nDocs)
+  }
+
   test("sorted neighborhood: candidate volume is O(n*w) and pairs honor the window") {
     val rs = graft.operators.Dedup.sortedNeighborhoodPairs(s, d).collect()
     val n = graft.sources.Tables.documents(s, d).count()

@@ -160,4 +160,44 @@ class GraphSpec extends AnyFunSuite {
           (a, b) }.toSet
     assert(rs.map(r => (r.getLong(0), r.getLong(1))).toSet === expectPairs)
   }
+
+  test("assortativity: bounded, and replays a driver-side Pearson over edge degrees") {
+    val r = Graph.assortativity(s, d).collect()(0)
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0, s"out of range: $a")
+    // driver replay over the collected edge list
+    val edges = Graph.coPurchaseEdges(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = scala.collection.mutable.LongMap.empty[Long]
+    edges.foreach { case (a2, b) =>
+      deg(a2) = deg.getOrElse(a2, 0L) + 1; deg(b) = deg.getOrElse(b, 0L) + 1
+    }
+    val pts = edges.flatMap { case (s2, t) =>
+      Seq((deg(s2), deg(t)), (deg(t), deg(s2))) }
+    val n = BigInt(pts.length)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val syy = pts.map(p => BigInt(p._2) * p._2).sum
+    val expect = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (math.sqrt(n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+        math.sqrt(n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    assert(math.abs(a - expect) < 1e-5, s"$a vs replay $expect")
+    assert(r.getAs[Long]("n") === pts.length.toLong)
+  }
+
+  test("degree distribution: handshake identity and node-count conservation") {
+    val rs = Graph.degreeDist(s, d).collect()
+    val edgeCt = Graph.coPurchaseEdges(s, d).count()
+    val nodeCt = Graph.coPurchaseEdges(s, d)
+      .select(col("s").as("n")).union(
+        Graph.coPurchaseEdges(s, d).select(col("t").as("n")))
+      .distinct().count()
+    // Σ degree·count = 2|E| (each edge contributes to two nodes)
+    assert(rs.map(r => r.getAs[Long]("degree") * r.getAs[Long]("node_ct"))
+      .sum === 2 * edgeCt)
+    assert(rs.map(_.getAs[Long]("node_ct")).sum === nodeCt)
+    rs.foreach(r => assert(r.getAs[Long]("degree") >= 1L))
+  }
 }

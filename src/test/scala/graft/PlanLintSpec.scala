@@ -45,13 +45,28 @@ class PlanLintSpec extends AnyFunSuite {
     * - text_bm25_topk: the 1-row (n_docs, tot_len) corpus-stats
     *   crossJoin onto the query-term postings (same shape as
     *   text_tfidf_topk's N)
+    * - analytics_motif_search: the 1-row series-length (nmax)
+    *   crossJoin onto the day-grain position frame
+    * - analytics_changepoint: the 1-row (n, g_tot) totals crossJoin
+    *   onto the day-grain series (the scaled-CUSUM denominators)
+    * - analytics_seasonality_dow: the 1-row overall-average
+    *   crossJoin onto the ≤7-row day-of-week frame
+    * - analytics_price_cdf: the 1-row aggregate lateral-fanned to a
+    *   row per probe point
+    * - text_collocations: two 1-row token-total crossJoins onto the
+    *   min-support-filtered bigram frame
+    * - corpus_near_dup_rate: three 1-row summary aggregates
+    *   crossJoined into the single report row
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
     "sim_filtered_ann", "text_tfidf_topk", "analytics_key_skew",
     "pipeline_domain_mix", "sim_ann_pq", "analytics_gap_fill",
     "analytics_histogram_eqdepth", "sim_range_search",
-    "analytics_downsample", "dq_drift_psi", "text_bm25_topk")
+    "analytics_downsample", "dq_drift_psi", "text_bm25_topk",
+    "analytics_motif_search", "analytics_changepoint",
+    "analytics_seasonality_dow", "analytics_price_cdf",
+    "text_collocations", "corpus_near_dup_rate")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

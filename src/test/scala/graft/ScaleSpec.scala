@@ -716,4 +716,32 @@ class ScaleSpec extends AnyFunSuite {
       .collect()
     assert(again.forall(_.getString(3) == "keep"))
   }
+
+  test("interchange formats round-trip: ORC, JSON lines, CSV reproduce the rows") {
+    // the lake's interchange surface beyond parquet: a table written
+    // to each format and read back WITH AN EXPLICIT SCHEMA must be
+    // row-identical — timestamps (µs precision), nested-quote JSON
+    // props, and nullable doubles are the traps this pins
+    val dir = java.nio.file.Files.createTempDirectory("fmt-rt").toString
+    val ev = Tables.events(s, d).limit(500)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val schema = ev.schema
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("")).sorted.toSeq
+    val expect = canon(ev)
+    ev.write.mode("overwrite").orc(s"$dir/orc")
+    assert(canon(s.read.schema(schema).orc(s"$dir/orc")) === expect, "orc")
+    // JSON/CSV need a µs-precision timestamp format BOTH ways (the
+    // text defaults keep only millis), header for CSV column order,
+    // and quote-escaping for the embedded-JSON props column
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ev.write.mode("overwrite").option("timestampFormat", tsFmt)
+      .json(s"$dir/json")
+    assert(canon(s.read.schema(schema).option("timestampFormat", tsFmt)
+      .json(s"$dir/json")) === expect, "json")
+    ev.write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", tsFmt).csv(s"$dir/csv")
+    assert(canon(s.read.schema(schema).option("header", "true")
+      .option("timestampFormat", tsFmt).csv(s"$dir/csv")) === expect, "csv")
+  }
 }

@@ -356,4 +356,28 @@ class TextSpec extends AnyFunSuite {
       assert((terms & toks).nonEmpty, s"doc ${r.getLong(0)} has no query term")
     }
   }
+
+  test("collocations: ranks dense, counts replay a driver bigram tally") {
+    val rs = TextAnalysis.collocations(s, d).collect()
+    assert(rs.nonEmpty && rs.length <= 20)
+    assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq ===
+      (1L to rs.length).toSeq)
+    // exact bigram counts replay on the driver with the same
+    // whitespace tokenization
+    val tally = scala.collection.mutable.Map.empty[(String, String), Long]
+    graft.sources.Tables.documents(s, d).select("text").collect()
+      .foreach { r =>
+        val t = r.getString(0).toLowerCase.split(" ").filter(_.nonEmpty)
+        t.sliding(2).foreach {
+          case Array(a, b) =>
+            tally((a, b)) = tally.getOrElse((a, b), 0L) + 1
+          case _ =>
+        }
+      }
+    rs.foreach { r =>
+      val key = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      assert(r.getAs[Long]("pair_ct") === tally(key), s"count for $key")
+      assert(r.getAs[Long]("pair_ct") >= 5L)
+    }
+  }
 }

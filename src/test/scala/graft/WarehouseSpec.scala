@@ -532,4 +532,118 @@ class WarehouseSpec extends AnyFunSuite {
       .toLocalDate.plusDays(12).isBefore(lastDay.minusDays(6).plusDays(1)),
       "window leaks into the exclusion zone"))
   }
+
+  /** The exact daily GMV cents series, driver-side, for time-series
+    * replays. */
+  private def dailySeries(): Seq[(java.time.LocalDate, Long)] =
+    graft.sources.Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("g"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+
+  test("trend OLS: slope/intercept replay the closed form exactly") {
+    val series = dailySeries()
+    val xs = series.map(_._1.toEpochDay)
+    val ys = series.map(_._2)
+    val n = BigInt(series.length)
+    val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+    val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+    val sxx = xs.map(x => BigInt(x) * x).sum
+    val slope = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+    val r = graft.warehouse.Analytics.trendOls(s, d).collect()(0)
+    assert(r.getAs[Long]("n") === series.length)
+    assert(math.abs(r.getAs[Double]("slope_cents_per_day") - slope) < 1e-4)
+  }
+
+  test("changepoint: argmax of the scaled CUSUM replays exactly") {
+    val series = dailySeries()
+    val n = series.length
+    val tot = series.map(s => BigInt(s._2)).sum
+    var cum = BigInt(0)
+    val stats = series.zipWithIndex.map { case ((day, g), i) =>
+      cum += g
+      (day, BigInt(n) * cum - BigInt(i + 1) * tot)
+    }
+    val best = stats.minBy { case (day, sk) => (-sk.abs, day.toEpochDay) }
+    val r = graft.warehouse.Analytics.changepointCusum(s, d).collect()(0)
+    assert(r.getAs[java.sql.Date]("change_day").toLocalDate === best._1)
+    assert(BigInt(r.getAs[java.math.BigDecimal]("cusum_stat")
+      .toBigInteger) === best._2)
+    assert(r.getAs[Long]("n_days") === n.toLong)
+  }
+
+  test("seasonality: days partition the calendar, ppm is the exact floor ratio") {
+    val rs = graft.warehouse.Analytics.seasonalityDow(s, d).collect()
+    assert(rs.length <= 7 && rs.map(_.getAs[Long]("dow")).distinct.length
+      === rs.length)
+    val series = dailySeries()
+    assert(rs.map(_.getAs[Long]("n_days")).sum === series.length.toLong)
+    val avgAll = series.map(_._2).sum / series.length
+    rs.foreach { r =>
+      assert(r.getAs[Long]("index_ppm") ===
+        r.getAs[Long]("avg_cents") * 1000000L / avgAll)
+    }
+  }
+
+  test("price CDF: monotone in the probe, ppm bounded, counts replayed") {
+    val rs = graft.warehouse.Analytics.priceCdf(s, d).collect()
+      .sortBy(_.getAs[Long]("probe_dollars"))
+    assert(rs.length === 5)
+    val n = graft.sources.Tables.orders(s, d).count()
+    var prev = -1L
+    rs.foreach { r =>
+      val le = r.getAs[Long]("le_ct")
+      assert(le >= prev && le <= n); prev = le
+      assert(r.getAs[Long]("cdf_ppm") === le * 1000000L / n)
+    }
+  }
+
+  test("stickiness: DAU <= MAU, ppm bounded, every active day present") {
+    val rs = graft.warehouse.Analytics.stickiness(s, d).collect()
+    val days = graft.sources.Tables.events(s, d)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(rs.length === days)
+    rs.foreach { r =>
+      assert(r.getAs[Long]("dau_ct") <= r.getAs[Long]("mau_ct"))
+      assert(r.getAs[Long]("stickiness_ppm") <= 1000000L)
+      assert(r.getAs[Long]("stickiness_ppm") ===
+        r.getAs[Long]("dau_ct") * 1000000L / r.getAs[Long]("mau_ct"))
+    }
+  }
+
+  test("ship latency: per-priority quantiles ordered and inside the delay range") {
+    val rs = graft.warehouse.Analytics.shipLatency(s, d).collect()
+    assert(rs.nonEmpty && rs.length <= 5)
+    val mm = graft.sources.Tables.lineitem(s, d)
+      .join(graft.sources.Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(to_date(col("l_shipdate")),
+        to_date(col("o_orderdate"))).cast("double").as("dl"))
+      .agg(min("dl"), max("dl")).collect()(0)
+    rs.foreach { r =>
+      val (p50, p90, p99) = (r.getAs[Double]("p50"),
+        r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(p50 <= p90 && p90 <= p99, s"quantiles out of order: $r")
+      assert(p50 >= mm.getDouble(0) && p99 <= mm.getDouble(1))
+    }
+  }
+
+  test("profile: key column is unique and null-free, ranges ordered") {
+    val rs = graft.warehouse.Quality.profile(s, d).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(rs.size === 6)
+    val n = graft.sources.Tables.orders(s, d).count()
+    val k = rs("o_orderkey")
+    assert(k.getAs[Long]("null_ct") === 0L)
+    assert(k.getAs[Long]("distinct_ct") === n)
+    rs.values.filter(r => !r.isNullAt(r.fieldIndex("min_num"))).foreach {
+      r => assert(r.getAs[Long]("min_num") <= r.getAs[Long]("max_num"))
+    }
+    assert(rs("o_orderstatus").isNullAt(
+      rs("o_orderstatus").fieldIndex("min_num")))
+  }
 }
