@@ -228,6 +228,10 @@ object SparkEntry {
     "analytics_ship_latency" -> (Analytics.shipLatency(_, _)),
     "graph_assortativity" -> (graft.operators.Graph.assortativity(_, _)),
     "corpus_near_dup_rate" -> (Dedup.nearDupRate(_, _)),
+    "analytics_gini" -> (Analytics.giniSpend(_, _)),
+    "analytics_hhi" -> (Analytics.hhiSupplier(_, _)),
+    "text_hapax_stats" -> (TextAnalysis.hapaxStats(_, _)),
+    "dedup_priority_keep" -> (Dedup.dedupPriority(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3142,5 +3146,96 @@ object SparkEntry {
         |SELECT n_docs, dup_docs, pair_ct,
         | dup_docs * 1000000 // n_docs AS dup_ppm
         |FROM nd CROSS JOIN dd CROSS JOIN pc""".stripMargin,
+    // rank-weighted Gini in exact integer cents; ties in spend are
+    // order-invariant in Σi·x so the rank tie-break can't matter
+    "analytics_gini" ->
+      """WITH spend AS (
+        | SELECT o_custkey, CAST(SUM(CAST(CAST(o_totalprice
+        |    AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        | FROM orders GROUP BY 1),
+        |rk AS (SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey)
+        |         AS BIGINT) AS i FROM spend),
+        |mo AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(x) AS HUGEINT) AS sx,
+        |  CAST(SUM(CAST(i AS HUGEINT) * x) AS HUGEINT) AS six
+        | FROM rk)
+        |SELECT n, CAST((2 * six - (n + 1) * sx) * 1000000
+        |  // (n * sx) AS BIGINT) AS gini_ppm
+        |FROM mo""".stripMargin,
+    // Σ share² concentration in exact 1e-4-dollar units (2dp×2dp
+    // revenue has exactly 4 decimals, so ×10000 is integral)
+    "analytics_hhi" ->
+      """WITH rev AS (
+        | SELECT l_suppkey, CAST(SUM(CAST(CAST(l_extendedprice
+        |    AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |    * 10000 AS BIGINT)) AS BIGINT) AS x
+        | FROM lineitem GROUP BY 1),
+        |mo AS (SELECT COUNT(*) AS n_suppliers,
+        |  CAST(SUM(x) AS HUGEINT) AS sx,
+        |  CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        | FROM rev)
+        |SELECT n_suppliers,
+        | CAST(sxx * 1000000 // (sx * sx) AS BIGINT) AS hhi_ppm
+        |FROM mo""".stripMargin,
+    // vocabulary profile: grouped token counts → 1-row aggregate
+    "text_hapax_stats" ->
+      """WITH tf AS (SELECT w, COUNT(*) AS ct FROM (
+        | SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |   x -> x <> '')) AS w FROM documents) u GROUP BY 1),
+        |mo AS (SELECT COUNT(*) AS n_types,
+        |  CAST(SUM(ct) AS BIGINT) AS n_tokens,
+        |  COUNT(*) FILTER (WHERE ct = 1) AS hapax_ct FROM tf)
+        |SELECT n_types, n_tokens, hapax_ct,
+        | hapax_ct * 1000000 // n_types AS hapax_ppm,
+        | n_types * 1000000 // n_tokens AS ttr_ppm
+        |FROM mo""".stripMargin,
+    // cluster closure (recursive CTE) + per-cluster argmax by the
+    // SAME IEEE quality score, doc-id tie-break
+    "dedup_priority_keep" ->
+      """WITH RECURSIVE
+        |sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        |  FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM i
+        |          JOIN sz sa ON sa.doc_id = id_a
+        |          JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.lbl FROM edges e, reach r WHERE e.dst = r.id),
+        |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
+        |       GROUP BY 1),
+        |q AS (SELECT doc_id,
+        |  stop_ct / NULLIF(n_toks, 0) * 0.3 + alpha / NULLIF(n_chars, 0)
+        |    * 0.4 + least(n_toks / 100.0, 1.0) * 0.3 AS q
+        | FROM (
+        |  SELECT doc_id,
+        |   CAST(length(text) AS DOUBLE) AS n_chars,
+        |   CAST(len(toks) AS DOUBLE) AS n_toks,
+        |   CAST(len(list_filter(toks, x -> list_contains(
+        |    ['the','a','of','and','to','is','in','that','it','for'], x)))
+        |    AS DOUBLE) AS stop_ct,
+        |   CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |    AS DOUBLE) AS alpha
+        |  FROM (SELECT doc_id, text,
+        |         list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |          AS toks FROM documents) a) b),
+        |j AS (SELECT cl.cluster_id, cl.doc_id, q.q,
+        |  CAST(row_number() OVER (PARTITION BY cl.cluster_id
+        |    ORDER BY q.q DESC, cl.doc_id) AS BIGINT) AS rk,
+        |  COUNT(*) OVER (PARTITION BY cl.cluster_id) AS cluster_size
+        | FROM cl JOIN q ON cl.doc_id = q.doc_id)
+        |SELECT cluster_id, doc_id AS keep_id, cluster_size,
+        | round(q, 6) AS keep_score
+        |FROM j WHERE rk = 1""".stripMargin,
   )
 }

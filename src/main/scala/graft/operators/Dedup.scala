@@ -220,6 +220,34 @@ object Dedup {
         expr("dup_docs * 1000000 DIV n_docs").as("dup_ppm"))
   }
 
+  /** Quality-priority canonical selection: within each near-dup
+    * cluster keep the HIGHEST-QUALITY document, not the smallest id
+    * — the curation policy real pipelines want (dedup should drop
+    * the worse copy). Composes the cluster closure with the linear
+    * quality score; the per-cluster argmax is one window rank with
+    * a doc-id tie-break (both engines compute the identical IEEE
+    * score — the `text_quality` gate proves it — so the ordering is
+    * engine-deterministic). Cluster count bounds the window
+    * partitions; singletons never enter the window.
+    */
+  def dedupPriority(s: SparkSession, d: String): DataFrame = {
+    val clusters = dedupClusters(ngramJaccard(s, d))
+    val scored = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"),
+        graft.functions.Text.qualityScore(col("text")).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id"))
+    clusters.join(scored, "doc_id")
+      .select(col("cluster_id"), col("doc_id"), col("q"),
+        row_number().over(w).cast("long").as("rk"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("cluster_id")).as("cluster_size"))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("cluster_size"), round(col("q"), 6).as("keep_score"))
+  }
+
   /** Transitive closure of near-dup pairs into canonical clusters:
     * iterative min-label propagation — each round, every node adopts
     * the smallest label among itself and its neighbors; converges in

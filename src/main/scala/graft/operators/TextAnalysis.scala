@@ -733,6 +733,25 @@ object TextAnalysis {
         max(col("n_tokens")).as("max_tokens"))
   }
 
+  /** Lexical-richness profile of the corpus — vocabulary size,
+    * token count, hapax legomena (types occurring once), and the
+    * type/token + hapax ratios in integer ppm. The Zipf-tail
+    * diagnostic a curation pipeline tracks across dumps: a falling
+    * hapax share signals template/boilerplate contamination. One
+    * tokenize → one grouped count → one 1-row aggregate; everything
+    * map-side combinable.
+    */
+  def hapaxStats(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .select(explode(Text.wsTokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("ct"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("ct")).cast("long").as("n_tokens"),
+        count_if(col("ct") === 1).as("hapax_ct"))
+      .select(col("n_types"), col("n_tokens"), col("hapax_ct"),
+        expr("hapax_ct * 1000000 DIV n_types").as("hapax_ppm"),
+        expr("n_types * 1000000 DIV n_tokens").as("ttr_ppm"))
+
   /** Collocation mining: adjacent-word bigrams ranked by pointwise
     * lift P(w₁w₂)/(P(w₁)P(w₂)) — the phrase detector run before
     * tokenizer training ("new york" is one token). Bigrams come from

@@ -1517,6 +1517,69 @@ object Analytics {
         expr("dau_ct * 1000000 DIV mau_ct").as("stickiness_ppm"))
   }
 
+  /** Gini coefficient of per-customer spend — the inequality scalar
+    * behind "do 20% of customers drive 80% of revenue?". The classic
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted
+    * spend is EXACT INTEGER once x is cents: global ranks come from
+    * a RANGE-PARTITIONED sort + zipWithIndex (the `corpus_assign_ids`
+    * pattern — a `row_number() OVER (ORDER BY …)` would funnel every
+    * customer through ONE window partition), ties in spend are
+    * order-invariant in Σ i·xᵢ so the custkey tie-break changes
+    * nothing, moments ride DECIMAL(38), and the single division is
+    * an integral DIV to ppm — engine-exact. The 100 TB cost is the
+    * one fact scan; the distributed sort is over customers, not
+    * line items.
+    */
+  def giniSpend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("x"))
+    val ranked = spend
+      .repartitionByRange(col("x"), col("o_custkey"))
+      .sortWithinPartitions("x", "o_custkey")
+      .select(col("x")).as[Long]
+      .rdd.zipWithIndex()
+      .map { case (x, idx) => (x, idx + 1) }
+      .toDF("x", "i")
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("x")).cast(DecimalType(19, 0)).as("sx"),
+        sum((col("i").cast(DecimalType(19, 0)) *
+          col("x").cast(DecimalType(19, 0))).cast(d38)).as("six"))
+      .select(col("n"),
+        expr("""CAST((2 * six - (n + 1) * sx) * 1000000 AS DECIMAL(38,0))
+                DIV CAST(n * sx AS DECIMAL(38,0))""").as("gini_ppm"))
+  }
+
+  /** Herfindahl–Hirschman concentration of revenue across suppliers
+    * — the antitrust-style "how concentrated is supply?" scalar.
+    * HHI = Σ shareᵢ² = Σxᵢ² / (Σx)², all in exact integer cents:
+    * per-supplier revenue off one fact scan, squares and the ppm
+    * division in DECIMAL(38) vs HUGEINT. No sort at all (unlike
+    * [[giniSpend]]) — the whole statistic is two combinable
+    * aggregations. Revenue rides 10⁻⁴-dollar units: ep(2dp)·disc(2dp)
+    * has EXACTLY four decimals, so ×10000 is integral and the
+    * long cast can't diverge between truncating and rounding
+    * engines.
+    */
+  def hhiSupplier(s: SparkSession, d: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum((Dwd.dec(col("l_extendedprice")) *
+        (lit(1) - Dwd.dec(col("l_discount"))) * 10000).cast("long"))
+        .as("x"))
+    rev.agg(count(lit(1)).as("n_suppliers"),
+        sum(col("x")).cast(DecimalType(19, 0)).as("sx"),
+        sum((col("x").cast(DecimalType(19, 0)) *
+          col("x").cast(DecimalType(19, 0))).cast(d38)).as("sxx"))
+      .select(col("n_suppliers"),
+        expr("""CAST(sxx * 1000000 AS DECIMAL(38,0))
+                DIV CAST(sx * sx AS DECIMAL(38,0))""").as("hhi_ppm"))
+  }
+
   /** Order-to-ship latency percentiles per order priority — the
     * fulfilment-SLA readout (p50/p90/p99 days from order to ship).
     * The delay column needs the lineitem⋈orders fact-fact join (both

@@ -415,6 +415,28 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Long]("dup_ppm") === touched * 1000000L / nDocs)
   }
 
+  test("priority keep: one keeper per cluster, and it is the cluster's best-scored doc") {
+    val keeps = Dedup.dedupPriority(s, d).collect()
+    val clusters = Dedup.dedupClusters(Dedup.ngramJaccard(s, d))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(keeps.length === byCluster.size)
+    val q = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.Text.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    keeps.foreach { k =>
+      val members = byCluster(k.getAs[Long]("cluster_id"))
+      val keepId = k.getAs[Long]("keep_id")
+      assert(members.contains(keepId))
+      assert(k.getAs[Long]("cluster_size") === members.length.toLong)
+      // argmax with doc_id tie-break
+      val best = members.map(m => (q(m), -m)).max
+      assert((q(keepId), -keepId) === best,
+        s"cluster ${k.getAs[Long]("cluster_id")}: kept $keepId, best $best")
+    }
+  }
+
   test("sorted neighborhood: candidate volume is O(n*w) and pairs honor the window") {
     val rs = graft.operators.Dedup.sortedNeighborhoodPairs(s, d).collect()
     val n = graft.sources.Tables.documents(s, d).count()

@@ -357,6 +357,22 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("hapax stats replay a driver vocabulary tally") {
+    val r = TextAnalysis.hapaxStats(s, d).collect()(0)
+    val tally = scala.collection.mutable.Map.empty[String, Long]
+    graft.sources.Tables.documents(s, d).select("text").collect()
+      .foreach(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty)
+        .foreach(w => tally(w) = tally.getOrElse(w, 0L) + 1))
+    val types = tally.size.toLong
+    val tokens = tally.values.sum
+    val hapax = tally.values.count(_ == 1L).toLong
+    assert(r.getAs[Long]("n_types") === types)
+    assert(r.getAs[Long]("n_tokens") === tokens)
+    assert(r.getAs[Long]("hapax_ct") === hapax)
+    assert(r.getAs[Long]("hapax_ppm") === hapax * 1000000L / types)
+    assert(r.getAs[Long]("ttr_ppm") === types * 1000000L / tokens)
+  }
+
   test("collocations: ranks dense, counts replay a driver bigram tally") {
     val rs = TextAnalysis.collocations(s, d).collect()
     assert(rs.nonEmpty && rs.length <= 20)

@@ -615,6 +615,40 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("gini: exact BigInt replay of the rank-weighted formula") {
+    val spend = graft.sources.Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("x"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sortBy(identity)
+    val n = BigInt(spend.length)
+    val sx = spend.map(p => BigInt(p._1)).sum
+    val six = spend.zipWithIndex.map { case ((x, _), i) =>
+      BigInt(i + 1) * x }.sum
+    val expect = (BigInt(2) * six - (n + 1) * sx) * 1000000 / (n * sx)
+    val r = graft.warehouse.Analytics.giniSpend(s, d).collect()(0)
+    assert(r.getAs[Long]("n") === spend.length.toLong)
+    assert(BigInt(r.getAs[Long]("gini_ppm")) === expect)
+    assert(expect >= 0 && expect < 1000000)
+  }
+
+  test("hhi: exact BigInt replay, bounded by [1e6/n, 1e6]") {
+    val r = graft.warehouse.Analytics.hhiSupplier(s, d).collect()(0)
+    val xs = graft.sources.Tables.lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(sum((col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1) - col("l_discount").cast("decimal(12,2)")) * 10000)
+        .cast("long")).as("x"))
+      .collect().map(r2 => BigInt(r2.getLong(1)))
+    val sx = xs.sum
+    val expect = xs.map(x => x * x).sum * 1000000 / (sx * sx)
+    assert(r.getAs[Long]("n_suppliers") === xs.length.toLong)
+    assert(BigInt(r.getAs[Long]("hhi_ppm")) === expect)
+    // perfectly even → 1e6/n; single supplier → 1e6
+    assert(expect >= 1000000 / xs.length && expect <= 1000000)
+  }
+
   test("ship latency: per-priority quantiles ordered and inside the delay range") {
     val rs = graft.warehouse.Analytics.shipLatency(s, d).collect()
     assert(rs.nonEmpty && rs.length <= 5)
