@@ -232,6 +232,9 @@ object SparkEntry {
     "analytics_hhi" -> (Analytics.hhiSupplier(_, _)),
     "text_hapax_stats" -> (TextAnalysis.hapaxStats(_, _)),
     "dedup_priority_keep" -> (Dedup.dedupPriority(_, _)),
+    "dq_calendar_gaps" -> (Analytics.calendarGaps(_, _)),
+    "dq_gmv_jumps" -> (Analytics.gmvJumps(_, _)),
+    "analytics_lorenz" -> (Analytics.lorenzSpend(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3237,5 +3240,48 @@ object SparkEntry {
         |SELECT cluster_id, doc_id AS keep_id, cluster_size,
         | round(q, 6) AS keep_score
         |FROM j WHERE rk = 1""".stripMargin,
+    // day spine from the table's own bounds, anti-joined against
+    // observed days
+    "dq_calendar_gaps" ->
+      """WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt
+        |              FROM orders),
+        |b AS (SELECT MIN(dt) AS lo, MAX(dt) AS hi FROM days),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+        |  INTERVAL 1 DAY)) AS DATE) AS missing_day FROM b)
+        |SELECT missing_day FROM spine
+        |WHERE missing_day NOT IN (SELECT dt FROM days)""".stripMargin,
+    // 30% day-over-day jump decided by exact integer
+    // cross-multiplication (10·|Δ| > 3·prev)
+    "dq_gmv_jumps" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS g
+        | FROM orders GROUP BY 1),
+        |l AS (SELECT dt, g, lag(g, 1) OVER (ORDER BY dt) AS prev_g
+        |      FROM daily)
+        |SELECT dt AS jump_day, g, prev_g,
+        | CASE WHEN g > prev_g THEN 'up' ELSE 'down' END AS direction
+        |FROM l
+        |WHERE prev_g IS NOT NULL AND abs(g - prev_g) * 10 > prev_g * 3""".stripMargin,
+    // decile Lorenz points: same rank construction as analytics_gini,
+    // ceil-decile in pure integer, cumulative over ten rows
+    "analytics_lorenz" ->
+      """WITH spend AS (
+        | SELECT o_custkey, CAST(SUM(CAST(CAST(o_totalprice
+        |    AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        | FROM orders GROUP BY 1),
+        |rk AS (SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey)
+        |         AS BIGINT) AS i FROM spend),
+        |tot AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(x) AS HUGEINT) AS sx FROM rk),
+        |dcl AS (SELECT (i * 10 + n - 1) // n AS decile, x
+        |        FROM rk CROSS JOIN tot),
+        |g AS (SELECT decile, COUNT(*) AS cust_ct,
+        |        CAST(SUM(x) AS HUGEINT) AS dx FROM dcl GROUP BY 1)
+        |SELECT decile, cust_ct,
+        | CAST(CAST(SUM(dx) OVER (ORDER BY decile) AS HUGEINT) * 1000000
+        |   // (SELECT sx FROM tot) AS BIGINT) AS cum_share_ppm
+        |FROM g""".stripMargin,
   )
 }

@@ -1517,6 +1517,78 @@ object Analytics {
         expr("dau_ct * 1000000 DIV mau_ct").as("stickiness_ppm"))
   }
 
+  /** Calendar completeness check — days inside the table's own
+    * [min, max] span with NO orders at all (a silent upstream-feed
+    * outage looks exactly like this). The day spine generates from a
+    * 1-row bounds aggregate (the gap_fill shape), the observed days
+    * are one distinct over the day grain, and the gap set is their
+    * anti-join — no window, no fact re-scan.
+    */
+  def calendarGaps(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("dt")).distinct()
+    val bounds = days.agg(min(col("dt")).as("lo"), max(col("dt")).as("hi"))
+    bounds.select(explode(sequence(col("lo"), col("hi"))).as("missing_day"))
+      .join(days.withColumnRenamed("dt", "missing_day"),
+        Seq("missing_day"), "left_anti")
+  }
+
+  /** Day-over-day GMV jump detection — the rule-based anomaly alarm
+    * on the reference's headline GMV curve. "|Δ| > 30% of yesterday"
+    * is decided by exact-integer cross-multiplication
+    * (10·|g−g₋₁| > 3·g₋₁ — no float ratio, no rounding ambiguity),
+    * so the flagged set hash-grades. One day-grain window sort;
+    * output is the flagged days with direction.
+    */
+  def gmvJumps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("dt")
+    dailyGmvCents(s, d)
+      .withColumn("prev_g", lag(col("g"), 1).over(w))
+      .filter(col("prev_g").isNotNull &&
+        abs(col("g") - col("prev_g")) * 10 > col("prev_g") * 3)
+      .select(col("dt").as("jump_day"), col("g"), col("prev_g"),
+        when(col("g") > col("prev_g"), lit("up")).otherwise(lit("down"))
+          .as("direction"))
+  }
+
+  /** Lorenz curve of customer spend by decile — the chartable
+    * companion to [[giniSpend]]: cumulative share of revenue held by
+    * the bottom k/10 of customers, in integer ppm. Ranks reuse the
+    * range-partitioned zipWithIndex (no single-partition window over
+    * customers); the cumulative window then runs over TEN decile
+    * rows. Decile assignment floor(i·10/n) keys each customer
+    * map-side once the 1-row count broadcast lands.
+    */
+  def lorenzSpend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("x"))
+    val ranked = spend
+      .repartitionByRange(col("x"), col("o_custkey"))
+      .sortWithinPartitions("x", "o_custkey")
+      .select(col("x")).as[Long]
+      .rdd.zipWithIndex()
+      .map { case (x, idx) => (x, idx + 1) }
+      .toDF("x", "i")
+    val tot = ranked.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast(DecimalType(19, 0)).as("sx"))
+    ranked.crossJoin(broadcast(tot))
+      // ceil(i*10/n) in pure integer: (i*10 + n - 1) DIV n
+      .withColumn("decile", expr("(i * 10 + n - 1) DIV n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("cust_ct"),
+        sum(col("x")).cast(DecimalType(19, 0)).as("dx"),
+        first(col("sx")).as("sx"))
+      .withColumn("cum_x",
+        sum(col("dx")).over(Window.orderBy("decile"))
+          .cast(DecimalType(38, 0)))
+      .select(col("decile"), col("cust_ct"),
+        expr("CAST(cum_x * 1000000 AS DECIMAL(38,0)) DIV CAST(sx AS DECIMAL(38,0))")
+          .as("cum_share_ppm"))
+  }
+
   /** Gini coefficient of per-customer spend — the inequality scalar
     * behind "do 20% of customers drive 80% of revenue?". The classic
     * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted

@@ -57,6 +57,8 @@ class PlanLintSpec extends AnyFunSuite {
     *   min-support-filtered bigram frame
     * - corpus_near_dup_rate: three 1-row summary aggregates
     *   crossJoined into the single report row
+    * - analytics_lorenz: the 1-row (n, Σx) totals crossJoin onto the
+    *   customer-grain ranked frame (decile assignment denominators)
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
@@ -66,7 +68,7 @@ class PlanLintSpec extends AnyFunSuite {
     "analytics_downsample", "dq_drift_psi", "text_bm25_topk",
     "analytics_motif_search", "analytics_changepoint",
     "analytics_seasonality_dow", "analytics_price_cdf",
-    "text_collocations", "corpus_near_dup_rate")
+    "text_collocations", "corpus_near_dup_rate", "analytics_lorenz")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -615,6 +615,45 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("calendar gaps: gaps + observed partition the span, no false gaps") {
+    val gaps = graft.warehouse.Analytics.calendarGaps(s, d).collect()
+      .map(_.getDate(0).toLocalDate).toSet
+    val observed = dailySeries().map(_._1).toSet
+    val span = (observed.map(_.toEpochDay).min to
+      observed.map(_.toEpochDay).max).map(java.time.LocalDate.ofEpochDay)
+    assert((gaps & observed).isEmpty)
+    assert(gaps.size + observed.size === span.length)
+    assert(gaps.forall(g => span.contains(g)))
+  }
+
+  test("gmv jumps: every flag replays the integer cross-multiplication") {
+    val series = dailySeries()
+    val expect = series.zip(series.drop(1)).collect {
+      case ((_, prev), (day, g))
+        if (g - prev).abs * 10 > prev * 3 =>
+          (day, g, prev, if (g > prev) "up" else "down")
+    }.toSet
+    val rs = graft.warehouse.Analytics.gmvJumps(s, d).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(rs === expect)
+  }
+
+  test("lorenz: ten convex points ending at exactly 1e6 ppm") {
+    val rs = graft.warehouse.Analytics.lorenzSpend(s, d).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rs.map(_.getAs[Long]("decile")).toSeq === (1L to 10L))
+    val cums = rs.map(_.getAs[Long]("cum_share_ppm"))
+    assert(cums.last === 1000000L)
+    assert(cums.sliding(2).forall(p => p(0) <= p(1)), "not monotone")
+    // convexity: ascending-sorted deciles give nondecreasing increments
+    val incs = (cums.head +: cums.sliding(2).map(p => p(1) - p(0)).toSeq)
+    assert(incs.sliding(2).forall(p => p(0) <= p(1) + 1), "not convex")
+    val n = graft.sources.Tables.orders(s, d)
+      .select("o_custkey").distinct().count()
+    assert(rs.map(_.getAs[Long]("cust_ct")).sum === n)
+  }
+
   test("gini: exact BigInt replay of the rank-weighted formula") {
     val spend = graft.sources.Tables.orders(s, d)
       .groupBy("o_custkey")
