@@ -2414,10 +2414,13 @@ object SparkEntry {
         |  FROM n),
         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket
         |      FROM bkt WHERE vec_id < 20),
+        |qp AS (SELECT query_id, qv, qn, xor(bucket, m) AS bucket
+        |       FROM q, LATERAL unnest([0, 1, 2, 4, 8, 16, 32, 3, 5, 9,
+        |         17, 33, 6, 10, 18, 34, 12, 20, 36, 24, 40, 48]) v(m)),
         |s AS (SELECT query_id, c.vec_id AS neighbor_id,
         |  list_sum([qv[i+1]*c.v[i+1] for i in range(0,len(qv))])
         |   / (qn * c.nrm) AS cos
-        | FROM q JOIN bkt c USING (bucket) WHERE c.vec_id <> query_id)
+        | FROM qp JOIN bkt c USING (bucket) WHERE c.vec_id <> query_id)
         |SELECT query_id, rk, neighbor_id FROM (
         | SELECT query_id, neighbor_id, row_number() OVER
         |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk

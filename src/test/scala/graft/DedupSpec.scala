@@ -415,6 +415,25 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Long]("dup_ppm") === touched * 1000000L / nDocs)
   }
 
+  test("ANN recall report: LSH and IVF recall vs brute-force ground truth") {
+    // the index-evaluation loop a vector pipeline runs before
+    // trusting an ANN index: recall@k against the exact top-k
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(s, d))
+    val lsh = (truth & pairs(Similarity.annLsh(s, d))).size.toDouble / truth.size
+    val ivf = (truth & pairs(Similarity.annIvf(s, d))).size.toDouble / truth.size
+    info(f"recall@5: lsh=$lsh%.3f ivf=$ivf%.3f over ${truth.size} truth pairs")
+    // bucketed candidate generation trades recall for the equi-join
+    // scale path; these floors pin each index's measured operating
+    // point (2-bit multi-probe LSH 0.53, nProbe=4/16 IVF 0.51) so a
+    // parameter or hashing regression fails loudly
+    assert(lsh >= 0.45, s"LSH recall collapsed: $lsh")
+    assert(ivf >= 0.45, s"IVF recall collapsed: $ivf")
+    assert(lsh <= 1.0 && ivf <= 1.0)
+  }
+
   test("priority keep: one keeper per cluster, and it is the cluster's best-scored doc") {
     val keeps = Dedup.dedupPriority(s, d).collect()
     val clusters = Dedup.dedupClusters(Dedup.ngramJaccard(s, d))
