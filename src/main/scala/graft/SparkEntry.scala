@@ -235,6 +235,8 @@ object SparkEntry {
     "dq_calendar_gaps" -> (Analytics.calendarGaps(_, _)),
     "dq_gmv_jumps" -> (Analytics.gmvJumps(_, _)),
     "analytics_lorenz" -> (Analytics.lorenzSpend(_, _)),
+    "analytics_churn_hazard" -> (Analytics.churnHazard(_, _)),
+    "pipeline_bpe_step" -> (TextAnalysis.bpeStep(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3286,5 +3288,41 @@ object SparkEntry {
         | CAST(CAST(SUM(dx) OVER (ORDER BY decile) AS HUGEINT) * 1000000
         |   // (SELECT sx FROM tot) AS BIGINT) AS cum_share_ppm
         |FROM g""".stripMargin,
+    // lifetimes → per-week churn/at-risk, reverse cumulative
+    // denominator; last observed week is censoring, not churn
+    "analytics_churn_hazard" ->
+      """WITH life AS (
+        | SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d,
+        |  MAX(CAST(ts AS DATE)) AS last_d
+        | FROM events GROUP BY 1),
+        |h AS (SELECT MAX(last_d) AS hzn FROM life),
+        |wk AS (SELECT CAST(datediff('day', first_d, last_d) AS BIGINT)
+        |         // 7 AS end_week, last_d < hzn AS churned
+        |       FROM life CROSS JOIN h),
+        |bw AS (SELECT end_week AS week, COUNT(*) AS ended_ct,
+        |        COUNT(*) FILTER (WHERE churned) AS churn_ct
+        |       FROM wk GROUP BY 1),
+        |ar AS (SELECT week, churn_ct,
+        |  CAST(SUM(ended_ct) OVER (ORDER BY week DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS at_risk
+        | FROM bw)
+        |SELECT week, churn_ct, at_risk,
+        | churn_ct * 1000000 // at_risk AS hazard_ppm
+        |FROM ar""".stripMargin,
+    // one BPE merge step over the VOCABULARY (distinct words ×
+    // corpus counts), adjacent-symbol pairs, lexicographic ties
+    "pipeline_bpe_step" ->
+      """WITH vocab AS (SELECT w AS word, COUNT(*) AS word_ct FROM (
+        | SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |   x -> x <> '')) AS w FROM documents) u GROUP BY 1),
+        |p AS (SELECT substr(word, i, 1) AS c1, substr(word, i + 1, 1) AS c2,
+        |        CAST(SUM(word_ct) AS BIGINT) AS pair_ct
+        |      FROM vocab, LATERAL unnest(range(1, length(word))) r(i)
+        |      WHERE length(word) >= 2 GROUP BY 1, 2)
+        |SELECT c1, c2, pair_ct, rk FROM (
+        | SELECT c1, c2, pair_ct, CAST(row_number() OVER (
+        |   ORDER BY pair_ct DESC, c1, c2) AS BIGINT) AS rk FROM p) t
+        |WHERE rk <= 10""".stripMargin,
   )
 }

@@ -733,6 +733,32 @@ object TextAnalysis {
         max(col("n_tokens")).as("max_tokens"))
   }
 
+  /** One BPE merge step — the inner loop of tokenizer training,
+    * relationalized: the k most frequent ADJACENT SYMBOL PAIRS
+    * across the corpus, each weighted by its word's corpus
+    * frequency. Training runs entirely on the VOCABULARY (distinct
+    * words × counts — thousands of rows however big the corpus),
+    * which is why BPE trainers scale: the fact-sized work is the one
+    * word count, and the pair explosion is per-vocab-entry. Exact
+    * counts, lexicographic tie-break → engine-deterministic ranks.
+    */
+  def bpeStep(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val vocab = Tables.spread(Tables.documents(s, d))
+      .select(explode(Text.wsTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("word_ct"))
+    val pairs = vocab.filter(length(col("word")) >= 2)
+      .select(col("word_ct"), explode(expr(
+        """transform(sequence(1, length(word) - 1),
+           i -> struct(substring(word, i, 1) AS c1,
+                       substring(word, i + 1, 1) AS c2))""")).as("p"))
+      .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
+      .agg(sum(col("word_ct")).cast("long").as("pair_ct"))
+    pairs.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pair_ct").desc, col("c1"), col("c2"))).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Lexical-richness profile of the corpus — vocabulary size,
     * token count, hapax legomena (types occurring once), and the
     * type/token + hapax ratios in integer ppm. The Zipf-tail

@@ -1517,6 +1517,38 @@ object Analytics {
         expr("dau_ct * 1000000 DIV mau_ct").as("stickiness_ppm"))
   }
 
+  /** Discrete-time churn hazard by tenure week — the survival-curve
+    * readout ("when do users quit?") in exact integers: for each
+    * tenure week w, users whose observed lifetime ended at w
+    * (churned) over users who survived INTO w (at-risk), hazard in
+    * ppm. Lifetimes come from one (min, max) pass over the event
+    * log; the at-risk denominator is a reverse cumulative sum over
+    * the ≤O(weeks) grain. The last observed week is censoring, not
+    * churn — users still active at the log's end are at-risk but
+    * never counted as churned, the standard Kaplan–Meier edge.
+    */
+  def churnHazard(s: SparkSession, d: String): DataFrame = {
+    val life = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_d"),
+        max(to_date(col("ts"))).as("last_d"))
+    val horizon = life.agg(max(col("last_d")).as("hzn"))
+    val weeks = life.crossJoin(broadcast(horizon))
+      .select(
+        (datediff(col("last_d"), col("first_d")).cast("long") / 7)
+          .cast("long").as("end_week"),
+        (col("last_d") < col("hzn")).as("churned"))
+    val byWeek = weeks.groupBy(col("end_week").as("week"))
+      .agg(count(lit(1)).as("ended_ct"),
+        count_if(col("churned")).as("churn_ct"))
+    val atRisk = byWeek
+      .withColumn("at_risk", sum(col("ended_ct")).over(
+        Window.orderBy(col("week").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    atRisk.select(col("week"), col("churn_ct"), col("at_risk"),
+      expr("churn_ct * 1000000 DIV at_risk").as("hazard_ppm"))
+  }
+
   /** Calendar completeness check — days inside the table's own
     * [min, max] span with NO orders at all (a silent upstream-feed
     * outage looks exactly like this). The day spine generates from a

@@ -357,6 +357,29 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe step: top pairs replay a driver vocabulary-weighted tally") {
+    val rs = TextAnalysis.bpeStep(s, d).collect()
+    assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq === (1L to rs.length))
+    val vocab = scala.collection.mutable.Map.empty[String, Long]
+    graft.sources.Tables.documents(s, d).select("text").collect()
+      .foreach(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty)
+        .foreach(w => vocab(w) = vocab.getOrElse(w, 0L) + 1))
+    val tally = scala.collection.mutable.Map.empty[(String, String), Long]
+    vocab.foreach { case (w, ct) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val key = (p.substring(0, 1), p.substring(1, 2))
+        tally(key) = tally.getOrElse(key, 0L) + ct
+      }
+    }
+    val expectTop = tally.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(rs.length)
+    rs.sortBy(_.getAs[Long]("rk")).zip(expectTop).foreach {
+      case (r, ((c1, c2), ct)) =>
+        assert((r.getAs[String]("c1"), r.getAs[String]("c2")) === ((c1, c2)))
+        assert(r.getAs[Long]("pair_ct") === ct)
+    }
+  }
+
   test("hapax stats replay a driver vocabulary tally") {
     val r = TextAnalysis.hapaxStats(s, d).collect()(0)
     val tally = scala.collection.mutable.Map.empty[String, Long]

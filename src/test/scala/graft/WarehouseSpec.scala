@@ -615,6 +615,26 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("churn hazard: at-risk telescopes from the full population, censoring respected") {
+    val rs = graft.warehouse.Analytics.churnHazard(s, d).collect()
+      .sortBy(_.getAs[Long]("week"))
+    val users = graft.sources.Tables.events(s, d)
+      .select("user_id").distinct().count()
+    // the earliest OBSERVED tenure week's at-risk set is everyone
+    // (weeks where no lifetime ends simply don't emit a row)
+    assert(rs.head.getAs[Long]("at_risk") === users)
+    // at-risk never grows with tenure; hazard replays the floor-div
+    rs.sliding(2).foreach { p =>
+      if (p.length == 2)
+        assert(p(0).getAs[Long]("at_risk") >= p(1).getAs[Long]("at_risk"))
+    }
+    rs.foreach { r =>
+      assert(r.getAs[Long]("churn_ct") <= r.getAs[Long]("at_risk"))
+      assert(r.getAs[Long]("hazard_ppm") ===
+        r.getAs[Long]("churn_ct") * 1000000L / r.getAs[Long]("at_risk"))
+    }
+  }
+
   test("calendar gaps: gaps + observed partition the span, no false gaps") {
     val gaps = graft.warehouse.Analytics.calendarGaps(s, d).collect()
       .map(_.getDate(0).toLocalDate).toSet
