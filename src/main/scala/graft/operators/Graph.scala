@@ -296,6 +296,43 @@ object Graph {
           .select(col("s").as("id_a"), col("t").as("id_b")))
       .toDF("part_id", "component_id")
 
+  /** k-core decomposition of the strong co-purchase graph:
+    * iteratively peel nodes with degree < k until a fixpoint — the
+    * standard "dense cohesive subgraph" extractor (community cores,
+    * spam-ring detection). Non-monotone, so no recursive-CTE oracle
+    * exists; correctness is spec'd against a driver replay. Each
+    * round is one degree aggregation + one semi-join on the
+    * shrinking edge set, with localCheckpoint breaking lineage; the
+    * round count is bounded by the peel depth (≤ max degree, tiny
+    * in practice) and a loud budget fails on pathological graphs.
+    * Output: surviving nodes with their in-core degree.
+    */
+  def kCore(s: SparkSession, d: String, k: Int = 3,
+      minStrength: Long = 2, maxRounds: Int = 50): DataFrame = {
+    var edges = coPurchasePairCounts(s, d)
+      .filter(col("n_st") >= minStrength)
+      .select(col("s"), col("t")).localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val deg = edges.select(col("s").as("node"))
+        .unionAll(edges.select(col("t").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      val pruned = edges
+        .join(keep.withColumnRenamed("node", "s"), Seq("s"), "left_semi")
+        .join(keep.withColumnRenamed("node", "t"), Seq("t"), "left_semi")
+        .select(col("s"), col("t")).localCheckpoint()
+      done = pruned.count() == edges.count()
+      edges = pruned
+      round += 1
+    }
+    require(done, s"kCore: no fixpoint after $maxRounds peel rounds")
+    edges.select(col("s").as("node"))
+      .unionAll(edges.select(col("t").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Degree distribution of the co-purchase graph — the first
     * diagnostic run on any graph (is it power-law? where do the
     * hubs start?) and the input to every skew decision the other

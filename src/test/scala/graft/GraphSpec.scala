@@ -187,6 +187,28 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n") === pts.length.toLong)
   }
 
+  test("k-core equals a driver-side iterative peel, every survivor has degree >= k") {
+    val k = 3
+    val rs = Graph.kCore(s, d, k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver replay of the peel on the same strong edge set
+    var edges = Graph.coPurchasePairCounts(s, d)
+      .filter(col("n_st") >= 2).select("s", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    var stable = false
+    while (!stable) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val pruned = edges.filter(e => deg(e._1) >= k && deg(e._2) >= k)
+      stable = pruned == edges
+      edges = pruned
+    }
+    val expectDeg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rs === expectDeg)
+    rs.values.foreach(deg => assert(deg >= k))
+  }
+
   test("degree distribution: handshake identity and node-count conservation") {
     val rs = Graph.degreeDist(s, d).collect()
     val edgeCt = Graph.coPurchaseEdges(s, d).count()

@@ -59,6 +59,8 @@ class PlanLintSpec extends AnyFunSuite {
     *   crossJoined into the single report row
     * - analytics_lorenz: the 1-row (n, Σx) totals crossJoin onto the
     *   customer-grain ranked frame (decile assignment denominators)
+    * - analytics_churn_hazard: the 1-row log-horizon crossJoin onto
+    *   the per-user lifetime frame (censoring boundary)
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
@@ -68,7 +70,8 @@ class PlanLintSpec extends AnyFunSuite {
     "analytics_downsample", "dq_drift_psi", "text_bm25_topk",
     "analytics_motif_search", "analytics_changepoint",
     "analytics_seasonality_dow", "analytics_price_cdf",
-    "text_collocations", "corpus_near_dup_rate", "analytics_lorenz")
+    "text_collocations", "corpus_near_dup_rate", "analytics_lorenz",
+    "analytics_churn_hazard")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
