@@ -237,6 +237,8 @@ object SparkEntry {
     "analytics_lorenz" -> (Analytics.lorenzSpend(_, _)),
     "analytics_churn_hazard" -> (Analytics.churnHazard(_, _)),
     "pipeline_bpe_step" -> (TextAnalysis.bpeStep(_, _)),
+    "analytics_cohort_ltv" -> (Analytics.cohortLtv(_, _)),
+    "mm_chunk_dedup" -> (Multimodal.chunkDedup(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3324,5 +3326,45 @@ object SparkEntry {
         | SELECT c1, c2, pair_ct, CAST(row_number() OVER (
         |   ORDER BY pair_ct DESC, c1, c2) AS BIGINT) AS rk FROM p) t
         |WHERE rk <= 10""".stripMargin,
+    // cohort month via integer y·12+m; cumulative over the tiny
+    // (cohort × offset) grain; per-user LTV = long floor-div
+    "analytics_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |    AS ym,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS cents
+        | FROM orders),
+        |f AS (SELECT o_custkey, MIN(ym) AS cohort_ym FROM o GROUP BY 1),
+        |sz AS (SELECT cohort_ym, COUNT(DISTINCT o_custkey)
+        |         AS cohort_users FROM f GROUP BY 1),
+        |per AS (SELECT f.cohort_ym, o.ym - f.cohort_ym AS offset_m,
+        |         CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |        FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+        |c AS (SELECT cohort_ym, offset_m, rev_cents,
+        |  CAST(SUM(rev_cents) OVER (PARTITION BY cohort_ym
+        |    ORDER BY offset_m) AS BIGINT) AS cum_rev_cents
+        | FROM per)
+        |SELECT cohort_ym, offset_m, cohort_users, cum_rev_cents,
+        | cum_rev_cents // cohort_users AS ltv_cents_per_user
+        |FROM c JOIN sz USING (cohort_ym)""".stripMargin,
+    // digest-grouped CAS dedup over the same hex framing as
+    // mm_audio_chunks; keeper via the encoded integer MIN
+    "mm_chunk_dedup" ->
+      """WITH ch AS (
+        | SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+        |  md5(u.c) AS chunk_md5,
+        |  CAST(length(u.c) // 2 AS BIGINT) AS chunk_bytes
+        | FROM (
+        |  SELECT doc_id, unnest([{'i': i,
+        |    'c': substr(hex(encode(text)), i * 512 + 1, 512)}
+        |    for i in range(0, CAST(ceil(
+        |      octet_length(encode(text)) * 2 / 512.0) AS INT))]) AS u
+        |  FROM documents) x)
+        |SELECT chunk_md5, COUNT(*) AS dup_ct,
+        | MAX(chunk_bytes) AS chunk_bytes,
+        | MIN(doc_id * 1000000 + chunk_idx) // 1000000 AS keep_doc,
+        | MIN(doc_id * 1000000 + chunk_idx) % 1000000 AS keep_idx
+        |FROM ch GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
   )
 }

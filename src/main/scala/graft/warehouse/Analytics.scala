@@ -1517,6 +1517,37 @@ object Analytics {
         expr("dau_ct * 1000000 DIV mau_ct").as("stickiness_ppm"))
   }
 
+  /** Cohort LTV matrix — cumulative revenue per acquisition-month
+    * cohort at each month offset, plus the per-user running LTV (the
+    * payback-curve table every growth dashboard draws). Cohort
+    * assignment is one (customer → first order month) aggregate
+    * joined back to the fact; offsets are exact integer month
+    * arithmetic (y·12+m differences — never float
+    * `months_between`); the cumulative window runs over the tiny
+    * (cohort × offset) grain. Revenue is exact cents; per-user LTV
+    * is a long floor-div.
+    */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("ym"),
+      (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long").as("cents"))
+    val first = o.groupBy("o_custkey").agg(min(col("ym")).as("cohort_ym"))
+    val sized = first.groupBy("cohort_ym")
+      .agg(countDistinct(col("o_custkey")).as("cohort_users"))
+    val per = o.join(first, "o_custkey")
+      .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("offset_m"))
+      .agg(sum(col("cents")).cast("long").as("rev_cents"))
+    per.join(broadcast(sized), "cohort_ym")
+      .withColumn("cum_rev_cents",
+        sum(col("rev_cents")).over(Window.partitionBy("cohort_ym")
+          .orderBy("offset_m")).cast("long"))
+      .select(col("cohort_ym"), col("offset_m"), col("cohort_users"),
+        col("cum_rev_cents"),
+        expr("cum_rev_cents DIV cohort_users").as("ltv_cents_per_user"))
+  }
+
   /** Discrete-time churn hazard by tenure week — the survival-curve
     * readout ("when do users quit?") in exact integers: for each
     * tenure week w, users whose observed lifetime ended at w

@@ -171,5 +171,18 @@ class PlanLintSpec extends AnyFunSuite {
     assert(shuffles("analytics_bitmap_uv") <= 1)
     // window sort + channel rollup
     assert(shuffles("analytics_attribution_linear") <= 2)
+    // r6 session additions. Budgets count the structural design:
+    // one keyed aggregation plus the unavoidable 1-row
+    // SinglePartition reduce; anything beyond means the
+    // combinable-moments design regressed
+    assert(shuffles("analytics_hhi") <= 2, "HHI: keyed agg + reduce only")
+    assert(shuffles("analytics_trend_ols") <= 2,
+      "OLS: day rollup + reduce only")
+    // the CDF has NO keyed shuffle at all — conditional counts
+    // combine map-side and only the 1-row reduce exchanges
+    assert(shuffles("analytics_price_cdf") <= 1,
+      "CDF must be a pure scan-aggregate")
+    // vocabulary profile: token groupBy + 1-row reduce
+    assert(shuffles("text_hapax_stats") <= 3)
   }
 }

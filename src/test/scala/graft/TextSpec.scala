@@ -319,6 +319,23 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk dedup: keeper is the lexicographic owner, accounting closes") {
+    val chunks = Multimodal.audioChunks(s, d).collect()
+      .map(r => (r.getAs[String]("chunk_md5"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_idx")))
+    val dups = Multimodal.chunkDedup(s, d).collect()
+    val byMd5 = chunks.groupBy(_._1)
+    // report covers exactly the digests with >1 occurrence
+    assert(dups.map(_.getAs[String]("chunk_md5")).toSet ===
+      byMd5.filter(_._2.length > 1).keySet)
+    dups.foreach { r =>
+      val members = byMd5(r.getAs[String]("chunk_md5"))
+      assert(r.getAs[Long]("dup_ct") === members.length.toLong)
+      val keep = members.map(m => (m._2, m._3)).min
+      assert((r.getAs[Long]("keep_doc"), r.getAs[Long]("keep_idx")) === keep)
+    }
+  }
+
   test("multimodal feature extraction: stable shape and checksum parity") {
     val feats = Multimodal.extractFeatures(s, d).collect()
     val docs = graft.sources.Tables.documents(s, d).count()

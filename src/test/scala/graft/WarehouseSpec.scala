@@ -615,6 +615,31 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("cohort LTV: revenue conserved, curves monotone, cohorts partition customers") {
+    val rs = graft.warehouse.Analytics.cohortLtv(s, d).collect()
+    val totalCents = graft.sources.Tables.orders(s, d)
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long"))).collect()(0).getLong(0)
+    // the last offset's cumulative per cohort sums to the table total
+    val lastPerCohort = rs.groupBy(_.getAs[Long]("cohort_ym")).map {
+      case (_, rows) => rows.maxBy(_.getAs[Long]("offset_m"))
+        .getAs[Long]("cum_rev_cents")
+    }
+    assert(lastPerCohort.sum === totalCents)
+    // monotone within each cohort
+    rs.groupBy(_.getAs[Long]("cohort_ym")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("offset_m"))
+        .map(_.getAs[Long]("cum_rev_cents"))
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+    // cohort sizes partition the customer base
+    val nCust = graft.sources.Tables.orders(s, d)
+      .select("o_custkey").distinct().count()
+    val sizes = rs.groupBy(_.getAs[Long]("cohort_ym")).map {
+      case (_, rows) => rows.head.getAs[Long]("cohort_users") }
+    assert(sizes.sum === nCust)
+  }
+
   test("churn hazard: at-risk telescopes from the full population, censoring respected") {
     val rs = graft.warehouse.Analytics.churnHazard(s, d).collect()
       .sortBy(_.getAs[Long]("week"))
