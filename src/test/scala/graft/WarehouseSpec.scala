@@ -615,6 +615,24 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("holt trend: recurrence replays exactly, forecast = level + trend") {
+    val rs = graft.warehouse.Analytics.holtTrendGmv(s, d).collect()
+      .sortBy(_.getDate(0).toLocalDate.toEpochDay)
+    val series = dailySeries()
+    assert(rs.length === series.length)
+    var sPrev = 0L; var bPrev = 0L
+    rs.zip(series).zipWithIndex.foreach { case ((r, (day, g)), i) =>
+      assert(r.getDate(0).toLocalDate === day)
+      assert(r.getAs[Long]("g") === g)
+      val sNew = if (i == 0) g else (g + (sPrev + bPrev) * 3) >> 2
+      val bNew = if (i == 0) 0L else ((sNew - sPrev) + bPrev * 3) >> 2
+      assert(r.getAs[Long]("level") === sNew, s"level at $day")
+      assert(r.getAs[Long]("trend") === bNew, s"trend at $day")
+      assert(r.getAs[Long]("forecast_next") === sNew + bNew)
+      sPrev = sNew; bPrev = bNew
+    }
+  }
+
   test("cohort LTV: revenue conserved, curves monotone, cohorts partition customers") {
     val rs = graft.warehouse.Analytics.cohortLtv(s, d).collect()
     val totalCents = graft.sources.Tables.orders(s, d)
