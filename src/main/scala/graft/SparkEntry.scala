@@ -240,6 +240,7 @@ object SparkEntry {
     "analytics_cohort_ltv" -> (Analytics.cohortLtv(_, _)),
     "mm_chunk_dedup" -> (Multimodal.chunkDedup(_, _)),
     "analytics_holt_trend" -> (Analytics.holtTrendGmv(_, _)),
+    "analytics_diff_in_diff" -> (Analytics.diffInDiff(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3387,5 +3388,43 @@ object SparkEntry {
         | FROM idx i JOIN sm ON i.rn = sm.rn + 1)
         |SELECT dt, g, s AS level, b AS trend, s + b AS forecast_next
         |FROM sm""".stripMargin,
+    // four conditional cells off one scan; every avg a long
+    // floor-div; DiD estimate in exact cents
+    "analytics_diff_in_diff" ->
+      """WITH a AS (SELECT
+        |  COUNT(*) FILTER (WHERE o_custkey % 2 = 0
+        |    AND o_orderdate < TIMESTAMP '1998-01-01') AS n_t_pre,
+        |  COUNT(*) FILTER (WHERE o_custkey % 2 = 0
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01') AS n_t_post,
+        |  COUNT(*) FILTER (WHERE o_custkey % 2 <> 0
+        |    AND o_orderdate < TIMESTAMP '1998-01-01') AS n_c_pre,
+        |  COUNT(*) FILTER (WHERE o_custkey % 2 <> 0
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01') AS n_c_post,
+        |  SUM(CASE WHEN o_custkey % 2 = 0
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    ELSE 0 END) AS s_t_pre,
+        |  SUM(CASE WHEN o_custkey % 2 = 0
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01'
+        |    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    ELSE 0 END) AS s_t_post,
+        |  SUM(CASE WHEN o_custkey % 2 <> 0
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    ELSE 0 END) AS s_c_pre,
+        |  SUM(CASE WHEN o_custkey % 2 <> 0
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01'
+        |    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    ELSE 0 END) AS s_c_post
+        | FROM orders)
+        |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        | CAST(s_t_pre // n_t_pre AS BIGINT) AS avg_t_pre,
+        | CAST(s_t_post // n_t_post AS BIGINT) AS avg_t_post,
+        | CAST(s_c_pre // n_c_pre AS BIGINT) AS avg_c_pre,
+        | CAST(s_c_post // n_c_post AS BIGINT) AS avg_c_post,
+        | CAST((s_t_post // n_t_post - s_t_pre // n_t_pre)
+        |  - (s_c_post // n_c_post - s_c_pre // n_c_pre) AS BIGINT)
+        |  AS did_cents
+        |FROM a""".stripMargin,
   )
 }

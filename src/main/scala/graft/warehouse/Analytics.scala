@@ -668,6 +668,38 @@ object Analytics {
       .select(col("r.dt").as("dt"), col("r.g").as("g"), col("r.s").as("s"))
   }
 
+  /** Difference-in-differences readout — the quasi-experimental
+    * companion to [[abTest]]: average order value per
+    * (group × period) cell in exact floor-div cents, and the DiD
+    * estimate (Δtreatment − Δcontrol). Groups split on customer
+    * parity, periods on the drift cutoff date — the same derivation
+    * rules as `dq_drift_psi`, stated once. One scan, four
+    * conditional aggregates, every number an exact int64 both
+    * engines replay; the estimate's sign is the decision surface.
+    */
+  def diffInDiff(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val grp = (col("o_custkey") % 2 === 0)
+    val post = col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+    def cell(g: Boolean, p: Boolean, n: String) = Seq(
+      count_if((grp === g) && (post === p)).as(s"n_$n"),
+      sum(when((grp === g) && (post === p), cents).otherwise(0L))
+        .cast("long").as(s"s_$n"))
+    val aggs = cell(true, false, "t_pre") ++ cell(true, true, "t_post") ++
+      cell(false, false, "c_pre") ++ cell(false, true, "c_post")
+    Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+        col("n_c_post"),
+        expr("s_t_pre DIV n_t_pre").as("avg_t_pre"),
+        expr("s_t_post DIV n_t_post").as("avg_t_post"),
+        expr("s_c_pre DIV n_c_pre").as("avg_c_pre"),
+        expr("s_c_post DIV n_c_post").as("avg_c_post"))
+      .withColumn("did_cents",
+        (col("avg_t_post") - col("avg_t_pre")) -
+          (col("avg_c_post") - col("avg_c_pre")))
+  }
+
   /** Holt double-exponential smoothing (level + trend) over daily
     * GMV — the forecasting upgrade of [[expSmoothGmv]]: sₜ tracks
     * the level, bₜ the trend, both with power-of-two smoothing

@@ -615,6 +615,16 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("diff-in-diff: cells partition the table, estimate replays the floor-div identity") {
+    val r = graft.warehouse.Analytics.diffInDiff(s, d).collect()(0)
+    val n = graft.sources.Tables.orders(s, d).count()
+    assert(r.getAs[Long]("n_t_pre") + r.getAs[Long]("n_t_post") +
+      r.getAs[Long]("n_c_pre") + r.getAs[Long]("n_c_post") === n)
+    assert(r.getAs[Long]("did_cents") ===
+      (r.getAs[Long]("avg_t_post") - r.getAs[Long]("avg_t_pre")) -
+        (r.getAs[Long]("avg_c_post") - r.getAs[Long]("avg_c_pre")))
+  }
+
   test("holt trend: recurrence replays exactly, forecast = level + trend") {
     val rs = graft.warehouse.Analytics.holtTrendGmv(s, d).collect()
       .sortBy(_.getDate(0).toLocalDate.toEpochDay)
