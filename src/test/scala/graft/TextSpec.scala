@@ -374,6 +374,46 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("langid confusion: cells cover the corpus, diagonal equals the match count") {
+    val rs = TextAnalysis.langIdConfusion(s, d).collect()
+    val n = graft.sources.Tables.documents(s, d).count()
+    assert(rs.map(_.getAs[Long]("ct")).sum === n)
+    val diag = rs.filter(r =>
+      r.getAs[String]("lang") == r.getAs[String]("pred_lang"))
+      .map(_.getAs[Long]("ct")).sum
+    val matches = TextAnalysis.langId(s, d)
+      .agg(sum(col("label_match"))).collect()(0).getLong(0)
+    assert(diag === matches)
+    // per-label shares stay within a floor-div ulp of 1e6
+    rs.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val tot = rows.map(_.getAs[Long]("row_share_ppm")).sum
+      assert(tot > 1000000L - rows.length && tot <= 1000000L)
+    }
+  }
+
+  test("interleave: a permutation that round-robins across sources") {
+    val rs = TextAnalysis.interleaveBySource(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val n = rs.length
+    assert(rs.map(_._2).sorted.toSeq === (0L until n.toLong))
+    // full driver replay of the (within-source rank, source) order
+    val docs = graft.sources.Tables.documents(s, d)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ranked = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
+        (id, (i + 1, src)) }
+    }
+    val expect = ranked.sortBy(_._2).map(_._1)
+      .zipWithIndex.map { case (id, pos) => id -> pos.toLong }.toMap
+    assert(rs.toMap === expect)
+    // balance: the first |sources| positions hold one doc per source
+    val srcOf = docs.toMap
+    val nSources = docs.map(_._2).distinct.length
+    val head = rs.sortBy(_._2).take(nSources).map(p => srcOf(p._1))
+    assert(head.distinct.length === nSources, "prefix not source-balanced")
+  }
+
   test("bpe step: top pairs replay a driver vocabulary-weighted tally") {
     val rs = TextAnalysis.bpeStep(s, d).collect()
     assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq === (1L to rs.length))

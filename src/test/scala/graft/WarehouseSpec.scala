@@ -615,6 +615,25 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("holt backtest: error stats replay from the smoothed series") {
+    val holt = graft.warehouse.Analytics.holtTrendGmv(s, d).collect()
+      .sortBy(_.getDate(0).toLocalDate.toEpochDay)
+    val aligned = holt.zip(holt.drop(1)).map { case (cur, nxt) =>
+      (cur.getAs[Long]("forecast_next"), nxt.getAs[Long]("g"),
+        cur.getAs[Long]("g"))
+    }
+    val r = graft.warehouse.Analytics.holtBacktest(s, d).collect()(0)
+    assert(r.getAs[Long]("n_days") === aligned.length.toLong)
+    val sae = aligned.map(a => (a._1 - a._2).abs).sum
+    assert(r.getAs[Long]("mae_cents") === sae / aligned.length)
+    assert(r.getAs[Long]("bias_sum_cents") ===
+      aligned.map(a => a._1 - a._2).sum)
+    val hits = aligned.count(a =>
+      (a._1 > a._3 && a._2 > a._3) || (a._1 <= a._3 && a._2 <= a._3))
+    assert(r.getAs[Long]("dir_hit_ppm") ===
+      hits * 1000000L / aligned.length)
+  }
+
   test("diff-in-diff: cells partition the table, estimate replays the floor-div identity") {
     val r = graft.warehouse.Analytics.diffInDiff(s, d).collect()(0)
     val n = graft.sources.Tables.orders(s, d).count()
