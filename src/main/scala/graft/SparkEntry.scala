@@ -244,6 +244,8 @@ object SparkEntry {
     "analytics_holt_backtest" -> (Analytics.holtBacktest(_, _)),
     "text_langid_confusion" -> (TextAnalysis.langIdConfusion(_, _)),
     "pipeline_interleave" -> (TextAnalysis.interleaveBySource(_, _)),
+    "analytics_decompose" -> (Analytics.decomposeGmv(_, _)),
+    "corpus_source_overlap" -> (Dedup.sourceOverlap(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3491,5 +3493,53 @@ object SparkEntry {
         |SELECT doc_id, CAST(row_number() OVER (ORDER BY rn, source) - 1
         |  AS BIGINT) AS interleave_pos
         |FROM r""".stripMargin,
+    // g = Holt level + DOW deviation + residual, every term the
+    // exact integer its own graded query produces
+    "analytics_decompose" ->
+      """WITH RECURSIVE daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS g
+        | FROM orders GROUP BY 1),
+        |idx AS (SELECT row_number() OVER (ORDER BY dt) AS rn, dt, g
+        |        FROM daily),
+        |sm AS (
+        | SELECT rn, dt, g, g AS s, CAST(0 AS BIGINT) AS b
+        | FROM idx WHERE rn = 1
+        | UNION ALL
+        | SELECT i.rn, i.dt, i.g,
+        |  (i.g + (sm.s + sm.b) * 3) >> 2,
+        |  ((((i.g + (sm.s + sm.b) * 3) >> 2) - sm.s) + sm.b * 3) >> 2
+        | FROM idx i JOIN sm ON i.rn = sm.rn + 1),
+        |oa AS (SELECT CAST(SUM(g) AS BIGINT) // COUNT(*) AS avg_all
+        |       FROM daily),
+        |dw AS (SELECT CAST(dayofweek(dt) + 1 AS BIGINT) AS dow,
+        |  CAST(SUM(g) AS BIGINT) // COUNT(*) - avg_all AS seasonal_cents
+        | FROM daily CROSS JOIN oa GROUP BY 1, avg_all)
+        |SELECT sm.dt, sm.g, sm.s AS trend_cents, dw.seasonal_cents,
+        | sm.g - sm.s - dw.seasonal_cents AS residual_cents
+        |FROM sm JOIN dw
+        | ON CAST(dayofweek(sm.dt) + 1 AS BIGINT) = dw.dow""".stripMargin,
+    // near-dup pairs rolled up to unordered (source, source) cells
+    "corpus_source_overlap" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        |  FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT id_a, id_b
+        |       FROM i JOIN sz sa ON sa.doc_id = id_a
+        |              JOIN sz sb ON sb.doc_id = id_b
+        |       WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        |j AS (SELECT LEAST(da.source, db.source) AS source_a,
+        |        GREATEST(da.source, db.source) AS source_b
+        |      FROM pr JOIN documents da ON pr.id_a = da.doc_id
+        |              JOIN documents db ON pr.id_b = db.doc_id)
+        |SELECT source_a, source_b, COUNT(*) AS pair_ct
+        |FROM j GROUP BY 1, 2""".stripMargin,
   )
 }

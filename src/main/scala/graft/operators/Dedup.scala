@@ -220,6 +220,27 @@ object Dedup {
         expr("dup_docs * 1000000 DIV n_docs").as("dup_ppm"))
   }
 
+  /** Source-overlap matrix — which SOURCES duplicate each other (the
+    * corpus-acquisition dashboard: two crawls of the same site show
+    * up as one hot cell): near-dup doc pairs rolled up to
+    * (source_a, source_b) cells with pair counts, sources ordered
+    * within the cell so each unordered cell appears once. Rides the
+    * CACHED exact-Jaccard pair plan like [[nearDupRate]]; the rollup
+    * is a broadcast doc→source join at the pair grain.
+    */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val pairs = ngramJaccard(s, d)
+      .join(broadcast(src.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("source", "src_raw_a")), "id_a")
+      .join(broadcast(src.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("source", "src_raw_b")), "id_b")
+      .select(least(col("src_raw_a"), col("src_raw_b")).as("source_a"),
+        greatest(col("src_raw_a"), col("src_raw_b")).as("source_b"))
+    pairs.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("pair_ct"))
+  }
+
   /** Quality-priority canonical selection: within each near-dup
     * cluster keep the HIGHEST-QUALITY document, not the smallest id
     * — the curation policy real pipelines want (dedup should drop

@@ -668,6 +668,37 @@ object Analytics {
       .select(col("r.dt").as("dt"), col("r.g").as("g"), col("r.s").as("s"))
   }
 
+  /** Additive seasonal decomposition of daily GMV (STL-lite, all
+    * exact integers): g = trend + seasonal + residual, where trend
+    * is the Holt level ([[holtTrendGmv]] — shift-exact), seasonal is
+    * the day-of-week mean deviation (avg-per-DOW − overall avg, the
+    * [[seasonalityDow]] floor-divs), and the residual is whatever
+    * remains — the series an anomaly detector actually monitors
+    * (raw-GMV alarms fire every weekend; residual alarms don't).
+    * Joins are day-grain against a ≤7-row broadcast.
+    */
+  def decomposeGmv(s: SparkSession, d: String): DataFrame = {
+    val trend = holtTrendGmv(s, d).select(col("dt"), col("g"),
+      col("level").as("trend_cents"))
+    val daily = dailyGmvCents(s, d)
+    val overall = daily
+      .agg(sum(col("g")).cast("long").as("g_all"), count(lit(1)).as("nd"))
+      .select(expr("g_all DIV nd").as("avg_all"))
+    val dow = daily
+      .groupBy(dayofweek(col("dt")).cast("long").as("dow"))
+      .agg(sum(col("g")).cast("long").as("g_dow"),
+        count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(overall))
+      .select(col("dow"),
+        (expr("g_dow DIV n_days") - col("avg_all")).as("seasonal_cents"))
+    trend.withColumn("dow", dayofweek(col("dt")).cast("long"))
+      .join(broadcast(dow), "dow")
+      .select(col("dt"), col("g"), col("trend_cents"),
+        col("seasonal_cents"),
+        (col("g") - col("trend_cents") - col("seasonal_cents"))
+          .as("residual_cents"))
+  }
+
   /** Forecast backtest — close the loop on [[holtTrendGmv]]: align
     * each day's one-step-ahead forecast with the NEXT day's actual
     * and report exact integer error stats (MAE and bias in cents via

@@ -403,6 +403,23 @@ class DedupSpec extends AnyFunSuite {
     assert(spans.map(_._1) === Set(0L, 1L, 3L))
     assert(spans.size === 4)
   }
+  test("source overlap: cells replay the pair-to-source rollup and conserve pairs") {
+    val cells = Dedup.sourceOverlap(s, d).collect()
+    val pairs = Dedup.ngramJaccard(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = graft.sources.Tables.documents(s, d)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cells.map(_.getAs[Long]("pair_ct")).sum === pairs.length.toLong)
+    val expect = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(cells.map(r => (r.getAs[String]("source_a"),
+      r.getAs[String]("source_b")) -> r.getAs[Long]("pair_ct")).toMap
+      === expect)
+  }
+
   test("near-dup rate report agrees with the pair set it summarizes") {
     val r = Dedup.nearDupRate(s, d).collect()(0)
     val pairs = Dedup.ngramJaccard(s, d).collect()

@@ -61,6 +61,9 @@ class PlanLintSpec extends AnyFunSuite {
     *   customer-grain ranked frame (decile assignment denominators)
     * - analytics_churn_hazard: the 1-row log-horizon crossJoin onto
     *   the per-user lifetime frame (censoring boundary)
+    * - analytics_decompose: the 1-row overall-average crossJoin onto
+    *   the ≤7-row day-of-week frame (inherited from
+    *   analytics_seasonality_dow's seasonal-index build)
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
@@ -71,7 +74,7 @@ class PlanLintSpec extends AnyFunSuite {
     "analytics_motif_search", "analytics_changepoint",
     "analytics_seasonality_dow", "analytics_price_cdf",
     "text_collocations", "corpus_near_dup_rate", "analytics_lorenz",
-    "analytics_churn_hazard")
+    "analytics_churn_hazard", "analytics_decompose")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -615,6 +615,28 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("decomposition: components tie back to their own graded queries") {
+    val rs = graft.warehouse.Analytics.decomposeGmv(s, d).collect()
+    // identity holds row-wise by construction; the real check is that
+    // each component equals the standalone operator's output
+    val trend = graft.warehouse.Analytics.holtTrendGmv(s, d).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getAs[Long]("level")).toMap
+    val season = graft.warehouse.Analytics.seasonalityDow(s, d).collect()
+      .map(r => r.getAs[Long]("dow") -> r.getAs[Long]("avg_cents")).toMap
+    val avgAll = {
+      val sr = dailySeries(); sr.map(_._2).sum / sr.length
+    }
+    rs.foreach { r =>
+      val day = r.getDate(0).toLocalDate
+      assert(r.getAs[Long]("trend_cents") === trend(day))
+      val dow = day.getDayOfWeek.getValue % 7 + 1 // Spark: Sunday=1
+      assert(r.getAs[Long]("seasonal_cents") === season(dow.toLong) - avgAll)
+      assert(r.getAs[Long]("residual_cents") ===
+        r.getAs[Long]("g") - r.getAs[Long]("trend_cents") -
+          r.getAs[Long]("seasonal_cents"))
+    }
+  }
+
   test("holt backtest: error stats replay from the smoothed series") {
     val holt = graft.warehouse.Analytics.holtTrendGmv(s, d).collect()
       .sortBy(_.getDate(0).toLocalDate.toEpochDay)
