@@ -246,6 +246,9 @@ object SparkEntry {
     "pipeline_interleave" -> (TextAnalysis.interleaveBySource(_, _)),
     "analytics_decompose" -> (Analytics.decomposeGmv(_, _)),
     "corpus_source_overlap" -> (Dedup.sourceOverlap(_, _)),
+    "analytics_abandon_rate" -> (Analytics.abandonRate(_, _)),
+    "analytics_abc_class" -> (Analytics.abcParts(_, _)),
+    "analytics_repeat_rate" -> (Analytics.repeatRate(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3541,5 +3544,57 @@ object SparkEntry {
         |              JOIN documents db ON pr.id_b = db.doc_id)
         |SELECT source_a, source_b, COUNT(*) AS pair_ct
         |FROM j GROUP BY 1, 2""".stripMargin,
+    // interval anti-join: clicks with no same-user purchase in the
+    // next hour, rolled to day grain
+    "analytics_abandon_rate" ->
+      """WITH c AS (SELECT user_id, ts AS cts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts FROM events
+        |      WHERE event_type = 'purchase'),
+        |ab AS (SELECT c.user_id, c.cts FROM c
+        |       WHERE NOT EXISTS (SELECT 1 FROM p
+        |         WHERE p.user_id = c.user_id AND p.pts >= c.cts
+        |           AND p.pts <= c.cts + INTERVAL 1 HOUR)),
+        |t AS (SELECT CAST(cts AS DATE) AS day, COUNT(*) AS n_clicks
+        |      FROM c GROUP BY 1),
+        |a AS (SELECT CAST(cts AS DATE) AS day, COUNT(*) AS n_abandoned
+        |      FROM ab GROUP BY 1)
+        |SELECT t.day, t.n_clicks,
+        |  COALESCE(a.n_abandoned, 0) AS n_abandoned,
+        |  COALESCE(a.n_abandoned, 0) * 1000000 // t.n_clicks
+        |    AS abandon_ppm
+        |FROM t LEFT JOIN a ON t.day = a.day""".stripMargin,
+    // inclusive running share desc over (revenue, part) — unique
+    // order, so the RANGE default frame equals ROWS
+    "analytics_abc_class" ->
+      """WITH rev AS (
+        | SELECT l_partkey AS part_id, CAST(SUM(CAST(
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+        |    AS BIGINT)) AS BIGINT) AS x
+        | FROM lineitem GROUP BY 1),
+        |c AS (SELECT part_id, x,
+        |  CAST(SUM(CAST(x AS HUGEINT))
+        |    OVER (ORDER BY x DESC, part_id) AS HUGEINT) AS cum,
+        |  CAST(SUM(CAST(x AS HUGEINT)) OVER () AS HUGEINT) AS tot
+        | FROM rev),
+        |k AS (SELECT x, CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+        |   WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS abc_class
+        | FROM c)
+        |SELECT abc_class, COUNT(*) AS n_parts,
+        |  CAST(SUM(x) AS DECIMAL(19,0)) AS rev_e4,
+        |  CAST(CAST(SUM(x) AS HUGEINT) * 1000000
+        |    // (SELECT CAST(SUM(x) AS HUGEINT) FROM rev) AS BIGINT)
+        |    AS share_ppm
+        |FROM k GROUP BY 1""".stripMargin,
+    "analytics_repeat_rate" ->
+      """WITH pc AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |    AS ym, o_custkey, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT ym, COUNT(*) AS n_customers,
+        |  CAST(COUNT(*) FILTER (WHERE n >= 2) AS BIGINT) AS n_repeat,
+        |  CAST(COUNT(*) FILTER (WHERE n >= 2) AS BIGINT) * 1000000
+        |    // COUNT(*) AS repeat_ppm
+        |FROM pc GROUP BY 1""".stripMargin,
   )
 }

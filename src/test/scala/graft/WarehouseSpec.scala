@@ -637,6 +637,74 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("abandon rate: day cells replay a brute-force interval anti-join") {
+    val rs = graft.warehouse.Analytics.abandonRate(s, d).collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        (r.getAs[Long]("n_clicks"), r.getAs[Long]("n_abandoned"),
+          r.getAs[Long]("abandon_ppm"))).toMap
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val buys = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(_._3)).toMap
+    val clicks = ev.filter(_._2 == "click")
+    val expect = clicks.groupBy { case (_, _, us) =>
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    }.map { case (day, cs) =>
+      val ab = cs.count { case (u, _, cus) =>
+        !buys.getOrElse(u, Array.empty[Long])
+          .exists(p => p >= cus && p <= cus + 3600000000L)
+      }
+      day -> (cs.length.toLong, ab.toLong,
+        ab.toLong * 1000000L / cs.length)
+    }
+    assert(rs === expect)
+  }
+
+  test("abc classification: distributed prefix sum replays the driver scan") {
+    val rs = graft.warehouse.Analytics.abcParts(s, d).collect()
+      .map(r => r.getAs[String]("abc_class") ->
+        (r.getAs[Long]("n_parts"),
+          r.getAs[java.math.BigDecimal]("rev_e4").longValueExact()))
+      .toMap
+    val rev = graft.sources.Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1) - col("l_discount").cast("decimal(12,2)")) * 10000)
+        .cast("long")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (pk, x) => (-x, pk) }
+    val tot = rev.map(_._2).sum
+    var cum = 0L
+    val expect = rev.map { case (_, x) =>
+      cum += x
+      val cls = if (cum * 5 <= tot * 4) "A"
+        else if (cum * 20 <= tot * 19) "B" else "C"
+      (cls, x)
+    }.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    assert(rs === expect)
+    // every part classified exactly once; class revenue covers total
+    assert(rs.values.map(_._2).sum === tot)
+  }
+
+  test("repeat rate: month cells replay the per-customer counts") {
+    val rs = graft.warehouse.Analytics.repeatRate(s, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_customers"), r.getAs[Long]("n_repeat"))).toMap
+    val orders = graft.sources.Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("od"), col("o_custkey"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val expect = orders.groupBy { case (od, ck) =>
+      (f"${od.getYear}%04d-${od.getMonthValue}%02d", ck)
+    }.toSeq.map { case ((ym, _), xs) => (ym, xs.length) }
+      .groupBy(_._1).view.mapValues(xs =>
+        (xs.length.toLong, xs.count(_._2 >= 2).toLong)).toMap
+    assert(rs === expect)
+  }
+
   test("holt backtest: error stats replay from the smoothed series") {
     val holt = graft.warehouse.Analytics.holtTrendGmv(s, d).collect()
       .sortBy(_.getDate(0).toLocalDate.toEpochDay)
