@@ -249,6 +249,10 @@ object SparkEntry {
     "analytics_abandon_rate" -> (Analytics.abandonRate(_, _)),
     "analytics_abc_class" -> (Analytics.abcParts(_, _)),
     "analytics_repeat_rate" -> (Analytics.repeatRate(_, _)),
+    "analytics_rfm_migration" -> (Analytics.rfmMigration(_, _)),
+    "dim_scd2_serve" -> (Temporal.scd2Serve(_, _)),
+    "graph_clustering_coeff" ->
+      (graft.operators.Graph.clusteringCoeff(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3596,5 +3600,60 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE n >= 2) AS BIGINT) * 1000000
         |    // COUNT(*) AS repeat_ppm
         |FROM pc GROUP BY 1""".stripMargin,
+    // spend quartiles per half-span, full-outer matrix; seg 0 =
+    // absent that half
+    "analytics_rfm_migration" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS cents FROM orders),
+        |b AS (SELECT MIN(od) AS dmin, MAX(od) AS dmax FROM o),
+        |sp AS (SELECT CASE WHEN (od - dmin) * 2 <= (dmax - dmin)
+        |    THEN 1 ELSE 2 END AS half, o_custkey,
+        |    CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM o CROSS JOIN b GROUP BY 1, 2),
+        |seg AS (SELECT half, o_custkey, CAST(ntile(4) OVER (
+        |    PARTITION BY half ORDER BY cents, o_custkey) AS BIGINT)
+        |    AS seg FROM sp),
+        |h1 AS (SELECT o_custkey, seg AS seg_before FROM seg WHERE half = 1),
+        |h2 AS (SELECT o_custkey, seg AS seg_after FROM seg WHERE half = 2)
+        |SELECT COALESCE(seg_before, 0) AS seg_before,
+        |  COALESCE(seg_after, 0) AS seg_after,
+        |  COUNT(*) AS n_customers
+        |FROM h1 FULL OUTER JOIN h2 USING (o_custkey)
+        |GROUP BY 1, 2""".stripMargin,
+    // interval-containment serving against the windowed SCD2 dim;
+    // identical answers to the as-of family by construction
+    "dim_scd2_serve" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS us,
+        |    MAX(value) AS last_view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |dim AS (SELECT user_id, us AS vf,
+        |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us) AS vt,
+        |    last_view_value FROM v),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.us, dim.last_view_value
+        |FROM p LEFT JOIN dim ON p.user_id = dim.user_id
+        |  AND p.us >= dim.vf AND (dim.vt IS NULL OR p.us < dim.vt)""".stripMargin,
+    // tri/C(deg,2) per node over the co-purchase graph; deg>=2 only
+    "graph_clustering_coeff" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS s, b.pk AS t
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT v, COUNT(*) AS deg FROM (
+        |  SELECT s AS v FROM e UNION ALL SELECT t FROM e) u GROUP BY 1),
+        |tri AS (SELECT e1.s AS va, e1.t AS vb, e2.t AS vc
+        |        FROM e e1 JOIN e e2 ON e1.t = e2.s
+        |         JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t),
+        |tc AS (SELECT part_id, COUNT(*) AS tri_ct FROM (
+        |  SELECT va AS part_id FROM tri
+        |  UNION ALL SELECT vb FROM tri
+        |  UNION ALL SELECT vc FROM tri) r GROUP BY 1)
+        |SELECT deg.v AS part_id, deg.deg,
+        |  COALESCE(tc.tri_ct, 0) AS tri_ct,
+        |  COALESCE(tc.tri_ct, 0) * 2000000 // (deg.deg * (deg.deg - 1))
+        |    AS local_cc_ppm
+        |FROM deg LEFT JOIN tc ON deg.v = tc.part_id
+        |WHERE deg.deg >= 2""".stripMargin,
   )
 }

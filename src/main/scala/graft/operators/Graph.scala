@@ -214,6 +214,30 @@ object Graph {
       .groupBy("part_id").agg(count(lit(1)).as("tri_ct"))
   }
 
+  /** Local clustering coefficient per part: tri_v / C(deg_v, 2) in
+    * integer ppm — "how clique-like is this part's co-purchase
+    * neighborhood" (high = bundle/kit items, low = hub items that
+    * bridge unrelated baskets; the feature a complementary-vs-
+    * substitute classifier starts from). Reuses [[triangleCounts]]'
+    * degree-oriented adjacency-intersection kernel — the expensive
+    * part — and adds one broadcast-sized degree join; deg<2 nodes
+    * (undefined denominator) are excluded, triangle-free nodes kept
+    * at 0 via left-outer + coalesce. Arithmetic is tri·2e6 DIV
+    * deg(deg−1) — exact integers on both engines.
+    */
+  def clusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    val deg = e.select(col("s").as("v"))
+      .unionByName(e.select(col("t").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triangleCounts(s, d).withColumnRenamed("part_id", "v"),
+        Seq("v"), "left_outer")
+      .withColumn("tri_ct", coalesce(col("tri_ct"), lit(0L)))
+      .select(col("v").as("part_id"), col("deg"), col("tri_ct"),
+        expr("tri_ct * 2000000 DIV (deg * (deg - 1))").as("local_cc_ppm"))
+  }
+
   /** K-hop reachability over the co-purchase graph: for a sampled
     * set of source parts, the count of DISTINCT parts within 1 and
     * within ≤2 hops — the neighborhood-size signal behind related-

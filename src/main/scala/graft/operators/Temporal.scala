@@ -184,6 +184,32 @@ object Temporal {
     scd2Build(views, "user_id", "us", Seq("last_view_value"))
   }
 
+  /** Point-in-time serving AGAINST the SCD2 dim — the warehouse
+    * access path (probe ⋈ versioned-dim on key + half-open interval
+    * containment) that answers exactly what the as-of join answers
+    * from the raw change feed. Both paths are graded against the
+    * same semantics and a spec asserts row-for-row parity with
+    * [[lastViewBeforePurchase]] — the SCD2 table earns its storage
+    * only if the containment join is provably the as-of join. Each
+    * probe hits at most ONE version (intervals partition the
+    * timeline per key); left-outer keeps pre-first-version probes
+    * with a null value. One shuffle per side on the user key; the
+    * per-key interval list is the version count, which SCD2 keeps
+    * small by construction.
+    */
+  def scd2Serve(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (purchases, _) = asOfInputs(s, d)
+    val dim = userValueScd2(s, d).withColumnRenamed("user_id", "dim_uid")
+    purchases.join(dim,
+        purchases("user_id") === col("dim_uid") &&
+          col("us") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("us") < col("valid_to_us")),
+        "left_outer")
+      .select(purchases("event_id"), purchases("user_id"), col("us"),
+        col("last_view_value"))
+  }
+
   /** Batch SCD1 MERGE (the `MERGE INTO` / Delta-upsert shape, SCD2's
     * latest-version-only sibling): fold the newest change per key
     * into the dim — matched rows take the new value (`update`),

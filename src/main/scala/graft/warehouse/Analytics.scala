@@ -1963,6 +1963,42 @@ object Analytics {
                  DIV CAST($totalStr AS DECIMAL(38,0))"""))
   }
 
+  /** RFM segment MIGRATION matrix: customers quartiled by spend in
+    * each half of the order-date span, counted per (segment-before,
+    * segment-after) cell — the retention dashboard behind "are my
+    * best customers decaying?". Segment 0 = absent that half, so
+    * churn (q→0) and acquisition (0→q) are cells, not footnotes.
+    * The span midpoint comes from a 1-row broadcast bounds
+    * aggregate (date arithmetic, engine-exact); quartiles are
+    * [[rfm]]'s deterministic ntile over (spend, custkey) per half —
+    * the customer-grain window discipline pareto/rfm already carry;
+    * the matrix is a full-outer self-join at the customer grain
+    * rolled to ≤25 cells.
+    */
+  def rfmMigration(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        dec(col("o_totalprice")).as("tp"))
+    val bounds = o.agg(min(col("od")).as("dmin"), max(col("od")).as("dmax"))
+    val spend = o.crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(datediff(col("od"), col("dmin")) * 2 <=
+          datediff(col("dmax"), col("dmin")), lit(1L)).otherwise(lit(2L)))
+      .groupBy("half", "o_custkey")
+      .agg(sum((col("tp") * 100).cast("long")).as("cents"))
+    val seg = spend.withColumn("seg",
+      ntile(4).over(Window.partitionBy("half")
+        .orderBy(col("cents"), col("o_custkey"))).cast("long"))
+    val h1 = seg.filter(col("half") === 1)
+      .select(col("o_custkey"), col("seg").as("seg_before"))
+    val h2 = seg.filter(col("half") === 2)
+      .select(col("o_custkey"), col("seg").as("seg_after"))
+    h1.join(h2, Seq("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("seg_before"), lit(0L)).as("seg_before"),
+        coalesce(col("seg_after"), lit(0L)).as("seg_after"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   /** Monthly repeat-purchase rate: share of that month's active
     * customers who ordered ≥2 times in the month (the loyalty KPI
     * beside [[stickiness]]' DAU/MAU). Two combinable aggregations —

@@ -134,6 +134,26 @@ class GraphSpec extends AnyFunSuite {
     // sum over nodes = 3 × triangle count (each triangle hits 3 nodes)
     assert(counts.values.sum % 3 === 0)
   }
+  test("clustering coefficient: replays tri/C(deg,2) and stays in [0, 1e6]") {
+    val cc = graft.operators.Graph.clusteringCoeff(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val tri = graft.operators.Graph.triangleCounts(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deg = graft.operators.Graph.coPurchaseEdges(s, d).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expectKeys = deg.filter(_._2 >= 2).keySet
+    assert(cc.keySet === expectKeys, "deg>=2 nodes exactly")
+    cc.foreach { case (v, (dg, tc, ppm)) =>
+      assert(dg === deg(v))
+      assert(tc === tri.getOrElse(v, 0L))
+      assert(ppm === tc * 2000000L / (dg * (dg - 1)))
+      assert(ppm >= 0L && ppm <= 1000000L,
+        s"node $v coefficient $ppm out of range")
+    }
+  }
+
   test("link prediction: candidates are non-adjacent, Jaccard bounded, cn verified") {
     val rs = Graph.commonNeighborPairs(s, d).collect()
     val strong = Graph.coPurchasePairCounts(s, d)

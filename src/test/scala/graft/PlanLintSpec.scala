@@ -64,6 +64,9 @@ class PlanLintSpec extends AnyFunSuite {
     * - analytics_decompose: the 1-row overall-average crossJoin onto
     *   the ≤7-row day-of-week frame (inherited from
     *   analytics_seasonality_dow's seasonal-index build)
+    * - analytics_rfm_migration: the 1-row (dmin, dmax) span-bounds
+    *   crossJoin onto the order scan (the gap_fill bounds-broadcast
+    *   shape)
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
@@ -74,7 +77,8 @@ class PlanLintSpec extends AnyFunSuite {
     "analytics_motif_search", "analytics_changepoint",
     "analytics_seasonality_dow", "analytics_price_cdf",
     "text_collocations", "corpus_near_dup_rate", "analytics_lorenz",
-    "analytics_churn_hazard", "analytics_decompose")
+    "analytics_churn_hazard", "analytics_decompose",
+    "analytics_rfm_migration")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -44,6 +44,21 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.count() === p.count(), "one output row per purchase")
   }
 
+  test("SCD2 point-in-time serving equals the as-of join row for row") {
+    val d = TestSpark.sf
+    val served = Temporal.scd2Serve(s, d)
+      .select(col("event_id"), col("last_view_value"))
+    val asOf = Temporal.lastViewBeforePurchase(s, d)
+      .select(col("event_id"), col("last_view_value"))
+    assert(served.exceptAll(asOf).isEmpty &&
+      asOf.exceptAll(served).isEmpty,
+      "interval-containment serving must equal the as-of semantics")
+    // exactly one row per probe: intervals partition the timeline
+    val n = served.count()
+    assert(n === Temporal.scd2Serve(s, d)
+      .select("event_id").distinct().count())
+  }
+
   test("native AsOfJoinExec equals the composed asOfJoin on testdata") {
     val d = TestSpark.sf
     val ev = graft.sources.Tables.events(s, d)

@@ -690,6 +690,39 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rs.values.map(_._2).sum === tot)
   }
 
+  test("rfm migration: matrix conserves customers and replays the quartiling") {
+    val cells = graft.warehouse.Analytics.rfmMigration(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_customers"))
+      .toMap
+    val orders = graft.sources.Tables.orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val dmin = orders.map(_._2.toEpochDay).min
+    val dmax = orders.map(_._2.toEpochDay).max
+    def segs(half: Int): Map[Long, Long] = {
+      val spend = orders.filter { case (_, od, _) =>
+        val inFirst = (od.toEpochDay - dmin) * 2 <= (dmax - dmin)
+        if (half == 1) inFirst else !inFirst
+      }.groupBy(_._1).view.mapValues(_.map(_._3).sum).toSeq
+        .sortBy { case (ck, cents) => (cents, ck) }
+      val n = spend.length
+      // ntile(4): first (n mod 4) buckets get ceil(n/4)
+      spend.zipWithIndex.map { case ((ck, _), i) =>
+        val base = n / 4; val rem = n % 4
+        val cut = rem * (base + 1)
+        val seg = if (i < cut) i / (base + 1) else rem + (i - cut) / base
+        ck -> (seg + 1).toLong
+      }.toMap
+    }
+    val s1 = segs(1); val s2 = segs(2)
+    val expect = (s1.keySet ++ s2.keySet).toSeq
+      .map(ck => (s1.getOrElse(ck, 0L), s2.getOrElse(ck, 0L)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(cells === expect)
+    assert(cells.values.sum === (s1.keySet ++ s2.keySet).size.toLong)
+  }
+
   test("repeat rate: month cells replay the per-customer counts") {
     val rs = graft.warehouse.Analytics.repeatRate(s, d).collect()
       .map(r => r.getString(0) ->
