@@ -253,6 +253,9 @@ object SparkEntry {
     "dim_scd2_serve" -> (Temporal.scd2Serve(_, _)),
     "graph_clustering_coeff" ->
       (graft.operators.Graph.clusteringCoeff(_, _)),
+    "sim_cos_histogram" -> (Similarity.cosHistogram(_, _)),
+    "pipeline_filter_funnel" -> (TextAnalysis.filterFunnel(_, _)),
+    "text_novelty" -> (TextAnalysis.noveltyScore(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3655,5 +3658,63 @@ object SparkEntry {
         |    AS local_cc_ppm
         |FROM deg LEFT JOIN tc ON deg.v = tc.part_id
         |WHERE deg.deg >= 2""".stripMargin,
+    // deterministic (i, i+497) pair sample; cosine doubles are
+    // bit-identical (same sequential fold), so floor-bucketing grades
+    "sim_cos_histogram" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+        |      FROM e),
+        |p AS (SELECT list_sum([a.v[i + 1] * b.v[i + 1]
+        |        for i in range(0, len(a.v))]) / (a.nrm * b.nrm) AS cos
+        |      FROM n a JOIN n b ON b.vec_id = a.vec_id + 497)
+        |SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_pairs
+        |FROM p GROUP BY 1""".stripMargin,
+    // cumulative survivors of the clean-corpus predicates, one scan
+    "pipeline_filter_funnel" ->
+      """WITH toks AS (SELECT doc_id, text,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        | FROM documents),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        | GROUP BY md5(array_to_string(list_sort(list_distinct(
+        |   list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' '))),
+        |f AS (SELECT (k.doc_id IS NOT NULL) AS kp,
+        |  len(tk) BETWEEN 10 AND 100000 AS len_ok,
+        |  (CAST(len(list_filter(tk, x -> list_contains(
+        |    ['the','a','of','and','to','is','in','that','it','for'], x)))
+        |   AS DOUBLE) / NULLIF(CAST(len(tk) AS DOUBLE), 0) * 0.3
+        |  + CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |   AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0) * 0.4
+        |  + least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.3) >= 0.5
+        |   AS q_ok
+        | FROM toks t LEFT JOIN keep k ON t.doc_id = k.doc_id),
+        |a AS (SELECT COUNT(*) AS total,
+        |  COUNT(*) FILTER (WHERE kp) AS s_dedup,
+        |  COUNT(*) FILTER (WHERE kp AND len_ok) AS s_len,
+        |  COUNT(*) FILTER (WHERE kp AND len_ok AND q_ok) AS s_quality
+        | FROM f)
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'total' AS stage,
+        |  total AS n_docs, total * 1000000 // total AS retained_ppm FROM a
+        |UNION ALL SELECT 1, 'dedup', s_dedup,
+        |  s_dedup * 1000000 // total FROM a
+        |UNION ALL SELECT 2, 'length', s_len,
+        |  s_len * 1000000 // total FROM a
+        |UNION ALL SELECT 3, 'quality', s_quality,
+        |  s_quality * 1000000 // total FROM a""".stripMargin,
+    // each shingle credits only its earliest doc_id
+    "text_novelty" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lt, i, 12)
+        |   for i in range(1, greatest(length(lt) - 10, 2))]) AS s
+        |  FROM t) x),
+        |f AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, COUNT(*) AS total_shingles,
+        |  CAST(COUNT(*) FILTER (WHERE f.first_doc = sh.doc_id)
+        |    AS BIGINT) AS novel_shingles,
+        |  CAST(COUNT(*) FILTER (WHERE f.first_doc = sh.doc_id) * 1000000
+        |    // COUNT(*) AS BIGINT) AS novelty_ppm
+        |FROM sh JOIN f ON sh.s = f.s GROUP BY 1""".stripMargin,
   )
 }

@@ -557,6 +557,32 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
   }
 
+  /** Pairwise-cosine DISTRIBUTION over a deterministic linear pair
+    * sample — the embedding-space health readout (a drifted or
+    * collapsed encoder shows up as mass piling into the high-cos
+    * buckets long before any dedup threshold trips). Pairing is
+    * (i, i+offset): one equi-join on a computed key, O(n) pairs,
+    * one shuffle — never the all-pairs quadratic, and deterministic
+    * so the histogram is reproducible and oracle-checkable. Buckets
+    * are floor(cos·10): the cosine doubles are bit-identical across
+    * engines (same sequential dot/norm fold the graded dedup family
+    * relies on), so the bucket assignment hash-grades.
+    */
+  def cosHistogram(s: SparkSession, d: String,
+      offset: Long = 497): DataFrame = {
+    Vectors.ensureRegistered(s)
+    val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val b = e.select((col("vec_id") - offset).as("aid"),
+      col("v").as("bv"), col("nrm").as("bnrm"))
+    e.join(b, col("vec_id") === col("aid"))
+      .select(floor(Vectors.cosineWithNorms(
+        col("v"), col("bv"), col("nrm"), col("bnrm")) * 10)
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** SemDeDup screening (Abbas et al. 2023, arXiv:2303.09540):
     * semantic near-duplicate detection as k-means clustering +
     * pairwise cosine ONLY within each cluster — the design that

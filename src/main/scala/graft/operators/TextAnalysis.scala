@@ -863,4 +863,72 @@ object TextAnalysis {
       .filter(col("rk") <= k)
       .select(col("w1"), col("w2"), col("pair_ct"), col("rk"))
   }
+
+  /** Cleaning-funnel survivor counts — the observability readout a
+    * curation pipeline publishes beside its output ("we dropped 40%
+    * at dedup, 5% at quality"): cumulative stage survivors for the
+    * exact predicates [[cleanCorpus]] applies (fingerprint dedup →
+    * token-length band → quality threshold), as stage rows with
+    * retained-ppm. ONE corpus scan computes every per-doc flag; the
+    * stages are conditional counts inside a single 1-row aggregate,
+    * fanned to rows by `stack` — adding a stage costs a column, not
+    * a scan. The only shuffle is the fingerprint groupBy the dedup
+    * stage itself needs.
+    */
+  def filterFunnel(s: SparkSession, d: String, minQuality: Double = 0.5,
+      minTokens: Int = 10, maxTokens: Int = 100000): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keep = docs
+      .groupBy(Text.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1).as("keeper"))
+    val flags = docs.join(keep, Seq("doc_id"), "left_outer")
+      .withColumn("n_tokens", size(Text.wsTokens(col("text"))).cast("long"))
+      .withColumn("q", Text.qualityScore(col("text")))
+      .select(col("keeper").isNotNull.as("kp"),
+        (col("n_tokens") >= minTokens &&
+          col("n_tokens") <= maxTokens).as("len_ok"),
+        (col("q") >= minQuality).as("q_ok"))
+    flags.agg(
+        count(lit(1)).as("total"),
+        count(when(col("kp"), 1)).as("s_dedup"),
+        count(when(col("kp") && col("len_ok"), 1)).as("s_len"),
+        count(when(col("kp") && col("len_ok") && col("q_ok"), 1))
+          .as("s_quality"))
+      .select(expr("""stack(4,
+          CAST(0 AS BIGINT), 'total',   total,
+          CAST(1 AS BIGINT), 'dedup',   s_dedup,
+          CAST(2 AS BIGINT), 'length',  s_len,
+          CAST(3 AS BIGINT), 'quality', s_quality)
+          AS (stage_idx, stage, n_docs)"""), col("total"))
+      .select(col("stage_idx"), col("stage"), col("n_docs"),
+        expr("n_docs * 1000000 DIV total").as("retained_ppm"))
+  }
+
+  /** Per-document NOVELTY score — what fraction of a doc's shingles
+    * does the corpus see for the FIRST time in this doc (by doc_id
+    * order)? The curation dual of the contamination score: low
+    * novelty = boilerplate/recombination, and training-data mixers
+    * weight by exactly this signal (each shingle credits only its
+    * earliest document, so summing novel counts never double-counts
+    * corpus-wide). Three shuffles, all linear in the shingle count:
+    * distinct (doc, hash), min-doc per hash, per-doc rollup — the
+    * first-occurrence groupBy is the same 8-byte-hash index the
+    * decontamination family builds.
+    */
+  def noveltyScore(s: SparkSession, d: String, ngram: Int = 12): DataFrame = {
+    graft.functions.Vectors.ensureRegistered(s)
+    val sh = Tables.spread(Tables.documents(s, d)).select(col("doc_id"),
+        explode(call_function("graft_shingle_hashes",
+          col("text"), lit(ngram))).as("sh"))
+      .distinct()
+    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total_shingles"),
+        count(when(col("first_doc") === col("doc_id"), 1))
+          .as("novel_shingles"))
+      .withColumn("novelty_ppm",
+        expr("novel_shingles * 1000000 DIV total_shingles"))
+  }
 }

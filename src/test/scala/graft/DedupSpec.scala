@@ -159,6 +159,29 @@ class DedupSpec extends AnyFunSuite {
     assert((lsh -- exact).isEmpty)
   }
 
+  test("cosine histogram: buckets replay the driver fold and conserve pairs") {
+    val hist = Similarity.cosHistogram(s, d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_pairs")).toMap
+    val vecs = graft.sources.Tables.embeddings(s, d).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def fold(v: Array[Double], w: Array[Double]): Double = {
+      var i = 0; var acc = 0.0
+      while (i < v.length) { acc += v(i) * w(i); i += 1 }
+      acc
+    }
+    val expect = vecs.keys.toSeq.flatMap { a =>
+      vecs.get(a + 497L).map { bv =>
+        val av = vecs(a)
+        val cos = fold(av, bv) /
+          (math.sqrt(fold(av, av)) * math.sqrt(fold(bv, bv)))
+        math.floor(cos * 10).toLong
+      }
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(hist === expect)
+    assert(hist.values.sum === vecs.keys.count(a => vecs.contains(a + 497L)).toLong)
+  }
+
   test("ANN IVF beats LSH recall at similar candidate budgets") {
     val bf = Similarity.bruteForceTopK(s, d).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet

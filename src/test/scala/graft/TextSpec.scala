@@ -476,4 +476,50 @@ class TextSpec extends AnyFunSuite {
       assert(r.getAs[Long]("pair_ct") >= 5L)
     }
   }
+
+  test("filter funnel: stages are monotone and replay cleanCorpus survivors") {
+    val rows = graft.operators.TextAnalysis.filterFunnel(s, d).collect()
+      .map(r => r.getAs[Long]("stage_idx") ->
+        (r.getString(1), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("retained_ppm"))).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L))
+    val total = rows(0L)._2
+    assert(total === graft.sources.Tables.documents(s, d).count())
+    assert(rows(0L)._3 === 1000000L)
+    // cumulative: every stage keeps at most the previous survivors
+    assert(rows(1L)._2 <= total && rows(2L)._2 <= rows(1L)._2 &&
+      rows(3L)._2 <= rows(2L)._2)
+    // the final stage IS cleanCorpus's output cardinality
+    assert(rows(3L)._2 ===
+      graft.operators.TextAnalysis.cleanCorpus(s, d).count())
+    rows.values.foreach { case (_, n, ppm) =>
+      assert(ppm === n * 1000000L / total)
+    }
+  }
+
+  test("novelty: earliest doc gets full credit, totals tie to the shingle index") {
+    val rs = graft.operators.TextAnalysis.noveltyScore(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("total_shingles"),
+        r.getAs[Long]("novel_shingles"), r.getAs[Long]("novelty_ppm")))
+      .toMap
+    // driver replay over the same native shingle hashes
+    graft.functions.Vectors.ensureRegistered(s)
+    val sh = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), explode(call_function(
+        "graft_shingle_hashes", col("text"), lit(12))).as("sh"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val firstOf = sh.groupBy(_._2).view
+      .mapValues(_.map(_._1).min).toMap
+    val expect = sh.groupBy(_._1).map { case (doc, xs) =>
+      val novel = xs.count { case (_, h) => firstOf(h) == doc }
+      doc -> (xs.length.toLong, novel.toLong,
+        novel.toLong * 1000000L / xs.length)
+    }
+    assert(rs === expect)
+    // conservation: every shingle hash credits exactly one document
+    assert(rs.values.map(_._2).sum === firstOf.size.toLong)
+    // the earliest doc overall is fully novel
+    val firstDoc = rs.keys.min
+    assert(rs(firstDoc)._3 === 1000000L)
+  }
 }
