@@ -256,6 +256,9 @@ object SparkEntry {
     "sim_cos_histogram" -> (Similarity.cosHistogram(_, _)),
     "pipeline_filter_funnel" -> (TextAnalysis.filterFunnel(_, _)),
     "text_novelty" -> (TextAnalysis.noveltyScore(_, _)),
+    "text_readability" -> (TextAnalysis.readability(_, _)),
+    "analytics_percent_rank" -> (Analytics.percentRankSpend(_, _)),
+    "dq_cross_field" -> (Quality.crossFieldAudit(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3716,5 +3719,57 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE f.first_doc = sh.doc_id) * 1000000
         |    // COUNT(*) AS BIGINT) AS novelty_ppm
         |FROM sh JOIN f ON sh.s = f.s GROUP BY 1""".stripMargin,
+    // maximal [aeiouy]+ runs mean the same thing to RE2 and the JVM
+    "text_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |    AS BIGINT) AS n_syllables,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |    AS BIGINT) * 1000000
+        |    // CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS BIGINT) AS syll_per_word_ppm
+        |FROM documents
+        |WHERE len(list_filter(string_split(lower(text), ' '),
+        |  x -> x <> '')) > 0""".stripMargin,
+    // (rk-1)*1e6 // (n-1) over the unique (spend, custkey) order ==
+    // SQL percent_rank in exact ppm
+    "analytics_percent_rank" ->
+      """WITH spend AS (SELECT o_custkey AS cust_id,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |r AS (SELECT cust_id, cents,
+        |  CAST(row_number() OVER (ORDER BY cents, cust_id) AS BIGINT)
+        |    AS rk,
+        |  COUNT(*) OVER () AS n FROM spend)
+        |SELECT cust_id, cents, rk,
+        |  (rk - 1) * 1000000 // (n - 1) AS prank_ppm
+        |FROM r""".stripMargin,
+    // zero-violation rules still emit a row: checked-and-holds IS
+    // the audit product
+    "dq_cross_field" ->
+      """WITH lo AS (SELECT CAST(l_shipdate AS DATE) AS sd,
+        |    CAST(o_orderdate AS DATE) AS od
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |dr AS (SELECT COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE sd < od) AS v_before,
+        |  COUNT(*) FILTER (WHERE sd > od + INTERVAL 90 DAY) AS v_late
+        | FROM lo),
+        |ev AS (SELECT COUNT(*) AS n, COUNT(*) FILTER (
+        |  WHERE value < 0.0 OR value > 450.0) AS v FROM events),
+        |o AS (SELECT COUNT(*) AS n, COUNT(*) FILTER (
+        |  WHERE CAST(o_totalprice AS DECIMAL(12,2)) <= 0) AS v
+        | FROM orders),
+        |u AS (
+        | SELECT 'ship_before_order' AS rule, n AS n_checked,
+        |   v_before AS n_violations FROM dr
+        | UNION ALL SELECT 'ship_gap_over_90d', n, v_late FROM dr
+        | UNION ALL SELECT 'event_value_range', n, v FROM ev
+        | UNION ALL SELECT 'nonpositive_totalprice', n, v FROM o)
+        |SELECT rule, n_checked, n_violations,
+        |  n_violations * 1000000 // n_checked AS viol_ppm
+        |FROM u""".stripMargin,
   )
 }

@@ -1999,6 +1999,35 @@ object Analytics {
       .agg(count(lit(1)).as("n_customers"))
   }
 
+  /** Per-customer spend PERCENT RANK without a window function: the
+    * global rank comes from the same range-partitioned sort +
+    * zipWithIndex as [[giniSpend]] (a `percent_rank() OVER
+    * (ORDER BY …)` would drag every customer through ONE window
+    * task), and the (rank−1)·10⁶ DIV (n−1) scaling matches SQL
+    * percent_rank exactly on the unique (spend, custkey) order —
+    * integer ppm, engine-exact where the built-in's double would be
+    * fine too but the single-partition plan would not. n arrives as
+    * a 1-row broadcast, not a driver scalar.
+    */
+  def percentRankSpend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("x"))
+    val ranked = spend
+      .repartitionByRange(col("x"), col("o_custkey"))
+      .sortWithinPartitions("x", "o_custkey")
+      .select(col("o_custkey"), col("x")).as[(Long, Long)]
+      .rdd.zipWithIndex()
+      .map { case ((ck, x), idx) => (ck, x, idx + 1) }
+      .toDF("cust_id", "cents", "rk")
+    ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
+      .select(col("cust_id"), col("cents"), col("rk"),
+        expr("(rk - 1) * 1000000 DIV (n - 1)").as("prank_ppm"))
+  }
+
   /** Monthly repeat-purchase rate: share of that month's active
     * customers who ordered ≥2 times in the month (the loyalty KPI
     * beside [[stickiness]]' DAU/MAU). Two combinable aggregations —

@@ -236,4 +236,44 @@ object Quality {
         col(s"${c}_max").as("max_num"))): _*)).as("r"))
       .select("r.*")
   }
+
+  /** CROSS-FIELD consistency audit — the rules [[audit]]'s
+    * single-column checks can't see, spanning columns and tables
+    * (temporal causality: a line item shipped before its order was
+    * placed; latency SLO: shipped >90 days after; numeric-range
+    * rules on the event stream and order totals). Each rule reports
+    * (checked, violations, ppm); zero-violation rules still emit a
+    * row — "we checked and it holds" IS the audit product. The
+    * two date rules share ONE lineitem⋈orders key join (AQE-
+    * coalesced); the others are map-side counts fused into their
+    * table's single scan.
+    */
+  def crossFieldAudit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lo = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+    val dateRules = lo.agg(
+        count(lit(1)).as("n"),
+        count_if(col("sd") < col("od")).as("v_before"),
+        count_if(datediff(col("sd"), col("od")) > 90).as("v_late"))
+      .select(expr("""stack(2,
+        'ship_before_order', n, v_before,
+        'ship_gap_over_90d', n, v_late) AS (rule, n_checked, n_violations)"""))
+    val eventRule = Tables.events(s, d).agg(
+        count(lit(1)).as("n"),
+        count_if(col("value") < 0.0 || col("value") > 450.0).as("v"))
+      .select(lit("event_value_range").as("rule"),
+        col("n").as("n_checked"), col("v").as("n_violations"))
+    val orderRule = Tables.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        count_if(col("o_totalprice").cast(
+          org.apache.spark.sql.types.DecimalType(12, 2)) <= 0).as("v"))
+      .select(lit("nonpositive_totalprice").as("rule"),
+        col("n").as("n_checked"), col("v").as("n_violations"))
+    dateRules.unionByName(eventRule).unionByName(orderRule)
+      .withColumn("viol_ppm", expr("n_violations * 1000000 DIV n_checked"))
+  }
 }

@@ -67,6 +67,8 @@ class PlanLintSpec extends AnyFunSuite {
     * - analytics_rfm_migration: the 1-row (dmin, dmax) span-bounds
     *   crossJoin onto the order scan (the gap_fill bounds-broadcast
     *   shape)
+    * - analytics_percent_rank: the 1-row customer-count crossJoin
+    *   onto the rank frame (the lorenz denominators shape)
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
@@ -78,7 +80,7 @@ class PlanLintSpec extends AnyFunSuite {
     "analytics_seasonality_dow", "analytics_price_cdf",
     "text_collocations", "corpus_near_dup_rate", "analytics_lorenz",
     "analytics_churn_hazard", "analytics_decompose",
-    "analytics_rfm_migration")
+    "analytics_rfm_migration", "analytics_percent_rank")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -497,6 +497,25 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("readability: vowel-run counts replay the JVM regex on the driver") {
+    val rs = graft.operators.TextAnalysis.readability(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_syllables"),
+        r.getAs[Long]("syll_per_word_ppm"))).toMap
+    val docs = graft.sources.Tables.documents(s, d)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val re = "[aeiouy]+".r
+    val expect = docs.flatMap { case (id, text) =>
+      val w = text.toLowerCase.split(" ").count(_.nonEmpty).toLong
+      if (w == 0) None else {
+        val syl = re.findAllIn(text.toLowerCase).size.toLong
+        Some(id -> (w, syl, syl * 1000000L / w))
+      }
+    }.toMap
+    assert(rs === expect)
+  }
+
   test("novelty: earliest doc gets full credit, totals tie to the shingle index") {
     val rs = graft.operators.TextAnalysis.noveltyScore(s, d).collect()
       .map(r => r.getLong(0) -> (r.getAs[Long]("total_shingles"),

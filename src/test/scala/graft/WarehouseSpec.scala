@@ -690,6 +690,53 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rs.values.map(_._2).sum === tot)
   }
 
+  test("percent rank: matches SQL percent_rank in exact ppm, bounds exact") {
+    val rs = graft.warehouse.Analytics.percentRankSpend(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Long]("rk"),
+        r.getAs[Long]("prank_ppm"))).toMap
+    val spend = graft.sources.Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (ck, c) => (c, ck) }
+    val n = spend.length
+    spend.zipWithIndex.foreach { case ((ck, c), i) =>
+      val (cents, rk, ppm) = rs(ck)
+      assert(cents === c)
+      assert(rk === i + 1L)
+      assert(ppm === i.toLong * 1000000L / (n - 1))
+    }
+    assert(rs.values.map(_._3).min === 0L)
+    assert(rs.values.map(_._3).max === 1000000L)
+  }
+
+  test("cross-field audit: rules replay and causality violations are visible") {
+    val rs = graft.warehouse.Quality.crossFieldAudit(s, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_checked"),
+        r.getAs[Long]("n_violations"), r.getAs[Long]("viol_ppm"))).toMap
+    assert(rs.keySet === Set("ship_before_order", "ship_gap_over_90d",
+      "event_value_range", "nonpositive_totalprice"))
+    val lo = graft.sources.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      .join(graft.sources.Tables.orders(s, d)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .collect().map(r => (r.getDate(1).toLocalDate, r.getDate(3).toLocalDate))
+    assert(rs("ship_before_order")._1 === lo.length.toLong)
+    assert(rs("ship_before_order")._2 ===
+      lo.count { case (sd, od) => sd.isBefore(od) }.toLong)
+    assert(rs("ship_gap_over_90d")._2 ===
+      lo.count { case (sd, od) => sd.toEpochDay - od.toEpochDay > 90 }.toLong)
+    // the synthetic generator does NOT enforce ship >= order: the
+    // audit's job is to surface that, and zero-violation rules report
+    assert(rs("ship_before_order")._2 > 0L)
+    assert(rs("nonpositive_totalprice")._2 === 0L)
+    rs.values.foreach { case (n, v, ppm) =>
+      assert(ppm === v * 1000000L / n)
+    }
+  }
+
   test("rfm migration: matrix conserves customers and replays the quartiling") {
     val cells = graft.warehouse.Analytics.rfmMigration(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_customers"))
