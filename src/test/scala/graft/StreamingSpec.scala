@@ -138,6 +138,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: built-in bounded-state dedup == keyed-state job") {
+    // the built-in alternative to Jobs.streamingDedup: state expires
+    // with the watermark instead of living forever — the form a
+    // 100 TB deployment uses when replays can only arrive within the
+    // lateness bound. Same doubled-delivery staging as above; within
+    // one bounded run both paths must agree exactly.
+    val dir = Files.createTempDirectory("dedup-wm-src")
+    Files.createSymbolicLink(dir.resolve("a.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+      dir.resolve("b.parquet"))
+    val stream = Sources.events(s, dir.toString)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.writeStream.format("memory").queryName("wmdedup")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("wmdedup-ck")).start()
+    try {
+      q.processAllAvailable()
+      val got = s.sql(
+        "SELECT count(*), count(DISTINCT event_id) FROM wmdedup")
+        .collect()(0)
+      val expected = Tables.events(s, d).count()
+      assert(got.getLong(0) === expected, "each event exactly once")
+      assert(got.getLong(1) === expected)
+      // state is BOUNDED: the query carries a watermark, unlike the
+      // unbounded dropDuplicates the keyed-state job replaces
+      assert(q.lastProgress.eventTime.containsKey("watermark") ||
+        q.recentProgress.exists(_.eventTime.containsKey("watermark")),
+        "watermark must be active so dedup state can expire")
+    } finally q.stop()
+  }
+
   test("keywordWindow: streaming explode + window count matches batch") {
     val q = Jobs.keywordWindow(eventsStream)
       .writeStream.format("memory").queryName("kww")
