@@ -259,6 +259,7 @@ object SparkEntry {
     "text_readability" -> (TextAnalysis.readability(_, _)),
     "analytics_percent_rank" -> (Analytics.percentRankSpend(_, _)),
     "dq_cross_field" -> (Quality.crossFieldAudit(_, _)),
+    "mm_scene_cut" -> (Multimodal.sceneCuts(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3771,5 +3772,31 @@ object SparkEntry {
         |SELECT rule, n_checked, n_violations,
         |  n_violations * 1000000 // n_checked AS viol_ppm
         |FROM u""".stripMargin,
+    // consecutive-chunk energy deltas; integer per-sample means so
+    // the cut flags hash-grade
+    "mm_scene_cut" ->
+      """WITH en AS (
+        | SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+        |  CAST(list_sum(list_transform(smp, v ->
+        |    (v - 128) * (v - 128))) AS BIGINT)
+        |    // CAST(length(u.c) // 2 AS BIGINT) AS e_ps
+        | FROM (
+        |  SELECT doc_id, u, list_transform(
+        |    range(1, length(u.c) // 2 + 1), i ->
+        |      strpos('0123456789ABCDEF', substr(u.c, 2*i-1, 1)) * 16
+        |      + strpos('0123456789ABCDEF', substr(u.c, 2*i, 1)) - 17)
+        |    AS smp
+        |  FROM (
+        |   SELECT doc_id, unnest([{'i': i,
+        |     'c': substr(hex(encode(text)), i * 512 + 1, 512)}
+        |     for i in range(0, CAST(ceil(
+        |       octet_length(encode(text)) * 2 / 512.0) AS INT))]) AS u
+        |   FROM documents) x) y),
+        |lagged AS (SELECT doc_id, chunk_idx, e_ps,
+        |  lag(e_ps) OVER (PARTITION BY doc_id ORDER BY chunk_idx)
+        |    AS prev FROM en)
+        |SELECT doc_id, chunk_idx, e_ps, e_ps - prev AS delta,
+        |  abs(e_ps - prev) > 400 AS is_cut
+        |FROM lagged WHERE prev IS NOT NULL""".stripMargin,
   )
 }

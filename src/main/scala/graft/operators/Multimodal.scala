@@ -157,6 +157,31 @@ object Multimodal {
         expr("array_max(transform(smp, v -> abs(v - 128)))").as("peak"))
   }
 
+  /** Scene-cut detection over the framed payload — the video
+    * analogue of [[audioEnergy]]'s silence screen: consecutive
+    * "frames" (chunks) whose per-sample mean energy jumps by more
+    * than `tau` mark a content boundary (shot change, track change,
+    * format switch inside a container). Per-doc lag window over the
+    * chunk index — parallel across documents, frame count per doc
+    * bounds the window state — and every term stays integer
+    * (energy DIV bytes, then an absolute-delta compare), so the cut
+    * FLAGS hash-grade across engines. A real video pipeline swaps
+    * the energy signature for a perceptual frame hash at the same
+    * grain; the framing + windowed-delta plumbing is what carries.
+    */
+  def sceneCuts(s: SparkSession, d: String, chunkBytes: Int = 256,
+      tau: Long = 400): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("chunk_idx")
+    audioEnergy(s, d, chunkBytes)
+      .withColumn("e_ps", expr("energy DIV chunk_bytes"))
+      .withColumn("prev", lag(col("e_ps"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("chunk_idx"), col("e_ps"),
+        (col("e_ps") - col("prev")).as("delta"),
+        (abs(col("e_ps") - col("prev")) > tau).as("is_cut"))
+  }
+
   /** Batch feature extraction. PNG payloads go through the REAL codec
     * (javax.imageio decode → per-channel pixel means); anything
     * undecodable falls back to the stub. Runs as mapPartitions over

@@ -193,5 +193,17 @@ class PlanLintSpec extends AnyFunSuite {
       "CDF must be a pure scan-aggregate")
     // vocabulary profile: token groupBy + 1-row reduce
     assert(shuffles("text_hapax_stats") <= 3)
+    // this session's additions
+    // readability is a pure per-document scan — zero shuffles
+    assert(shuffles("text_readability") === 0,
+      "readability must stay scan-shaped")
+    // repeat rate: (month, cust) agg + month agg, nothing else
+    assert(shuffles("analytics_repeat_rate") <= 2)
+    // cosine histogram: computed-key equi-join + bucket rollup +
+    // 1-row-ish reduce — never an all-pairs shape
+    assert(shuffles("sim_cos_histogram") <= 3)
+    // cross-field audit: one key join + per-table scan-aggregates
+    // (each ends in its own 1-row reduce before the union)
+    assert(shuffles("dq_cross_field") <= 5)
   }
 }

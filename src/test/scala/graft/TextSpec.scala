@@ -319,6 +319,28 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("scene cuts: deltas replay the per-doc energy lag, both flag classes occur") {
+    val cuts = graft.operators.Multimodal.sceneCuts(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("e_ps"), r.getAs[Long]("delta"),
+          r.getAs[Boolean]("is_cut"))).toMap
+    val energy = graft.operators.Multimodal.audioEnergy(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("energy"), r.getAs[Long]("chunk_bytes"))).toMap
+    val expect = energy.keys.toSeq.flatMap { case (doc, idx) =>
+      energy.get((doc, idx - 1)).map { case (pe, pb) =>
+        val (e, b) = energy((doc, idx))
+        val eps = e / b; val prev = pe / pb
+        (doc, idx) -> (eps, eps - prev, math.abs(eps - prev) > 400L)
+      }
+    }.toMap
+    assert(cuts === expect)
+    // first chunk of every doc is excluded (no predecessor)
+    assert(!cuts.keySet.exists(_._2 == 0L))
+    // the threshold separates: both classes present at this sf
+    assert(cuts.values.exists(_._3) && cuts.values.exists(!_._3))
+  }
+
   test("chunk dedup: keeper is the lexicographic owner, accounting closes") {
     val chunks = Multimodal.audioChunks(s, d).collect()
       .map(r => (r.getAs[String]("chunk_md5"), r.getAs[Long]("doc_id"),
