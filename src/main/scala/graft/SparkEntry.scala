@@ -260,6 +260,10 @@ object SparkEntry {
     "analytics_percent_rank" -> (Analytics.percentRankSpend(_, _)),
     "dq_cross_field" -> (Quality.crossFieldAudit(_, _)),
     "mm_scene_cut" -> (Multimodal.sceneCuts(_, _)),
+    "text_fertility" -> (TextAnalysis.fertility(_, _)),
+    "text_code_signals" -> (TextAnalysis.codeSignals(_, _)),
+    "analytics_mix_trend" -> (Analytics.mixTrend(_, _)),
+    "analytics_top_movers" -> (Analytics.topMovers(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3798,5 +3802,63 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, e_ps, e_ps - prev AS delta,
         |  abs(e_ps - prev) > 400 AS is_cut
         |FROM lagged WHERE prev IS NOT NULL""".stripMargin,
+    // ratio over the SUMS, not an average of per-doc ratios
+    "text_fertility" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> ''))) AS BIGINT) AS total_words,
+        |  CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> x <> ''))) AS BIGINT) AS total_subwords,
+        |  CAST(SUM(len(list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> x <> ''))) AS BIGINT) * 1000000
+        |    // CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> ''))) AS BIGINT) AS fertility_ppm
+        |FROM documents GROUP BY 1""".stripMargin,
+    // char-class counts via length-minus-stripped: no regex dialect
+    // hazard; DuckDB needs the 'g' flag Spark applies by default
+    "text_code_signals" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |    '[{}();=\[\]<>]', '', 'g')) AS BIGINT) * 1000000
+        |    // CAST(length(text) AS BIGINT) AS symbol_ppm,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |    '[0-9]', '', 'g')) AS BIGINT) * 1000000
+        |    // CAST(length(text) AS BIGINT) AS digit_ppm,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |    '[|\\]', '', 'g')) AS BIGINT) * 1000000
+        |    // CAST(length(text) AS BIGINT) AS line_ppm
+        |FROM documents WHERE length(text) > 0""".stripMargin,
+    "analytics_mix_trend" ->
+      """WITH cells AS (SELECT strftime(CAST(o_orderdate AS DATE),
+        |    '%Y-%m') AS ym, o_orderpriority,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1, 2),
+        |t AS (SELECT ym, CAST(SUM(cents) AS BIGINT) AS tot
+        |      FROM cells GROUP BY 1)
+        |SELECT cells.ym, o_orderpriority, cents,
+        |  cents * 1000000 // tot AS share_ppm
+        |FROM cells JOIN t ON cells.ym = t.ym""".stripMargin,
+    "analytics_top_movers" ->
+      """WITH rev AS (
+        | SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+        |     + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mi,
+        |   l_partkey AS part_id,
+        |   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |     * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+        |     AS BIGINT)) AS BIGINT) AS x
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY 1, 2),
+        |rk AS (SELECT mi, part_id, CAST(row_number() OVER (
+        |    PARTITION BY mi ORDER BY x DESC, part_id) AS BIGINT) AS rk
+        |  FROM rev),
+        |mv AS (SELECT c.mi, c.part_id, p.rk AS prev_rk, c.rk,
+        |    p.rk - c.rk AS rank_delta
+        |  FROM rk c JOIN rk p
+        |    ON c.part_id = p.part_id AND c.mi = p.mi + 1)
+        |SELECT mi, part_id, prev_rk, rk, rank_delta FROM (
+        |  SELECT *, row_number() OVER (ORDER BY abs(rank_delta) DESC,
+        |    mi, part_id) AS rn FROM mv)
+        |WHERE rn <= 20""".stripMargin,
   )
 }

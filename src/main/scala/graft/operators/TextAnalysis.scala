@@ -905,6 +905,53 @@ object TextAnalysis {
         expr("n_docs * 1000000 DIV total").as("retained_ppm"))
   }
 
+  /** Tokenizer FERTILITY per language — subword tokens per word, the
+    * number a multilingual-pretraining budget is planned around
+    * (fertility 2.0 means a language pays twice the sequence length
+    * per word; mixes are corrected by exactly this ratio). Subword =
+    * the BPE-ish `[a-z0-9]+` pre-tokenization, word = whitespace
+    * tokens — both engine-exact counts — rolled up per language with
+    * the ratio in integer ppm over the SUMS (not an average of
+    * per-doc ratios, which would weight short docs equally). One
+    * scan, one ≤|langs| rollup.
+    */
+  def fertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(Text.wsTokens(col("text"))).cast("long").as("ws"),
+        size(Text.regexTokens(col("text"))).cast("long").as("re"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("total_words"),
+        sum(col("re")).as("total_subwords"))
+      .withColumn("fertility_ppm",
+        expr("total_subwords * 1000000 DIV total_words"))
+
+  /** Code-vs-prose SIGNALS per document — the cheap screen a corpus
+    * router runs before sending text to a code-specific cleaning
+    * path: structural-symbol density ({};()=[]<>), digit density,
+    * and line-ish density (pipe/backslash as stand-ins for the
+    * newline the corpus lacks), all in integer ppm of characters.
+    * Char-class counts come from length-minus-stripped — no regex
+    * dialect hazards, identical in any engine. Pure map-side scan.
+    */
+  def codeSignals(s: SparkSession, d: String): DataFrame = {
+    def cnt(cls: String) =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), cls, ""))).cast("long")
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        cnt("[{}();=\\[\\]<>]").as("sym"),
+        cnt("[0-9]").as("dig"),
+        cnt("[|\\\\]").as("lin"))
+      .select(col("doc_id"), col("n_chars"),
+        expr("sym * 1000000 DIV n_chars").as("symbol_ppm"),
+        expr("dig * 1000000 DIV n_chars").as("digit_ppm"),
+        expr("lin * 1000000 DIV n_chars").as("line_ppm"))
+  }
+
   /** Per-document readability signals (Flesch-style inputs kept as
     * EXACT INTEGERS): word count, syllable proxy (maximal vowel-run
     * count — `[aeiouy]+` means the same thing to RE2 and the JVM

@@ -1963,6 +1963,58 @@ object Analytics {
                  DIV CAST($totalStr AS DECIMAL(38,0))"""))
   }
 
+  /** Monthly revenue MIX by order priority (composition over time —
+    * "is the urgent share growing?"): per-(month, priority) exact
+    * cents plus the within-month share in ppm. Month totals come
+    * from a second tiny rollup broadcast back onto the ≤5-row-per-
+    * month cells — never a window over the fact grain; the fact
+    * table is scanned once.
+    */
+  def mixTrend(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.orders(s, d)
+      .groupBy(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("ym"),
+        col("o_orderpriority"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents"))
+    val totals = cells.groupBy("ym")
+      .agg(sum(col("cents")).as("tot"))
+    cells.join(broadcast(totals), "ym")
+      .select(col("ym"), col("o_orderpriority"), col("cents"),
+        expr("cents * 1000000 DIV tot").as("share_ppm"))
+  }
+
+  /** Top rank MOVERS month over month: parts whose within-month
+    * revenue rank jumped the most between consecutive months — the
+    * "what changed" panel beside any static top-N. Ranks are
+    * per-month windows (parallel across months, deterministic
+    * (revenue desc, part) order); consecutive months align by an
+    * integer month index equi-join (month+1 — no date arithmetic in
+    * the join key); the global top-k rides TakeOrderedAndProject on
+    * the total order (|Δrank| desc, month, part), bounded-heap not
+    * full sort. Revenue in exact 1e-4-dollar units.
+    */
+  def topMovers(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(
+        (year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate")))).cast("long").as("mi"),
+        col("l_partkey").as("part_id"))
+      .agg(sum((dec(col("l_extendedprice")) *
+        (lit(1) - dec(col("l_discount"))) * 10000).cast("long")).as("x"))
+    val ranked = rev.withColumn("rk", row_number().over(
+      Window.partitionBy("mi").orderBy(col("x").desc, col("part_id")))
+      .cast("long"))
+    val cur = ranked.select(col("mi"), col("part_id"), col("rk"))
+    val prev = ranked.select((col("mi") + 1).as("mi"), col("part_id"),
+      col("rk").as("prev_rk"))
+    cur.join(prev, Seq("mi", "part_id"))
+      .select(col("mi"), col("part_id"), col("prev_rk"), col("rk"),
+        (col("prev_rk") - col("rk")).as("rank_delta"))
+      .orderBy(abs(col("rank_delta")).desc, col("mi"), col("part_id"))
+      .limit(k)
+  }
+
   /** RFM segment MIGRATION matrix: customers quartiled by spend in
     * each half of the order-date span, counted per (segment-before,
     * segment-after) cell — the retention dashboard behind "are my

@@ -519,6 +519,46 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("fertility: per-language ratio rides the sums, replays the driver tally") {
+    val rs = graft.operators.TextAnalysis.fertility(s, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_words"), r.getAs[Long]("total_subwords"),
+        r.getAs[Long]("fertility_ppm"))).toMap
+    val docs = graft.sources.Tables.documents(s, d)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (lang, xs) =>
+      val w = xs.map(_._2.toLowerCase.split(" ").count(_.nonEmpty).toLong).sum
+      val sub = xs.map(_._2.toLowerCase.split("[^a-z0-9]+")
+        .count(_.nonEmpty).toLong).sum
+      lang -> (xs.length.toLong, w, sub, sub * 1000000L / w)
+    }
+    assert(rs === expect)
+    // subword tokenization never merges across words: fertility >= 1
+    rs.values.foreach { case (_, _, _, f) => assert(f >= 1000000L) }
+  }
+
+  test("code signals: densities replay the driver count, prose corpus reads low") {
+    val rs = graft.operators.TextAnalysis.codeSignals(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_chars"),
+        r.getAs[Long]("symbol_ppm"), r.getAs[Long]("digit_ppm"),
+        r.getAs[Long]("line_ppm"))).toMap
+    val docs = graft.sources.Tables.documents(s, d)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.nonEmpty)
+    val sym = "[{}();=\\[\\]<>]".r
+    val dig = "[0-9]".r
+    val lin = "[|\\\\]".r
+    val expect = docs.map { case (id, t) =>
+      val n = t.length.toLong
+      def ppm(re: scala.util.matching.Regex) =
+        re.findAllIn(t).size.toLong * 1000000L / n
+      id -> (n, ppm(sym), ppm(dig), ppm(lin))
+    }.toMap
+    assert(rs === expect)
+  }
+
   test("readability: vowel-run counts replay the JVM regex on the driver") {
     val rs = graft.operators.TextAnalysis.readability(s, d).collect()
       .map(r => r.getLong(0) -> (r.getAs[Long]("n_words"),

@@ -690,6 +690,60 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rs.values.map(_._2).sum === tot)
   }
 
+  test("mix trend: cells replay and monthly shares close to one million") {
+    val rs = graft.warehouse.Analytics.mixTrend(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("cents"), r.getAs[Long]("share_ppm"))).toMap
+    val orders = graft.sources.Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("od"), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1), r.getLong(2)))
+    val cells = orders.groupBy { case (od, p, _) =>
+      (f"${od.getYear}%04d-${od.getMonthValue}%02d", p)
+    }.view.mapValues(_.map(_._3).sum).toMap
+    assert(rs.view.mapValues(_._1).toMap === cells)
+    val monthTot = cells.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    rs.foreach { case ((ym, p), (cents, ppm)) =>
+      assert(ppm === cents * 1000000L / monthTot(ym))
+    }
+    // per month, floor shares sum within n_priorities of 1e6
+    rs.keys.groupBy(_._1).foreach { case (ym, ks) =>
+      val tot = ks.map(k => rs(k)._2).sum
+      assert(tot <= 1000000L && tot > 1000000L - ks.size)
+    }
+  }
+
+  test("top movers: global top-20 replays the per-month rank deltas") {
+    val rs = graft.warehouse.Analytics.topMovers(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("prev_rk"),
+        r.getAs[Long]("rk"), r.getAs[Long]("rank_delta")))
+    val rev = graft.sources.Tables.lineitem(s, d)
+      .join(graft.sources.Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((year(to_date(col("o_orderdate"))) * 12 +
+        month(to_date(col("o_orderdate")))).cast("long").as("mi"),
+        col("l_partkey"))
+      .agg(sum((col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1) - col("l_discount").cast("decimal(12,2)")) * 10000)
+        .cast("long")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ranks: Map[(Long, Long), Long] =
+      rev.groupBy(_._1).toSeq.flatMap { case (mi, xs) =>
+        xs.sortBy { case (_, pk, x) => (-x, pk) }.zipWithIndex
+          .map { case ((_, pk, _), i) => (mi, pk) -> (i + 1).toLong }
+      }.toMap
+    val movers = ranks.keys.toSeq.flatMap { case (mi, pk) =>
+      ranks.get((mi - 1, pk)).map { prev =>
+        val cur = ranks((mi, pk))
+        (mi, pk, prev, cur, prev - cur)
+      }
+    }.sortBy { case (mi, pk, _, _, dl) => (-math.abs(dl), mi, pk) }
+      .take(20)
+    assert(rs.toSeq === movers)
+  }
+
   test("percent rank: matches SQL percent_rank in exact ppm, bounds exact") {
     val rs = graft.warehouse.Analytics.percentRankSpend(s, d).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Long]("rk"),
