@@ -264,6 +264,9 @@ object SparkEntry {
     "text_code_signals" -> (TextAnalysis.codeSignals(_, _)),
     "analytics_mix_trend" -> (Analytics.mixTrend(_, _)),
     "analytics_top_movers" -> (Analytics.topMovers(_, _)),
+    "analytics_retention_flags" -> (Analytics.retentionFlags(_, _)),
+    "analytics_argmax_daily" -> (Analytics.argMaxDaily(_, _)),
+    "pipeline_dataset_card" -> (TextAnalysis.datasetCard(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3860,5 +3863,57 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (ORDER BY abs(rank_delta) DESC,
         |    mi, part_id) AS rn FROM mv)
         |WHERE rn <= 20""".stripMargin,
+    // CK retention(): later conditions gated on the first; day
+    // arrays bounded by the horizon
+    "analytics_retention_flags" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  list(DISTINCT CAST(ts AS DATE) - DATE '1995-01-01') AS ds
+        | FROM events GROUP BY 1),
+        |f AS (SELECT list_min(ds) AS d0, ds FROM u),
+        |g AS (SELECT
+        |  CAST(len(list_filter(ds, x -> x > d0 AND x <= d0 + 3)) > 0
+        |    AS BIGINT) AS f3,
+        |  CAST(len(list_filter(ds, x -> x > d0 AND x <= d0 + 7)) > 0
+        |    AS BIGINT) AS f7,
+        |  CAST(len(list_filter(ds, x -> x > d0 AND x <= d0 + 14)) > 0
+        |    AS BIGINT) AS f14
+        | FROM f)
+        |SELECT COUNT(*) AS n_users,
+        | CAST(SUM(f3) AS BIGINT) AS n_within_3d,
+        | CAST(SUM(f7) AS BIGINT) AS n_within_7d,
+        | CAST(SUM(f14) AS BIGINT) AS n_within_14d,
+        | CAST(SUM(f3) AS BIGINT) * 1000000 // COUNT(*) AS r3_ppm,
+        | CAST(SUM(f7) AS BIGINT) * 1000000 // COUNT(*) AS r7_ppm,
+        | CAST(SUM(f14) AS BIGINT) * 1000000 // COUNT(*) AS r14_ppm
+        |FROM g""".stripMargin,
+    // argMax with ties pinned to the smaller user_id
+    "analytics_argmax_daily" ->
+      """SELECT day, top_user, top_value_cents FROM (
+        | SELECT CAST(ts AS DATE) AS day, user_id AS top_user,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS top_value_cents,
+        |  row_number() OVER (PARTITION BY CAST(ts AS DATE)
+        |    ORDER BY CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      DESC, user_id) AS rn
+        | FROM events) t
+        |WHERE rn = 1""".stripMargin,
+    // the dup number provably agrees with dedup_exact's fingerprint
+    "pipeline_dataset_card" ->
+      """WITH b AS (SELECT
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS BIGINT) AS nt,
+        |  CAST(length(text) AS BIGINT) AS nc, lang, source,
+        |  md5(text) AS fp
+        | FROM documents)
+        |SELECT COUNT(*) AS n_docs,
+        | CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        | CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        | CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        | CAST(SUM(nc) AS BIGINT) AS total_chars,
+        | COUNT(*) - CAST(COUNT(DISTINCT fp) AS BIGINT) AS dup_docs,
+        | (COUNT(*) - CAST(COUNT(DISTINCT fp) AS BIGINT)) * 1000000
+        |   // COUNT(*) AS dup_ppm
+        |FROM b""".stripMargin,
   )
 }

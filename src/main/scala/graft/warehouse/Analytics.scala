@@ -1963,6 +1963,62 @@ object Analytics {
                  DIV CAST($totalStr AS DECIMAL(38,0))"""))
   }
 
+  /** ClickHouse-`retention()` parity: per-user condition flags
+    * (active day-0, re-active within 3 days, within 7, within 14 —
+    * each counted ONLY if the first fired, exactly CK's gating) and
+    * the corpus rollup in counts + ppm. The whole per-user timeline
+    * folds inside ONE groupBy via higher-order functions over the
+    * collected distinct-day array (bounded by the horizon — the
+    * state CK's combinator carries), so the plan is one keyed
+    * aggregation + a 1-row reduce; no self-joins per condition,
+    * which is the naive N-scan shape this combinator exists to
+    * avoid.
+    */
+  def retentionFlags(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(collect_set(datediff(to_date(col("ts")),
+        lit(java.sql.Date.valueOf("1995-01-01"))).cast("long")).as("ds"))
+      .select(col("user_id"), col("ds"),
+        array_min(col("ds")).as("d0"))
+    val flagged = days.select(
+      lit(1L).as("r0"),
+      expr("CAST(exists(ds, x -> x > d0 AND x <= d0 + 3) AS LONG)").as("f3"),
+      expr("CAST(exists(ds, x -> x > d0 AND x <= d0 + 7) AS LONG)").as("f7"),
+      expr("CAST(exists(ds, x -> x > d0 AND x <= d0 + 14) AS LONG)").as("f14"))
+    flagged.agg(
+        sum(col("r0")).as("n_users"),
+        sum(col("f3")).as("n_within_3d"),
+        sum(col("f7")).as("n_within_7d"),
+        sum(col("f14")).as("n_within_14d"))
+      .select(col("n_users"), col("n_within_3d"), col("n_within_7d"),
+        col("n_within_14d"),
+        expr("n_within_3d * 1000000 DIV n_users").as("r3_ppm"),
+        expr("n_within_7d * 1000000 DIV n_users").as("r7_ppm"),
+        expr("n_within_14d * 1000000 DIV n_users").as("r14_ppm"))
+  }
+
+  /** ClickHouse-`argMax()` parity with DETERMINISTIC ties: the
+    * top-value user per day, tie-broken by smaller user_id — CK and
+    * Spark both leave argMax ties undefined, which makes the raw
+    * combinator un-gradeable; pinning the tie-break with a
+    * per-day row_number window (parallel across days) restores a
+    * hash-stable answer. Value arrives as exact integer cents so
+    * the comparison itself can't drift.
+    */
+  def argMaxDaily(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+          .as("value_cents"))
+    val w = Window.partitionBy("day")
+      .orderBy(col("value_cents").desc, col("user_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("day"), col("user_id").as("top_user"),
+        col("value_cents").as("top_value_cents"))
+  }
+
   /** Monthly revenue MIX by order priority (composition over time —
     * "is the urgent share growing?"): per-(month, priority) exact
     * cents plus the within-month share in ppm. Month totals come

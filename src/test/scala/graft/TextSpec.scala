@@ -519,6 +519,23 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("dataset card: every field ties to the operator that owns it") {
+    val r = graft.operators.TextAnalysis.datasetCard(s, d).collect()(0)
+    val docs = graft.sources.Tables.documents(s, d)
+    assert(r.getAs[Long]("n_docs") === docs.count())
+    assert(r.getAs[Long]("n_langs") ===
+      docs.select("lang").distinct().count())
+    assert(r.getAs[Long]("n_sources") ===
+      docs.select("source").distinct().count())
+    // dup count agrees with what exact dedup keeps
+    val kept = graft.operators.Dedup.exact(s, d).count()
+    assert(r.getAs[Long]("dup_docs") === r.getAs[Long]("n_docs") - kept)
+    // token total agrees with the token-counting operator
+    val toks = graft.operators.TextAnalysis.tokens(s, d)
+      .agg(sum(col("ws_tokens"))).collect()(0).getLong(0)
+    assert(r.getAs[Long]("total_tokens") === toks)
+  }
+
   test("fertility: per-language ratio rides the sums, replays the driver tally") {
     val rs = graft.operators.TextAnalysis.fertility(s, d).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),

@@ -690,6 +690,41 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rs.values.map(_._2).sum === tot)
   }
 
+  test("retention flags: gated conditions replay the per-user day fold") {
+    val r = graft.warehouse.Analytics.retentionFlags(s, d).collect()(0)
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts"))).collect()
+      .map(x => (x.getLong(0), x.getDate(1).toLocalDate.toEpochDay))
+    val perUser = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def within(k: Int) = perUser.values.count { ds =>
+      val d0 = ds.min; ds.exists(x => x > d0 && x <= d0 + k)
+    }.toLong
+    assert(r.getAs[Long]("n_users") === perUser.size.toLong)
+    assert(r.getAs[Long]("n_within_3d") === within(3))
+    assert(r.getAs[Long]("n_within_7d") === within(7))
+    assert(r.getAs[Long]("n_within_14d") === within(14))
+    assert(r.getAs[Long]("r14_ppm") ===
+      within(14) * 1000000L / perUser.size)
+    // gating is monotone: wider horizons can only add users
+    assert(r.getAs[Long]("n_within_3d") <= r.getAs[Long]("n_within_7d"))
+    assert(r.getAs[Long]("n_within_7d") <= r.getAs[Long]("n_within_14d"))
+  }
+
+  test("argmax daily: winner replays the deterministic tie-break") {
+    val rs = graft.warehouse.Analytics.argMaxDaily(s, d).collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        (r.getAs[Long]("top_user"), r.getAs[Long]("top_value_cents"))).toMap
+    val ev = graft.sources.Tables.events(s, d)
+      .select(to_date(col("ts")), col("user_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    val expect = ev.groupBy(_._1).view.mapValues { xs =>
+      val best = xs.minBy { case (_, u, v) => (-v, u) }
+      (best._2, best._3)
+    }.toMap
+    assert(rs === expect)
+  }
+
   test("mix trend: cells replay and monthly shares close to one million") {
     val rs = graft.warehouse.Analytics.mixTrend(s, d).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
