@@ -267,6 +267,9 @@ object SparkEntry {
     "analytics_retention_flags" -> (Analytics.retentionFlags(_, _)),
     "analytics_argmax_daily" -> (Analytics.argMaxDaily(_, _)),
     "pipeline_dataset_card" -> (TextAnalysis.datasetCard(_, _)),
+    "temporal_asof_nearest" -> (Temporal.nearestViewToPurchase(_, _)),
+    "temporal_overlap_join" -> (Temporal.promoOverlap(_, _)),
+    "pipeline_contrastive_pairs" -> (Dedup.contrastivePairs(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3915,5 +3918,64 @@ object SparkEntry {
         | (COUNT(*) - CAST(COUNT(DISTINCT fp) AS BIGINT)) * 1000000
         |   // COUNT(*) AS dup_ppm
         |FROM b""".stripMargin,
+    // nearest |Δt| view per purchase, ties backward then earlier
+    "temporal_asof_nearest" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS vus,
+        |    MAX(value) AS lv
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |cand AS (SELECT p.event_id, p.user_id, p.us, v.lv,
+        |  row_number() OVER (PARTITION BY p.event_id
+        |    ORDER BY abs(v.vus - p.us),
+        |      CASE WHEN v.vus <= p.us THEN 0 ELSE 1 END, v.vus) AS rn
+        | FROM p JOIN v ON p.user_id = v.user_id)
+        |SELECT p.event_id, p.user_id, p.us,
+        |  cand.lv AS nearest_view_value
+        |FROM p LEFT JOIN cand
+        |  ON p.event_id = cand.event_id AND cand.rn = 1""".stripMargin,
+    // month-banded interval overlap: equi-join on the band +
+    // residual closed-vs-half-open predicate
+    "temporal_overlap_join" ->
+      """WITH act AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    MIN(epoch_us(ts)) AS a_start, MAX(epoch_us(ts)) AS a_end
+        |  FROM events GROUP BY 1, 2),
+        |a2 AS (SELECT *, CAST(year(day) * 12 + month(day) AS BIGINT)
+        |    AS mi FROM act),
+        |pr AS (SELECT
+        |    CAST(year(m0) * 12 + month(m0) AS BIGINT) AS mi,
+        |    epoch_us(CAST(m0 AS TIMESTAMP)) AS p_start,
+        |    epoch_us(CAST(m0 + INTERVAL 10 DAY AS TIMESTAMP)) AS p_end
+        |  FROM (SELECT DISTINCT date_trunc('month', CAST(ts AS DATE))
+        |    AS m0 FROM events) t)
+        |SELECT a2.mi, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS n_users,
+        |  COUNT(*) AS n_user_days
+        |FROM a2 JOIN pr ON a2.mi = pr.mi
+        |WHERE a_start < p_end AND a_end >= p_start
+        |GROUP BY 1""".stripMargin,
+    // positives = the cached near-dup pair set; negatives = the
+    // deterministic (i, i+137) sample minus accidental positives
+    "pipeline_contrastive_pairs" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        |  FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pos AS (SELECT id_a, id_b
+        |       FROM i JOIN sz sa ON sa.doc_id = id_a
+        |              JOIN sz sb ON sb.doc_id = id_b
+        |       WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        |neg AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 137
+        |  ANTI JOIN pos ON pos.id_a = a.doc_id AND pos.id_b = b.doc_id)
+        |SELECT id_a, id_b, CAST(1 AS BIGINT) AS label FROM pos
+        |UNION ALL
+        |SELECT id_a, id_b, CAST(0 AS BIGINT) AS label FROM neg""".stripMargin,
   )
 }

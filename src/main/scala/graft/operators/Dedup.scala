@@ -241,6 +241,29 @@ object Dedup {
       .agg(count(lit(1)).as("pair_ct"))
   }
 
+  /** Contrastive training-pair generation — the (anchor, other,
+    * label) table a similarity-model finetune consumes: positives
+    * are the corpus's actual near-dup pairs (riding the CACHED
+    * exact-Jaccard pair plan), negatives a deterministic
+    * (i, i+offset) linear sample with any accidental near-dup
+    * anti-joined away, so label noise is structurally impossible
+    * and the same pairs regenerate on every engine and cluster
+    * size. O(n) negatives — never random sampling (irreproducible)
+    * nor all-pairs.
+    */
+  def contrastivePairs(s: SparkSession, d: String,
+      offset: Long = 137): DataFrame = {
+    val pos = ngramJaccard(s, d).select(col("id_a"), col("id_b"))
+      .withColumn("label", lit(1L))
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+    val neg = ids.select(col("doc_id").as("id_a"))
+      .join(ids.select((col("doc_id") - offset).as("id_a"),
+        col("doc_id").as("id_b")), "id_a")
+      .join(pos.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      .withColumn("label", lit(0L))
+    pos.unionByName(neg)
+  }
+
   /** Quality-priority canonical selection: within each near-dup
     * cluster keep the HIGHEST-QUALITY document, not the smallest id
     * — the curation policy real pipelines want (dedup should drop

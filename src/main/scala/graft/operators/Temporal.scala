@@ -184,6 +184,93 @@ object Temporal {
     scd2Build(views, "user_id", "us", Seq("last_view_value"))
   }
 
+  /** NEAREST-direction as-of join (pandas `merge_asof
+    * direction='nearest'` parity — the calibration-lookup semantics
+    * a backward-only as-of can't express): each left row takes the
+    * right row minimizing |Δt|, ties preferring the backward
+    * (at-or-before) candidate. Same union+window shape as
+    * [[asOfJoin]] — ONE shuffle on the key, two frames over one
+    * sort (backward last + forward first, both ignore-nulls) — so
+    * the nearest variant costs exactly the backward variant, not a
+    * second pass. `ts` must be long-backed (microseconds).
+    */
+  def asOfJoinNearest(left: DataFrame, right: DataFrame, key: String,
+      ts: String, valueCol: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val vType = right.schema(valueCol).dataType
+    val lT = left.withColumn("__side", lit(1))
+      .select(Seq(col(key), col(ts), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++
+        Seq(lit(null).cast(vType).as(valueCol),
+          lit(null).cast("long").as("__rts")): _*)
+    val rT = right.withColumn("__side", lit(0))
+      .select(Seq(col(key), col(ts), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(valueCol), col(ts).cast("long").as("__rts")): _*)
+    val wb = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lT.unionByName(rT)
+      .select(Seq(col(key), col(ts), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++ Seq(
+          last(col(valueCol), ignoreNulls = true).over(wb).as("__pv"),
+          last(col("__rts"), ignoreNulls = true).over(wb).as("__pt"),
+          first(col(valueCol), ignoreNulls = true).over(wf).as("__nv"),
+          first(col("__rts"), ignoreNulls = true).over(wf).as("__nt")): _*)
+      .filter(col("__side") === 1)
+      .withColumn(valueCol,
+        when(col("__pt").isNotNull && (col("__nt").isNull ||
+          (col(ts) - col("__pt")) <= (col("__nt") - col(ts))),
+          col("__pv")).otherwise(col("__nv")))
+      .drop("__side", "__pv", "__pt", "__nv", "__nt")
+  }
+
+  /** Nearest-view query: each purchase takes the same user's view
+    * CLOSEST in time (either direction), ties backward.
+    */
+  def nearestViewToPurchase(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (purchases, views) = asOfInputs(s, d)
+    asOfJoinNearest(purchases, views, "user_id", "us", "last_view_value")
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("last_view_value").as("nearest_view_value"))
+  }
+
+  /** Generic interval-OVERLAP join, banded for scale: per-(user,
+    * day) activity spans against monthly promo windows. Both
+    * interval sets map to a MONTH band key (a day-grain span never
+    * crosses months; a generic span would `sequence`-explode to the
+    * bands it touches), the join is a plain equi-join on the band
+    * plus a residual overlap predicate — never a cross product, and
+    * both sides stay shuffle-partitioned on the band at any scale.
+    * The overlap test is closed-vs-half-open:
+    * a_start < p_end ∧ a_end ≥ p_start.
+    */
+  def promoOverlap(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val act = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(unix_micros(col("ts"))).as("a_start"),
+        max(unix_micros(col("ts"))).as("a_end"))
+      .withColumn("mi", (year(col("day")) * 12 + month(col("day")))
+        .cast("long"))
+    // one promo window per active month: first 10 days
+    val promos = ev.select(trunc(to_date(col("ts")), "month").as("m0"))
+      .distinct()
+      .select((year(col("m0")) * 12 + month(col("m0"))).cast("long")
+          .as("mi"),
+        unix_micros(to_timestamp(col("m0"))).as("p_start"),
+        unix_micros(to_timestamp(date_add(col("m0"), 10))).as("p_end"))
+    act.join(promos, "mi")
+      .filter(col("a_start") < col("p_end") &&
+        col("a_end") >= col("p_start"))
+      .groupBy(col("mi"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_user_days"))
+  }
+
   /** Point-in-time serving AGAINST the SCD2 dim — the warehouse
     * access path (probe ⋈ versioned-dim on key + half-open interval
     * containment) that answers exactly what the as-of join answers

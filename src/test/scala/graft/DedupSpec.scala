@@ -159,6 +159,24 @@ class DedupSpec extends AnyFunSuite {
     assert((lsh -- exact).isEmpty)
   }
 
+  test("contrastive pairs: positives are the pair set, negatives clean and disjoint") {
+    val rows = Dedup.contrastivePairs(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("label")))
+    val pos = rows.filter(_._3 == 1L).map(x => (x._1, x._2)).toSet
+    val neg = rows.filter(_._3 == 0L).map(x => (x._1, x._2)).toSet
+    val truth = Dedup.ngramJaccard(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pos === truth, "positives are exactly the near-dup pairs")
+    assert((neg & truth).isEmpty, "no near-dup leaks into negatives")
+    assert((pos & neg).isEmpty)
+    // negatives are the full offset sample minus accidental positives
+    val ids = graft.sources.Tables.documents(s, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val offs = ids.filter(a => ids.contains(a + 137L))
+      .map(a => (a, a + 137L))
+    assert(neg === offs -- truth)
+  }
+
   test("cosine histogram: buckets replay the driver fold and conserve pairs") {
     val hist = Similarity.cosHistogram(s, d).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("n_pairs")).toMap

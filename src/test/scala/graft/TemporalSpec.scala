@@ -44,6 +44,78 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.count() === p.count(), "one output row per purchase")
   }
 
+  test("nearest as-of: brute-force |Δt| argmin with backward ties") {
+    val d = TestSpark.sf
+    val got = Temporal.nearestViewToPurchase(s, d).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.toString.toDouble))
+      .toMap
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    val views = ev.filter(_._3 == "view")
+      .groupBy(x => (x._2, x._4)).view
+      .mapValues(_.map(_._5).max).toMap
+      .toSeq.map { case ((u, us), v) => (u, us, v) }
+      .groupBy(_._1).view.mapValues(_.toSeq).toMap
+    val expect = ev.filter(_._3 == "purchase").map { case (eid, u, _, pus, _) =>
+      val cands = views.getOrElse(u, Seq.empty)
+      eid -> (if (cands.isEmpty) None else {
+        val best = cands.minBy { case (_, vus, _) =>
+          (math.abs(vus - pus), if (vus <= pus) 0 else 1, vus)
+        }
+        Some(best._3)
+      })
+    }.toMap
+    assert(got === expect)
+    // where a backward candidate exists and is at least as close,
+    // nearest must agree with the backward as-of join
+    val backward = Temporal.lastViewBeforePurchase(s, d).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    ev.filter(_._3 == "purchase").foreach { case (eid, u, _, pus, _) =>
+      val cands = views.getOrElse(u, Seq.empty)
+      val back = cands.filter(_._2 <= pus)
+      val fwd = cands.filter(_._2 > pus)
+      if (back.nonEmpty && (fwd.isEmpty ||
+        pus - back.map(_._2).max <= fwd.map(_._2).min - pus)) {
+        assert(got(eid).map(_.toString) ===
+          backward(eid).map(_.toString.toDouble.toString))
+      }
+    }
+  }
+
+  test("overlap join: month-banded counts replay the driver overlap scan") {
+    val d = TestSpark.sf
+    val rs = Temporal.promoOverlap(s, d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_user_days"))).toMap
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val act = ev.groupBy(x => (x._1, x._2)).map { case ((u, day), xs) =>
+      (u, day, xs.map(_._3).min, xs.map(_._3).max)
+    }
+    def usOf(ld: java.time.LocalDate): Long =
+      ld.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    val promos = ev.map(_._2.withDayOfMonth(1)).toSet.map {
+      m0: java.time.LocalDate =>
+        (m0.getYear * 12 + m0.getMonthValue).toLong ->
+          (usOf(m0), usOf(m0.plusDays(10)))
+    }.toMap
+    val hits = act.filter { case (_, day, as, ae) =>
+      val mi = (day.getYear * 12 + day.getMonthValue).toLong
+      promos.get(mi).exists { case (ps, pe) => as < pe && ae >= ps }
+    }
+    val expect = hits.groupBy { case (_, day, _, _) =>
+      (day.getYear * 12 + day.getMonthValue).toLong
+    }.map { case (mi, xs) =>
+      mi -> (xs.map(_._1).toSet.size.toLong, xs.size.toLong)
+    }
+    assert(rs === expect)
+  }
+
   test("SCD2 point-in-time serving equals the as-of join row for row") {
     val d = TestSpark.sf
     val served = Temporal.scd2Serve(s, d)
