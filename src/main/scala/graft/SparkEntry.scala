@@ -270,6 +270,10 @@ object SparkEntry {
     "temporal_asof_nearest" -> (Temporal.nearestViewToPurchase(_, _)),
     "temporal_overlap_join" -> (Temporal.promoOverlap(_, _)),
     "pipeline_contrastive_pairs" -> (Dedup.contrastivePairs(_, _)),
+    "sim_knn_classify" -> (Similarity.knnClassify(_, _)),
+    "analytics_streaks" -> (Analytics.activityStreaks(_, _)),
+    "graph_supplier_overlap" ->
+      (graft.operators.Graph.supplierOverlap(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -3977,5 +3981,54 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(1 AS BIGINT) AS label FROM pos
         |UNION ALL
         |SELECT id_a, id_b, CAST(0 AS BIGINT) AS label FROM neg""".stripMargin,
+    // majority label of the 5 nearest non-query neighbors;
+    // deterministic (votes desc, label asc) vote
+    "sim_knn_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    label FROM embeddings),
+        |n AS (SELECT vec_id, v, label,
+        |    sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+        |      FROM n WHERE vec_id < 50),
+        |scored AS (SELECT q.query_id, c.vec_id, c.label,
+        |    list_sum([q.qv[i + 1] * c.v[i + 1]
+        |      for i in range(0, len(q.qv))]) / (q.qn * c.nrm) AS cos
+        |  FROM q JOIN n c ON c.vec_id >= 50),
+        |topk AS (SELECT query_id, label FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, vec_id) AS rn FROM scored)
+        |  WHERE rn <= 5),
+        |votes AS (SELECT query_id, label, COUNT(*) AS votes
+        |  FROM topk GROUP BY 1, 2)
+        |SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY votes DESC, label) AS vr FROM votes)
+        |WHERE vr = 1""".stripMargin,
+    // gaps-and-islands: day - row_number constant within a run
+    "analytics_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1995-01-01' AS BIGINT) AS dy
+        |  FROM events),
+        |g AS (SELECT user_id, dy,
+        |    dy - row_number() OVER (PARTITION BY user_id ORDER BY dy)
+        |      AS grp FROM days),
+        |runs AS (SELECT user_id, grp, COUNT(*) AS len
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |  COUNT(*) AS n_streaks, CAST(SUM(len) AS BIGINT) AS active_days
+        |FROM runs GROUP BY 1""".stripMargin,
+    // bipartite projection on the part pivot; integer Jaccard
+    "graph_supplier_overlap" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+        |  FROM lineitem),
+        |deg AS (SELECT sk, COUNT(*) AS n_parts FROM ps GROUP BY 1),
+        |sh AS (SELECT a.sk AS sk_a, b.sk AS sk_b, COUNT(*) AS shared_parts
+        |  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT sk_a, sk_b, shared_parts,
+        |  shared_parts * 1000000
+        |    // (da.n_parts + db.n_parts - shared_parts) AS jaccard_ppm
+        |FROM sh JOIN deg da ON da.sk = sk_a
+        |        JOIN deg db ON db.sk = sk_b""".stripMargin,
   )
 }

@@ -238,6 +238,35 @@ object Graph {
         expr("tri_ct * 2000000 DIV (deg * (deg - 1))").as("local_cc_ppm"))
   }
 
+  /** Supplier OVERLAP via shared parts — the bipartite projection
+    * the co-purchase graph doesn't cover (part↔supplier instead of
+    * part↔order): supplier pairs sharing ≥ `minShared` parts with
+    * the part-set Jaccard in ppm. The wedge join pivots on the part
+    * (fan-in = suppliers-per-part, bounded by sourcing redundancy,
+    * never |suppliers|²), degrees broadcast back, all-integer
+    * ratio — the vendor-consolidation / substitution-risk readout.
+    */
+  def supplierOverlap(s: SparkSession, d: String,
+      minShared: Long = 3): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+    val deg = ps.groupBy(col("sk")).agg(count(lit(1)).as("n_parts"))
+    val shared = ps.as("a").join(ps.as("b"),
+        col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("sk_a"), col("b.sk").as("sk_b"))
+      .agg(count(lit(1)).as("shared_parts"))
+      .filter(col("shared_parts") >= minShared)
+    shared
+      .join(broadcast(deg.select(col("sk").as("sk_a"),
+        col("n_parts").as("deg_a"))), "sk_a")
+      .join(broadcast(deg.select(col("sk").as("sk_b"),
+        col("n_parts").as("deg_b"))), "sk_b")
+      .select(col("sk_a"), col("sk_b"), col("shared_parts"),
+        expr("shared_parts * 1000000 DIV (deg_a + deg_b - shared_parts)")
+          .as("jaccard_ppm"))
+  }
+
   /** K-hop reachability over the co-purchase graph: for a sampled
     * set of source parts, the count of DISTINCT parts within 1 and
     * within ≤2 hops — the neighborhood-size signal behind related-

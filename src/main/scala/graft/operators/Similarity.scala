@@ -557,6 +557,43 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
   }
 
+  /** k-NN CLASSIFICATION over the labeled embedding set — the
+    * serving form of similarity search (label a new vector by its
+    * neighbors' majority vote): query vectors take their k nearest
+    * non-query neighbors by exact cosine (broadcast-queries scan,
+    * corpus never shuffles), then ONE small aggregation turns
+    * neighbor labels into a deterministic vote (count desc, label
+    * asc — ties can't drift). Cosine ordering is hash-stable
+    * because the doubles are bit-identical across engines; ranks
+    * tie-break on vec_id like the whole ANN family.
+    */
+  def knnClassify(s: SparkSession, d: String, nQueries: Int = 50,
+      k: Int = 5): DataFrame = {
+    Vectors.ensureRegistered(s)
+    val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"), col("label"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+    val topk = corpus.join(broadcast(q))
+      .withColumn("cos", Vectors.cosineWithNorms(
+        col("qv"), col("v"), col("qn"), col("nrm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+    topk.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("votes").desc, col("label"))))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("label").cast("long").as("pred_label"),
+        col("votes"))
+  }
+
   /** Pairwise-cosine DISTRIBUTION over a deterministic linear pair
     * sample — the embedding-space health readout (a drifted or
     * collapsed encoder shows up as mass piling into the high-cos

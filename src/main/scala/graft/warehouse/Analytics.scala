@@ -1963,6 +1963,31 @@ object Analytics {
                  DIV CAST($totalStr AS DECIMAL(38,0))"""))
   }
 
+  /** Longest consecutive-day activity STREAK per user — the classic
+    * gaps-and-islands shape (day − row_number is constant within a
+    * run of consecutive days), the engagement metric behind "7-day
+    * streak" product features. Two per-user windows + two rollups,
+    * all partitioned by user — parallel at any user count, nothing
+    * global. Distinct days first so duplicate events can't split or
+    * pad a streak.
+    */
+  def activityStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("dy"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("dy")
+    days
+      .withColumn("grp", col("dy") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+  }
+
   /** ClickHouse-`retention()` parity: per-user condition flags
     * (active day-0, re-active within 3 days, within 7, within 14 —
     * each counted ONLY if the first fired, exactly CK's gating) and

@@ -159,6 +159,31 @@ class DedupSpec extends AnyFunSuite {
     assert((lsh -- exact).isEmpty)
   }
 
+  test("knn classify: votes replay the driver vote over exact cosine top-5") {
+    val got = Similarity.knnClassify(s, d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("pred_label"), r.getAs[Long]("votes"))).toMap
+    val vecs = graft.sources.Tables.embeddings(s, d).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.get(2).asInstanceOf[Number].longValue()))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var acc = 0.0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val corpus = vecs.filter(_._1 >= 50L)
+    val expect = vecs.filter(_._1 < 50L).map { case (qid, qv, _) =>
+      val qn = math.sqrt(dot(qv, qv))
+      val top = corpus.map { case (cid, cv, lbl) =>
+        (dot(qv, cv) / (qn * math.sqrt(dot(cv, cv))), cid, lbl)
+      }.sortBy { case (cos, cid, _) => (-cos, cid) }.take(5)
+      val vote = top.groupBy(_._3).view.mapValues(_.length).toSeq
+        .minBy { case (lbl, n) => (-n, lbl) }
+      qid -> (vote._1, vote._2.toLong)
+    }.toMap
+    assert(got === expect)
+  }
+
   test("contrastive pairs: positives are the pair set, negatives clean and disjoint") {
     val rows = Dedup.contrastivePairs(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("label")))

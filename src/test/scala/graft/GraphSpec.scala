@@ -134,6 +134,28 @@ class GraphSpec extends AnyFunSuite {
     // sum over nodes = 3 × triangle count (each triangle hits 3 nodes)
     assert(counts.values.sum % 3 === 0)
   }
+  test("supplier overlap: pairs replay the bipartite projection") {
+    val rs = graft.operators.Graph.supplierOverlap(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("shared_parts"), r.getAs[Long]("jaccard_ppm"))).toMap
+    val ps = graft.sources.Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bySupp = ps.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val supps = bySupp.keys.toSeq.sorted
+    val expect = (for {
+      i <- supps.indices; j <- (i + 1) until supps.length
+      a = supps(i); b = supps(j)
+      sharedSet = bySupp(a) & bySupp(b)
+      if sharedSet.size >= 3
+    } yield {
+      val sh = sharedSet.size.toLong
+      (a, b) -> (sh,
+        sh * 1000000L / (bySupp(a).size + bySupp(b).size - sh))
+    }).toMap
+    assert(rs === expect)
+  }
+
   test("clustering coefficient: replays tri/C(deg,2) and stays in [0, 1e6]") {
     val cc = graft.operators.Graph.clusteringCoeff(s, d).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))

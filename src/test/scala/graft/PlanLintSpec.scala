@@ -69,6 +69,8 @@ class PlanLintSpec extends AnyFunSuite {
     *   shape)
     * - analytics_percent_rank: the 1-row customer-count crossJoin
     *   onto the rank frame (the lorenz denominators shape)
+    * - sim_knn_classify: the broadcast-query-set scan shape
+    *   (sim_topk_bruteforce with a vote stage on top)
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
@@ -80,7 +82,8 @@ class PlanLintSpec extends AnyFunSuite {
     "analytics_seasonality_dow", "analytics_price_cdf",
     "text_collocations", "corpus_near_dup_rate", "analytics_lorenz",
     "analytics_churn_hazard", "analytics_decompose",
-    "analytics_rfm_migration", "analytics_percent_rank")
+    "analytics_rfm_migration", "analytics_percent_rank",
+    "sim_knn_classify")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

