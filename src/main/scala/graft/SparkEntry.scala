@@ -274,6 +274,10 @@ object SparkEntry {
     "analytics_streaks" -> (Analytics.activityStreaks(_, _)),
     "graph_supplier_overlap" ->
       (graft.operators.Graph.supplierOverlap(_, _)),
+    "analytics_attribution_first" ->
+      (Analytics.firstTouchAttribution(_, _)),
+    "pipeline_chunk_windows" -> (TextAnalysis.chunkWindows(_, _)),
+    "text_template_groups" -> (TextAnalysis.templateGroups(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -4030,5 +4034,54 @@ object SparkEntry {
         |    // (da.n_parts + db.n_parts - shared_parts) AS jaccard_ppm
         |FROM sh JOIN deg da ON da.sk = sk_a
         |        JOIN deg db ON db.sk = sk_b""".stripMargin,
+    // first_value over the same at-or-before frame as last-touch
+    "analytics_attribution_first" ->
+      """WITH u AS (
+        | SELECT user_id, ts, event_id, event_type AS touch_type,
+        |  0 AS is_p
+        | FROM events WHERE event_type IN ('click', 'view', 'signup')
+        | UNION ALL
+        | SELECT user_id, ts, event_id, NULL, 1
+        | FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        | SELECT *, first_value(touch_type IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY ts, is_p, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS first_touch
+        | FROM u)
+        |SELECT coalesce(first_touch, 'none') AS touch_type,
+        | COUNT(*) AS purchases
+        |FROM w WHERE is_p = 1 GROUP BY 1""".stripMargin,
+    // 64-token windows, stride 32; short docs yield one partial
+    "pipeline_chunk_windows" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |    AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, greatest(1, CAST(ceil(
+        |    (len(toks) - 64) / 32.0) AS INT) + 1) AS n_chunks FROM t),
+        |c AS (SELECT doc_id, unnest([{'i': i,
+        |    'c': toks[i * 32 + 1 : i * 32 + 64]}
+        |    for i in range(0, n_chunks)]) AS u FROM n)
+        |SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+        |  CAST(len(u.c) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(u.c, ' ')) AS chunk_md5
+        |FROM c""".stripMargin,
+    // 8-token windows at stride 4, digits normalized: the phrase
+    // grain exact dedup misses and doc-level near-dup under-reports
+    "text_template_groups" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |    AS toks FROM documents),
+        |g AS (SELECT doc_id, regexp_replace(unnest(
+        |    [array_to_string(toks[i * 4 + 1 : i * 4 + 8], ' ')
+        |     for i in range(0, greatest(len(toks) // 4 - 1, 1))]),
+        |    '[0-9]+', '#', 'g') AS phrase
+        |  FROM t)
+        |SELECT phrase,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_occurrences,
+        |  CAST(MIN(doc_id) AS BIGINT) AS exemplar
+        |FROM g GROUP BY 1
+        |HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin,
   )
 }

@@ -905,6 +905,55 @@ object TextAnalysis {
         expr("n_docs * 1000000 DIV total").as("retained_ppm"))
   }
 
+  /** Overlapping token-window CHUNKING — the RAG/context-window
+    * splitter (64-token windows, stride 32): each document explodes
+    * to its windows with a content hash per chunk, the table an
+    * embedding-index ingest consumes. Pure row generation from an
+    * in-row `sequence` + `slice` — zero shuffle, parallel across
+    * documents; the md5 is over the space-joined token slice so an
+    * external engine replays chunk identity byte-for-byte. Short
+    * docs yield their single partial window (never zero rows).
+    */
+  def chunkWindows(s: SparkSession, d: String, window: Int = 64,
+      stride: Int = 32): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), Text.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        greatest(lit(1),
+          expr(s"CAST(ceil((size(toks) - $window) / $stride.0) AS INT) + 1"))
+          .as("n_chunks"))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, n_chunks - 1), " +
+          s"i -> slice(toks, i * $stride + 1, $window))"))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("c")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("c"))).as("chunk_md5"))
+
+  /** TEMPLATE-PHRASE detection — repeated boilerplate phrases across
+    * documents (license headers, navigation chrome, log-line shapes
+    * with IDs substituted): 8-token windows at stride 4, digit runs
+    * normalized to '#', grouped corpus-wide; phrases seen in >1
+    * DISTINCT document are the template inventory a cleaning pass
+    * strips. The grain exact dedup misses (whole docs differ) and
+    * doc-level near-dup under-reports (one shared header in
+    * otherwise-unrelated docs). One explode + one phrase groupBy —
+    * the same high-cardinality-key shuffle as the CCNet chunk pass.
+    */
+  def templateGroups(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), Text.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, greatest(size(toks) DIV 4 - 1, 1) - 1)," +
+          " i -> concat_ws(' ', slice(toks, i * 4 + 1, 8)))"))
+        .as("phrase"))
+      .withColumn("phrase", regexp_replace(col("phrase"), "[0-9]+", "#"))
+      .groupBy("phrase")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("exemplar"))
+      .filter(col("n_docs") > 1)
+
   /** One-row DATASET CARD — the summary block a published corpus
     * ships (HuggingFace dataset cards, data statements): doc count,
     * language/source cardinalities, token and char totals, and the

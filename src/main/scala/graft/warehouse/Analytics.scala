@@ -1406,6 +1406,36 @@ object Analytics {
       .agg(count(lit(1)).as("purchases"))
   }
 
+  /** FIRST-touch attribution — the acquisition-channel dual of
+    * last-touch (which channel ORIGINATED the user journey, not
+    * which closed it): identical union + per-user window sort, with
+    * `first(ignoreNulls)` over the same at-or-before frame instead
+    * of `last` — the whole family (first/last/linear) shares one
+    * plan shape and one shuffle. Purchases before any touch land in
+    * 'none'.
+    */
+  def firstTouchAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val touches = ev
+      .filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type").as("touch_type"),
+        lit(0).as("is_p"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), lit(null).cast("string").as("touch_type"),
+        lit(1).as("is_p"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    touches.unionByName(purchases)
+      .withColumn("first_touch",
+        first(col("touch_type"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .groupBy(coalesce(col("first_touch"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("purchases"))
+  }
+
   /** Multi-band single-scan counts (TPC-DS q88 shape): eight
     * (quantity-band × discount-band) measures per line status
     * computed as CASE-in-SUM inside ONE aggregation — one fact scan

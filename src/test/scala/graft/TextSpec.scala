@@ -519,6 +519,57 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk windows: tiling replays on the driver, coverage closes") {
+    val rs = graft.operators.TextAnalysis.chunkWindows(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_tokens"), r.getString(3)))
+    val docs = graft.sources.Tables.documents(s, d)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val n = math.max(1,
+        math.ceil((toks.length - 64) / 32.0).toInt + 1)
+      (0 until n).map { i =>
+        val c = toks.slice(i * 32, i * 32 + 64)
+        (id, i.toLong) -> (c.length.toLong,
+          org.apache.commons.codec.digest.DigestUtils
+            .md5Hex(c.mkString(" ")))
+      }
+    }
+    assert(rs.toMap === expect.toMap)
+    // stride-64/32 coverage: every token index belongs to >=1 chunk
+    docs.foreach { case (id, text) =>
+      val nt = text.toLowerCase.split(" ").count(_.nonEmpty)
+      val covered = rs.filter(_._1._1 == id).map(_._2._1).sum
+      assert(covered >= nt, s"doc $id tokens uncovered")
+    }
+  }
+
+  test("template groups: phrases replay and every group spans >1 doc") {
+    val rs = graft.operators.TextAnalysis.templateGroups(s, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_occurrences"), r.getAs[Long]("exemplar"))).toMap
+    val docs = graft.sources.Tables.documents(s, d)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val phrases = docs.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val n = math.max(toks.length / 4 - 1, 1)
+      (0 until n).map { i =>
+        (id, toks.slice(i * 4, i * 4 + 8).mkString(" ")
+          .replaceAll("[0-9]+", "#"))
+      }
+    }
+    val expect = phrases.groupBy(_._2).collect {
+      case (ph, xs) if xs.map(_._1).distinct.length > 1 =>
+        ph -> (xs.map(_._1).distinct.length.toLong,
+          xs.length.toLong, xs.map(_._1).min)
+    }.toMap
+    assert(rs === expect)
+    rs.values.foreach { case (nd, no, _) => assert(nd > 1 && no >= nd) }
+  }
+
   test("dataset card: every field ties to the operator that owns it") {
     val r = graft.operators.TextAnalysis.datasetCard(s, d).collect()(0)
     val docs = graft.sources.Tables.documents(s, d)

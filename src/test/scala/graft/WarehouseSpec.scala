@@ -690,6 +690,28 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rs.values.map(_._2).sum === tot)
   }
 
+  test("first-touch attribution: origin channel replays, totals match last-touch") {
+    val first = graft.warehouse.Analytics.firstTouchAttribution(s, d)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("purchases")).toMap
+    val last = graft.warehouse.Analytics.lastTouchAttribution(s, d)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("purchases")).toMap
+    // both views partition the same purchase set
+    assert(first.values.sum === last.values.sum)
+    // driver replay
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val touches = ev.filter(x => Set("click", "view", "signup")(x._2))
+      .groupBy(_._1).view
+      .mapValues(_.toSeq.sortBy(x => (x._3, x._4))).toMap
+    val expect = ev.filter(_._2 == "purchase").map { case (u, _, pus, _) =>
+      touches.getOrElse(u, Seq.empty[(Long, String, Long, Long)])
+        .find(_._3 <= pus).map(_._2).getOrElse("none")
+    }.groupBy(x => x).view.mapValues(_.length.toLong).toMap
+    assert(first === expect)
+  }
+
   test("streaks: islands replay the driver run-length scan") {
     val rs = graft.warehouse.Analytics.activityStreaks(s, d).collect()
       .map(r => r.getLong(0) -> (r.getAs[Long]("longest_streak"),
