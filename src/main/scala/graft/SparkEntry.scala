@@ -278,6 +278,10 @@ object SparkEntry {
       (Analytics.firstTouchAttribution(_, _)),
     "pipeline_chunk_windows" -> (TextAnalysis.chunkWindows(_, _)),
     "text_template_groups" -> (TextAnalysis.templateGroups(_, _)),
+    "graph_related_items" ->
+      (graft.operators.Graph.relatedItems(_, _)),
+    "text_vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
+    "analytics_promo_lift" -> (Analytics.promoLift(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -4083,5 +4087,67 @@ object SparkEntry {
         |  CAST(MIN(doc_id) AS BIGINT) AS exemplar
         |FROM g GROUP BY 1
         |HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin,
+    // per-part top-3 neighbors by basket-Jaccard (item-item CF)
+    "graph_related_items" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |p AS (SELECT a.pk AS s, b.pk AS t, COUNT(*) AS n_st
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |bk AS (SELECT pk, COUNT(*) AS nb FROM li GROUP BY 1),
+        |sc AS (SELECT s, t,
+        |    n_st * 1000000 // (ba.nb + bb.nb - n_st) AS jac_ppm
+        |  FROM p JOIN bk ba ON ba.pk = s JOIN bk bb ON bb.pk = t),
+        |und AS (SELECT s AS part_id, t AS related_id, jac_ppm FROM sc
+        |  UNION ALL SELECT t, s, jac_ppm FROM sc)
+        |SELECT part_id, related_id, jac_ppm, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY part_id
+        |    ORDER BY jac_ppm DESC, related_id) AS BIGINT) AS rk
+        |  FROM und)
+        |WHERE rk <= 3""".stripMargin,
+    // Zipf coverage: share of token occurrences in the top-k types
+    "text_vocab_coverage" ->
+      """WITH tf AS (SELECT tok, COUNT(*) AS ct FROM (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS tok FROM documents) t GROUP BY 1),
+        |rk AS (SELECT ct, CAST(row_number() OVER
+        |    (ORDER BY ct DESC, tok) AS BIGINT) AS rk FROM tf)
+        |SELECT CAST(SUM(ct) AS BIGINT) AS total_tokens,
+        |  COUNT(*) AS n_types,
+        |  CAST(SUM(ct) FILTER (WHERE rk <= 100) AS BIGINT) * 1000000
+        |    // CAST(SUM(ct) AS BIGINT) AS coverage_100_ppm,
+        |  CAST(SUM(ct) FILTER (WHERE rk <= 1000) AS BIGINT) * 1000000
+        |    // CAST(SUM(ct) AS BIGINT) AS coverage_1000_ppm,
+        |  CAST(SUM(ct) FILTER (WHERE rk <= 5000) AS BIGINT) * 1000000
+        |    // CAST(SUM(ct) AS BIGINT) AS coverage_5000_ppm
+        |FROM rk""".stripMargin,
+    // value-per-active-day inside vs outside the monthly promo
+    // windows; floor-div averages are the graded integers
+    "analytics_promo_lift" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents
+        | FROM events GROUP BY 1),
+        |pw AS (SELECT m0, m0 + INTERVAL 10 DAY AS m_end FROM (
+        |  SELECT DISTINCT date_trunc('month', CAST(ts AS DATE)) AS m0
+        |  FROM events) t),
+        |tagged AS (SELECT daily.day, daily.cents,
+        |    (pw.m0 IS NOT NULL) AS in_promo
+        |  FROM daily LEFT JOIN pw
+        |    ON daily.day >= pw.m0 AND daily.day < pw.m_end),
+        |a AS (SELECT
+        |  COUNT(*) FILTER (WHERE in_promo) AS promo_days,
+        |  COUNT(*) FILTER (WHERE NOT in_promo) AS base_days,
+        |  CAST(COALESCE(SUM(cents) FILTER (WHERE in_promo), 0)
+        |    AS BIGINT) AS promo_cents,
+        |  CAST(COALESCE(SUM(cents) FILTER (WHERE NOT in_promo), 0)
+        |    AS BIGINT) AS base_cents
+        | FROM tagged)
+        |SELECT promo_days, base_days, promo_cents, base_cents,
+        |  promo_cents // promo_days AS promo_per_day,
+        |  base_cents // base_days AS base_per_day,
+        |  (promo_cents // promo_days) * 1000000
+        |    // (base_cents // base_days) AS lift_ppm
+        |FROM a""".stripMargin,
   )
 }

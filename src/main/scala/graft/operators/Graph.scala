@@ -267,6 +267,42 @@ object Graph {
           .as("jaccard_ppm"))
   }
 
+  /** RELATED-ITEMS serving table — per part, the top-3 most similar
+    * parts by co-purchase Jaccard (the "customers also bought"
+    * panel, precomputed as a lookup table the way a feature store
+    * would): pair Jaccard from the bucketed pair layout + broadcast
+    * degrees, exploded to both directions, per-node top-k via a
+    * node-partitioned window (parallel across parts). Ranks
+    * tie-break on (jaccard desc, neighbor id) so the serving rows
+    * hash-grade.
+    */
+  def relatedItems(s: SparkSession, d: String, k: Int = 3,
+      minStrength: Long = 2): DataFrame = {
+    val pairs = coPurchasePairCounts(s, d)
+      .filter(col("n_st") >= minStrength)
+    // basket-Jaccard: shared baskets over union of baskets — the
+    // item-item collaborative-filtering similarity, all integers
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+      .distinct()
+      .groupBy("v").agg(count(lit(1)).as("nb"))
+    val scored = pairs
+      .join(broadcast(baskets.select(col("v").as("s"),
+        col("nb").as("ba"))), "s")
+      .join(broadcast(baskets.select(col("v").as("t"),
+        col("nb").as("bb"))), "t")
+      .select(col("s"), col("t"),
+        expr("n_st * 1000000 DIV (ba + bb - n_st)").as("jac_ppm"))
+    val und = scored.select(col("s").as("part_id"),
+        col("t").as("related_id"), col("jac_ppm"))
+      .unionByName(scored.select(col("t").as("part_id"),
+        col("s").as("related_id"), col("jac_ppm")))
+    und.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("part_id")
+          .orderBy(col("jac_ppm").desc, col("related_id"))).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** K-hop reachability over the co-purchase graph: for a sampled
     * set of source parts, the count of DISTINCT parts within 1 and
     * within ≤2 hops — the neighborhood-size signal behind related-

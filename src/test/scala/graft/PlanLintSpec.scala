@@ -71,6 +71,9 @@ class PlanLintSpec extends AnyFunSuite {
     *   onto the rank frame (the lorenz denominators shape)
     * - sim_knn_classify: the broadcast-query-set scan shape
     *   (sim_topk_bruteforce with a vote stage on top)
+    * - analytics_promo_lift: the ≤|months| promo-window table
+    *   range-joined onto the tiny day-grain frame (bounds-broadcast
+    *   family; each day matches at most one window)
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
@@ -83,7 +86,7 @@ class PlanLintSpec extends AnyFunSuite {
     "text_collocations", "corpus_near_dup_rate", "analytics_lorenz",
     "analytics_churn_hazard", "analytics_decompose",
     "analytics_rfm_migration", "analytics_percent_rank",
-    "sim_knn_classify")
+    "sim_knn_classify", "analytics_promo_lift")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -519,6 +519,26 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab coverage: monotone in k and replays the driver tally") {
+    val r = graft.operators.TextAnalysis.vocabCoverage(s, d).collect()(0)
+    val toks = graft.sources.Tables.documents(s, d)
+      .select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+    val tf = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (t, c) => (-c, t) }
+    val total = tf.map(_._2).sum
+    assert(r.getAs[Long]("total_tokens") === total)
+    assert(r.getAs[Long]("n_types") === tf.length.toLong)
+    def cov(k: Int) = tf.take(k).map(_._2).sum * 1000000L / total
+    assert(r.getAs[Long]("coverage_100_ppm") === cov(100))
+    assert(r.getAs[Long]("coverage_1000_ppm") === cov(1000))
+    assert(r.getAs[Long]("coverage_5000_ppm") === cov(5000))
+    assert(r.getAs[Long]("coverage_100_ppm") <=
+      r.getAs[Long]("coverage_1000_ppm"))
+    assert(r.getAs[Long]("coverage_1000_ppm") <=
+      r.getAs[Long]("coverage_5000_ppm"))
+  }
+
   test("chunk windows: tiling replays on the driver, coverage closes") {
     val rs = graft.operators.TextAnalysis.chunkWindows(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->

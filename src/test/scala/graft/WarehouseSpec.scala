@@ -690,6 +690,29 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rs.values.map(_._2).sum === tot)
   }
 
+  test("promo lift: in/out tagging replays and accounting closes") {
+    val r = graft.warehouse.Analytics.promoLift(s, d).collect()(0)
+    val ev = graft.sources.Tables.events(s, d)
+      .select(to_date(col("ts")),
+        (col("value").cast("decimal(12,2)") * 100).cast("long")).collect()
+      .map(x => (x.getDate(0).toLocalDate, x.getLong(1)))
+    val daily = ev.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val months = ev.map(_._1.withDayOfMonth(1)).toSet
+    def inPromo(day: java.time.LocalDate) = {
+      val m0 = day.withDayOfMonth(1)
+      months.contains(m0) && !day.isBefore(m0) &&
+        day.isBefore(m0.plusDays(10))
+    }
+    val (promo, base) = daily.partition { case (day, _) => inPromo(day) }
+    assert(r.getAs[Long]("promo_days") === promo.size.toLong)
+    assert(r.getAs[Long]("base_days") === base.size.toLong)
+    assert(r.getAs[Long]("promo_cents") === promo.values.sum)
+    assert(r.getAs[Long]("base_cents") === base.values.sum)
+    val ppd = promo.values.sum / promo.size
+    val bpd = base.values.sum / base.size
+    assert(r.getAs[Long]("lift_ppm") === ppd * 1000000L / bpd)
+  }
+
   test("first-touch attribution: origin channel replays, totals match last-touch") {
     val first = graft.warehouse.Analytics.firstTouchAttribution(s, d)
       .collect().map(r => r.getString(0) -> r.getAs[Long]("purchases")).toMap
