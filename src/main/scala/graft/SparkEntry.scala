@@ -282,6 +282,9 @@ object SparkEntry {
       (graft.operators.Graph.relatedItems(_, _)),
     "text_vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
     "analytics_promo_lift" -> (Analytics.promoLift(_, _)),
+    "dedup_threshold_sweep" -> (Dedup.thresholdSweep(_, _)),
+    "dedup_cluster_sizes" -> (Dedup.clusterSizes(_, _)),
+    "analytics_dow_hour_heatmap" -> (Analytics.dowHourHeatmap(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -4149,5 +4152,80 @@ object SparkEntry {
         |  (promo_cents // promo_days) * 1000000
         |    // (base_cents // base_days) AS lift_ppm
         |FROM a""".stripMargin,
+    // ppm-integer cross-multiplied thresholds, one candidate pass
+    "dedup_threshold_sweep" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        |  FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |sc AS (SELECT id_a, id_b, c * 1000000 AS num,
+        |    sa.n + sb.n - c AS den
+        |  FROM i JOIN sz sa ON sa.doc_id = id_a
+        |         JOIN sz sb ON sb.doc_id = id_b)
+        |SELECT
+        | (SELECT COUNT(*) FROM sc) AS candidate_pairs,
+        | (SELECT CAST(COUNT(*) FILTER (WHERE num >= den * 300000)
+        |    AS BIGINT) FROM sc) AS pairs_300000,
+        | (SELECT CAST(COUNT(*) FILTER (WHERE num >= den * 500000)
+        |    AS BIGINT) FROM sc) AS pairs_500000,
+        | (SELECT CAST(COUNT(*) FILTER (WHERE num >= den * 700000)
+        |    AS BIGINT) FROM sc) AS pairs_700000,
+        | (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM (
+        |   SELECT id_a AS doc_id FROM sc WHERE num >= den * 300000
+        |   UNION ALL SELECT id_b FROM sc WHERE num >= den * 300000))
+        |   AS docs_300000,
+        | (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM (
+        |   SELECT id_a AS doc_id FROM sc WHERE num >= den * 500000
+        |   UNION ALL SELECT id_b FROM sc WHERE num >= den * 500000))
+        |   AS docs_500000,
+        | (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM (
+        |   SELECT id_a AS doc_id FROM sc WHERE num >= den * 700000
+        |   UNION ALL SELECT id_b FROM sc WHERE num >= den * 700000))
+        |   AS docs_700000""".stripMargin,
+    // closure clusters rolled to a size histogram
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE
+        |sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        |  FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM i
+        |          JOIN sz sa ON sa.doc_id = id_a
+        |          JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.lbl FROM edges e, reach r WHERE e.dst = r.id),
+        |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
+        |       GROUP BY 1),
+        |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size
+        |       FROM cl GROUP BY 1)
+        |SELECT cluster_size, COUNT(*) AS n_clusters
+        |FROM cs GROUP BY 1""".stripMargin,
+    "analytics_dow_hour_heatmap" ->
+      """WITH cells AS (SELECT
+        |  CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |  CAST(hour(ts) AS BIGINT) AS hr,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM cells)
+        |SELECT dow, hr, n_events, cents,
+        |  n_events * 1000000 // total AS share_ppm
+        |FROM cells CROSS JOIN t""".stripMargin,
   )
 }

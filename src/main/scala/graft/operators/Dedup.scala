@@ -241,6 +241,56 @@ object Dedup {
       .agg(count(lit(1)).as("pair_ct"))
   }
 
+  /** Threshold-sensitivity SWEEP — near-dup pair and touched-doc
+    * counts at several Jaccard thresholds from ONE pass over the
+    * materialized co-occurrence layout (the number a curation run
+    * inspects before committing to a cutoff: "0.5 drops 2% of docs,
+    * 0.3 drops 9%"). The expensive inverted-index self-join is the
+    * shared layout the whole dedup family reads; the sweep itself
+    * is conditional aggregation — thresholds are ppm-integer
+    * cross-multiplications (c·1e6 ≥ τ·union), no float compare.
+    */
+  def thresholdSweep(s: SparkSession, d: String,
+      thresholds: Seq[Int] = Seq(300000, 500000, 700000)): DataFrame = {
+    val (inter, sizes) = shingleCoOccurrence(s, d, 12)
+    val scored = inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+        "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("c") * 1000000L).as("num"),
+        (col("na") + col("nb") - col("c")).as("den"))
+    val pairCols = thresholds.map(t =>
+      sum(when(col("num") >= col("den") * t, 1L).otherwise(0L))
+        .as(s"pairs_$t"))
+    val touched = thresholds.map { t =>
+      scored.filter(col("num") >= col("den") * t)
+        .select(col("id_a").as("doc_id"))
+        .unionAll(scored.filter(col("num") >= col("den") * t)
+          .select(col("id_b").as("doc_id")))
+        .distinct().agg(count(lit(1)).as(s"docs_$t"))
+    }
+    val base = scored.agg(count(lit(1)).as("candidate_pairs"),
+      pairCols: _*)
+    touched.foldLeft(base)((acc, t) => acc.crossJoin(broadcast(t)))
+  }
+
+  /** Duplicate-cluster SIZE distribution — how big the near-dup
+    * groups are (a corpus with many size-2 clusters needs different
+    * handling than one 10k-doc mega-cluster; the histogram a dedup
+    * run publishes next to its drop count): transitive-closure
+    * clusters rolled to per-cluster sizes, then a ≤log-sized
+    * size histogram. Rides the cached pair plan + the family's
+    * shared closure.
+    */
+  def clusterSizes(s: SparkSession, d: String): DataFrame =
+    dedupClusters(ngramJaccard(s, d))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** Contrastive training-pair generation — the (anchor, other,
     * label) table a similarity-model finetune consumes: positives
     * are the corpus's actual near-dup pairs (riding the CACHED

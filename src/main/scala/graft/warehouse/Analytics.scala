@@ -1406,6 +1406,25 @@ object Analytics {
       .agg(count(lit(1)).as("purchases"))
   }
 
+  /** Day-of-week × hour activity HEATMAP — the traffic-shape grid
+    * behind capacity planning and send-time optimization: per
+    * (dow, hour) cell, event count, exact value cents, and the
+    * cell's share of all events in ppm. One scan, one ≤168-cell
+    * rollup, total via a 1-row broadcast.
+    */
+  def dowHourHeatmap(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast(DecimalType(12, 2)) * 100).cast("long"))
+          .as("cents"))
+    cells.crossJoin(broadcast(
+        cells.agg(sum(col("n_events")).as("total"))))
+      .select(col("dow"), col("hr"), col("n_events"), col("cents"),
+        expr("n_events * 1000000 DIV total").as("share_ppm"))
+  }
+
   /** Promo LIFT — event value per active day inside the monthly
     * promo windows vs outside (the campaign-measurement readout over
     * the same windows [[graft.operators.Temporal.promoOverlap]]

@@ -159,6 +159,38 @@ class DedupSpec extends AnyFunSuite {
     assert((lsh -- exact).isEmpty)
   }
 
+  test("threshold sweep: counts are monotone and tie to the graded pair set") {
+    val r = Dedup.thresholdSweep(s, d).collect()(0)
+    def g(c: String) = r.getAs[Long](c)
+    // monotone in the threshold, bounded by candidates
+    assert(g("pairs_300000") >= g("pairs_500000"))
+    assert(g("pairs_500000") >= g("pairs_700000"))
+    assert(g("candidate_pairs") >= g("pairs_300000"))
+    assert(g("docs_300000") >= g("docs_500000"))
+    // the 0.5 column IS the graded near-dup pair count
+    assert(g("pairs_500000") === Dedup.ngramJaccard(s, d).count())
+    // touched docs at 0.5 agree with the near-dup rate report
+    val rate = Dedup.nearDupRate(s, d).collect()(0)
+    assert(g("docs_500000") === rate.getAs[Long]("dup_docs"))
+  }
+
+  test("cluster sizes: histogram replays the closure and conserves docs") {
+    val hist = Dedup.clusterSizes(s, d).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        r.getAs[Long]("n_clusters")).toMap
+    val clusters = Dedup.dedupClusters(Dedup.ngramJaccard(s, d)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = clusters.groupBy(_._2).values
+      .map(_.length.toLong).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(hist === expect)
+    // Σ size × count == clustered docs
+    assert(hist.map { case (sz, n) => sz * n }.sum ===
+      clusters.length.toLong)
+    // every cluster has >= 2 members (singletons never enter)
+    assert(hist.keys.min >= 2L)
+  }
+
   test("knn classify: votes replay the driver vote over exact cosine top-5") {
     val got = Similarity.knnClassify(s, d).collect()
       .map(r => r.getLong(0) ->

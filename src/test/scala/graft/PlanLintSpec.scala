@@ -74,6 +74,11 @@ class PlanLintSpec extends AnyFunSuite {
     * - analytics_promo_lift: the ≤|months| promo-window table
     *   range-joined onto the tiny day-grain frame (bounds-broadcast
     *   family; each day matches at most one window)
+    * - dedup_threshold_sweep: three 1-row touched-doc aggregates
+    *   crossJoined into the single report row (the near_dup_rate
+    *   summary shape)
+    * - analytics_dow_hour_heatmap: the 1-row event-total crossJoin
+    *   onto the ≤168-cell grid
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
@@ -86,7 +91,8 @@ class PlanLintSpec extends AnyFunSuite {
     "text_collocations", "corpus_near_dup_rate", "analytics_lorenz",
     "analytics_churn_hazard", "analytics_decompose",
     "analytics_rfm_migration", "analytics_percent_rank",
-    "sim_knn_classify", "analytics_promo_lift")
+    "sim_knn_classify", "analytics_promo_lift",
+    "dedup_threshold_sweep", "analytics_dow_hour_heatmap")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

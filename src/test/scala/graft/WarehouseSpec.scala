@@ -690,6 +690,20 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rs.values.map(_._2).sum === tot)
   }
 
+  test("dow-hour heatmap: cells replay and shares cover the corpus") {
+    val rs = graft.warehouse.Analytics.dowHourHeatmap(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("cents"))).toMap
+    val ev = graft.sources.Tables.events(s, d)
+      .select(dayofweek(col("ts")).cast("long"), hour(col("ts")).cast("long"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val expect = ev.groupBy(_._1).view.mapValues(xs =>
+      (xs.length.toLong, xs.map(_._2).sum)).toMap
+    assert(rs === expect)
+    assert(rs.values.map(_._1).sum === ev.length.toLong)
+  }
+
   test("promo lift: in/out tagging replays and accounting closes") {
     val r = graft.warehouse.Analytics.promoLift(s, d).collect()(0)
     val ev = graft.sources.Tables.events(s, d)
