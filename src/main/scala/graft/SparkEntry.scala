@@ -285,6 +285,8 @@ object SparkEntry {
     "dedup_threshold_sweep" -> (Dedup.thresholdSweep(_, _)),
     "dedup_cluster_sizes" -> (Dedup.clusterSizes(_, _)),
     "analytics_dow_hour_heatmap" -> (Analytics.dowHourHeatmap(_, _)),
+    "pipeline_e2e_stats" -> (TextAnalysis.e2eStats(_, _)),
+    "text_source_purity" -> (TextAnalysis.sourcePurity(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -4227,5 +4229,65 @@ object SparkEntry {
         |SELECT dow, hr, n_events, cents,
         |  n_events * 1000000 // total AS share_ppm
         |FROM cells CROSS JOIN t""".stripMargin,
+    // clean -> mix (rates from CLEANED counts) -> greedy pack,
+    // assembled from the three stages' own verified oracle pieces
+    "pipeline_e2e_stats" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, lang, source, text,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        | FROM documents),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        | GROUP BY md5(array_to_string(list_sort(list_distinct(
+        |   list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' '))),
+        |cleaned AS (SELECT t.doc_id, t.lang, t.source,
+        |   CAST(len(tk) AS BIGINT) AS n_tokens
+        | FROM toks t JOIN keep k ON t.doc_id = k.doc_id
+        | WHERE len(tk) >= 10 AND len(tk) <= 100000
+        |  AND (CAST(len(list_filter(tk, x -> list_contains(
+        |    ['the','a','of','and','to','is','in','that','it','for'], x)))
+        |   AS DOUBLE) / NULLIF(CAST(len(tk) AS DOUBLE), 0) * 0.3
+        |  + CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |   AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0) * 0.4
+        |  + least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.3) >= 0.5),
+        |tg AS (SELECT * FROM (VALUES ('en', 0.30), ('de', 0.20),
+        |  ('es', 0.20), ('fr', 0.15), ('zh', 0.15)) t(lang, target)),
+        |c AS (SELECT lang, COUNT(*) AS n FROM cleaned GROUP BY 1),
+        |j AS (SELECT c.lang, c.n, tg.target FROM c JOIN tg USING (lang)),
+        |tm AS (SELECT MIN(CAST(n AS DOUBLE) / target) AS t FROM j),
+        |r AS (SELECT lang, CAST(floor(least(
+        |        (t * target) / CAST(n AS DOUBLE), 1.0) * 1000000) AS BIGINT)
+        |       AS accept_ppm FROM j, tm),
+        |mixed AS (SELECT cl.doc_id, cl.source, cl.n_tokens
+        | FROM cleaned cl JOIN r ON cl.lang = r.lang
+        | WHERE CAST(('0x' || substr(md5(CAST(cl.doc_id AS VARCHAR)), 1, 8))
+        |   ::UBIGINT % 1000000 AS BIGINT) < accept_ppm),
+        |dd AS (SELECT source, doc_id, n_tokens AS nt,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        | FROM mixed),
+        |p AS (
+        | SELECT source, doc_id, rn, nt, nt AS fill, CAST(0 AS BIGINT) AS bin
+        | FROM dd WHERE rn = 1
+        | UNION ALL
+        | SELECT d.source, d.doc_id, d.rn, d.nt,
+        |  CASE WHEN p.fill + d.nt <= 128 THEN p.fill + d.nt ELSE d.nt END,
+        |  CASE WHEN p.fill + d.nt <= 128 THEN p.bin ELSE p.bin + 1 END
+        | FROM p JOIN dd d ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        | CAST(MAX(bin) + 1 AS BIGINT) AS n_bins
+        |FROM p GROUP BY 1""".stripMargin,
+    // majority language per source with share ppm
+    "text_source_purity" ->
+      """WITH cells AS (SELECT source, lang, COUNT(*) AS ct
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(ct) AS BIGINT) AS n_docs
+        |  FROM cells GROUP BY 1)
+        |SELECT source, n_docs, lang AS majority_lang,
+        |  ct * 1000000 // n_docs AS purity_ppm
+        |FROM (SELECT cells.source, cells.lang, cells.ct, tot.n_docs,
+        |    row_number() OVER (PARTITION BY cells.source
+        |      ORDER BY cells.ct DESC, cells.lang) AS rk
+        |  FROM cells JOIN tot ON cells.source = tot.source) x
+        |WHERE rk = 1""".stripMargin,
   )
 }

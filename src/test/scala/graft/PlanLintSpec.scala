@@ -79,6 +79,9 @@ class PlanLintSpec extends AnyFunSuite {
     *   summary shape)
     * - analytics_dow_hour_heatmap: the 1-row event-total crossJoin
     *   onto the ≤168-cell grid
+    * - pipeline_e2e_stats: inherits pipeline_domain_mix's 1-row
+    *   max-feasible-total crossJoin (the mix stage inside the
+    *   composed plan)
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
@@ -92,7 +95,8 @@ class PlanLintSpec extends AnyFunSuite {
     "analytics_churn_hazard", "analytics_decompose",
     "analytics_rfm_migration", "analytics_percent_rank",
     "sim_knn_classify", "analytics_promo_lift",
-    "dedup_threshold_sweep", "analytics_dow_hour_heatmap")
+    "dedup_threshold_sweep", "analytics_dow_hour_heatmap",
+    "pipeline_e2e_stats")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -519,6 +519,65 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("e2e pipeline: stage composition ties to the standalone operators") {
+    val rs = graft.operators.TextAnalysis.e2eStats(s, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("n_bins"))).toMap
+    // docs through the composed plan never exceed the clean stage
+    val cleaned = graft.operators.TextAnalysis.cleanCorpus(s, d).count()
+    assert(rs.values.map(_._1).sum <= cleaned)
+    assert(rs.values.map(_._1).sum > 0L)
+    // bin accounting: every bin holds >=1 doc, fills bounded by replay
+    rs.foreach { case (_, (nd, nt, nb)) =>
+      assert(nb >= 1L && nb <= nd)
+      assert(nt > 0L)
+    }
+    // replay the mix+pack over the cleaned frame on the driver
+    val cl = graft.operators.TextAnalysis.cleanCorpus(s, d)
+      .select("doc_id", "lang", "source", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val targets = Map("en" -> 0.30, "de" -> 0.20, "es" -> 0.20,
+      "fr" -> 0.15, "zh" -> 0.15)
+    val counts = cl.groupBy(_._2).view.mapValues(_.length).toMap
+      .filter { case (l, _) => targets.contains(l) }
+    val t = counts.map { case (l, n) => n.toDouble / targets(l) }.min
+    val rates = counts.map { case (l, n) =>
+      l -> math.floor(math.min(t * targets(l) / n, 1.0) * 1000000).toLong
+    }
+    def bucket(id: Long): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(id.toString).take(8), 16) % 1000000
+    val mixed = cl.filter { case (id, l, _, _) =>
+      rates.get(l).exists(bucket(id) < _)
+    }
+    val expect = mixed.groupBy(_._3).map { case (src, xs) =>
+      val sorted = xs.sortBy(_._1)
+      var fill = 0L; var bin = 0L; var first = true
+      sorted.foreach { case (_, _, _, nt) =>
+        if (first) { first = false; fill = nt }
+        else if (fill + nt <= 128) fill += nt
+        else { bin += 1; fill = nt }
+      }
+      src -> (sorted.length.toLong, sorted.map(_._4).sum, bin + 1)
+    }
+    assert(rs === expect)
+  }
+
+  test("source purity: majority cells replay the per-source tally") {
+    val rs = graft.operators.TextAnalysis.sourcePurity(s, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getString(2), r.getAs[Long]("purity_ppm"))).toMap
+    val docs = graft.sources.Tables.documents(s, d)
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (src, xs) =>
+      val cells = xs.groupBy(_._2).view.mapValues(_.length).toSeq
+      val (lang, ct) = cells.minBy { case (l, c) => (-c, l) }
+      src -> (xs.length.toLong, lang, ct.toLong * 1000000L / xs.length)
+    }
+    assert(rs === expect)
+  }
+
   test("vocab coverage: monotone in k and replays the driver tally") {
     val r = graft.operators.TextAnalysis.vocabCoverage(s, d).collect()(0)
     val toks = graft.sources.Tables.documents(s, d)
