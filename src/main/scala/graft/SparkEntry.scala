@@ -287,6 +287,10 @@ object SparkEntry {
     "analytics_dow_hour_heatmap" -> (Analytics.dowHourHeatmap(_, _)),
     "pipeline_e2e_stats" -> (TextAnalysis.e2eStats(_, _)),
     "text_source_purity" -> (TextAnalysis.sourcePurity(_, _)),
+    "temporal_asof_forward" -> (Temporal.nextViewAfterPurchase(_, _)),
+    "temporal_asof_tolerance" ->
+      (Temporal.staleBoundedViewBeforePurchase(_, _)),
+    "analytics_sla_attainment" -> (Analytics.slaAttainment(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -4289,5 +4293,57 @@ object SparkEntry {
         |      ORDER BY cells.ct DESC, cells.lang) AS rk
         |  FROM cells JOIN tot ON cells.source = tot.source) x
         |WHERE rk = 1""".stripMargin,
+    // first view at-or-after each purchase (>= semantics)
+    "temporal_asof_forward" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS vus,
+        |    MAX(value) AS lv
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |cand AS (SELECT p.event_id, v.lv,
+        |  row_number() OVER (PARTITION BY p.event_id
+        |    ORDER BY v.vus, v.lv) AS rn
+        | FROM p JOIN v ON p.user_id = v.user_id AND v.vus >= p.us)
+        |SELECT p.event_id, p.user_id, p.us,
+        |  cand.lv AS next_view_value
+        |FROM p LEFT JOIN cand
+        |  ON p.event_id = cand.event_id AND cand.rn = 1""".stripMargin,
+    // backward as-of nulled when the match is older than 1 hour
+    "temporal_asof_tolerance" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS vus,
+        |    MAX(value) AS lv
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |cand AS (SELECT p.event_id, v.lv, v.vus,
+        |  row_number() OVER (PARTITION BY p.event_id
+        |    ORDER BY v.vus DESC) AS rn
+        | FROM p JOIN v ON p.user_id = v.user_id AND v.vus <= p.us)
+        |SELECT p.event_id, p.user_id, p.us,
+        |  CASE WHEN cand.vus IS NOT NULL
+        |    AND p.us - cand.vus <= 3600000000 THEN cand.lv END
+        |    AS fresh_view_value
+        |FROM p LEFT JOIN cand
+        |  ON p.event_id = cand.event_id AND cand.rn = 1""".stripMargin,
+    // share of line items shipped within 30/60/90 days per priority
+    "analytics_sla_attainment" ->
+      """WITH lo AS (SELECT o_orderpriority,
+        |    CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+        |      AS delay
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(COUNT(*) FILTER (WHERE delay <= 30) AS BIGINT)
+        |    AS within_30d,
+        |  CAST(COUNT(*) FILTER (WHERE delay <= 60) AS BIGINT)
+        |    AS within_60d,
+        |  CAST(COUNT(*) FILTER (WHERE delay <= 90) AS BIGINT)
+        |    AS within_90d,
+        |  CAST(COUNT(*) FILTER (WHERE delay <= 30) AS BIGINT) * 1000000
+        |    // COUNT(*) AS sla30_ppm,
+        |  CAST(COUNT(*) FILTER (WHERE delay <= 60) AS BIGINT) * 1000000
+        |    // COUNT(*) AS sla60_ppm,
+        |  CAST(COUNT(*) FILTER (WHERE delay <= 90) AS BIGINT) * 1000000
+        |    // COUNT(*) AS sla90_ppm
+        |FROM lo GROUP BY 1""".stripMargin,
   )
 }

@@ -238,6 +238,70 @@ object Temporal {
         col("last_view_value").as("nearest_view_value"))
   }
 
+  /** FORWARD as-of join (pandas merge_asof direction='forward' —
+    * "the next reading at-or-after", the sensor-alignment dual of
+    * backward): first right row with ts ≥ left ts. Same union+sort,
+    * one forward-first frame. At equal ts the right row sorts
+    * before the left (side 0 < 1), so AT-ts rights are visible —
+    * ≥ semantics, mirroring the backward join's ≤.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+      ts: String, valueCol: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val vType = right.schema(valueCol).dataType
+    val lT = left.withColumn("__side", lit(1))
+      .select(Seq(col(key), col(ts), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++
+        Seq(lit(null).cast(vType).as(valueCol)): _*)
+    val rT = right.withColumn("__side", lit(0))
+      .select(Seq(col(key), col(ts), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(valueCol)): _*)
+    // side 0 sorts FIRST at equal ts, so a right row AT the left
+    // timestamp is inside the current..following frame
+    val wf = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lT.unionByName(rT)
+      .select(Seq(col(key), col(ts), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++
+        Seq(first(col(valueCol), ignoreNulls = true).over(wf)
+          .as(valueCol)): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
+  /** Forward query: each purchase takes the same user's NEXT view
+    * at-or-after it.
+    */
+  def nextViewAfterPurchase(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (purchases, views) = asOfInputs(s, d)
+    asOfJoinForward(purchases, views, "user_id", "us", "last_view_value")
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("last_view_value").as("next_view_value"))
+  }
+
+  /** Backward as-of with a TOLERANCE bound (merge_asof `tolerance` —
+    * "the latest reading, but only if fresh enough"): the match
+    * nulls out when the backward candidate is older than
+    * `toleranceUs`. Rides [[asOfJoin]]'s plan plus a carried
+    * match-timestamp; serving systems use exactly this to refuse
+    * stale dimension data instead of silently joining it.
+    */
+  def staleBoundedViewBeforePurchase(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      toleranceUs: Long = 3600000000L): DataFrame = {
+    val (purchases, views) = asOfInputs(s, d)
+    val withTs = views.withColumn("match_us", col("us"))
+    asOfJoin(purchases, withTs, "user_id", "us",
+        Seq("last_view_value", "match_us"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        when(col("match_us").isNotNull &&
+          col("us") - col("match_us") <= toleranceUs,
+          col("last_view_value")).as("fresh_view_value"))
+  }
+
   /** Generic interval-OVERLAP join, banded for scale: per-(user,
     * day) activity spans against monthly promo windows. Both
     * interval sets map to a MONTH band key (a day-grain span never

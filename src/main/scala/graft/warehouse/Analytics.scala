@@ -1406,6 +1406,32 @@ object Analytics {
       .agg(count(lit(1)).as("purchases"))
   }
 
+  /** Fulfilment SLA attainment per order priority — the share of
+    * line items shipped within 30/60/90 days of the order (the
+    * management number beside [[shipLatency]]'s percentiles): the
+    * same single lineitem⋈orders key join, then conditional counts
+    * in one ≤5-group aggregation; shares integer ppm.
+    */
+  def slaAttainment(s: SparkSession, d: String): DataFrame = {
+    val lo = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay", datediff(col("sd"), col("od")).cast("long"))
+    lo.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        count(when(col("delay") <= 30, 1)).as("within_30d"),
+        count(when(col("delay") <= 60, 1)).as("within_60d"),
+        count(when(col("delay") <= 90, 1)).as("within_90d"))
+      .select(col("o_orderpriority"), col("n_items"),
+        col("within_30d"), col("within_60d"), col("within_90d"),
+        expr("within_30d * 1000000 DIV n_items").as("sla30_ppm"),
+        expr("within_60d * 1000000 DIV n_items").as("sla60_ppm"),
+        expr("within_90d * 1000000 DIV n_items").as("sla90_ppm"))
+  }
+
   /** Day-of-week × hour activity HEATMAP — the traffic-shape grid
     * behind capacity planning and send-time optimization: per
     * (dow, hour) cell, event count, exact value cents, and the

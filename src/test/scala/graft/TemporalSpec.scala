@@ -85,6 +85,61 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("forward as-of: first at-or-after replays, equal-ts rights visible") {
+    val d = TestSpark.sf
+    val got = Temporal.nextViewAfterPurchase(s, d).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.toString)).toMap
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    val views = ev.filter(_._3 == "view")
+      .groupBy(x => (x._2, x._4)).view.mapValues(_.map(_._5).max)
+      .toMap.toSeq.map { case ((u, us), v) => (u, us, v) }
+      .groupBy(_._1).view.mapValues(_.toSeq.sortBy(_._2)).toMap
+    val expect = ev.filter(_._3 == "purchase").map { case (eid, u, _, pus, _) =>
+      eid -> views.getOrElse(u, Seq.empty)
+        .find(_._2 >= pus).map(_._3.toString)
+    }.toMap
+    assert(got === expect)
+  }
+
+  test("tolerance as-of: fresh matches equal backward, stale nulls out") {
+    val d = TestSpark.sf
+    val tol = 3600000000L
+    val got = Temporal.staleBoundedViewBeforePurchase(s, d).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.toString)).toMap
+    val backward = Temporal.lastViewBeforePurchase(s, d).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("us"),
+        Option(r.get(3)).map(_.toString))).toList
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val viewTimes = ev.filter(_._2 == "view").groupBy(_._1)
+      .view.mapValues(_.map(_._3).toSeq.sorted).toMap
+    val purchases = graft.sources.Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var fresh = 0; var stale = 0
+    purchases.foreach { case (eid, u, pus) =>
+      val lastView = viewTimes.getOrElse(u, Seq.empty[Long])
+        .filter(_ <= pus).lastOption
+      val bw = backward.find(_._1 == eid).get._3
+      lastView match {
+        case Some(vus) if pus - vus <= tol =>
+          fresh += 1; assert(got(eid) === bw)
+        case _ =>
+          stale += 1; assert(got(eid).isEmpty)
+      }
+    }
+    assert(fresh > 0 && stale > 0,
+      "the testdata must exercise both the fresh and stale branches")
+  }
+
   test("overlap join: month-banded counts replay the driver overlap scan") {
     val d = TestSpark.sf
     val rs = Temporal.promoOverlap(s, d).collect()

@@ -690,6 +690,30 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rs.values.map(_._2).sum === tot)
   }
 
+  test("sla attainment: bands monotone and replay the delay scan") {
+    val rs = graft.warehouse.Analytics.slaAttainment(s, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_items"),
+        r.getAs[Long]("within_30d"), r.getAs[Long]("within_60d"),
+        r.getAs[Long]("within_90d"))).toMap
+    val lo = graft.sources.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      .join(graft.sources.Tables.orders(s, d)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("sd"), col("od")).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = lo.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong, xs.count(_._2 <= 30).toLong,
+        xs.count(_._2 <= 60).toLong, xs.count(_._2 <= 90).toLong)
+    }.toMap
+    assert(rs === expect)
+    rs.values.foreach { case (n, a, b, c) =>
+      assert(a <= b && b <= c && c <= n)
+    }
+  }
+
   test("dow-hour heatmap: cells replay and shares cover the corpus") {
     val rs = graft.warehouse.Analytics.dowHourHeatmap(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
