@@ -291,6 +291,9 @@ object SparkEntry {
     "temporal_asof_tolerance" ->
       (Temporal.staleBoundedViewBeforePurchase(_, _)),
     "analytics_sla_attainment" -> (Analytics.slaAttainment(_, _)),
+    "sim_cluster_purity" -> (Similarity.clusterPurity(_, _)),
+    "text_ttr" -> (TextAnalysis.typeTokenRatio(_, _)),
+    "analytics_kpi_summary" -> (Analytics.kpiSummary(_, _)),
   )
 
   private val money = "CAST(%s AS DECIMAL(12,2))"
@@ -4345,5 +4348,35 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE delay <= 90) AS BIGINT) * 1000000
         |    // COUNT(*) AS sla90_ppm
         |FROM lo GROUP BY 1""".stripMargin,
+    // the k-means replay with the label rollup spliced on
+    // iters=2: the composition proof at half the oracle replay cost
+    "sim_cluster_purity" -> Similarity.kmeansPurityOracleSql(8, 2),
+    // lexical diversity per source
+    "text_ttr" ->
+      """SELECT source, COUNT(*) AS n_tokens,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) * 1000000
+        |    // COUNT(*) AS ttr_ppm
+        |FROM (SELECT source, unnest(list_filter(
+        |    string_split(lower(text), ' '), x -> x <> '')) AS tok
+        |  FROM documents) t
+        |GROUP BY 1""".stripMargin,
+    "analytics_kpi_summary" ->
+      """WITH o AS (SELECT
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS gmv_cents,
+        |  COUNT(*) AS n_orders,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        | FROM orders),
+        |e AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uv,
+        |  CAST(COUNT(DISTINCT user_id)
+        |    FILTER (WHERE event_type = 'purchase') AS BIGINT)
+        |    AS purchase_uv
+        | FROM events)
+        |SELECT gmv_cents, n_orders, n_customers,
+        |  gmv_cents // n_orders AS aov_cents,
+        |  uv, purchase_uv,
+        |  purchase_uv * 1000000 // uv AS conversion_ppm
+        |FROM o CROSS JOIN e""".stripMargin,
   )
 }

@@ -313,6 +313,57 @@ object Similarity {
       .stripMargin
   }
 
+  /** CLUSTER PURITY against the label column — the unsupervised-
+    * quality readout ("do the k-means cells recover the label
+    * structure?"): assignments joined to labels, per-cluster
+    * majority label and its share in ppm. Rides the exact
+    * deterministic k-means; one label join + a per-cluster top-1
+    * over ≤|labels| rows each.
+    */
+  def clusterPurity(s: SparkSession, d: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val asg = kmeansClusters(s, d, k, iters)
+    val lab = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val cells = asg.join(lab, "vec_id")
+      .groupBy("cluster_id", "label").agg(count(lit(1)).as("ct"))
+    val tot = cells.groupBy("cluster_id")
+      .agg(sum(col("ct")).as("n_vecs"))
+    cells.join(broadcast(tot), "cluster_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col("ct").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("n_vecs"),
+        col("label").as("majority_label"),
+        expr("ct * 1000000 DIV n_vecs").as("purity_ppm"))
+  }
+
+  /** Purity oracle: the k-means replay SQL with the label rollup
+    * spliced in place of the assignment SELECT.
+    */
+  def kmeansPurityOracleSql(k: Int, iters: Int): String = {
+    val base = kmeansOracleSql(k, iters)
+    val marker =
+      s"SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM a$iters"
+    require(base.endsWith(marker), "kmeans oracle tail changed")
+    base.stripSuffix(marker) +
+      s""", asg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
+         |    FROM a$iters),
+         |cells AS (SELECT cluster_id, CAST(e.label AS BIGINT) AS label,
+         |    COUNT(*) AS ct
+         |  FROM asg JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+         |tot AS (SELECT cluster_id, CAST(SUM(ct) AS BIGINT) AS n_vecs
+         |  FROM cells GROUP BY 1)
+         |SELECT cluster_id, n_vecs, label AS majority_label,
+         |  ct * 1000000 // n_vecs AS purity_ppm
+         |FROM (SELECT cells.cluster_id, cells.label, cells.ct,
+         |    tot.n_vecs, row_number() OVER (PARTITION BY cells.cluster_id
+         |      ORDER BY cells.ct DESC, cells.label) AS rk
+         |  FROM cells JOIN tot ON cells.cluster_id = tot.cluster_id) x
+         |WHERE rk = 1""".stripMargin
+  }
+
   /** Full KNN self-join: EVERY corpus vector gets its top-k
     * neighbors — the primitive behind embedding-cluster dedup and
     * diversity sampling, where the "query set" is the corpus itself

@@ -1002,6 +1002,21 @@ object TextAnalysis {
         (max(col("bin_id")) + 1).as("n_bins"))
   }
 
+  /** Type-token ratio per source — lexical diversity (low TTR =
+    * repetitive/boilerplate-heavy source; the signal beside raw
+    * volume when weighting sources): distinct token TYPES vs total
+    * occurrences per source, ratio in ppm. One explode + one
+    * source-grain aggregation (count + distinct in the same pass
+    * via Expand).
+    */
+  def typeTokenRatio(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .select(col("source"), explode(Text.wsTokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"))
+      .withColumn("ttr_ppm", expr("n_types * 1000000 DIV n_tokens"))
+
   /** Per-source language PURITY — is a source monolingual (one
     * crawl = one site = usually one language; a low-purity source
     * signals a mislabeled or mixed acquisition): per source, the

@@ -1406,6 +1406,29 @@ object Analytics {
       .agg(count(lit(1)).as("purchases"))
   }
 
+  /** One-row executive KPI summary — the numbers a landing
+    * dashboard shows before any drill-down: GMV in exact cents,
+    * orders, active customers, AOV (floor-div cents), event UV, and
+    * purchase conversion in ppm. Two scans total (orders, events),
+    * each a combinable aggregate, 1-row crossJoins to assemble —
+    * the cheap-by-construction query a serving layer caches.
+    */
+  def kpiSummary(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).agg(
+      sum((dec(col("o_totalprice")) * 100).cast("long")).as("gmv_cents"),
+      count(lit(1)).as("n_orders"),
+      countDistinct(col("o_custkey")).as("n_customers"))
+    val e = Tables.events(s, d).agg(
+      countDistinct(col("user_id")).as("uv"),
+      countDistinct(when(col("event_type") === "purchase",
+        col("user_id"))).as("purchase_uv"))
+    o.crossJoin(broadcast(e))
+      .select(col("gmv_cents"), col("n_orders"), col("n_customers"),
+        expr("gmv_cents DIV n_orders").as("aov_cents"),
+        col("uv"), col("purchase_uv"),
+        expr("purchase_uv * 1000000 DIV uv").as("conversion_ppm"))
+  }
+
   /** Fulfilment SLA attainment per order priority — the share of
     * line items shipped within 30/60/90 days of the order (the
     * management number beside [[shipLatency]]'s percentiles): the

@@ -159,6 +159,27 @@ class DedupSpec extends AnyFunSuite {
     assert((lsh -- exact).isEmpty)
   }
 
+  test("cluster purity: cells replay from assignments and labels") {
+    val rs = Similarity.clusterPurity(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("majority_label"), r.getAs[Long]("purity_ppm"))).toMap
+    val asg = Similarity.kmeansClusters(s, d, k = 8, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lab = graft.sources.Tables.embeddings(s, d)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1).asInstanceOf[Number].longValue())
+      .toMap
+    val expect = asg.groupBy(_._2).map { case (cid, xs) =>
+      val labels = xs.map(x => lab(x._1))
+      val cells = labels.groupBy(identity).view.mapValues(_.length).toSeq
+      val (ml, ct) = cells.minBy { case (l, c) => (-c, l) }
+      cid -> (xs.length.toLong, ml, ct.toLong * 1000000L / xs.length)
+    }
+    assert(rs === expect)
+    // every vector is in exactly one cluster
+    assert(rs.values.map(_._1).sum === asg.length.toLong)
+  }
+
   test("threshold sweep: counts are monotone and tie to the graded pair set") {
     val r = Dedup.thresholdSweep(s, d).collect()(0)
     def g(c: String) = r.getAs[Long](c)

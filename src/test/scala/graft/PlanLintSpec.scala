@@ -82,6 +82,8 @@ class PlanLintSpec extends AnyFunSuite {
     * - pipeline_e2e_stats: inherits pipeline_domain_mix's 1-row
     *   max-feasible-total crossJoin (the mix stage inside the
     *   composed plan)
+    * - analytics_kpi_summary: the 1-row events aggregate crossJoined
+    *   onto the 1-row orders aggregate (two KPIs, one report row)
     */
   private val bnljAllowed = Set(
     "analytics_funnel", "dedup_embedding", "sim_topk_bruteforce",
@@ -96,7 +98,7 @@ class PlanLintSpec extends AnyFunSuite {
     "analytics_rfm_migration", "analytics_percent_rank",
     "sim_knn_classify", "analytics_promo_lift",
     "dedup_threshold_sweep", "analytics_dow_hour_heatmap",
-    "pipeline_e2e_stats")
+    "pipeline_e2e_stats", "analytics_kpi_summary")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -563,6 +563,21 @@ class TextSpec extends AnyFunSuite {
     assert(rs === expect)
   }
 
+  test("type-token ratio: per-source diversity replays the driver tally") {
+    val rs = graft.operators.TextAnalysis.typeTokenRatio(s, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_types"), r.getAs[Long]("ttr_ppm"))).toMap
+    val docs = graft.sources.Tables.documents(s, d)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (src, xs) =>
+      val toks = xs.flatMap(_._2.toLowerCase.split(" ").filter(_.nonEmpty))
+      src -> (toks.length.toLong, toks.distinct.length.toLong,
+        toks.distinct.length.toLong * 1000000L / toks.length)
+    }
+    assert(rs === expect)
+  }
+
   test("source purity: majority cells replay the per-source tally") {
     val rs = graft.operators.TextAnalysis.sourcePurity(s, d).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),

@@ -690,6 +690,24 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rs.values.map(_._2).sum === tot)
   }
 
+  test("kpi summary: every number ties to its owning aggregate") {
+    val r = graft.warehouse.Analytics.kpiSummary(s, d).collect()(0)
+    val o = graft.sources.Tables.orders(s, d)
+    assert(r.getAs[Long]("n_orders") === o.count())
+    assert(r.getAs[Long]("n_customers") ===
+      o.select("o_custkey").distinct().count())
+    val gmv = o.agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+      .cast("long"))).collect()(0).getLong(0)
+    assert(r.getAs[Long]("gmv_cents") === gmv)
+    assert(r.getAs[Long]("aov_cents") === gmv / o.count())
+    val ev = graft.sources.Tables.events(s, d)
+    assert(r.getAs[Long]("uv") ===
+      ev.select("user_id").distinct().count())
+    assert(r.getAs[Long]("purchase_uv") ===
+      ev.filter(col("event_type") === "purchase")
+        .select("user_id").distinct().count())
+  }
+
   test("sla attainment: bands monotone and replay the delay scan") {
     val rs = graft.warehouse.Analytics.slaAttainment(s, d).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("n_items"),
