@@ -109,6 +109,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bitmap_card"),
       exprs => graft.functions.BitmapCardinality(exprs(0))))
     e.injectFunction((
+      new FunctionIdentifier("graft_bitmap_and_count"),
+      new ExpressionInfo(classOf[graft.functions.BitmapAndCount].getName,
+        "graft_bitmap_and_count"),
+      exprs => graft.functions.BitmapAndCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bitmap_andnot_count"),
+      new ExpressionInfo(classOf[graft.functions.BitmapAndNotCount].getName,
+        "graft_bitmap_andnot_count"),
+      exprs => graft.functions.BitmapAndNotCount(exprs(0), exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("graft_cms_estimate"),
       new ExpressionInfo(classOf[graft.functions.CmsEstimate].getName,
         "graft_cms_estimate"),

@@ -211,6 +211,13 @@ object SparkEntry {
     "analytics_bitmap_range_uv" ->
       (graft.warehouse.Sketched.bitmapRangeUv(_, _)),
     "analytics_seq_pattern" -> (Analytics.seqPattern(_, _)),
+    "analytics_window_funnel" -> (Analytics.windowFunnel(_, _)),
+    "analytics_bitmap_audience" ->
+      (graft.warehouse.Sketched.bitmapAudience(_, _)),
+    "pipeline_mix_temperature" -> (TextAnalysis.mixTemperature(_, _)),
+    "pipeline_split_leakage" -> (TextAnalysis.splitLeakage(_, _)),
+    "mm_image_dhash" -> (Multimodal.imageDHash(_, _)),
+    "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
     "analytics_exp_smooth" -> (Analytics.expSmoothGmv(_, _)),
@@ -2814,6 +2821,144 @@ object SparkEntry {
         |FROM seq
         |WHERE len(regexp_extract_all(path,
         |   'view,(click,)+purchase')) > 0""".stripMargin,
+    // windowFunnel: the DP fold must equal the declarative EXISTS
+    // definition — max L with a strict chain inside ONE window
+    // anchored at its first event
+    "analytics_window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |lvl AS (SELECT u.user_id,
+        | CASE WHEN EXISTS (SELECT 1 FROM e v, e c, e p
+        |   WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+        |     AND p.user_id = u.user_id
+        |     AND v.event_type = 'view' AND c.event_type = 'click'
+        |     AND p.event_type = 'purchase'
+        |     AND c.us > v.us AND p.us > c.us
+        |     AND p.us <= v.us + 86400000000) THEN 3
+        |  WHEN EXISTS (SELECT 1 FROM e v, e c
+        |   WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+        |     AND v.event_type = 'view' AND c.event_type = 'click'
+        |     AND c.us > v.us AND c.us <= v.us + 86400000000) THEN 2
+        |  WHEN EXISTS (SELECT 1 FROM e v
+        |   WHERE v.user_id = u.user_id
+        |     AND v.event_type = 'view') THEN 1
+        |  ELSE 0 END AS level
+        | FROM u)
+        |SELECT level, COUNT(*) AS users FROM lvl GROUP BY 1""".stripMargin,
+    // bitmap cohort algebra must equal COUNT(DISTINCT) set algebra
+    "analytics_bitmap_audience" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'click'),
+        |b AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT (SELECT COUNT(*) FROM a) AS n_a,
+        |       (SELECT COUNT(*) FROM b) AS n_b,
+        |       (SELECT COUNT(*) FROM a SEMI JOIN b USING (user_id))
+        |         AS n_both,
+        |       (SELECT COUNT(*) FROM a ANTI JOIN b USING (user_id))
+        |         AS n_a_only,
+        |       (SELECT COUNT(*) FROM b ANTI JOIN a USING (user_id))
+        |         AS n_b_only""".stripMargin,
+    // temperature mixing: round(sqrt(n)*1e6) is the ONLY float op —
+    // IEEE sqrt is correctly rounded in both engines, so the weight
+    // is engine-exact; everything after is integer ppm
+    "pipeline_mix_temperature" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs,
+        |  CAST(round(sqrt(COUNT(*)) * 1000000) AS BIGINT) AS w
+        | FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_n,
+        |             CAST(SUM(w) AS BIGINT) AS tot_w FROM c)
+        |SELECT source, n_docs,
+        |  n_docs * 1000000 // tot_n AS natural_ppm,
+        |  w * 1000000 // tot_w AS temp_ppm,
+        |  (w * 1000000 // tot_w) * 100000 // 1000000 AS target_docs
+        |FROM c, t""".stripMargin,
+    // split leakage: same md5 bucket as pipeline_split, same raw
+    // 12-gram join as dedup_cross_source (hash-join on the Spark
+    // side; 64-bit shingle collisions are negligible at any graded SF)
+    "pipeline_split_leakage" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    ::UBIGINT % 100 AS BIGINT) AS bucket,
+        |  lower(text) AS lt FROM documents),
+        |sh AS (
+        | SELECT DISTINCT doc_id,
+        |  CASE WHEN bucket < 80 THEN 0 WHEN bucket < 90 THEN 1
+        |       ELSE 2 END AS rk,
+        |  unnest([substr(lt, i, 12)
+        |    for i in range(1, greatest(length(lt) - 10, 2))]) AS s
+        | FROM base),
+        |p AS (
+        | SELECT a.rk AS rk_a, b.rk AS rk_b,
+        |        a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.rk < b.rk
+        | GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 30)
+        |SELECT CASE rk_a WHEN 0 THEN 'train' WHEN 1 THEN 'val'
+        |       ELSE 'test' END AS split_a,
+        |       CASE rk_b WHEN 0 THEN 'train' WHEN 1 THEN 'val'
+        |       ELSE 'test' END AS split_b,
+        |       COUNT(*) AS leaked_pairs,
+        |       COUNT(DISTINCT id_b) AS contaminated_docs
+        |FROM p GROUP BY 1, 2""".stripMargin,
+    // dHash: the oracle recomputes all 64 bits from the synthetic
+    // pixel formula with NO decoder — a hash match proves the real
+    // PNG encode→decode→grid-sample→pack chain pixel-exact
+    "mm_image_dhash" ->
+      """WITH g AS (
+        | SELECT doc_id, 8 + doc_id % 24 AS w,
+        |        8 + (doc_id * 7) % 24 AS h FROM documents),
+        |bits AS (
+        | SELECT doc_id, CAST(y*8 + x AS INT) AS pos,
+        |  CASE WHEN ((31*doc_id + 7*((x*w)//9) + 13*((y*h)//8)) % 256)
+        |     < ((31*doc_id + 7*(((x+1)*w)//9) + 13*((y*h)//8)) % 256)
+        |   THEN 1 ELSE 0 END AS b
+        | FROM g CROSS JOIN range(0,8) ry(y) CROSS JOIN range(0,8) rx(x)),
+        |hv AS (
+        | SELECT doc_id,
+        |  SUM(CASE WHEN b = 1
+        |      THEN (1::HUGEINT << CAST(63 - pos AS INT))
+        |      ELSE 0::HUGEINT END) AS hu
+        | FROM bits GROUP BY 1),
+        |sg AS (
+        | SELECT doc_id,
+        |  CAST(hu - CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |    THEN 18446744073709551616::HUGEINT
+        |    ELSE 0::HUGEINT END AS BIGINT) AS dhash
+        | FROM hv)
+        |SELECT dhash, COUNT(*) AS n_images, MIN(doc_id) AS rep_id
+        |FROM sg GROUP BY 1""".stripMargin,
+    // bounded Bellman-Ford replayed as unrolled min-relax CTEs —
+    // one CTE per round, NEVER path enumeration
+    "graph_shortest_path" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |pc AS (SELECT a.pk AS s, b.pk AS t, COUNT(*) AS n
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT s AS src, t AS dst, 1000000 // n AS c FROM pc
+        |      UNION ALL
+        |      SELECT t, s, 1000000 // n FROM pc),
+        |d0 AS (SELECT MIN(s) AS node, CAST(0 AS BIGINT) AS dist FROM pc),
+        |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0 UNION ALL
+        |  SELECT e.dst, d0.dist + e.c FROM d0 JOIN e ON e.src = d0.node)
+        | GROUP BY 1),
+        |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1 UNION ALL
+        |  SELECT e.dst, d1.dist + e.c FROM d1 JOIN e ON e.src = d1.node)
+        | GROUP BY 1),
+        |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2 UNION ALL
+        |  SELECT e.dst, d2.dist + e.c FROM d2 JOIN e ON e.src = d2.node)
+        | GROUP BY 1),
+        |d4 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d3 UNION ALL
+        |  SELECT e.dst, d3.dist + e.c FROM d3 JOIN e ON e.src = d3.node)
+        | GROUP BY 1)
+        |SELECT node AS part_id, dist FROM d4""".stripMargin,
     // the same integer recurrence sₜ = (2gₜ+6sₜ₋₁)>>3, replayed as a
     // recursive CTE over the day index
     "analytics_exp_smooth" ->

@@ -282,6 +282,113 @@ case class BitmapCardinality(child: Expression)
       c: Expression): BitmapCardinality = copy(child = c)
 }
 
+/** Intersection popcount of two serialized bitmaps —
+  * `graft_bitmap_and_count(a, b)`, the Doris `BITMAP_AND_COUNT` /
+  * ClickHouse `bitmapAndCardinality` audience-overlap scalar: "users
+  * who did A AND B" answered from two pre-aggregated serving bitmaps
+  * with a word-wise AND + popcount — no re-join of the fact table,
+  * no distinct-pair shuffle, EXACT. Runs at the serving grain
+  * (cohort rows), so a reference-object call from generated code is
+  * all the codegen this needs.
+  */
+case class BitmapAndCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bitmap_and_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.firstFailure(
+      InputChecks.expect(prettyName, 0, left, _ == BinaryType,
+        "a binary serialized bitmap"),
+      InputChecks.expect(prettyName, 1, right, _ == BinaryType,
+        "a binary serialized bitmap"))
+
+  /** Called from both interpreted and generated code. */
+  def andCount(a: Array[Byte], b: Array[Byte]): Long = {
+    val x = ByteBuffer.wrap(a); val y = ByteBuffer.wrap(b)
+    val n = math.min(x.getInt, y.getInt)
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      c += java.lang.Long.bitCount(x.getLong & y.getLong)
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    andCount(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("bitmapAnd", this,
+        classOf[BitmapAndCount].getName)
+      s"${ev.value} = $ref.andCount($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BitmapAndCount =
+    copy(left = l, right = r)
+}
+
+/** Difference popcount of two serialized bitmaps —
+  * `graft_bitmap_andnot_count(a, b)` = |a \ b|, the Doris
+  * `BITMAP_ANDNOT_COUNT` dual of [[BitmapAndCount]]: "did A but
+  * never B" (churned, unconverted, suppression lists) from the same
+  * stored serving bitmaps. Words of `a` past `b`'s trimmed length
+  * count in full — trailing-zero trimming must not change the
+  * answer.
+  */
+case class BitmapAndNotCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bitmap_andnot_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputChecks.firstFailure(
+      InputChecks.expect(prettyName, 0, left, _ == BinaryType,
+        "a binary serialized bitmap"),
+      InputChecks.expect(prettyName, 1, right, _ == BinaryType,
+        "a binary serialized bitmap"))
+
+  /** Called from both interpreted and generated code. */
+  def andNotCount(a: Array[Byte], b: Array[Byte]): Long = {
+    val x = ByteBuffer.wrap(a); val y = ByteBuffer.wrap(b)
+    val nx = x.getInt; val ny = y.getInt
+    var c = 0L
+    var i = 0
+    while (i < nx) {
+      val w = x.getLong
+      c += java.lang.Long.bitCount(
+        if (i < ny) w & ~y.getLong else w)
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    andNotCount(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("bitmapAndNot", this,
+        classOf[BitmapAndNotCount].getName)
+      s"${ev.value} = $ref.andNotCount($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BitmapAndNotCount =
+    copy(left = l, right = r)
+}
+
 /** OR + popcount over an array of serialized bitmaps —
   * `graft_bitmap_or_count(array<binary>)`, the read side of the
   * bitmap serving column: a trailing-window UV is

@@ -737,6 +737,12 @@ object VectorExpressions {
       "graft_bitmap_card",
       exprs => BitmapCardinality(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bitmap_and_count",
+      exprs => BitmapAndCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bitmap_andnot_count",
+      exprs => BitmapAndNotCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sorted_intersect_gt",
       exprs => SortedIntersectGreater(exprs(0), exprs(1), exprs(2)),
       "built-in")

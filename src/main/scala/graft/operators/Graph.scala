@@ -385,6 +385,42 @@ object Graph {
           .select(col("s").as("id_a"), col("t").as("id_b")))
       .toDF("part_id", "component_id")
 
+  /** Weighted single-source shortest paths (bounded Bellman-Ford —
+    * the Pregel SSSP kernel): edge cost = 10⁶ DIV n_st on the strong
+    * co-purchase graph (frequent pairs are "close"), seed = the
+    * smallest strong node, and `rounds` relaxation sweeps — each one
+    * join (frontier ⋈ edges) + one min-reduce, the only shape SSSP
+    * has in a BSP engine. Distances are ≤-`rounds`-hop-optimal by
+    * construction; the oracle replays the SAME bounded recurrence as
+    * unrolled min-relax CTEs (never path enumeration, which is
+    * exponential where this is linear per round). All-integer costs
+    * make every min deterministic.
+    *
+    * Scale shape: state is one (node, dist) row per reached node;
+    * each round shuffles frontier-size × avg-degree candidate rows
+    * on the node key. The strength floor bounds the frontier the
+    * same way it bounds [[components]]; at 100 TB the join reads the
+    * bucketed pair layout so the edge side never re-shuffles.
+    */
+  def shortestPath(s: SparkSession, d: String,
+      minStrength: Long = 2, rounds: Int = 4): DataFrame = {
+    val st = coPurchasePairCounts(s, d)
+      .filter(col("n_st") >= minStrength)
+      .select(col("s"), col("t"), expr("1000000L DIV n_st").as("c"))
+    val e = st.select(col("s").as("src"), col("t").as("dst"), col("c"))
+      .unionByName(st.select(col("t").as("src"), col("s").as("dst"),
+        col("c")))
+    val seed = broadcast(st.agg(min(col("s")).as("node")))
+    var dist = seed.select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val relax = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("c")).as("dist"))
+      dist = dist.unionByName(relax)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+    }
+    dist.select(col("node").as("part_id"), col("dist"))
+  }
+
   /** k-core decomposition of the strong co-purchase graph:
     * iteratively peel nodes with degree < k until a fixpoint — the
     * standard "dense cohesive subgraph" extractor (community cores,

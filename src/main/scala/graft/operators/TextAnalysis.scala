@@ -404,6 +404,50 @@ object TextAnalysis {
           .otherwise("test").as("split"))
   }
 
+  /** Split-leakage audit — the check a training run does AFTER
+    * [[trainValTestSplit]] and BEFORE shipping shards: a random
+    * doc-level split leaks evaluation data whenever near-duplicate
+    * documents straddle the boundary (the GPT-3 Common Crawl
+    * incident), so count, per ordered split pair, the cross-split
+    * doc pairs sharing ≥ `minShared` character `ngram`s and how many
+    * later-split docs are contaminated. Composes the split's
+    * deterministic md5 bucket with [[graft.operators.Dedup
+    * .crossSourceOverlap]]'s hashed-shingle inverted index: the join
+    * is an equi-join on the 8-byte shingle hash, so cost is index ×
+    * match rate — never |train| × |eval| — and the split rank filter
+    * halves the pair stream before it exists.
+    */
+  def splitLeakage(s: SparkSession, d: String, ngram: Int = 12,
+      minShared: Int = 30): DataFrame = {
+    graft.functions.Vectors.ensureRegistered(s)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 100
+    val rk = when(col("bucket") < 80, 0).when(col("bucket") < 90, 1)
+      .otherwise(2)
+    val sh = Tables.spread(Tables.documents(s, d))
+      .withColumn("bucket", bucket)
+      .select(col("doc_id"), rk.as("rk"),
+        explode(call_function("graft_shingle_hashes",
+          col("text"), lit(ngram))).as("sh"))
+    val names = map(lit(0), lit("train"), lit(1), lit("val"),
+      lit(2), lit("test"))
+    val a = sh.select(col("doc_id").as("id_a"), col("rk").as("rk_a"),
+      col("sh"))
+    val b = sh.select(col("doc_id").as("id_b"), col("rk").as("rk_b"),
+      col("sh"))
+    a.join(b, "sh")
+      .filter(col("rk_a") < col("rk_b"))
+      .groupBy("rk_a", "rk_b", "id_a", "id_b")
+      .agg(count(lit(1)).as("shared_ct"))
+      .filter(col("shared_ct") >= minShared)
+      .groupBy("rk_a", "rk_b")
+      .agg(count(lit(1)).as("leaked_pairs"),
+        countDistinct(col("id_b")).as("contaminated_docs"))
+      .select(element_at(names, col("rk_a")).as("split_a"),
+        element_at(names, col("rk_b")).as("split_b"),
+        col("leaked_pairs"), col("contaminated_docs"))
+  }
+
   /** Contiguous stable ids for the whole corpus (0..n-1 in doc_id
     * order) — the enumeration step before sharding/packing a training
     * corpus. A global `row_number() OVER (ORDER BY ...)` window is a
@@ -492,6 +536,42 @@ object TextAnalysis {
       .withColumn("bucket_ppm", bucket)
       .filter(col("bucket_ppm") < col("accept_ppm"))
       .select(col("doc_id"), col("lang"), col("source"), col("bucket_ppm"))
+  }
+
+  /** Temperature-scaled source mixing — the multilingual/multi-source
+    * sampling rule LLM pretraining uses to keep large sources from
+    * drowning small ones: weight each source ∝ n^α (α = ½ here, the
+    * classic "square-root temperature"), so a 100× bigger source
+    * samples only 10× more. Complements [[domainMix]] (declared
+    * target mixture) — here the mixture is COMPUTED from the observed
+    * counts. All arithmetic is hash-stable: the only float op is
+    * `round(sqrt(n)·10⁶)` — IEEE sqrt is correctly rounded in both
+    * Java and C, so identical BIGINT inputs (n < 2⁵³) give the
+    * identical double and the identical rounded weight in any engine;
+    * shares and per-source target docs are then pure integer ppm.
+    *
+    * Scale shape: one count-by-source rollup (combinable, ~sources
+    * rows), totals via a 1-row broadcast — the corpus is scanned
+    * once and never shuffled.
+    */
+  def mixTemperature(s: SparkSession, d: String,
+      budgetDocs: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", round(sqrt(col("n_docs")) * 1000000L).cast("long"))
+    // totals via an unpartitioned window over the ≤|sources|-row
+    // frame — the corpus is scanned ONCE (a second .agg branch would
+    // rescan it; the tiny SinglePartition window is free)
+    val all = Window.partitionBy()
+    counts
+      .withColumn("tot_n", sum(col("n_docs")).over(all))
+      .withColumn("tot_w", sum(col("w")).over(all))
+      .select(col("source"), col("n_docs"),
+        expr("n_docs * 1000000L DIV tot_n").as("natural_ppm"),
+        expr("w * 1000000L DIV tot_w").as("temp_ppm"),
+        expr(s"(w * 1000000L DIV tot_w) * ${budgetDocs}L DIV 1000000")
+          .as("target_docs"))
   }
 
   /** Distinct window-minima over an ALREADY-MATERIALIZED hash-array

@@ -638,6 +638,66 @@ object Analytics {
           .cast("long").as("n_hits"))
       .filter(col("n_hits") > 0)
 
+  /** ClickHouse `windowFunnel(W)` — the OTHER funnel semantic, and
+    * the one the reference's serving boards actually call: per user,
+    * the maximum depth L such that some strictly time-ordered chain
+    * view < click < purchase fits ONE window anchored at its FIRST
+    * event (t_L ≤ t₁ + W). [[funnel]] bounds each STEP-gap instead —
+    * the two disagree whenever a slow first gap leaves no room for
+    * the rest, so this is a distinct operator, graded per level.
+    *
+    * One shuffle: events filter to the step types, sort per user,
+    * and fold through an `aggregate` HOF running the exact greedy
+    * DP — for each depth keep the LATEST feasible chain START (the
+    * loosest future window constraint; an exchange argument shows
+    * maximality). Two tracks per depth — settled strictly before the
+    * current timestamp (`p*`) vs at it (`c*`) — enforce STRICT time
+    * order under microsecond ties, so the fold equals the
+    * declarative EXISTS definition the oracle replays. Per-user
+    * state is three longs regardless of event count — the same
+    * bounded-state contract as the CEP family.
+    */
+  def windowFunnel(s: SparkSession, d: String,
+      windowSeconds: Long = 86400): DataFrame = {
+    val wUs = windowSeconds * 1000000L
+    val none = lit(-1L)
+    val zero = struct(
+      none.as("lu"), none.as("p1"), none.as("p2"), none.as("p3"),
+      none.as("c1"), none.as("c2"), none.as("c3"))
+    val step = (acc: Column, e: Column) => {
+      val newUs = e("us") =!= acc("lu")
+      // fold the current-timestamp track into the settled one
+      val p1 = when(newUs, greatest(acc("p1"), acc("c1"))).otherwise(acc("p1"))
+      val p2 = when(newUs, greatest(acc("p2"), acc("c2"))).otherwise(acc("p2"))
+      val p3 = when(newUs, greatest(acc("p3"), acc("c3"))).otherwise(acc("p3"))
+      val b1 = when(newUs, p1).otherwise(acc("c1"))
+      val b2 = when(newUs, p2).otherwise(acc("c2"))
+      val b3 = when(newUs, p3).otherwise(acc("c3"))
+      val t = e("event_type")
+      val c1 = when(t === "view", greatest(b1, e("us"))).otherwise(b1)
+      val c2 = when(t === "click" && p1 =!= -1L && e("us") <= p1 + wUs,
+        greatest(b2, p1)).otherwise(b2)
+      val c3 = when(t === "purchase" && p2 =!= -1L && e("us") <= p2 + wUs,
+        greatest(b3, p2)).otherwise(b3)
+      struct(e("us").as("lu"), p1.as("p1"), p2.as("p2"), p3.as("p3"),
+        c1.as("c1"), c2.as("c2"), c3.as("c3"))
+    }
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), struct(unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).as("e"))
+      .groupBy("user_id")
+      .agg(aggregate(sort_array(collect_list(col("e"))), zero, step)
+        .as("st"))
+      .select(
+        when(greatest(col("st.p3"), col("st.c3")) =!= -1L, 3L)
+          .when(greatest(col("st.p2"), col("st.c2")) =!= -1L, 2L)
+          .when(greatest(col("st.p1"), col("st.c1")) =!= -1L, 1L)
+          .otherwise(0L).as("level"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("users"))
+  }
+
   /** Integer EWMA over the daily GMV series — the smoothing pass a
     * dashboard overlays on [[autocorrGmv]]'s raw curve: s₁ = g₁,
     * sₜ = (2gₜ + 6sₜ₋₁) >> 3 (α = ¼ with a power-of-two divisor so

@@ -167,6 +167,45 @@ object Sketched {
         lit(1L << 24)).as("uv"))
   }
 
+  /** Cohort set algebra over two serving bitmaps — the EXACT dual of
+    * [[kmvIntersection]] and the reason a Doris/ClickHouse board
+    * stores bitmaps instead of counts: build ONE bitmap per behavior
+    * cohort (here "clicked" and "purchased" — each a single-pass
+    * map-side bitmap reduce, no per-user shuffle), then |A|, |B|,
+    * |A∩B|, |A\B|, |B\A| are word-wise popcounts over two binary
+    * blobs ([[graft.functions.BitmapAndCount]] /
+    * [[graft.functions.BitmapAndNotCount]]). Any further audience
+    * composition ("clicked, purchased, but never errored") stays in
+    * bitmap space — the fact table is never rescanned. Oracle: the
+    * same five numbers via COUNT(DISTINCT) set algebra.
+    *
+    * Scale shape: two aggregations over one filtered scan, each
+    * shipping ⌈domain/8⌉ bytes per partition; the final algebra is a
+    * 1×1 crossJoin of two single-row frames. Reference serving
+    * semantic: the UV/overlap boards of
+    * DwsTradeSkuOrderWindow.java:1's Doris layer.
+    */
+  def bitmapAudience(s: SparkSession, d: String,
+      typeA: String = "click", typeB: String = "purchase"): DataFrame = {
+    graft.functions.Vectors.ensureRegistered(s)
+    val ev = graft.sources.Tables.events(s, d)
+      .filter(col("event_type").isin(typeA, typeB))
+    def cohort(t: String, alias: String) =
+      ev.filter(col("event_type") === t)
+        .agg(call_function("graft_bitmap_bytes", col("user_id"),
+          lit(1L << 24)).as(alias))
+    cohort(typeA, "bm_a").crossJoin(cohort(typeB, "bm_b"))
+      .select(
+        call_function("graft_bitmap_card", col("bm_a")).as("n_a"),
+        call_function("graft_bitmap_card", col("bm_b")).as("n_b"),
+        call_function("graft_bitmap_and_count", col("bm_a"), col("bm_b"))
+          .as("n_both"),
+        call_function("graft_bitmap_andnot_count", col("bm_a"), col("bm_b"))
+          .as("n_a_only"),
+        call_function("graft_bitmap_andnot_count", col("bm_b"), col("bm_a"))
+          .as("n_b_only"))
+  }
+
   /** Trailing-window UV served from STORED day bitmaps — the full
     * Doris BITMAP_UNION aggregate-table loop: the fact table reduces
     * ONCE to one bitmap per day (`graft_bitmap_bytes`), and every

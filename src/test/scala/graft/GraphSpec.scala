@@ -292,4 +292,28 @@ class GraphSpec extends AnyFunSuite {
     assert(rs.map(_.getAs[Long]("node_ct")).sum === nodeCt)
     rs.foreach(r => assert(r.getAs[Long]("degree") >= 1L))
   }
+
+  test("shortest path: bounded Bellman-Ford replays the driver relaxation") {
+    val got = Graph.shortestPath(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val st = Graph.coPurchasePairCounts(s, d)
+      .filter(col("n_st") >= 2).collect()
+      .map(r => (r.getAs[Long]("s"), r.getAs[Long]("t"),
+        1000000L / r.getAs[Long]("n_st")))
+    val adj = (st.map(e => (e._1, e._2, e._3)) ++
+      st.map(e => (e._2, e._1, e._3))).groupBy(_._1)
+    val seed = st.map(_._1).min
+    var dist = Map(seed -> 0L)
+    for (_ <- 1 to 4) {
+      val relax = dist.toSeq.flatMap { case (u, du) =>
+        adj.getOrElse(u, Array.empty).map(e => e._2 -> (du + e._3)) }
+      dist = (dist.toSeq ++ relax).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    assert(got === dist)
+    assert(got(seed) === 0L)
+    // triangle inequality against direct edges out of the seed
+    adj.getOrElse(seed, Array.empty).foreach { e =>
+      assert(got(e._2) <= e._3) }
+  }
 }

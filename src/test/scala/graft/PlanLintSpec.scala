@@ -223,5 +223,19 @@ class PlanLintSpec extends AnyFunSuite {
     // cross-field audit: one key join + per-table scan-aggregates
     // (each ends in its own 1-row reduce before the union)
     assert(shuffles("dq_cross_field") <= 5)
+    // windowFunnel: ONE per-user shuffle (the collect_list groupBy)
+    // + the ≤4-row level rollup; the DP itself is fold-in-place
+    assert(shuffles("analytics_window_funnel") <= 2,
+      "windowFunnel must stay one keyed shuffle + level rollup")
+    // bitmap audience: two map-side cohort bitmap reduces (each a
+    // 1-row SinglePartition) and NOTHING keyed — the whole point
+    assert(shuffles("analytics_bitmap_audience") <= 2,
+      "bitmap audience must never shuffle a per-user key")
+    // temperature mixing: one ≤|sources| rollup + 1-row reduce;
+    // the corpus scan itself must not shuffle
+    assert(shuffles("pipeline_mix_temperature") <= 2)
+    // dHash dedup: per-partition decode + one signature groupBy
+    assert(shuffles("mm_image_dhash") <= 1,
+      "dHash must be decode-scan + one groupBy")
   }
 }

@@ -605,6 +605,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(png.take(4).map(_ & 0xff).toSeq === Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
   }
 
+  test("image dHash: decoded-pixel hash replays the pixel formula, groups conserve") {
+    val got = Multimodal.imageDHash(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_images"),
+        r.getAs[Long]("rep_id"))).toMap
+    val ids = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def hash(id: Long): Long = {
+      val w = (8 + id % 24).toInt; val h = (8 + (id * 7) % 24).toInt
+      var bits = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val gy = y * h / 8
+        val p1 = (31 * id + 7 * (x * w / 9) + 13 * gy) % 256
+        val p2 = (31 * id + 7 * ((x + 1) * w / 9) + 13 * gy) % 256
+        bits = (bits << 1) | (if (p1 < p2) 1L else 0L)
+      }
+      bits
+    }
+    val expect = ids.groupBy(hash).map { case (hh, xs) =>
+      hh -> (xs.length.toLong, xs.min) }
+    assert(got === expect)
+    // conservation: every image lands in exactly one group
+    assert(got.values.map(_._1).sum === ids.length.toLong)
+  }
+
   test("real image resize re-encodes valid PNGs at the target geometry") {
     val resized = Multimodal.resizeImages(s, d, w = 16, h = 12).collect()
     assert(resized.nonEmpty)

@@ -765,4 +765,38 @@ class TextSpec extends AnyFunSuite {
     val firstDoc = rs.keys.min
     assert(rs(firstDoc)._3 === 1000000L)
   }
+
+  test("split leakage: cross-split pair counts replay the driver brute force") {
+    val got = graft.operators.TextAnalysis.splitLeakage(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("leaked_pairs"), r.getAs[Long]("contaminated_docs")))
+      .toMap
+    val docs = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text")).as("lt")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def rank(id: Long): Int = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      val b = java.lang.Long.parseLong(hex, 16) % 100
+      if (b < 80) 0 else if (b < 90) 1 else 2
+    }
+    val names = Array("train", "val", "test")
+    val shingles = docs.map { case (id, lt) =>
+      val n = math.max(lt.length - 11, 1)
+      (id, rank(id), (0 until n).map(i =>
+        lt.substring(i, math.min(i + 12, lt.length))).toSet)
+    }
+    val pairs = for {
+      a <- shingles; b <- shingles
+      if a._2 < b._2 && (a._3 & b._3).size >= 30
+    } yield (a._2, b._2, a._1, b._1)
+    val expect = pairs.groupBy(p => (p._1, p._2)).map { case ((ra, rb), xs) =>
+      (names(ra), names(rb)) ->
+        (xs.length.toLong, xs.map(_._4).distinct.length.toLong)
+    }
+    assert(got === expect)
+    // the split must actually leak on this corpus (near-dups exist)
+    assert(got.values.map(_._1).sum > 0L)
+  }
 }

@@ -392,6 +392,84 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("window funnel: DP fold equals the brute-force EXISTS definition") {
+    val wUs = 86400L * 1000000L
+    val got = graft.warehouse.Analytics.windowFunnel(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byUser = graft.sources.Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    val levels = byUser.values.map { evs =>
+      val v = evs.filter(_._3 == "view").map(_._2)
+      val c = evs.filter(_._3 == "click").map(_._2)
+      val p = evs.filter(_._3 == "purchase").map(_._2)
+      val l3 = v.exists(t1 => c.exists(t2 => t2 > t1 &&
+        p.exists(t3 => t3 > t2 && t3 <= t1 + wUs)))
+      val l2 = v.exists(t1 => c.exists(t2 => t2 > t1 && t2 <= t1 + wUs))
+      if (l3) 3L else if (l2) 2L else if (v.nonEmpty) 1L else 0L
+    }
+    val expect = levels.groupBy(identity).map { case (l, xs) =>
+      l -> xs.size.toLong }
+    assert(got === expect)
+  }
+
+  test("window funnel: microsecond ties never chain (strict order)") {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wf-ties").toString
+    val t0 = 1700000000000000L
+    // user 1: view and click share one microsecond -> level 1 only;
+    // user 2: strict chain inside the window -> level 3;
+    // user 3: chain whose purchase misses the window -> level 2
+    Seq(
+      (1L, t0, 1L, "view"), (2L, t0, 1L, "click"),
+      (3L, t0, 2L, "view"), (4L, t0 + 10L, 2L, "click"),
+      (5L, t0 + 20L, 2L, "purchase"),
+      (6L, t0, 3L, "view"), (7L, t0 + 10L, 3L, "click"),
+      (8L, t0 + 86400L * 1000000L + 1L, 3L, "purchase"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.warehouse.Analytics.windowFunnel(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bitmap audience: AND/ANDNOT popcounts equal distinct set algebra") {
+    val r = graft.warehouse.Sketched.bitmapAudience(s, d).collect()(0)
+    val ev = graft.sources.Tables.events(s, d)
+    val a = ev.filter(col("event_type") === "click")
+      .select("user_id").distinct()
+    val b = ev.filter(col("event_type") === "purchase")
+      .select("user_id").distinct()
+    assert(r.getAs[Long]("n_a") === a.count())
+    assert(r.getAs[Long]("n_b") === b.count())
+    assert(r.getAs[Long]("n_both") === a.intersect(b).count())
+    assert(r.getAs[Long]("n_a_only") === a.exceptAll(a.intersect(b)).count())
+    // identities: |A| = |A∩B| + |A\B|, |B| = |A∩B| + |B\A|
+    assert(r.getAs[Long]("n_a") === r.getAs[Long]("n_both") + r.getAs[Long]("n_a_only"))
+    assert(r.getAs[Long]("n_b") === r.getAs[Long]("n_both") + r.getAs[Long]("n_b_only"))
+  }
+
+  test("temperature mixing: monotone, budget-bounded, flattens the natural mix") {
+    val rs = graft.warehouse.Analytics // keep import side-effect free
+    val rows = graft.operators.TextAnalysis.mixTemperature(s, d).collect()
+    assert(rows.length > 1)
+    // α=0.5 compresses: bigger sources lose share, smaller gain
+    val sorted = rows.sortBy(_.getAs[Long]("n_docs"))
+    val small = sorted.head; val big = sorted.last
+    if (big.getAs[Long]("n_docs") > small.getAs[Long]("n_docs")) {
+      assert(big.getAs[Long]("temp_ppm") <= big.getAs[Long]("natural_ppm"))
+      assert(small.getAs[Long]("temp_ppm") >= small.getAs[Long]("natural_ppm"))
+    }
+    // floor-div shares can undershoot 1e6 but never overshoot
+    val totPpm = rows.map(_.getAs[Long]("temp_ppm")).sum
+    assert(totPpm <= 1000000L && totPpm > 1000000L - rows.length)
+    assert(rows.map(_.getAs[Long]("target_docs")).sum <= 100000L)
+  }
+
   test("exp smoothing: recurrence replays exactly, s stays inside the running envelope") {
     val rs = graft.warehouse.Analytics.expSmoothGmv(s, d).collect()
       .sortBy(_.getAs[java.sql.Date]("dt").toLocalDate.toEpochDay)
