@@ -217,6 +217,9 @@ object SparkEntry {
     "pipeline_mix_temperature" -> (TextAnalysis.mixTemperature(_, _)),
     "pipeline_split_leakage" -> (TextAnalysis.splitLeakage(_, _)),
     "mm_image_dhash" -> (Multimodal.imageDHash(_, _)),
+    "dq_spc_orders" -> (Quality.spcOrders(_, _)),
+    "pipeline_pack_mask_spans" -> (TextAnalysis.packMaskSpans(_, _)),
+    "analytics_string_parity" -> (Analytics.stringParity(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -2903,6 +2906,59 @@ object SparkEntry {
         |       COUNT(*) AS leaked_pairs,
         |       COUNT(DISTINCT id_b) AS contaminated_docs
         |FROM p GROUP BY 1, 2""".stripMargin,
+    // 3σ c-chart with the decision cross-multiplied into integers:
+    // (n·x−S)² > 9(nΣx²−S²) — DECIMAL(38,0) vs HUGEINT, both exact
+    "dq_spc_orders" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  COUNT(*)::BIGINT AS x FROM orders GROUP BY 1),
+        |m AS (SELECT COUNT(*)::BIGINT AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |      CAST(SUM(x*x) AS BIGINT) AS sxx FROM daily)
+        |SELECT dt, x,
+        |  CASE WHEN n*x > sx THEN 'hi' ELSE 'lo' END AS side
+        |FROM daily, m
+        |WHERE (n*x - sx)::HUGEINT * (n*x - sx)::HUGEINT
+        |   > 9::HUGEINT * (n::HUGEINT * sxx::HUGEINT
+        |                   - sx::HUGEINT * sx::HUGEINT)""".stripMargin,
+    // pack spans = the pack oracle + a running sum over the same
+    // (source, bin) pack order
+    "pipeline_pack_mask_spans" ->
+      """WITH RECURSIVE d AS (
+        | SELECT source, doc_id,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS BIGINT) AS nt,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        | FROM documents),
+        |p AS (
+        | SELECT source, doc_id, rn, nt, nt AS fill, CAST(0 AS BIGINT) AS bin
+        | FROM d WHERE rn = 1
+        | UNION ALL
+        | SELECT d.source, d.doc_id, d.rn, d.nt,
+        |  CASE WHEN p.fill + d.nt <= 128 THEN p.fill + d.nt ELSE d.nt END,
+        |  CASE WHEN p.fill + d.nt <= 128 THEN p.bin ELSE p.bin + 1 END
+        | FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, doc_id, nt AS n_tokens, bin AS bin_id,
+        | CAST(COALESCE(SUM(nt) OVER (PARTITION BY source, bin
+        |   ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  AS BIGINT) AS tok_start,
+        | CAST(COALESCE(SUM(nt) OVER (PARTITION BY source, bin
+        |   ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  + nt - 1 AS BIGINT) AS tok_end
+        |FROM p""".stripMargin,
+    // ASCII-only string behaviors pinned cross-engine
+    "analytics_string_parity" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS up,
+        | lpad(p_brand, 12, '*') AS pad,
+        | replace(p_name, ' ', '_') AS snake,
+        | replace(p_brand, '#', '-') AS tr,
+        | reverse(p_brand) AS rev,
+        | repeat(p_brand, 2) AS rep2,
+        | CAST(instr(p_name, 'o') AS BIGINT) AS pos_o,
+        | array_to_string((string_split(p_name, ' '))[1:2], ' ') AS first2,
+        | CAST(length(trim(p_name)) AS BIGINT) AS trim_len
+        |FROM part""".stripMargin,
     // dHash: the oracle recomputes all 64 bits from the synthetic
     // pixel formula with NO decoder — a hash match proves the real
     // PNG encode→decode→grid-sample→pack chain pixel-exact

@@ -506,6 +506,24 @@ object TextAnalysis {
       .toDF("source", "doc_id", "n_tokens", "bin_id")
   }
 
+  /** Loss-mask spans for the packed corpus — the offsets a training
+    * loader needs so cross-document attention/loss can be masked
+    * inside each packed sequence: for every doc in [[packGreedy]]'s
+    * bins, its token span [tok_start, tok_end] within the bin via a
+    * running sum over the pack order. One window over the SAME
+    * (source, bin) grain the packer emitted — composition, not
+    * recomputation; spans are exact because token counts are.
+    */
+  def packMaskSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source", "bin_id").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    packGreedy(s, d)
+      .withColumn("tok_start",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("tok_end", col("tok_start") + col("n_tokens") - 1)
+  }
+
   /** Domain-mixture resampling: downsample each language to hit a
     * target mixture (en 30 / de 20 / es 20 / fr 15 / zh 15) at the
     * largest feasible output size (no upsampling — the binding

@@ -1224,6 +1224,27 @@ object Analytics {
         last_day(col("od")).as("month_end"),
         (dayofmonth(col("od")) === 1).cast("int").as("is_month_start"))
 
+  /** String-function parity suite — the [[dateArithmetic]] dual for
+    * text: upper/lower, pad, trim, replace, translate, reverse,
+    * repeat, position, prefix-token extraction, all over part names
+    * (pure ASCII, so locale can't fork the engines). Pins the ANSI
+    * string behaviors a serving SQL layer leans on; every derived
+    * value hash-grades cross-engine.
+    */
+  def stringParity(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lpad(col("p_brand"), 12, "*").as("pad"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        translate(col("p_brand"), "#", "-").as("tr"),
+        reverse(col("p_brand")).as("rev"),
+        repeat(col("p_brand"), 2).as("rep2"),
+        instr(col("p_name"), "o").cast("long").as("pos_o"),
+        substring_index(col("p_name"), " ", 2).as("first2"),
+        length(trim(col("p_name"))).cast("long").as("trim_len"))
+
   /** Bag-algebra set operations — INTERSECT / EXCEPT with their
     * ANSI precedence (INTERSECT binds tighter), the audience-
     * segmentation shape ("user-days with a view AND a purchase,

@@ -165,6 +165,40 @@ object Quality {
         (abs(col("a_ppm") - col("b_ppm")) > 10000).cast("long"))
   }
 
+  /** Statistical process control on daily order volume — the 3σ
+    * c-chart an ops dashboard runs on every count series, with the
+    * decision cleared of floats by cross-multiplication (the
+    * [[graft.warehouse.Analytics.abTest]] discipline): flag day d
+    * iff (n·x_d − S)² > 9·(n·Σx² − S²), which is exactly
+    * |x_d − μ| > 3σ over the population moments with every term an
+    * integer — DECIMAL(38,0) here, HUGEINT in the oracle, so the
+    * FLAG hash-grades where a σ double would drift in the last ulp.
+    * Complements [[gmvJumps]] (day-over-day deltas) with an
+    * absolute control band.
+    *
+    * Scale shape: one fact rollup to day grain, then moments via an
+    * unpartitioned window over the ≤calendar-length frame — the
+    * fact table is scanned once, and the 2400-row window is free.
+    */
+  def spcOrders(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(count(lit(1)).as("x"))
+    val all = Window.partitionBy()
+    daily
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("sx", sum(col("x")).over(all))
+      .withColumn("sxx", sum(col("x") * col("x")).over(all))
+      .filter(expr(
+        """CAST(n*x - sx AS DECIMAL(38,0)) * CAST(n*x - sx AS DECIMAL(38,0))
+           > 9 * (CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+                  - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)))"""))
+      .select(col("dt"), col("x"),
+        when(col("n") * col("x") > col("sx"), "hi").otherwise("lo")
+          .as("side"))
+  }
+
   /** Right-to-be-forgotten erasure propagation — the audit pass a
     * warehouse runs before a GDPR delete: given a seed of erasure
     * subjects, count every row that must go, cascading through the

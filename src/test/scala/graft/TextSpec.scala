@@ -799,4 +799,25 @@ class TextSpec extends AnyFunSuite {
     // the split must actually leak on this corpus (near-dups exist)
     assert(got.values.map(_._1).sum > 0L)
   }
+
+  test("pack mask spans: spans tile each bin exactly, budget bounds ends") {
+    val rows = graft.operators.TextAnalysis.packMaskSpans(s, d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end")))
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._1, r._2)).foreach { case (bin, xs) =>
+      val sorted = xs.sortBy(_._3)
+      // spans are contiguous from 0 in pack order, width = n_tokens
+      var cursor = 0L
+      sorted.foreach { r =>
+        assert(r._5 === cursor, s"gap in $bin at doc ${r._3}")
+        assert(r._6 === r._5 + r._4 - 1)
+        cursor = r._6 + 1
+      }
+      // a bin's fill never exceeds the packer budget unless a single
+      // oversized doc forced its own bin
+      if (sorted.length > 1) assert(cursor <= 128L, s"overfull bin $bin")
+    }
+  }
 }

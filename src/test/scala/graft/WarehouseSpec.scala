@@ -470,6 +470,41 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("target_docs")).sum <= 100000L)
   }
 
+  test("SPC c-chart: integer decision replays the BigInt moments, sides agree") {
+    val flagged = graft.warehouse.Quality.spcOrders(s, d).collect()
+      .map(r => r.getAs[java.sql.Date]("dt").toString ->
+        (r.getAs[Long]("x"), r.getAs[String]("side"))).toMap
+    val daily = graft.sources.Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => r.getAs[java.sql.Date]("dt").toString -> r.getAs[Long]("x"))
+    val n = BigInt(daily.length)
+    val sx = daily.map(x => BigInt(x._2)).sum
+    val sxx = daily.map(x => BigInt(x._2) * BigInt(x._2)).sum
+    val expect = daily.filter { case (_, x) =>
+      val lhs = (n * x - sx) * (n * x - sx)
+      lhs > 9 * (n * sxx - sx * sx)
+    }.map { case (dt, x) =>
+      dt -> (x, if (n * x > sx) "hi" else "lo") }.toMap
+    assert(flagged === expect)
+    assert(flagged.nonEmpty, "control chart should fire on this series")
+  }
+
+  test("string parity: known literals round-trip every derived column") {
+    val r = graft.warehouse.Analytics.stringParity(s, d)
+      .orderBy(col("p_partkey")).limit(1).collect()(0)
+    val src = graft.sources.Tables.part(s, d)
+      .orderBy(col("p_partkey")).limit(1).collect()(0)
+    val name = src.getAs[String]("p_name")
+    val brand = src.getAs[String]("p_brand")
+    assert(r.getAs[String]("up") === name.toUpperCase)
+    assert(r.getAs[String]("rev") === brand.reverse)
+    assert(r.getAs[String]("rep2") === brand * 2)
+    assert(r.getAs[Long]("pos_o") === name.indexOf('o') + 1L)
+    assert(r.getAs[String]("first2") === name.split(" ").take(2).mkString(" "))
+    assert(r.getAs[Long]("trim_len") === name.trim.length.toLong)
+  }
+
   test("exp smoothing: recurrence replays exactly, s stays inside the running envelope") {
     val rs = graft.warehouse.Analytics.expSmoothGmv(s, d).collect()
       .sortBy(_.getAs[java.sql.Date]("dt").toLocalDate.toEpochDay)
