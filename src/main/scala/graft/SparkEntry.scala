@@ -220,6 +220,8 @@ object SparkEntry {
     "dq_spc_orders" -> (Quality.spcOrders(_, _)),
     "pipeline_pack_mask_spans" -> (TextAnalysis.packMaskSpans(_, _)),
     "analytics_string_parity" -> (Analytics.stringParity(_, _)),
+    "analytics_rollup_topk" -> (Analytics.rollupTopK(_, _)),
+    "pipeline_shard_manifest" -> (TextAnalysis.shardManifest(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -2946,6 +2948,48 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |  + nt - 1 AS BIGINT) AS tok_end
         |FROM p""".stripMargin,
+    // TPC-DS q67 shape: one window over the rollup, rank ties broken
+    // on the dimension names so the top-k cut is deterministic
+    "analytics_rollup_topk" ->
+      """WITH rev AS (
+        | SELECT r_name, n_name,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS cents
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY ROLLUP (r_name, n_name)),
+        |rk AS (
+        | SELECT
+        |  CAST(CASE WHEN r_name IS NULL THEN 2
+        |       WHEN n_name IS NULL THEN 1 ELSE 0 END AS BIGINT) AS lvl,
+        |  COALESCE(r_name, 'ALL') AS region_name,
+        |  COALESCE(n_name, 'ALL') AS nation_name, cents,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY (CASE WHEN r_name IS NULL THEN 2
+        |      WHEN n_name IS NULL THEN 1 ELSE 0 END)
+        |    ORDER BY cents DESC, COALESCE(r_name, 'ALL'),
+        |      COALESCE(n_name, 'ALL')) AS INT) AS rk
+        | FROM rev)
+        |SELECT lvl, region_name, nation_name, cents, rk
+        |FROM rk WHERE rk <= 3""".stripMargin,
+    // shard manifest: order-independent integer checksum (SUM of
+    // 48-bit md5 prefixes), so the grade is content-exact per shard
+    "pipeline_shard_manifest" ->
+      """WITH sh AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    ::UBIGINT % 16 AS BIGINT) AS shard,
+        |  CAST(('0x' || substr(md5(text), 1, 12))::UBIGINT AS BIGINT)
+        |    AS ck,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS BIGINT) AS nt
+        | FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        | CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        | CAST(SUM(ck) AS BIGINT) AS checksum,
+        | MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM sh GROUP BY 1""".stripMargin,
     // ASCII-only string behaviors pinned cross-engine
     "analytics_string_parity" ->
       """SELECT p_partkey,

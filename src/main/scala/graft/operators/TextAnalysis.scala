@@ -506,6 +506,31 @@ object TextAnalysis {
       .toDF("source", "doc_id", "n_tokens", "bin_id")
   }
 
+  /** Shard manifest — the release artifact beside the dataset card:
+    * deterministic md5-bucket shard assignment, then per shard the
+    * doc/token counts, an order-independent content checksum (SUM of
+    * 48-bit md5 prefixes of the text — bounded: corpus ≤ 2¹⁵ docs ×
+    * 2⁴⁸ ≪ 2⁶³; collisions would need identical sums, and any single
+    * text edit moves it), and the id range. A consumer re-derives
+    * the manifest after download and diffs — shard-grain integrity
+    * without hashing terabytes through one node. One scan, one
+    * ≤shards-row combinable rollup.
+    */
+  def shardManifest(s: SparkSession, d: String,
+      shards: Int = 16): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % shards).as("shard"),
+        conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long")
+          .as("ck"),
+        size(filter(split(lower(col("text")), " "), x => x =!= ""))
+          .cast("long").as("nt"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("ck")).as("checksum"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+
   /** Loss-mask spans for the packed corpus — the offsets a training
     * loader needs so cross-document attention/loss can be masked
     * inside each packed sequence: for every doc in [[packGreedy]]'s

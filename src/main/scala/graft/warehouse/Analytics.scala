@@ -1224,6 +1224,45 @@ object Analytics {
         last_day(col("od")).as("month_end"),
         (dayofmonth(col("od")) === 1).cast("int").as("is_month_start"))
 
+  /** Top-k per ROLLUP level (the TPC-DS q67 shape): revenue rolls up
+    * (region, nation) → (region) → (), then ONE window ranks within
+    * each grouping level and keeps the top k — the "best sellers at
+    * every drill-up level" board. Ranks are ties-broken on the
+    * dimension names so the cut is deterministic in any engine; the
+    * level key is derived from the rollup NULLs exactly as the
+    * oracle derives it. Plan: broadcast dim joins → one Expand
+    * aggregation → one window partitioned on the ≤3-value level key
+    * (WindowGroupLimit bounds it at k rows per partition before the
+    * final sort).
+    */
+  def rollupTopK(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val rev = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(cents).as("cents"))
+    val lvl = when(col("r_name").isNull, 2L)
+      .when(col("n_name").isNull, 1L).otherwise(0L)
+    val named = rev.select(lvl.as("lvl"),
+      coalesce(col("r_name"), lit("ALL")).as("region_name"),
+      coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+      col("cents"))
+    named
+      .withColumn("rk", row_number().over(Window.partitionBy("lvl")
+        .orderBy(col("cents").desc, col("region_name"),
+          col("nation_name"))))
+      .filter(col("rk") <= k)
+  }
+
   /** String-function parity suite — the [[dateArithmetic]] dual for
     * text: upper/lower, pad, trim, replace, translate, reverse,
     * repeat, position, prefix-token extraction, all over part names

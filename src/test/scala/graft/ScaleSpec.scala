@@ -629,6 +629,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum === ids.length.toLong)
   }
 
+  test("dHash hamming bands: 4×16-bit banding recalls every radius-≤3 pair") {
+    import s.implicits._
+    // distinct signatures from the graded dedup query
+    val hs = Multimodal.imageDHash(s, d).select(col("dhash"))
+      .as[Long].collect()
+    assert(hs.length > 10)
+    // the SPARK-side banded candidate join (the stated scale path):
+    // explode each signature into 4 16-bit bands, equi-join on
+    // (band_idx, band_val), confirm with native xor+popcount
+    val sig = hs.toSeq.toDF("h")
+    val bands = sig.select(col("h"), explode(expr(
+      "transform(sequence(0, 3), i -> struct(i AS bi, " +
+        "shiftright(h, i * 16) & 65535 AS bv))")).as("b"))
+      .select(col("h"), col("b.bi"), col("b.bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.h") < col("b.h"))
+      .select(col("a.h").as("ha"), col("b.h").as("hb")).distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+      .as[(Long, Long)].collect().toSet
+    // driver brute force over all signature pairs
+    val brute = (for {
+      i <- hs.indices.iterator; j <- (i + 1) until hs.length
+      a = math.min(hs(i), hs(j)); b = math.max(hs(i), hs(j))
+      dist = java.lang.Long.bitCount(a ^ b)
+      if dist >= 1 && dist <= 3
+    } yield (a, b)).toSet
+    // pigeonhole: ≤3 differing bits cannot touch all 4 bands, so
+    // banding must recall EVERY true near pair
+    assert(brute.nonEmpty, "corpus should contain near-dup signatures")
+    assert(brute.subsetOf(cand))
+  }
+
   test("real image resize re-encodes valid PNGs at the target geometry") {
     val resized = Multimodal.resizeImages(s, d, w = 16, h = 12).collect()
     assert(resized.nonEmpty)

@@ -505,6 +505,43 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r.getAs[Long]("trim_len") === name.trim.length.toLong)
   }
 
+  test("rollup top-k: levels nest (every level-0 top name rolls into its level-1 region)") {
+    val rs = graft.warehouse.Analytics.rollupTopK(s, d).collect()
+      .map(r => (r.getAs[Long]("lvl"), r.getAs[String]("region_name"),
+        r.getAs[String]("nation_name"), r.getAs[Long]("cents"),
+        r.getAs[Int]("rk")))
+    // exactly k per level except the 1-row grand total
+    val byLvl = rs.groupBy(_._1)
+    assert(byLvl(0L).length === 3 && byLvl(1L).length === 3)
+    assert(byLvl(2L).length === 1 &&
+      byLvl(2L).head._2 === "ALL" && byLvl(2L).head._3 === "ALL")
+    // ranks are 1..k and revenue is non-increasing in rank
+    byLvl.values.foreach { xs =>
+      val sorted = xs.sortBy(_._5)
+      assert(sorted.map(_._5) === (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4; case _ => true })
+    }
+    // grand total >= any level-1 entry, level-1 entries >= their nations
+    val total = byLvl(2L).head._4
+    assert(byLvl(1L).forall(_._4 <= total))
+  }
+
+  test("shard manifest: shards partition the corpus, checksum moves on any edit") {
+    val rs = graft.warehouse.Analytics // anchor
+    val m = graft.operators.TextAnalysis.shardManifest(s, d).collect()
+      .map(r => r.getAs[Long]("shard") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("checksum")))
+    val nDocs = graft.sources.Tables.documents(s, d).count()
+    assert(m.map(_._2._1).sum === nDocs, "shards must partition the corpus")
+    assert(m.length > 1 && m.forall(_._2._3 > 0L))
+    // determinism: a second evaluation is bit-identical
+    val again = graft.operators.TextAnalysis.shardManifest(s, d).collect()
+      .map(r => r.getAs[Long]("shard") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("checksum")))
+    assert(m.toMap === again.toMap)
+  }
+
   test("exp smoothing: recurrence replays exactly, s stays inside the running envelope") {
     val rs = graft.warehouse.Analytics.expSmoothGmv(s, d).collect()
       .sortBy(_.getAs[java.sql.Date]("dt").toLocalDate.toEpochDay)
