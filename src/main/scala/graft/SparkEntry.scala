@@ -222,6 +222,8 @@ object SparkEntry {
     "analytics_string_parity" -> (Analytics.stringParity(_, _)),
     "analytics_rollup_topk" -> (Analytics.rollupTopK(_, _)),
     "pipeline_shard_manifest" -> (TextAnalysis.shardManifest(_, _)),
+    "analytics_funnel_time" -> (Analytics.funnelTime(_, _)),
+    "dq_order_reconcile" -> (Quality.orderReconcile(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -2948,6 +2950,50 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |  + nt - 1 AS BIGINT) AS tok_end
         |FROM p""".stripMargin,
+    // exact conversion-latency DISCRETE quantiles (rank-select in
+    // BIGINT micros — interpolation at this magnitude is sub-ulp)
+    "analytics_funnel_time" ->
+      """WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS vus
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS pus
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.vus
+        |  GROUP BY 1),
+        |dl AS (SELECT p.user_id, pus - vus AS delay_us
+        |       FROM p JOIN v ON p.user_id = v.user_id),
+        |nn AS (SELECT COUNT(*)::BIGINT AS n FROM dl),
+        |r AS (SELECT delay_us,
+        |       row_number() OVER (ORDER BY delay_us) - 1 AS rk FROM dl)
+        |SELECT
+        | (SELECT delay_us FROM r, nn WHERE rk = (n - 1) // 2) AS q50_us,
+        | (SELECT delay_us FROM r, nn
+        |  WHERE rk = ((n - 1) * 9) // 10) AS q90_us""".stripMargin,
+    // scaled-BIGINT reconciliation: cents·10⁸ line products, sign
+    // split so the ppm division only ever sees positive integers
+    "dq_order_reconcile" ->
+      """WITH lr AS (
+        | SELECT l_orderkey AS ok,
+        |  CAST(SUM(
+        |   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |   * (10000 + CAST(CAST(l_tax AS DECIMAL(8,4)) * 10000 AS BIGINT))
+        |   * (10000 - CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000
+        |       AS BIGINT))) AS BIGINT) AS rev_s
+        | FROM lineitem GROUP BY 1),
+        |j AS (
+        | SELECT
+        |  CASE WHEN tp_s >= rev_s THEN 1 ELSE -1 END AS sign,
+        |  abs(tp_s - rev_s) AS mag, tp_s
+        | FROM (SELECT o_orderkey,
+        |        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |         * 100000000 AS tp_s FROM orders) o
+        |  JOIN lr ON o.o_orderkey = lr.ok),
+        |dr AS (SELECT CAST(sign * (mag::HUGEINT * 1000000 // tp_s::HUGEINT)
+        |       AS BIGINT) AS drift_ppm FROM j)
+        |SELECT COUNT(*) AS n_orders,
+        | COUNT(*) FILTER (WHERE drift_ppm = 0) AS n_exact,
+        | MIN(drift_ppm) AS min_ppm, MAX(drift_ppm) AS max_ppm,
+        | CAST(SUM(drift_ppm) AS BIGINT) AS sum_ppm
+        |FROM dr""".stripMargin,
     // TPC-DS q67 shape: one window over the rollup, rank ties broken
     // on the dimension names so the top-k cut is deterministic
     "analytics_rollup_topk" ->

