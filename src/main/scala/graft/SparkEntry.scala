@@ -224,6 +224,10 @@ object SparkEntry {
     "pipeline_shard_manifest" -> (TextAnalysis.shardManifest(_, _)),
     "analytics_funnel_time" -> (Analytics.funnelTime(_, _)),
     "dq_order_reconcile" -> (Quality.orderReconcile(_, _)),
+    "temporal_interval_union" ->
+      (graft.operators.Temporal.intervalUnion(_, _)),
+    "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
+    "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -2950,6 +2954,58 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |  + nt - 1 AS BIGINT) AS tok_end
         |FROM p""".stripMargin,
+    // interval-union coverage: the same two-window island trick,
+    // replayed verbatim
+    "temporal_interval_union" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  epoch_us(ts) + 300000000 AS en FROM events),
+        |f AS (SELECT user_id, event_id, us, en,
+        |  CASE WHEN max(en) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |   OR us > max(en) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  THEN 1 ELSE 0 END AS fresh
+        | FROM e),
+        |g AS (SELECT user_id, us, en,
+        |  SUM(fresh) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM f),
+        |i AS (SELECT user_id, island, MIN(us) AS st, MAX(en) AS en
+        |      FROM g GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        | CAST(SUM(en - st) AS BIGINT) AS covered_us
+        |FROM i GROUP BY 1""".stripMargin,
+    // corpus version diff: the v2 derivation is part of the contract
+    "corpus_version_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |v2 AS (
+        | SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 101 = 0 THEN text || ' v2'
+        |      ELSE text END) AS h2
+        | FROM documents WHERE doc_id % 97 <> 0
+        | UNION ALL
+        | SELECT doc_id + 100000, md5(text) FROM documents
+        | WHERE doc_id % 103 = 0)
+        |SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |  WHEN h2 IS NULL THEN 'removed'
+        |  WHEN h1 <> h2 THEN 'changed'
+        |  ELSE 'unchanged' END AS status, COUNT(*) AS n_docs
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |GROUP BY 1""".stripMargin,
+    // top session paths, ties broken on the path string
+    "analytics_top_paths" ->
+      """WITH p AS (
+        | SELECT array_to_string(
+        |   (list(event_type ORDER BY epoch_us(ts), event_id))[1:8], ',')
+        |   AS path
+        | FROM events GROUP BY user_id),
+        |c AS (SELECT path, COUNT(*) AS n_users FROM p GROUP BY 1)
+        |SELECT path, n_users,
+        | CAST(row_number() OVER (ORDER BY n_users DESC, path) AS INT)
+        |  AS rk
+        |FROM c QUALIFY rk <= 5""".stripMargin,
     // exact conversion-latency DISCRETE quantiles (rank-select in
     // BIGINT micros — interpolation at this magnitude is sub-ulp)
     "analytics_funnel_time" ->

@@ -471,6 +471,40 @@ object Temporal {
     * the bucketed as-of). Decimal sums make 'changed' an exact
     * comparison, never a float epsilon.
     */
+  /** Interval-union coverage (merge overlapping activity windows —
+    * the "total active time" metric billing/engagement boards need):
+    * each event opens a `holdUs`-long window; per user, overlapping
+    * windows merge into islands and the report is islands + covered
+    * microseconds. The classic two-window island trick: a window is
+    * a NEW island iff its start exceeds the running max end of all
+    * earlier windows; island ids are the running sum of those flags.
+    * One per-user sort carries both windows and the rollup — the
+    * same single-shuffle contract as sessionize, but measuring
+    * COVERAGE (union length) where sessionize measures gaps.
+    */
+  def intervalUnion(s: org.apache.spark.sql.SparkSession, d: String,
+      holdUs: Long = 300000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prior = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    graft.sources.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("en", col("us") + holdUs)
+      .withColumn("prev_max", max(col("en")).over(prior))
+      .withColumn("fresh",
+        when(col("prev_max").isNull || col("us") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("fresh")).over(upto))
+      .groupBy("user_id", "island")
+      .agg(min(col("us")).as("st"), max(col("en")).as("en"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("en") - col("st")).as("covered_us"))
+  }
+
   def snapshotDiff(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     import graft.warehouse.Dwd.dec

@@ -531,6 +531,35 @@ object TextAnalysis {
         sum(col("ck")).as("checksum"), min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
 
+  /** Corpus version diff — [[graft.operators.Temporal.snapshotDiff]]
+    * for documents: classify every doc across two corpus versions as
+    * added / removed / changed / unchanged by (doc_id, content md5).
+    * v2 is derived deterministically (drop id%97, rewrite id%101,
+    * re-ingest id%103 under a shifted id — the mix a real re-crawl
+    * produces), so the graded counts pin the DIFF OPERATOR, which at
+    * 100 TB is one full-outer join on doc_id comparing content
+    * hashes — never content bytes — per side.
+    */
+  def versionDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h1"))
+    val base = Tables.documents(s, d)
+    val v2 = base.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 101 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h2"))
+      .unionByName(base.filter(col("doc_id") % 103 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          md5(col("text")).as("h2")))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Loss-mask spans for the packed corpus — the offsets a training
     * loader needs so cross-document attention/loss can be masked
     * inside each packed sequence: for every doc in [[packGreedy]]'s

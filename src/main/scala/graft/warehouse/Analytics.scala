@@ -1224,6 +1224,32 @@ object Analytics {
         last_day(col("od")).as("month_end"),
         (dayofmonth(col("od")) === 1).cast("int").as("is_month_start"))
 
+  /** Top whole-session paths (the Sankey/flow-report source —
+    * [[eventPathTransitions]] counts pairwise edges; this ranks the
+    * full ordered journeys): each user's first `maxEvents` events as
+    * a comma path, then the k most common paths with deterministic
+    * (count DESC, path) tie-breaks. One per-user shuffle + one
+    * path-grain rollup; the top-k cut is a TakeOrdered, never a
+    * global sort.
+    */
+  def topPaths(s: SparkSession, d: String, k: Int = 5,
+      maxEvents: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paths = Tables.events(s, d)
+      .select(col("user_id"), struct(unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("seq"))
+      .select(array_join(slice(
+        transform(col("seq"), e => e("event_type")), 1, maxEvents), ",")
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+    paths
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_users").desc, col("path"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Time-to-convert quantiles — the latency distribution behind the
     * funnel counts ([[funnel]] says HOW MANY convert; this says HOW
     * FAST): per user, microseconds from first view to the first

@@ -534,4 +534,31 @@ class TemporalSpec extends AnyFunSuite {
     val ops = diff.map(_.getAs[String]("op")).toSet
     assert(ops == Set("added", "deleted", "changed"), ops.toString)
   }
+
+  test("interval union: coverage replays a driver sweep, bounds hold") {
+    val d = TestSpark.sf
+    val holdUs = 300000000L
+    val got = graft.operators.Temporal.intervalUnion(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_islands"),
+        r.getAs[Long]("covered_us"))).toMap
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = ev.groupBy(_._1).map { case (u, xs) =>
+      val sorted = xs.map(_._2).sorted
+      var islands = 0L; var covered = 0L
+      var st = -1L; var en = -1L
+      sorted.foreach { t =>
+        if (st < 0 || t > en) {
+          if (st >= 0) covered += en - st
+          islands += 1; st = t; en = t + holdUs
+        } else en = math.max(en, t + holdUs)
+      }
+      if (st >= 0) covered += en - st
+      u -> (islands, covered)
+    }
+    assert(got === expect)
+    // coverage is bounded by islands·hold ≤ covered ≤ span+hold
+    got.foreach { case (_, (n, c)) => assert(c >= n * holdUs) }
+  }
 }

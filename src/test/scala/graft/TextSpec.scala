@@ -800,6 +800,22 @@ class TextSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum > 0L)
   }
 
+  test("version diff: statuses conserve both versions' cardinalities") {
+    val m = graft.operators.TextAnalysis.versionDiff(s, d).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    val ids = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    val removed = ids.count(_ % 97 == 0).toLong
+    val changed = ids.count(i => i % 97 != 0 && i % 101 == 0).toLong
+    val added = ids.count(_ % 103 == 0).toLong
+    assert(m.getOrElse("removed", 0L) === removed)
+    assert(m.getOrElse("changed", 0L) === changed)
+    assert(m.getOrElse("added", 0L) === added)
+    assert(m.getOrElse("unchanged", 0L) === n - removed - changed)
+    assert(m.values.sum === n + added)
+  }
+
   test("pack mask spans: spans tile each bin exactly, budget bounds ends") {
     val rows = graft.operators.TextAnalysis.packMaskSpans(s, d).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin_id"),

@@ -543,6 +543,22 @@ class WarehouseSpec extends AnyFunSuite {
     assert(m.toMap === again.toMap)
   }
 
+  test("top paths: counts replay the driver path build, ranks are dense") {
+    val got = graft.warehouse.Analytics.topPaths(s, d).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_users"), r.getAs[Int]("rk")))
+    val paths = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).map { case (_, evs) =>
+        evs.sortBy(e => (e._2, e._3)).map(_._4).take(8).mkString(",")
+      }.toSeq
+    val counts = paths.groupBy(identity).view.mapValues(_.size.toLong)
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(5)
+      .zipWithIndex.map { case ((p, n), i) => (p, n, i + 1) }
+    assert(got.sortBy(_._3) === expect)
+  }
+
   test("funnel time: rank-select quantiles replay the driver sort") {
     val r = graft.warehouse.Analytics.funnelTime(s, d).collect()(0)
     val ev = graft.sources.Tables.events(s, d)
