@@ -228,6 +228,8 @@ object SparkEntry {
       (graft.operators.Temporal.intervalUnion(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
+    "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
+    "analytics_decayed_score" -> (Analytics.decayedScore(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -2954,6 +2956,41 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |  + nt - 1 AS BIGINT) AS tok_end
         |FROM p""".stripMargin,
+    // array/HOF parity: Spark higher-order functions vs DuckDB list
+    // functions over identical sorted inputs
+    "analytics_array_parity" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  list_sort(list_distinct(list(event_type))) AS types,
+        |  list(event_id ORDER BY epoch_us(ts), event_id) AS eids
+        | FROM events GROUP BY 1)
+        |SELECT user_id,
+        | array_to_string(types, ',') AS types_csv,
+        | CAST(len(types) AS BIGINT) AS n_types,
+        | array_to_string(list_filter(types, t -> t LIKE 'c%'), '|')
+        |   AS c_types,
+        | array_to_string(types[1:2], ',') AS first2,
+        | CAST(list_sum(list_transform(types, t -> length(t)))
+        |   AS BIGINT) AS char_sum,
+        | eids[1] AS first_event_id,
+        | CAST(list_max(eids) AS BIGINT) AS max_event_id
+        |FROM g""".stripMargin,
+    // integer half-life decay: weight = 1e6 >> age_weeks, anchored
+    // to the corpus max timestamp so reruns are bit-identical
+    "analytics_decayed_score" ->
+      """WITH ev AS (SELECT event_id % 100 AS item_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT MAX(us) AS now_us FROM ev),
+        |w AS (SELECT item_id,
+        |  (1000000::BIGINT >> CAST(least((now_us - us)
+        |     // (7 * 86400000000), 30) AS INT)) AS wt
+        | FROM ev, a),
+        |sc AS (SELECT item_id, CAST(SUM(wt) AS BIGINT) AS score_ppm,
+        |       COUNT(*) AS n_events FROM w GROUP BY 1)
+        |SELECT item_id, score_ppm, n_events,
+        | CAST(row_number() OVER (ORDER BY score_ppm DESC, item_id)
+        |   AS INT) AS rk
+        |FROM sc QUALIFY rk <= 20""".stripMargin,
     // interval-union coverage: the same two-window island trick,
     // replayed verbatim
     "temporal_interval_union" ->

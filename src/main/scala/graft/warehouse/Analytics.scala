@@ -1224,6 +1224,64 @@ object Analytics {
         last_day(col("od")).as("month_end"),
         (dayofmonth(col("od")) === 1).cast("int").as("is_month_start"))
 
+  /** Array/higher-order-function parity suite (the ClickHouse
+    * arrayMap/arrayFilter/arrayReduce vocabulary, pinned
+    * cross-engine like the string/date/null suites): per user the
+    * sorted distinct event-type array, then filter / slice /
+    * transform-length / HOF-aggregate sum / flatten-zip derivations,
+    * all deterministic. Exercises the interpreted-HOF surface the
+    * engine leans on everywhere (winnowing, EWMA, funnel DP) against
+    * an independent list-function implementation.
+    */
+  def arrayParity(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"),
+        sort_array(collect_list(struct(unix_micros(col("ts")).as("us"),
+          col("event_id")))).as("seq"))
+      .select(col("user_id"),
+        array_join(col("types"), ",").as("types_csv"),
+        size(col("types")).cast("long").as("n_types"),
+        array_join(filter(col("types"), t => t.startsWith("c")), "|")
+          .as("c_types"),
+        array_join(slice(col("types"), 1, 2), ",").as("first2"),
+        aggregate(transform(col("types"), t => length(t)),
+          lit(0), (a, x) => a + x).cast("long").as("char_sum"),
+        element_at(col("seq"), 1)("event_id").as("first_event_id"),
+        aggregate(col("seq"), lit(0L),
+          (a, e) => greatest(a, e("event_id"))).as("max_event_id"))
+
+  /** Time-decayed popularity score — the "trending now" ranking a
+    * serving board refreshes continuously, in EXACT integers: each
+    * purchase contributes 10⁶ >> (age_weeks) (a 7-day half-life as a
+    * pure right-shift — the [[expSmoothGmv]] discipline applied per
+    * item), so recent activity dominates without any float decay
+    * drift. Age anchors to the corpus max timestamp (a 1-row
+    * broadcast), never the wall clock — reruns are bit-identical.
+    * One scan + one item rollup.
+    */
+  def decayedScore(s: SparkSession, d: String, halfLifeDays: Int = 7,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("event_id") % 100).as("item_id"))
+    val anchor = broadcast(ev.agg(max(col("us")).as("now_us")))
+    val dayUs = 86400000000L
+    ev.crossJoin(anchor)
+      .select(col("item_id"),
+        least(expr(s"(now_us - us) DIV (${halfLifeDays}L * $dayUs)"),
+          lit(30L)).as("age_hl"))
+      .select(col("item_id"),
+        expr("shiftright(1000000L, CAST(age_hl AS INT))").as("wt"))
+      .groupBy("item_id")
+      .agg(sum(col("wt")).as("score_ppm"), count(lit(1)).as("n_events"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score_ppm").desc, col("item_id"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Top whole-session paths (the Sankey/flow-report source —
     * [[eventPathTransitions]] counts pairwise edges; this ranks the
     * full ordered journeys): each user's first `maxEvents` events as

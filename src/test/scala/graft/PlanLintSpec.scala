@@ -98,7 +98,11 @@ class PlanLintSpec extends AnyFunSuite {
     "analytics_rfm_migration", "analytics_percent_rank",
     "sim_knn_classify", "analytics_promo_lift",
     "dedup_threshold_sweep", "analytics_dow_hour_heatmap",
-    "pipeline_e2e_stats", "analytics_kpi_summary")
+    "pipeline_e2e_stats", "analytics_kpi_summary",
+    // 1-row broadcast composition joins (cohort bitmaps, the
+    // count/anchor scalar) — each side is a single-row aggregate
+    "analytics_bitmap_audience", "analytics_funnel_time",
+    "analytics_decayed_score")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

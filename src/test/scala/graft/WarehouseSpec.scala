@@ -543,6 +543,43 @@ class WarehouseSpec extends AnyFunSuite {
     assert(m.toMap === again.toMap)
   }
 
+  test("array parity: HOF derivations agree with driver recomputation") {
+    val rs = graft.warehouse.Analytics.arrayParity(s, d).collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val types = r.getAs[String]("types_csv").split(",").toSeq
+      assert(types === types.sorted && types.distinct === types)
+      assert(r.getAs[Long]("n_types") === types.length.toLong)
+      assert(r.getAs[Long]("char_sum") === types.map(_.length).sum.toLong)
+      assert(r.getAs[String]("c_types") ===
+        types.filter(_.startsWith("c")).mkString("|"))
+      assert(r.getAs[String]("first2") === types.take(2).mkString(","))
+      assert(r.getAs[Long]("max_event_id") >= r.getAs[Long]("first_event_id"))
+    }
+  }
+
+  test("decayed score: shift weights replay per item, ranking is by score") {
+    val got = graft.warehouse.Analytics.decayedScore(s, d).collect()
+      .map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("score_ppm"),
+        r.getAs[Long]("n_events"), r.getAs[Int]("rk")))
+    assert(got.length === 20)
+    val ev = graft.sources.Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select((col("event_id") % 100).as("i"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val now = ev.map(_._2).max
+    val scores = ev.groupBy(_._1).view.mapValues { xs =>
+      (xs.map { case (_, us) =>
+        1000000L >> math.min((now - us) / (7L * 86400000000L), 30L).toInt
+      }.sum, xs.length.toLong)
+    }.toMap
+    got.foreach { case (item, sc, n, _) =>
+      assert(scores(item) === ((sc, n)), s"item $item") }
+    // ranking is by (score desc, item) and scores are non-increasing
+    assert(got.sortBy(_._4).map(_._2).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true })
+  }
+
   test("top paths: counts replay the driver path build, ranks are dense") {
     val got = graft.warehouse.Analytics.topPaths(s, d).collect()
       .map(r => (r.getString(0), r.getAs[Long]("n_users"), r.getAs[Int]("rk")))
