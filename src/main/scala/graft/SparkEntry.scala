@@ -230,6 +230,8 @@ object SparkEntry {
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
     "analytics_decayed_score" -> (Analytics.decayedScore(_, _)),
+    "text_keyphrases" -> (TextAnalysis.keyphrasesRake(_, _)),
+    "dq_ks_test" -> (Quality.ksTest(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -2956,6 +2958,68 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |  + nt - 1 AS BIGINT) AS tok_end
         |FROM p""".stripMargin,
+    // RAKE: stopword-count islands → phrase runs, degree/freq word
+    // scores in integer ppm, top repeated short phrases
+    "text_keyphrases" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        | FROM documents),
+        |tok AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |        t[CAST(i AS INT) + 1] AS tok
+        | FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM tk) u),
+        |fl AS (SELECT doc_id, pos, tok,
+        |  CASE WHEN tok IN ('a','the','of','and','to','in','is','on')
+        |       THEN 1 ELSE 0 END AS stop FROM tok),
+        |isl AS (SELECT doc_id, pos, tok, stop,
+        |  SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM fl),
+        |member AS (SELECT doc_id, island, pos, tok FROM isl
+        |           WHERE stop = 0),
+        |plen AS (SELECT doc_id, island, COUNT(*) AS plen
+        |         FROM member GROUP BY 1, 2),
+        |ws AS (
+        | SELECT tok, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS degree
+        | FROM member JOIN plen USING (doc_id, island) GROUP BY 1),
+        |wsc AS (SELECT tok, degree * 1000000 // freq AS wscore FROM ws),
+        |ph AS (
+        | SELECT m.doc_id, m.island,
+        |  string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+        |  CAST(SUM(w.wscore) AS BIGINT) AS score, COUNT(*) AS plen
+        | FROM member m JOIN wsc w ON m.tok = w.tok
+        | GROUP BY 1, 2),
+        |agg AS (
+        | SELECT phrase, COUNT(*) AS n_occ, MAX(score) AS score_ppm
+        | FROM ph WHERE plen <= 6 GROUP BY 1)
+        |SELECT phrase, n_occ, score_ppm,
+        | CAST(row_number() OVER (ORDER BY score_ppm DESC, phrase)
+        |   AS INT) AS rk
+        |FROM agg WHERE n_occ >= 2 QUALIFY rk <= 20""".stripMargin,
+    // exact KS sup-norm: cross-multiplied integer |ca·nb − cb·na|
+    // maxed BEFORE any division
+    "dq_ks_test" ->
+      """WITH bv AS (
+        | SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |   AS BIGINT) AS v,
+        |  COUNT(*) FILTER (WHERE o_orderdate < DATE '1996-01-01')
+        |    AS a_ct,
+        |  COUNT(*) FILTER (WHERE o_orderdate >= DATE '1996-01-01')
+        |    AS b_ct
+        | FROM orders GROUP BY 1),
+        |cum AS (
+        | SELECT v,
+        |  CAST(SUM(a_ct) OVER (ORDER BY v) AS BIGINT) AS ca,
+        |  CAST(SUM(b_ct) OVER (ORDER BY v) AS BIGINT) AS cb,
+        |  CAST(SUM(a_ct) OVER () AS BIGINT) AS na,
+        |  CAST(SUM(b_ct) OVER () AS BIGINT) AS nb
+        | FROM bv)
+        |SELECT MAX(na) AS na, MAX(nb) AS nb,
+        | MAX(abs(ca * nb - cb * na)) AS d_num,
+        | CAST(MAX(abs(ca * nb - cb * na))::HUGEINT * 1000000
+        |   // (MAX(na) * MAX(nb))::HUGEINT AS BIGINT) AS d_ppm
+        |FROM cum""".stripMargin,
     // array/HOF parity: Spark higher-order functions vs DuckDB list
     // functions over identical sorted inputs
     "analytics_array_parity" ->

@@ -200,6 +200,45 @@ object Quality {
           .as("side"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance between early and late
+    * order-value distributions — the UNBINNED sup-norm companion to
+    * [[driftPsi]]'s banded screen, and exact where a textbook KS is
+    * floating: D = max|F_a − F_b| evaluated at every jump point via
+    * the cross-multiplied integer |ca·nb − cb·na| (no division until
+    * the final ppm, so the max is found over exact BIGINTs). The
+    * running counts ride one window over the DISTINCT-cents grain —
+    * bounded by the value domain, not the row count; at corpus scale
+    * where even that grain is too wide, the PSI bands are the
+    * screen and this is the confirm on the flagged slice.
+    */
+  def ksTest(s: SparkSession, d: String,
+      splitDate: String = "1996-01-01"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val byVal = Tables.orders(s, d)
+      .select(cents.as("v"),
+        (col("o_orderdate") < lit(splitDate).cast("timestamp")).as("is_a"))
+      .groupBy("v")
+      .agg(count_if(col("is_a")).as("a_ct"),
+        count_if(!col("is_a")).as("b_ct"))
+    val ord = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    byVal
+      .withColumn("ca", sum(col("a_ct")).over(ord))
+      .withColumn("cb", sum(col("b_ct")).over(ord))
+      .withColumn("na", sum(col("a_ct")).over(all))
+      .withColumn("nb", sum(col("b_ct")).over(all))
+      .select(col("na"), col("nb"),
+        abs(col("ca") * col("nb") - col("cb") * col("na")).as("num"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        max(col("num")).as("d_num"))
+      .select(col("na"), col("nb"), col("d_num"),
+        expr("CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000 " +
+          "div (na * nb) AS BIGINT)").as("d_ppm"))
+  }
+
   /** Cross-table totals reconciliation — does the order header's
     * `o_totalprice` equal the revenue reconstructed from its line
     * items (Σ extendedprice·(1+tax)·(1−discount))? On real TPC-H

@@ -816,6 +816,42 @@ class TextSpec extends AnyFunSuite {
     assert(m.values.sum === n + added)
   }
 
+  test("RAKE keyphrases: word scores replay the driver degree/freq tally") {
+    val got = graft.operators.TextAnalysis.keyphrasesRake(s, d).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_occ"),
+        r.getAs[Long]("score_ppm")))
+    assert(got.length > 3)
+    // driver replay: rebuild phrases + word stats, recheck scores
+    val stops = Set("a", "the", "of", "and", "to", "in", "is", "on")
+    val docs = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val phrases = docs.flatMap { case (_, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      toks.foreach { tk =>
+        if (stops(tk)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = tk :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val degree = phrases.flatMap(p => p.map(_ -> p.length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    val wscore = freq.keys.map(w => w -> degree(w) * 1000000L / freq(w)).toMap
+    val expect = phrases.filter(_.length <= 6)
+      .map(p => p.mkString(" ") -> p.map(wscore).sum)
+      .groupBy(_._1).view
+      .mapValues(xs => (xs.size.toLong, xs.map(_._2).max))
+      .filter(_._2._1 >= 2L).toMap
+    got.foreach { case (p, n, sc) =>
+      assert(expect(p) === ((n, sc)), s"phrase '$p'") }
+    // ranking is by (score desc, phrase)
+    assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sorted.reverse)
+  }
+
   test("pack mask spans: spans tile each bin exactly, budget bounds ends") {
     val rows = graft.operators.TextAnalysis.packMaskSpans(s, d).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin_id"),

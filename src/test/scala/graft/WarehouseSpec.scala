@@ -618,6 +618,29 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r.getAs[Long]("q90_us") === delays((n - 1) * 9 / 10))
   }
 
+  test("KS test: sup-norm replays a driver CDF sweep in BigInt") {
+    val r = graft.warehouse.Quality.ksTest(s, d).collect()(0)
+    val rows = graft.sources.Tables.orders(s, d)
+      .select((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long").as("v"),
+        (col("o_orderdate") < lit("1996-01-01").cast("timestamp")).as("a"))
+      .collect().map(x => (x.getLong(0), x.getBoolean(1)))
+    val na = rows.count(_._2).toLong
+    val nb = rows.length - na
+    val byV = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var ca = 0L; var cb = 0L; var dmax = BigInt(0)
+    byV.foreach { case (_, xs) =>
+      ca += xs.count(_._2); cb += xs.count(!_._2)
+      val num = (BigInt(ca) * nb - BigInt(cb) * na).abs
+      if (num > dmax) dmax = num
+    }
+    assert(r.getAs[Long]("na") === na && r.getAs[Long]("nb") === nb)
+    assert(BigInt(r.getAs[Long]("d_num")) === dmax)
+    assert(r.getAs[Long]("d_ppm") ===
+      (dmax * 1000000 / (BigInt(na) * nb)).toLong)
+    assert(r.getAs[Long]("d_ppm") >= 0L && r.getAs[Long]("d_ppm") <= 1000000L)
+  }
+
   test("order reconcile: ppm drift replays in BigInt, envelope brackets the sum") {
     val r = graft.warehouse.Quality.orderReconcile(s, d).collect()(0)
     val li = graft.sources.Tables.lineitem(s, d)
