@@ -232,6 +232,8 @@ object SparkEntry {
     "analytics_decayed_score" -> (Analytics.decayedScore(_, _)),
     "text_keyphrases" -> (TextAnalysis.keyphrasesRake(_, _)),
     "dq_ks_test" -> (Quality.ksTest(_, _)),
+    "dim_scd3_build" -> (Temporal.userValueScd3(_, _)),
+    "analytics_skyline" -> (Analytics.skyline(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -2958,6 +2960,35 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |  + nt - 1 AS BIGINT) AS tok_end
         |FROM p""".stripMargin,
+    // SCD3: current + previous value off one descending sort
+    "dim_scd3_build" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS us,
+        |    MAX(value) AS last_view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |r AS (SELECT user_id, us, last_view_value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY us DESC)
+        |    AS rn,
+        |  lead(last_view_value) OVER (PARTITION BY user_id
+        |    ORDER BY us DESC) AS prev_value,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us DESC)
+        |    AS prev_changed_us
+        | FROM v)
+        |SELECT user_id, last_view_value AS cur_value, prev_value,
+        |       us AS changed_us, prev_changed_us
+        |FROM r WHERE rn = 1""".stripMargin,
+    // skyline: the quadratic NOT-EXISTS dominance definition is the
+    // independent oracle for the O(n log n) sweep
+    "analytics_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS price_cents,
+        |  CAST(p_size AS BIGINT) AS size
+        | FROM part)
+        |SELECT p_partkey, price_cents, size FROM p a
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM p b
+        | WHERE b.price_cents <= a.price_cents AND b.size >= a.size
+        |   AND (b.price_cents < a.price_cents OR b.size > a.size))""".stripMargin,
     // RAKE: stopword-count islands → phrase runs, degree/freq word
     // scores in integer ppm, top repeated short phrases
     "text_keyphrases" ->

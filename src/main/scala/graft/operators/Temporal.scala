@@ -184,6 +184,26 @@ object Temporal {
     scd2Build(views, "user_id", "us", Seq("last_view_value"))
   }
 
+  /** SCD Type-3 — the "current + previous" dimension the reference's
+    * boards join when only ONE step of history matters (vs Type-2's
+    * full interval history from [[scd2Build]] and Type-1's overwrite
+    * merge): per key, the latest value, the value it replaced, and
+    * when it changed — two frames over ONE descending per-key sort.
+    */
+  def userValueScd3(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (_, views) = asOfInputs(s, d)
+    val w = Window.partitionBy("user_id").orderBy(col("us").desc)
+    views
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_value", lead(col("last_view_value"), 1).over(w))
+      .withColumn("prev_changed_us", lead(col("us"), 1).over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("last_view_value").as("cur_value"),
+        col("prev_value"), col("us").as("changed_us"),
+        col("prev_changed_us"))
+  }
+
   /** NEAREST-direction as-of join (pandas `merge_asof
     * direction='nearest'` parity — the calibration-lookup semantics
     * a backward-only as-of can't express): each left row takes the

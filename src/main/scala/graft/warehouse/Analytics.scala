@@ -1224,6 +1224,34 @@ object Analytics {
         last_day(col("od")).as("month_end"),
         (dayofmonth(col("od")) === 1).cast("int").as("is_month_start"))
 
+  /** 2-D skyline (Pareto frontier — Börzsönyi et al., ICDE'01): the
+    * parts no other part beats on BOTH price (lower-better) and size
+    * (higher-better), with the standard at-least-one-strict
+    * dominance. The quadratic NOT-EXISTS definition is the oracle;
+    * the plan is the O(n log n) sweep — sort by price, then a part
+    * survives iff no strictly-cheaper part reaches its size (running
+    * max over a RANGE frame) and it tops its own price group. One
+    * window sort, no self-join — the skyline shape that survives
+    * 100×.
+    */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("p_retailprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val cheaper = Window.orderBy("price_cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val samePrice = Window.partitionBy("price_cents")
+    Tables.part(s, d)
+      .select(col("p_partkey"), cents.as("price_cents"),
+        col("p_size").cast("long").as("size"))
+      .withColumn("best_cheaper", max(col("size")).over(cheaper))
+      .withColumn("best_same", max(col("size")).over(samePrice))
+      .filter((col("best_cheaper").isNull ||
+        col("best_cheaper") < col("size")) &&
+        col("best_same") === col("size"))
+      .select(col("p_partkey"), col("price_cents"), col("size"))
+  }
+
   /** Array/higher-order-function parity suite (the ClickHouse
     * arrayMap/arrayFilter/arrayReduce vocabulary, pinned
     * cross-engine like the string/date/null suites): per user the

@@ -618,6 +618,43 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r.getAs[Long]("q90_us") === delays((n - 1) * 9 / 10))
   }
 
+  test("skyline: kept rows are non-dominated, dropped rows are dominated") {
+    val kept = graft.warehouse.Analytics.skyline(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(kept.nonEmpty)
+    val all = graft.sources.Tables.part(s, d)
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long"), col("p_size").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominates(q: (Long, Long, Long), p: (Long, Long, Long)) =
+      q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3)
+    val keptSet = kept.map(_._1).toSet
+    all.foreach { p =>
+      val dominated = all.exists(q => q._1 != p._1 && dominates(q, p))
+      assert(keptSet.contains(p._1) === !dominated, s"part ${p._1}")
+    }
+  }
+
+  test("SCD3: current/previous pair replays the per-user version order") {
+    val got = graft.operators.Temporal.userValueScd3(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        r.getLong(3))).toMap
+    val versions = graft.sources.Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+      .agg(max(col("value")).as("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    versions.foreach { case (u, vs) =>
+      val sorted = vs.sortBy(-_._2)
+      val expectPrev = if (sorted.length > 1) Some(sorted(1)._3) else None
+      assert(got(u) === ((sorted.head._3, expectPrev, sorted.head._2)))
+    }
+    assert(got.keySet === versions.keySet)
+  }
+
   test("KS test: sup-norm replays a driver CDF sweep in BigInt") {
     val r = graft.warehouse.Quality.ksTest(s, d).collect()(0)
     val rows = graft.sources.Tables.orders(s, d)
