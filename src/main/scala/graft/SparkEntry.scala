@@ -234,6 +234,11 @@ object SparkEntry {
     "dq_ks_test" -> (Quality.ksTest(_, _)),
     "dim_scd3_build" -> (Temporal.userValueScd3(_, _)),
     "analytics_skyline" -> (Analytics.skyline(_, _)),
+    // rows-only: Borůvka's per-round component contraction has no
+    // SQL-oracle form; the unique-forest contract is spec-graded
+    // against a driver Kruskal under the same edge order
+    "graph_mst" -> ((s, dir) =>
+      graft.operators.Graph.minimumSpanningForest(s, dir)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),

@@ -421,6 +421,79 @@ object Graph {
     dist.select(col("node").as("part_id"), col("dist"))
   }
 
+  /** Minimum spanning forest via Borůvka rounds — THE classic
+    * BSP-parallel MST (each round every component picks its cheapest
+    * outgoing edge; components halve per round, so ≤ log₂ n rounds):
+    * cost = 10⁶ DIV n_st on the strong co-purchase graph, ties
+    * broken by (cost, s, t) lexicographic order so the comparison
+    * order is a strict total order and the forest is UNIQUE — any
+    * MST algorithm under the same order returns the same edge set,
+    * which is exactly what the spec's driver Kruskal checks. Each
+    * round is one join of the edge list against the current labels +
+    * one min-struct reduce per component; labels recompute through
+    * the same closure machinery as [[components]]. A loud round
+    * budget guards pathological graphs.
+    */
+  def minimumSpanningForest(s: SparkSession, d: String,
+      minStrength: Long = 2, maxRounds: Int = 20): DataFrame = {
+    import s.implicits._
+    // edges stay distributed (the bucketed strong pair table); only
+    // the per-round CHOSEN set (≤ one edge per component, shrinking
+    // geometrically) ever reaches the driver — the node-bounded
+    // driver state contract kCore and the closure already use
+    val edges = coPurchasePairCounts(s, d)
+      .filter(col("n_st") >= minStrength)
+      .select(col("s"), col("t"), expr("1000000L DIV n_st").as("cost"))
+      .cache()
+    val dir = edges.select(col("s").as("src"), col("t").as("dst"),
+        col("cost"), col("s").as("es"), col("t").as("et"))
+      .unionByName(edges.select(col("t").as("src"), col("s").as("dst"),
+        col("cost"), col("s").as("es"), col("t").as("et")))
+      .cache()
+    var comp = edges.select(col("s").as("node")).unionByName(
+        edges.select(col("t").as("node"))).distinct()
+      .select(col("node"), col("node").as("comp"))
+    var forest = s.emptyDataFrame
+    var forestRows = Seq.empty[(Long, Long, Long)]
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      require(round <= maxRounds,
+        s"Borůvka did not converge in $maxRounds rounds")
+      val lab = dir
+        .join(comp.withColumnRenamed("node", "src")
+          .withColumnRenamed("comp", "cs"), "src")
+        .join(comp.withColumnRenamed("node", "dst")
+          .withColumnRenamed("comp", "cd"), "dst")
+        .filter(col("cs") =!= col("cd"))
+      val chosen = lab.groupBy("cs")
+        .agg(min(struct(col("cost"), col("es"), col("et"))).as("m"))
+        .select(col("m.es").as("s"), col("m.et").as("t"),
+          col("m.cost").as("cost"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      if (chosen.isEmpty) done = true
+      else {
+        forestRows = (forestRows ++ chosen).distinct
+        // recompute labels from the accumulated forest (closure over
+        // ≤ n-1 edges — the same hybrid closure components uses)
+        val fdf = s.sparkContext.parallelize(forestRows)
+          .toDF("s", "t", "cost")
+        comp = graft.operators.Dedup.dedupClusters(
+            fdf.select(col("s").as("id_a"), col("t").as("id_b")))
+          .toDF("node", "comp")
+        // nodes not yet in the forest keep their singleton label
+        val allNodes = dir.select(col("src").as("node")).distinct()
+        comp = allNodes.join(comp, Seq("node"), "left_outer")
+          .select(col("node"), coalesce(col("comp"), col("node"))
+            .as("comp"))
+      }
+    }
+    forest = s.sparkContext.parallelize(forestRows).toDF("s", "t", "cost")
+    forest
+  }
+
   /** k-core decomposition of the strong co-purchase graph:
     * iteratively peel nodes with degree < k until a fixpoint — the
     * standard "dense cohesive subgraph" extractor (community cores,

@@ -167,6 +167,50 @@ object Jobs {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming-maintained trending score state: the decayed
+    * "trending now" board ([[graft.warehouse.Analytics
+    * .decayedScore]] is the batch form) kept fresh by a streaming
+    * job WITHOUT rescanning history. The trick that makes the decay
+    * incrementally maintainable: store per (item, week-bucket)
+    * purchase COUNTS (exact, additive — a summing upsert snapshot),
+    * and fold the shift-decay only AT READ TIME anchored to the max
+    * stored week: score = Σ_w count_w · (10⁶ >> (max_week − w)).
+    * Counts never decay in storage, so late/replayed data lands in
+    * its own bucket and the serve stays exact; the stored state is
+    * bounded by items × active weeks. Pair with [[streamingDedup]]
+    * upstream — weekly counts are additive, so at-least-once
+    * delivery needs the dedup guard (same contract as
+    * [[ReplacingSink.startSumming]]).
+    */
+  def trendingWeeklyCounts(events: DataFrame,
+      halfLifeDays: Int = 7): DataFrame =
+    streamingDedup(events, Seq("event_id"), "ts")
+      .filter(col("event_type") === "purchase")
+      .select((col("event_id") % 100).as("item_id"),
+        expr(s"unix_micros(ts) DIV (${halfLifeDays}L * 86400000000)")
+          .as("week"),
+        lit(1L).as("cnt"))
+
+  /** Serving read over the [[trendingWeeklyCounts]] snapshot: fold
+    * stored week buckets into the decayed score and cut the top-k.
+    */
+  def serveTrending(s: SparkSession, snapPath: String,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snap = s.read.parquet(snapPath)
+    val anchor = broadcast(snap.agg(max(col("week")).as("maxw")))
+    snap.crossJoin(anchor)
+      .select(col("item_id"),
+        (col("cnt") * expr(
+          "shiftright(1000000L, CAST(least(maxw - week, 30) AS INT))"))
+          .as("wt"), col("cnt"))
+      .groupBy("item_id")
+      .agg(sum(col("wt")).as("score_ppm"), sum(col("cnt")).as("n_events"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score_ppm").desc, col("item_id"))))
+      .filter(col("rk") <= k)
+  }
+
   /** One emitted candidate near-dup pair (id_a < id_b). */
   case class NearDupPair(id_a: Long, id_b: Long)
   /** Internal row shape for [[streamingNearDup]]. */

@@ -293,6 +293,32 @@ class GraphSpec extends AnyFunSuite {
     rs.foreach(r => assert(r.getAs[Long]("degree") >= 1L))
   }
 
+  test("MST: Borůvka forest equals driver Kruskal under the same edge order") {
+    val got = Graph.minimumSpanningForest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val edges = Graph.coPurchasePairCounts(s, d)
+      .filter(col("n_st") >= 2).collect()
+      .map(r => (r.getAs[Long]("s"), r.getAs[Long]("t"),
+        1000000L / r.getAs[Long]("n_st")))
+    // Kruskal with union-find under (cost, s, t) lexicographic order
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val expect = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    edges.sortBy(e => (e._3, e._1, e._2)).foreach { e =>
+      val (ra, rb) = (find(e._1), find(e._2))
+      if (ra != rb) { parent(ra) = rb; expect += e }
+    }
+    assert(got === expect.toSet)
+    // forest invariants: |E| = |V| − #components, total cost matches
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val nComp = nodes.map(find).distinct.length
+    assert(got.size === nodes.length - nComp)
+    assert(got.toSeq.map(_._3).sum === expect.toSeq.map(_._3).sum)
+  }
+
   test("shortest path: bounded Bellman-Ford replays the driver relaxation") {
     val got = Graph.shortestPath(s, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1167,4 +1167,40 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming trending score: weekly-bucket snapshot serves the exact batch fold") {
+    // doubled delivery: the upstream dedup guard must absorb the
+    // replay before the additive weekly counts (summing sink)
+    val dir = Files.createTempDirectory("trend-src")
+    Files.createSymbolicLink(dir.resolve("a.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+      dir.resolve("b.parquet"))
+    val stream = Sources.events(s, dir.toString)
+    val out = tmp("trend-sink") + "/snap"
+    val q = ReplacingSink.startSumming(
+      Jobs.trendingWeeklyCounts(stream),
+      Seq("item_id", "week"), Seq("cnt"), out, tmp("trend-ck"))
+    try q.processAllAvailable() finally q.stop()
+    val got = Jobs.serveTrending(s, out).collect()
+      .map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("score_ppm"),
+        r.getAs[Long]("n_events"), r.getAs[Int]("rk")))
+    assert(got.length === 20)
+    // batch fold with the same bucket anchoring over the raw events
+    val ev = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select((col("event_id") % 100).as("i"),
+        expr("unix_micros(ts) DIV (7L * 86400000000)").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxw = ev.map(_._2).max
+    val scores = ev.groupBy(_._1).view.mapValues { xs =>
+      (xs.map(x => 1000000L >> math.min(maxw - x._2, 30L).toInt).sum,
+        xs.length.toLong)
+    }.toMap
+    got.foreach { case (item, sc, n, _) =>
+      assert(scores(item) === ((sc, n)),
+        s"stream-served score for item $item") }
+    assert(got.sortBy(_._4).map(_._2).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true })
+  }
 }
