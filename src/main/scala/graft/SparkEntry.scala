@@ -239,6 +239,9 @@ object SparkEntry {
     // against a driver Kruskal under the same edge order
     "graph_mst" -> ((s, dir) =>
       graft.operators.Graph.minimumSpanningForest(s, dir)),
+    "analytics_abc_xyz" -> (Analytics.abcXyzMatrix(_, _)),
+    "analytics_target_encode" -> (Analytics.targetEncodeLoo(_, _)),
+    "pipeline_group_kfold" -> (TextAnalysis.groupKFold(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -2965,6 +2968,62 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |  + nt - 1 AS BIGINT) AS tok_end
         |FROM p""".stripMargin,
+    // ABC (prefix-sum classes) × XYZ (CV² bands via exact integer
+    // cross-multiplication — no sqrt, no float anywhere)
+    "analytics_abc_xyz" ->
+      """WITH rev AS (
+        | SELECT l_partkey AS part_id, CAST(SUM(CAST(
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+        |    AS BIGINT)) AS BIGINT) AS x
+        | FROM lineitem GROUP BY 1),
+        |c AS (SELECT part_id, x,
+        |  CAST(SUM(CAST(x AS HUGEINT))
+        |    OVER (ORDER BY x DESC, part_id) AS HUGEINT) AS cum,
+        |  CAST(SUM(CAST(x AS HUGEINT)) OVER () AS HUGEINT) AS tot
+        | FROM rev),
+        |abc AS (SELECT part_id, CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+        |   WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS abc_class
+        | FROM c),
+        |mon AS (SELECT l_partkey AS part_id,
+        |  date_trunc('month', l_shipdate) AS m,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        | FROM lineitem GROUP BY 1, 2),
+        |xyz AS (SELECT part_id,
+        |  CASE WHEN 4 * (n * sqq - sq * sq) <= sq * sq THEN 'X'
+        |   WHEN n * sqq - sq * sq <= sq * sq THEN 'Y'
+        |   ELSE 'Z' END AS xyz_class
+        | FROM (SELECT part_id, COUNT(*)::BIGINT AS n,
+        |        CAST(SUM(q) AS BIGINT) AS sq,
+        |        CAST(SUM(q * q) AS BIGINT) AS sqq
+        |       FROM mon GROUP BY 1) t)
+        |SELECT abc_class, xyz_class, COUNT(*) AS n_parts
+        |FROM abc JOIN xyz USING (part_id)
+        |GROUP BY 1, 2""".stripMargin,
+    // LOO target encoding: category-grain contract + the integer
+    // checksum of every row-grain encoding
+    "analytics_target_encode" ->
+      """WITH r AS (SELECT o_orderpriority AS cat,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS x
+        | FROM orders),
+        |st AS (SELECT cat, COUNT(*)::BIGINT AS n,
+        |       CAST(SUM(x) AS BIGINT) AS sx FROM r GROUP BY 1),
+        |enc AS (SELECT r.cat, st.n,
+        |  CASE WHEN st.n > 1 THEN (st.sx - r.x) // (st.n - 1) END AS loo
+        | FROM r JOIN st ON r.cat = st.cat)
+        |SELECT cat, MAX(n) AS n_orders, MIN(loo) AS min_loo,
+        | MAX(loo) AS max_loo, CAST(SUM(loo) AS BIGINT) AS sum_loo
+        |FROM enc GROUP BY 1""".stripMargin,
+    // group k-fold: no user spans folds by construction
+    "pipeline_group_kfold" ->
+      """SELECT
+        | CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |   ::UBIGINT % 5 AS BIGINT) AS fold,
+        | COUNT(DISTINCT user_id) AS n_users,
+        | COUNT(*) AS n_events,
+        | COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+        |FROM events GROUP BY 1""".stripMargin,
     // SCD3: current + previous value off one descending sort
     "dim_scd3_build" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS us,

