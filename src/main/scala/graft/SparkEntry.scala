@@ -242,6 +242,8 @@ object SparkEntry {
     "analytics_abc_xyz" -> (Analytics.abcXyzMatrix(_, _)),
     "analytics_target_encode" -> (Analytics.targetEncodeLoo(_, _)),
     "pipeline_group_kfold" -> (TextAnalysis.groupKFold(_, _)),
+    "sim_mips_topk" -> (Similarity.mipsTopK(_, _)),
+    "analytics_weighted_median" -> (Analytics.weightedMedian(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -2968,6 +2970,64 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |  + nt - 1 AS BIGINT) AS tok_end
         |FROM p""".stripMargin,
+    // MIPS: Shrivastava–Li augmentation replayed — augmented-dot
+    // cell assignment, raw-dot probes, exact raw-dot rerank
+    "sim_mips_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+        |      FROM e),
+        |mm AS (SELECT MAX(nrm) AS m FROM n),
+        |an AS (SELECT vec_id, v, nrm,
+        |  sqrt(greatest(0, m*m - nrm*nrm)) AS aug FROM n, mm),
+        |tot AS (SELECT greatest(count(*)//16, 1) AS stride FROM e),
+        |cents AS (SELECT (vec_id // stride) AS cidx, v AS cv,
+        |          aug AS ca FROM an, tot
+        |          WHERE vec_id % stride = 0 AND vec_id // stride < 16),
+        |cs AS (SELECT an.vec_id, cidx,
+        |  list_sum([an.v[i+1]*cv[i+1] for i in range(0,len(cv))])
+        |   + an.aug * ca AS ascore,
+        |  list_sum([an.v[i+1]*cv[i+1] for i in range(0,len(cv))])
+        |   AS qscore
+        | FROM an CROSS JOIN cents),
+        |assign AS (SELECT vec_id, cidx AS cell FROM (
+        |  SELECT vec_id, cidx, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY ascore DESC, cidx) AS r
+        |  FROM cs) t WHERE r = 1),
+        |probes AS (SELECT vec_id AS query_id, cidx AS cell FROM (
+        |  SELECT vec_id, cidx, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY qscore DESC, cidx) AS r
+        |  FROM cs WHERE vec_id < 20) t WHERE r <= 4),
+        |corpus AS (SELECT a.vec_id, a.cell, n.v
+        |           FROM assign a JOIN n USING (vec_id)),
+        |qv AS (SELECT p.query_id, p.cell, n.v AS qv
+        |       FROM probes p JOIN n ON n.vec_id = p.query_id),
+        |sc AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |  list_sum([qv[i+1]*c.v[i+1] for i in range(0,len(qv))]) AS ip
+        | FROM qv JOIN corpus c USING (cell)
+        | WHERE c.vec_id <> query_id)
+        |SELECT query_id, rk, neighbor_id FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rk
+        | FROM sc) t
+        |WHERE rk <= 5""".stripMargin,
+    // weighted median: exact rank-select over cumulative WEIGHT
+    "analytics_weighted_median" ->
+      """WITH bv AS (
+        | SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT) // CAST(l_quantity AS BIGINT) AS price_c,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+        | FROM lineitem GROUP BY 1),
+        |c AS (SELECT price_c, wt,
+        |  CAST(SUM(wt) OVER (ORDER BY price_c) AS BIGINT) AS cum,
+        |  CAST(SUM(wt) OVER () AS BIGINT) AS tot
+        | FROM bv)
+        |SELECT
+        | (SELECT MIN(price_c) FROM c WHERE cum >= (tot+1)//2)
+        |   AS wmedian_c,
+        | (SELECT MIN(price_c) FROM c WHERE cum >= (tot*9+9)//10)
+        |   AS wp90_c,
+        | (SELECT MAX(tot) FROM c) AS total_weight""".stripMargin,
     // ABC (prefix-sum classes) × XYZ (CV² bands via exact integer
     // cross-multiplication — no sqrt, no float anywhere)
     "analytics_abc_xyz" ->

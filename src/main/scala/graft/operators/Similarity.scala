@@ -104,6 +104,64 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id")
   }
 
+  /** Maximum-inner-product top-k (MIPS — the retrieval objective
+    * un-normalized rerankers and recommender dot-product models
+    * actually optimize, where cosine ANN returns the WRONG answer
+    * for vectors of unequal norm): the Shrivastava–Li reduction
+    * augments every corpus vector with √(M²−‖x‖²) so all augmented
+    * vectors share norm M and the augmented-space angular order
+    * equals the inner-product order; cells are assigned by AUGMENTED
+    * dot (≡ cosine at constant norm), queries probe with the raw
+    * dot (their augmented coordinate is 0), and the candidate set
+    * reranks by the exact raw inner product — so the output is
+    * hash-gradeable rank-only, like every ANN query here. Same
+    * zero-shuffle strided-centroid indexing as [[annIvf]].
+    */
+  def mipsTopK(s: SparkSession, d: String, nQueries: Int = 20,
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    Vectors.ensureRegistered(s)
+    val e0 = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+      .cache()
+    val mMax = e0.agg(max(col("nrm"))).collect()(0).getDouble(0)
+    val e = e0.withColumn("aug",
+      sqrt(greatest(lit(0d), lit(mMax * mMax) - col("nrm") * col("nrm"))))
+    val total = e0.count()
+    val stride = math.max(1L, total / nCells)
+    val cents = e.filter(col("vec_id") % stride === 0 &&
+        col("vec_id") / stride < nCells)
+      .orderBy("vec_id").select("v", "aug").collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    val corpusScores = array(cents.map { case (cv, ca) =>
+      Vectors.dot(col("v"), typedLit(cv)) + col("aug") * ca }: _*)
+    val queryScores = array(cents.map { case (cv, _) =>
+      Vectors.dot(col("v"), typedLit(cv)) }: _*)
+    def best(scores: Column) = (array_position(scores,
+      array_max(scores)) - 1).cast("int")
+    val corpus = e.withColumn("__s", corpusScores)
+      .withColumn("cell", best(col("__s"))).drop("__s", "aug")
+    val ranked = array_sort(
+      transform(sequence(lit(0), lit(cents.length - 1)),
+        i => struct(element_at(col("__s"), i + 1).as("s"), i.as("i"))),
+      (a, b) => when(a("s") > b("s"), -1).when(a("s") < b("s"), 1)
+        .otherwise(a("i").cast("int") - b("i").cast("int")))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .withColumn("__s", queryScores)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(transform(slice(ranked, 1, nProbe), x => x("i")))
+          .as("cell"))
+    val scored = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.dot(col("qv"), col("v")).as("ip"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id")
+  }
+
   /** Hybrid filtered ANN — vector search constrained by a structured
     * predicate (the AnalyticDB-V "query fusion" shape, VLDB 2020):
     * top-k neighbors among only the documents matching `lang`. This

@@ -2385,6 +2385,52 @@ object Analytics {
                  DIV CAST($totalStr AS DECIMAL(38,0))"""))
   }
 
+  /** WEIGHTED median (and p90) of unit price, weighted by quantity —
+    * the robust "typical traded price" a plain median mis-states
+    * when line sizes differ. Exact rank-select over the cumulative
+    * WEIGHT: the answer is the first value whose running weight
+    * reaches ⌈p·W⌉, found with the [[abcParts]] two-pass
+    * range-partitioned prefix-sum (sample-sorted partitions,
+    * per-partition totals to the driver, offsets broadcast back) —
+    * never a single-partition sort, never a float. Duplicate prices
+    * pre-aggregate to (value, weight) so the sorted relation is
+    * value-domain bounded.
+    */
+  def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byVal = Tables.lineitem(s, d)
+      .groupBy(expr("""CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+          AS BIGINT) DIV CAST(l_quantity AS BIGINT)""").as("price_c"))
+      .agg(sum(col("l_quantity").cast("long")).as("wt"))
+    val sorted = byVal
+      .repartitionByRange(col("price_c"))
+      .sortWithinPartitions(col("price_c"))
+      .as[(Long, Long)].rdd
+    sorted.cache()
+    val partTotals = sorted.mapPartitionsWithIndex { case (pid, it) =>
+      var acc = 0L; it.foreach(acc += _._2)
+      Iterator.single(pid -> acc)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val t50 = (total + 1) / 2          // ⌈W/2⌉
+    val t90 = (total * 9 + 9) / 10     // ⌈0.9·W⌉
+    val bcOff = s.sparkContext.broadcast(offsets)
+    val hits = sorted.mapPartitionsWithIndex { case (pid, it) =>
+      var cum = bcOff.value(pid)
+      it.flatMap { case (v, w) =>
+        val before = cum; cum += w
+        val q50 = before < t50 && cum >= t50
+        val q90 = before < t90 && cum >= t90
+        if (q50 || q90) Iterator.single((v, q50, q90)) else Iterator.empty
+      }
+    }.toDF("v", "q50", "q90")
+    hits.agg(
+      max(when(col("q50"), col("v"))).as("wmedian_c"),
+      max(when(col("q90"), col("v"))).as("wp90_c"),
+      lit(total).as("total_weight"))
+  }
+
   /** ABC–XYZ inventory matrix — the two-axis classing every
     * inventory planner draws: ABC = revenue concentration (the
     * [[abcParts]] prefix-sum classes), XYZ = demand VARIABILITY from

@@ -289,6 +289,61 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("MIPS: augmented-IVF recalls the brute-force inner-product top-k") {
+    // driver brute force on RAW inner product (not cosine)
+    val vecs = graft.sources.Tables.embeddings(s, d)
+      .select(col("vec_id"), graft.functions.Vectors
+        .asDouble(col("embedding")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val bf = (0L until 20L).flatMap { q =>
+      vecs.get(q).toSeq.flatMap { qv =>
+        vecs.toSeq.filter(_._1 != q)
+          .map { case (id, v) => (id, dot(qv, v)) }
+          .sortBy { case (id, ip) => (-ip, id) }.take(5)
+          .map { case (id, _) => (q, id) }
+      }
+    }.toSet
+    val got = Similarity.mipsTopK(s, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val recall = (got & bf).size.toDouble / bf.size
+    info(f"MIPS recall vs brute force: $recall%.2f")
+    assert(recall >= 0.3, s"MIPS recall too low: $recall")
+    // the emitted order per query is the EXACT raw-dot order of the
+    // returned neighbors (the rerank contract — the augmentation may
+    // only affect which candidates are seen, never how they rank)
+    val byQuery = Similarity.mipsTopK(s, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neighbor_id"))).groupBy(_._1)
+    byQuery.foreach { case (q, rows) =>
+      val qv = vecs(q)
+      val emitted = rows.sortBy(_._2).map(_._3)
+      val reranked = emitted.sortBy(id => (-dot(qv, vecs(id)), id))
+      assert(emitted.toSeq === reranked.toSeq, s"query $q rerank order")
+    }
+  }
+
+  test("weighted median: rank-select replays the driver cumulative-weight sweep") {
+    val r = graft.warehouse.Analytics.weightedMedian(s, d).collect()(0)
+    val byVal = graft.sources.Tables.lineitem(s, d)
+      .select(expr("""CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+          AS BIGINT) DIV CAST(l_quantity AS BIGINT)""").as("p"),
+        col("l_quantity").cast("long").as("w")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val total = byVal.map(_._2).sum
+    def sel(target: Long): Long = {
+      var cum = 0L
+      byVal.find { case (_, w) => cum += w; cum >= target }.get._1
+    }
+    assert(r.getAs[Long]("total_weight") === total)
+    assert(r.getAs[Long]("wmedian_c") === sel((total + 1) / 2))
+    assert(r.getAs[Long]("wp90_c") === sel((total * 9 + 9) / 10))
+    assert(r.getAs[Long]("wmedian_c") <= r.getAs[Long]("wp90_c"))
+  }
+
   test("edit-distance blocking: every emitted pair verifies, none exceeds the cap") {
     val pairs = Dedup.editDistancePairs(s, d).collect()
     assert(pairs.nonEmpty, "testdata contains same-head near-dups")
