@@ -244,6 +244,8 @@ object SparkEntry {
     "pipeline_group_kfold" -> (TextAnalysis.groupKFold(_, _)),
     "sim_mips_topk" -> (Similarity.mipsTopK(_, _)),
     "analytics_weighted_median" -> (Analytics.weightedMedian(_, _)),
+    "analytics_revenue_bridge" -> (Analytics.revenueBridge(_, _)),
+    "analytics_holt_winters" -> (Analytics.holtWinters(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -2970,6 +2972,84 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |  + nt - 1 AS BIGINT) AS tok_end
         |FROM p""".stripMargin,
+    // Holt–Winters: three shift recurrences replayed as a recursive
+    // CTE; `>>` (arithmetic shift) on BOTH sides — DuckDB's `//`
+    // truncates toward zero on negatives and would fork the fold
+    "analytics_holt_winters" -> {
+      // repeated fragments interpolated once so the recursive CTE
+      // stays readable; every shift fully parenthesized
+      val sea = "(CASE i.dow WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 " +
+        "WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 " +
+        "WHEN 5 THEN h.s5 ELSE h.s6 END)"
+      val lvl2 = s"((((i.g - $sea) * 2) + ((h.lvl + h.tr) * 6)) >> 3)"
+      val tr2 = s"(((($lvl2 - h.lvl) * 2) + (h.tr * 6)) >> 3)"
+      val sNew = s"((((i.g - $lvl2) * 2) + ($sea * 6)) >> 3)"
+      def sCol(i: Int) =
+        s"CASE WHEN i.dow = $i THEN $sNew ELSE h.s$i END"
+      s"""WITH RECURSIVE daily AS (
+         | SELECT CAST(o_orderdate AS DATE) AS dt,
+         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |    AS BIGINT)) AS BIGINT) AS g
+         | FROM orders GROUP BY 1),
+         |idx AS (SELECT row_number() OVER (ORDER BY dt) AS rn, dt, g,
+         |  CAST(date_diff('day', DATE '1970-01-01', dt) % 7 AS BIGINT)
+         |    AS dow
+         | FROM daily),
+         |hw AS (
+         | SELECT rn, dt, g, dow, g AS lvl, CAST(0 AS BIGINT) AS tr,
+         |  CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+         |  CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3,
+         |  CAST(0 AS BIGINT) AS s4, CAST(0 AS BIGINT) AS s5,
+         |  CAST(0 AS BIGINT) AS s6, g AS fitted
+         | FROM idx WHERE rn = 1
+         | UNION ALL
+         | SELECT i.rn, i.dt, i.g, i.dow, $lvl2, $tr2,
+         |  ${sCol(0)}, ${sCol(1)}, ${sCol(2)}, ${sCol(3)},
+         |  ${sCol(4)}, ${sCol(5)}, ${sCol(6)},
+         |  h.lvl + h.tr + $sea
+         | FROM idx i JOIN hw h ON i.rn = h.rn + 1)
+         |SELECT dt, g, fitted, lvl, tr FROM hw""".stripMargin
+    },
+    // revenue bridge: price = exact remainder ΔR − volume, so the
+    // waterfall conserves by construction
+    "analytics_revenue_bridge" ->
+      """WITH mon AS (
+        | SELECT l_partkey AS part_id,
+        |  CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS r,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        | FROM lineitem GROUP BY 1, 2),
+        |lg AS (SELECT *,
+        |  lag(m) OVER w AS pm, lag(r) OVER w AS pr,
+        |  lag(q) OVER w AS pq, lead(m) OVER w AS nm
+        | FROM mon WINDOW w AS (PARTITION BY part_id ORDER BY m)),
+        |eff AS (SELECT m,
+        |  CASE WHEN pm IS NOT NULL AND date_diff('month', pm, m) = 1
+        |   THEN (q - pq) * (pr // pq) ELSE 0 END AS vol,
+        |  CASE WHEN pm IS NOT NULL AND date_diff('month', pm, m) = 1
+        |   THEN r - pr - (q - pq) * (pr // pq) ELSE 0 END AS price,
+        |  CASE WHEN pm IS NULL OR date_diff('month', pm, m) <> 1
+        |   THEN r ELSE 0 END AS new_rev
+        | FROM lg),
+        |ex AS (SELECT CAST(m + INTERVAL 1 MONTH AS DATE) AS m,
+        |        -r AS exit_rev
+        |       FROM lg WHERE nm IS NULL OR date_diff('month', m, nm) <> 1),
+        |e1 AS (SELECT m, CAST(SUM(vol) AS BIGINT) AS volume_effect,
+        |        CAST(SUM(price) AS BIGINT) AS price_effect,
+        |        CAST(SUM(new_rev) AS BIGINT) AS new_effect
+        |       FROM eff GROUP BY 1),
+        |e2 AS (SELECT m, CAST(SUM(exit_rev) AS BIGINT) AS exit_effect
+        |       FROM ex GROUP BY 1)
+        |SELECT m,
+        | COALESCE(volume_effect, 0) AS volume_effect,
+        | COALESCE(price_effect, 0) AS price_effect,
+        | COALESCE(new_effect, 0) AS new_effect,
+        | COALESCE(exit_effect, 0) AS exit_effect,
+        | COALESCE(volume_effect, 0) + COALESCE(price_effect, 0)
+        |  + COALESCE(new_effect, 0) + COALESCE(exit_effect, 0)
+        |  AS delta_rev
+        |FROM e1 FULL OUTER JOIN e2 USING (m)""".stripMargin,
     // MIPS: Shrivastava–Li augmentation replayed — augmented-dot
     // cell assignment, raw-dot probes, exact raw-dot rerank
     "sim_mips_topk" ->

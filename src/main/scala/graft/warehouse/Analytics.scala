@@ -2385,6 +2385,113 @@ object Analytics {
                  DIV CAST($totalStr AS DECIMAL(38,0))"""))
   }
 
+  /** Holt–Winters TRIPLE smoothing over daily GMV (level + trend +
+    * day-of-week seasonality, completing the [[expSmoothGmv]] /
+    * [[holtTrendGmv]] recurrence family) — all three recurrences are
+    * α=¼ integer SHIFTS (x·2 + prev·6) >> 3, so the fold is
+    * engine-exact end to end (DuckDB's `>>` is the same arithmetic
+    * shift; its `//` is NOT — it truncates toward zero on
+    * negatives, which seasonal deviations produce). `fitted` is the
+    * one-step-ahead forecast lvl+tr+sea[dow] BEFORE seeing the day —
+    * the honest backtest column. The day-of-week index is
+    * epoch-day % 7, identical in both engines where named-weekday
+    * functions differ. One day-grain reduction feeds one bounded
+    * fold, as with every recurrence here.
+    */
+  def holtWinters(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+      .select(col("dt"), col("g"),
+        (datediff(col("dt"), lit("1970-01-01").cast("date")) % 7)
+          .cast("long").as("dow"))
+    def zl = lit(0L)
+    val init = expr("CAST(array() AS array<struct<" +
+      "dt:date,g:bigint,dow:bigint,lvl:bigint,tr:bigint," +
+      "s0:bigint,s1:bigint,s2:bigint,s3:bigint,s4:bigint,s5:bigint," +
+      "s6:bigint,fitted:bigint>>)")
+    val step = (acc: Column, e: Column) => {
+      val p = element_at(acc, -1)
+      def ps(i: Int) = p(s"s$i")
+      val seaDow = (0 to 6).foldLeft(lit(0L)) { (c, i) =>
+        when(e("dow") === i.toLong, ps(i)).otherwise(c) }
+      val fitted = p("lvl") + p("tr") + seaDow
+      val lvl = shiftright((e("g") - seaDow) * 2 +
+        (p("lvl") + p("tr")) * 6, 3)
+      val tr = shiftright((lvl - p("lvl")) * 2 + p("tr") * 6, 3)
+      def sNew(i: Int) = when(e("dow") === i.toLong,
+        shiftright((e("g") - lvl) * 2 + seaDow * 6, 3)).otherwise(ps(i))
+      val first = struct(
+        (Seq(e("dt").as("dt"), e("g").as("g"), e("dow").as("dow"),
+          e("g").as("lvl"), zl.as("tr")) ++
+          (0 to 6).map(i => zl.as(s"s$i")) :+ e("g").as("fitted")): _*)
+      val next = struct(
+        (Seq(e("dt").as("dt"), e("g").as("g"), e("dow").as("dow"),
+          lvl.as("lvl"), tr.as("tr")) ++
+          (0 to 6).map(i => sNew(i).as(s"s$i")) :+ fitted.as("fitted")): _*)
+      concat(acc, array(when(size(acc) === 0, first).otherwise(next)))
+    }
+    daily
+      .agg(sort_array(collect_list(struct(col("dt"), col("g"),
+        col("dow")))).as("ser"))
+      .select(explode(aggregate(col("ser"), init, step)).as("r"))
+      .select(col("r.dt").as("dt"), col("r.g").as("g"),
+        col("r.fitted").as("fitted"), col("r.lvl").as("lvl"),
+        col("r.tr").as("tr"))
+  }
+
+  /** Month-over-month revenue BRIDGE (the FP&A waterfall: how much
+    * of ΔGMV is volume, price, new products, exits): per part and
+    * consecutive month pair, volume = (q₂−q₁)·(r₁ DIV q₁) (last
+    * month's truncated unit price), price = the exact remainder
+    * ΔR − volume — so the bridge CONSERVES by construction
+    * (ΔR = vol + price + new + exit, graded exactly); parts only in
+    * one month land whole in new/exit. One month-grain part rollup,
+    * one per-part lag window, one month rollup — all cents.
+    */
+  def revenueBridge(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("part_id"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("m"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("r"),
+        sum(col("l_quantity").cast("long")).as("q"))
+    val w = Window.partitionBy("part_id").orderBy("m")
+    val lagged = monthly
+      .withColumn("pm", lag(col("m"), 1).over(w))
+      .withColumn("pr", lag(col("r"), 1).over(w))
+      .withColumn("pq", lag(col("q"), 1).over(w))
+      .withColumn("consec",
+        col("pm").isNotNull && months_between(col("m"), col("pm")) === 1.0)
+    val effects = lagged.select(col("m"),
+      when(col("consec"), expr("(q - pq) * (pr DIV pq)")).otherwise(0L)
+        .as("vol"),
+      when(col("consec"), col("r") - col("pr") -
+        expr("(q - pq) * (pr DIV pq)")).otherwise(0L).as("price"),
+      when(!col("consec"), col("r")).otherwise(0L).as("new_rev"))
+    val exits = monthly
+      .withColumn("nm", lead(col("m"), 1).over(w))
+      .filter(col("nm").isNull ||
+        months_between(col("nm"), col("m")) =!= 1.0)
+      .select(add_months(col("m"), 1).cast("date").as("m"),
+        (-col("r")).as("exit_rev"))
+    val e1 = effects.groupBy("m")
+      .agg(sum(col("vol")).as("volume_effect"),
+        sum(col("price")).as("price_effect"),
+        sum(col("new_rev")).as("new_effect"))
+    val e2 = exits.groupBy("m").agg(sum(col("exit_rev")).as("exit_effect"))
+    e1.join(e2, Seq("m"), "full_outer")
+      .select(col("m"),
+        coalesce(col("volume_effect"), lit(0L)).as("volume_effect"),
+        coalesce(col("price_effect"), lit(0L)).as("price_effect"),
+        coalesce(col("new_effect"), lit(0L)).as("new_effect"),
+        coalesce(col("exit_effect"), lit(0L)).as("exit_effect"))
+      .withColumn("delta_rev", col("volume_effect") + col("price_effect")
+        + col("new_effect") + col("exit_effect"))
+  }
+
   /** WEIGHTED median (and p90) of unit price, weighted by quantity —
     * the robust "typical traded price" a plain median mis-states
     * when line sizes differ. Exact rank-select over the cumulative

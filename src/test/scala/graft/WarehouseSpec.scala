@@ -618,6 +618,51 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r.getAs[Long]("q90_us") === delays((n - 1) * 9 / 10))
   }
 
+  test("revenue bridge: the waterfall conserves — effects sum to the true GMV delta") {
+    val rs = graft.warehouse.Analytics.revenueBridge(s, d).collect()
+      .map(r => r.getAs[java.sql.Date]("m").toString ->
+        (r.getAs[Long]("volume_effect"), r.getAs[Long]("price_effect"),
+          r.getAs[Long]("new_effect"), r.getAs[Long]("exit_effect"),
+          r.getAs[Long]("delta_rev"))).toMap
+    val monthly = graft.sources.Tables.lineitem(s, d)
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("m"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("r")).collect()
+      .map(r => r.getAs[java.sql.Date]("m").toLocalDate ->
+        r.getAs[Long]("r")).toMap
+    rs.foreach { case (m, (v, p, n, x, dlt)) =>
+      assert(dlt === v + p + n + x, s"additivity at $m")
+      val cur = java.time.LocalDate.parse(m)
+      val prev = cur.minusMonths(1)
+      if (monthly.contains(cur) || monthly.contains(prev)) {
+        val expect = monthly.getOrElse(cur, 0L) - monthly.getOrElse(prev, 0L)
+        assert(dlt === expect, s"bridge at $m must equal the GMV delta")
+      }
+    }
+    assert(rs.nonEmpty && rs.values.exists(_._1 != 0L))
+  }
+
+  test("holt-winters: the triple recurrence replays exactly on the driver") {
+    val rs = graft.warehouse.Analytics.holtWinters(s, d).collect()
+      .map(r => (r.getAs[java.sql.Date]("dt").toLocalDate.toEpochDay,
+        r.getAs[Long]("g"), r.getAs[Long]("fitted"), r.getAs[Long]("lvl"),
+        r.getAs[Long]("tr"))).sortBy(_._1)
+    assert(rs.length > 100)
+    var lvl = rs.head._2; var tr = 0L
+    val sea = Array.fill(7)(0L)
+    assert(rs.head._3 === rs.head._2 && rs.head._4 === lvl)
+    rs.tail.foreach { case (ep, g, fitted, glvl, gtr) =>
+      val dow = (ep % 7).toInt
+      val expFit = lvl + tr + sea(dow)
+      val lvl2 = ((g - sea(dow)) * 2 + (lvl + tr) * 6) >> 3
+      val tr2 = ((lvl2 - lvl) * 2 + tr * 6) >> 3
+      sea(dow) = ((g - lvl2) * 2 + sea(dow) * 6) >> 3
+      assert(fitted === expFit, s"fitted at day $ep")
+      assert(glvl === lvl2 && gtr === tr2, s"state at day $ep")
+      lvl = lvl2; tr = tr2
+    }
+  }
+
   test("ABC-XYZ: matrix conserves parts, CV bands replay in BigInt") {
     val m = graft.warehouse.Analytics.abcXyzMatrix(s, d).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_parts"))
