@@ -246,6 +246,9 @@ object SparkEntry {
     "analytics_weighted_median" -> (Analytics.weightedMedian(_, _)),
     "analytics_revenue_bridge" -> (Analytics.revenueBridge(_, _)),
     "analytics_holt_winters" -> (Analytics.holtWinters(_, _)),
+    "analytics_growth_accounting" -> (Analytics.growthAccounting(_, _)),
+    // rows-only: no SQL oracle exists for a codec; contract spec'd
+    "text_compress_ratio" -> (TextAnalysis.compressRatio(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -3010,6 +3013,33 @@ object SparkEntry {
          | FROM idx i JOIN hw h ON i.rn = h.rn + 1)
          |SELECT dt, g, fitted, lvl, tr FROM hw""".stripMargin
     },
+    // growth accounting: status by previous active month; the
+    // ΔMAU = new + resurrected − churned identity is the contract
+    "analytics_growth_accounting" ->
+      """WITH cm AS (SELECT DISTINCT o_custkey AS c,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+        | FROM orders),
+        |lg AS (SELECT c, m, lag(m) OVER w AS pm, lead(m) OVER w AS nm
+        |       FROM cm WINDOW w AS (PARTITION BY c ORDER BY m)),
+        |st AS (SELECT m,
+        |  COUNT(*) FILTER (WHERE pm IS NULL) AS new_ct,
+        |  COUNT(*) FILTER (WHERE pm IS NOT NULL
+        |    AND date_diff('month', pm, m) = 1) AS retained_ct,
+        |  COUNT(*) FILTER (WHERE pm IS NOT NULL
+        |    AND date_diff('month', pm, m) > 1) AS resurrected_ct
+        | FROM lg GROUP BY 1),
+        |ch AS (SELECT CAST(m + INTERVAL 1 MONTH AS DATE) AS m,
+        |        COUNT(*) AS churned_ct
+        |       FROM lg WHERE nm IS NULL OR date_diff('month', m, nm) > 1
+        |       GROUP BY 1)
+        |SELECT m,
+        | COALESCE(new_ct, 0) AS new_ct,
+        | COALESCE(retained_ct, 0) AS retained_ct,
+        | COALESCE(resurrected_ct, 0) AS resurrected_ct,
+        | COALESCE(churned_ct, 0) AS churned_ct,
+        | COALESCE(new_ct, 0) + COALESCE(retained_ct, 0)
+        |  + COALESCE(resurrected_ct, 0) AS mau
+        |FROM st FULL OUTER JOIN ch USING (m)""".stripMargin,
     // revenue bridge: price = exact remainder ΔR − volume, so the
     // waterfall conserves by construction
     "analytics_revenue_bridge" ->

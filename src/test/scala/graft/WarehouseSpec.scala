@@ -618,6 +618,28 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r.getAs[Long]("q90_us") === delays((n - 1) * 9 / 10))
   }
 
+  test("growth accounting: ΔMAU identity holds and statuses partition actives") {
+    val rs = graft.warehouse.Analytics.growthAccounting(s, d).collect()
+      .map(r => r.getAs[java.sql.Date]("m").toLocalDate ->
+        (r.getAs[Long]("new_ct"), r.getAs[Long]("retained_ct"),
+          r.getAs[Long]("resurrected_ct"), r.getAs[Long]("churned_ct"),
+          r.getAs[Long]("mau"))).toMap
+    val mau = graft.sources.Tables.orders(s, d)
+      .select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .distinct().groupBy("m").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[java.sql.Date]("m").toLocalDate -> r.getAs[Long]("n"))
+      .toMap
+    rs.foreach { case (m, (nw, ret, res, chn, gm)) =>
+      assert(gm === nw + ret + res, s"status partition at $m")
+      assert(gm === mau.getOrElse(m, 0L), s"MAU at $m")
+      val prev = mau.getOrElse(m.minusMonths(1), 0L)
+      assert(gm - prev === nw + res - chn, s"ΔMAU identity at $m")
+    }
+    // churn and resurrection genuinely occur on this feed
+    assert(rs.values.exists(_._4 > 0L) && rs.values.exists(_._3 > 0L))
+  }
+
   test("revenue bridge: the waterfall conserves — effects sum to the true GMV delta") {
     val rs = graft.warehouse.Analytics.revenueBridge(s, d).collect()
       .map(r => r.getAs[java.sql.Date]("m").toString ->
