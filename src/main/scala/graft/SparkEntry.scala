@@ -249,6 +249,8 @@ object SparkEntry {
     "analytics_growth_accounting" -> (Analytics.growthAccounting(_, _)),
     // rows-only: no SQL oracle exists for a codec; contract spec'd
     "text_compress_ratio" -> (TextAnalysis.compressRatio(_, _)),
+    "pipeline_annotation_kappa" -> (TextAnalysis.annotationKappa(_, _)),
+    "analytics_apportion" -> (Analytics.apportionBudget(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -3013,6 +3015,56 @@ object SparkEntry {
          | FROM idx i JOIN hw h ON i.rn = h.rn + 1)
          |SELECT dt, g, fitted, lvl, tr FROM hw""".stripMargin
     },
+    // Cohen's κ from the 2×2 confusion, all cross-multiplied
+    "pipeline_annotation_kappa" ->
+      """WITH lab AS (
+        | SELECT length(text) >= 300 AS a,
+        |  len(list_distinct(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> ''))) * 2
+        |   >= len(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS b
+        | FROM documents),
+        |c AS (SELECT
+        |  COUNT(*) FILTER (WHERE a AND b)::BIGINT AS n11,
+        |  COUNT(*) FILTER (WHERE a AND NOT b)::BIGINT AS n10,
+        |  COUNT(*) FILTER (WHERE NOT a AND b)::BIGINT AS n01,
+        |  COUNT(*) FILTER (WHERE NOT a AND NOT b)::BIGINT AS n00
+        | FROM lab),
+        |m AS (SELECT *, n11 + n10 + n01 + n00 AS n,
+        |  (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        |    AS pe_num
+        | FROM c)
+        |SELECT n11, n10, n01, n00, n,
+        | (n11 + n00) * 1000000 // n AS po_ppm,
+        | CAST(pe_num::HUGEINT * 1000000 // (n::HUGEINT * n)
+        |   AS BIGINT) AS pe_ppm,
+        | CAST((n::HUGEINT * (n11 + n00) - pe_num) * 1000000
+        |   // (n::HUGEINT * n - pe_num) AS BIGINT) AS kappa_ppm
+        |FROM m""".stripMargin,
+    // largest-remainder apportionment: Σalloc == budget exactly
+    "analytics_apportion" ->
+      """WITH g AS (
+        | SELECT n_name, CAST(SUM(CAST(
+        |    CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |   AS BIGINT) AS gmv
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY 1),
+        |q AS (SELECT n_name, gmv,
+        |  CAST(gmv::HUGEINT * 1000000
+        |    // (SELECT CAST(SUM(gmv) AS HUGEINT) FROM g) AS BIGINT)
+        |    AS base,
+        |  gmv::HUGEINT * 1000000
+        |    % (SELECT CAST(SUM(gmv) AS HUGEINT) FROM g) AS rem
+        | FROM g),
+        |l AS (SELECT *,
+        |  1000000 - (SELECT CAST(SUM(base) AS BIGINT) FROM q) AS lft,
+        |  row_number() OVER (ORDER BY rem DESC, n_name) AS rrk
+        | FROM q)
+        |SELECT n_name, gmv, base,
+        | CASE WHEN rrk <= lft THEN 1 ELSE 0 END AS bonus,
+        | base + CASE WHEN rrk <= lft THEN 1 ELSE 0 END AS alloc
+        |FROM l""".stripMargin,
     // growth accounting: status by previous active month; the
     // ΔMAU = new + resurrected − churned identity is the contract
     "analytics_growth_accounting" ->

@@ -506,6 +506,39 @@ object TextAnalysis {
       .toDF("source", "doc_id", "n_tokens", "bin_id")
   }
 
+  /** Inter-annotator agreement (Cohen's κ) between two deterministic
+    * document labelers — the eval-harness number that tells you
+    * whether two quality signals measure the SAME thing or merely
+    * both fire often: labeler A = length ≥ 300 chars, labeler B =
+    * type-token ratio ≥ ½ (distinct·2 ≥ total). κ, p_o, p_e all
+    * compute by integer cross-multiplication from the 2×2 confusion
+    * counts (κ_ppm = (n·agree − pe_num)·10⁶ DIV (n² − pe_num)) so
+    * the agreement report hash-grades exactly. One scan, one 1-row
+    * reduce.
+    */
+  def annotationKappa(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val conf = Tables.documents(s, d)
+      .select(
+        (length(col("text")) >= 300).as("a"),
+        (size(array_distinct(toks)) * 2 >= size(toks)).as("b"))
+      .agg(count_if(col("a") && col("b")).as("n11"),
+        count_if(col("a") && !col("b")).as("n10"),
+        count_if(!col("a") && col("b")).as("n01"),
+        count_if(!col("a") && !col("b")).as("n00"))
+    conf.select(col("n11"), col("n10"), col("n01"), col("n00"),
+        (col("n11") + col("n10") + col("n01") + col("n00")).as("n"),
+        ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+          (col("n01") + col("n00")) * (col("n10") + col("n00")))
+          .as("pe_num"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"), col("n"),
+        expr("(n11 + n00) * 1000000L DIV n").as("po_ppm"),
+        expr("CAST(CAST(pe_num AS DECIMAL(38,0)) * 1000000 " +
+          "div (n * n) AS BIGINT)").as("pe_ppm"),
+        expr("CAST(CAST(n * (n11 + n00) - pe_num AS DECIMAL(38,0)) " +
+          "* 1000000 div (n * n - pe_num) AS BIGINT)").as("kappa_ppm"))
+  }
+
   /** Compression-ratio quality signal — the CCNet/RefinedWeb
     * heuristic an n-gram repetition score can't fully replace:
     * deflate each document (JDK zlib, fixed level — deterministic

@@ -2385,6 +2385,44 @@ object Analytics {
                  DIV CAST($totalStr AS DECIMAL(38,0))"""))
   }
 
+  /** Largest-remainder (Hamilton) apportionment — distribute an
+    * integer budget across nations exactly ∝ GMV share with
+    * Σalloc == budget GUARANTEED: base = ⌊B·g/G⌋ per nation, the
+    * B − Σbase leftover units go to the largest remainders (ties
+    * broken on nation name — deterministic in any engine). The
+    * integer-exact answer to every "make the rounded shares sum to
+    * 100%" dashboard bug; same machinery apportions shard budgets
+    * or sampling quotas. One ≤25-row aggregate + one tiny window.
+    */
+  def apportionBudget(s: SparkSession, d: String,
+      budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("gmv"))
+    val all = Window.partitionBy()
+    val quoted = g
+      .withColumn("tot", sum(col("gmv")).over(all))
+      .select(col("n_name"), col("gmv"),
+        expr(s"CAST(CAST(gmv AS DECIMAL(38,0)) * $budget " +
+          "div tot AS BIGINT)").as("base"),
+        expr(s"CAST(CAST(gmv AS DECIMAL(38,0)) * $budget " +
+          "% tot AS DECIMAL(38,0))").as("rem"))
+    val leftover = quoted
+      .withColumn("left", lit(budget) - sum(col("base")).over(all))
+      .withColumn("rrk", row_number().over(
+        Window.orderBy(col("rem").desc, col("n_name"))))
+    leftover
+      .select(col("n_name"), col("gmv"), col("base"),
+        when(col("rrk") <= col("left"), 1L).otherwise(0L).as("bonus"))
+      .withColumn("alloc", col("base") + col("bonus"))
+  }
+
   /** Growth accounting (the new/retained/resurrected/churned MAU
     * framework — the canonical product-growth report): per month,
     * active customers split by their PREVIOUS active month (never →

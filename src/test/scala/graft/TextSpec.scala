@@ -852,6 +852,30 @@ class TextSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sorted.reverse)
   }
 
+  test("annotation kappa: confusion counts and the kappa identity replay in BigInt") {
+    val r = graft.operators.TextAnalysis.annotationKappa(s, d).collect()(0)
+    val docs = graft.sources.Tables.documents(s, d)
+      .select(col("text")).collect().map(_.getString(0))
+    val conf = docs.map { t =>
+      val toks = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      (t.length >= 300, toks.distinct.length * 2 >= toks.length)
+    }
+    val n11 = conf.count(c => c._1 && c._2).toLong
+    val n10 = conf.count(c => c._1 && !c._2).toLong
+    val n01 = conf.count(c => !c._1 && c._2).toLong
+    val n00 = conf.count(c => !c._1 && !c._2).toLong
+    assert((r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00")) ===
+      ((n11, n10, n01, n00)))
+    val n = BigInt(n11 + n10 + n01 + n00)
+    val peNum = BigInt(n11 + n10) * (n11 + n01) +
+      BigInt(n01 + n00) * (n10 + n00)
+    assert(BigInt(r.getAs[Long]("kappa_ppm")) ===
+      (n * (n11 + n00) - peNum) * 1000000 / (n * n - peNum))
+    // κ ≤ p_o scaled: agreement beyond chance can't exceed agreement
+    assert(r.getAs[Long]("kappa_ppm") <= r.getAs[Long]("po_ppm"))
+  }
+
   test("compression ratio: deterministic, bounded, orders repetition below diversity") {
     val a = graft.operators.TextAnalysis.compressRatio(s, d).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -618,6 +618,22 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r.getAs[Long]("q90_us") === delays((n - 1) * 9 / 10))
   }
 
+  test("apportionment: allocations sum exactly to the budget, monotone in share") {
+    val rs = graft.warehouse.Analytics.apportionBudget(s, d).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("gmv"),
+        r.getAs[Long]("base"), r.getAs[Long]("bonus"),
+        r.getAs[Long]("alloc")))
+    assert(rs.map(_._5).sum === 1000000L, "Hamilton conservation")
+    rs.foreach { case (_, _, base, bonus, alloc) =>
+      assert(bonus === 0L || bonus === 1L)
+      assert(alloc === base + bonus)
+    }
+    // a nation with strictly larger gmv never gets a smaller base
+    val byGmv = rs.sortBy(_._2)
+    assert(byGmv.sliding(2).forall {
+      case Array(a, b) => a._3 <= b._3; case _ => true })
+  }
+
   test("growth accounting: ΔMAU identity holds and statuses partition actives") {
     val rs = graft.warehouse.Analytics.growthAccounting(s, d).collect()
       .map(r => r.getAs[java.sql.Date]("m").toLocalDate ->
