@@ -251,6 +251,8 @@ object SparkEntry {
     "text_compress_ratio" -> (TextAnalysis.compressRatio(_, _)),
     "pipeline_annotation_kappa" -> (TextAnalysis.annotationKappa(_, _)),
     "analytics_apportion" -> (Analytics.apportionBudget(_, _)),
+    "dq_mannwhitney" -> (Quality.mannWhitney(_, _)),
+    "dq_wasserstein" -> (Quality.wasserstein(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -3015,6 +3017,51 @@ object SparkEntry {
          | FROM idx i JOIN hw h ON i.rn = h.rn + 1)
          |SELECT dt, g, fitted, lvl, tr FROM hw""".stripMargin
     },
+    // Mann–Whitney 2U (tie-aware, doubled into integers)
+    "dq_mannwhitney" ->
+      """WITH bv AS (
+        | SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |   AS BIGINT) AS v,
+        |  COUNT(*) FILTER (WHERE o_orderdate < DATE '1996-01-01')
+        |    AS a_ct,
+        |  COUNT(*) FILTER (WHERE o_orderdate >= DATE '1996-01-01')
+        |    AS b_ct
+        | FROM orders GROUP BY 1),
+        |cum AS (SELECT v, a_ct, b_ct,
+        |  CAST(SUM(a_ct) OVER (ORDER BY v) AS BIGINT) AS ca,
+        |  CAST(SUM(b_ct) OVER (ORDER BY v) AS BIGINT) AS cb,
+        |  CAST(SUM(a_ct) OVER () AS BIGINT) AS na,
+        |  CAST(SUM(b_ct) OVER () AS BIGINT) AS nb
+        | FROM bv)
+        |SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+        | CAST(SUM(a_ct * (cb - b_ct) * 2 + a_ct * b_ct) AS BIGINT)
+        |   AS u2_a,
+        | CAST(SUM(b_ct * (ca - a_ct) * 2 + a_ct * b_ct) AS BIGINT)
+        |   AS u2_b
+        |FROM cum""".stripMargin,
+    // 1-D Wasserstein: Σ|CDF gap|·value-gap as an exact integer
+    // numerator, one division at the end
+    "dq_wasserstein" ->
+      """WITH bv AS (
+        | SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |   AS BIGINT) AS v,
+        |  COUNT(*) FILTER (WHERE o_orderdate < DATE '1996-01-01')
+        |    AS a_ct,
+        |  COUNT(*) FILTER (WHERE o_orderdate >= DATE '1996-01-01')
+        |    AS b_ct
+        | FROM orders GROUP BY 1),
+        |cum AS (SELECT v,
+        |  CAST(SUM(a_ct) OVER (ORDER BY v) AS BIGINT) AS ca,
+        |  CAST(SUM(b_ct) OVER (ORDER BY v) AS BIGINT) AS cb,
+        |  CAST(SUM(a_ct) OVER () AS BIGINT) AS na,
+        |  CAST(SUM(b_ct) OVER () AS BIGINT) AS nb,
+        |  lead(v) OVER (ORDER BY v) AS vn
+        | FROM bv)
+        |SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+        | CAST(SUM(abs(ca * nb - cb * na)::HUGEINT * (vn - v))
+        |   * 1000000 // (MAX(na)::HUGEINT * MAX(nb)) AS BIGINT)
+        |   AS w1_microcents
+        |FROM cum WHERE vn IS NOT NULL""".stripMargin,
     // Cohen's κ from the 2×2 confusion, all cross-multiplied
     "pipeline_annotation_kappa" ->
       """WITH lab AS (

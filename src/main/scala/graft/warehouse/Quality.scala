@@ -212,7 +212,23 @@ object Quality {
     * screen and this is the confirm on the flagged slice.
     */
   def ksTest(s: SparkSession, d: String,
-      splitDate: String = "1996-01-01"): DataFrame = {
+      splitDate: String = "1996-01-01"): DataFrame =
+    cumFrame(s, d, splitDate)
+      .select(col("na"), col("nb"),
+        abs(col("ca") * col("nb") - col("cb") * col("na")).as("num"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        max(col("num")).as("d_num"))
+      .select(col("na"), col("nb"), col("d_num"),
+        expr("CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000 " +
+          "div (na * nb) AS BIGINT)").as("d_ppm"))
+
+  /** Shared early/late cumulative-count frame for the drift tests
+    * ([[ksTest]] / [[mannWhitney]] / [[wasserstein]]): one row per
+    * distinct cents value with per-side counts, running counts, and
+    * totals.
+    */
+  private def cumFrame(s: SparkSession, d: String,
+      splitDate: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
       .cast("long")
@@ -230,13 +246,52 @@ object Quality {
       .withColumn("cb", sum(col("b_ct")).over(ord))
       .withColumn("na", sum(col("a_ct")).over(all))
       .withColumn("nb", sum(col("b_ct")).over(all))
+  }
+
+  /** Mann–Whitney U between the early and late order-value samples —
+    * the rank-sum companion to [[ksTest]] (KS sees any shape change;
+    * U asks specifically "does one period stochastically dominate").
+    * Computed EXACTLY from the shared per-value count frame with the
+    * standard tie handling doubled into integers:
+    * 2U_a = 2·Σ_v a_v·(cb before v) + Σ_v a_v·b_v — no midrank
+    * halves, no floats; the spec checks the tie-aware identity
+    * 2U_a + 2U_b = 2·n_a·n_b.
+    */
+  def mannWhitney(s: SparkSession, d: String,
+      splitDate: String = "1996-01-01"): DataFrame =
+    cumFrame(s, d, splitDate)
       .select(col("na"), col("nb"),
-        abs(col("ca") * col("nb") - col("cb") * col("na")).as("num"))
-      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
-        max(col("num")).as("d_num"))
-      .select(col("na"), col("nb"), col("d_num"),
-        expr("CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000 " +
-          "div (na * nb) AS BIGINT)").as("d_ppm"))
+        (col("a_ct") * (col("cb") - col("b_ct")) * 2 +
+          col("a_ct") * col("b_ct")).as("u2a_term"),
+        (col("b_ct") * (col("ca") - col("a_ct")) * 2 +
+          col("a_ct") * col("b_ct")).as("u2b_term"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("u2a_term")).as("u2_a"), sum(col("u2b_term")).as("u2_b"))
+
+  /** 1-D Wasserstein (earth mover's) distance between the early and
+    * late order-value distributions — the drift number modern ML
+    * monitoring prefers over KS because it weighs HOW FAR mass
+    * moved, not just the worst CDF gap: W₁ = ∫|F_a − F_b| dv =
+    * Σ_gaps |ca·nb − cb·na|·(v_next − v) / (na·nb), accumulated as
+    * an exact integer numerator (DECIMAL(38,0)) and divided once at
+    * the end into micro-cents. Same shared frame; one lead window.
+    */
+  def wasserstein(s: SparkSession, d: String,
+      splitDate: String = "1996-01-01"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cumFrame(s, d, splitDate)
+      .withColumn("vn", lead(col("v"), 1).over(Window.orderBy("v")))
+      .filter(col("vn").isNotNull)
+      .select(col("na"), col("nb"),
+        (abs(col("ca") * col("nb") - col("cb") * col("na"))
+          .cast(DecimalType(38, 0)) *
+          (col("vn") - col("v")).cast(DecimalType(38, 0))).as("num"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("num")).cast(DecimalType(38, 0)).as("w1_num"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(w1_num * 1000000 div (CAST(n_a AS DECIMAL(38,0)) " +
+          "* CAST(n_b AS DECIMAL(38,0))) AS BIGINT)")
+          .as("w1_microcents"))
   }
 
   /** Cross-table totals reconciliation — does the order header's

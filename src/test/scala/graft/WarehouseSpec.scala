@@ -799,6 +799,51 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.keySet === versions.keySet)
   }
 
+  test("Mann-Whitney: tie-aware identity 2Ua + 2Ub = 2·na·nb, driver replay") {
+    val r = graft.warehouse.Quality.mannWhitney(s, d).collect()(0)
+    val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+    val u2a = r.getAs[Long]("u2_a"); val u2b = r.getAs[Long]("u2_b")
+    assert(BigInt(u2a) + BigInt(u2b) === BigInt(2) * na * nb,
+      "rank-sum conservation")
+    // driver replay of 2U_a by pairwise comparison on a sample-free
+    // exact basis (value-grouped to keep it quadratic in the DOMAIN)
+    val rows = graft.sources.Tables.orders(s, d)
+      .select((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long").as("v"),
+        (col("o_orderdate") < lit("1996-01-01").cast("timestamp")).as("a"))
+      .collect().map(x => (x.getLong(0), x.getBoolean(1)))
+    val byV = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (v, xs) =>
+        (v, xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+    var cb = 0L; var acc = BigInt(0)
+    byV.foreach { case (_, a, b) =>
+      acc += BigInt(a) * cb * 2 + BigInt(a) * b
+      cb += b
+    }
+    assert(BigInt(u2a) === acc)
+  }
+
+  test("Wasserstein: exact numerator replays a driver CDF integral") {
+    val r = graft.warehouse.Quality.wasserstein(s, d).collect()(0)
+    val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+    val rows = graft.sources.Tables.orders(s, d)
+      .select((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long").as("v"),
+        (col("o_orderdate") < lit("1996-01-01").cast("timestamp")).as("a"))
+      .collect().map(x => (x.getLong(0), x.getBoolean(1)))
+    val byV = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var ca = 0L; var cb = 0L; var num = BigInt(0)
+    byV.sliding(2).foreach {
+      case Seq((v, xs), (vn, _)) =>
+        ca += xs.count(_._2); cb += xs.count(!_._2)
+        num += (BigInt(ca) * nb - BigInt(cb) * na).abs * (vn - v)
+      case _ =>
+    }
+    assert(BigInt(r.getAs[Long]("w1_microcents")) ===
+      num * 1000000 / (BigInt(na) * nb))
+    assert(r.getAs[Long]("w1_microcents") >= 0L)
+  }
+
   test("KS test: sup-norm replays a driver CDF sweep in BigInt") {
     val r = graft.warehouse.Quality.ksTest(s, d).collect()(0)
     val rows = graft.sources.Tables.orders(s, d)
