@@ -253,6 +253,7 @@ object SparkEntry {
     "analytics_apportion" -> (Analytics.apportionBudget(_, _)),
     "dq_mannwhitney" -> (Quality.mannWhitney(_, _)),
     "dq_wasserstein" -> (Quality.wasserstein(_, _)),
+    "analytics_downsample_lttb" -> (Analytics.downsampleLttb(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -3017,6 +3018,54 @@ object SparkEntry {
          | FROM idx i JOIN hw h ON i.rn = h.rn + 1)
          |SELECT dt, g, fitted, lvl, tr FROM hw""".stripMargin
     },
+    // LTTB: sequential largest-triangle selection replayed as a
+    // recursive CTE with a NOT-EXISTS argmax per bucket; centroids
+    // stay as sums (scaling area by m² never moves an argmax)
+    "analytics_downsample_lttb" ->
+      """WITH RECURSIVE
+        |daily AS (
+        | SELECT CAST(date_diff('day', DATE '1970-01-01', dt) AS BIGINT)
+        |   AS x, y FROM (
+        |  SELECT CAST(o_orderdate AS DATE) AS dt,
+        |   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |     AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1) t),
+        |idx AS (SELECT x, y, row_number() OVER (ORDER BY x) AS rn,
+        |        COUNT(*) OVER () AS n FROM daily),
+        |pts AS (SELECT x, y, CAST((rn - 2) * 48 // (n - 2) AS BIGINT)
+        |   AS b FROM idx WHERE rn > 1 AND rn < n),
+        |bk AS (SELECT b, CAST(SUM(x) AS BIGINT) AS sx,
+        |       CAST(SUM(y) AS BIGINT) AS sy, COUNT(*)::BIGINT AS m
+        |       FROM pts GROUP BY 1),
+        |lst AS (SELECT x, y FROM idx WHERE rn = n),
+        |fst AS (SELECT x, y FROM idx WHERE rn = 1),
+        |anchor AS (
+        | SELECT b.b, COALESCE(nb.sx, l.x) AS ax,
+        |  COALESCE(nb.sy, l.y) AS ay, COALESCE(nb.m, 1) AS am
+        | FROM bk b LEFT JOIN bk nb ON nb.b = b.b + 1 CROSS JOIN lst l),
+        |sel AS (
+        | SELECT CAST(-1 AS BIGINT) AS b, x AS px, y AS py FROM fst
+        | UNION ALL
+        | SELECT p.b, p.x, p.y
+        | FROM sel s JOIN pts p ON p.b = s.b + 1
+        |  JOIN anchor a ON a.b = p.b
+        | WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.b = p.b AND (
+        |   abs((s.px*a.am - a.ax)::HUGEINT * (q.y*a.am - a.ay)
+        |     - (q.x*a.am - a.ax)::HUGEINT * (s.py*a.am - a.ay))
+        |   > abs((s.px*a.am - a.ax)::HUGEINT * (p.y*a.am - a.ay)
+        |     - (p.x*a.am - a.ax)::HUGEINT * (s.py*a.am - a.ay))
+        |   OR (abs((s.px*a.am - a.ax)::HUGEINT * (q.y*a.am - a.ay)
+        |     - (q.x*a.am - a.ax)::HUGEINT * (s.py*a.am - a.ay))
+        |    = abs((s.px*a.am - a.ax)::HUGEINT * (p.y*a.am - a.ay)
+        |     - (p.x*a.am - a.ax)::HUGEINT * (s.py*a.am - a.ay))
+        |    AND q.x < p.x)))),
+        |outp AS (SELECT px AS x, py AS y FROM sel
+        |         UNION ALL SELECT x, y FROM lst)
+        |SELECT x AS day_idx, y AS gmv_cents,
+        | CAST(row_number() OVER (ORDER BY x) - 1 AS BIGINT) AS sel_idx
+        |FROM outp""".stripMargin,
     // Mann–Whitney 2U (tie-aware, doubled into integers)
     "dq_mannwhitney" ->
       """WITH bv AS (

@@ -2385,6 +2385,81 @@ object Analytics {
                  DIV CAST($totalStr AS DECIMAL(38,0))"""))
   }
 
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
+    * the visually-optimal series reducer every Grafana-class
+    * dashboard runs, beside [[downsampleSeries]]' uniform buckets):
+    * keep first and last, split the interior into k−2 buckets, and
+    * from each bucket keep the point forming the LARGEST triangle
+    * with the previously selected point and the NEXT bucket's
+    * centroid. The selection is sequential (prev feeds next) — a
+    * fold, like every recurrence here — and every triangle area is
+    * exact: centroids stay as (Σx, Σy, m) sums and the doubled area
+    * cross-product is computed in DECIMAL(38,0) (scaling by m² never
+    * changes an argmax), ties to the earlier day. Day-grain input ⇒
+    * the collect is calendar-bounded.
+    */
+  def downsampleLttb(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nb = k - 2
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("y"))
+      .select(datediff(col("dt"), lit("1970-01-01").cast("date"))
+        .cast("long").as("x"), col("y"))
+    val all = Window.partitionBy()
+    val idx = daily
+      .withColumn("rn", row_number().over(Window.orderBy("x")).cast("long"))
+      .withColumn("n", count(lit(1)).over(all))
+    val interior = idx.filter(col("rn") > 1 && col("rn") < col("n"))
+      .withColumn("b", expr(s"(rn - 2) * $nb DIV (n - 2)"))
+    val buckets = interior.groupBy("b")
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("pts"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        count(lit(1)).as("m"))
+    val ends = idx.filter(col("rn") === 1 || col("rn") === col("n"))
+      .select(col("rn") === 1, col("x"), col("y"))
+      .collect().sortBy(r => !r.getBoolean(0))
+    val (x1, y1) = (ends(0).getLong(1), ends(0).getLong(2))
+    val (xn, yn) = (ends(1).getLong(1), ends(1).getLong(2))
+    val folded = buckets
+      .agg(sort_array(collect_list(struct(col("b"), col("pts"),
+        col("sx"), col("sy"), col("m")))).as("bk"))
+      .select(aggregate(sequence(lit(0), lit(nb - 1)),
+        struct(lit(x1).as("px"), lit(y1).as("py"),
+          expr("CAST(array() AS array<struct<x:bigint,y:bigint>>)")
+            .as("sel")),
+        (acc, i) => {
+          val bkt = element_at(col("bk"), i + 1)
+          // anchor = next bucket's (Σx, Σy, m), or the last point
+          val hasNext = i < nb - 1
+          val ax = when(hasNext, element_at(col("bk"), i + 2)("sx"))
+            .otherwise(lit(xn))
+          val ay = when(hasNext, element_at(col("bk"), i + 2)("sy"))
+            .otherwise(lit(yn))
+          val am = when(hasNext, element_at(col("bk"), i + 2)("m"))
+            .otherwise(lit(1L))
+          def dec38(c: Column) = c.cast(DecimalType(38, 0))
+          val scored = transform(bkt("pts"), p => struct(
+            abs(dec38(acc("px") * am - ax) * dec38(p("y") * am - ay) -
+              dec38(p("x") * am - ax) * dec38(acc("py") * am - ay))
+              .as("a"),
+            (-p("x")).as("nx"), p("x").as("x"), p("y").as("y")))
+          val best = array_max(scored)
+          struct(best("x").as("px"), best("y").as("py"),
+            concat(acc("sel"), array(struct(best("x").as("x"),
+              best("y").as("y")))).as("sel"))
+        }).as("st"))
+      .select(explode(concat(
+        array(struct(lit(x1).as("x"), lit(y1).as("y"))),
+        col("st.sel"),
+        array(struct(lit(xn).as("x"), lit(yn).as("y"))))).as("p"))
+    folded
+      .select(col("p.x").as("day_idx"), col("p.y").as("gmv_cents"))
+      .withColumn("sel_idx",
+        (row_number().over(Window.orderBy("day_idx")) - 1).cast("long"))
+  }
+
   /** Largest-remainder (Hamilton) apportionment — distribute an
     * integer budget across nations exactly ∝ GMV share with
     * Σalloc == budget GUARANTEED: base = ⌊B·g/G⌋ per nation, the

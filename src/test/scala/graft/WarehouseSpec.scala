@@ -618,6 +618,43 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r.getAs[Long]("q90_us") === delays((n - 1) * 9 / 10))
   }
 
+  test("LTTB: the greedy largest-triangle selection replays on the driver") {
+    val got = graft.warehouse.Analytics.downsampleLttb(s, d).collect()
+      .sortBy(_.getAs[Long]("sel_idx"))
+      .map(r => (r.getAs[Long]("day_idx"), r.getAs[Long]("gmv_cents")))
+    val series = graft.sources.Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("y")).collect()
+      .map(r => (r.getAs[java.sql.Date]("dt").toLocalDate.toEpochDay,
+        r.getAs[Long]("y"))).sortBy(_._1)
+    val n = series.length; val nb = 48
+    val interior = series.slice(1, n - 1).zipWithIndex
+      .map { case (p, i) => (i.toLong * nb / (n - 2), p) }
+    val buckets = interior.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    var prev = series.head
+    val sel = (0 until nb).map { b =>
+      val anchor = if (b < nb - 1) {
+        val np = buckets(b + 1L)
+        (np.map(_._1).sum, np.map(_._2).sum, np.length.toLong)
+      } else (series.last._1, series.last._2, 1L)
+      val (ax, ay, am) = anchor
+      val best = buckets(b.toLong).maxBy { case (x, y) =>
+        val area = (BigInt(prev._1 * am - ax) * (y * am - ay) -
+          BigInt(x * am - ax) * (prev._2 * am - ay)).abs
+        (area, -x)
+      }
+      prev = best
+      best
+    }
+    val expect = (series.head +: sel) :+ series.last
+    assert(got.toSeq === expect.toSeq)
+    // endpoints always kept, output is k points in day order
+    assert(got.length === 50 && got.head === series.head &&
+      got.last === series.last)
+  }
+
   test("apportionment: allocations sum exactly to the budget, monotone in share") {
     val rs = graft.warehouse.Analytics.apportionBudget(s, d).collect()
       .map(r => (r.getString(0), r.getAs[Long]("gmv"),
