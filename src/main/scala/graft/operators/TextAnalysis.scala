@@ -506,6 +506,31 @@ object TextAnalysis {
       .toDF("source", "doc_id", "n_tokens", "bin_id")
   }
 
+  /** Score calibration / reliability table — the eval every scored
+    * filter needs before its threshold is trusted: rank the corpus
+    * into score deciles (deterministic (score, doc_id) tie-break)
+    * and report each decile's observed "gold" rate (the length
+    * labeler) beside its mean score. A calibrated score shows a
+    * monotone label-rate column; a flat one means the model ranks
+    * noise. All integer: mean score by DIV, rate in ppm.
+    */
+  def scoreCalibration(s: SparkSession, d: String,
+      deciles: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityModelScore(s, d).select("doc_id", "score_milli")
+      .join(Tables.documents(s, d)
+        .select(col("doc_id"), (length(col("text")) >= 300).as("label")),
+        "doc_id")
+    scored
+      .withColumn("decile", ntile(deciles).over(
+        Window.orderBy(col("score_milli"), col("doc_id"))).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("SUM(score_milli) DIV COUNT(1)").as("mean_score_milli"),
+        expr("COUNT_IF(label) * 1000000L DIV COUNT(1)")
+          .as("label_rate_ppm"))
+  }
+
   /** Inter-annotator agreement (Cohen's κ) between two deterministic
     * document labelers — the eval-harness number that tells you
     * whether two quality signals measure the SAME thing or merely

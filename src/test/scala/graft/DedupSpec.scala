@@ -325,6 +325,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: winners are never textual near-dups of their anchor") {
+    val got = Similarity.hardNegatives(s, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("hard_neg_id")))
+    assert(got.nonEmpty && got.map(_._1).distinct.length === got.length)
+    val dups = Dedup.ngramJaccard(s, d).collect()
+      .flatMap(r => Seq((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        (r.getAs[Long]("id_b"), r.getAs[Long]("id_a")))).toSet
+    got.foreach { p =>
+      assert(!dups.contains(p), s"anchor ${p._1} mined its own near-dup")
+      assert(p._1 !== p._2)
+    }
+  }
+
   test("weighted median: rank-select replays the driver cumulative-weight sweep") {
     val r = graft.warehouse.Analytics.weightedMedian(s, d).collect()(0)
     val byVal = graft.sources.Tables.lineitem(s, d)

@@ -852,6 +852,23 @@ class TextSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sorted.reverse)
   }
 
+  test("score calibration: deciles partition the corpus, rates are bounded") {
+    val rs = graft.operators.TextAnalysis.scoreCalibration(s, d).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("mean_score_milli"), r.getAs[Long]("label_rate_ppm")))
+      .sortBy(_._1)
+    assert(rs.map(_._1) === (1L to 10L).toArray)
+    val nDocs = graft.sources.Tables.documents(s, d).count()
+    assert(rs.map(_._2).sum === nDocs)
+    // equal-size deciles within 1 (ANSI ntile)
+    assert(rs.map(_._2).max - rs.map(_._2).min <= 1)
+    // mean score is non-decreasing across score-ordered deciles
+    assert(rs.map(_._3).sliding(2).forall {
+      case Array(a, b) => a <= b; case _ => true })
+    rs.foreach { case (_, _, _, rate) =>
+      assert(rate >= 0L && rate <= 1000000L) }
+  }
+
   test("annotation kappa: confusion counts and the kappa identity replay in BigInt") {
     val r = graft.operators.TextAnalysis.annotationKappa(s, d).collect()(0)
     val docs = graft.sources.Tables.documents(s, d)
