@@ -257,6 +257,7 @@ object SparkEntry {
     "pipeline_score_calibration" ->
       (TextAnalysis.scoreCalibration(_, _)),
     "pipeline_hard_negatives" -> (Similarity.hardNegatives(_, _)),
+    "text_vocab_drift" -> (TextAnalysis.vocabDrift(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -3021,6 +3022,38 @@ object SparkEntry {
          | FROM idx i JOIN hw h ON i.rn = h.rn + 1)
          |SELECT dt, g, fitted, lvl, tr FROM hw""".stripMargin
     },
+    // vocabulary drift: integer ppm shares, full-outer token join —
+    // absence IS the OOV signal
+    "text_vocab_drift" ->
+      """WITH tok AS (
+        | SELECT CAST(substr(source, 4) AS INT) AS src_n,
+        |  unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS tok
+        | FROM documents),
+        |c AS (SELECT tok,
+        |  COUNT(*) FILTER (WHERE src_n < 10)::BIGINT AS a_ct,
+        |  COUNT(*) FILTER (WHERE src_n >= 10)::BIGINT AS b_ct
+        | FROM tok GROUP BY 1),
+        |sh AS (SELECT tok,
+        |  a_ct * 1000000 // (SELECT CAST(SUM(a_ct) AS BIGINT) FROM c)
+        |    AS a_ppm,
+        |  b_ct * 1000000 // (SELECT CAST(SUM(b_ct) AS BIGINT) FROM c)
+        |    AS b_ppm,
+        |  a_ct = 0 AS oov
+        | FROM c),
+        |sh2 AS (SELECT tok, a_ppm, b_ppm,
+        |  abs(a_ppm - b_ppm) AS shift_ppm, oov FROM sh),
+        |top AS (SELECT tok, a_ppm, b_ppm, shift_ppm,
+        |  CAST(row_number() OVER (ORDER BY shift_ppm DESC, tok)
+        |    AS BIGINT) AS rk
+        | FROM sh2 QUALIFY rk <= 20),
+        |summ AS (SELECT '__summary' AS tok,
+        |  CAST(SUM(shift_ppm) AS BIGINT) AS a_ppm,
+        |  CAST(SUM(CASE WHEN oov THEN b_ppm ELSE 0 END) AS BIGINT)
+        |    AS b_ppm,
+        |  CAST(0 AS BIGINT) AS shift_ppm, CAST(0 AS BIGINT) AS rk
+        | FROM sh2)
+        |SELECT * FROM top UNION ALL SELECT * FROM summ""".stripMargin,
     // calibration: same score CTE as text_quality_model, ANSI ntile
     "pipeline_score_calibration" ->
       """WITH t AS (SELECT doc_id,

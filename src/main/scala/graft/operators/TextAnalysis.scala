@@ -506,6 +506,50 @@ object TextAnalysis {
       .toDF("source", "doc_id", "n_tokens", "bin_id")
   }
 
+  /** Vocabulary drift between the train and eval sides of the corpus
+    * (sources src0-9 vs src10+ — the same split the decontamination
+    * family uses): per-token share difference in ppm, plus the
+    * corpus-level L1 distance (total variation ×2) and the eval-only
+    * OOV mass — the numbers that predict tokenizer/LM degradation
+    * before any training run. Shares are integer ppm off two
+    * combinable token rollups; the full-outer join keeps tokens
+    * absent from one side (that IS the OOV signal). Output: the L1
+    * summary row plus the top-20 largest per-token shifts.
+    */
+  def vocabDrift(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.spread(Tables.documents(s, d))
+      .select(substring(col("source"), 4, 10).cast("int").as("src_n"),
+        explode(filter(split(lower(col("text")), " "), t => t =!= ""))
+          .as("tok"))
+    val counts = toks.groupBy("tok")
+      .agg(count_if(col("src_n") < 10).as("a_ct"),
+        count_if(col("src_n") >= 10).as("b_ct"))
+    val all = Window.partitionBy()
+    val shares = counts
+      .withColumn("na", sum(col("a_ct")).over(all))
+      .withColumn("nb", sum(col("b_ct")).over(all))
+      .select(col("tok"),
+        expr("a_ct * 1000000L DIV na").as("a_ppm"),
+        expr("b_ct * 1000000L DIV nb").as("b_ppm"),
+        (col("a_ct") === 0).as("oov_in_train"))
+      .withColumn("shift_ppm", abs(col("a_ppm") - col("b_ppm")))
+    val summary = shares.agg(
+      sum(col("shift_ppm")).as("l1_ppm"),
+      sum(when(col("oov_in_train"), col("b_ppm")).otherwise(0L))
+        .as("oov_mass_ppm"))
+      .select(lit("__summary").as("tok"), col("l1_ppm").as("a_ppm"),
+        col("oov_mass_ppm").as("b_ppm"), lit(0L).as("shift_ppm"),
+        lit(0L).as("rk"))
+    val top = shares
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("shift_ppm").desc, col("tok"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("tok"), col("a_ppm"), col("b_ppm"), col("shift_ppm"),
+        col("rk"))
+    top.unionByName(summary)
+  }
+
   /** Score calibration / reliability table — the eval every scored
     * filter needs before its threshold is trusted: rank the corpus
     * into score deciles (deterministic (score, doc_id) tie-break)

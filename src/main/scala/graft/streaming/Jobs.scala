@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming re-expressions of the reference's Flink
@@ -166,6 +166,37 @@ object Jobs {
       watermark: String = "1 hour"): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Streaming DQ quarantine router — the circuit-breaker between
+    * ingestion and the warehouse: every micro-batch splits ONCE into
+    * rows passing the constraint set (forward) and violations
+    * (quarantine sink, kept with full payload for replay after the
+    * upstream fix). Both sides of one batch write atomically-enough
+    * for at-least-once (append + downstream dedup, the same contract
+    * as the CDC router); the rules mirror the batch
+    * [[graft.warehouse.Quality]] constraints so batch and stream
+    * gate identically.
+    */
+  def quarantineRoute(stream: DataFrame, goodPath: String,
+      badPath: String, checkpoint: String,
+      allowedTypes: Seq[String] =
+        Seq("view", "click", "purchase", "signup", "error", "cart"))
+      : StreamingQuery = {
+    val bad = col("user_id").isNull || col("value") < 0 ||
+      !col("event_type").isin(allowedTypes: _*)
+    stream.withColumn("__bad", bad)
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        b.filter(col("__bad")).drop("__bad")
+          .write.mode("append").parquet(badPath)
+        b.filter(!col("__bad")).drop("__bad")
+          .write.mode("append").parquet(goodPath)
+        b.unpersist()
+        ()
+      }
+      .start()
+  }
 
   /** Streaming-maintained trending score state: the decayed
     * "trending now" board ([[graft.warehouse.Analytics

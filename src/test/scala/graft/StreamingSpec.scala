@@ -1168,6 +1168,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("quarantine router: violations split losslessly from the forward stream") {
+    import s.implicits._
+    val dir = Files.createTempDirectory("quar-src")
+    Files.createSymbolicLink(dir.resolve("a.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    // poison: negative value, unknown type, null user
+    val base = Tables.events(s, d).limit(3).collect()
+    val poison = Seq(
+      (90001L, new java.sql.Timestamp(0), 1L, "view", -5.0, "{}"),
+      (90002L, new java.sql.Timestamp(0), 2L, "hack", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .unionByName(Seq((90003L, new java.sql.Timestamp(0), 3L, "view",
+        1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("user_id", lit(null).cast("long")))
+    val stage = Files.createTempDirectory("quar-stage")
+    poison.repartition(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(part, dir.resolve("poison.parquet"))
+    val stream = Sources.events(s, dir.toString)
+    val good = tmp("quar-good"); val bad = tmp("quar-bad")
+    val q = Jobs.quarantineRoute(stream, s"$good/p", s"$bad/p",
+      tmp("quar-ck"))
+    try q.processAllAvailable() finally q.stop()
+    val goodDf = s.read.parquet(s"$good/p")
+    val badDf = s.read.parquet(s"$bad/p")
+    val total = Tables.events(s, d).count() + 3
+    assert(goodDf.count() + badDf.count() === total, "lossless split")
+    assert(badDf.count() === 3, "exactly the poisoned rows quarantine")
+    assert(badDf.select("event_id").collect().map(_.getLong(0)).sorted
+      === Array(90001L, 90002L, 90003L))
+    // nothing in the forward stream violates any rule
+    assert(goodDf.filter(col("user_id").isNull || col("value") < 0 ||
+      !col("event_type").isin("view", "click", "purchase", "signup",
+        "error", "cart")).count() === 0)
+  }
+
   test("streaming trending score: weekly-bucket snapshot serves the exact batch fold") {
     // doubled delivery: the upstream dedup guard must absorb the
     // replay before the additive weekly counts (summing sink)
