@@ -258,6 +258,7 @@ object SparkEntry {
       (TextAnalysis.scoreCalibration(_, _)),
     "pipeline_hard_negatives" -> (Similarity.hardNegatives(_, _)),
     "text_vocab_drift" -> (TextAnalysis.vocabDrift(_, _)),
+    "dedup_chain_audit" -> (Dedup.chainAudit(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -3022,6 +3023,49 @@ object SparkEntry {
          | FROM idx i JOIN hw h ON i.rn = h.rn + 1)
          |SELECT dt, g, fitted, lvl, tr FROM hw""".stripMargin
     },
+    // chain audit: closure + intra-cluster min Jaccard; pairs with
+    // no shared shingle coalesce to 0 (the artifact case)
+    "dedup_chain_audit" ->
+      """WITH RECURSIVE
+        |sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        |  FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM i
+        |          JOIN sz sa ON sa.doc_id = id_a
+        |          JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.lbl FROM edges e, reach r WHERE e.dst = r.id),
+        |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
+        |       GROUP BY 1),
+        |intra AS (
+        | SELECT a.cluster_id, a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM cl a JOIN cl b ON a.cluster_id = b.cluster_id
+        |  AND a.doc_id < b.doc_id),
+        |scored AS (
+        | SELECT intra.cluster_id,
+        |  CAST(COALESCE(i.c, 0) AS DOUBLE)
+        |   / (sa.n + sb.n - COALESCE(i.c, 0)) AS j
+        | FROM intra
+        | LEFT JOIN i ON i.id_a = intra.id_a AND i.id_b = intra.id_b
+        | JOIN sz sa ON sa.doc_id = intra.id_a
+        | JOIN sz sb ON sb.doc_id = intra.id_b),
+        |mj AS (SELECT cluster_id, MIN(j) AS min_j FROM scored
+        |       GROUP BY 1)
+        |SELECT CASE WHEN min_j >= 0.5 THEN 'tight'
+        |  WHEN min_j >= 0.3 THEN 'chained'
+        |  ELSE 'artifact' END AS band, COUNT(*) AS n_clusters
+        |FROM mj GROUP BY 1""".stripMargin,
     // vocabulary drift: integer ppm shares, full-outer token join —
     // absence IS the OOV signal
     "text_vocab_drift" ->

@@ -291,6 +291,40 @@ object Dedup {
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
 
+  /** Chaining-artifact audit over the transitive closure — the dedup
+    * QA question closure-based clustering always raises: A~B and B~C
+    * force A,B,C into one cluster even when A and C share nothing,
+    * and a long chain can glue unrelated documents. Per multi-doc
+    * cluster, the MINIMUM pairwise Jaccard (the cluster "diameter")
+    * classifies it: tight (every pair ≥ the 0.5 pair threshold —
+    * closure added nothing), chained (0.3–0.5 — transitivity at
+    * work, expected), or artifact (< 0.3 — the cluster should be
+    * split). Intra-cluster pairs are quadratic only in CLUSTER size,
+    * which the pair threshold already bounds.
+    */
+  def chainAudit(s: SparkSession, d: String): DataFrame = {
+    val cl = dedupClusters(ngramJaccard(s, d)).toDF("doc_id", "cluster_id")
+    val sh = shingled(s, d, 12).select(col("doc_id"), col("hashed"))
+    val a = cl.join(sh, "doc_id")
+      .select(col("cluster_id"), col("doc_id").as("id_a"),
+        col("hashed").as("sh_a"))
+    val b = cl.join(sh, "doc_id")
+      .select(col("cluster_id"), col("doc_id").as("id_b"),
+        col("hashed").as("sh_b"))
+    val minJ = a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("j", col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .groupBy("cluster_id").agg(min(col("j")).as("min_j"))
+    minJ
+      .select(when(col("min_j") >= 0.5, "tight")
+        .when(col("min_j") >= 0.3, "chained")
+        .otherwise("artifact").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n_clusters"))
+  }
+
   /** Contrastive training-pair generation — the (anchor, other,
     * label) table a similarity-model finetune consumes: positives
     * are the corpus's actual near-dup pairs (riding the CACHED

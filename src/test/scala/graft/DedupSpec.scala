@@ -325,6 +325,46 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("chain audit: min-Jaccard bands replay on the driver closure") {
+    val got = Dedup.chainAudit(s, d).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_clusters")).toMap
+    // driver replay over text shingle SETS
+    val docs = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val sets = docs.map { case (id, t) =>
+      val n = math.max(t.length - 11, 1)
+      id -> (0 until n).map(i =>
+        t.substring(i, math.min(i + 12, t.length))).toSet
+    }.toMap
+    def j(a: Long, b: Long): Double = {
+      val inter = (sets(a) & sets(b)).size
+      inter.toDouble / (sets(a).size + sets(b).size - inter)
+    }
+    val ids = docs.map(_._1)
+    val edges = for {
+      x <- ids; y <- ids if x < y && j(x, y) >= 0.5
+    } yield (x, y)
+    // union-find closure
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val clusters = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .groupBy(find)
+    val expect = clusters.values.map { members =>
+      val minJ = (for { a <- members; b <- members if a < b }
+        yield j(a, b)).min
+      if (minJ >= 0.5) "tight" else if (minJ >= 0.3) "chained"
+      else "artifact"
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === expect)
+    assert(got.values.sum === clusters.size.toLong)
+  }
+
   test("hard negatives: winners are never textual near-dups of their anchor") {
     val got = Similarity.hardNegatives(s, d).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("hard_neg_id")))
