@@ -259,6 +259,8 @@ object SparkEntry {
     "pipeline_hard_negatives" -> (Similarity.hardNegatives(_, _)),
     "text_vocab_drift" -> (TextAnalysis.vocabDrift(_, _)),
     "dedup_chain_audit" -> (Dedup.chainAudit(_, _)),
+    "pipeline_shard_schedule" -> (TextAnalysis.shardSchedule(_, _)),
+    "analytics_forecast_interval" -> (Analytics.forecastInterval(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -349,6 +351,43 @@ object SparkEntry {
   private def m(c: String) = money.format(c)
   private val rev =
     s"${m("l_extendedprice")} * (1 - ${m("l_discount")})"
+
+  /** Holt–Winters recursive-CTE body (shared by the smoothing query
+    * and the forecast-interval query built on its residuals).
+    * Yields CTEs `daily`, `idx`, `hw`.
+    */
+  private lazy val holtWintersCte: String = {
+    val sea = "(CASE i.dow WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 " +
+      "WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 " +
+      "WHEN 5 THEN h.s5 ELSE h.s6 END)"
+    val lvl2 = s"((((i.g - $sea) * 2) + ((h.lvl + h.tr) * 6)) >> 3)"
+    val tr2 = s"(((($lvl2 - h.lvl) * 2) + (h.tr * 6)) >> 3)"
+    val sNew = s"((((i.g - $lvl2) * 2) + ($sea * 6)) >> 3)"
+    def sCol(i: Int) =
+      s"CASE WHEN i.dow = $i THEN $sNew ELSE h.s$i END"
+    s"""daily AS (
+       | SELECT CAST(o_orderdate AS DATE) AS dt,
+       |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+       |    AS BIGINT)) AS BIGINT) AS g
+       | FROM orders GROUP BY 1),
+       |idx AS (SELECT row_number() OVER (ORDER BY dt) AS rn, dt, g,
+       |  CAST(date_diff('day', DATE '1970-01-01', dt) % 7 AS BIGINT)
+       |    AS dow
+       | FROM daily),
+       |hw AS (
+       | SELECT rn, dt, g, dow, g AS lvl, CAST(0 AS BIGINT) AS tr,
+       |  CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+       |  CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3,
+       |  CAST(0 AS BIGINT) AS s4, CAST(0 AS BIGINT) AS s5,
+       |  CAST(0 AS BIGINT) AS s6, g AS fitted
+       | FROM idx WHERE rn = 1
+       | UNION ALL
+       | SELECT i.rn, i.dt, i.g, i.dow, $lvl2, $tr2,
+       |  ${sCol(0)}, ${sCol(1)}, ${sCol(2)}, ${sCol(3)},
+       |  ${sCol(4)}, ${sCol(5)}, ${sCol(6)},
+       |  h.lvl + h.tr + $sea
+       | FROM idx i JOIN hw h ON i.rn = h.rn + 1)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2988,40 +3027,60 @@ object SparkEntry {
     // Holt–Winters: three shift recurrences replayed as a recursive
     // CTE; `>>` (arithmetic shift) on BOTH sides — DuckDB's `//`
     // truncates toward zero on negatives and would fork the fold
-    "analytics_holt_winters" -> {
-      // repeated fragments interpolated once so the recursive CTE
-      // stays readable; every shift fully parenthesized
-      val sea = "(CASE i.dow WHEN 0 THEN h.s0 WHEN 1 THEN h.s1 " +
-        "WHEN 2 THEN h.s2 WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 " +
-        "WHEN 5 THEN h.s5 ELSE h.s6 END)"
-      val lvl2 = s"((((i.g - $sea) * 2) + ((h.lvl + h.tr) * 6)) >> 3)"
-      val tr2 = s"(((($lvl2 - h.lvl) * 2) + (h.tr * 6)) >> 3)"
-      val sNew = s"((((i.g - $lvl2) * 2) + ($sea * 6)) >> 3)"
-      def sCol(i: Int) =
-        s"CASE WHEN i.dow = $i THEN $sNew ELSE h.s$i END"
-      s"""WITH RECURSIVE daily AS (
-         | SELECT CAST(o_orderdate AS DATE) AS dt,
-         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
-         |    AS BIGINT)) AS BIGINT) AS g
-         | FROM orders GROUP BY 1),
-         |idx AS (SELECT row_number() OVER (ORDER BY dt) AS rn, dt, g,
-         |  CAST(date_diff('day', DATE '1970-01-01', dt) % 7 AS BIGINT)
-         |    AS dow
-         | FROM daily),
-         |hw AS (
-         | SELECT rn, dt, g, dow, g AS lvl, CAST(0 AS BIGINT) AS tr,
-         |  CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
-         |  CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3,
-         |  CAST(0 AS BIGINT) AS s4, CAST(0 AS BIGINT) AS s5,
-         |  CAST(0 AS BIGINT) AS s6, g AS fitted
-         | FROM idx WHERE rn = 1
+    "analytics_holt_winters" ->
+      s"""WITH RECURSIVE $holtWintersCte
+         |SELECT dt, g, fitted, lvl, tr FROM hw""".stripMargin,
+    // forecast band: residual p10/p90 by rank-select (warmup days
+    // excluded), draped around the one-step-ahead fitted values
+    "analytics_forecast_interval" ->
+      s"""WITH RECURSIVE $holtWintersCte,
+         |res AS (SELECT rn, dt, g, fitted, g - fitted AS r
+         |        FROM hw WHERE rn > 8),
+         |nn AS (SELECT COUNT(*)::BIGINT AS n FROM res),
+         |rr AS (SELECT r, row_number() OVER (ORDER BY r) - 1 AS rk
+         |       FROM res),
+         |q AS (SELECT
+         |  (SELECT r FROM rr, nn WHERE rk = (n - 1) // 10) AS r10,
+         |  (SELECT r FROM rr, nn
+         |   WHERE rk = ((n - 1) * 9) // 10) AS r90),
+         |lastd AS (SELECT MAX(dt) AS mx FROM res)
+         |SELECT dt, g, fitted, fitted + r10 AS lo, fitted + r90 AS hi,
+         | CAST(CASE WHEN g >= fitted + r10 AND g <= fitted + r90
+         |   THEN 1 ELSE 0 END AS BIGINT) AS covered
+         |FROM res, q, lastd
+         |WHERE dt > mx - INTERVAL 30 DAY""".stripMargin,
+    // LPT schedule: the greedy fold replayed as a recursive CTE
+    // carrying the four worker-load counters
+    "pipeline_shard_schedule" -> {
+      val assign = "(CASE WHEN h.w0 <= h.w1 AND h.w0 <= h.w2 " +
+        "AND h.w0 <= h.w3 THEN 0 WHEN h.w1 <= h.w2 AND h.w1 <= h.w3 " +
+        "THEN 1 WHEN h.w2 <= h.w3 THEN 2 ELSE 3 END)"
+      s"""WITH RECURSIVE sh AS (
+         | SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |   1, 8))::UBIGINT % 16 AS BIGINT) AS shard,
+         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |    x -> x <> '')) AS BIGINT) AS nt
+         | FROM documents),
+         |agg AS (SELECT shard, CAST(SUM(nt) AS BIGINT) AS n_tokens
+         |        FROM sh GROUP BY 1),
+         |ord AS (SELECT shard, n_tokens,
+         |  row_number() OVER (ORDER BY n_tokens DESC, shard) AS rn
+         | FROM agg),
+         |st AS (
+         | SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS shard,
+         |  CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT)
+         |   AS worker,
+         |  CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3
          | UNION ALL
-         | SELECT i.rn, i.dt, i.g, i.dow, $lvl2, $tr2,
-         |  ${sCol(0)}, ${sCol(1)}, ${sCol(2)}, ${sCol(3)},
-         |  ${sCol(4)}, ${sCol(5)}, ${sCol(6)},
-         |  h.lvl + h.tr + $sea
-         | FROM idx i JOIN hw h ON i.rn = h.rn + 1)
-         |SELECT dt, g, fitted, lvl, tr FROM hw""".stripMargin
+         | SELECT o.rn, o.shard, o.n_tokens,
+         |  CAST($assign AS BIGINT),
+         |  h.w0 + CASE WHEN $assign = 0 THEN o.n_tokens ELSE 0 END,
+         |  h.w1 + CASE WHEN $assign = 1 THEN o.n_tokens ELSE 0 END,
+         |  h.w2 + CASE WHEN $assign = 2 THEN o.n_tokens ELSE 0 END,
+         |  h.w3 + CASE WHEN $assign = 3 THEN o.n_tokens ELSE 0 END
+         | FROM ord o JOIN st h ON o.rn = h.rn + 1)
+         |SELECT shard, n_tokens, worker FROM st WHERE rn > 0""".stripMargin
     },
     // chain audit: closure + intra-cluster min Jaccard; pairs with
     // no shared shingle coalesce to 0 (the artifact case)

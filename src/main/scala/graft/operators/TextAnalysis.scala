@@ -506,6 +506,55 @@ object TextAnalysis {
       .toDF("source", "doc_id", "n_tokens", "bin_id")
   }
 
+  /** LPT shard-to-worker scheduling (longest-processing-time greedy —
+    * the 4/3-approximation that kills stragglers): sort shards by
+    * token load descending and give each to the currently
+    * least-loaded worker, ties to the lower id on both sides so the
+    * schedule is engine-deterministic. Consumes [[shardManifest]]'s
+    * token counts — the composition a real release pipeline runs
+    * (manifest → schedule → launch). The fold is over ≤shards
+    * elements; the oracle replays it as a recursive CTE carrying the
+    * k load counters.
+    */
+  def shardSchedule(s: SparkSession, d: String,
+      workers: Int = 4): DataFrame = {
+    val shards = shardManifest(s, d)
+      .select(col("shard"), col("n_tokens"))
+    val init = expr(s"CAST(struct(array_repeat(0L, $workers), " +
+      "CAST(array() AS array<struct<shard:bigint,n_tokens:bigint," +
+      "worker:bigint>>)) AS struct<loads:array<bigint>," +
+      "asg:array<struct<shard:bigint,n_tokens:bigint,worker:bigint>>>)")
+    val step = (acc: Column, e: Column) => {
+      // argmin over the k-element load array, ties to the lower index
+      val best = aggregate(
+        sequence(lit(0), lit(workers - 1)),
+        struct(element_at(acc("loads"), 1).as("ld"), lit(0).as("i")),
+        (b, i) => when(element_at(acc("loads"), i + 1) < b("ld"),
+          struct(element_at(acc("loads"), i + 1).as("ld"),
+            i.cast("int").as("i"))).otherwise(b))
+      val w = best("i")
+      struct(
+        transform(sequence(lit(0), lit(workers - 1)),
+          i => when(i === w,
+            element_at(acc("loads"), i + 1) + e("n_tokens"))
+            .otherwise(element_at(acc("loads"), i + 1))).as("loads"),
+        concat(acc("asg"), array(struct(e("shard").as("shard"),
+          e("n_tokens").as("n_tokens"), w.cast("long").as("worker"))))
+          .as("asg"))
+    }
+    shards
+      .agg(array_sort(collect_list(struct(col("n_tokens"), col("shard"))),
+        (a, b) => when(a("n_tokens") > b("n_tokens"), -1)
+          .when(a("n_tokens") < b("n_tokens"), 1)
+          .otherwise((a("shard") - b("shard")).cast("int"))).as("ordered"))
+      .select(explode(aggregate(
+        transform(col("ordered"), x => struct(x("shard").as("shard"),
+          x("n_tokens").as("n_tokens"))),
+        init, step)("asg")).as("r"))
+      .select(col("r.shard").as("shard"), col("r.n_tokens").as("n_tokens"),
+        col("r.worker").as("worker"))
+  }
+
   /** Vocabulary drift between the train and eval sides of the corpus
     * (sources src0-9 vs src10+ — the same split the decontamination
     * family uses): per-token share difference in ppm, plus the

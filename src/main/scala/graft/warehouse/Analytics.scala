@@ -2594,6 +2594,42 @@ object Analytics {
         col("r.tr").as("tr"))
   }
 
+  /** Forecast prediction band — the interval a dashboard draws
+    * around [[holtWinters]]' one-step forecasts, from the EMPIRICAL
+    * residual distribution (no normality assumption, no σ float):
+    * residual p10/p90 by rank-select over the post-warmup days,
+    * draped around `fitted`, with a per-day coverage flag. The last
+    * 30 days are the graded report. All integer cents; the residual
+    * relation is calendar-bounded.
+    */
+  def forecastInterval(s: SparkSession, d: String,
+      lastDays: Int = 30, warmup: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val res = holtWinters(s, d)
+      .withColumn("rn", row_number().over(Window.orderBy("dt")))
+      .filter(col("rn") > warmup)
+      .withColumn("r", col("g") - col("fitted"))
+    val ranked = res.select(col("r"))
+      .withColumn("rk", row_number().over(Window.orderBy("r")) - 1)
+    val n = broadcast(ranked.agg(count(lit(1)).as("n")))
+    val q = broadcast(ranked.crossJoin(n)
+      .filter(col("rk") === expr("(n - 1) DIV 10") ||
+        col("rk") === expr("((n - 1) * 9) DIV 10"))
+      .agg(max(when(col("rk") === expr("(n - 1) DIV 10"), col("r")))
+        .as("r10"),
+        max(when(col("rk") === expr("((n - 1) * 9) DIV 10"), col("r")))
+          .as("r90")))
+    val mx = broadcast(res.agg(max(col("dt")).as("mx")))
+    res.crossJoin(q).crossJoin(mx)
+      .filter(col("dt") > date_sub(col("mx"), lastDays))
+      .select(col("dt"), col("g"), col("fitted"),
+        (col("fitted") + col("r10")).as("lo"),
+        (col("fitted") + col("r90")).as("hi"),
+        (col("g") >= col("fitted") + col("r10") &&
+          col("g") <= col("fitted") + col("r90")).cast("long")
+          .as("covered"))
+  }
+
   /** Month-over-month revenue BRIDGE (the FP&A waterfall: how much
     * of ΔGMV is volume, price, new products, exits): per part and
     * consecutive month pair, volume = (q₂−q₁)·(r₁ DIV q₁) (last

@@ -852,6 +852,25 @@ class TextSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sorted.reverse)
   }
 
+  test("shard schedule: LPT replays on the driver, no worker idles") {
+    val got = graft.operators.TextAnalysis.shardSchedule(s, d).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("worker")))
+    val manifest = graft.operators.TextAnalysis.shardManifest(s, d)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_tokens")))
+    val loads = Array.fill(4)(0L)
+    val expect = manifest.sortBy { case (sh, nt) => (-nt, sh) }
+      .map { case (sh, nt) =>
+        val w = loads.zipWithIndex.minBy { case (l, i) => (l, i) }._2
+        loads(w) += nt
+        (sh, nt, w.toLong)
+      }
+    assert(got.sortBy(_._1).toSeq === expect.sortBy(_._1).toSeq)
+    // all workers used, and the spread is bounded by one shard
+    assert(expect.map(_._3).distinct.length === 4)
+    assert(loads.max - loads.min <= manifest.map(_._2).max)
+  }
+
   test("score calibration: deciles partition the corpus, rates are bounded") {
     val rs = graft.operators.TextAnalysis.scoreCalibration(s, d).collect()
       .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_docs"),

@@ -618,6 +618,21 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r.getAs[Long]("q90_us") === delays((n - 1) * 9 / 10))
   }
 
+  test("forecast interval: empirical band brackets ~80% of residuals") {
+    val rs = graft.warehouse.Analytics.forecastInterval(s, d).collect()
+      .map(r => (r.getAs[Long]("g"), r.getAs[Long]("lo"),
+        r.getAs[Long]("hi"), r.getAs[Long]("covered")))
+    // ≤30 calendar days; sparse feeds have gap days
+    assert(rs.length >= 10 && rs.length <= 30)
+    rs.foreach { case (g, lo, hi, cov) =>
+      assert(lo <= hi)
+      assert(cov === (if (g >= lo && g <= hi) 1L else 0L))
+    }
+    // the p10..p90 band should cover most (the quantiles are global,
+    // the window is the tail — allow slack but demand signal)
+    assert(rs.count(_._4 == 1L) >= rs.length / 2, "band lost coverage")
+  }
+
   test("LTTB: the greedy largest-triangle selection replays on the driver") {
     val got = graft.warehouse.Analytics.downsampleLttb(s, d).collect()
       .sortBy(_.getAs[Long]("sel_idx"))
