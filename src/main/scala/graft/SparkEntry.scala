@@ -261,6 +261,8 @@ object SparkEntry {
     "dedup_chain_audit" -> (Dedup.chainAudit(_, _)),
     "pipeline_shard_schedule" -> (TextAnalysis.shardSchedule(_, _)),
     "analytics_forecast_interval" -> (Analytics.forecastInterval(_, _)),
+    "analytics_ab_srm" -> (Analytics.abSrm(_, _)),
+    "dim_calendar_build" -> (Temporal.calendarDim(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -3049,6 +3051,36 @@ object SparkEntry {
          |   THEN 1 ELSE 0 END AS BIGINT) AS covered
          |FROM res, q, lastd
          |WHERE dt > mx - INTERVAL 30 DAY""".stripMargin,
+    // SRM: χ² vs an even split reduces to (n1−n2)²/n; the 95%
+    // decision is pure-integer cross-multiplication
+    "analytics_ab_srm" ->
+      """WITH g AS (SELECT
+        |  COUNT(*) FILTER (WHERE user_id % 2 = 0)::BIGINT AS n1,
+        |  COUNT(*) FILTER (WHERE user_id % 2 <> 0)::BIGINT AS n2
+        | FROM events)
+        |SELECT n1, n2, (n1 - n2) * (n1 - n2) AS diff_sq,
+        | CAST(CASE WHEN (n1 - n2) * (n1 - n2) * 100
+        |   > (n1 + n2) * 384 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+        |FROM g""".stripMargin,
+    // calendar dim: generate_series over the fact range, gap days
+    // included — that is the point of a date dimension
+    "dim_calendar_build" ->
+      """WITH r AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+        |  MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+        |cal AS (SELECT CAST(unnest(generate_series(lo, hi,
+        |  INTERVAL 1 DAY)) AS DATE) AS dt FROM r)
+        |SELECT dt,
+        | CAST(date_diff('day', DATE '1970-01-01', dt) % 7 AS BIGINT)
+        |   AS dow,
+        | CAST(year(dt) AS BIGINT) AS y,
+        | CAST(month(dt) AS BIGINT) AS mo,
+        | CAST(day(dt) AS BIGINT) AS dom,
+        | CAST(quarter(dt) AS BIGINT) AS q,
+        | CAST(CASE WHEN day(dt) = 1 THEN 1 ELSE 0 END AS BIGINT)
+        |   AS is_month_start,
+        | CAST(CASE WHEN dt = last_day(dt) THEN 1 ELSE 0 END AS BIGINT)
+        |   AS is_month_end
+        |FROM cal""".stripMargin,
     // LPT schedule: the greedy fold replayed as a recursive CTE
     // carrying the four worker-load counters
     "pipeline_shard_schedule" -> {

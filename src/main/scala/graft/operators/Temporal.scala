@@ -491,6 +491,33 @@ object Temporal {
     * the bucketed as-of). Decimal sums make 'changed' an exact
     * comparison, never a float epsilon.
     */
+  /** Calendar dimension builder — the Kimball date dim every
+    * warehouse joins instead of re-deriving date parts in every
+    * query: one row per calendar day spanning the fact table's date
+    * range (GAP DAYS INCLUDED — that is the point of a date dim),
+    * with the derived attributes the serving layer filters on.
+    * Generated via `sequence` + explode off a 1-row min/max
+    * aggregate — no driver loop, no fact re-scan per attribute; DOW
+    * is epoch-day % 7 (0 = Thursday) for cross-engine parity.
+    */
+  def calendarDim(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.sources.Tables.orders(s, d)
+      .agg(min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("dt"))
+      .select(col("dt"),
+        (datediff(col("dt"), lit("1970-01-01").cast("date")) % 7)
+          .cast("long").as("dow"),
+        year(col("dt")).cast("long").as("y"),
+        month(col("dt")).cast("long").as("mo"),
+        dayofmonth(col("dt")).cast("long").as("dom"),
+        quarter(col("dt")).cast("long").as("q"),
+        (date_trunc("month", col("dt")).cast("date") === col("dt"))
+          .cast("long").as("is_month_start"),
+        (last_day(col("dt")) === col("dt")).cast("long")
+          .as("is_month_end"))
+
   /** Interval-union coverage (merge overlapping activity windows —
     * the "total active time" metric billing/engagement boards need):
     * each event opens a `holdUs`-long window; per user, overlapping

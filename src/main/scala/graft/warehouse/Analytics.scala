@@ -2594,6 +2594,26 @@ object Analytics {
         col("r.tr").as("tr"))
   }
 
+  /** Sample-ratio-mismatch guardrail — the FIRST check any A/B
+    * readout must pass ([[abTest]] tests the conversions; SRM tests
+    * whether the 50/50 ASSIGNMENT itself broke, which silently
+    * invalidates everything downstream): χ² against the expected
+    * even split reduces to (n₁−n₂)²/n, so the 95% decision is the
+    * pure-integer comparison (n₁−n₂)²·100 > 384·n (3.84 = 384/100
+    * is rational — the [[abTest]] cross-multiplication discipline).
+    * One scan, one 1-row reduce.
+    */
+  def abSrm(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select((col("user_id") % 2 === 0).as("grp"))
+      .groupBy("grp").agg(count(lit(1)).as("ct"))
+      .agg(sum(when(col("grp"), col("ct"))).as("n1"),
+        sum(when(!col("grp"), col("ct"))).as("n2"))
+      .select(col("n1"), col("n2"),
+        expr("(n1 - n2) * (n1 - n2)").as("diff_sq"),
+        ((col("n1") - col("n2")) * (col("n1") - col("n2")) * 100 >
+          (col("n1") + col("n2")) * 384).cast("long").as("srm_flag"))
+
   /** Forecast prediction band — the interval a dashboard draws
     * around [[holtWinters]]' one-step forecasts, from the EMPIRICAL
     * residual distribution (no normality assumption, no σ float):

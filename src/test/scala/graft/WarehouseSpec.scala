@@ -618,6 +618,41 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r.getAs[Long]("q90_us") === delays((n - 1) * 9 / 10))
   }
 
+  test("SRM guardrail: decision replays the chi-square cross-multiplication") {
+    val r = graft.warehouse.Analytics.abSrm(s, d).collect()(0)
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+    val ev = graft.sources.Tables.events(s, d)
+    assert(n1 === ev.filter(col("user_id") % 2 === 0).count())
+    assert(n1 + n2 === ev.count())
+    assert(r.getAs[Long]("diff_sq") === (n1 - n2) * (n1 - n2))
+    assert(r.getAs[Long]("srm_flag") ===
+      (if ((n1 - n2) * (n1 - n2) * 100 > (n1 + n2) * 384) 1L else 0L))
+  }
+
+  test("calendar dim: contiguous, gap days included, attributes agree with java.time") {
+    val rs = graft.operators.Temporal.calendarDim(s, d).collect()
+      .map(r => (r.getAs[java.sql.Date]("dt").toLocalDate,
+        r.getAs[Long]("dow"), r.getAs[Long]("y"), r.getAs[Long]("mo"),
+        r.getAs[Long]("dom"), r.getAs[Long]("q"),
+        r.getAs[Long]("is_month_start"), r.getAs[Long]("is_month_end")))
+      .sortBy(_._1.toEpochDay)
+    // contiguous day coverage (this is what the fact scan lacks)
+    assert(rs.sliding(2).forall {
+      case Array(a, b) => b._1.toEpochDay === a._1.toEpochDay + 1
+      case _ => true })
+    val factDays = graft.sources.Tables.orders(s, d)
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    assert(rs.length >= factDays.toInt, "gap days must be present")
+    rs.foreach { case (dt, dow, y, mo, dom, q, ms, me) =>
+      assert(dow === java.lang.Math.floorMod(dt.toEpochDay, 7L))
+      assert(y === dt.getYear.toLong && mo === dt.getMonthValue.toLong)
+      assert(dom === dt.getDayOfMonth.toLong)
+      assert(q === ((dt.getMonthValue - 1) / 3 + 1).toLong)
+      assert(ms === (if (dt.getDayOfMonth == 1) 1L else 0L))
+      assert(me === (if (dt.getDayOfMonth == dt.lengthOfMonth) 1L else 0L))
+    }
+  }
+
   test("forecast interval: empirical band brackets ~80% of residuals") {
     val rs = graft.warehouse.Analytics.forecastInterval(s, d).collect()
       .map(r => (r.getAs[Long]("g"), r.getAs[Long]("lo"),
