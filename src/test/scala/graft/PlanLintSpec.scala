@@ -100,9 +100,11 @@ class PlanLintSpec extends AnyFunSuite {
     "dedup_threshold_sweep", "analytics_dow_hour_heatmap",
     "pipeline_e2e_stats", "analytics_kpi_summary",
     // 1-row broadcast composition joins (cohort bitmaps, the
-    // count/anchor scalar) — each side is a single-row aggregate
+    // count/anchor scalar, quantile thresholds, the SQ8 range) —
+    // each side is a single-row aggregate
     "analytics_bitmap_audience", "analytics_funnel_time",
-    "analytics_decayed_score")
+    "analytics_decayed_score", "analytics_forecast_interval",
+    "sim_ann_sq8")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
