@@ -264,6 +264,8 @@ object SparkEntry {
     "analytics_ab_srm" -> (Analytics.abSrm(_, _)),
     "dim_calendar_build" -> (Temporal.calendarDim(_, _)),
     "sim_ann_sq8" -> (Similarity.annSq8(_, _)),
+    "dq_runs_test" -> (Quality.runsTest(_, _)),
+    "analytics_theil_sen" -> (Analytics.theilSen(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -3052,6 +3054,56 @@ object SparkEntry {
          |   THEN 1 ELSE 0 END AS BIGINT) AS covered
          |FROM res, q, lastd
          |WHERE dt > mx - INTERVAL 30 DAY""".stripMargin,
+    // runs test: the 95% decision cleared of every denominator
+    "dq_runs_test" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS g
+        | FROM orders GROUP BY 1),
+        |mv AS (SELECT dt, g, lag(g) OVER (ORDER BY dt) AS pg
+        |       FROM daily),
+        |ud AS (SELECT dt,
+        |  CAST(CASE WHEN g > pg THEN 1 ELSE 0 END AS BIGINT) AS up
+        | FROM mv WHERE pg IS NOT NULL AND g <> pg),
+        |rn AS (SELECT up, lag(up) OVER (ORDER BY dt) AS pu FROM ud),
+        |agg AS (SELECT
+        |  CAST(SUM(CASE WHEN pu IS NULL OR pu <> up THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS runs,
+        |  COUNT(*) FILTER (WHERE up = 1)::BIGINT AS n_up,
+        |  COUNT(*) FILTER (WHERE up = 0)::BIGINT AS n_down
+        | FROM rn)
+        |SELECT n_up, n_down, runs,
+        | CAST(CASE WHEN
+        |   (runs * (n_up + n_down) - (n_up + n_down)
+        |     - 2 * n_up * n_down)::HUGEINT
+        |   * (runs * (n_up + n_down) - (n_up + n_down)
+        |     - 2 * n_up * n_down)
+        |   * 10000 * (n_up + n_down - 1)
+        |  > 38416::HUGEINT * 2 * n_up * n_down
+        |    * (2 * n_up * n_down - (n_up + n_down))
+        |  THEN 1 ELSE 0 END AS BIGINT) AS nonrandom_flag
+        |FROM agg""".stripMargin,
+    // Theil–Sen: double ratio only ORDERS; the emitted slope is
+    // integer micro-cents/day of the selected pair, sign split
+    "analytics_theil_sen" ->
+      """WITH daily AS (SELECT
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS y
+        | FROM orders GROUP BY 1),
+        |p AS (SELECT a.x AS xi, b.x AS xj,
+        |  CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS r,
+        |  b.y - a.y AS dy, b.x - a.x AS dx
+        | FROM daily a JOIN daily b ON a.x < b.x),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY r, xi, xj) - 1
+        |       AS rnk FROM p),
+        |nn AS (SELECT COUNT(*)::BIGINT AS n FROM p)
+        |SELECT n AS n_pairs,
+        | (CASE WHEN dy >= 0 THEN 1 ELSE -1 END)
+        |   * (abs(dy) * 1000000 // dx) AS slope_micro,
+        | dy, dx
+        |FROM rk, nn WHERE rnk = (n - 1) // 2""".stripMargin,
     // SQ8: floor-quantized, DEQUANTIZED-cosine ranking (a raw code
     // dot is shift-biased — see the Scaladoc)
     "sim_ann_sq8" ->

@@ -2594,6 +2594,45 @@ object Analytics {
         col("r.tr").as("tr"))
   }
 
+  /** Theil–Sen robust trend slope of daily GMV — the
+    * outlier-immune dual of [[trendOls]] (one spike day drags an OLS
+    * slope; the MEDIAN of pairwise slopes shrugs it off): all
+    * C(n,2) day pairs (day-grain, so ~3M pairs regardless of fact
+    * volume — this is why the estimator is feasible at any SF),
+    * ranked by the double ratio dy/dx (identical division of
+    * identical integers in both engines), median pair by rank-select
+    * with (i, j) tie-breaks, slope emitted as exact integer
+    * micro-cents/day (dy·10⁶ DIV dx of the SELECTED pair — the
+    * double only ORDERS, the output is integer).
+    */
+  def theilSen(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+      .select(datediff(col("dt"), lit("1970-01-01").cast("date"))
+        .cast("long").as("x"), col("g").as("y"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.x") < col("b.x"))
+      .select(col("a.x").as("xi"), col("b.x").as("xj"),
+        ((col("b.y") - col("a.y")).cast("double") /
+          (col("b.x") - col("a.x")).cast("double")).as("r"),
+        (col("b.y") - col("a.y")).as("dy"),
+        (col("b.x") - col("a.x")).as("dx"))
+    val ranked = pairs
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("r"), col("xi"), col("xj"))) - 1)
+    val n = broadcast(ranked.agg(count(lit(1)).as("n")))
+    ranked.crossJoin(n)
+      .filter(col("rk") === expr("(n - 1) DIV 2"))
+      .select(col("n").as("n_pairs"),
+        // sign split: floor-vs-truncate forks engines on negatives
+        (when(col("dy") >= 0, 1L).otherwise(-1L) *
+          expr("abs(dy) * 1000000L DIV dx")).as("slope_micro"),
+        col("dy"), col("dx"))
+  }
+
   /** Sample-ratio-mismatch guardrail — the FIRST check any A/B
     * readout must pass ([[abTest]] tests the conversions; SRM tests
     * whether the 50/50 ASSIGNMENT itself broke, which silently

@@ -294,6 +294,46 @@ object Quality {
           .as("w1_microcents"))
   }
 
+  /** Wald–Wolfowitz runs test on daily GMV up/down moves — the
+    * TIME-structure member of the drift suite (PSI/KS/U/W₁ compare
+    * distributions; runs asks whether the SEQUENCE is random or
+    * trending/oscillating): R runs among n₁ ups and n₂ downs, the
+    * 95% decision cleared of every denominator —
+    * A = R·n − n − 2n₁n₂, flag iff A²·10⁴·(n−1) >
+    * 38416·2n₁n₂·(2n₁n₂−n) — DECIMAL(38,0) vs HUGEINT, both exact.
+    * Zero-change days drop (standard). One day rollup + two lag
+    * windows over the calendar-bounded series.
+    */
+  def runsTest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+    val moves = daily
+      .withColumn("pg", lag(col("g"), 1).over(Window.orderBy("dt")))
+      .filter(col("pg").isNotNull && col("g") =!= col("pg"))
+      .withColumn("up", (col("g") > col("pg")).cast("long"))
+    val runs = moves
+      .withColumn("pu", lag(col("up"), 1).over(Window.orderBy("dt")))
+      .select(
+        when(col("pu").isNull || col("pu") =!= col("up"), 1L)
+          .otherwise(0L).as("new_run"), col("up"))
+      .agg(sum(col("new_run")).as("runs"),
+        count_if(col("up") === 1).as("n_up"),
+        count_if(col("up") === 0).as("n_down"))
+    runs.select(col("n_up"), col("n_down"), col("runs"),
+      expr("""CAST(CASE WHEN
+          CAST(runs * (n_up + n_down) - (n_up + n_down)
+               - 2 * n_up * n_down AS DECIMAL(38,0))
+          * CAST(runs * (n_up + n_down) - (n_up + n_down)
+               - 2 * n_up * n_down AS DECIMAL(38,0))
+          * 10000 * (n_up + n_down - 1)
+          > CAST(38416 AS DECIMAL(38,0)) * 2 * n_up * n_down
+            * (2 * n_up * n_down - (n_up + n_down))
+          THEN 1 ELSE 0 END AS BIGINT)""").as("nonrandom_flag"))
+  }
+
   /** Cross-table totals reconciliation — does the order header's
     * `o_totalprice` equal the revenue reconstructed from its line
     * items (Σ extendedprice·(1+tax)·(1−discount))? On real TPC-H

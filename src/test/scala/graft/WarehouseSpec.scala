@@ -618,6 +618,55 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r.getAs[Long]("q90_us") === delays((n - 1) * 9 / 10))
   }
 
+  test("runs test: run counting and the cleared decision replay in BigInt") {
+    val r = graft.warehouse.Quality.runsTest(s, d).collect()(0)
+    val daily = graft.sources.Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g")).collect()
+      .map(x => (x.getAs[java.sql.Date]("dt").toLocalDate.toEpochDay,
+        x.getAs[Long]("g"))).sortBy(_._1)
+    val ups = daily.sliding(2).collect {
+      case Array(a, b) if a._2 != b._2 => b._2 > a._2
+    }.toArray
+    val nUp = ups.count(identity).toLong
+    val nDown = ups.length - nUp
+    val runs = if (ups.isEmpty) 0L
+      else 1L + ups.sliding(2).count {
+        case Array(a, b) => a != b; case _ => false }
+    assert(r.getAs[Long]("n_up") === nUp)
+    assert(r.getAs[Long]("n_down") === nDown)
+    assert(r.getAs[Long]("runs") === runs)
+    val n = BigInt(nUp + nDown)
+    val a = BigInt(runs) * n - n - 2 * nUp * nDown
+    val flag = if (a * a * 10000 * (n - 1) >
+      BigInt(38416) * 2 * nUp * nDown * (2 * nUp * nDown - n)) 1L else 0L
+    assert(r.getAs[Long]("nonrandom_flag") === flag)
+  }
+
+  test("theil-sen: median pairwise slope replays the driver sort, robust to a spike") {
+    val r = graft.warehouse.Analytics.theilSen(s, d).collect()(0)
+    val daily = graft.sources.Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g")).collect()
+      .map(x => (x.getAs[java.sql.Date]("dt").toLocalDate.toEpochDay,
+        x.getAs[Long]("g"))).sortBy(_._1)
+    val pairs = for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield {
+      val (xi, yi) = daily(i); val (xj, yj) = daily(j)
+      ((yj - yi).toDouble / (xj - xi), xi, xj, yj - yi, xj - xi)
+    }
+    val sorted = pairs.sortBy(p => (p._1, p._2, p._3))
+    val med = sorted((pairs.length - 1) / 2)
+    assert(r.getAs[Long]("n_pairs") === pairs.length.toLong)
+    assert(r.getAs[Long]("dy") === med._4 && r.getAs[Long]("dx") === med._5)
+    val expSlope = (if (med._4 >= 0) 1L else -1L) *
+      (math.abs(med._4) * 1000000L / med._5)
+    assert(r.getAs[Long]("slope_micro") === expSlope)
+  }
+
   test("SRM guardrail: decision replays the chi-square cross-multiplication") {
     val r = graft.warehouse.Analytics.abSrm(s, d).collect()(0)
     val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
