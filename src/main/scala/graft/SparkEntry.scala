@@ -266,6 +266,9 @@ object SparkEntry {
     "sim_ann_sq8" -> (Similarity.annSq8(_, _)),
     "dq_runs_test" -> (Quality.runsTest(_, _)),
     "analytics_theil_sen" -> (Analytics.theilSen(_, _)),
+    "analytics_season_strength" -> (Analytics.seasonStrength(_, _)),
+    "text_burstiness" -> (TextAnalysis.tokenBurstiness(_, _)),
+    "analytics_price_index" -> (Analytics.priceIndex(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -3054,6 +3057,85 @@ object SparkEntry {
          |   THEN 1 ELSE 0 END AS BIGINT) AS covered
          |FROM res, q, lastd
          |WHERE dt > mx - INTERVAL 30 DAY""".stripMargin,
+    // seasonal strength over the decompose components; the variance
+    // RATIO cross-multiplies (n² denominators cancel)
+    "analytics_season_strength" ->
+      """WITH RECURSIVE daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS g
+        | FROM orders GROUP BY 1),
+        |idx AS (SELECT row_number() OVER (ORDER BY dt) AS rn, dt, g
+        |        FROM daily),
+        |sm AS (
+        | SELECT rn, dt, g, g AS s, CAST(0 AS BIGINT) AS b
+        | FROM idx WHERE rn = 1
+        | UNION ALL
+        | SELECT i.rn, i.dt, i.g,
+        |  (i.g + (sm.s + sm.b) * 3) >> 2,
+        |  ((((i.g + (sm.s + sm.b) * 3) >> 2) - sm.s) + sm.b * 3) >> 2
+        | FROM idx i JOIN sm ON i.rn = sm.rn + 1),
+        |oa AS (SELECT CAST(SUM(g) AS BIGINT) // COUNT(*) AS avg_all
+        |       FROM daily),
+        |dw AS (SELECT CAST(dayofweek(dt) + 1 AS BIGINT) AS dow,
+        |  CAST(SUM(g) AS BIGINT) // COUNT(*) - avg_all AS sc
+        | FROM daily CROSS JOIN oa GROUP BY 1, avg_all),
+        |comp AS (SELECT sm.g - sm.s - dw.sc AS r,
+        |  (sm.g - sm.s - dw.sc) + dw.sc AS sr
+        | FROM sm JOIN dw
+        |  ON CAST(dayofweek(sm.dt) + 1 AS BIGINT) = dw.dow),
+        |mo AS (SELECT COUNT(*)::HUGEINT AS n,
+        |  SUM(r::HUGEINT) AS srr,
+        |  SUM(r::HUGEINT * r) AS sqr,
+        |  SUM(sr::HUGEINT) AS ssr,
+        |  SUM(sr::HUGEINT * sr) AS sqs
+        | FROM comp)
+        |SELECT CAST(n AS BIGINT) AS n,
+        | greatest(0, 1000000 - CAST(
+        |   (n * sqr - srr * srr) * 1000000
+        |    // (n * sqs - ssr * ssr) AS BIGINT)) AS strength_ppm
+        |FROM mo""".stripMargin,
+    // Fano factor per top token: zero docs count in n
+    "text_burstiness" ->
+      """WITH nd AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+        |pd AS (
+        | SELECT doc_id, tok, COUNT(*)::BIGINT AS c FROM (
+        |  SELECT doc_id,
+        |   unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM documents) t GROUP BY 1, 2),
+        |vs AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS s,
+        |  CAST(SUM(c*c) AS BIGINT) AS sq,
+        |  COUNT(*)::BIGINT AS n_docs_with
+        | FROM pd GROUP BY 1)
+        |SELECT tok, s AS total_ct, n_docs_with,
+        | CAST((n::HUGEINT * sq - s::HUGEINT * s) * 1000000
+        |   // (n::HUGEINT * s) AS BIGINT) AS fano_ppm,
+        | CAST(row_number() OVER (ORDER BY s DESC, tok) AS BIGINT)
+        |   AS rk
+        |FROM vs, nd QUALIFY rk <= 20""".stripMargin,
+    // CPI formulas with truncated micro-cent unit prices, matched
+    // parts only
+    "analytics_price_index" ->
+      """WITH mon AS (
+        | SELECT l_partkey AS part_id,
+        |  CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS r,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        | FROM lineitem GROUP BY 1, 2),
+        |pm AS (SELECT part_id, m, r * 10000 // q AS p, q FROM mon),
+        |m0 AS (SELECT MIN(m) AS m0 FROM pm),
+        |base AS (SELECT part_id, p AS p0, q AS q0 FROM pm, m0
+        |         WHERE m = m0)
+        |SELECT m,
+        | CAST(CAST(SUM(p * q0) AS HUGEINT) * 1000000
+        |   // SUM(p0 * q0) AS BIGINT) AS laspeyres_ppm,
+        | CAST(CAST(SUM(p * q) AS HUGEINT) * 1000000
+        |   // SUM(p0 * q) AS BIGINT) AS paasche_ppm,
+        | COUNT(*) AS n_parts
+        |FROM pm JOIN base USING (part_id)
+        |GROUP BY 1""".stripMargin,
     // runs test: the 95% decision cleared of every denominator
     "dq_runs_test" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,

@@ -555,6 +555,39 @@ object TextAnalysis {
         col("r.worker").as("worker"))
   }
 
+  /** Token burstiness (Fano factor — variance-to-mean of per-doc
+    * counts): the corpus-linguistics signal that separates CONTENT
+    * words (bursty — absent from most docs, heavy where they appear)
+    * from FUNCTION words (uniform) better than raw frequency; a
+    * spam-cluster token shows extreme burstiness. Per top-k token:
+    * F·ppm = (n·Σc² − S²)·10⁶ DIV (n·S) over per-doc counts with
+    * zero docs counted (n = corpus size) — exact integers
+    * throughout. One token-count explode + one vocab rollup.
+    */
+  def tokenBurstiness(s: SparkSession, d: String,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = broadcast(Tables.documents(s, d)
+      .agg(count(lit(1)).as("n")))
+    val perDoc = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), explode(filter(
+        split(lower(col("text")), " "), t => t =!= "")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    perDoc.groupBy("tok")
+      .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("sq"),
+        count(lit(1)).as("n_docs_with"))
+      .crossJoin(nDocs)
+      .select(col("tok"), col("s").as("total_ct"), col("n_docs_with"),
+        // DECIMAL(38): n·Σc² clears 2⁶³ once the corpus does
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * sq " +
+          "- CAST(s AS DECIMAL(38,0)) * s) * 1000000 " +
+          "div (CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)")
+          .as("fano_ppm"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("total_ct").desc, col("tok"))).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Vocabulary drift between the train and eval sides of the corpus
     * (sources src0-9 vs src10+ — the same split the decontamination
     * family uses): per-token share difference in ppm, plus the

@@ -759,6 +759,69 @@ object Analytics {
           .as("residual_cents"))
   }
 
+  /** Laspeyres and Paasche price indices per month — the CPI
+    * formulas, answering "did PRICES move or did the MIX move?"
+    * where [[revenueBridge]] answers it per part: L = Σp_t·q₀ /
+    * Σp₀·q₀ (base-period basket at current prices), P = Σp_t·q_t /
+    * Σp₀·q_t (current basket at base prices), both in ppm. Unit
+    * prices are truncated micro-cents (r·10⁴ DIV q — deterministic,
+    * same on both engines); only parts traded in BOTH the base
+    * month and month t enter (the matched-model convention). One
+    * part-month rollup + a broadcast base join + month rollups.
+    */
+  def priceIndex(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("part_id"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("m"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("r"),
+        sum(col("l_quantity").cast("long")).as("q"))
+      .withColumn("p", expr("r * 10000L DIV q"))
+    val base = broadcast(monthly
+      .withColumn("m0", min(col("m")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("m") === col("m0"))
+      .select(col("part_id"), col("p").as("p0"), col("q").as("q0")))
+    monthly.join(base, "part_id")
+      .groupBy("m")
+      .agg(
+        expr("""CAST(CAST(SUM(p * q0) AS DECIMAL(38,0)) * 1000000
+            div SUM(p0 * q0) AS BIGINT)""").as("laspeyres_ppm"),
+        expr("""CAST(CAST(SUM(p * q) AS DECIMAL(38,0)) * 1000000
+            div SUM(p0 * q) AS BIGINT)""").as("paasche_ppm"),
+        count(lit(1)).as("n_parts"))
+  }
+
+  /** Seasonal-strength score over [[decomposeGmv]]'s components —
+    * the one number (Hyndman's F_s) that says whether the DOW
+    * seasonality is worth modeling at all:
+    * F_s = 1 − Var(residual)/Var(seasonal+residual), in ppm with the
+    * variance RATIO cross-multiplied from integer moment numerators
+    * (Var(a)/Var(b) = (nΣa²−Sa²)/(nΣb²−Sb²) — the n² denominators
+    * cancel, so no division happens until the single final ppm DIV).
+    * Clamped at 0 (a residual noisier than the detrended series
+    * means "no usable seasonality", not a negative strength).
+    */
+  def seasonStrength(s: SparkSession, d: String): DataFrame = {
+    // Σ(sr²) alone clears 2⁶³ on this series — every moment rides
+    // DECIMAL(38,0); only n and the final ppm (back in range) emit
+    val d19 = DecimalType(19, 0)
+    decomposeGmv(s, d)
+      .select(col("residual_cents").as("r"),
+        (col("seasonal_cents") + col("residual_cents")).as("sr"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r").cast(d19)).as("srr"),
+        sum(col("r").cast(d19) * col("r")).as("sqr"),
+        sum(col("sr").cast(d19)).as("ssr"),
+        sum(col("sr").cast(d19) * col("sr")).as("sqs"))
+      .select(col("n"),
+        greatest(lit(0L), lit(1000000L) - expr(
+          """CAST((CAST(n AS DECIMAL(38,0)) * sqr - srr * srr)
+             * 1000000
+             div (CAST(n AS DECIMAL(38,0)) * sqs - ssr * ssr)
+             AS BIGINT)""")).as("strength_ppm"))
+  }
+
   /** Forecast backtest — close the loop on [[holtTrendGmv]]: align
     * each day's one-step-ahead forecast with the NEXT day's actual
     * and report exact integer error stats (MAE and bias in cents via

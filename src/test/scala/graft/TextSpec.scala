@@ -852,6 +852,25 @@ class TextSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sorted.reverse)
   }
 
+  test("burstiness: Fano replays the driver tally, function words read low") {
+    val got = graft.operators.TextAnalysis.tokenBurstiness(s, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("total_ct"),
+        r.getAs[Long]("n_docs_with"), r.getAs[Long]("fano_ppm"))).toMap
+    assert(got.size === 20)
+    val docs = graft.sources.Tables.documents(s, d)
+      .select(lower(col("text"))).collect().map(_.getString(0))
+    val n = BigInt(docs.length)
+    got.foreach { case (tok, (s0, ndw, fano)) =>
+      val counts = docs.map(_.split(" ").count(_ == tok).toLong)
+      assert(BigInt(s0) === counts.map(BigInt(_)).sum)
+      assert(ndw === counts.count(_ > 0).toLong)
+      val sq = counts.map(c => BigInt(c) * c).sum
+      val expect = (n * sq - BigInt(s0) * s0) * 1000000 / (n * s0)
+      assert(BigInt(fano) === expect, s"token '$tok'")
+      assert(fano >= 0L)
+    }
+  }
+
   test("shard schedule: LPT replays on the driver, no worker idles") {
     val got = graft.operators.TextAnalysis.shardSchedule(s, d).collect()
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_tokens"),

@@ -618,6 +618,37 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r.getAs[Long]("q90_us") === delays((n - 1) * 9 / 10))
   }
 
+  test("season strength: ppm bounded, ties to the decompose components") {
+    val r = graft.warehouse.Analytics.seasonStrength(s, d).collect()(0)
+    val ppm = r.getAs[Long]("strength_ppm")
+    assert(ppm >= 0L && ppm <= 1000000L)
+    val comp = graft.warehouse.Analytics.decomposeGmv(s, d).collect()
+      .map(x => (BigInt(x.getAs[Long]("residual_cents")),
+        BigInt(x.getAs[Long]("seasonal_cents") +
+          x.getAs[Long]("residual_cents"))))
+    val n = BigInt(comp.length)
+    assert(r.getAs[Long]("n") === comp.length.toLong)
+    def varNum(xs: Seq[BigInt]) = n * xs.map(x => x * x).sum -
+      xs.sum * xs.sum
+    val expect = (BigInt(1000000) -
+      varNum(comp.map(_._1)) * 1000000 / varNum(comp.map(_._2)))
+      .max(BigInt(0))
+    assert(BigInt(ppm) === expect)
+  }
+
+  test("price index: base month indexes at exactly 1e6 ppm") {
+    val rs = graft.warehouse.Analytics.priceIndex(s, d).collect()
+      .map(r => (r.getAs[java.sql.Date]("m").toLocalDate,
+        r.getAs[Long]("laspeyres_ppm"), r.getAs[Long]("paasche_ppm"),
+        r.getAs[Long]("n_parts")))
+    assert(rs.length > 12)
+    val base = rs.minBy(_._1.toEpochDay)
+    assert(base._2 === 1000000L && base._3 === 1000000L,
+      "base period must index at unity by construction")
+    rs.foreach { case (_, l, p, np) =>
+      assert(l > 0L && p > 0L && np > 0L) }
+  }
+
   test("runs test: run counting and the cleared decision replay in BigInt") {
     val r = graft.warehouse.Quality.runsTest(s, d).collect()(0)
     val daily = graft.sources.Tables.orders(s, d)
