@@ -269,6 +269,9 @@ object SparkEntry {
     "analytics_season_strength" -> (Analytics.seasonStrength(_, _)),
     "text_burstiness" -> (TextAnalysis.tokenBurstiness(_, _)),
     "analytics_price_index" -> (Analytics.priceIndex(_, _)),
+    "pipeline_uncertainty_sample" ->
+      (TextAnalysis.uncertaintySample(_, _)),
+    "pipeline_shuffle_quality" -> (TextAnalysis.shuffleQuality(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -3057,6 +3060,50 @@ object SparkEntry {
          |   THEN 1 ELSE 0 END AS BIGINT) AS covered
          |FROM res, q, lastd
          |WHERE dt > mx - INTERVAL 30 DAY""".stripMargin,
+    // uncertainty sampling: same score CTE, threshold-distance cut
+    "pipeline_uncertainty_sample" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |    AS toks
+        | FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(coalesce(list_sum(list_transform(toks, t ->
+        |   ((list_reduce([CAST(ascii(substr(t, i, 1)) AS BIGINT)
+        |       for i in range(1, length(t) + 1)],
+        |     (a, x) -> (a * 31 + x) % 9007199254740881) % 4096)
+        |    * 2654435761) % 2003)), 0)
+        |  // greatest(len(toks), 1) AS BIGINT) AS score_milli
+        | FROM t)
+        |SELECT doc_id, score_milli,
+        | abs(score_milli - 1000) AS dist,
+        | CAST(row_number() OVER (ORDER BY abs(score_milli - 1000),
+        |   doc_id) AS BIGINT) AS rk
+        |FROM sc QUALIFY rk <= 20""".stripMargin,
+    // shuffle-quality audit: adjacency rates in ppm, the same
+    // seed-42 md5 key the production shuffle emits
+    "pipeline_shuffle_quality" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |  md5(concat_ws(':', '42', CAST(doc_id AS VARCHAR))) AS skey
+        | FROM documents),
+        |bf AS (SELECT
+        |  CAST(COUNT(*) FILTER (WHERE source = psrc) * 1000000
+        |   // COUNT(*) AS BIGINT) AS blocked_ppm
+        | FROM (SELECT source,
+        |   lag(source) OVER (ORDER BY source, doc_id) AS psrc
+        |  FROM docs) t
+        | WHERE psrc IS NOT NULL),
+        |af AS (SELECT
+        |  CAST(COUNT(*) FILTER (WHERE source = psrc) * 1000000
+        |   // COUNT(*) AS BIGINT) AS after_ppm
+        | FROM (SELECT source,
+        |   lag(source) OVER (ORDER BY skey, doc_id) AS psrc
+        |  FROM docs) t
+        | WHERE psrc IS NOT NULL),
+        |ex AS (SELECT CAST(SUM(ns * (ns - 1)) * 1000000
+        |  // (SUM(ns) * (SUM(ns) - 1)) AS BIGINT) AS expected_ppm
+        | FROM (SELECT COUNT(*)::BIGINT AS ns FROM docs
+        |       GROUP BY source) t)
+        |SELECT * FROM bf, af, ex""".stripMargin,
     // seasonal strength over the decompose components; the variance
     // RATIO cross-multiplies (n² denominators cancel)
     "analytics_season_strength" ->

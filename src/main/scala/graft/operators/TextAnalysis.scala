@@ -555,6 +555,62 @@ object TextAnalysis {
         col("r.worker").as("worker"))
   }
 
+  /** Uncertainty sampling — the active-learning answer to "which
+    * documents should a human label NEXT": the k docs whose model
+    * score sits closest to the keep/drop threshold (confident
+    * predictions teach the model nothing; threshold-straddlers move
+    * it most). Rides [[qualityModelScore]]'s integer score; distance
+    * ties break on doc_id; the cut is a TakeOrdered, never a global
+    * sort.
+    */
+  def uncertaintySample(s: SparkSession, d: String, k: Int = 20,
+      threshold: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    qualityModelScore(s, d)
+      .select(col("doc_id"), col("score_milli"),
+        abs(col("score_milli") - threshold).as("dist"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("dist"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Shuffle-quality audit — did [[shuffleOrder]]'s deterministic
+    * corpus shuffle actually MIX the sources? Adjacent-pair
+    * same-source rate in the SOURCE-BLOCKED order (ORDER BY source —
+    * the per-source-files layout a crawler actually delivers; rate
+    * ≈ 10⁶ ppm) vs the md5 shuffle order, against the expected rate
+    * under perfect mixing (Σ n_s(n_s−1) / n(n−1), the
+    * without-replacement adjacency probability), all integer ppm. A
+    * shuffled rate near expected and far below blocked is the
+    * acceptance test every curriculum-free training order needs.
+    */
+  def shuffleQuality(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the SAME seed-42 key shuffleOrder emits — this audits the
+    // actual production order, not a lookalike
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .withColumn("skey", md5(concat_ws(":", lit(42),
+        col("doc_id").cast("string"))))
+    def adjacentSameRate(ordered: Column*) = {
+      val w = Window.orderBy(ordered: _*)
+      docs.withColumn("prev_src", lag(col("source"), 1).over(w))
+        .filter(col("prev_src").isNotNull)
+        .agg(count_if(col("source") === col("prev_src")).as("same"),
+          count(lit(1)).as("pairs"))
+        .select(expr("same * 1000000L DIV pairs"))
+    }
+    val before = adjacentSameRate(col("source"), col("doc_id"))
+      .toDF("blocked_ppm")
+    val after = adjacentSameRate(col("skey"), col("doc_id"))
+      .toDF("after_ppm")
+    val expected = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+      .agg(sum(expr("ns * (ns - 1)")).as("num"),
+        sum(col("ns")).as("n"))
+      .select(expr("num * 1000000L DIV (n * (n - 1))")
+        .as("expected_ppm"))
+    before.crossJoin(after).crossJoin(expected)
+  }
+
   /** Token burstiness (Fano factor — variance-to-mean of per-doc
     * counts): the corpus-linguistics signal that separates CONTENT
     * words (bursty — absent from most docs, heavy where they appear)

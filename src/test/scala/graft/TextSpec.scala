@@ -852,6 +852,36 @@ class TextSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sorted.reverse)
   }
 
+  test("uncertainty sample: the k chosen docs straddle the threshold tightest") {
+    val got = graft.operators.TextAnalysis.uncertaintySample(s, d).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("score_milli"),
+        r.getAs[Long]("dist")))
+    assert(got.length === 20)
+    val all = graft.operators.TextAnalysis.qualityModelScore(s, d)
+      .select(col("doc_id"), col("score_milli")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val worstChosen = got.map(_._3).max
+    // no unchosen doc sits strictly closer than the worst chosen one
+    val closerUnchosen = all.filter(a => !got.exists(_._1 == a._1))
+      .count(a => math.abs(a._2 - 1000L) < worstChosen)
+    assert(closerUnchosen === 0, "selection must be the tightest set")
+    got.foreach { case (_, sc, dist) =>
+      assert(dist === math.abs(sc - 1000L)) }
+  }
+
+  test("shuffle quality: the md5 order mixes sources to the expected rate") {
+    val r = graft.operators.TextAnalysis.shuffleQuality(s, d).collect()(0)
+    val blocked = r.getAs[Long]("blocked_ppm")
+    val after = r.getAs[Long]("after_ppm")
+    val expected = r.getAs[Long]("expected_ppm")
+    // source-sorted order is maximally clumped (≈1e6 ppm); the
+    // shuffle must land near the perfect-mixing expectation
+    assert(blocked > 10 * expected,
+      s"blocked=$blocked should dwarf expected=$expected")
+    assert(math.abs(after - expected) < expected,
+      s"after=$after should sit near expected=$expected")
+  }
+
   test("burstiness: Fano replays the driver tally, function words read low") {
     val got = graft.operators.TextAnalysis.tokenBurstiness(s, d).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("total_ct"),
