@@ -272,6 +272,8 @@ object SparkEntry {
     "pipeline_uncertainty_sample" ->
       (TextAnalysis.uncertaintySample(_, _)),
     "pipeline_shuffle_quality" -> (TextAnalysis.shuffleQuality(_, _)),
+    "analytics_markov_2step" -> (Analytics.markovTwoStep(_, _)),
+    "dq_spc_residual" -> (Quality.spcResidual(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -3060,6 +3062,59 @@ object SparkEntry {
          |   THEN 1 ELSE 0 END AS BIGINT) AS covered
          |FROM res, q, lastd
          |WHERE dt > mx - INTERVAL 30 DAY""".stripMargin,
+    // Markov 2-step: row-normalized ppm chain with per-term DIV
+    // truncation — both engines walk the identical lattice
+    "analytics_markov_2step" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |  event_type AS a FROM events),
+        |tr AS (SELECT a, b, COUNT(*)::BIGINT AS c FROM (
+        |  SELECT a, lead(a) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS b FROM ev) t
+        | WHERE b IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT a, b,
+        |  c * 1000000 // CAST(SUM(c) OVER (PARTITION BY a) AS BIGINT)
+        |    AS p
+        | FROM tr),
+        |p1 AS (SELECT b AS state, p AS p1_ppm FROM p
+        |       WHERE a = 'view'),
+        |p2 AS (SELECT p.b AS state2,
+        |  CAST(SUM(p1.p1_ppm * p.p // 1000000) AS BIGINT) AS p2_ppm
+        | FROM p1 JOIN p ON p1.state = p.a GROUP BY 1)
+        |SELECT COALESCE(state, state2) AS event_type,
+        | COALESCE(p1_ppm, 0) AS p1_ppm,
+        | COALESCE(p2_ppm, 0) AS p2_ppm
+        |FROM p1 FULL OUTER JOIN p2 ON state = state2""".stripMargin,
+    // residual SPC: decompose CTE + cleared 3σ decision in HUGEINT
+    "dq_spc_residual" ->
+      """WITH RECURSIVE daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS g
+        | FROM orders GROUP BY 1),
+        |idx AS (SELECT row_number() OVER (ORDER BY dt) AS rn, dt, g
+        |        FROM daily),
+        |sm AS (
+        | SELECT rn, dt, g, g AS s, CAST(0 AS BIGINT) AS b
+        | FROM idx WHERE rn = 1
+        | UNION ALL
+        | SELECT i.rn, i.dt, i.g,
+        |  (i.g + (sm.s + sm.b) * 3) >> 2,
+        |  ((((i.g + (sm.s + sm.b) * 3) >> 2) - sm.s) + sm.b * 3) >> 2
+        | FROM idx i JOIN sm ON i.rn = sm.rn + 1),
+        |oa AS (SELECT CAST(SUM(g) AS BIGINT) // COUNT(*) AS avg_all
+        |       FROM daily),
+        |dw AS (SELECT CAST(dayofweek(dt) + 1 AS BIGINT) AS dow,
+        |  CAST(SUM(g) AS BIGINT) // COUNT(*) - avg_all AS sc
+        | FROM daily CROSS JOIN oa GROUP BY 1, avg_all),
+        |res AS (SELECT sm.dt, sm.g - sm.s - dw.sc AS r
+        | FROM sm JOIN dw
+        |  ON CAST(dayofweek(sm.dt) + 1 AS BIGINT) = dw.dow),
+        |mo AS (SELECT COUNT(*)::HUGEINT AS n,
+        |  SUM(r::HUGEINT) AS sx, SUM(r::HUGEINT * r) AS sxx FROM res)
+        |SELECT dt, r AS residual_cents,
+        | CASE WHEN n * r > sx THEN 'hi' ELSE 'lo' END AS side
+        |FROM res, mo
+        |WHERE (n * r - sx) * (n * r - sx) > 9 * (n * sxx - sx * sx)""".stripMargin,
     // uncertainty sampling: same score CTE, threshold-distance cut
     "pipeline_uncertainty_sample" ->
       """WITH t AS (SELECT doc_id,

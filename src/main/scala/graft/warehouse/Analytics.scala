@@ -759,6 +759,41 @@ object Analytics {
           .as("residual_cents"))
   }
 
+  /** Two-step Markov event forecast — where [[eventPathTransitions]]
+    * stops at the raw transition counts, this row-normalizes them
+    * into ppm probabilities and walks TWO steps from 'view': the
+    * "where will this user be in two clicks" distribution a
+    * next-action recommender serves. The chain contract is integer:
+    * p = c·10⁶ DIV row_total, and the 2-step composition
+    * Σ_a p₁(a)·p(a,b) DIV 10⁶ truncates per term — both engines walk
+    * the identical lattice. Transitions from per-user consecutive
+    * pairs (one sort window); the matrix is event-type² cells.
+    */
+  def markovTwoStep(s: SparkSession, d: String,
+      start: String = "view"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val trans = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type").as("a"))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val p = trans
+      .withColumn("rt", sum(col("c")).over(
+        Window.partitionBy("a")))
+      .select(col("a"), col("b"), expr("c * 1000000L DIV rt").as("p"))
+    val p1 = p.filter(col("a") === start)
+      .select(col("b").as("state"), col("p").as("p1_ppm"))
+    val p2 = p1.join(p, col("state") === col("a"))
+      .groupBy(col("b").as("state2"))
+      .agg(sum(expr("p1_ppm * p DIV 1000000")).as("p2_ppm"))
+    p1.join(p2, col("state") === col("state2"), "full_outer")
+      .select(coalesce(col("state"), col("state2")).as("event_type"),
+        coalesce(col("p1_ppm"), lit(0L)).as("p1_ppm"),
+        coalesce(col("p2_ppm"), lit(0L)).as("p2_ppm"))
+  }
+
   /** Laspeyres and Paasche price indices per month — the CPI
     * formulas, answering "did PRICES move or did the MIX move?"
     * where [[revenueBridge]] answers it per part: L = Σp_t·q₀ /

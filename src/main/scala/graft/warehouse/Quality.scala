@@ -294,6 +294,33 @@ object Quality {
           .as("w1_microcents"))
   }
 
+  /** SPC on the DECOMPOSED residual — the alarm [[spcOrders]]'
+    * raw-count chart can't be: raw-GMV alarms fire every weekend
+    * (seasonality IS the signal there); after
+    * [[graft.warehouse.Analytics.decomposeGmv]] strips trend and
+    * day-of-week, what crosses 3σ is a genuine anomaly. Same
+    * cleared-denominator decision, with every moment in
+    * DECIMAL(38,0) (residual squares overflow INT64 on this series —
+    * the seasonStrength lesson applied preemptively).
+    */
+  def spcResidual(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d19 = DecimalType(19, 0)
+    val all = Window.partitionBy()
+    graft.warehouse.Analytics.decomposeGmv(s, d)
+      .select(col("dt"), col("residual_cents").as("r"))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("sx", sum(col("r").cast(d19)).over(all))
+      .withColumn("sxx", sum(col("r").cast(d19) * col("r")).over(all))
+      .filter(expr(
+        """(CAST(n AS DECIMAL(38,0)) * r - sx)
+           * (CAST(n AS DECIMAL(38,0)) * r - sx)
+           > 9 * (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx)"""))
+      .select(col("dt"), col("r").as("residual_cents"),
+        when(expr("CAST(n AS DECIMAL(38,0)) * r > sx"), "hi")
+          .otherwise("lo").as("side"))
+  }
+
   /** Wald–Wolfowitz runs test on daily GMV up/down moves — the
     * TIME-structure member of the drift suite (PSI/KS/U/W₁ compare
     * distributions; runs asks whether the SEQUENCE is random or

@@ -618,6 +618,48 @@ class WarehouseSpec extends AnyFunSuite {
     assert(r.getAs[Long]("q90_us") === delays((n - 1) * 9 / 10))
   }
 
+  test("markov 2-step: distributions near-normalize, chain replays a driver walk") {
+    val rs = graft.warehouse.Analytics.markovTwoStep(s, d).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("p1_ppm"),
+        r.getAs[Long]("p2_ppm")))
+    // truncated-DIV chains undershoot 1e6, never overshoot
+    val s1 = rs.map(_._2).sum; val s2 = rs.map(_._3).sum
+    assert(s1 <= 1000000L && s1 > 990000L, s"p1 sums to $s1")
+    assert(s2 <= 1000000L && s2 > 980000L, s"p2 sums to $s2")
+    // driver replay
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val sorted = xs.sortBy(e => (e._2, e._3)).map(_._4)
+      sorted.zip(sorted.drop(1))
+    }
+    val counts = trans.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }
+    val rows = counts.groupBy(_._1._1).map { case (a, xs) =>
+      a -> xs.values.sum }
+    val p = counts.map { case ((a, b), c) => (a, b) -> c * 1000000L / rows(a) }
+    val p1 = p.collect { case (("view", b), v) => b -> v }.toMap
+    val p2 = p1.toSeq.flatMap { case (a, v1) =>
+      p.collect { case ((`a`, b), v) => b -> v1 * v / 1000000L }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    rs.foreach { case (t, g1, g2) =>
+      assert(g1 === p1.getOrElse(t, 0L), s"p1 for $t")
+      assert(g2 === p2.getOrElse(t, 0L), s"p2 for $t")
+    }
+  }
+
+  test("SPC residual: fires differently from the raw chart (seasonality stripped)") {
+    val res = graft.warehouse.Quality.spcResidual(s, d).collect()
+      .map(r => r.getAs[java.sql.Date]("dt").toString)
+    val raw = graft.warehouse.Quality.spcOrders(s, d).collect()
+      .map(r => r.getAs[java.sql.Date]("dt").toString)
+    assert(res.nonEmpty, "residual alarm should fire on real anomalies")
+    assert(res.toSet != raw.toSet,
+      "stripping trend+seasonality must change WHICH days alarm")
+  }
+
   test("season strength: ppm bounded, ties to the decompose components") {
     val r = graft.warehouse.Analytics.seasonStrength(s, d).collect()(0)
     val ppm = r.getAs[Long]("strength_ppm")
