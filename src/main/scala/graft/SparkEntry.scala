@@ -274,6 +274,7 @@ object SparkEntry {
     "pipeline_shuffle_quality" -> (TextAnalysis.shuffleQuality(_, _)),
     "analytics_markov_2step" -> (Analytics.markovTwoStep(_, _)),
     "dq_spc_residual" -> (Quality.spcResidual(_, _)),
+    "dedup_modality_agreement" -> (Dedup.modalityAgreement(_, _)),
     "graph_shortest_path" -> (graft.operators.Graph.shortestPath(_, _)),
     "analytics_ab_test" -> (Analytics.abTest(_, _)),
     "analytics_attribution_linear" -> (Analytics.linearAttribution(_, _)),
@@ -3062,6 +3063,40 @@ object SparkEntry {
          |   THEN 1 ELSE 0 END AS BIGINT) AS covered
          |FROM res, q, lastd
          |WHERE dt > mx - INTERVAL 30 DAY""".stripMargin,
+    // modality agreement: both pair relations replayed, set algebra
+    "dedup_modality_agreement" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v]))
+        |      AS nrm FROM e),
+        |ep AS (SELECT id_a, id_b FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum([a.v[i + 1] * b.v[i + 1]
+        |    for i in range(0, len(a.v))]) / (a.nrm * b.nrm) AS cos
+        | FROM n a JOIN n b ON a.vec_id < b.vec_id) t
+        |WHERE cos >= 0.4),
+        |sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        |  FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1),
+        |tp AS (SELECT id_a, id_b FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2) i
+        | JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        | WHERE CAST(c AS DOUBLE) / (sa.ns + sb.ns - c) >= 0.5),
+        |cts AS (SELECT
+        |  (SELECT COUNT(*) FROM ep)::BIGINT AS n_embedding,
+        |  (SELECT COUNT(*) FROM tp)::BIGINT AS n_text,
+        |  (SELECT COUNT(*) FROM ep SEMI JOIN tp
+        |    ON ep.id_a = tp.id_a AND ep.id_b = tp.id_b)::BIGINT
+        |   AS n_both)
+        |SELECT n_embedding, n_text, n_both,
+        | n_both * 1000000
+        |  // greatest(n_embedding + n_text - n_both, 1) AS jaccard_ppm
+        |FROM cts""".stripMargin,
     // Markov 2-step: row-normalized ppm chain with per-term DIV
     // truncation — both engines walk the identical lattice
     "analytics_markov_2step" ->

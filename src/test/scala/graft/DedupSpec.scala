@@ -325,6 +325,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("modality agreement: counts tie to the source relations, identities hold") {
+    val r = Dedup.modalityAgreement(s, d).collect()(0)
+    val ne = Dedup.embeddingNearDupExact(s, d).count()
+    val nt = Dedup.ngramJaccard(s, d).count()
+    assert(r.getAs[Long]("n_embedding") === ne)
+    assert(r.getAs[Long]("n_text") === nt)
+    val nb = r.getAs[Long]("n_both")
+    assert(nb <= math.min(ne, nt))
+    val jac = r.getAs[Long]("jaccard_ppm")
+    assert(jac === nb * 1000000L / math.max(ne + nt - nb, 1L))
+    assert(jac >= 0L && jac <= 1000000L)
+  }
+
   test("chain audit: min-Jaccard bands replay on the driver closure") {
     val got = Dedup.chainAudit(s, d).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_clusters")).toMap
