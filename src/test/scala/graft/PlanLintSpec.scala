@@ -104,7 +104,9 @@ class PlanLintSpec extends AnyFunSuite {
     // each side is a single-row aggregate
     "analytics_bitmap_audience", "analytics_funnel_time",
     "analytics_decayed_score", "analytics_forecast_interval",
-    "sim_ann_sq8")
+    "sim_ann_sq8", "analytics_season_strength", "analytics_theil_sen",
+    "dedup_modality_agreement", "dq_spc_residual",
+    "pipeline_shuffle_quality", "text_burstiness")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
