@@ -2718,9 +2718,18 @@ object Analytics {
           (col("b.x") - col("a.x")).cast("double")).as("r"),
         (col("b.y") - col("a.y")).as("dy"),
         (col("b.x") - col("a.x")).as("dx"))
+    // global ranks over ~3M pairs via the percent-rank machinery
+    // (range partition + zipWithIndex) — a single-partition window
+    // sort here was the whole suite's slowest query
+    import s.implicits._
     val ranked = pairs
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("r"), col("xi"), col("xj"))) - 1)
+      .repartitionByRange(col("r"), col("xi"), col("xj"))
+      .sortWithinPartitions("r", "xi", "xj")
+      .select(col("r"), col("xi"), col("xj"), col("dy"), col("dx"))
+      .as[(Double, Long, Long, Long, Long)]
+      .rdd.zipWithIndex()
+      .map { case ((_, _, _, dy, dx), rk) => (rk, dy, dx) }
+      .toDF("rk", "dy", "dx")
     val n = broadcast(ranked.agg(count(lit(1)).as("n")))
     ranked.crossJoin(n)
       .filter(col("rk") === expr("(n - 1) DIV 2"))
