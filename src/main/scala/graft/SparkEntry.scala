@@ -314,6 +314,9 @@ object SparkEntry {
     "analytics_abandon_rate" -> (Analytics.abandonRate(_, _)),
     "analytics_abc_class" -> (Analytics.abcParts(_, _)),
     "analytics_repeat_rate" -> (Analytics.repeatRate(_, _)),
+    "analytics_open_orders" -> (Analytics.openOrders(_, _)),
+    "analytics_rolling_corr" -> (Analytics.rollingCorr(_, _)),
+    "graph_kcore" -> (graft.operators.Graph.kCore(_, _)),
     "analytics_rfm_migration" -> (Analytics.rfmMigration(_, _)),
     "dim_scd2_serve" -> (Temporal.scd2Serve(_, _)),
     "graph_clustering_coeff" ->
@@ -5047,6 +5050,49 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE n >= 2) AS BIGINT) * 1000000
         |    // COUNT(*) AS repeat_ppm
         |FROM pc GROUP BY 1""".stripMargin,
+    // sweep-line order-book depth: ±1 day-grain deltas, one running
+    // sum over the bounded day spine — exact integers end to end
+    "analytics_open_orders" ->
+      """WITH cl AS (SELECT l_orderkey AS ok,
+        |    MAX(CAST(l_shipdate AS DATE)) AS close_d
+        |  FROM lineitem GROUP BY 1),
+        |sp AS (SELECT CAST(o_orderdate AS DATE) AS open_d,
+        |    greatest(close_d, CAST(o_orderdate AS DATE)) AS close_d
+        |  FROM orders JOIN cl ON o_orderkey = ok),
+        |ev AS (SELECT open_d AS day, 1 AS delta FROM sp
+        |  UNION ALL SELECT close_d + 1, -1 FROM sp),
+        |dl AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS delta
+        |  FROM ev GROUP BY 1)
+        |SELECT day,
+        |  CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT) AS n_open
+        |FROM dl""".stripMargin,
+    // exact DECIMAL window moments over the daily rollup; one
+    // double-expression finish per row (autocorr discipline);
+    // complete 28-day windows only
+    "analytics_rolling_corr" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(COUNT(*) AS DECIMAL(19,0)) AS x,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS DECIMAL(19,0)) AS y
+        |  FROM orders GROUP BY 1),
+        |mo AS (SELECT day,
+        |  COUNT(*) OVER w AS n,
+        |  SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+        |  SUM(CAST(x * y AS DECIMAL(38,0))) OVER w AS sxy,
+        |  SUM(CAST(x * x AS DECIMAL(38,0))) OVER w AS sxx,
+        |  SUM(CAST(y * y AS DECIMAL(38,0))) OVER w AS syy
+        | FROM daily
+        | WINDOW w AS (ORDER BY day ROWS BETWEEN 27 PRECEDING
+        |   AND CURRENT ROW))
+        |SELECT day,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  AS corr28
+        |FROM mo WHERE n = 28""".stripMargin,
     // spend quartiles per half-span, full-outer matrix; seg 0 =
     // absent that half
     "analytics_rfm_migration" ->

@@ -2356,13 +2356,17 @@ object Analytics {
   /** Order-to-ship latency percentiles per order priority — the
     * fulfilment-SLA readout (p50/p90/p99 days from order to ship).
     * The delay column needs the lineitem⋈orders fact-fact join (both
-    * sides shuffle on the order key; AQE coalesces), then the exact
-    * per-group quantiles run through the bounded-memory range-count
-    * descent ([[graft.operators.Quantiles]]) — O(1) executor state,
-    * no Percentile buffer, same machinery as
-    * `analytics_exact_quantiles`. Priorities are ≤5 groups, so the
-    * descent's driver state is trivial; the 100 TB cost is the one
-    * keyed join.
+    * sides shuffle on the order key; AQE coalesces). Unlike the
+    * continuous-double case ([[graft.operators.Quantiles]]' descent,
+    * showcased by `analytics_exact_quantiles`), order→ship delay is a
+    * BOUNDED INTEGER domain (days, ≤ ~4 months by TPC-H generation
+    * rule), so the exact interpolated quantile needs only ONE pass: a
+    * map-side-combined frequency rollup to ≤ priorities × ~130 rows,
+    * a per-priority cumulative count over that tiny table, and the
+    * two order statistics around rank (n−1)·q read off the cumulative
+    * ranges. At 100 TB the fact join is the entire cost; everything
+    * after it is kilobytes. (The descent variant re-scanned the join
+    * once per pass — 3× the work for the same answer.)
     */
   def shipLatency(s: SparkSession, d: String): DataFrame = {
     val delays = Tables.lineitem(s, d)
@@ -2373,9 +2377,35 @@ object Analytics {
       .select(col("o_orderpriority"),
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
           .cast("long").as("delay_days"))
-    graft.operators.Quantiles.groupQuantiles(
-      delays, Seq("o_orderpriority"), "delay_days",
-      Seq("p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99))
+    val freq = delays.groupBy(col("o_orderpriority"), col("delay_days"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("delay_days")
+    // [rlo, rhi) = the 0-based rank range each distinct delay covers
+    val cum = freq
+      .withColumn("rhi", sum(col("c")).over(w))
+      .withColumn("rlo", col("rhi") - col("c"))
+      // group size from the same partitioning — one shuffle, reused
+      .withColumn("n", max(col("rhi")).over(
+        Window.partitionBy("o_orderpriority")))
+    // quantile_cont: h = (n-1)·q; interpolate the order statistics at
+    // floor(h) and ceil(h). n is constant per group, so grouping by
+    // it keeps h expressible after the aggregate.
+    val qs = Seq("p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99)
+    def stat(rank: Column): Column =
+      max(when(col("rlo") <= rank && rank < col("rhi"), col("delay_days")))
+    val aggs = qs.flatMap { case (name, q) =>
+      val h = (col("n") - 1) * lit(q)
+      Seq(stat(floor(h)).as(s"__f_$name"), stat(ceil(h)).as(s"__c_$name"))
+    }
+    val picked = cum
+      .groupBy(col("o_orderpriority"), col("n"))
+      .agg(aggs.head, aggs.tail: _*)
+    val outs = qs.map { case (name, q) =>
+      val h = (col("n") - 1) * lit(q)
+      round((col(s"__f_$name") + (h - floor(h)) *
+        (col(s"__c_$name") - col(s"__f_$name"))).cast("double"), 6).as(name)
+    }
+    picked.select(col("o_orderpriority") +: outs: _*)
   }
 
   /** Click-abandonment rate per day: clicks with NO purchase by the
@@ -3159,5 +3189,82 @@ object Analytics {
       .agg(count(lit(1)).as("n_customers"),
         count(when(col("n_orders") >= 2, 1)).as("n_repeat"))
       .withColumn("repeat_ppm", expr("n_repeat * 1000000 DIV n_customers"))
+  }
+
+  /** Open-order-book depth per day — the SWEEP-LINE interval-stabbing
+    * shape (how many orders are in flight on each event day, where an
+    * order is open from `o_orderdate` through its last lineitem
+    * receipt). The classic form is a self-join of days against
+    * intervals (quadratic); the sweep form is two shuffles: per-order
+    * close date (grouped max over lineitem), then ±1 deltas rolled up
+    * to day grain and one cumulative sum over the day spine. Depth
+    * changes only on event days, so the output carries one row per
+    * day with activity. The final window orders the DAY-GRAIN rollup
+    * — a few thousand rows at any corpus size (days are bounded by
+    * the calendar, not the data), so the single-partition sort is
+    * constant work; everything fact-sized is map-side combined before
+    * it. Reference: the order-lifecycle span the trade topology
+    * tracks between create and the terminal event
+    * (DwdTradeOrderDetail.java:1 / DwdTradePayDetailSuc.java:1).
+    */
+  def openOrders(s: SparkSession, d: String): DataFrame = {
+    val close = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("close_d"))
+    val spans = Tables.orders(s, d)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("open_d"))
+      .join(close, col("o_orderkey") === col("l_orderkey"))
+      // the synthetic generator emits some ship dates BEFORE the
+      // order date; an order is open at least on its order day, so
+      // clamp — otherwise the inverted span's -1 lands before its +1
+      // and the running depth undercounts
+      .withColumn("close_d", greatest(col("close_d"), col("open_d")))
+    val deltas = spans.select(col("open_d").as("day"), lit(1L).as("delta"))
+      .unionAll(spans.select(date_add(col("close_d"), 1).as("day"),
+        lit(-1L).as("delta")))
+      .groupBy(col("day")).agg(sum(col("delta")).as("delta"))
+    deltas
+      .withColumn("n_open", sum(col("delta")).over(Window.orderBy(col("day"))))
+      .select(col("day"), col("n_open"))
+  }
+
+  /** Rolling 28-day Pearson correlation between daily order count and
+    * daily GMV — "do busier days also spend more, and is that
+    * coupling stable?" (the windowed companion to the global
+    * [[exactCorr]] / [[autocorrGmv]] family). Moments ride exact
+    * DECIMAL window sums over the day-grain rollup; each output row
+    * finishes the textbook formula in one double expression from
+    * exact inputs (engine-exact, so round-6 hashes match DuckDB).
+    * Only complete windows emit. The windows run over the daily
+    * pre-aggregate — calendar-bounded rows, so the unpartitioned
+    * frame is constant work at any fact size.
+    */
+  def rollingCorr(s: SparkSession, d: String, w: Int = 28): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long")).as("g"))
+    // DECIMAL(19) inputs → 128-bit products on both engines (the
+    // autocorr discipline); sums widen to DECIMAL(38)
+    val x = col("n_orders").cast(DecimalType(19, 0))
+    val y = col("g").cast(DecimalType(19, 0))
+    val win = Window.orderBy(col("day")).rowsBetween(-(w - 1), 0)
+    daily.select(col("day"),
+        count(lit(1)).over(win).as("n"),
+        sum(x).over(win).as("sx"), sum(y).over(win).as("sy"),
+        sum((x * y).cast(DecimalType(38, 0))).over(win).as("sxy"),
+        sum((x * x).cast(DecimalType(38, 0))).over(win).as("sxx"),
+        sum((y * y).cast(DecimalType(38, 0))).over(win).as("syy"))
+      .filter(col("n") === w)
+      .select(col("day"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("corr28"))
   }
 }

@@ -1893,6 +1893,40 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("open orders: sweep-line depth is nonnegative and drains to zero") {
+    val rs = graft.warehouse.Analytics.openOrders(s, d)
+      .orderBy("day").collect()
+    assert(rs.nonEmpty)
+    val depths = rs.map(_.getAs[Long]("n_open"))
+    assert(depths.forall(_ >= 0L), "depth went negative")
+    assert(depths.last === 0L, "book did not drain after the last close")
+    val nOrders = graft.sources.Tables.orders(s, d).count()
+    assert(depths.max <= nOrders)
+    // depth on a probe day equals the direct interval-stabbing count
+    val probe = rs(rs.length / 2)
+    val day = probe.getAs[java.sql.Date]("day")
+    val direct = graft.sources.Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("close_d"))
+      .join(graft.sources.Tables.orders(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(to_date(col("o_orderdate")) <= lit(day) &&
+        greatest(col("close_d"), to_date(col("o_orderdate"))) >= lit(day))
+      .count()
+    assert(probe.getAs[Long]("n_open") === direct)
+  }
+
+  test("rolling corr: complete windows only, values inside [-1, 1]") {
+    val rs = graft.warehouse.Analytics.rollingCorr(s, d).collect()
+    val nDays = graft.sources.Tables.orders(s, d)
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    assert(rs.length === (nDays - 27).max(0))
+    rs.foreach { r =>
+      val c = r.getAs[Double]("corr28")
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $r")
+    }
+  }
+
   test("profile: key column is unique and null-free, ranges ordered") {
     val rs = graft.warehouse.Quality.profile(s, d).collect()
       .map(r => r.getAs[String]("column_name") -> r).toMap
