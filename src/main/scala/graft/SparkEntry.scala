@@ -316,6 +316,8 @@ object SparkEntry {
     "analytics_repeat_rate" -> (Analytics.repeatRate(_, _)),
     "analytics_open_orders" -> (Analytics.openOrders(_, _)),
     "analytics_rolling_corr" -> (Analytics.rollingCorr(_, _)),
+    "analytics_quantity_quantiles" -> (Analytics.quantityQuantiles(_, _)),
+    "analytics_nation_trend" -> (Analytics.nationTrend(_, _)),
     "graph_kcore" -> (graft.operators.Graph.kCore(_, _)),
     "analytics_rfm_migration" -> (Analytics.rfmMigration(_, _)),
     "dim_scd2_serve" -> (Temporal.scd2Serve(_, _)),
@@ -5093,6 +5095,43 @@ object SparkEntry {
         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |  AS corr28
         |FROM mo WHERE n = 28""".stripMargin,
+    // bounded-domain one-pass exact quantiles (quantity 1..50);
+    // quantile_cont contract
+    "analytics_quantity_quantiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(CAST(l_quantity AS BIGINT), 0.25), 6) AS p25,
+        | round(quantile_cont(CAST(l_quantity AS BIGINT), 0.50), 6) AS p50,
+        | round(quantile_cont(CAST(l_quantity AS BIGINT), 0.75), 6) AS p75,
+        | round(quantile_cont(CAST(l_quantity AS BIGINT), 0.95), 6) AS p95
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // grouped OLS: exact DECIMAL moments per nation, one double
+    // finish (trend_ols discipline, per group)
+    "analytics_nation_trend" ->
+      """WITH daily AS (
+        | SELECT n_name,
+        |  datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS day_num,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS g
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY 1, 2),
+        |mo AS (SELECT n_name, COUNT(*) AS n,
+        |  SUM(CAST(day_num AS DECIMAL(19,0))) AS sx,
+        |  SUM(CAST(g AS DECIMAL(19,0))) AS sy,
+        |  SUM(CAST(CAST(day_num AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS sxy,
+        |  SUM(CAST(CAST(day_num AS DECIMAL(19,0))
+        |    * CAST(day_num AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxx
+        | FROM daily GROUP BY 1)
+        |SELECT n_name, n,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |  AS slope_cents_per_day
+        |FROM mo""".stripMargin,
     // spend quartiles per half-span, full-outer matrix; seg 0 =
     // absent that half
     "analytics_rfm_migration" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
@@ -185,6 +185,52 @@ object Quantiles {
     * counts + in-bucket min/max, then descend each target into the
     * bucket containing its rank.
     */
+  /** Exact interpolated quantiles in ONE pass for BOUNDED-DOMAIN
+    * value columns (integer days, quantities, bucketed codes — any
+    * column whose distinct-count is data-independent). Where the
+    * descent above trades passes for O(1) state on continuous
+    * domains, a bounded domain needs neither: a map-side-combined
+    * frequency rollup shrinks the fact to (groups × domain) rows,
+    * a per-group cumulative count assigns each distinct value its
+    * 0-based rank range [rlo, rhi), and the two order statistics
+    * around rank h = (n−1)·q are read off those ranges and
+    * interpolated (the `quantile_cont` contract, same as the
+    * descent and the DuckDB oracle). At any fact size the only
+    * fact-shaped work is the first aggregation; the windows run
+    * over the tiny rollup. Output: groupCols ++ one round-6 double
+    * per quantile.
+    */
+  def boundedDomainQuantiles(fact: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val freq = fact.groupBy((gcols :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    val cum = freq
+      .withColumn("__rhi", sum(col("__c")).over(w))
+      .withColumn("__rlo", col("__rhi") - col("__c"))
+      // group size from the same partitioning — one shuffle, reused
+      .withColumn("__n", max(col("__rhi")).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    // h = (n-1)·q is constant per group; grouping by __n keeps it
+    // expressible after the aggregate
+    def stat(rank: Column): Column =
+      max(when(col("__rlo") <= rank && rank < col("__rhi"), col(valueCol)))
+    val aggs = ps.flatMap { case (name, q) =>
+      val h = (col("__n") - 1) * lit(q)
+      Seq(stat(floor(h)).as(s"__f_$name"), stat(ceil(h)).as(s"__c_$name"))
+    }
+    val picked = cum.groupBy((gcols :+ col("__n")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val outs = ps.map { case (name, q) =>
+      val h = (col("__n") - 1) * lit(q)
+      round((col(s"__f_$name") + (h - floor(h)) *
+        (col(s"__c_$name") - col(s"__f_$name"))).cast("double"), 6).as(name)
+    }
+    picked.select(gcols ++ outs: _*)
+  }
+
   private def descend(spark: SparkSession, fact: DataFrame,
       open: Seq[(Target, State)], buckets: Int): Unit = {
     val stateRows = open.map { case (t, st) =>

@@ -2377,36 +2377,25 @@ object Analytics {
       .select(col("o_orderpriority"),
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
           .cast("long").as("delay_days"))
-    val freq = delays.groupBy(col("o_orderpriority"), col("delay_days"))
-      .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy("o_orderpriority").orderBy("delay_days")
-    // [rlo, rhi) = the 0-based rank range each distinct delay covers
-    val cum = freq
-      .withColumn("rhi", sum(col("c")).over(w))
-      .withColumn("rlo", col("rhi") - col("c"))
-      // group size from the same partitioning — one shuffle, reused
-      .withColumn("n", max(col("rhi")).over(
-        Window.partitionBy("o_orderpriority")))
-    // quantile_cont: h = (n-1)·q; interpolate the order statistics at
-    // floor(h) and ceil(h). n is constant per group, so grouping by
-    // it keeps h expressible after the aggregate.
-    val qs = Seq("p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99)
-    def stat(rank: Column): Column =
-      max(when(col("rlo") <= rank && rank < col("rhi"), col("delay_days")))
-    val aggs = qs.flatMap { case (name, q) =>
-      val h = (col("n") - 1) * lit(q)
-      Seq(stat(floor(h)).as(s"__f_$name"), stat(ceil(h)).as(s"__c_$name"))
-    }
-    val picked = cum
-      .groupBy(col("o_orderpriority"), col("n"))
-      .agg(aggs.head, aggs.tail: _*)
-    val outs = qs.map { case (name, q) =>
-      val h = (col("n") - 1) * lit(q)
-      round((col(s"__f_$name") + (h - floor(h)) *
-        (col(s"__c_$name") - col(s"__f_$name"))).cast("double"), 6).as(name)
-    }
-    picked.select(col("o_orderpriority") +: outs: _*)
+    graft.operators.Quantiles.boundedDomainQuantiles(
+      delays, Seq("o_orderpriority"), "delay_days",
+      Seq("p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99))
   }
+
+  /** Line-quantity quantiles per return flag — the order-size profile
+    * split by outcome (did returned merchandise skew toward larger
+    * lines?). Quantity is the textbook bounded domain (integers
+    * 1..50), so this rides the one-pass frequency machinery
+    * ([[graft.operators.Quantiles.boundedDomainQuantiles]]): one
+    * map-side-combined rollup of the fact, windows over ≤ 3×50 rows.
+    */
+  def quantityQuantiles(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quantiles.boundedDomainQuantiles(
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("long")
+          .as("qty")),
+      Seq("l_returnflag"), "qty",
+      Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75, "p95" -> 0.95))
 
   /** Click-abandonment rate per day: clicks with NO purchase by the
     * same user inside the next `horizonSeconds` (the cart-abandon KPI
@@ -3266,5 +3255,42 @@ object Analytics {
            sqrt(col("n").cast("double") * col("syy").cast("double") -
             col("sy").cast("double") * col("sy").cast("double"))), 6)
           .as("corr28"))
+  }
+
+  /** Per-market revenue trend — the GROUPED dual of [[trendOls]]'s
+    * global regression: one OLS slope (cents/day) and intercept per
+    * customer nation, answering "which markets are growing and which
+    * are flat?" in one pass. The orders⋈customer⋈nation join rolls up
+    * to (nation, day) grain — map-side combinable, so each executor
+    * ships at most nations × days partial rows — then the moment sums
+    * are exact DECIMALs per nation and the slope finishes in one
+    * double expression per group (round-6, the autocorr discipline).
+    * No windows, no per-group iteration: 25 regressions as ONE
+    * aggregation tree.
+    */
+  def nationTrend(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+    val x = col("day_num").cast(DecimalType(19, 0))
+    val y = col("g").cast(DecimalType(19, 0))
+    daily.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast(DecimalType(38, 0))).as("sxy"),
+        sum((x * x).cast(DecimalType(38, 0))).as("sxx"))
+      .select(col("n_name"), col("n"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("slope_cents_per_day"))
   }
 }

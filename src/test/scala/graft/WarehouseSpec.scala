@@ -1927,6 +1927,50 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("quantity quantiles: frequency machinery equals percentile() exactly") {
+    val rs = graft.warehouse.Analytics.quantityQuantiles(s, d).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    assert(rs.size === 3)
+    // Spark's exact interpolated percentile is the same contract —
+    // fine as a cross-check at test scale (it's the 100 TB buffer
+    // hazard the frequency machinery avoids, not a different answer)
+    val exp = graft.sources.Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity").cast("long"), lit(0.5)).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rs.foreach { case (flag, r) =>
+      assert(r.getAs[Double]("p50") === exp(flag))
+      assert(r.getAs[Double]("p25") <= r.getAs[Double]("p50"))
+      assert(r.getAs[Double]("p75") <= r.getAs[Double]("p95"))
+    }
+  }
+
+  test("nation trend: one regression per nation, slope replays in BigInt") {
+    val rs = graft.warehouse.Analytics.nationTrend(s, d).collect()
+    assert(rs.length === 25)
+    // replay the slope formula for one nation from exact moments
+    val probe = rs.minBy(_.getAs[String]("n_name"))
+    val daily = graft.sources.Tables.orders(s, d)
+      .join(graft.sources.Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.sources.Tables.nation(s, d),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === probe.getAs[String]("n_name"))
+      .groupBy(datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date")).cast("long").as("dn"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+      .collect().map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1))))
+    val n = BigInt(daily.length)
+    val sx = daily.map(_._1).sum; val sy = daily.map(_._2).sum
+    val sxy = daily.map(p => p._1 * p._2).sum
+    val sxx = daily.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(probe.getAs[Long]("n") === daily.length.toLong)
+    assert(math.abs(probe.getAs[Double]("slope_cents_per_day") -
+      math.rint(slope * 1e6) / 1e6) < 1e-9)
+  }
+
   test("profile: key column is unique and null-free, ranges ordered") {
     val rs = graft.warehouse.Quality.profile(s, d).collect()
       .map(r => r.getAs[String]("column_name") -> r).toMap
