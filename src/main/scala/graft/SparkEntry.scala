@@ -319,6 +319,7 @@ object SparkEntry {
     "analytics_quantity_quantiles" -> (Analytics.quantityQuantiles(_, _)),
     "analytics_nation_trend" -> (Analytics.nationTrend(_, _)),
     "graph_kcore" -> (graft.operators.Graph.kCore(_, _)),
+    "sim_recall_eval" -> (Similarity.annRecallEval(_, _)),
     "analytics_rfm_migration" -> (Analytics.rfmMigration(_, _)),
     "dim_scd2_serve" -> (Temporal.scd2Serve(_, _)),
     "graph_clustering_coeff" ->

@@ -912,4 +912,31 @@ object Similarity {
        |    ORDER BY sim2_ppm DESC, vec_a, vec_b) AS rn FROM scored)
        |WHERE rn <= $topN""".stripMargin
   }
+
+  /** ANN recall evaluation — "measure, don't guess" as a first-class
+    * relation: per query, how many of the exact cosine top-k does the
+    * IVF index actually return? Joins the [[annIvf]] result set
+    * against the [[bruteForceTopK]] ground truth (semi-join on
+    * (query, neighbor)), emits integer hit counts and recall ppm so
+    * the quality of the scale path is a graded, hashable table rather
+    * than a number buried in a spec log. Both inputs are rank-only
+    * relations, so the eval inherits their determinism; queries the
+    * index misses entirely still surface (outer join, 0 hits). The
+    * 100 TB story is the inputs': this adds one broadcast-sized join
+    * over 2·nQueries·k rows.
+    */
+  def annRecallEval(s: SparkSession, d: String, nQueries: Int = 20,
+      k: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(s, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annIvf(s, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+        "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_ppm", expr(s"n_hits * 1000000 DIV $k"))
+  }
 }

@@ -289,6 +289,22 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("ANN recall eval: per-query ppm agrees with the set computation") {
+    val rs = Similarity.annRecallEval(s, d).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm"))).toMap
+    val bf = Similarity.bruteForceTopK(s, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val ivf = Similarity.annIvf(s, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(rs.keySet === bf.map(_._1).toSet)
+    bf.groupBy(_._1).foreach { case (q, nbrs) =>
+      val hits = nbrs.count(ivf.contains).toLong
+      assert(rs(q)._1 === hits, s"query $q")
+      assert(rs(q)._2 === hits * 1000000L / 5)
+    }
+  }
+
   test("MIPS: augmented-IVF recalls the brute-force inner-product top-k") {
     // driver brute force on RAW inner product (not cosine)
     val vecs = graft.sources.Tables.embeddings(s, d)
