@@ -320,6 +320,7 @@ object SparkEntry {
     "analytics_nation_trend" -> (Analytics.nationTrend(_, _)),
     "graph_kcore" -> (graft.operators.Graph.kCore(_, _)),
     "sim_recall_eval" -> (Similarity.annRecallEval(_, _)),
+    "analytics_backlog_age" -> (Analytics.backlogAge(_, _)),
     "analytics_rfm_migration" -> (Analytics.rfmMigration(_, _)),
     "dim_scd2_serve" -> (Temporal.scd2Serve(_, _)),
     "graph_clustering_coeff" ->
@@ -5133,6 +5134,24 @@ object SparkEntry {
         |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
         |  AS slope_cents_per_day
         |FROM mo""".stripMargin,
+    // backlog aging at the horizon−365d snapshot: clamped spans,
+    // global bounded-domain quantiles (quantile_cont contract)
+    "analytics_backlog_age" ->
+      """WITH cl AS (SELECT l_orderkey AS ok,
+        |    MAX(CAST(l_shipdate AS DATE)) AS close_d
+        |  FROM lineitem GROUP BY 1),
+        |sp AS (SELECT CAST(o_orderdate AS DATE) AS open_d,
+        |    greatest(close_d, CAST(o_orderdate AS DATE)) AS close_d
+        |  FROM orders JOIN cl ON o_orderkey = ok),
+        |snap AS (SELECT MAX(CAST(o_orderdate AS DATE)) - 365 AS snap_d
+        |  FROM orders),
+        |ages AS (SELECT datediff('day', open_d, snap_d) AS age_days
+        |  FROM sp CROSS JOIN snap
+        |  WHERE open_d <= snap_d AND close_d >= snap_d)
+        |SELECT round(quantile_cont(age_days, 0.50), 6) AS p50,
+        |  round(quantile_cont(age_days, 0.90), 6) AS p90,
+        |  round(quantile_cont(age_days, 0.99), 6) AS p99
+        |FROM ages""".stripMargin,
     // spend quartiles per half-span, full-outer matrix; seg 0 =
     // absent that half
     "analytics_rfm_migration" ->

@@ -3257,6 +3257,35 @@ object Analytics {
           .as("corr28"))
   }
 
+  /** Backlog aging at a snapshot — how OLD are the orders still in
+    * flight one year before the dataset's horizon? Composes the
+    * [[openOrders]] span derivation (clamped order→last-ship
+    * intervals) with the bounded-domain quantile machinery on its
+    * GLOBAL path (no grouping): ages are calendar-bounded integer
+    * days, so the exact p50/p90/p99 need one frequency rollup. The
+    * snapshot date is a 1-row broadcast aggregate, never a driver
+    * constant, so the query stays a single declarative plan.
+    */
+  def backlogAge(s: SparkSession, d: String): DataFrame = {
+    val close = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("close_d"))
+    val spans = Tables.orders(s, d)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("open_d"))
+      .join(close, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("close_d", greatest(col("close_d"), col("open_d")))
+    val snap = Tables.orders(s, d)
+      .agg(date_sub(max(to_date(col("o_orderdate"))), 365).as("snap_d"))
+    val ages = spans.crossJoin(broadcast(snap))
+      .filter(col("open_d") <= col("snap_d") &&
+        col("close_d") >= col("snap_d"))
+      .select(datediff(col("snap_d"), col("open_d")).cast("long")
+        .as("age_days"))
+    graft.operators.Quantiles.boundedDomainQuantiles(
+      ages, Seq.empty, "age_days",
+      Seq("p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99))
+  }
+
   /** Per-market revenue trend — the GROUPED dual of [[trendOls]]'s
     * global regression: one OLS slope (cents/day) and intercept per
     * customer nation, answering "which markets are growing and which

@@ -1971,6 +1971,32 @@ class WarehouseSpec extends AnyFunSuite {
       math.rint(slope * 1e6) / 1e6) < 1e-9)
   }
 
+  test("backlog age: global quantiles ordered and equal to percentile()") {
+    val r = graft.warehouse.Analytics.backlogAge(s, d).collect()
+    assert(r.length === 1)
+    val (p50, p90, p99) = (r(0).getAs[Double]("p50"),
+      r(0).getAs[Double]("p90"), r(0).getAs[Double]("p99"))
+    assert(p50 >= 0 && p50 <= p90 && p90 <= p99)
+    // replay the age set and cross-check the median against Spark's
+    // exact percentile (same interpolation contract)
+    val close = graft.sources.Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("close_d"))
+    val snap = graft.sources.Tables.orders(s, d)
+      .agg(date_sub(max(to_date(col("o_orderdate"))), 365).as("snap_d"))
+    val exp = graft.sources.Tables.orders(s, d)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("open_d"))
+      .join(close, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("close_d", greatest(col("close_d"), col("open_d")))
+      .crossJoin(broadcast(snap))
+      .filter(col("open_d") <= col("snap_d") &&
+        col("close_d") >= col("snap_d"))
+      .agg(percentile(datediff(col("snap_d"), col("open_d"))
+        .cast("long"), lit(0.5)))
+      .collect()(0).getDouble(0)
+    assert(p50 === exp)
+  }
+
   test("profile: key column is unique and null-free, ranges ordered") {
     val rs = graft.warehouse.Quality.profile(s, d).collect()
       .map(r => r.getAs[String]("column_name") -> r).toMap
