@@ -321,6 +321,7 @@ object SparkEntry {
     "graph_kcore" -> (graft.operators.Graph.kCore(_, _)),
     "sim_recall_eval" -> (Similarity.annRecallEval(_, _)),
     "analytics_backlog_age" -> (Analytics.backlogAge(_, _)),
+    "dq_chi2_dow" -> (Quality.chi2Dow(_, _)),
     "analytics_rfm_migration" -> (Analytics.rfmMigration(_, _)),
     "dim_scd2_serve" -> (Temporal.scd2Serve(_, _)),
     "graph_clustering_coeff" ->
@@ -5152,6 +5153,23 @@ object SparkEntry {
         |  round(quantile_cont(age_days, 0.90), 6) AS p90,
         |  round(quantile_cont(age_days, 0.99), 6) AS p99
         |FROM ages""".stripMargin,
+    // chi-square GOF vs DOW uniformity: cleared denominators, one
+    // final truncating DIV (milli), df=6 critical value 12.592
+    // cross-multiplied
+    "dq_chi2_dow" ->
+      """WITH dow AS (SELECT dayofweek(CAST(o_orderdate AS DATE)) + 1
+        |    AS dw, COUNT(*) AS o
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM dow),
+        |sq AS (SELECT n,
+        |  SUM(CAST(o * 7 - n AS DECIMAL(38,0))
+        |    * CAST(o * 7 - n AS DECIMAL(38,0))) AS ssq
+        | FROM dow CROSS JOIN tot GROUP BY 1)
+        |SELECT n,
+        | CAST(ssq * 1000 // (7 * n) AS BIGINT) AS chi2_milli,
+        | CAST(CASE WHEN ssq * 1000 > CAST(12592 AS DECIMAL(38,0))
+        |   * 7 * n THEN 1 ELSE 0 END AS BIGINT) AS nonuniform_flag
+        |FROM sq""".stripMargin,
     // spend quartiles per half-span, full-outer matrix; seg 0 =
     // absent that half
     "analytics_rfm_migration" ->

@@ -361,6 +361,35 @@ object Quality {
           THEN 1 ELSE 0 END AS BIGINT)""").as("nonrandom_flag"))
   }
 
+  /** Chi-square goodness-of-fit of order volume against day-of-week
+    * uniformity — the categorical drift test the suite's continuous
+    * tests (PSI/KS/Mann-Whitney/Wasserstein) don't cover: is order
+    * arrival flat across weekdays, or does the feed have a weekly
+    * pulse? χ² = Σ(oᵢ−n/7)²/(n/7) clears denominators to
+    * Σ(7oᵢ−n)²·1000 / (7n) — exact integers until ONE final DIV
+    * (milli-units), with the squares in DECIMAL(38) so the stat
+    * survives any n. Two tiny aggregations over the 7-row DOW
+    * rollup; the flag compares against the df=6, α=0.05 critical
+    * value 12.592 cross-multiplied (the runs-test discipline).
+    */
+  def chi2Dow(s: SparkSession, d: String): DataFrame = {
+    val dow = Tables.orders(s, d)
+      .groupBy(dayofweek(to_date(col("o_orderdate"))).cast("long").as("dw"))
+      .agg(count(lit(1)).as("o"))
+    val tot = dow.agg(sum(col("o")).as("n"))
+    dow.crossJoin(broadcast(tot))
+      .select(col("n"),
+        ((col("o") * 7 - col("n")).cast(DecimalType(38, 0)) *
+          (col("o") * 7 - col("n")).cast(DecimalType(38, 0))).as("sq"))
+      .groupBy(col("n"))
+      .agg(sum(col("sq")).as("ssq"))
+      .select(col("n"),
+        expr("CAST(ssq * 1000 DIV (7 * n) AS BIGINT)").as("chi2_milli"),
+        // χ² > 12.592 (df=6, α=.05) ⇔ 1000·ssq > 12592·7n
+        expr("""CAST(CASE WHEN ssq * 1000 > CAST(12592 AS DECIMAL(38,0))
+            * 7 * n THEN 1 ELSE 0 END AS BIGINT)""").as("nonuniform_flag"))
+  }
+
   /** Cross-table totals reconciliation — does the order header's
     * `o_totalprice` equal the revenue reconstructed from its line
     * items (Σ extendedprice·(1+tax)·(1−discount))? On real TPC-H

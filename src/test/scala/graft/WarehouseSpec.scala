@@ -1997,6 +1997,21 @@ class WarehouseSpec extends AnyFunSuite {
     assert(p50 === exp)
   }
 
+  test("chi2 DOW: stat replays in BigInt, flag matches the critical value") {
+    val r = graft.warehouse.Quality.chi2Dow(s, d).collect()
+    assert(r.length === 1)
+    val counts = graft.sources.Tables.orders(s, d)
+      .groupBy(dayofweek(to_date(col("o_orderdate"))))
+      .agg(count(lit(1))).collect().map(x => BigInt(x.getLong(1)))
+    assert(counts.length === 7)
+    val n = counts.sum
+    val ssq = counts.map(o => (o * 7 - n) * (o * 7 - n)).sum
+    assert(BigInt(r(0).getAs[Long]("n")) === n)
+    assert(BigInt(r(0).getAs[Long]("chi2_milli")) === ssq * 1000 / (7 * n))
+    val flag = if (ssq * 1000 > BigInt(12592) * 7 * n) 1L else 0L
+    assert(r(0).getAs[Long]("nonuniform_flag") === flag)
+  }
+
   test("profile: key column is unique and null-free, ranges ordered") {
     val rs = graft.warehouse.Quality.profile(s, d).collect()
       .map(r => r.getAs[String]("column_name") -> r).toMap
