@@ -106,7 +106,11 @@ class PlanLintSpec extends AnyFunSuite {
     "analytics_decayed_score", "analytics_forecast_interval",
     "sim_ann_sq8", "analytics_season_strength", "analytics_theil_sen",
     "dedup_modality_agreement", "dq_spc_residual",
-    "pipeline_shuffle_quality", "text_burstiness")
+    "pipeline_shuffle_quality", "text_burstiness",
+    // r6 additions: backlog_age crossJoins the 1-row snapshot-date
+    // aggregate; chi2_dow crossJoins the 1-row total; recall_eval
+    // inherits sim_topk_bruteforce's broadcast non-equi query join
+    "analytics_backlog_age", "dq_chi2_dow", "sim_recall_eval")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
