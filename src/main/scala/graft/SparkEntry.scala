@@ -226,6 +226,12 @@ object SparkEntry {
     "dq_order_reconcile" -> (Quality.orderReconcile(_, _)),
     "temporal_interval_union" ->
       (graft.operators.Temporal.intervalUnion(_, _)),
+    "temporal_gaps" -> (graft.operators.Temporal.intervalGaps(_, _)),
+    "analytics_ab_cuped" -> (Analytics.abCuped(_, _)),
+    "analytics_price_volume_mix" -> (Analytics.priceVolumeMix(_, _)),
+    "layout_zonemap" -> ((s, dir) =>
+      graft.sources.ZOrder.zoneMapAudit(s, dir)),
+    "sim_batch_diversity" -> (Similarity.batchDiversity(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4044,6 +4050,160 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_islands,
         | CAST(SUM(en - st) AS BIGINT) AS covered_us
         |FROM i GROUP BY 1""".stripMargin,
+    "temporal_gaps" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  epoch_us(ts) + 300000000 AS en FROM events),
+        |f AS (SELECT user_id, event_id, us, en,
+        |  CASE WHEN max(en) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |   OR us > max(en) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  THEN 1 ELSE 0 END AS fresh
+        | FROM e),
+        |g AS (SELECT user_id, us, en,
+        |  SUM(fresh) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM f),
+        |i AS (SELECT user_id, island, MIN(us) AS st, MAX(en) AS en
+        |      FROM g GROUP BY 1, 2),
+        |j AS (SELECT user_id, st,
+        |  lag(en) OVER (PARTITION BY user_id ORDER BY island) AS prev_en
+        | FROM i)
+        |SELECT user_id, COUNT(prev_en) AS n_gaps,
+        | COALESCE(CAST(SUM(st - prev_en) AS BIGINT), 0) AS idle_us,
+        | COALESCE(CAST(MAX(st - prev_en) AS BIGINT), 0) AS max_gap_us
+        |FROM j GROUP BY 1""".stripMargin,
+    "analytics_ab_cuped" ->
+      """WITH pu AS (
+        | SELECT user_id,
+        |  COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND epoch_us(ts) < 1705363200000000
+        |    THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    END), 0) AS pre,
+        |  COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND epoch_us(ts) >= 1705363200000000
+        |    THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    END), 0) AS post
+        | FROM events GROUP BY 1),
+        |m AS (SELECT user_id % 2 AS grp, COUNT(*) AS n,
+        |  SUM(CAST(pre AS DECIMAL(19,0))) AS sx,
+        |  SUM(CAST(post AS DECIMAL(19,0))) AS sy,
+        |  SUM(CAST(CAST(pre AS DECIMAL(19,0))
+        |    * CAST(post AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxy,
+        |  SUM(CAST(CAST(pre AS DECIMAL(19,0))
+        |    * CAST(pre AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxx,
+        |  SUM(CAST(CAST(post AS DECIMAL(19,0))
+        |    * CAST(post AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS syy
+        | FROM pu GROUP BY 1)
+        |SELECT grp, n, CAST(sx AS BIGINT) AS pre_cents,
+        | CAST(sy AS BIGINT) AS post_cents,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  AS corr_pre_post
+        |FROM m""".stripMargin,
+    "analytics_price_volume_mix" ->
+      """WITH pp AS (
+        | SELECT l_partkey,
+        |  COALESCE(SUM(CASE WHEN year(l_shipdate) = 1996
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT) END), 0) AS rev0,
+        |  COALESCE(SUM(CASE WHEN year(l_shipdate) = 1996
+        |    THEN CAST(l_quantity AS BIGINT) END), 0) AS q0,
+        |  COALESCE(SUM(CASE WHEN year(l_shipdate) = 1997
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT) END), 0) AS rev1,
+        |  COALESCE(SUM(CASE WHEN year(l_shipdate) = 1997
+        |    THEN CAST(l_quantity AS BIGINT) END), 0) AS q1
+        | FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+        | GROUP BY 1),
+        |eff AS (SELECT rev0, q0, rev1, q1,
+        |  (q0 > 0 AND q1 > 0) AS in_both,
+        |  rev0 // NULLIF(q0, 0) AS p0, rev1 // NULLIF(q1, 0) AS p1
+        | FROM pp)
+        |SELECT COUNT(*) FILTER (WHERE in_both) AS n_both,
+        | COUNT(*) FILTER (WHERE q0 = 0) AS n_new,
+        | COUNT(*) FILTER (WHERE q1 = 0) AS n_lost,
+        | CAST(SUM(CASE WHEN in_both THEN (p1 - p0) * q1 ELSE 0 END)
+        |   AS BIGINT) AS price_effect,
+        | CAST(SUM(CASE WHEN in_both THEN (q1 - q0) * p0 ELSE 0 END)
+        |   AS BIGINT) AS volume_effect,
+        | CAST(SUM(CASE WHEN in_both THEN rev1 - rev0
+        |     - (p1 - p0) * q1 - (q1 - q0) * p0 ELSE 0 END)
+        |   AS BIGINT) AS mix_residual,
+        | CAST(SUM(CASE WHEN q0 = 0 THEN rev1 ELSE 0 END)
+        |   AS BIGINT) AS new_effect,
+        | CAST(SUM(CASE WHEN q1 = 0 THEN -rev0 ELSE 0 END)
+        |   AS BIGINT) AS lost_effect,
+        | CAST(SUM(rev1 - rev0) AS BIGINT) AS total_delta
+        |FROM eff""".stripMargin,
+    "layout_zonemap" ->
+      """WITH li AS (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS sd
+        |            FROM lineitem),
+        |fa AS (SELECT l_orderkey // 4096 AS file_id, COUNT(*) AS nrows,
+        |  MIN(sd) AS mn, MAX(sd) AS mx,
+        |  SUM(CASE WHEN sd >= DATE '1997-06-01'
+        |    AND sd < DATE '1997-07-01' THEN 1 ELSE 0 END) AS hits
+        | FROM li GROUP BY 1),
+        |ft AS (SELECT (sd - DATE '1970-01-01') // 7 AS file_id,
+        |  COUNT(*) AS nrows, MIN(sd) AS mn, MAX(sd) AS mx,
+        |  SUM(CASE WHEN sd >= DATE '1997-06-01'
+        |    AND sd < DATE '1997-07-01' THEN 1 ELSE 0 END) AS hits
+        | FROM li GROUP BY 1),
+        |r AS (
+        | SELECT 'arrival' AS layout, COUNT(*) AS n_files,
+        |  COUNT(*) FILTER (WHERE mx >= DATE '1997-06-01'
+        |    AND mn < DATE '1997-07-01') AS kept_files,
+        |  SUM(nrows) AS total_rows,
+        |  SUM(CASE WHEN mx >= DATE '1997-06-01'
+        |    AND mn < DATE '1997-07-01' THEN nrows ELSE 0 END)
+        |    AS scanned_rows,
+        |  SUM(hits) AS match_rows FROM fa
+        | UNION ALL
+        | SELECT 'time', COUNT(*),
+        |  COUNT(*) FILTER (WHERE mx >= DATE '1997-06-01'
+        |    AND mn < DATE '1997-07-01'),
+        |  SUM(nrows),
+        |  SUM(CASE WHEN mx >= DATE '1997-06-01'
+        |    AND mn < DATE '1997-07-01' THEN nrows ELSE 0 END),
+        |  SUM(hits) FROM ft)
+        |SELECT layout, n_files, kept_files,
+        | CAST((total_rows - scanned_rows) * 1000000 // total_rows
+        |   AS BIGINT) AS skip_ppm,
+        | CAST(CASE WHEN scanned_rows = 0 THEN 0 ELSE
+        |   (scanned_rows - match_rows) * 1000000 // scanned_rows END
+        |   AS BIGINT) AS waste_ppm,
+        | CAST(match_rows AS BIGINT) AS match_rows
+        |FROM r""".stripMargin,
+    "sim_batch_diversity" ->
+      """WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+        |  unnest(range(len(embedding))) AS dim,
+        |  unnest([CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |          for x in embedding]) AS q
+        | FROM embeddings),
+        |a AS (SELECT label, SUM(CAST(sq AS DECIMAL(19,0))
+        |    * CAST(sq AS DECIMAL(19,0))) AS a2
+        | FROM (SELECT label, dim, SUM(q) AS sq FROM q GROUP BY 1, 2)
+        | GROUP BY 1),
+        |b AS (SELECT label, SUM(CAST(q AS DECIMAL(19,0))
+        |    * CAST(q AS DECIMAL(19,0))) AS b2
+        | FROM q GROUP BY 1),
+        |n AS (SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n
+        |      FROM embeddings GROUP BY 1)
+        |SELECT label, n,
+        | round((CAST(a2 AS DOUBLE) - CAST(b2 AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * 1e12), 6)
+        |  AS mean_pair_cos
+        |FROM a JOIN b USING (label) JOIN n USING (label)""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

@@ -5,6 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Approximate-nearest-neighbor search over the embedding column.
   *
@@ -938,5 +939,45 @@ object Similarity {
       .join(hits, Seq("query_id"), "left_outer")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("recall_ppm", expr(s"n_hits * 1000000 DIV $k"))
+  }
+
+  /** Batch diversity score — the mean pairwise similarity inside
+    * each label group, the metric a training-data sampler watches to
+    * avoid redundant batches (high mean cosine = the group is
+    * near-duplicates; cf. the SemDeDup argument). The O(n²) pairwise
+    * sum collapses to O(n·d) EXACTLY via the Gram identity
+    * Σ_{i≠j}⟨vᵢ,vⱼ⟩ = ‖Σvᵢ‖² − Σ‖vᵢ‖², so no pair is ever
+    * materialized: one posexplode → per-(label,dim) component sums +
+    * per-label square sums, both map-side combinable. Components
+    * quantize to integer millionths (truncation — both engines'
+    * double→int semantics agree) so the two Gram terms are EXACT
+    * DECIMAL integers and the mean finishes in one rounded double.
+    * At 100 TB this is a single scan with a 640-row shuffle.
+    */
+  def batchDiversity(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        (col("v").cast("double") * 1000000).cast("long").as("q"))
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val a = q.groupBy("label", "dim")
+      .agg(sum(col("q")).as("sq"))
+      .groupBy("label")
+      .agg(sum((col("sq").cast(d19) * col("sq").cast(d19)).cast(d38))
+        .as("a2"))
+    val b = q.groupBy("label")
+      .agg(sum((col("q").cast(d19) * col("q").cast(d19)).cast(d38))
+        .as("b2"))
+    val n = Tables.embeddings(s, d)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    a.join(b, Seq("label")).join(n, Seq("label"))
+      .select(col("label"), col("n"),
+        round((col("a2").cast("double") - col("b2").cast("double")) /
+          (col("n").cast("double") * (col("n").cast("double") - 1) *
+            lit(1e12)), 6)
+          .as("mean_pair_cos"))
   }
 }

@@ -590,4 +590,46 @@ object Temporal {
         |       'user_id', 'p_us', 'c_us', '900000000', 'c_us')
         |GROUP BY event_id, user_id""".stripMargin)
   }
+
+  /** Interval COMPLEMENT — the downtime dual of [[intervalUnion]]:
+    * after per-user activity windows merge into islands, the report
+    * is the GAPS between consecutive islands (count, total idle
+    * microseconds, longest single outage) — the shape of an
+    * uptime/SLA board or a sensor-blackout audit. Rides the exact
+    * island machinery of the union query (one per-user sort carries
+    * the running-max-end island assignment), then ONE more window —
+    * over the already-collapsed islands, thousands of times smaller
+    * than the fact — lags each island's end under the next's start.
+    * Users with a single island report zero gaps (LEFT semantics,
+    * not dropped), so coverage and downtime reconcile per user.
+    */
+  def intervalGaps(s: org.apache.spark.sql.SparkSession, d: String,
+      holdUs: Long = 300000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prior = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val islands = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("en", col("us") + holdUs)
+      .withColumn("prev_max", max(col("en")).over(prior))
+      .withColumn("fresh",
+        when(col("prev_max").isNull || col("us") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("fresh")).over(upto))
+      .groupBy("user_id", "island")
+      .agg(min(col("us")).as("st"), max(col("en")).as("en"))
+    val byIsland = Window.partitionBy("user_id").orderBy("island")
+    islands
+      .withColumn("prev_en", lag(col("en"), 1).over(byIsland))
+      .groupBy("user_id")
+      .agg(
+        coalesce(count(col("prev_en")), lit(0L)).as("n_gaps"),
+        coalesce(sum(col("st") - col("prev_en")), lit(0L))
+          .as("idle_us"),
+        coalesce(max(col("st") - col("prev_en")), lit(0L))
+          .as("max_gap_us"))
+  }
 }

@@ -137,4 +137,49 @@ object ZOrder {
     df.repartitionByRange(files, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite").parquet(path)
+
+  /** Zone-map skipping audit — quantifies WHY layout matters for
+    * data skipping (the decision input to [[clusterWrite]] /
+    * [[sortedWrite]]): simulate per-file min/max statistics under
+    * two layouts of the same fact — arrival order (4096 orders per
+    * file, the ingest default) vs time-clustered (one file per
+    * ship-week) — and report, for a 30-day predicate, how many
+    * files a zone-map reader keeps, the rows it skips (ppm), and
+    * the false-positive rows inside kept files (waste ppm). The
+    * audit itself is two map-side-combinable aggregations over one
+    * table — no layout is actually rewritten, so it runs as a cheap
+    * planning query at any scale; the real pruning behavior it
+    * predicts is spec-verified against Spark's own partition pruning
+    * in ScaleSpec (§32e) and the z-order suite.
+    */
+  def zoneMapAudit(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1997-06-01").cast("date")
+    val hi = lit("1997-07-01").cast("date")
+    def audit(layout: String, fileId: Column): DataFrame =
+      graft.sources.Tables.lineitem(s, d)
+        .select(fileId.as("file_id"), to_date(col("l_shipdate")).as("sd"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("nrows"),
+          min(col("sd")).as("mn"), max(col("sd")).as("mx"),
+          sum(when(col("sd") >= lo && col("sd") < hi, 1L).otherwise(0L))
+            .as("hits"))
+        .agg(
+          count(lit(1)).as("n_files"),
+          count_if(col("mx") >= lo && col("mn") < hi).as("kept_files"),
+          sum(col("nrows")).as("total_rows"),
+          sum(when(col("mx") >= lo && col("mn") < hi, col("nrows"))
+            .otherwise(0L)).as("scanned_rows"),
+          sum(col("hits")).as("match_rows"))
+        .select(lit(layout).as("layout"), col("n_files"),
+          col("kept_files"),
+          expr("(total_rows - scanned_rows) * 1000000 DIV total_rows")
+            .as("skip_ppm"),
+          expr("CASE WHEN scanned_rows = 0 THEN 0 ELSE " +
+            "(scanned_rows - match_rows) * 1000000 DIV scanned_rows END")
+            .as("waste_ppm"),
+          col("match_rows").cast("long").as("match_rows"))
+    audit("arrival", expr("l_orderkey DIV 4096"))
+      .unionByName(audit("time",
+        expr("datediff(l_shipdate, DATE'1970-01-01') DIV 7").cast("long")))
+  }
 }

@@ -3322,4 +3322,114 @@ object Analytics {
             col("sx").cast("double") * col("sx").cast("double")), 6)
           .as("slope_cents_per_day"))
   }
+
+  /** CUPED variance reduction (Deng et al., WSDM'13 — "Improving the
+    * Sensitivity of Online Controlled Experiments") — the
+    * experimentation-platform readout that pairs with [[abTest]]:
+    * per experiment arm, the regression coefficient
+    * θ = cov(pre, post)/var(pre) of each user's PRE-period spend
+    * against their experiment-period spend, and the pre/post
+    * correlation ρ whose square is exactly the variance a CUPED
+    * adjustment removes. One fact scan → per-user conditional cents
+    * (exact, both period sums off the same aggregate — no self-join)
+    * → per-arm DECIMAL moments → θ and ρ finish in one rounded
+    * double expression each (the autocorr discipline). The period
+    * boundary is an integer microsecond literal so both engines cut
+    * identically regardless of timestamp encoding.
+    *
+    * Scale shape: map-side-combinable user rollup, then a 2-row
+    * aggregate — the 100 TB cost is the single event scan.
+    */
+  def abCuped(s: SparkSession, d: String): DataFrame = {
+    // 2024-01-16T00:00:00Z — the midpoint of the corpus' event span
+    val cutUs = 1705363200000000L
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val isBuy = col("event_type") === "purchase"
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        isBuy.as("buy"), cents.as("c"))
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("buy") && col("us") < cutUs, col("c"))),
+          lit(0L)).as("pre"),
+        coalesce(sum(when(col("buy") && col("us") >= cutUs, col("c"))),
+          lit(0L)).as("post"))
+    val x = col("pre").cast(DecimalType(19, 0))
+    val y = col("post").cast(DecimalType(19, 0))
+    perUser
+      .groupBy((col("user_id") % 2).cast("long").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast(DecimalType(38, 0))).as("sxy"),
+        sum((x * x).cast(DecimalType(38, 0))).as("sxx"),
+        sum((y * y).cast(DecimalType(38, 0))).as("syy"))
+      .select(col("grp"), col("n"),
+        col("sx").cast("long").as("pre_cents"),
+        col("sy").cast("long").as("post_cents"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("theta"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("corr_pre_post"))
+      .orderBy(col("grp"))
+  }
+
+  /** Price-volume-mix decomposition — the FP&A bridge that explains
+    * a year-over-year revenue delta ITEM BY ITEM where
+    * [[revenueBridge]] explains it month by month: for every part
+    * sold in both years, ΔR splits into a price effect
+    * (p₁−p₀)·q₁, a volume effect (q₁−q₀)·p₀, and a residual;
+    * parts sold only in one year roll into new/lost buckets. Unit
+    * prices are truncating integer divisions of nonnegative cents by
+    * nonnegative whole-unit quantities — deterministic in both
+    * engines — and every effect after that is a signed integer
+    * MULTIPLY, so the whole bridge is engine-exact and the identity
+    * Σeffects = ΔR holds to the cent by construction. One lineitem
+    * scan pivots both years per part (conditional sums, no
+    * self-join); the global rollup is a 1-row aggregate.
+    */
+  def priceVolumeMix(s: SparkSession, d: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val y = year(col("l_shipdate"))
+    val perPart = Tables.lineitem(s, d)
+      .filter(y.isin(1996, 1997))
+      .groupBy(col("l_partkey"))
+      .agg(
+        coalesce(sum(when(y === 1996, rev)), lit(0L)).as("rev0"),
+        coalesce(sum(when(y === 1996, col("l_quantity").cast("long"))),
+          lit(0L)).as("q0"),
+        coalesce(sum(when(y === 1997, rev)), lit(0L)).as("rev1"),
+        coalesce(sum(when(y === 1997, col("l_quantity").cast("long"))),
+          lit(0L)).as("q1"))
+    val both = col("q0") > 0 && col("q1") > 0
+    val p0 = expr("rev0 DIV q0")
+    val p1 = expr("rev1 DIV q1")
+    perPart.agg(
+        count_if(both).as("n_both"),
+        count_if(col("q0") === 0).as("n_new"),
+        count_if(col("q1") === 0).as("n_lost"),
+        sum(when(both, (p1 - p0) * col("q1")).otherwise(0L))
+          .cast("long").as("price_effect"),
+        sum(when(both, (col("q1") - col("q0")) * p0).otherwise(0L))
+          .cast("long").as("volume_effect"),
+        sum(when(both, col("rev1") - col("rev0") -
+            (p1 - p0) * col("q1") - (col("q1") - col("q0")) * p0)
+          .otherwise(0L)).cast("long").as("mix_residual"),
+        sum(when(col("q0") === 0, col("rev1")).otherwise(0L))
+          .cast("long").as("new_effect"),
+        sum(when(col("q1") === 0, -col("rev0")).otherwise(0L))
+          .cast("long").as("lost_effect"),
+        sum(col("rev1") - col("rev0")).cast("long").as("total_delta"))
+  }
 }
