@@ -232,6 +232,11 @@ object SparkEntry {
     "layout_zonemap" -> ((s, dir) =>
       graft.sources.ZOrder.zoneMapAudit(s, dir)),
     "sim_batch_diversity" -> (Similarity.batchDiversity(_, _)),
+    "graph_modularity" -> ((s, dir) =>
+      graft.operators.Graph.brandModularity(s, dir)),
+    "analytics_restatement" ->
+      (graft.operators.Temporal.restatementReport(_, _)),
+    "text_boilerplate" -> (TextAnalysis.boilerplateRate(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4204,6 +4209,61 @@ object SparkEntry {
         |  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * 1e12), 6)
         |  AS mean_pair_cos
         |FROM a JOIN b USING (label) JOIN n USING (label)""".stripMargin,
+    "graph_modularity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS s, b.pk AS t
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |eb AS (SELECT e.s, e.t, ps.p_brand AS sb, pt.p_brand AS tb
+        |       FROM e JOIN part ps ON e.s = ps.p_partkey
+        |        JOIN part pt ON e.t = pt.p_partkey),
+        |mm AS (SELECT COUNT(*) AS m FROM eb),
+        |dc AS (SELECT c, COUNT(*) AS d_c FROM (
+        |        SELECT sb AS c FROM eb
+        |        UNION ALL SELECT tb FROM eb) u GROUP BY 1),
+        |ic AS (SELECT sb AS c, COUNT(*) AS m_c FROM eb
+        |       WHERE sb = tb GROUP BY 1),
+        |pc AS (SELECT dc.c, dc.d_c, COALESCE(ic.m_c, 0) AS m_c
+        |       FROM dc LEFT JOIN ic ON dc.c = ic.c),
+        |g AS (SELECT COUNT(*) AS n_communities,
+        |  (SELECT m FROM mm) AS m_edges,
+        |  SUM(4 * (SELECT m FROM mm) * m_c - d_c * d_c) AS q_num
+        | FROM pc)
+        |SELECT n_communities, m_edges, CAST(q_num AS BIGINT) AS q_num,
+        | round(CAST(q_num AS DOUBLE) / (4.0 * CAST(m_edges AS DOUBLE)
+        |   * CAST(m_edges AS DOUBLE)), 6) AS modularity
+        |FROM g""".stripMargin,
+    "analytics_restatement" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS od,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS c,
+        |  (o_orderkey % 10 = 0) AS corr FROM orders),
+        |x AS (SELECT CAST(date_trunc('month', od) AS DATE) AS mth, c,
+        |  CASE WHEN corr THEN c + c // 20 ELSE c END AS cf, corr,
+        |  corr AND (od + 30 <= last_day(od) + 14) AS known
+        | FROM o)
+        |SELECT mth,
+        | CAST(SUM(CASE WHEN corr AND known THEN cf ELSE c END)
+        |   AS BIGINT) AS gmv_known_cents,
+        | CAST(SUM(cf) AS BIGINT) AS gmv_final_cents,
+        | COUNT(*) FILTER (WHERE corr AND NOT known) AS late_orders,
+        | CAST(SUM(cf) AS BIGINT)
+        |   - CAST(SUM(CASE WHEN corr AND known THEN cf ELSE c END)
+        |     AS BIGINT) AS restatement_cents
+        |FROM x GROUP BY 1""".stripMargin,
+    "text_boilerplate" ->
+      """WITH sh AS (
+        | SELECT DISTINCT source, doc_id, s FROM (
+        |  SELECT source, doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))])
+        |    AS s
+        |  FROM documents) t),
+        |df AS (SELECT source, s, COUNT(*) AS df FROM sh GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_shingles,
+        | COUNT(*) FILTER (WHERE df >= 5) AS hot_shingles,
+        | CAST(SUM(CASE WHEN df >= 5 THEN df ELSE 0 END) * 1000000
+        |   // SUM(df) AS BIGINT) AS boilerplate_ppm
+        |FROM df GROUP BY 1""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

@@ -632,4 +632,37 @@ object Temporal {
         coalesce(max(col("st") - col("prev_en")), lit(0L))
           .as("max_gap_us"))
   }
+
+  /** Bitemporal restatement report — "GMV by month AS IT WAS KNOWN
+    * when the month closed" vs "as finally corrected", the
+    * late-arriving-fact view the SCD family (entity versioning)
+    * doesn't cover. Corrections are a deterministic synthetic log:
+    * every 10th order is restated +5% (exact: cents + cents DIV 20),
+    * becoming KNOWN 30 days after the order date; the month-close
+    * report sees a correction only if it landed by month-end + 14
+    * days (the books-close grace window). One scan, no join — the
+    * knowledge predicate is pure date arithmetic per row — and the
+    * restatement column is the audit delta accountants reconcile.
+    */
+  def restatementReport(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val o = graft.sources.Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("od"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types
+          .DecimalType(12, 2)) * 100).cast("long").as("c"),
+        (col("o_orderkey") % 10 === 0).as("corr"))
+      .withColumn("cf",
+        when(col("corr"), col("c") + expr("c DIV 20"))
+          .otherwise(col("c")))
+      .withColumn("known", col("corr") &&
+        date_add(col("od"), 30) <= date_add(last_day(col("od")), 14))
+    o.groupBy(date_trunc("month", col("od")).cast("date").as("mth"))
+      .agg(
+        sum(when(col("corr") && col("known"), col("cf"))
+          .otherwise(col("c"))).cast("long").as("gmv_known_cents"),
+        sum(col("cf")).cast("long").as("gmv_final_cents"),
+        count_if(col("corr") && !col("known")).as("late_orders"))
+      .withColumn("restatement_cents",
+        col("gmv_final_cents") - col("gmv_known_cents"))
+  }
 }

@@ -1675,4 +1675,35 @@ object TextAnalysis {
       .withColumn("novelty_ppm",
         expr("novel_shingles * 1000000 DIV total_shingles"))
   }
+
+  /** Per-source boilerplate rate — what fraction of a source's text
+    * is template/chrome repeated across its own documents (headers,
+    * nav, license stanzas), the signal a cleaning stage uses to pick
+    * extraction rules per crawl source. A 12-char shingle is
+    * BOILERPLATE for its source when ≥ `hot` docs of that source
+    * contain it; the rate is the hot share of all (doc, shingle)
+    * incidences in ppm. Pure groupBy cascade over the hashed shingle
+    * explode — no pair join anywhere, so unlike the dedup family the
+    * cost is linear in corpus size at any scale. Hashes reuse
+    * [[graft.functions.VectorExpressions]]' shingle expression, the
+    * same space the Jaccard oracle proved collision-free here.
+    */
+  def boilerplateRate(s: SparkSession, d: String,
+      hot: Long = 5): DataFrame = {
+    graft.functions.Vectors.ensureRegistered(s)
+    val sh = Tables.spread(Tables.documents(s, d))
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(call_function("graft_shingle_hashes",
+          col("text"), lit(12)))).as("h"))
+    sh.groupBy("source", "h").agg(count(lit(1)).as("df"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shingles"),
+        count_if(col("df") >= hot).as("hot_shingles"),
+        sum(col("df")).as("incidences"),
+        sum(when(col("df") >= hot, col("df")).otherwise(0L))
+          .as("hot_incidences"))
+      .select(col("source"), col("n_shingles"), col("hot_shingles"),
+        expr("hot_incidences * 1000000 DIV incidences")
+          .as("boilerplate_ppm"))
+  }
 }

@@ -110,7 +110,9 @@ class PlanLintSpec extends AnyFunSuite {
     // r6 additions: backlog_age crossJoins the 1-row snapshot-date
     // aggregate; chi2_dow crossJoins the 1-row total; recall_eval
     // inherits sim_topk_bruteforce's broadcast non-equi query join
-    "analytics_backlog_age", "dq_chi2_dow", "sim_recall_eval")
+    "analytics_backlog_age", "dq_chi2_dow", "sim_recall_eval",
+    // graph_modularity crossJoins the 1-row edge-count aggregate
+    "graph_modularity")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
