@@ -237,6 +237,11 @@ object SparkEntry {
     "analytics_restatement" ->
       (graft.operators.Temporal.restatementReport(_, _)),
     "text_boilerplate" -> (TextAnalysis.boilerplateRate(_, _)),
+    "dq_heartbeat" -> (Quality.heartbeatGaps(_, _)),
+    "analytics_brand_penetration" -> (Analytics.brandPenetration(_, _)),
+    "mm_audio_vad" -> (Multimodal.audioVad(_, _)),
+    "pipeline_curriculum" -> (TextAnalysis.curriculumSchedule(_, _)),
+    "analytics_return_rate" -> (Analytics.returnRate(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4264,6 +4269,98 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN df >= 5 THEN df ELSE 0 END) * 1000000
         |   // SUM(df) AS BIGINT) AS boilerplate_ppm
         |FROM df GROUP BY 1""".stripMargin,
+    "dq_heartbeat" ->
+      """WITH b AS (SELECT DISTINCT CAST(ts AS DATE) AS dt,
+        |  epoch_us(ts) // 60000000 AS mb FROM events),
+        |w AS (SELECT dt, mb,
+        |  lag(mb) OVER (PARTITION BY dt ORDER BY mb) AS pmb FROM b)
+        |SELECT dt, COUNT(*) AS active_minutes,
+        | COALESCE(CAST(MAX(mb - pmb - 1) AS BIGINT), 0)
+        |   AS max_silent_min,
+        | CAST(MAX(mb) - MIN(mb) + 1 AS BIGINT) AS span_min,
+        | CAST((MAX(mb) - MIN(mb) + 1 - COUNT(*)) * 1000000
+        |   // (MAX(mb) - MIN(mb) + 1) AS BIGINT) AS silent_ppm
+        |FROM w GROUP BY 1""".stripMargin,
+    "analytics_brand_penetration" ->
+      """WITH bo AS (SELECT p_brand AS brand, l_orderkey AS ok,
+        |  SUM(CAST(l_quantity AS BIGINT)) AS units,
+        |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS rev
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | GROUP BY 1, 2),
+        |t AS (SELECT COUNT(*) AS total_orders FROM orders)
+        |SELECT brand, COUNT(*) AS orders_w,
+        | CAST(SUM(units) AS BIGINT) AS units,
+        | CAST(SUM(rev) AS BIGINT) AS rev_cents,
+        | CAST(COUNT(*) * 1000000 // (SELECT total_orders FROM t)
+        |   AS BIGINT) AS penetration_ppm,
+        | CAST(SUM(units) * 1000000 // COUNT(*) AS BIGINT)
+        |   AS intensity_e6
+        |FROM bo GROUP BY 1""".stripMargin,
+    "mm_audio_vad" ->
+      """WITH y AS (
+        | SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+        |  list_transform(range(1, length(u.c) // 2 + 1), i ->
+        |    strpos('0123456789ABCDEF', substr(u.c, 2*i-1, 1)) * 16
+        |    + strpos('0123456789ABCDEF', substr(u.c, 2*i, 1)) - 17)
+        |   AS smp
+        | FROM (
+        |  SELECT doc_id, unnest([{'i': i,
+        |    'c': substr(hex(encode(text)), i * 512 + 1, 512)}
+        |    for i in range(0, CAST(ceil(
+        |      octet_length(encode(text)) * 2 / 512.0) AS INT))]) AS u
+        |  FROM documents) x),
+        |act AS (SELECT doc_id, chunk_idx FROM y
+        |  WHERE list_sum(list_transform(smp, v ->
+        |    (v - 128) * (v - 128))) >= 400000),
+        |w AS (SELECT doc_id, chunk_idx, lag(chunk_idx) OVER
+        |   (PARTITION BY doc_id ORDER BY chunk_idx) AS prev FROM act),
+        |f AS (SELECT doc_id, chunk_idx, CASE WHEN prev IS NULL
+        |   OR chunk_idx > prev + 1 THEN 1 ELSE 0 END AS fresh FROM w),
+        |g AS (SELECT doc_id, SUM(fresh) OVER (PARTITION BY doc_id
+        |   ORDER BY chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |   CURRENT ROW) AS seg FROM f),
+        |sg AS (SELECT doc_id, seg, COUNT(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT doc_id, COUNT(*) AS n_segments,
+        | CAST(SUM(len) AS BIGINT) AS active_frames,
+        | CAST(MAX(len) AS BIGINT) AS longest_seg
+        |FROM sg GROUP BY 1""".stripMargin,
+    "pipeline_curriculum" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |    AS toks
+        | FROM documents),
+        |sc AS (SELECT doc_id, source, len(toks) AS n_toks,
+        |  CAST(coalesce(list_sum(list_transform(toks, t ->
+        |   ((list_reduce([CAST(ascii(substr(t, i, 1)) AS BIGINT)
+        |       for i in range(1, length(t) + 1)],
+        |     (a, x) -> (a * 31 + x) % 9007199254740881) % 4096)
+        |    * 2654435761) % 2003)), 0)
+        |  // greatest(len(toks), 1) AS BIGINT) AS score_milli
+        | FROM t),
+        |nt AS (SELECT source, n_toks, score_milli,
+        |  ntile(4) OVER (ORDER BY score_milli DESC, doc_id) AS phase
+        | FROM sc)
+        |SELECT CAST(phase AS BIGINT) AS phase, COUNT(*) AS n_docs,
+        | CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        | CAST(SUM(score_milli) AS BIGINT) // COUNT(*)
+        |   AS mean_score_milli,
+        | COUNT(DISTINCT source) AS n_sources
+        |FROM nt GROUP BY 1""".stripMargin,
+    "analytics_return_rate" ->
+      """SELECT string_split(p_type, ' ')[1] AS category,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        | CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |   THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+        |   AS ret_qty,
+        | CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |   THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |     AS BIGINT) ELSE 0 END) AS BIGINT) AS ret_rev_cents,
+        | CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |   THEN CAST(l_quantity AS BIGINT) ELSE 0 END) * 1000000
+        |  // SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS return_ppm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

@@ -157,6 +157,37 @@ object Multimodal {
         expr("array_max(transform(smp, v -> abs(v - 128)))").as("peak"))
   }
 
+  /** Voice-activity segments over the framed payload — the
+    * segmentation step an audio-ingest pipeline runs after
+    * [[audioEnergy]] (only active spans are worth transcribing):
+    * frames above an energy threshold merge into segments when
+    * CONSECUTIVE (the gaps-and-islands shape at frame grain), and
+    * the per-clip report is segment count, active frames, and the
+    * longest run. The per-doc window sorts only the clip's own
+    * frames — parallel across clips at any corpus size. Clips with
+    * no active frame drop (there is nothing to transcribe),
+    * identically in both engines.
+    */
+  def audioVad(s: SparkSession, d: String,
+      threshold: Long = 400000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    audioEnergy(s, d)
+      .filter(col("energy") >= threshold)
+      .select(col("doc_id"), col("chunk_idx"))
+      .withColumn("prev", lag(col("chunk_idx"), 1).over(w))
+      .withColumn("fresh",
+        when(col("prev").isNull || col("chunk_idx") > col("prev") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("seg", sum(col("fresh"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "seg").agg(count(lit(1)).as("len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("len")).cast("long").as("active_frames"),
+        max(col("len")).as("longest_seg"))
+  }
+
   /** Scene-cut detection over the framed payload — the video
     * analogue of [[audioEnergy]]'s silence screen: consecutive
     * "frames" (chunks) whose per-sample mean energy jumps by more

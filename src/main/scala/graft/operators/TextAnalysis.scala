@@ -713,6 +713,34 @@ object TextAnalysis {
           .as("label_rate_ppm"))
   }
 
+  /** Curriculum schedule composition — the phase plan a
+    * quality-ordered training run reads (easy/clean first, noisy
+    * tail last; the curriculum-learning recipe): documents rank by
+    * the [[qualityModelScore]] signal descending and split into
+    * equal-count phases (ANSI ntile), and the report is each phase's
+    * doc count, token budget, mean score, and source spread — the
+    * numbers a batch scheduler allocates against. The global ntile
+    * sorts (score, doc_id) pairs only — same scale posture as
+    * [[scoreCalibration]]; at fact scale the rank would ride the
+    * range-partitioned percent-rank machinery instead.
+    */
+  def curriculumSchedule(s: SparkSession, d: String,
+      phases: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    qualityModelScore(s, d).select("doc_id", "score_milli")
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(toks).as("n_toks")), "doc_id")
+      .withColumn("phase", ntile(phases).over(
+        Window.orderBy(col("score_milli").desc, col("doc_id")))
+        .cast("long"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("long").as("total_tokens"),
+        expr("SUM(score_milli) DIV COUNT(1)").as("mean_score_milli"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
   /** Inter-annotator agreement (Cohen's κ) between two deterministic
     * document labelers — the eval-harness number that tells you
     * whether two quality signals measure the SAME thing or merely

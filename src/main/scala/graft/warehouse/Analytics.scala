@@ -3432,4 +3432,62 @@ object Analytics {
           .cast("long").as("lost_effect"),
         sum(col("rev1") - col("rev0")).cast("long").as("total_delta"))
   }
+
+  /** Brand penetration × intensity — the CPG planner's split of
+    * "how broadly does a brand sell" (share of all orders containing
+    * it, ppm) from "how deeply" (units per order that has it, ×10⁶):
+    * the two move independently and pricing/assortment actions
+    * target different ones. One lineitem⋈part scan rolls up to
+    * (brand, order) grain — map-side combinable — then to brand;
+    * the order-universe total rides a 1-row broadcast (allowlisted
+    * non-equi join, the kpi_summary pattern). All ratios truncating
+    * integer DIV over nonnegative counts.
+    */
+  def brandPenetration(s: SparkSession, d: String): DataFrame = {
+    val perBrandOrder = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        col("l_orderkey").as("ok"))
+      .agg(sum(col("l_quantity").cast("long")).as("units"),
+        sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long")).as("rev"))
+    val total = Tables.orders(s, d).agg(count(lit(1)).as("total_orders"))
+    perBrandOrder.groupBy("brand")
+      .agg(count(lit(1)).as("orders_w"),
+        sum(col("units")).cast("long").as("units"),
+        sum(col("rev")).cast("long").as("rev_cents"))
+      .crossJoin(broadcast(total))
+      .select(col("brand"), col("orders_w"), col("units"),
+        col("rev_cents"),
+        expr("orders_w * 1000000 DIV total_orders")
+          .as("penetration_ppm"),
+        expr("units * 1000000 DIV orders_w").as("intensity_e6"))
+  }
+
+  /** Return rate by part category — the quality board that routes a
+    * supplier-quality investigation: per category (first token of
+    * the part type), returned quantity as ppm of shipped quantity
+    * plus the returned revenue at stake. One lineitem scan with a
+    * broadcast part dim; both measures are conditional sums off the
+    * same aggregate, so the report costs exactly one shuffle of 6
+    * category rows.
+    */
+  def returnRate(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"),
+        split(col("p_type"), " ").getItem(0).as("category"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("category")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        sum(when(col("l_returnflag") === "R",
+          col("l_quantity").cast("long")).otherwise(0L)).as("ret_qty"),
+        sum(when(col("l_returnflag") === "R",
+          (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+            .cast("long")).otherwise(0L)).cast("long")
+          .as("ret_rev_cents"))
+      .select(col("category"), col("qty"), col("ret_qty"),
+        col("ret_rev_cents"),
+        expr("ret_qty * 1000000 DIV qty").as("return_ppm"))
 }

@@ -548,4 +548,31 @@ object Quality {
     dateRules.unionByName(eventRule).unionByName(orderRule)
       .withColumn("viol_ppm", expr("n_violations * 1000000 DIV n_checked"))
   }
+
+  /** Ingest heartbeat audit — "did the pipeline go silent?" at
+    * minute grain, the timeliness check [[calendarGaps]] (day grain)
+    * can't see: per day, the active minutes, the LONGEST silent run
+    * between the day's first and last active minute, and the silent
+    * share of that span in ppm. Events collapse to distinct minute
+    * buckets FIRST (map-side combinable distinct), so the per-day
+    * window sorts at most 1440 rows regardless of fact volume — the
+    * same bounded-domain contract as the quantile family. Single-
+    * minute days report a zero max run, not null.
+    */
+  def heartbeatGaps(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.events(s, d)
+      .select(to_date(col("ts")).as("dt"),
+        expr("unix_micros(ts) DIV 60000000").as("mb"))
+      .distinct()
+    val w = Window.partitionBy("dt").orderBy("mb")
+    b.withColumn("pmb", lag(col("mb"), 1).over(w))
+      .groupBy("dt")
+      .agg(count(lit(1)).as("active_minutes"),
+        coalesce(max(col("mb") - col("pmb") - 1), lit(0L))
+          .as("max_silent_min"),
+        (max(col("mb")) - min(col("mb")) + 1).as("span_min"))
+      .withColumn("silent_ppm",
+        expr("(span_min - active_minutes) * 1000000 DIV span_min"))
+  }
 }

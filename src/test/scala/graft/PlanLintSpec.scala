@@ -111,8 +111,9 @@ class PlanLintSpec extends AnyFunSuite {
     // aggregate; chi2_dow crossJoins the 1-row total; recall_eval
     // inherits sim_topk_bruteforce's broadcast non-equi query join
     "analytics_backlog_age", "dq_chi2_dow", "sim_recall_eval",
-    // graph_modularity crossJoins the 1-row edge-count aggregate
-    "graph_modularity")
+    // graph_modularity crossJoins the 1-row edge-count aggregate;
+    // brand_penetration crossJoins the 1-row order-universe total
+    "graph_modularity", "analytics_brand_penetration")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
