@@ -242,6 +242,7 @@ object SparkEntry {
     "mm_audio_vad" -> (Multimodal.audioVad(_, _)),
     "pipeline_curriculum" -> (TextAnalysis.curriculumSchedule(_, _)),
     "analytics_return_rate" -> (Analytics.returnRate(_, _)),
+    "sim_centroid_outliers" -> (Similarity.centroidOutliers(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4361,6 +4362,32 @@ object SparkEntry {
         |  // SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS return_ppm
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
+    "sim_centroid_outliers" ->
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  unnest(range(len(embedding))) AS dim,
+        |  unnest([CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |          for x in embedding]) AS q
+        | FROM embeddings),
+        |sd AS (SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sd
+        |       FROM q GROUP BY 1, 2),
+        |a2 AS (SELECT label, CAST(SUM(sd * sd) AS BIGINT) AS a2
+        |       FROM sd GROUP BY 1),
+        |n AS (SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n
+        |      FROM embeddings GROUP BY 1),
+        |pv AS (SELECT q.label, q.vec_id,
+        |  CAST(SUM(q.q * q.q) AS BIGINT) AS norm2,
+        |  CAST(SUM(q.q * sd.sd) AS BIGINT) AS ip
+        | FROM q JOIN sd ON q.label = sd.label AND q.dim = sd.dim
+        | GROUP BY 1, 2),
+        |sc AS (SELECT pv.label, pv.vec_id,
+        |  n.n * n.n * pv.norm2 - 2 * n.n * pv.ip + a2.a2 AS score
+        | FROM pv JOIN a2 ON pv.label = a2.label
+        |  JOIN n ON pv.label = n.label),
+        |r AS (SELECT label, vec_id, score, CAST(row_number() OVER
+        |  (PARTITION BY label ORDER BY score DESC, vec_id) AS BIGINT)
+        |   AS rk FROM sc)
+        |SELECT label, rk, vec_id, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rk <= 5""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

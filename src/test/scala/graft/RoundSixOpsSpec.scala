@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{Similarity, Temporal}
+import graft.warehouse.Analytics
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract checks for the round-6 additions that compose other
+  * operators or clear denominators algebraically: the identities the
+  * oracle hash can't express (they relate TWO relations, or replay
+  * the algebra in driver BigInt space).
+  */
+class RoundSixOpsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  test("price-volume-mix effects reconcile to the revenue delta exactly") {
+    val r = Analytics.priceVolumeMix(s, d).collect()(0)
+    val sum = r.getAs[Long]("price_effect") +
+      r.getAs[Long]("volume_effect") + r.getAs[Long]("mix_residual") +
+      r.getAs[Long]("new_effect") + r.getAs[Long]("lost_effect")
+    assert(sum === r.getAs[Long]("total_delta"),
+      "bridge effects must sum to the total delta to the cent")
+  }
+
+  test("interval union + gaps reconcile to each user's end-to-end span") {
+    val union = Temporal.intervalUnion(s, d)
+      .select(col("user_id"), col("covered_us"))
+    val gaps = Temporal.intervalGaps(s, d)
+      .select(col("user_id"), col("idle_us"))
+    val span = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg((max(col("us")) + 300000000L - min(col("us"))).as("span_us"))
+    val bad = union.join(gaps, "user_id").join(span, "user_id")
+      .filter(col("covered_us") + col("idle_us") =!= col("span_us"))
+      .count()
+    assert(bad === 0L,
+      "covered + idle must equal first-start..last-end for every user")
+  }
+
+  test("modularity stays in Newman bounds and covers every brand") {
+    val r = graft.operators.Graph.brandModularity(s, d).collect()(0)
+    val q = r.getAs[Double]("modularity")
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q out of [-0.5, 1]")
+    assert(r.getAs[Long]("n_communities") === 25L)
+    // the cleared-denominator identity: q == q_num / 4m²
+    val m = r.getAs[Long]("m_edges").toDouble
+    val expected = BigDecimal(r.getAs[Long]("q_num") / (4.0 * m * m))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(q === expected)
+  }
+
+  test("centroid outlier top-1 matches a driver brute-force argmax") {
+    val ranked = Similarity.centroidOutliers(s, d)
+      .filter(col("rk") === 1)
+      .collect().map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("vec_id"), r.getAs[Long]("score"))).toMap
+    val vecs = graft.sources.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("label"),
+        r.getSeq[Float](2).map(v => (v.toDouble * 1000000).toLong)))
+    vecs.groupBy(_._2).foreach { case (label, vs) =>
+      val n = vs.length.toLong
+      val dims = vs.head._3.length
+      val sums = Array.tabulate(dims)(i => vs.map(_._3(i)).sum)
+      val a2 = sums.map(x => x * x).sum
+      val best = vs.map { case (id, _, qv) =>
+        val norm2 = qv.map(x => x * x).sum
+        val ip = qv.zip(sums).map { case (a, b) => a * b }.sum
+        (n * n * norm2 - 2 * n * ip + a2, id)
+      }.max(Ordering.Tuple2(Ordering.Long, Ordering.Long.reverse))
+      assert(ranked(label) === ((best._2, best._1)),
+        s"label $label: top outlier mismatch")
+    }
+  }
+}
