@@ -243,6 +243,8 @@ object SparkEntry {
     "pipeline_curriculum" -> (TextAnalysis.curriculumSchedule(_, _)),
     "analytics_return_rate" -> (Analytics.returnRate(_, _)),
     "sim_centroid_outliers" -> (Similarity.centroidOutliers(_, _)),
+    "analytics_price_realization" -> (Analytics.priceRealization(_, _)),
+    "analytics_discount_tiers" -> (Analytics.discountTiers(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4388,6 +4390,34 @@ object SparkEntry {
         |   AS rk FROM sc)
         |SELECT label, rk, vec_id, CAST(score AS BIGINT) AS score
         |FROM r WHERE rk <= 5""".stripMargin,
+    "analytics_price_realization" ->
+      """SELECT p_brand AS brand,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |   AS BIGINT)) AS BIGINT) AS rev_cents,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)
+        |   * CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+        |     AS BIGINT)) AS BIGINT) AS list_cents,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |   AS BIGINT)) * 1000000
+        |  // SUM(CAST(l_quantity AS BIGINT)
+        |   * CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+        |     AS BIGINT)) AS BIGINT) AS realization_ppm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    "analytics_discount_tiers" ->
+      """WITH t AS (SELECT CAST(l_quantity AS BIGINT) // 10 AS tier,
+        |  CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+        |    AS pct
+        | FROM lineitem),
+        |a AS (SELECT tier, COUNT(*) AS n_lines,
+        |  SUM(pct) * 10000 // COUNT(*) AS avg_disc_ppm
+        | FROM t GROUP BY 1)
+        |SELECT tier, n_lines, CAST(avg_disc_ppm AS BIGINT)
+        |  AS avg_disc_ppm,
+        | CAST(CASE WHEN lag(avg_disc_ppm) OVER (ORDER BY tier) IS NULL
+        |  OR avg_disc_ppm >= lag(avg_disc_ppm) OVER (ORDER BY tier)
+        |  THEN 1 ELSE 0 END AS BIGINT) AS monotone_ok
+        |FROM a""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

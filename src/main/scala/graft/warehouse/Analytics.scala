@@ -3490,4 +3490,50 @@ object Analytics {
       .select(col("category"), col("qty"), col("ret_qty"),
         col("ret_rev_cents"),
         expr("ret_qty * 1000000 DIV qty").as("return_ppm"))
+
+  /** Price realization by brand — realized unit revenue as ppm of
+    * list (retail) value, the merchandising KPI separating "we sold
+    * a lot" from "we sold at list": Σ line revenue vs Σ qty·retail,
+    * both exact cents off one lineitem⋈broadcast-part scan. A brand
+    * below ~900k ppm is discounting its way to volume; the gap to
+    * 10⁶ is margin given away.
+    */
+  def priceRealization(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"),
+        col("p_brand"),
+        (col("p_retailprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("retail_cents"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(
+        sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long")).cast("long").as("rev_cents"),
+        sum(col("l_quantity").cast("long") * col("retail_cents"))
+          .cast("long").as("list_cents"))
+      .withColumn("realization_ppm",
+        expr("rev_cents * 1000000 DIV list_cents"))
+
+  /** Discount-tier governance audit — "do bigger baskets actually
+    * get deeper discounts?": per quantity tier (10-unit bands), the
+    * average discount in ppm and whether the ladder is monotone
+    * versus the previous tier (the policy a pricing desk must
+    * certify). Discounts quantize to exact integer percent before
+    * any averaging; the monotonicity flag is a lag over the handful
+    * of tier rows. One fact scan, map-side combinable.
+    */
+  def discountTiers(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("tier"))
+    Tables.lineitem(s, d)
+      .select(expr("CAST(l_quantity AS BIGINT) DIV 10").as("tier"),
+        (col("l_discount").cast(DecimalType(4, 2)) * 100)
+          .cast("long").as("pct"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("SUM(pct) * 10000 DIV COUNT(1)").as("avg_disc_ppm"))
+      .withColumn("monotone_ok",
+        (lag(col("avg_disc_ppm"), 1).over(w).isNull ||
+          col("avg_disc_ppm") >= lag(col("avg_disc_ppm"), 1).over(w))
+          .cast("long"))
+  }
 }
