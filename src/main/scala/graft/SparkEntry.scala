@@ -245,6 +245,9 @@ object SparkEntry {
     "sim_centroid_outliers" -> (Similarity.centroidOutliers(_, _)),
     "analytics_price_realization" -> (Analytics.priceRealization(_, _)),
     "analytics_discount_tiers" -> (Analytics.discountTiers(_, _)),
+    "analytics_supplier_price_spread" ->
+      (Analytics.supplierPriceSpread(_, _)),
+    "analytics_trade_balance" -> (Analytics.tradeBalance(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4418,6 +4421,47 @@ object SparkEntry {
         |  OR avg_disc_ppm >= lag(avg_disc_ppm) OVER (ORDER BY tier)
         |  THEN 1 ELSE 0 END AS BIGINT) AS monotone_ok
         |FROM a""".stripMargin,
+    "analytics_supplier_price_spread" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS rev,
+        |  SUM(CAST(l_quantity AS BIGINT)) AS qty
+        | FROM lineitem GROUP BY 1, 2),
+        |u AS (SELECT l_partkey, rev // qty AS unit_c FROM ps),
+        |p AS (SELECT l_partkey, COUNT(*) AS n_suppliers,
+        |  CAST(MIN(unit_c) AS BIGINT) AS min_unit_c,
+        |  CAST(MAX(unit_c) AS BIGINT) AS max_unit_c
+        | FROM u GROUP BY 1 HAVING COUNT(*) >= 2),
+        |sp AS (SELECT l_partkey, n_suppliers, min_unit_c, max_unit_c,
+        |  CAST((max_unit_c - min_unit_c) * 1000000 // min_unit_c
+        |    AS BIGINT) AS spread_ppm
+        | FROM p),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |  (ORDER BY spread_ppm DESC, l_partkey) AS BIGINT) AS rk
+        | FROM sp)
+        |SELECT rk, l_partkey AS part_id, n_suppliers, min_unit_c,
+        | max_unit_c, spread_ppm
+        |FROM r WHERE rk <= 20""".stripMargin,
+    "analytics_trade_balance" ->
+      """WITH ex AS (SELECT n_name AS nation,
+        |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS export_cents
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        | GROUP BY 1),
+        |im AS (SELECT n_name AS nation,
+        |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS import_cents
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY 1)
+        |SELECT COALESCE(ex.nation, im.nation) AS nation,
+        | CAST(COALESCE(export_cents, 0) AS BIGINT) AS export_cents,
+        | CAST(COALESCE(import_cents, 0) AS BIGINT) AS import_cents,
+        | CAST(COALESCE(export_cents, 0) - COALESCE(import_cents, 0)
+        |   AS BIGINT) AS net_cents
+        |FROM ex FULL OUTER JOIN im ON ex.nation = im.nation""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

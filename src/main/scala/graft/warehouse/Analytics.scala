@@ -3536,4 +3536,76 @@ object Analytics {
           col("avg_disc_ppm") >= lag(col("avg_disc_ppm"), 1).over(w))
           .cast("long"))
   }
+
+  /** Supplier price spread — the procurement-arbitrage shortlist:
+    * for parts bought from several suppliers, how far apart are the
+    * suppliers' realized unit prices? Unit price per (part,
+    * supplier) is a truncating DIV of nonneg cents by nonneg units
+    * (deterministic both engines); the spread is (max−min)·10⁶ DIV
+    * min — the renegotiation headroom in ppm — and the report is
+    * the top 20 widest spreads. (part, supplier) rollup is map-side
+    * combinable; the per-part min/max is a second tiny aggregate.
+    */
+  def supplierPriceSpread(s: SparkSession, d: String,
+      k: Int = 20): DataFrame = {
+    val w = Window.orderBy(col("spread_ppm").desc, col("l_partkey"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long")).as("rev"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .select(col("l_partkey"), expr("rev DIV qty").as("unit_c"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        min(col("unit_c")).as("min_unit_c"),
+        max(col("unit_c")).as("max_unit_c"))
+      .filter(col("n_suppliers") >= 2)
+      .withColumn("spread_ppm",
+        expr("(max_unit_c - min_unit_c) * 1000000 DIV min_unit_c"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("rk"), col("l_partkey").as("part_id"),
+        col("n_suppliers"), col("min_unit_c"), col("max_unit_c"),
+        col("spread_ppm"))
+  }
+
+  /** Nation trade balance — each nation's export revenue (its
+    * suppliers' shipped lines) against its import spend (its
+    * customers' purchased lines) and the net, the full-matrix
+    * rollup of which TPC-H Q7 grades one cell. Exports and imports
+    * are separate star joins of the SAME fact (supplier→nation vs
+    * orders→customer→nation), full-outer joined at nation grain so
+    * one-sided nations survive with zeros. Both dims broadcast; the
+    * fact is scanned twice but each pass is one map-side-combinable
+    * rollup — at 100 TB the two scans beat a 4-way join that would
+    * carry both nation keys through one shuffle.
+    */
+  def tradeBalance(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"))
+    val exports = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(cents).cast("long").as("export_cents"))
+    val imports = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(cents).cast("long").as("import_cents"))
+    exports.join(imports, Seq("nation"), "full_outer")
+      .select(col("nation"),
+        coalesce(col("export_cents"), lit(0L)).as("export_cents"),
+        coalesce(col("import_cents"), lit(0L)).as("import_cents"))
+      .withColumn("net_cents", col("export_cents") - col("import_cents"))
+  }
 }
