@@ -248,6 +248,9 @@ object SparkEntry {
     "analytics_supplier_price_spread" ->
       (Analytics.supplierPriceSpread(_, _)),
     "analytics_trade_balance" -> (Analytics.tradeBalance(_, _)),
+    "dq_chi2_independence" -> (Quality.chi2Independence(_, _)),
+    "analytics_product_vintage" -> (Analytics.productVintage(_, _)),
+    "dedup_weighted_jaccard" -> (Dedup.weightedJaccard(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4462,6 +4465,57 @@ object SparkEntry {
         | CAST(COALESCE(export_cents, 0) - COALESCE(import_cents, 0)
         |   AS BIGINT) AS net_cents
         |FROM ex FULL OUTER JOIN im ON ex.nation = im.nation""".stripMargin,
+    "dq_chi2_independence" ->
+      """WITH cells AS (SELECT o_orderpriority AS prio,
+        |  o_orderstatus AS status, COUNT(*) AS o
+        | FROM orders GROUP BY 1, 2),
+        |m AS (SELECT prio, status, o,
+        |  SUM(o) OVER (PARTITION BY prio) AS r,
+        |  SUM(o) OVER (PARTITION BY status) AS c,
+        |  SUM(o) OVER () AS n
+        | FROM cells)
+        |SELECT prio, status, o,
+        | CAST(CAST(o * n - r * c AS HUGEINT)
+        |   * CAST(o * n - r * c AS HUGEINT) * 1000000
+        |  // (n * r * c) AS BIGINT) AS contrib_ppm
+        |FROM m""".stripMargin,
+    "analytics_product_vintage" ->
+      """WITH li AS (SELECT l_partkey AS pk,
+        |  CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+        |    AS BIGINT) AS m,
+        |  CAST(l_quantity AS BIGINT) AS q
+        | FROM lineitem),
+        |intro AS (SELECT pk, MIN(m) AS intro_m FROM li GROUP BY 1)
+        |SELECT intro.intro_m AS cohort_m,
+        | li.m - intro.intro_m AS rel_month,
+        | COUNT(DISTINCT li.pk) AS parts_active,
+        | CAST(SUM(q) AS BIGINT) AS units
+        |FROM li JOIN intro ON li.pk = intro.pk
+        |WHERE li.m - intro.intro_m <= 2
+        |GROUP BY 1, 2""".stripMargin,
+    "dedup_weighted_jaccard" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))])
+        |    AS s
+        |  FROM documents) t),
+        |dft AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+        |wix AS (SELECT doc_id, sh.s, 1000000 // df AS w
+        |        FROM sh JOIN dft ON sh.s = dft.s),
+        |wd AS (SELECT doc_id, SUM(w) AS wsum FROM wix GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       SUM(a.w) AS sw
+        |      FROM wix a JOIN wix b ON a.s = b.s
+        |       AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        | CAST(sw * 1000000 // (wa.wsum + wb.wsum - sw) AS BIGINT)
+        |   AS wj_ppm
+        |FROM p JOIN wd wa ON wa.doc_id = id_a
+        | JOIN wd wb ON wb.doc_id = id_b
+        |WHERE sw * 1000000 // (wa.wsum + wb.wsum - sw)
+        |  >= 400000""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

@@ -766,4 +766,37 @@ object Dedup {
       .withColumn("overlap_ppm",
         expr("matched_shingles * 1000000 div total_shingles"))
   }
+
+  /** IDF-weighted Jaccard near-dup pairs — plain Jaccard counts a
+    * stopword shingle and a rare quote equally; weighting each
+    * shingle by 10⁶ DIV df (integer IDF) makes shared RARE content
+    * dominate, the standard fix when boilerplate inflates plain
+    * overlap (cf. [[graft.operators.TextAnalysis.boilerplateRate]]).
+    * Shared weight aggregates over the same inverted-index self-join
+    * as [[ngramJaccard]]; per-doc weights are one groupBy; the score
+    * is exact integer ppm end to end (weights, sums, and the final
+    * DIV all nonnegative). The df join doubles as the screen a
+    * 100 TB run would cap posting lengths with.
+    */
+  def weightedJaccard(s: SparkSession, d: String,
+      thresholdPpm: Long = 400000): DataFrame = {
+    val ix = shingled(s, d, 12)
+      .select(col("doc_id"), explode(col("hashed")).as("h"))
+    val dft = ix.groupBy("h").agg(count(lit(1)).as("df"))
+    val wix = ix.join(dft, "h")
+      .withColumn("w", expr("1000000 DIV df"))
+    val wd = wix.groupBy("doc_id").agg(sum(col("w")).as("wsum"))
+    wix.as("a").join(wix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.w")).as("sw"))
+      .join(wd.select(col("doc_id").as("id_a"), col("wsum").as("wa")),
+        "id_a")
+      .join(wd.select(col("doc_id").as("id_b"), col("wsum").as("wb")),
+        "id_b")
+      .withColumn("wj_ppm", expr("sw * 1000000 DIV (wa + wb - sw)"))
+      .filter(col("wj_ppm") >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("wj_ppm").cast("long")
+        .as("wj_ppm"))
+  }
 }

@@ -3608,4 +3608,31 @@ object Analytics {
         coalesce(col("import_cents"), lit(0L)).as("import_cents"))
       .withColumn("net_cents", col("export_cents") - col("import_cents"))
   }
+
+  /** Product vintage curve — cohort retention for PRODUCTS: parts
+    * cohorted by first-sale month, then units moved in relative
+    * months 0–2, the "does a launch hold or fade?" board a
+    * merchandiser reads next to the customer-cohort triangle. The
+    * intro month is one min-aggregate per part; relative months are
+    * exact integer month arithmetic (y·12+m, no date subtraction
+    * ambiguity); active-part counts are exact distincts at cohort
+    * grain. Join back is partkey-equi over the part rollup — no
+    * windows, no fact self-join.
+    */
+  def productVintage(s: SparkSession, d: String): DataFrame = {
+    val mnum = (year(col("l_shipdate")) * 12 +
+      month(col("l_shipdate")) - 1).cast("long")
+    val intro = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(min(mnum).as("intro_m"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), mnum.as("m"),
+        col("l_quantity").cast("long").as("q"))
+      .join(intro, Seq("pk"))
+      .withColumn("rel_month", col("m") - col("intro_m"))
+      .filter(col("rel_month") <= 2)
+      .groupBy(col("intro_m").as("cohort_m"), col("rel_month"))
+      .agg(countDistinct(col("pk")).as("parts_active"),
+        sum(col("q")).cast("long").as("units"))
+  }
 }

@@ -575,4 +575,35 @@ object Quality {
       .withColumn("silent_ppm",
         expr("(span_min - active_minutes) * 1000000 DIV span_min"))
   }
+
+  /** Chi-square independence (order priority × status) — the
+    * categorical×categorical drift test completing [[chi2Dow]]'s
+    * one-way GOF: per contingency cell, the χ² contribution as
+    * (o·n − r·c)²·10⁶ DIV (n·r·c) — per-term truncating DIV over
+    * NONNEGATIVE integers (the markov-chain discipline), so both
+    * engines walk the identical lattice and the cell table
+    * hash-grades. Squares ride DECIMAL(38) (the diff can reach n²).
+    * Margins come off one grouped count re-aggregated two ways —
+    * no second fact scan.
+    */
+  def chi2Independence(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("prio"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("o"))
+    val all = Window.partitionBy()
+    val byP = Window.partitionBy("prio")
+    val byS = Window.partitionBy("status")
+    cells
+      .withColumn("r", sum(col("o")).over(byP))
+      .withColumn("c", sum(col("o")).over(byS))
+      .withColumn("n", sum(col("o")).over(all))
+      .withColumn("diff",
+        (col("o") * col("n") - col("r") * col("c"))
+          .cast(DecimalType(19, 0)))
+      .select(col("prio"), col("status"), col("o"),
+        expr("CAST(CAST(diff * diff AS DECIMAL(38,0)) * 1000000 " +
+          "AS DECIMAL(38,0)) DIV (n * r * c)").as("contrib_ppm"))
+  }
 }
