@@ -251,6 +251,8 @@ object SparkEntry {
     "dq_chi2_independence" -> (Quality.chi2Independence(_, _)),
     "analytics_product_vintage" -> (Analytics.productVintage(_, _)),
     "dedup_weighted_jaccard" -> (Dedup.weightedJaccard(_, _)),
+    "dq_partition_checksums" -> (Quality.partitionChecksums(_, _)),
+    "analytics_wallet_share" -> (Analytics.walletShare(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4516,6 +4518,36 @@ object SparkEntry {
         | JOIN wd wb ON wb.doc_id = id_b
         |WHERE sw * 1000000 // (wa.wsum + wb.wsum - sw)
         |  >= 400000""".stripMargin,
+    "dq_partition_checksums" ->
+      """WITH h AS (
+        | SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+        |   AS DATE) AS mth,
+        |  CAST(('0x' || substr(md5(concat_ws('|',
+        |   o_orderkey, o_custkey, o_orderstatus,
+        |   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+        |   CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+        |   o_orderpriority)), 1, 12))::UBIGINT AS BIGINT) AS h
+        | FROM orders)
+        |SELECT mth, COUNT(*) AS n_rows,
+        | CAST(SUM(h) AS BIGINT) AS sum_hash, bit_xor(h) AS xor_hash
+        |FROM h GROUP BY 1""".stripMargin,
+    "analytics_wallet_share" ->
+      """WITH sp AS (SELECT o_custkey AS cust,
+        |  SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS spend
+        | FROM orders GROUP BY 1),
+        |j AS (SELECT n_name AS nation, cust,
+        |  CAST(spend AS BIGINT) AS spend
+        | FROM sp JOIN customer ON cust = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |w AS (SELECT nation, cust, spend,
+        |  SUM(spend) OVER (PARTITION BY nation) AS nation_total,
+        |  CAST(row_number() OVER (PARTITION BY nation
+        |    ORDER BY spend DESC, cust) AS BIGINT) AS rk
+        | FROM j)
+        |SELECT nation, rk, cust AS cust_id, spend AS spend_cents,
+        | CAST(spend * 1000000 // nation_total AS BIGINT) AS share_ppm
+        |FROM w WHERE rk <= 3""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

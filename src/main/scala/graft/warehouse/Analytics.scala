@@ -3635,4 +3635,34 @@ object Analytics {
       .agg(countDistinct(col("pk")).as("parts_active"),
         sum(col("q")).cast("long").as("units"))
   }
+
+  /** Wallet share — each nation's top-3 customers by share of the
+    * nation's total spend (the key-account concentration view sales
+    * leadership staffs against; the per-peer-group dual of the
+    * global [[percentRankSpend]]). Spend rolls up per customer
+    * first (map-side combinable), nation totals and ranks ride ONE
+    * window partitioned by nation over the already-reduced customer
+    * rows, and the share is exact integer ppm.
+    */
+  def walletShare(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("spend"))
+    val wN = Window.partitionBy("nation")
+    val rkW = Window.partitionBy("nation")
+      .orderBy(col("spend").desc, col("cust"))
+    spend
+      .join(Tables.customer(s, d).select(col("c_custkey").as("cust"),
+        col("c_nationkey")), Seq("cust"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nationkey"),
+          col("n_name").as("nation"))), Seq("c_nationkey"))
+      .withColumn("nation_total", sum(col("spend")).over(wN))
+      .withColumn("rk", row_number().over(rkW).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("nation"), col("rk"), col("cust").as("cust_id"),
+        col("spend").as("spend_cents"),
+        expr("spend * 1000000 DIV nation_total").as("share_ppm"))
+  }
 }

@@ -606,4 +606,28 @@ object Quality {
         expr("CAST(CAST(diff * diff AS DECIMAL(38,0)) * 1000000 " +
           "AS DECIMAL(38,0)) DIV (n * r * c)").as("contrib_ppm"))
   }
+
+  /** Per-partition checksums — the incremental-reconciliation
+    * primitive behind [[graft.warehouse.Analytics.tableChecksum]]'s
+    * whole-table digest: month-grain row counts plus order-
+    * independent sum and xor of a 48-bit row hash, so a nightly
+    * sync can binary-search WHICH partition drifted instead of
+    * re-diffing the table. Map-side combinable (sum/xor are
+    * commutative), one scan, ~84 output rows per 7-year fact.
+    */
+  def partitionChecksums(s: SparkSession, d: String): DataFrame = {
+    val rowStr = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      graft.warehouse.Dwd.dec(col("o_totalprice")).cast("string"),
+      col("o_orderdate").cast("date").cast("string"),
+      col("o_orderpriority"))
+    val h48 = conv(substring(md5(rowStr), 1, 12), 16, 10).cast("long")
+    Tables.orders(s, d)
+      .select(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("mth"), h48.as("h"))
+      .groupBy("mth")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h")).cast("long").as("sum_hash"),
+        expr("bit_xor(h)").as("xor_hash"))
+  }
 }
