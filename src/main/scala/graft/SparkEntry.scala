@@ -253,6 +253,9 @@ object SparkEntry {
     "dedup_weighted_jaccard" -> (Dedup.weightedJaccard(_, _)),
     "dq_partition_checksums" -> (Quality.partitionChecksums(_, _)),
     "analytics_wallet_share" -> (Analytics.walletShare(_, _)),
+    "analytics_basket_shape" -> (Analytics.basketShape(_, _)),
+    "analytics_brand_affinity" -> (Analytics.brandAffinity(_, _)),
+    "dq_id_integrity" -> (Quality.idIntegrity(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4548,6 +4551,44 @@ object SparkEntry {
         |SELECT nation, rk, cust AS cust_id, spend AS spend_cents,
         | CAST(spend * 1000000 // nation_total AS BIGINT) AS share_ppm
         |FROM w WHERE rk <= 3""".stripMargin,
+    "analytics_basket_shape" ->
+      """WITH l AS (SELECT l_orderkey AS ok, COUNT(*) AS n_lines
+        |           FROM lineitem GROUP BY 1),
+        |o AS (SELECT o_orderkey AS ok,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS cents
+        | FROM orders)
+        |SELECT n_lines, COUNT(*) AS n_orders,
+        | CAST(SUM(cents) AS BIGINT) AS total_cents,
+        | CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_order_cents
+        |FROM o JOIN l ON o.ok = l.ok GROUP BY 1""".stripMargin,
+    "analytics_brand_affinity" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM ob),
+        |cx AS (SELECT b, COUNT(*) AS c FROM ob GROUP BY 1),
+        |p AS (SELECT x.b AS brand_a, y.b AS brand_b, COUNT(*) AS c_ab
+        |      FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+        |      GROUP BY 1, 2),
+        |r AS (SELECT brand_a, brand_b, c_ab,
+        |  ca.c AS c_a, cb.c AS c_b,
+        |  CAST(row_number() OVER (ORDER BY c_ab DESC, brand_a,
+        |    brand_b) AS BIGINT) AS rk
+        | FROM p JOIN cx ca ON ca.b = brand_a
+        |  JOIN cx cb ON cb.b = brand_b)
+        |SELECT rk, brand_a, brand_b, c_ab,
+        | CAST(c_ab * (SELECT n_orders FROM n) * 1000000
+        |   // (c_a * c_b) AS BIGINT) AS lift_ppm
+        |FROM r WHERE rk <= 20""".stripMargin,
+    "dq_id_integrity" ->
+      """SELECT COUNT(event_id) AS n_rows,
+        | COUNT(DISTINCT event_id) AS n_ids,
+        | MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+        | CAST(MAX(event_id) - MIN(event_id) + 1
+        |   - COUNT(DISTINCT event_id) AS BIGINT) AS missing_ids,
+        | CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT)
+        |   AS dup_rows
+        |FROM events""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

@@ -3665,4 +3665,64 @@ object Analytics {
         col("spend").as("spend_cents"),
         expr("spend * 1000000 DIV nation_total").as("share_ppm"))
   }
+
+  /** Basket shape profile — the order-structure histogram a
+    * fulfillment planner sizes pick-paths against: orders bucketed
+    * by line count, with order volume, revenue, and average order
+    * value per bucket (truncating DIV, exact cents). Line counts
+    * come off one lineitem rollup joined back to order totals —
+    * no fact self-join, both rollups map-side combinable.
+    */
+  def basketShape(s: SparkSession, d: String): DataFrame = {
+    val lines = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(count(lit(1)).as("n_lines"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("ok"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("cents"))
+      .join(lines, Seq("ok"))
+      .groupBy("n_lines")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).cast("long").as("total_cents"))
+      .withColumn("avg_order_cents",
+        expr("total_cents DIV n_orders"))
+  }
+
+  /** Brand affinity matrix — market-basket association at BRAND
+    * grain (the merchandising view; [[assocRules]] works at part
+    * grain): top-20 brand pairs by co-occurrence with exact integer
+    * lift, lift_ppm = c_ab·N·10⁶ DIV (c_a·c_b). Each order reduces
+    * to its DISTINCT brand set first (≤ a handful of brands), so
+    * the per-order pair fanout is tiny and bounded; the order
+    * universe N rides a 1-row broadcast (allowlisted).
+    */
+  def brandAffinity(s: SparkSession, d: String,
+      k: Int = 20): DataFrame = {
+    val ob = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+    val n = ob.agg(countDistinct(col("ok")).as("n_orders"))
+    val cx = ob.groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val pairs = ob.as("x").join(ob.as("y"),
+        col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+      .groupBy(col("x.b").as("brand_a"), col("y.b").as("brand_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val w = Window.orderBy(col("c_ab").desc, col("brand_a"),
+      col("brand_b"))
+    pairs
+      .join(cx.select(col("b").as("brand_a"), col("c").as("c_a")),
+        Seq("brand_a"))
+      .join(cx.select(col("b").as("brand_b"), col("c").as("c_b")),
+        Seq("brand_b"))
+      .crossJoin(broadcast(n))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("rk"), col("brand_a"), col("brand_b"), col("c_ab"),
+        expr("c_ab * n_orders * 1000000 DIV (c_a * c_b)")
+          .as("lift_ppm"))
+  }
 }

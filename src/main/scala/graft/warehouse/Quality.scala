@@ -630,4 +630,22 @@ object Quality {
         sum(col("h")).cast("long").as("sum_hash"),
         expr("bit_xor(h)").as("xor_hash"))
   }
+
+  /** Surrogate-key integrity — the first check a CDC/ingest monitor
+    * runs on a supposedly-dense id sequence: count, distinct count,
+    * span, and the derived missing/duplicate totals, one commutative
+    * aggregate (exact distinct at 1-row output grain). Zero missing
+    * + zero dups certifies the sequence; anything else quantifies
+    * the backfill due.
+    */
+  def idIntegrity(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(count(col("event_id")).as("n_rows"),
+        countDistinct(col("event_id")).as("n_ids"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .select(col("n_rows"), col("n_ids"), col("min_id"), col("max_id"),
+        (col("max_id") - col("min_id") + 1 - col("n_ids"))
+          .as("missing_ids"),
+        (col("n_rows") - col("n_ids")).as("dup_rows"))
 }

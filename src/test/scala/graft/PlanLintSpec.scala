@@ -112,8 +112,10 @@ class PlanLintSpec extends AnyFunSuite {
     // inherits sim_topk_bruteforce's broadcast non-equi query join
     "analytics_backlog_age", "dq_chi2_dow", "sim_recall_eval",
     // graph_modularity crossJoins the 1-row edge-count aggregate;
-    // brand_penetration crossJoins the 1-row order-universe total
-    "graph_modularity", "analytics_brand_penetration")
+    // brand_penetration and brand_affinity crossJoin the 1-row
+    // order-universe total
+    "graph_modularity", "analytics_brand_penetration",
+    "analytics_brand_affinity")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
