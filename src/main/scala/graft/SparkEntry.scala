@@ -256,6 +256,8 @@ object SparkEntry {
     "analytics_basket_shape" -> (Analytics.basketShape(_, _)),
     "analytics_brand_affinity" -> (Analytics.brandAffinity(_, _)),
     "dq_id_integrity" -> (Quality.idIntegrity(_, _)),
+    "sim_ivf_balance" -> (Similarity.ivfBalance(_, _)),
+    "analytics_aov_bridge" -> (Analytics.aovBridge(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4589,6 +4591,53 @@ object SparkEntry {
         | CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT)
         |   AS dup_rows
         |FROM events""".stripMargin,
+    "sim_ivf_balance" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+        |      FROM e),
+        |tot AS (SELECT greatest(count(*)//16, 1) AS stride,
+        |        count(*) AS total FROM e),
+        |cents AS (SELECT (vec_id // stride) AS cidx, v AS cv,
+        |          nrm AS cn
+        |          FROM n, tot
+        |          WHERE vec_id % stride = 0 AND vec_id // stride < 16),
+        |cs AS (SELECT n.vec_id, cidx,
+        |  list_sum([n.v[i+1]*cv[i+1] for i in range(0,len(cv))])
+        |   / (n.nrm * cn) AS ccos
+        | FROM n CROSS JOIN cents),
+        |assign AS (SELECT vec_id, CAST(cidx AS BIGINT) AS cell FROM (
+        |  SELECT vec_id, cidx, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY ccos DESC, cidx) AS r FROM cs) t
+        |  WHERE r = 1)
+        |SELECT cell, COUNT(*) AS n_vectors,
+        | CAST(COUNT(*) * 1000000 // (SELECT total FROM tot) AS BIGINT)
+        |   AS share_ppm,
+        | CAST(COUNT(*) * 16 * 1000000 // (SELECT total FROM tot)
+        |   AS BIGINT) AS load_ppm
+        |FROM assign GROUP BY 1""".stripMargin,
+    "analytics_aov_bridge" ->
+      """WITH m AS (SELECT CAST(date_trunc('month',
+        |    CAST(o_orderdate AS DATE)) AS DATE) AS mth,
+        |  COUNT(*) AS n_orders,
+        |  SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS gmv_cents
+        | FROM orders GROUP BY 1),
+        |a AS (SELECT mth, n_orders,
+        |  CAST(gmv_cents AS BIGINT) AS gmv_cents,
+        |  CAST(gmv_cents // n_orders AS BIGINT) AS aov_cents
+        | FROM m),
+        |l AS (SELECT mth, n_orders, gmv_cents, aov_cents,
+        |  lag(n_orders) OVER (ORDER BY mth) AS pn,
+        |  lag(gmv_cents) OVER (ORDER BY mth) AS pg,
+        |  lag(aov_cents) OVER (ORDER BY mth) AS pa
+        | FROM a)
+        |SELECT mth, n_orders, gmv_cents, aov_cents,
+        | CAST((n_orders - pn) * pa AS BIGINT) AS volume_effect,
+        | CAST(n_orders * (aov_cents - pa) AS BIGINT) AS aov_effect,
+        | CAST(gmv_cents - pg - (n_orders - pn) * pa
+        |   - n_orders * (aov_cents - pa) AS BIGINT) AS trunc_residual
+        |FROM l WHERE pn IS NOT NULL""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

@@ -981,6 +981,42 @@ object Similarity {
           .as("mean_pair_cos"))
   }
 
+  /** IVF cell-balance report — the SCALE property of the ANN index
+    * graded as a relation: per cell, the vector count, corpus share,
+    * and load factor vs the ideal n/nCells (ppm). A cell at 3× ideal
+    * is the probe-latency tail; rebalancing (or a finer codebook) is
+    * due when load_ppm spreads past ~2·10⁶. Uses the same
+    * deterministic stride-seeded centroids and argmax-cosine
+    * assignment as the IVF family, so the report grades against the
+    * SQL oracle exactly like the index it audits.
+    */
+  def ivfBalance(s: SparkSession, d: String,
+      nCells: Int = 16): DataFrame = {
+    Vectors.ensureRegistered(s)
+    val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val total = e.count()
+    val stride = math.max(1L, total / nCells)
+    val cents = e.filter(col("vec_id") % stride === 0 &&
+        col("vec_id") / stride < nCells)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val cellScores = array(cents.map { case (cv, cn) =>
+      Vectors.dot(col("v"), typedLit(cv)) / (col("nrm") * cn)
+    }: _*)
+    val bestCell = (array_position(col("__s"),
+      array_max(col("__s"))) - 1).cast("long")
+    e.withColumn("__s", cellScores)
+      .withColumn("cell", bestCell)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"))
+      .select(col("cell"), col("n_vectors"),
+        expr(s"n_vectors * 1000000 DIV $total").as("share_ppm"),
+        expr(s"n_vectors * $nCells * 1000000 DIV $total")
+          .as("load_ppm"))
+  }
+
   /** Centroid outliers — the top-k vectors FARTHEST from their own
     * label's centroid, the standard mislabel/anomaly shortlist an
     * annotation-QA pass reviews first. Exact without ever forming

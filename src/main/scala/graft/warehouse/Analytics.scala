@@ -3725,4 +3725,37 @@ object Analytics {
         expr("c_ab * n_orders * 1000000 DIV (c_a * c_b)")
           .as("lift_ppm"))
   }
+
+  /** Volume/AOV bridge — each month's GMV delta split into "more
+    * orders" vs "bigger orders" (the 2-factor dual of the item-level
+    * [[priceVolumeMix]]): Δ = (n₁−n₀)·aov₀ + n₁·(aov₁−aov₀) +
+    * truncation residual, with AOV a truncating DIV of exact cents —
+    * the residual is kept EXPLICIT so the bridge reconciles to the
+    * cent. Month grain means one map-side rollup and a lag over ~80
+    * rows.
+    */
+  def aovBridge(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("mth"))
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("mth"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long")).as("gmv_cents"))
+      .withColumn("aov_cents", expr("gmv_cents DIV n_orders"))
+      .withColumn("pn", lag(col("n_orders"), 1).over(w))
+      .withColumn("pg", lag(col("gmv_cents"), 1).over(w))
+      .withColumn("pa", lag(col("aov_cents"), 1).over(w))
+      .filter(col("pn").isNotNull)
+      .select(col("mth"), col("n_orders"), col("gmv_cents"),
+        col("aov_cents"),
+        ((col("n_orders") - col("pn")) * col("pa"))
+          .as("volume_effect"),
+        (col("n_orders") * (col("aov_cents") - col("pa")))
+          .as("aov_effect"),
+        (col("gmv_cents") - col("pg") -
+          (col("n_orders") - col("pn")) * col("pa") -
+          col("n_orders") * (col("aov_cents") - col("pa")))
+          .as("trunc_residual"))
+  }
 }
