@@ -258,6 +258,8 @@ object SparkEntry {
     "dq_id_integrity" -> (Quality.idIntegrity(_, _)),
     "sim_ivf_balance" -> (Similarity.ivfBalance(_, _)),
     "analytics_aov_bridge" -> (Analytics.aovBridge(_, _)),
+    "pipeline_split_balance" -> (TextAnalysis.splitBalance(_, _)),
+    "dq_holiday_detect" -> (Quality.holidayDetect(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4638,6 +4640,35 @@ object SparkEntry {
         | CAST(gmv_cents - pg - (n_orders - pn) * pa
         |   - n_orders * (aov_cents - pa) AS BIGINT) AS trunc_residual
         |FROM l WHERE pn IS NOT NULL""".stripMargin,
+    "pipeline_split_balance" ->
+      """WITH s AS (SELECT CAST(label AS BIGINT) AS label,
+        |  CASE WHEN vec_id % 10 < 8 THEN 'train'
+        |       WHEN vec_id % 10 = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM embeddings),
+        |g AS (SELECT split, label, COUNT(*) AS n FROM s GROUP BY 1, 2),
+        |t AS (SELECT split, label, n,
+        |  SUM(n) OVER (PARTITION BY split) AS split_total FROM g)
+        |SELECT split, label, n,
+        | CAST(n * 1000000 // split_total AS BIGINT) AS share_ppm
+        |FROM t""".stripMargin,
+    "dq_holiday_detect" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  COUNT(*) AS cnt FROM orders GROUP BY 1),
+        |x AS (SELECT dt, cnt,
+        |  CAST((dt - DATE '1970-01-01') % 7 AS BIGINT) AS dow
+        | FROM daily),
+        |r AS (SELECT dt, cnt, dow,
+        |  CAST(row_number() OVER (PARTITION BY dow ORDER BY cnt, dt)
+        |    AS BIGINT) AS rk,
+        |  COUNT(*) OVER (PARTITION BY dow) AS nd
+        | FROM x),
+        |m AS (SELECT dt, cnt, dow,
+        |  MAX(CASE WHEN rk = (nd + 1) // 2 THEN cnt END)
+        |    OVER (PARTITION BY dow) AS med
+        | FROM r)
+        |SELECT dt, dow, cnt, CAST(med AS BIGINT) AS dow_median
+        |FROM m WHERE cnt * 2 < med""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

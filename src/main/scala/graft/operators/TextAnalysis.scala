@@ -741,6 +741,30 @@ object TextAnalysis {
         countDistinct(col("source")).as("n_sources"))
   }
 
+  /** Split stratification audit — did the train/val/test cut skew
+    * the class mix? Per (split, label): counts and the label's share
+    * WITHIN its split (ppm), the table a training run checks before
+    * trusting validation metrics. The split is the deterministic
+    * mod-hash every pipeline stage here uses (vec_id % 10 → 8/1/1),
+    * so the audit replays bit-exactly anywhere; shares are exact
+    * integer DIV over the split's own 1-level window total.
+    */
+  def splitBalance(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wS = Window.partitionBy("split")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .withColumn("split",
+        when(col("vec_id") % 10 < 8, "train")
+          .when(col("vec_id") % 10 === 8, "val")
+          .otherwise("test"))
+      .groupBy("split", "label")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("split_total", sum(col("n")).over(wS))
+      .select(col("split"), col("label"), col("n"),
+        expr("n * 1000000 DIV split_total").as("share_ppm"))
+  }
+
   /** Inter-annotator agreement (Cohen's κ) between two deterministic
     * document labelers — the eval-harness number that tells you
     * whether two quality signals measure the SAME thing or merely

@@ -648,4 +648,32 @@ object Quality {
         (col("max_id") - col("min_id") + 1 - col("n_ids"))
           .as("missing_ids"),
         (col("n_rows") - col("n_ids")).as("dup_rows"))
+
+  /** Holiday/outage detector — days whose order volume falls below
+    * half their day-of-week's median, the calendar-anomaly sweep
+    * that separates "Sunday is always slow" from "something
+    * happened that Tuesday". Daily counts are one rollup; each
+    * DOW's EXACT lower median comes from a row_number over its ~80
+    * day rows (bounded domain, the quantile-family contract); the
+    * flag is an integer comparison, no floats anywhere.
+    */
+  def holidayDetect(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow",
+        (datediff(col("dt"), lit("1970-01-01").cast("date")) % 7)
+          .cast("long"))
+    val wRk = Window.partitionBy("dow").orderBy(col("cnt"), col("dt"))
+    val wN = Window.partitionBy("dow")
+    daily
+      .withColumn("rk", row_number().over(wRk).cast("long"))
+      .withColumn("nd", count(lit(1)).over(wN))
+      .withColumn("med", max(when(
+        col("rk") === expr("(nd + 1) DIV 2"), col("cnt"))).over(wN))
+      .filter(col("cnt") * 2 < col("med"))
+      .select(col("dt"), col("dow"), col("cnt"),
+        col("med").as("dow_median"))
+  }
 }
