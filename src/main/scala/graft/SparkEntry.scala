@@ -260,6 +260,10 @@ object SparkEntry {
     "analytics_aov_bridge" -> (Analytics.aovBridge(_, _)),
     "pipeline_split_balance" -> (TextAnalysis.splitBalance(_, _)),
     "dq_holiday_detect" -> (Quality.holidayDetect(_, _)),
+    "dim_asof_diff" -> ((s, dir) =>
+      graft.operators.Temporal.asofDiff(s, dir)),
+    "graph_rich_club" -> ((s, dir) =>
+      graft.operators.Graph.richClub(s, dir)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4669,6 +4673,47 @@ object SparkEntry {
         | FROM r)
         |SELECT dt, dow, cnt, CAST(med AS BIGINT) AS dow_median
         |FROM m WHERE cnt * 2 < med""".stripMargin,
+    "dim_asof_diff" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS us,
+        |  MAX(value) AS val
+        | FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |d2 AS (SELECT user_id, us AS f,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us) AS t, val
+        | FROM v),
+        |a1 AS (SELECT user_id, val AS v1 FROM d2
+        |  WHERE f <= 1704844800000000
+        |   AND (t IS NULL OR t > 1704844800000000)),
+        |a2 AS (SELECT user_id, val AS v2 FROM d2
+        |  WHERE f <= 1706140800000000
+        |   AND (t IS NULL OR t > 1706140800000000)),
+        |j AS (SELECT COALESCE(a1.user_id, a2.user_id) AS user_id,
+        |  v1, v2,
+        |  CASE WHEN v1 IS NULL THEN 'added'
+        |   WHEN v2 IS NULL THEN 'removed'
+        |   WHEN v1 <> v2 THEN 'changed' ELSE 'same' END AS op
+        | FROM a1 FULL OUTER JOIN a2 ON a1.user_id = a2.user_id)
+        |SELECT user_id, v1, v2, op FROM j WHERE op <> 'same'""".stripMargin,
+    "graph_rich_club" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS s, b.pk AS t
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT v, COUNT(*) AS deg FROM (
+        |  SELECT s AS v FROM e UNION ALL SELECT t FROM e) u
+        | GROUP BY 1),
+        |rk AS (SELECT v, CAST(row_number() OVER
+        |  (ORDER BY deg DESC, v) AS BIGINT) AS rk
+        | FROM deg QUALIFY rk <= 100),
+        |er AS (SELECT greatest(rs.rk, rt.rk) AS mx
+        |       FROM e JOIN rk rs ON e.s = rs.v
+        |        JOIN rk rt ON e.t = rt.v),
+        |c AS (SELECT CAST(n AS BIGINT) AS club_n,
+        |  (SELECT COUNT(*) FROM er WHERE mx <= n) AS intra_edges
+        | FROM (VALUES (10), (25), (50), (100)) t(n))
+        |SELECT club_n, CAST(intra_edges AS BIGINT) AS intra_edges,
+        | CAST(intra_edges * 2 * 1000000 // (club_n * (club_n - 1))
+        |   AS BIGINT) AS density_ppm
+        |FROM c""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

@@ -627,4 +627,37 @@ object Graph {
           (lit(4.0) * col("m_edges").cast("double") *
             col("m_edges").cast("double")), 6).as("modularity"))
   }
+
+  /** Rich-club profile — do the hub parts co-purchase with EACH
+    * OTHER, or only with the long tail? For each club size N (top-N
+    * nodes by degree), the edge density among club members in ppm —
+    * rising density with smaller N is the "rich club" signature that
+    * tells a recommender whether hubs form a clique or a star. One
+    * degree rollup, one global rank over the node table (dimension-
+    * sized, the global-topk contract), and ONE pass over the edge
+    * list joined to both endpoint ranks — each edge classifies into
+    * every club via its max endpoint rank, no per-N rescan.
+    */
+  def richClub(s: SparkSession, d: String,
+      clubs: Seq[Int] = Seq(10, 25, 50, 100)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = coPurchaseEdges(s, d)
+    val deg = e.select(col("s").as("v"))
+      .union(e.select(col("t").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val rk = deg.withColumn("rk", row_number()
+      .over(Window.orderBy(col("deg").desc, col("v"))).cast("long"))
+      .filter(col("rk") <= clubs.max)
+      .select(col("v"), col("rk"))
+    val edgeRank = e
+      .join(rk.select(col("v").as("s"), col("rk").as("rs")), Seq("s"))
+      .join(rk.select(col("v").as("t"), col("rk").as("rt")), Seq("t"))
+      .select(greatest(col("rs"), col("rt")).as("mx"))
+    val thresholds = clubs.map(n =>
+      edgeRank.filter(col("mx") <= n)
+        .agg(lit(n.toLong).as("club_n"),
+          count(lit(1)).as("intra_edges"))).reduce(_ unionByName _)
+    thresholds.withColumn("density_ppm",
+      expr("intra_edges * 2 * 1000000 DIV (club_n * (club_n - 1))"))
+  }
 }

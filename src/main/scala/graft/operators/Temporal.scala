@@ -381,6 +381,33 @@ object Temporal {
         col("last_view_value"))
   }
 
+  /** Time-travel diff — "what changed in the dimension between two
+    * as-of instants?", the audit a slowly-changing dim owner runs
+    * after a backfill (the temporal dual of [[snapshotDiff]], which
+    * diffs two DERIVED snapshots; this diffs the SAME versioned dim
+    * at two times). Both as-of states are interval-containment
+    * filters over [[userValueScd2]]'s versions — no rebuild, no
+    * second scan of the change feed — full-outer joined at the key
+    * so appears/disappears classify as added/removed.
+    */
+  def asofDiff(s: org.apache.spark.sql.SparkSession, d: String,
+      t1Us: Long = 1704844800000000L,   // 2024-01-10T00:00Z
+      t2Us: Long = 1706140800000000L    // 2024-01-25T00:00Z
+      ): DataFrame = {
+    val dim = userValueScd2(s, d)
+    def at(t: Long, n: String) = dim
+      .filter(col("valid_from_us") <= t &&
+        (col("valid_to_us").isNull || col("valid_to_us") > t))
+      .select(col("user_id"), col("last_view_value").as(n))
+    at(t1Us, "v1").join(at(t2Us, "v2"), Seq("user_id"), "full_outer")
+      .withColumn("op",
+        when(col("v1").isNull, lit("added"))
+          .when(col("v2").isNull, lit("removed"))
+          .when(col("v1") =!= col("v2"), lit("changed"))
+          .otherwise(lit("same")))
+      .filter(col("op") =!= "same")
+  }
+
   /** Batch SCD1 MERGE (the `MERGE INTO` / Delta-upsert shape, SCD2's
     * latest-version-only sibling): fold the newest change per key
     * into the dim — matched rows take the new value (`update`),
