@@ -264,6 +264,9 @@ object SparkEntry {
       graft.operators.Temporal.asofDiff(s, dir)),
     "graph_rich_club" -> ((s, dir) =>
       graft.operators.Graph.richClub(s, dir)),
+    "analytics_category_migration" ->
+      (Analytics.categoryMigration(_, _)),
+    "analytics_price_points" -> (Analytics.pricePoints(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4714,6 +4717,37 @@ object SparkEntry {
         | CAST(intra_edges * 2 * 1000000 // (club_n * (club_n - 1))
         |   AS BIGINT) AS density_ppm
         |FROM c""".stripMargin,
+    "analytics_category_migration" ->
+      """WITH o AS (SELECT o_custkey AS cust, o_orderkey AS ok,
+        |  CAST(o_orderdate AS DATE) AS od FROM orders),
+        |r AS (SELECT cust, ok,
+        |  row_number() OVER (PARTITION BY cust ORDER BY od, ok) AS rn,
+        |  COUNT(*) OVER (PARTITION BY cust) AS n FROM o),
+        |ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |       FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |f AS (SELECT cust, b AS from_brand FROM r JOIN ob USING (ok)
+        |      WHERE rn = 1 AND n >= 2),
+        |l AS (SELECT cust, b AS to_brand FROM r JOIN ob USING (ok)
+        |      WHERE rn = n AND n >= 2),
+        |g AS (SELECT from_brand, to_brand,
+        |  COUNT(DISTINCT cust) AS n_customers
+        | FROM f JOIN l USING (cust) GROUP BY 1, 2),
+        |rr AS (SELECT from_brand, to_brand, n_customers,
+        |  CAST(row_number() OVER (ORDER BY n_customers DESC,
+        |    from_brand, to_brand) AS BIGINT) AS rk FROM g)
+        |SELECT rk, from_brand, to_brand, n_customers
+        |FROM rr WHERE rk <= 20""".stripMargin,
+    "analytics_price_points" ->
+      """WITH e AS (SELECT CAST(CAST(p_retailprice AS DECIMAL(12,2))
+        |    * 100 AS BIGINT) % 100 AS ending FROM part),
+        |g AS (SELECT ending, COUNT(*) AS n_parts FROM e GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS total FROM part),
+        |r AS (SELECT ending, n_parts, CAST(row_number() OVER
+        |  (ORDER BY n_parts DESC, ending) AS BIGINT) AS rk FROM g)
+        |SELECT rk, ending, n_parts,
+        | CAST(n_parts * 1000000 // (SELECT total FROM t) AS BIGINT)
+        |   AS share_ppm
+        |FROM r WHERE rk <= 10""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

@@ -3758,4 +3758,67 @@ object Analytics {
           col("n_orders") * (col("aov_cents") - col("pa")))
           .as("trunc_residual"))
   }
+
+  /** Brand migration matrix — which brands a customer's FIRST order
+    * contained versus their LAST (the taste-drift dual of
+    * [[rfmMigration]]'s value drift): top-20 (from, to) brand pairs
+    * by customer count, over repeat customers only. First/last
+    * order keys come from two frames over ONE per-customer sort;
+    * each order reduces to its distinct brand set before the
+    * per-customer cross (≤ basket-size² pairs, bounded), so the
+    * matrix never touches fact×fact.
+    */
+  def categoryMigration(s: SparkSession, d: String,
+      k: Int = 20): DataFrame = {
+    val wAsc = Window.partitionBy("cust")
+      .orderBy(col("od"), col("ok"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
+        to_date(col("o_orderdate")).as("od"))
+      .withColumn("rn_first", row_number().over(wAsc))
+      .withColumn("n_orders", count(lit(1)).over(
+        Window.partitionBy("cust")))
+      .withColumn("rn_last",
+        (col("n_orders") - col("rn_first") + 1))
+      .filter(col("n_orders") >= 2)
+    val ob = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+    val firstB = o.filter(col("rn_first") === 1)
+      .join(ob, Seq("ok")).select(col("cust"), col("b").as("from_brand"))
+    val lastB = o.filter(col("rn_last") === 1)
+      .join(ob, Seq("ok")).select(col("cust"), col("b").as("to_brand"))
+    val w = Window.orderBy(col("n_customers").desc, col("from_brand"),
+      col("to_brand"))
+    firstB.join(lastB, Seq("cust"))
+      .groupBy("from_brand", "to_brand")
+      .agg(countDistinct(col("cust")).as("n_customers"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("rk"), col("from_brand"), col("to_brand"),
+        col("n_customers"))
+  }
+
+  /** Price-point profile — the charm-pricing audit (how much of the
+    * catalog ends in .99, .49, .00?): retail-price cent endings
+    * ranked by catalog share in exact ppm. One part-table scan;
+    * trivially parallel, but the SIGNAL (price-point discipline per
+    * catalog) is a standing merchandising report.
+    */
+  def pricePoints(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val w = Window.orderBy(col("n_parts").desc, col("ending"))
+    val total = Tables.part(s, d).count()
+    Tables.part(s, d)
+      .select(((col("p_retailprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long") % 100).as("ending"))
+      .groupBy("ending")
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("rk"), col("ending"), col("n_parts"),
+        expr(s"n_parts * 1000000 DIV ${total}L").as("share_ppm"))
+  }
 }
