@@ -267,6 +267,8 @@ object SparkEntry {
     "analytics_category_migration" ->
       (Analytics.categoryMigration(_, _)),
     "analytics_price_points" -> (Analytics.pricePoints(_, _)),
+    "dq_rare_levels" -> (Quality.rareLevels(_, _)),
+    "analytics_assortment_churn" -> (Analytics.assortmentChurn(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4748,6 +4750,44 @@ object SparkEntry {
         | CAST(n_parts * 1000000 // (SELECT total FROM t) AS BIGINT)
         |   AS share_ppm
         |FROM r WHERE rk <= 10""".stripMargin,
+    "dq_rare_levels" ->
+      """WITH a AS (
+        | SELECT 'o_orderpriority' AS column_name,
+        |  CAST(o_orderpriority AS VARCHAR) AS level FROM orders
+        | UNION ALL
+        | SELECT 'p_brand', CAST(p_brand AS VARCHAR) FROM part
+        | UNION ALL
+        | SELECT 'event_type', CAST(event_type AS VARCHAR) FROM events),
+        |g AS (SELECT column_name, level, COUNT(*) AS cnt FROM a
+        |      GROUP BY 1, 2),
+        |t AS (SELECT column_name, level, cnt,
+        |  CAST(cnt * 1000000 // SUM(cnt) OVER
+        |    (PARTITION BY column_name) AS BIGINT) AS share_ppm
+        | FROM g),
+        |rare AS (SELECT column_name, level, cnt, share_ppm FROM t
+        |         WHERE share_ppm < 1000),
+        |summ AS (SELECT column_name, '__total_levels' AS level,
+        |  COUNT(*) AS cnt, CAST(0 AS BIGINT) AS share_ppm
+        | FROM g GROUP BY 1)
+        |SELECT * FROM rare UNION ALL SELECT * FROM summ""".stripMargin,
+    "analytics_assortment_churn" ->
+      """WITH pm AS (SELECT DISTINCT l_partkey AS pk,
+        |  CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+        |    AS m
+        | FROM lineitem),
+        |span AS (SELECT pk, MIN(m) AS first_m, MAX(m) AS last_m
+        |         FROM pm GROUP BY 1),
+        |act AS (SELECT m AS mth, COUNT(*) AS active_parts FROM pm
+        |        GROUP BY 1),
+        |intro AS (SELECT first_m AS mth, COUNT(*) AS introduced
+        |          FROM span GROUP BY 1),
+        |ret AS (SELECT last_m AS mth, COUNT(*) AS retired
+        |        FROM span GROUP BY 1)
+        |SELECT act.mth, active_parts,
+        | COALESCE(introduced, 0) AS introduced,
+        | COALESCE(retired, 0) AS retired
+        |FROM act LEFT JOIN intro ON act.mth = intro.mth
+        | LEFT JOIN ret ON act.mth = ret.mth""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

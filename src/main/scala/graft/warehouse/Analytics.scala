@@ -3821,4 +3821,33 @@ object Analytics {
       .select(col("rk"), col("ending"), col("n_parts"),
         expr(s"n_parts * 1000000 DIV ${total}L").as("share_ppm"))
   }
+
+  /** Assortment churn — per month, the catalog's working set: parts
+    * that SOLD, parts selling for the first time (introduced), and
+    * parts selling for the last time (retired) — the breadth/renewal
+    * board a category manager steers by. First/last sale months are
+    * ONE min/max rollup per part; the monthly report is three
+    * rollups over that part-grain table, no fact rescan per metric.
+    * (Retired counts at the horizon month are censoring artifacts,
+    * same caveat every survival table carries.)
+    */
+  def assortmentChurn(s: SparkSession, d: String): DataFrame = {
+    val mcol = date_trunc("month", col("l_shipdate")).cast("date")
+    val perPart = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), mcol.as("m"))
+      .distinct()
+    val span = perPart.groupBy("pk")
+      .agg(min(col("m")).as("first_m"), max(col("m")).as("last_m"))
+    val active = perPart.groupBy(col("m").as("mth"))
+      .agg(count(lit(1)).as("active_parts"))
+    val intro = span.groupBy(col("first_m").as("mth"))
+      .agg(count(lit(1)).as("introduced"))
+    val retired = span.groupBy(col("last_m").as("mth"))
+      .agg(count(lit(1)).as("retired"))
+    active.join(intro, Seq("mth"), "left")
+      .join(retired, Seq("mth"), "left")
+      .select(col("mth"), col("active_parts"),
+        coalesce(col("introduced"), lit(0L)).as("introduced"),
+        coalesce(col("retired"), lit(0L)).as("retired"))
+  }
 }

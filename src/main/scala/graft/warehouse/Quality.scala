@@ -676,4 +676,35 @@ object Quality {
       .select(col("dt"), col("dow"), col("cnt"),
         col("med").as("dow_median"))
   }
+
+  /** Rare-level audit — the long-tail detector for categorical
+    * columns (a level carrying <0.1% of rows is usually a typo, a
+    * test fixture, or an upstream enum drift): per (column, level),
+    * counts and share ppm, emitting ONLY sub-threshold levels plus
+    * a per-column `__total_levels` row so "no rare levels" is still
+    * a visible result. Each audited column is one map-side rollup;
+    * shares divide by the column's own windowed total.
+    */
+  def rareLevels(s: SparkSession, d: String,
+      thresholdPpm: Long = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def audit(df: DataFrame, colName: String): DataFrame = {
+      val wAll = Window.partitionBy(lit(1))
+      val g = df.select(col(colName).cast("string").as("level"))
+        .groupBy("level").agg(count(lit(1)).as("cnt"))
+        .withColumn("total", sum(col("cnt")).over(wAll))
+        .withColumn("share_ppm", expr("cnt * 1000000 DIV total"))
+      val rare = g.filter(col("share_ppm") < thresholdPpm)
+        .select(lit(colName).as("column_name"), col("level"),
+          col("cnt"), col("share_ppm"))
+      val summary = g.agg(count(lit(1)).as("cnt"))
+        .select(lit(colName).as("column_name"),
+          lit("__total_levels").as("level"), col("cnt"),
+          lit(0L).as("share_ppm"))
+      rare.unionByName(summary)
+    }
+    audit(Tables.orders(s, d), "o_orderpriority")
+      .unionByName(audit(Tables.part(s, d), "p_brand"))
+      .unionByName(audit(Tables.events(s, d), "event_type"))
+  }
 }
