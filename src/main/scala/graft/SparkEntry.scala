@@ -269,6 +269,8 @@ object SparkEntry {
     "analytics_price_points" -> (Analytics.pricePoints(_, _)),
     "dq_rare_levels" -> (Quality.rareLevels(_, _)),
     "analytics_assortment_churn" -> (Analytics.assortmentChurn(_, _)),
+    "pipeline_mix_sweep" -> (TextAnalysis.mixSweep(_, _)),
+    "mm_dedup_ratio" -> (Multimodal.dedupRatio(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4788,6 +4790,49 @@ object SparkEntry {
         | COALESCE(retired, 0) AS retired
         |FROM act LEFT JOIN intro ON act.mth = intro.mth
         | LEFT JOIN ret ON act.mth = ret.mth""".stripMargin,
+    "pipeline_mix_sweep" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |w AS (
+        | SELECT CAST(25 AS BIGINT) AS temp_pct, source, n_docs,
+        |  CAST(round(sqrt(sqrt(CAST(n_docs AS DOUBLE))) * 1000000)
+        |    AS BIGINT) AS w FROM c
+        | UNION ALL
+        | SELECT 50, source, n_docs,
+        |  CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+        |    AS BIGINT) FROM c
+        | UNION ALL
+        | SELECT 75, source, n_docs,
+        |  CAST(round(sqrt(CAST(n_docs AS DOUBLE))
+        |    * sqrt(sqrt(CAST(n_docs AS DOUBLE))) * 1000000)
+        |    AS BIGINT) FROM c
+        | UNION ALL
+        | SELECT 100, source, n_docs, n_docs * 1000000 FROM c),
+        |t AS (SELECT temp_pct, source, n_docs, w,
+        |  SUM(w) OVER (PARTITION BY temp_pct) AS tot_w FROM w)
+        |SELECT temp_pct, source, n_docs,
+        | CAST(w * 1000000 // tot_w AS BIGINT) AS share_ppm
+        |FROM t""".stripMargin,
+    "mm_dedup_ratio" ->
+      """WITH ch AS (
+        | SELECT md5(u.c) AS chunk_md5,
+        |  CAST(length(u.c) // 2 AS BIGINT) AS chunk_bytes
+        | FROM (
+        |  SELECT doc_id, unnest([{'i': i,
+        |    'c': substr(hex(encode(text)), i * 512 + 1, 512)}
+        |    for i in range(0, CAST(ceil(
+        |      octet_length(encode(text)) * 2 / 512.0) AS INT))]) AS u
+        |  FROM documents) x),
+        |g AS (SELECT chunk_md5, COUNT(*) AS refs,
+        |  MAX(chunk_bytes) AS cb FROM ch GROUP BY 1)
+        |SELECT CAST(SUM(refs) AS BIGINT) AS n_chunks,
+        | COUNT(*) AS n_unique,
+        | CAST(SUM(refs * cb) AS BIGINT) AS total_bytes,
+        | CAST(SUM(cb) AS BIGINT) AS unique_bytes,
+        | CAST(MAX(refs) AS BIGINT) AS max_refs,
+        | CAST((SUM(refs * cb) - SUM(cb)) * 1000000 // SUM(refs * cb)
+        |   AS BIGINT) AS saved_ppm
+        |FROM g""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

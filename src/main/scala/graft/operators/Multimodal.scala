@@ -100,6 +100,25 @@ object Multimodal {
         (length(col("c")) / 2).cast("long").as("chunk_bytes"))
   }
 
+  /** CAS capacity report — the storage-planning number the chunk
+    * store quotes: total vs unique chunks and bytes, the dedup
+    * saving in ppm, and the hottest chunk's reference count (the
+    * cache-pinning candidate). One digest groupBy over
+    * [[audioChunks]] then a 1-row reduce — the same digest shuffle
+    * an ingest already pays, so the report is free at any scale.
+    */
+  def dedupRatio(s: SparkSession, d: String): DataFrame =
+    audioChunks(s, d)
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("refs"), max(col("chunk_bytes")).as("cb"))
+      .agg(sum(col("refs")).cast("long").as("n_chunks"),
+        count(lit(1)).as("n_unique"),
+        sum(col("refs") * col("cb")).cast("long").as("total_bytes"),
+        sum(col("cb")).cast("long").as("unique_bytes"),
+        max(col("refs")).as("max_refs"))
+      .withColumn("saved_ppm",
+        expr("(total_bytes - unique_bytes) * 1000000 DIV total_bytes"))
+
   /** Content-addressed chunk dedup over the framed binary payloads —
     * the CAS/block-store primitive (two media files sharing a chunk
     * store it once): group [[audioChunks]]' digests, keep the

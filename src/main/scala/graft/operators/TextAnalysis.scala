@@ -1036,6 +1036,34 @@ object TextAnalysis {
           .as("target_docs"))
   }
 
+  /** Temperature-sweep of the sampling mix — [[mixTemperature]] at
+    * T ∈ {0.25, 0.5, 0.75, 1.0} side by side, the table a data-mix
+    * owner reads to pick how hard to flatten source skew. Arbitrary
+    * nᵀ would ride libm `pow` (NOT cross-engine stable); these four
+    * temperatures compose from IEEE-exact `sqrt` alone —
+    * n^¼ = √√n, n^¾ = √n·√√n — so the sweep hash-grades. One
+    * source-count rollup; four weight columns over the ≤|sources|
+    * rows; shares are integer ppm.
+    */
+  def mixSweep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy(lit(1))
+    val counts = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val n = col("n_docs").cast("double")
+    val weights = Seq(
+      25L -> round(sqrt(sqrt(n)) * 1000000L).cast("long"),
+      50L -> round(sqrt(n) * 1000000L).cast("long"),
+      75L -> round(sqrt(n) * sqrt(sqrt(n)) * 1000000L).cast("long"),
+      100L -> (col("n_docs") * 1000000L))
+    weights.map { case (t, w) =>
+      counts.withColumn("w", w)
+        .withColumn("tot_w", sum(col("w")).over(all))
+        .select(lit(t).as("temp_pct"), col("source"), col("n_docs"),
+          expr("w * 1000000L DIV tot_w").as("share_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Distinct window-minima over an ALREADY-MATERIALIZED hash-array
     * column. Taking the hashes as a column reference (not an inline
     * expression) is load-bearing: higher-order functions are
