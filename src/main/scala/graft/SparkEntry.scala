@@ -271,6 +271,9 @@ object SparkEntry {
     "analytics_assortment_churn" -> (Analytics.assortmentChurn(_, _)),
     "pipeline_mix_sweep" -> (TextAnalysis.mixSweep(_, _)),
     "mm_dedup_ratio" -> (Multimodal.dedupRatio(_, _)),
+    "dq_expectations" -> (Quality.expectations(_, _)),
+    "graph_knn_curve" -> ((s, dir) =>
+      graft.operators.Graph.knnCurve(s, dir)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4833,6 +4836,48 @@ object SparkEntry {
         | CAST((SUM(refs * cb) - SUM(cb)) * 1000000 // SUM(refs * cb)
         |   AS BIGINT) AS saved_ppm
         |FROM g""".stripMargin,
+    "dq_expectations" ->
+      """SELECT 'orders_nonempty' AS check_name,
+        | COUNT(*) AS observed, CAST(1 AS BIGINT) AS threshold,
+        | CAST(COUNT(*) >= 1 AS BIGINT) AS passed FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_no_orphans', COUNT(*), 0,
+        | CAST(COUNT(*) = 0 AS BIGINT)
+        |FROM lineitem WHERE l_orderkey NOT IN
+        | (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'event_value_in_range',
+        | COUNT(*) FILTER (WHERE value < 0 OR value > 1000), 0,
+        | CAST(COUNT(*) FILTER (WHERE value < 0 OR value > 1000) = 0
+        |   AS BIGINT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'brand_cardinality_25', COUNT(DISTINCT p_brand), 25,
+        | CAST(COUNT(DISTINCT p_brand) = 25 AS BIGINT) FROM part
+        |UNION ALL
+        |SELECT 'event_id_unique',
+        | COUNT(*) - COUNT(DISTINCT event_id), 0,
+        | CAST(COUNT(*) = COUNT(DISTINCT event_id) AS BIGINT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'customer_nation_fk', COUNT(*), 0,
+        | CAST(COUNT(*) = 0 AS BIGINT)
+        |FROM customer WHERE c_nationkey NOT IN
+        | (SELECT n_nationkey FROM nation)""".stripMargin,
+    "graph_knn_curve" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS s, b.pk AS t
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |und AS (SELECT s AS v, t AS n FROM e
+        |        UNION ALL SELECT t, s FROM e),
+        |deg AS (SELECT v, COUNT(*) AS deg FROM und GROUP BY 1)
+        |SELECT d1.deg, COUNT(*) AS n_endpoints,
+        | CAST(SUM(d2.deg) * 1000000 // COUNT(*) AS BIGINT)
+        |   AS avg_nbr_deg_e6
+        |FROM und JOIN deg d1 ON und.v = d1.v
+        | JOIN deg d2 ON und.n = d2.v
+        |GROUP BY 1""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

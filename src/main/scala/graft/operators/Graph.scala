@@ -660,4 +660,28 @@ object Graph {
     thresholds.withColumn("density_ppm",
       expr("intra_edges * 2 * 1000000 DIV (club_n * (club_n - 1))"))
   }
+
+  /** Average-neighbor-degree curve — the assortativity CURVE where
+    * [[assortativity]] grades the single coefficient: per own-degree
+    * bucket, the mean degree of neighbors (×10⁶, truncating DIV), the
+    * plot whose slope shows whether hubs attach to hubs. Both
+    * directions of each edge contribute once; degrees come off one
+    * rollup and the curve is one join of the directed edge list
+    * against it — no wedge enumeration anywhere.
+    */
+  def knnCurve(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    val und = e.select(col("s").as("v"), col("t").as("n"))
+      .union(e.select(col("t").as("v"), col("s").as("n")))
+    val deg = und.groupBy("v").agg(count(lit(1)).as("deg"))
+    und
+      .join(deg, Seq("v"))
+      .join(deg.select(col("v").as("n"), col("deg").as("ndeg")),
+        Seq("n"))
+      .groupBy(col("deg"))
+      .agg(count(lit(1)).as("n_endpoints"),
+        sum(col("ndeg")).as("ndeg_sum"))
+      .select(col("deg"), col("n_endpoints"),
+        expr("ndeg_sum * 1000000 DIV n_endpoints").as("avg_nbr_deg_e6"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.warehouse
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -706,5 +706,49 @@ object Quality {
     audit(Tables.orders(s, d), "o_orderpriority")
       .unionByName(audit(Tables.part(s, d), "p_brand"))
       .unionByName(audit(Tables.events(s, d), "event_type"))
+  }
+
+  /** Declarative expectation suite — the Great-Expectations-style
+    * contract run AS one relation: every check reports
+    * (check_name, observed, threshold, passed) whether it passed or
+    * not, so the suite's shape is stable and a scheduler can diff
+    * runs. Checks cover row presence, referential orphans,
+    * value-range conformity, enum cardinality, and key uniqueness —
+    * each an independent aggregate; the anti-join orphan checks are
+    * the only shuffles.
+    */
+  def expectations(s: SparkSession, d: String): DataFrame = {
+    def row(name: String, observed: Column, threshold: Long,
+        passed: Column): DataFrame => DataFrame = df =>
+      df.agg(lit(name).as("check_name"),
+        observed.cast("long").as("observed"),
+        lit(threshold).as("threshold"),
+        passed.cast("long").as("passed"))
+    val orders = Tables.orders(s, d)
+    val rowsPresent = row("orders_nonempty", count(lit(1)), 1L,
+      count(lit(1)) >= 1L)(orders)
+    val orphans = Tables.lineitem(s, d)
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val orphanCheck = row("lineitem_no_orphans", count(lit(1)), 0L,
+      count(lit(1)) === 0L)(orphans)
+    val valueRange = row("event_value_in_range",
+      count_if(col("value") < 0 || col("value") > 1000), 0L,
+      count_if(col("value") < 0 || col("value") > 1000) === 0L)(
+      Tables.events(s, d))
+    val brandCard = row("brand_cardinality_25",
+      countDistinct(col("p_brand")), 25L,
+      countDistinct(col("p_brand")) === 25L)(Tables.part(s, d))
+    val idUnique = row("event_id_unique",
+      count(lit(1)) - countDistinct(col("event_id")), 0L,
+      count(lit(1)) === countDistinct(col("event_id")))(
+      Tables.events(s, d))
+    val custNation = Tables.customer(s, d)
+      .join(Tables.nation(s, d),
+        col("c_nationkey") === col("n_nationkey"), "left_anti")
+    val fkCheck = row("customer_nation_fk", count(lit(1)), 0L,
+      count(lit(1)) === 0L)(custNation)
+    Seq(rowsPresent, orphanCheck, valueRange, brandCard, idUnique,
+      fkCheck).reduce(_ unionByName _)
   }
 }
