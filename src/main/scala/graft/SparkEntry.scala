@@ -274,6 +274,8 @@ object SparkEntry {
     "dq_expectations" -> (Quality.expectations(_, _)),
     "graph_knn_curve" -> ((s, dir) =>
       graft.operators.Graph.knnCurve(s, dir)),
+    "analytics_replenishment" -> (Analytics.replenishment(_, _)),
+    "dq_dim_coverage" -> (Quality.dimCoverage(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4878,6 +4880,40 @@ object SparkEntry {
         |FROM und JOIN deg d1 ON und.v = d1.v
         | JOIN deg d2 ON und.n = d2.v
         |GROUP BY 1""".stripMargin,
+    "analytics_replenishment" ->
+      """WITH pc AS (SELECT l_partkey AS part_id, o_custkey AS cust,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY 1, 2),
+        |p AS (SELECT part_id, COUNT(*) AS n_buyers,
+        |  COUNT(*) FILTER (WHERE n_orders >= 2) AS repeat_buyers
+        | FROM pc GROUP BY 1 HAVING COUNT(*) >= 5),
+        |r AS (SELECT part_id, n_buyers, repeat_buyers,
+        |  CAST(repeat_buyers * 1000000 // n_buyers AS BIGINT)
+        |    AS repeat_ppm FROM p),
+        |rr AS (SELECT part_id, n_buyers, repeat_buyers, repeat_ppm,
+        |  CAST(row_number() OVER (ORDER BY repeat_ppm DESC,
+        |    n_buyers DESC, part_id) AS BIGINT) AS rk FROM r)
+        |SELECT rk, part_id, n_buyers, repeat_buyers, repeat_ppm
+        |FROM rr WHERE rk <= 20""".stripMargin,
+    "dq_dim_coverage" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS us,
+        |    MAX(value) AS last_view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |dim AS (SELECT user_id, us AS vf,
+        |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us) AS vt,
+        |    last_view_value FROM v),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |srv AS (SELECT p.us, dim.last_view_value
+        | FROM p LEFT JOIN dim ON p.user_id = dim.user_id
+        |  AND p.us >= dim.vf AND (dim.vt IS NULL OR p.us < dim.vt))
+        |SELECT CAST(make_timestamp(us) AS DATE) AS dt,
+        | COUNT(*) AS n_probes,
+        | COUNT(*) FILTER (WHERE last_view_value IS NULL) AS misses,
+        | CAST(COUNT(*) FILTER (WHERE last_view_value IS NULL)
+        |   * 1000000 // COUNT(*) AS BIGINT) AS miss_ppm
+        |FROM srv GROUP BY 1""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

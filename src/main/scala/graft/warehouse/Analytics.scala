@@ -3850,4 +3850,35 @@ object Analytics {
         coalesce(col("introduced"), lit(0L)).as("introduced"),
         coalesce(col("retired"), lit(0L)).as("retired"))
   }
+
+  /** Replenishment detector — parts whose buyers COME BACK for them
+    * (the subscription-candidate shortlist): per part, the share of
+    * its customers who ordered it in ≥2 distinct orders, ranked by
+    * repeat share then buyer count. The (part, customer) rollup
+    * carries both the distinct-order count and the buyer universe —
+    * one fact⋈orders join, one two-level aggregate, exact ppm. A
+    * floor on buyers keeps one-buyer parts from gaming the rank.
+    */
+  def replenishment(s: SparkSession, d: String, k: Int = 20,
+      minBuyers: Long = 5): DataFrame = {
+    val w = Window.orderBy(col("repeat_ppm").desc,
+      col("n_buyers").desc, col("part_id"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey").as("part_id"),
+        col("o_custkey").as("cust"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      .groupBy("part_id")
+      .agg(count(lit(1)).as("n_buyers"),
+        count_if(col("n_orders") >= 2).as("repeat_buyers"))
+      .filter(col("n_buyers") >= minBuyers)
+      .withColumn("repeat_ppm",
+        expr("repeat_buyers * 1000000 DIV n_buyers"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("rk"), col("part_id"), col("n_buyers"),
+        col("repeat_buyers"), col("repeat_ppm"))
+  }
 }

@@ -751,4 +751,19 @@ object Quality {
     Seq(rowsPresent, orphanCheck, valueRange, brandCard, idUnique,
       fkCheck).reduce(_ unionByName _)
   }
+
+  /** Dimension-coverage audit — how often the as-of serve MISSES
+    * (probe earlier than the key's first version → null), per day:
+    * the serving-quality number that decides whether a dim needs
+    * backfilled history. Rides [[graft.operators.Temporal.scd2Serve]]
+    * unchanged — the audit is a null-rate rollup over the join the
+    * serving layer already runs, misses in exact ppm.
+    */
+  def dimCoverage(s: SparkSession, d: String): DataFrame =
+    graft.operators.Temporal.scd2Serve(s, d)
+      .groupBy(to_date(timestamp_micros(col("us"))).as("dt"))
+      .agg(count(lit(1)).as("n_probes"),
+        count_if(col("last_view_value").isNull).as("misses"))
+      .withColumn("miss_ppm",
+        expr("misses * 1000000 DIV n_probes"))
 }
