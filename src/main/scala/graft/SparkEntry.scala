@@ -276,6 +276,11 @@ object SparkEntry {
       graft.operators.Graph.knnCurve(s, dir)),
     "analytics_replenishment" -> (Analytics.replenishment(_, _)),
     "dq_dim_coverage" -> (Quality.dimCoverage(_, _)),
+    "graph_label_prop" -> ((s, dir) =>
+      graft.operators.Graph.labelPropagation(s, dir)),
+    "sim_dim_variance" -> (Similarity.dimVariance(_, _)),
+    "analytics_abc_migration" -> (Analytics.abcMigration(_, _)),
+    "analytics_iqr_outliers" -> (Analytics.iqrOutliers(_, _)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -4914,6 +4919,104 @@ object SparkEntry {
         | CAST(COUNT(*) FILTER (WHERE last_view_value IS NULL)
         |   * 1000000 // COUNT(*) AS BIGINT) AS miss_ppm
         |FROM srv GROUP BY 1""".stripMargin,
+    // synchronous LPA: 3 unrolled supersteps, most-frequent neighbor
+    // label with smallest-label tie-break — deterministic both engines
+    "graph_label_prop" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |      FROM lineitem),
+        |p AS (SELECT a.pk AS s, b2.pk AS t, COUNT(*) AS n
+        |      FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT s, t FROM p WHERE n >= 2),
+        |und AS (SELECT s AS v, t AS n FROM pairs
+        |        UNION ALL SELECT t, s FROM pairs),
+        |l0 AS (SELECT DISTINCT v, v AS lbl FROM und),
+        |c1 AS (SELECT und.v, l0.lbl, COUNT(*) AS c
+        |       FROM und JOIN l0 ON und.n = l0.v GROUP BY 1, 2),
+        |l1 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER
+        |        (PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM c1) x
+        |       WHERE rk = 1),
+        |c2 AS (SELECT und.v, l1.lbl, COUNT(*) AS c
+        |       FROM und JOIN l1 ON und.n = l1.v GROUP BY 1, 2),
+        |l2 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER
+        |        (PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM c2) x
+        |       WHERE rk = 1),
+        |c3 AS (SELECT und.v, l2.lbl, COUNT(*) AS c
+        |       FROM und JOIN l2 ON und.n = l2.v GROUP BY 1, 2),
+        |l3 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER
+        |        (PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM c3) x
+        |       WHERE rk = 1)
+        |SELECT v AS part_id, lbl AS community FROM l3""".stripMargin,
+    // per-dimension embedding health: integer-millionth quantization
+    // makes n, Σq, Σq² exact; variance is one exact integer division
+    "sim_dim_variance" ->
+      """WITH q AS (SELECT unnest(range(len(embedding))) AS dim,
+        |  unnest([CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |          for x in embedding]) AS q
+        | FROM embeddings),
+        |a AS (SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+        |  SUM(q) AS sq,
+        |  SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0)))
+        |    AS sqq
+        | FROM q GROUP BY 1)
+        |SELECT dim, n, CAST(sq // n AS BIGINT) AS mean_q6,
+        | CAST((CAST(n AS HUGEINT) * CAST(sqq AS HUGEINT)
+        |     - CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT))
+        |   // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS BIGINT)
+        |   AS var_q12
+        |FROM a""".stripMargin,
+    // per-period ABC classing replayed twice (identical integer
+    // cum/tot rule as analytics_abc_class), full-outer aligned
+    "analytics_abc_migration" ->
+      """WITH r1 AS (
+        | SELECT l_partkey AS part_id, CAST(SUM(CAST(
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+        |    AS BIGINT)) AS BIGINT) AS x
+        | FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-07-01'
+        | GROUP BY 1),
+        |c1 AS (SELECT part_id,
+        |  CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+        |   WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS c1
+        | FROM (SELECT part_id,
+        |   CAST(SUM(CAST(x AS HUGEINT))
+        |     OVER (ORDER BY x DESC, part_id) AS HUGEINT) AS cum,
+        |   CAST(SUM(CAST(x AS HUGEINT)) OVER () AS HUGEINT) AS tot
+        |  FROM r1)),
+        |r2 AS (
+        | SELECT l_partkey AS part_id, CAST(SUM(CAST(
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+        |    AS BIGINT)) AS BIGINT) AS x
+        | FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-07-01'
+        | GROUP BY 1),
+        |c2 AS (SELECT part_id,
+        |  CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+        |   WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS c2
+        | FROM (SELECT part_id,
+        |   CAST(SUM(CAST(x AS HUGEINT))
+        |     OVER (ORDER BY x DESC, part_id) AS HUGEINT) AS cum,
+        |   CAST(SUM(CAST(x AS HUGEINT)) OVER () AS HUGEINT) AS tot
+        |  FROM r2))
+        |SELECT COALESCE(c1, 'NEW') AS class_h1,
+        | COALESCE(c2, 'GONE') AS class_h2, COUNT(*) AS n_parts
+        |FROM c1 FULL OUTER JOIN c2 USING (part_id)
+        |GROUP BY 1, 2""".stripMargin,
+    // Tukey fences from 6dp-rounded exact quartiles; graded surface
+    // is counts against per-group constants, never per-row floats
+    "analytics_iqr_outliers" ->
+      """WITH q AS (SELECT event_type AS et,
+        |    round(quantile_cont(value, 0.25), 6) AS q1,
+        |    round(quantile_cont(value, 0.75), 6) AS q3
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT et, q1, q3,
+        |    q1 - (q3 - q1) * 1.5 AS lo,
+        |    q3 + (q3 - q1) * 1.5 AS hi FROM q)
+        |SELECT e.event_type, f.q1, f.q3, COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE e.value < f.lo) AS n_low,
+        |  COUNT(*) FILTER (WHERE e.value > f.hi) AS n_high
+        |FROM events e JOIN f ON e.event_type = f.et
+        |GROUP BY 1, 2, 3""".stripMargin,
     // corpus version diff: the v2 derivation is part of the contract
     "corpus_version_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

@@ -684,4 +684,53 @@ object Graph {
       .select(col("deg"), col("n_endpoints"),
         expr("ndeg_sum * 1000000 DIV n_endpoints").as("avg_nbr_deg_e6"))
   }
+
+  /** Synchronous label propagation (3 BSP supersteps) on the strong
+    * co-purchase graph — the classic near-linear community detector,
+    * made fully deterministic: every node starts labeled with its own
+    * id, and each round REPLACES a node's label with the most frequent
+    * label among its neighbors, ties broken by the smallest label.
+    * Synchronous (all nodes update from the round-(k−1) labeling at
+    * once) plus the total tie order makes the fixpoint reproducible on
+    * any partitioning — asynchronous LPA's order-dependence is exactly
+    * what a distributed engine cannot promise.
+    *
+    * One superstep = one join of the undirected edge list against the
+    * current (node,label) relation on the NEIGHBOR key, a
+    * per-(node,label) count, and a tie-broken top-1 window — the same
+    * join+aggregate shape as [[pagerankCoPurchase]], so it reads the
+    * bucketed pair layout with no extra Exchange on the edge side.
+    * State is one row per node per round; at 100 TB the shuffle per
+    * round is |E| label messages on the node key, the canonical Pregel
+    * cost. Strength floor `minStrength` bounds |E| the same way it
+    * bounds [[components]]. Complements [[components]] (connectivity)
+    * and [[brandModularity]] (partition quality): LPA finds DENSE
+    * regions inside one connected component.
+    *
+    * Reference ADS layer computes category affinity groups from the
+    * same co-purchase relation (DwsTradeSkuOrderWindow.java:1 serves
+    * the per-SKU rollups this grouping consumes).
+    */
+  def labelPropagation(s: SparkSession, d: String, rounds: Int = 3,
+      minStrength: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = coPurchasePairCounts(s, d)
+      .filter(col("n_st") >= minStrength).select(col("s"), col("t"))
+    val und = e.select(col("s").as("v"), col("t").as("n"))
+      .union(e.select(col("t").as("v"), col("s").as("n")))
+    var lbl = und.select(col("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 1 to rounds) {
+      val w = Window.partitionBy(col("v"))
+        .orderBy(col("c").desc, col("lbl"))
+      lbl = und
+        .join(lbl.select(col("v").as("n"), col("lbl")), Seq("n"))
+        .groupBy(col("v"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("v"), col("lbl"))
+    }
+    lbl.select(col("v").as("part_id"), col("lbl").as("community"))
+  }
 }

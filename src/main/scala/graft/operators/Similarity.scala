@@ -1057,4 +1057,41 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("label"), col("rk"), col("vec_id"), col("score"))
   }
+
+  /** Per-dimension embedding health profile — mean and variance of
+    * every coordinate, the standard "dead / collapsed dimension"
+    * check run before an embedding table is trusted for ANN or
+    * semantic dedup: a dimension whose variance is ~0 carries no
+    * information (wasted index bytes, degenerate PQ codebooks), and a
+    * strongly off-center mean signals a missing normalization step
+    * upstream.
+    *
+    * Engine-exact: coordinates quantize to integer millionths
+    * (truncation — both engines' double→int semantics agree), so n,
+    * Σq and Σq² are exact integers and the variance finishes in one
+    * exact integer division: var_q12 = (n·Σq² − (Σq)²) DIV n² in
+    * 10⁻¹² units of the original scale. One posexplode → one
+    *
+    * map-side-combinable groupBy(dim): at 100 TB this is a single
+    * scan producing d rows — no join, no second pass, the cheapest
+    * possible full-corpus audit.
+    */
+  def dimVariance(s: SparkSession, d: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        (col("v").cast("double") * 1000000).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum((col("q").cast(d19) * col("q").cast(d19)).cast(d38))
+          .as("sqq"))
+      .select(col("dim"), col("n"),
+        expr("sq DIV n").as("mean_q6"),
+        expr("""(CAST(n AS DECIMAL(38,0)) * sqq
+                 - CAST(sq AS DECIMAL(38,0)) * CAST(sq AS DECIMAL(38,0)))
+                DIV (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))""")
+          .as("var_q12"))
+  }
 }

@@ -2455,9 +2455,16 @@ object Analytics {
     * string for the caller's share math.
     */
   private def abcPerPart(s: SparkSession, d: String)
+      : (DataFrame, String) =
+    abcPerPartOf(s, Tables.lineitem(s, d))
+
+  /** Same distributed prefix-sum classer over an arbitrary lineitem
+    * slice — [[abcMigration]] runs it once per period.
+    */
+  private def abcPerPartOf(s: SparkSession, fact: DataFrame)
       : (DataFrame, String) = {
     import s.implicits._
-    val rev = Tables.lineitem(s, d)
+    val rev = fact
       .groupBy(col("l_partkey").as("part_id"))
       .agg(sum((dec(col("l_extendedprice")) *
         (lit(1) - dec(col("l_discount"))) * 10000).cast("long")).as("x"))
@@ -2500,6 +2507,68 @@ object Analytics {
       .withColumn("share_ppm",
         expr(s"""CAST(rev_e4 * 1000000 AS DECIMAL(38,0))
                  DIV CAST($totalStr AS DECIMAL(38,0))"""))
+  }
+
+  /** ABC-class migration matrix: every part classed A/B/C by the
+    * [[abcPerPart]] distributed prefix sum INDEPENDENTLY over the
+    * first and second half of the ship history, then a full-outer
+    * self-alignment on part id counts each (from, to) transition —
+    * parts with no first-half revenue read `NEW`, parts that stopped
+    * selling read `GONE`. This is the assortment-strategy companion
+    * to the static [[abcParts]] snapshot and the behavioral
+    * [[rfmMigration]]: the A→C cell is the early-warning list a
+    * category manager acts on.
+    *
+    * Cost shape: two period-filtered part-revenue aggregations (the
+    * shipdate predicate is pushed to the scan), two O(parallelism)
+    * prefix-sum rounds, then one join keyed on part id whose sides
+    * are both |parts|-sized — at 100 TB the fact scans dominate and
+    * the matrix output is ≤ a dozen rows.
+    */
+  def abcMigration(s: SparkSession, d: String,
+      split: String = "1998-07-01"): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val cut = lit(split).cast("timestamp")
+    val (h1, _) = abcPerPartOf(s, li.filter(col("l_shipdate") < cut))
+    val (h2, _) = abcPerPartOf(s, li.filter(col("l_shipdate") >= cut))
+    h1.select(col("part_id"), col("abc_class").as("c1"))
+      .join(h2.select(col("part_id"), col("abc_class").as("c2")),
+        Seq("part_id"), "full_outer")
+      .groupBy(coalesce(col("c1"), lit("NEW")).as("class_h1"),
+        coalesce(col("c2"), lit("GONE")).as("class_h2"))
+      .agg(count(lit(1)).as("n_parts"))
+  }
+
+  /** Tukey IQR-fence outlier profile per event type — the third leg
+    * of the robust-outlier family beside the parametric z-score
+    * ([[outliersByType]]-style exact moments) and the
+    * median-absolute-deviation [[madOutliers]]: fences at
+    * Q1 − 1.5·IQR and Q3 + 1.5·IQR, the box-plot whisker rule.
+    * Quartiles come from the [[graft.operators.Quantiles]] descent
+    * (exact `quantile_cont` semantics, 6dp-rounded), the fences are
+    * one identical double expression on both engines, and the graded
+    * surface is per-group COUNTS below/above the fences — comparing
+    * a raw double against a broadcast per-group constant is
+    * bit-stable where per-row float output would not be.
+    *
+    * Scale: the quantile descent is a fixed number of combinable
+    * count-below passes; the profile itself is one scan with a
+    * broadcast fence join — no per-row window, no global sort.
+    */
+  def iqrOutliers(s: SparkSession, d: String): DataFrame = {
+    val q = graft.operators.Quantiles.groupQuantiles(
+        Tables.events(s, d), Seq("event_type"), "value",
+        Seq("q1" -> 0.25, "q3" -> 0.75))
+      .withColumnRenamed("event_type", "et")
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+    Tables.events(s, d)
+      .join(broadcast(q), col("event_type") === col("et"))
+      .groupBy(col("event_type"))
+      .agg(first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+        count(lit(1)).as("n"),
+        count(when(col("value") < col("lo"), 1)).as("n_low"),
+        count(when(col("value") > col("hi"), 1)).as("n_high"))
   }
 
   /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
