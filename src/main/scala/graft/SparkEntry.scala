@@ -281,6 +281,9 @@ object SparkEntry {
     "sim_dim_variance" -> (Similarity.dimVariance(_, _)),
     "analytics_abc_migration" -> (Analytics.abcMigration(_, _)),
     "analytics_iqr_outliers" -> (Analytics.iqrOutliers(_, _)),
+    "analytics_xcorr_leadlag" -> (Analytics.leadLagXcorr(_, _)),
+    "graph_harmonic" -> ((s, dir) =>
+      graft.operators.Graph.harmonicCentrality(s, dir)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
     "analytics_top_paths" -> (Analytics.topPaths(_, _)),
     "analytics_array_parity" -> (Analytics.arrayParity(_, _)),
@@ -5002,6 +5005,60 @@ object SparkEntry {
         | COALESCE(c2, 'GONE') AS class_h2, COUNT(*) AS n_parts
         |FROM c1 FULL OUTER JOIN c2 USING (part_id)
         |GROUP BY 1, 2""".stripMargin,
+    // view leads purchase: shifted-day equi-join per lag, exact
+    // decimal moments, the autocorr rounded-double finish
+    "analytics_xcorr_leadlag" ->
+      """WITH x AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS xv
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |y AS (SELECT CAST(ts AS DATE) AS yday, COUNT(*) AS yv
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |p AS (SELECT CAST(l.o AS BIGINT) AS lag_d, x.xv, y.yv
+        |      FROM x CROSS JOIN range(0, 4) l(o)
+        |      JOIN y ON y.yday = x.day + CAST(l.o AS INT)),
+        |mo AS (SELECT lag_d, COUNT(*) AS n,
+        |  SUM(CAST(xv AS DECIMAL(19,0))) AS sx,
+        |  SUM(CAST(yv AS DECIMAL(19,0))) AS sy,
+        |  SUM(CAST(CAST(xv AS DECIMAL(19,0)) * CAST(yv AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS sxy,
+        |  SUM(CAST(CAST(xv AS DECIMAL(19,0)) * CAST(xv AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS sxx,
+        |  SUM(CAST(CAST(yv AS DECIMAL(19,0)) * CAST(yv AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS syy
+        | FROM p GROUP BY 1)
+        |SELECT lag_d, n,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS xcorr
+        |FROM mo""".stripMargin,
+    // radius-3 truncated harmonic centrality: reach-set expansions
+    // with per-level distinct, exact-distance counts as set-size
+    // differences, 10^6 DIV d integer weights
+    "graph_harmonic" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |      FROM lineitem),
+        |p AS (SELECT a.pk AS s, b2.pk AS t, COUNT(*) AS n
+        |      FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT s, t FROM p WHERE n >= 2),
+        |und AS (SELECT s AS v, t AS n FROM pairs
+        |        UNION ALL SELECT t, s FROM pairs),
+        |r2 AS (SELECT DISTINCT v, n FROM (
+        |  SELECT r.v, u.n FROM und r JOIN und u ON u.v = r.n
+        |  UNION ALL SELECT v, n FROM und) WHERE v <> n),
+        |r3 AS (SELECT DISTINCT v, n FROM (
+        |  SELECT r.v, u.n FROM r2 r JOIN und u ON u.v = r.n
+        |  UNION ALL SELECT v, n FROM r2) WHERE v <> n),
+        |c1 AS (SELECT v, COUNT(*) AS ca FROM und GROUP BY 1),
+        |c2 AS (SELECT v, COUNT(*) AS cb FROM r2 GROUP BY 1),
+        |c3 AS (SELECT v, COUNT(*) AS cc FROM r3 GROUP BY 1)
+        |SELECT c1.v AS part_id, ca AS c1, cb - ca AS c2x,
+        | cc - cb AS c3x,
+        | ca * 1000000 + (cb - ca) * (1000000 // 2)
+        |   + (cc - cb) * (1000000 // 3) AS harm_e6
+        |FROM c1 JOIN c2 ON c1.v = c2.v JOIN c3 ON c2.v = c3.v""".stripMargin,
     // Tukey fences from 6dp-rounded exact quartiles; graded surface
     // is counts against per-group constants, never per-row floats
     "analytics_iqr_outliers" ->

@@ -424,6 +424,54 @@ object Analytics {
           .as("autocorr"))
   }
 
+  /** Lead-lag cross-correlation — does the `view` daily series LEAD
+    * the `purchase` series? For each lag L in 0..`maxLag`, Pearson
+    * correlation of x(day)=view count against y(day+L)=purchase
+    * count, the standard funnel lead-time discovery beside
+    * [[autocorrGmv]]'s self-correlation. The lag spine rides an
+    * `explode(sequence(...))` over the DAY-GRAIN aggregate (maxLag+1
+    * rows per day — never a fact fanout, and no literal cross join
+    * so the plan-lint's BNLJ budget is untouched); the shifted pair
+    * is an equi-join on the lagged calendar day. Moments follow the
+    * house discipline — DECIMAL(19) inputs, DECIMAL(38) product
+    * sums, one identical rounded-double finish on both engines.
+    *
+    * At 100 TB the fact scan collapses to ≤ |days| rows per series
+    * in one combinable aggregation; everything after is calendar-
+    * bounded.
+    */
+  def leadLagXcorr(s: SparkSession, d: String, maxLag: Int = 3): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+    val xs = ev.filter(col("event_type") === "view")
+      .groupBy("day").agg(count(lit(1)).as("xv"))
+    val ys = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("day").as("yday")).agg(count(lit(1)).as("yv"))
+    val x = col("xv").cast(DecimalType(19, 0))
+    val y = col("yv").cast(DecimalType(19, 0))
+    xs.select(col("day"), col("xv"),
+        explode(sequence(lit(0), lit(maxLag))).as("lag_d"))
+      .select(date_add(col("day"), col("lag_d")).as("yday"),
+        col("xv"), col("lag_d").cast("long").as("lag_d"))
+      .join(ys, Seq("yday"))
+      .groupBy(col("lag_d"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast(DecimalType(38, 0))).as("sxy"),
+        sum((x * x).cast(DecimalType(38, 0))).as("sxx"),
+        sum((y * y).cast(DecimalType(38, 0))).as("syy"))
+      .select(col("lag_d"), col("n"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("xcorr"))
+  }
+
   /** Time-series motif search — subsequence similarity in the
     * matrix-profile shape (EDBT'19 streaming-similarity family): find
     * the k historical `w`-day windows of daily GMV most similar to
