@@ -282,6 +282,8 @@ object SparkEntry {
     "analytics_abc_migration" -> (Analytics.abcMigration(_, _)),
     "analytics_iqr_outliers" -> (Analytics.iqrOutliers(_, _)),
     "analytics_xcorr_leadlag" -> (Analytics.leadLagXcorr(_, _)),
+    "analytics_arc_elasticity" -> (Analytics.arcElasticity(_, _)),
+    "analytics_seasonal_index" -> (Analytics.seasonalIndex(_, _)),
     "graph_harmonic" -> ((s, dir) =>
       graft.operators.Graph.harmonicCentrality(s, dir)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
@@ -5033,6 +5035,48 @@ object SparkEntry {
         |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS xcorr
         |FROM mo""".stripMargin,
+    // arc elasticity: cross-multiplied midpoint formula, one final
+    // toward-zero DIV in 128-bit integers on both engines
+    "analytics_arc_elasticity" ->
+      """WITH b AS (SELECT l_partkey AS part_id,
+        |  CASE WHEN l_discount <= 0.02 THEN 'lo' ELSE 'hi' END AS bucket,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS BIGINT)) AS qty,
+        |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS rev
+        | FROM lineitem
+        | WHERE l_discount <= 0.02 OR l_discount >= 0.06
+        | GROUP BY 1, 2),
+        |lo AS (SELECT part_id, n AS n1, qty AS q1, rev AS r1
+        |       FROM b WHERE bucket = 'lo'),
+        |hi AS (SELECT part_id, n AS n2, qty AS q2, rev AS r2
+        |       FROM b WHERE bucket = 'hi'),
+        |x AS (SELECT lo.part_id, n1, n2,
+        |  CAST(q2 AS HUGEINT) * n1 - CAST(q1 AS HUGEINT) * n2 AS dq,
+        |  CAST(q2 AS HUGEINT) * n1 + CAST(q1 AS HUGEINT) * n2 AS sq,
+        |  CAST(r2 AS HUGEINT) * q1 - CAST(r1 AS HUGEINT) * q2 AS dp,
+        |  CAST(r2 AS HUGEINT) * q1 + CAST(r1 AS HUGEINT) * q2 AS sp
+        | FROM lo JOIN hi ON lo.part_id = hi.part_id)
+        |SELECT part_id, n1, n2,
+        |  CAST(dq * sp * 1000000 // (sq * dp) AS BIGINT) AS elast_ppm
+        |FROM x WHERE dp <> 0""".stripMargin,
+    // month-of-year index: integer cents/day-count ratios against
+    // the 1-row grand total, one truncating DIV
+    "analytics_seasonal_index" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS g
+        | FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(month(dt) AS BIGINT) AS moy,
+        |  COUNT(*) AS n_days, CAST(SUM(g) AS BIGINT) AS gmv_cents
+        | FROM daily GROUP BY 1),
+        |t AS (SELECT SUM(n_days) AS tot_days, SUM(gmv_cents) AS tot_cents
+        |      FROM m)
+        |SELECT moy, n_days, gmv_cents,
+        |  CAST(CAST(gmv_cents AS HUGEINT) * tot_days * 1000000
+        |    // (CAST(n_days AS HUGEINT) * tot_cents) AS BIGINT)
+        |    AS index_ppm
+        |FROM m CROSS JOIN t""".stripMargin,
     // radius-3 truncated harmonic centrality: reach-set expansions
     // with per-level distinct, exact-distance counts as set-size
     // differences, 10^6 DIV d integer weights

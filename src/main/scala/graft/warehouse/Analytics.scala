@@ -905,6 +905,39 @@ object Analytics {
              AS BIGINT)""")).as("strength_ppm"))
   }
 
+  /** Classical month-of-year seasonal index — average daily GMV of
+    * each calendar month relative to the overall daily average, in
+    * ppm: the retail "is December 1.4× a normal month" table, the
+    * ratio-to-moving-average method's first step. Exact end to end:
+    * per month-of-year the cents total Cₘ and distinct-day count Dₘ
+    * are integers, the grand totals ride a 1-row broadcast cross
+    * join (never a driver scalar), and the index is one truncating
+    * Cₘ·D·10⁶ DIV (Dₘ·C) in DECIMAL(38,0). Complements
+    * [[seasonStrength]] (HOW seasonal is the series — one number)
+    * and [[seasonalityDow]] (weekly grain) with the WHICH-months
+    * profile a planner actually reads.
+    *
+    * Cost: one day-grain rollup of the fact scan, then a 12-row
+    * aggregate — the scan is everything at 100 TB.
+    */
+  def seasonalIndex(s: SparkSession, d: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+    val monthly = daily
+      .groupBy(month(col("dt")).cast("long").as("moy"))
+      .agg(count(lit(1)).as("n_days"), sum(col("g")).as("gmv_cents"))
+    val tot = monthly.agg(sum(col("n_days")).as("tot_days"),
+      sum(col("gmv_cents")).as("tot_cents"))
+    monthly.crossJoin(broadcast(tot))
+      .select(col("moy"), col("n_days"), col("gmv_cents"),
+        expr("""CAST(CAST(gmv_cents AS DECIMAL(38,0)) * tot_days * 1000000
+                DIV (CAST(n_days AS DECIMAL(38,0)) * tot_cents)
+                AS BIGINT)""").as("index_ppm"))
+  }
+
   /** Forecast backtest — close the loop on [[holtTrendGmv]]: align
     * each day's one-step-ahead forecast with the NEXT day's actual
     * and report exact integer error stats (MAE and bias in cents via
@@ -3652,6 +3685,58 @@ object Analytics {
         (lag(col("avg_disc_ppm"), 1).over(w).isNull ||
           col("avg_disc_ppm") >= lag(col("avg_disc_ppm"), 1).over(w))
           .cast("long"))
+  }
+
+  /** Arc price elasticity of demand per part — the pricing-science
+    * readout behind every discount ladder: compare each part's
+    * demand intensity (quantity per order line) in the LOW-discount
+    * regime (≤2%) against the HIGH-discount regime (≥6%) and express
+    * the midpoint-formula elasticity in ppm. Entirely exact: with
+    * per-bucket integer sums Q (units), N (lines), R (cents), the
+    * arc ratios cross-multiply into
+    * (Q₂N₁−Q₁N₂)·(R₂Q₁+R₁Q₂)·10⁶ DIV ((Q₂N₁+Q₁N₂)·(R₂Q₁−R₁Q₂)) —
+    * no division until the last truncating DIV, both engines
+    * toward-zero, products held in DECIMAL(38,0). Parts priced
+    * identically across regimes (dp = 0) are excluded, as are parts
+    * seen in only one regime.
+    *
+    * One map-side-combinable (part, bucket) rollup over the fact
+    * scan, then a self-alignment on part id — at 100 TB the scan
+    * dominates and the output is |parts|-bounded. Complements
+    * [[discountTiers]] (governance: is the ladder monotone?) with
+    * the demand RESPONSE the ladder exists to buy.
+    */
+  def arcElasticity(s: SparkSession, d: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val b = Tables.lineitem(s, d)
+      .filter(col("l_discount") <= 0.02 || col("l_discount") >= 0.06)
+      .groupBy(col("l_partkey").as("part_id"),
+        when(col("l_discount") <= 0.02, lit("lo")).otherwise(lit("hi"))
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long")).as("rev"))
+    val lo = b.filter(col("bucket") === "lo")
+      .select(col("part_id"), col("n").as("n1"), col("qty").as("q1"),
+        col("rev").as("r1"))
+    val hi = b.filter(col("bucket") === "hi")
+      .select(col("part_id"), col("n").as("n2"), col("qty").as("q2"),
+        col("rev").as("r2"))
+    lo.join(hi, "part_id")
+      .select(col("part_id"), col("n1"), col("n2"),
+        (col("q2").cast(d38) * col("n1") - col("q1").cast(d38) * col("n2"))
+          .as("dq"),
+        (col("q2").cast(d38) * col("n1") + col("q1").cast(d38) * col("n2"))
+          .as("sq"),
+        (col("r2").cast(d38) * col("q1") - col("r1").cast(d38) * col("q2"))
+          .as("dp"),
+        (col("r2").cast(d38) * col("q1") + col("r1").cast(d38) * col("q2"))
+          .as("sp"))
+      .filter(col("dp") =!= 0)
+      .select(col("part_id"), col("n1"), col("n2"),
+        expr("CAST(dq * sp * 1000000 DIV (sq * dp) AS BIGINT)")
+          .as("elast_ppm"))
   }
 
   /** Supplier price spread — the procurement-arbitrage shortlist:
