@@ -284,6 +284,8 @@ object SparkEntry {
     "analytics_xcorr_leadlag" -> (Analytics.leadLagXcorr(_, _)),
     "analytics_arc_elasticity" -> (Analytics.arcElasticity(_, _)),
     "analytics_seasonal_index" -> (Analytics.seasonalIndex(_, _)),
+    "analytics_spearman" -> (Analytics.spearmanCorr(_, _)),
+    "text_zipf_profile" -> (TextAnalysis.zipfProfile(_, _)),
     "graph_harmonic" -> ((s, dir) =>
       graft.operators.Graph.harmonicCentrality(s, dir)),
     "corpus_version_diff" -> (TextAnalysis.versionDiff(_, _)),
@@ -5035,6 +5037,57 @@ object SparkEntry {
         |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS xcorr
         |FROM mo""".stripMargin,
+    // Spearman via bounded-domain frequency ranks: doubled average
+    // ranks stay integral, Pearson-on-ranks from exact moments
+    "analytics_spearman" ->
+      """WITH f AS (SELECT l_returnflag AS g,
+        |  CAST(l_quantity AS BIGINT) AS q,
+        |  CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS dd
+        | FROM lineitem),
+        |rq AS (SELECT g, q,
+        |  2 * SUM(c) OVER (PARTITION BY g ORDER BY q) - c + 1 AS r2q
+        | FROM (SELECT g, q, COUNT(*) AS c FROM f GROUP BY 1, 2)),
+        |rd AS (SELECT g, dd,
+        |  2 * SUM(c) OVER (PARTITION BY g ORDER BY dd) - c + 1 AS r2dd
+        | FROM (SELECT g, dd, COUNT(*) AS c FROM f GROUP BY 1, 2)),
+        |j AS (SELECT f.g, r2q, r2dd
+        | FROM f JOIN rq ON f.g = rq.g AND f.q = rq.q
+        |        JOIN rd ON f.g = rd.g AND f.dd = rd.dd),
+        |mo AS (SELECT g, COUNT(*) AS n,
+        |  SUM(CAST(r2q AS DECIMAL(19,0))) AS sx,
+        |  SUM(CAST(r2dd AS DECIMAL(19,0))) AS sy,
+        |  SUM(CAST(CAST(r2q AS DECIMAL(19,0)) * CAST(r2dd AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS sxy,
+        |  SUM(CAST(CAST(r2q AS DECIMAL(19,0)) * CAST(r2q AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS sxx,
+        |  SUM(CAST(CAST(r2dd AS DECIMAL(19,0)) * CAST(r2dd AS DECIMAL(19,0))
+        |    AS DECIMAL(38,0))) AS syy
+        | FROM j GROUP BY 1)
+        |SELECT g AS l_returnflag, n,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  AS spearman_rho
+        |FROM mo""".stripMargin,
+    // Zipf profile: top-k rank/frequency table, ratio to top term
+    // and ideal 1/rank weight in exact integer ppm — log-free
+    "text_zipf_profile" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    string_split(lower(text), ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, COUNT(*) AS freq FROM tok GROUP BY 1),
+        |r AS (SELECT tok, freq,
+        |  CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT)
+        |    AS rank
+        | FROM tf),
+        |t AS (SELECT freq AS f1 FROM r WHERE rank = 1)
+        |SELECT rank, tok, freq,
+        |  freq * 1000000 // f1 AS ratio_ppm,
+        |  1000000 // rank AS zipf_ppm
+        |FROM r CROSS JOIN t WHERE rank <= 20""".stripMargin,
     // arc elasticity: cross-multiplied midpoint formula, one final
     // toward-zero DIV in 128-bit integers on both engines
     "analytics_arc_elasticity" ->

@@ -424,6 +424,58 @@ object Analytics {
           .as("autocorr"))
   }
 
+  /** Spearman rank correlation of quantity vs discount per return
+    * flag — the robust companion to [[corrQtyPrice]]'s Pearson:
+    * monotone association free of outlier leverage. Both variables
+    * live on BOUNDED domains (quantity 1..50, discount 0..10 in
+    * percent steps), so average-tie ranks come from per-group VALUE
+    * FREQUENCY tables — a cumulative sum over ≤50 rows, never a
+    * per-row global sort: doubled average rank r2 = 2·cum − c + 1
+    * stays integral (ties average to halves), each fact row picks
+    * its (r2x, r2y) through two BROADCAST joins on (group, value),
+    * and Pearson-on-ranks finishes from exact DECIMAL moments with
+    * the house rounded-double formula. The scale win is structural:
+    * ranking usually funnels every group through one sorter; the
+    * bounded-domain identity turns it into two combinable
+    * aggregations + broadcast lookups, scan-dominated at 100 TB.
+    */
+  def spearmanCorr(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("g"),
+        col("l_quantity").cast("long").as("q"),
+        (col("l_discount").cast(DecimalType(4, 2)) * 100)
+          .cast("long").as("dd"))
+    def rank2(vCol: String): DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      fact.groupBy(col("g"), col(vCol))
+        .agg(count(lit(1)).as("c"))
+        .select(col("g"), col(vCol),
+          (sum(col("c")).over(w) * 2 - col("c") + 1).as(s"r2$vCol"))
+    }
+    val x = col("r2q").cast(DecimalType(19, 0))
+    val y = col("r2dd").cast(DecimalType(19, 0))
+    fact
+      .join(broadcast(rank2("q")), Seq("g", "q"))
+      .join(broadcast(rank2("dd")), Seq("g", "dd"))
+      .groupBy(col("g").as("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast(DecimalType(38, 0))).as("sxy"),
+        sum((x * x).cast(DecimalType(38, 0))).as("sxx"),
+        sum((y * y).cast(DecimalType(38, 0))).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("spearman_rho"))
+  }
+
   /** Lead-lag cross-correlation — does the `view` daily series LEAD
     * the `purchase` series? For each lag L in 0..`maxLag`, Pearson
     * correlation of x(day)=view count against y(day+L)=purchase
