@@ -279,6 +279,8 @@ object SparkEntry {
     "graph_label_prop" -> ((s, dir) =>
       graft.operators.Graph.labelPropagation(s, dir)),
     "sim_dim_variance" -> (Similarity.dimVariance(_, _)),
+    "sim_embedding_drift" -> (Similarity.embeddingDrift(_, _)),
+    "sim_silhouette" -> (Similarity.silhouette(_, _)),
     "analytics_abc_migration" -> (Analytics.abcMigration(_, _)),
     "analytics_iqr_outliers" -> (Analytics.iqrOutliers(_, _)),
     "analytics_xcorr_leadlag" -> (Analytics.leadLagXcorr(_, _)),
@@ -4972,6 +4974,95 @@ object SparkEntry {
         |   // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS BIGINT)
         |   AS var_q12
         |FROM a""".stripMargin,
+    // two-slice drift: conditional integer sums per dim, pooled-var
+    // standardized shift² in ppm; // and DIV both truncate toward 0
+    "sim_embedding_drift" ->
+      """WITH q AS (SELECT vec_id % 2 = 0 AS ref,
+        |  unnest(range(len(embedding))) AS dim,
+        |  unnest([CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |          for x in embedding]) AS q
+        | FROM embeddings),
+        |a AS (SELECT CAST(dim AS BIGINT) AS dim,
+        |  COUNT(*) FILTER (ref) AS n_ref,
+        |  SUM(q) FILTER (ref) AS sq_ref,
+        |  SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) FILTER (ref)
+        |    AS sqq_ref,
+        |  COUNT(*) FILTER (NOT ref) AS n_cur,
+        |  SUM(q) FILTER (NOT ref) AS sq_cur,
+        |  SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) FILTER (NOT ref)
+        |    AS sqq_cur
+        | FROM q GROUP BY 1),
+        |b AS (SELECT dim, n_ref, n_cur,
+        |  CAST(sq_ref // n_ref AS BIGINT) AS mean_ref_q6,
+        |  CAST(sq_cur // n_cur AS BIGINT) AS mean_cur_q6,
+        |  CAST((CAST(n_ref AS HUGEINT) * sqq_ref
+        |      - CAST(sq_ref AS HUGEINT) * CAST(sq_ref AS HUGEINT))
+        |    // (CAST(n_ref AS HUGEINT) * CAST(n_ref AS HUGEINT))
+        |    AS BIGINT) AS var_ref_q12,
+        |  CAST((CAST(n_cur AS HUGEINT) * sqq_cur
+        |      - CAST(sq_cur AS HUGEINT) * CAST(sq_cur AS HUGEINT))
+        |    // (CAST(n_cur AS HUGEINT) * CAST(n_cur AS HUGEINT))
+        |    AS BIGINT) AS var_cur_q12
+        | FROM a),
+        |c AS (SELECT *, mean_cur_q6 - mean_ref_q6 AS shift_q6,
+        |  CAST((n_ref * var_ref_q12 + n_cur * var_cur_q12)
+        |    // (n_ref + n_cur) AS BIGINT) AS pooled_var_q12
+        | FROM b)
+        |SELECT dim, CAST(n_ref AS BIGINT) AS n_ref,
+        | CAST(n_cur AS BIGINT) AS n_cur, mean_ref_q6, mean_cur_q6,
+        | shift_q6, var_ref_q12, var_cur_q12, pooled_var_q12,
+        | CASE WHEN pooled_var_q12 > 0 THEN
+        |   CAST((CAST(shift_q6 AS HUGEINT) * CAST(shift_q6 AS HUGEINT)
+        |     * 1000000) // CAST(pooled_var_q12 AS HUGEINT) AS BIGINT)
+        | ELSE NULL END AS drift_ppm
+        |FROM c""".stripMargin,
+    // centroid-based silhouette: exact ‖n·q−S‖²/n² distances via
+    // integer cross-multiplication, argmin tie-broken by label
+    "sim_silhouette" ->
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS own,
+        |  unnest(range(len(embedding))) AS dim,
+        |  unnest([CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |          for x in embedding]) AS q
+        | FROM embeddings),
+        |cent AS (SELECT own AS label, dim, SUM(q) AS sd
+        | FROM q GROUP BY 1, 2),
+        |nl AS (SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n
+        | FROM embeddings GROUP BY 1),
+        |ssq AS (SELECT label,
+        |  SUM(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)) AS cnorm2
+        | FROM cent GROUP BY 1),
+        |vn AS (SELECT vec_id, own, SUM(q * q) AS norm2
+        | FROM q GROUP BY 1, 2),
+        |ip AS (SELECT q.vec_id, q.own, c.label,
+        |  SUM(CAST(q.q AS HUGEINT) * CAST(c.sd AS HUGEINT)) AS ipqs
+        | FROM q JOIN cent c USING (dim) GROUP BY 1, 2, 3),
+        |scaled AS (SELECT ip.vec_id, ip.own, ip.label,
+        |  CAST((CAST(nl.n AS HUGEINT) * CAST(nl.n AS HUGEINT)
+        |      * CAST(vn.norm2 AS HUGEINT)
+        |     - 2 * CAST(nl.n AS HUGEINT) * ip.ipqs + ssq.cnorm2)
+        |    // (CAST(nl.n AS HUGEINT) * CAST(nl.n AS HUGEINT))
+        |    AS BIGINT) AS d2
+        | FROM ip JOIN nl ON ip.label = nl.label
+        |   JOIN ssq ON ip.label = ssq.label
+        |   JOIN vn ON ip.vec_id = vn.vec_id),
+        |own_d AS (SELECT vec_id, own, d2 AS a2 FROM scaled
+        | WHERE label = own),
+        |other_d AS (SELECT vec_id, d2 AS b2 FROM (
+        |  SELECT vec_id, d2, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, label) AS rk
+        |  FROM scaled WHERE label <> own) WHERE rk = 1),
+        |sil AS (SELECT own,
+        |  CASE WHEN a2 = 0 AND b2 = 0 THEN CAST(0 AS BIGINT)
+        |   ELSE CAST((CAST(b2 AS HUGEINT) - CAST(a2 AS HUGEINT))
+        |     * 1000000 // CAST(GREATEST(a2, b2) AS HUGEINT) AS BIGINT)
+        |  END AS s_ppm
+        | FROM own_d JOIN other_d USING (vec_id))
+        |SELECT own AS label, COUNT(*) AS n_vecs,
+        | CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS mean_sil_ppm,
+        | MIN(s_ppm) AS min_sil_ppm,
+        | CAST(SUM(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_negative
+        |FROM sil GROUP BY 1""".stripMargin,
     // per-period ABC classing replayed twice (identical integer
     // cum/tot rule as analytics_abc_class), full-outer aligned
     "analytics_abc_migration" ->

@@ -1094,4 +1094,128 @@ object Similarity {
                 DIV (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))""")
           .as("var_q12"))
   }
+
+  /** Embedding drift profile between two corpus slices — the check a
+    * training pipeline runs when a new ingest batch lands: has the
+    * embedding distribution moved? Slices here are the deterministic
+    * halves vec_id %% 2 (stand-in for "reference snapshot" vs "new
+    * batch"); per dimension we report both means, the raw shift, both
+    * variances, and a standardized drift score
+    * shift² / pooled-variance in ppm (a squared z-shift — the
+    * per-dimension term of a population-stability test).
+    *
+    * Engine-exact: coordinates quantize to integer millionths, so all
+    * sums are exact integers and every derived stat is one truncating
+    * integer division, matching DuckDB's `//` (both truncate toward
+    * zero). One scan, one map-side-combinable groupBy(dim) with
+    * conditional sums — no join, no second pass; at 100 TB this costs
+    * exactly one pass over the corpus and emits d rows.
+    */
+  def embeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val q = Tables.embeddings(s, d)
+      .select((col("vec_id") % 2 === 0).as("ref"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("ref"), col("dim").cast("long").as("dim"),
+        (col("v").cast("double") * 1000000).cast("long").as("q"))
+    val qq = (col("q").cast(d19) * col("q").cast(d19)).cast(d38)
+    def varExpr(n: String, sq: String, sqq: String) =
+      expr(s"""(CAST($n AS DECIMAL(38,0)) * $sqq
+               - CAST($sq AS DECIMAL(38,0)) * CAST($sq AS DECIMAL(38,0)))
+              DIV (CAST($n AS DECIMAL(38,0)) * CAST($n AS DECIMAL(38,0)))""")
+    q.groupBy("dim")
+      .agg(count(when(col("ref"), 1)).as("n_ref"),
+        sum(when(col("ref"), col("q")).otherwise(0L)).as("sq_ref"),
+        sum(when(col("ref"), qq).otherwise(lit(0).cast(d38))).as("sqq_ref"),
+        count(when(!col("ref"), 1)).as("n_cur"),
+        sum(when(!col("ref"), col("q")).otherwise(0L)).as("sq_cur"),
+        sum(when(!col("ref"), qq).otherwise(lit(0).cast(d38))).as("sqq_cur"))
+      .withColumn("mean_ref_q6", expr("sq_ref DIV n_ref"))
+      .withColumn("mean_cur_q6", expr("sq_cur DIV n_cur"))
+      .withColumn("var_ref_q12", varExpr("n_ref", "sq_ref", "sqq_ref"))
+      .withColumn("var_cur_q12", varExpr("n_cur", "sq_cur", "sqq_cur"))
+      .withColumn("shift_q6", col("mean_cur_q6") - col("mean_ref_q6"))
+      .withColumn("pooled_var_q12",
+        expr("(n_ref * var_ref_q12 + n_cur * var_cur_q12) DIV (n_ref + n_cur)"))
+      .withColumn("drift_ppm",
+        expr("""CASE WHEN pooled_var_q12 > 0 THEN
+                  (CAST(shift_q6 AS DECIMAL(38,0))
+                   * CAST(shift_q6 AS DECIMAL(38,0)) * 1000000)
+                  DIV CAST(pooled_var_q12 AS DECIMAL(38,0))
+                ELSE NULL END"""))
+      .select("dim", "n_ref", "n_cur", "mean_ref_q6", "mean_cur_q6",
+        "shift_q6", "var_ref_q12", "var_cur_q12", "pooled_var_q12",
+        "drift_ppm")
+  }
+
+  /** Simplified (centroid-based) silhouette per label: for each
+    * vector, a = squared distance to its own label centroid, b = min
+    * squared distance to any other label centroid, s = (b−a)/max(a,b)
+    * — the standard clustering-quality read-out, aggregated per label
+    * with the count of negative-silhouette (likely mislabeled /
+    * boundary) vectors.
+    *
+    * Engine-exact without ever materializing a fractional centroid:
+    * with quantized coordinates, the squared distance to centroid
+    * S/n is ‖n·q − S‖²/n² = (n²·‖q‖² − 2n·⟨q,S⟩ + ‖S‖²)/n², an exact
+    * DECIMAL(38,0) integer over n²; we truncate it to whole quantized
+    * units (d2 = dd DIV n², ≤ ~7·10¹³ — far above any real tie) and
+    * break exact ties by label id, so the argmin is deterministic in
+    * both engines. The s-value finishes as one ppm integer division.
+    *
+    * Scale shape: centroid sums are d·L rows (tiny) and BROADCAST to
+    * the ⟨q,S⟩ join, so the corpus shuffles once into the per-vector
+    * groupBy — at 100 TB: one scan, one combinable aggregation, one
+    * broadcast join, one per-vec_id window over L−1 rows.
+    */
+  def silhouette(s: SparkSession, d: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("own"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("own"), col("dim"),
+        (col("v").cast("double") * 1000000).cast("long").as("q"))
+    val cent = q.groupBy(col("own").as("label"), col("dim"))
+      .agg(sum(col("q")).as("sd"))
+    val nl = Tables.embeddings(s, d)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val ssq = cent.groupBy("label")
+      .agg(sum((col("sd").cast(d19) * col("sd").cast(d19)).cast(d38))
+        .as("cnorm2"))
+    val vn = q.groupBy("vec_id", "own")
+      .agg(sum(col("q") * col("q")).as("norm2"))
+    val ip = q.join(broadcast(cent), Seq("dim"))
+      .groupBy("vec_id", "own", "label")
+      .agg(sum((col("q").cast(d19) * col("sd").cast(d19)).cast(d38))
+        .as("ipqs"))
+    val scaled = ip.join(broadcast(nl), Seq("label"))
+      .join(broadcast(ssq), Seq("label"))
+      .join(vn, Seq("vec_id", "own"))
+      .withColumn("d2",
+        expr("""(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                  * CAST(norm2 AS DECIMAL(38,0))
+                 - 2 * CAST(n AS DECIMAL(38,0)) * ipqs + cnorm2)
+                DIV (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))"""))
+    val own = scaled.filter(col("label") === col("own"))
+      .select(col("vec_id"), col("own"), col("d2").as("a2"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("d2"), col("label"))
+    val nearestOther = scaled.filter(col("label") =!= col("own"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("d2").as("b2"))
+    own.join(nearestOther, "vec_id")
+      .withColumn("s_ppm",
+        expr("""CASE WHEN a2 = 0 AND b2 = 0 THEN CAST(0 AS BIGINT)
+                ELSE (CAST(b2 AS DECIMAL(38,0)) - CAST(a2 AS DECIMAL(38,0)))
+                  * 1000000 DIV CAST(GREATEST(a2, b2) AS DECIMAL(38,0))
+                END"""))
+      .groupBy(col("own").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("SUM(s_ppm) DIV COUNT(1)").as("mean_sil_ppm"),
+        min(col("s_ppm")).as("min_sil_ppm"),
+        sum(when(col("s_ppm") < 0, 1L).otherwise(0L)).as("n_negative"))
+  }
 }

@@ -115,7 +115,10 @@ class PlanLintSpec extends AnyFunSuite {
     // brand_penetration and brand_affinity crossJoin the 1-row
     // order-universe total
     "graph_modularity", "analytics_brand_penetration",
-    "analytics_brand_affinity")
+    "analytics_brand_affinity",
+    // seasonal_index crossJoins the 1-row grand-total aggregate;
+    // zipf_profile joins only its k-row head to the 1-row top-freq
+    "analytics_seasonal_index", "text_zipf_profile")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -76,4 +76,76 @@ class RoundSixOpsSpec extends AnyFunSuite {
         s"label $label: top outlier mismatch")
     }
   }
+
+  private def quantized(): Array[(Long, Long, Array[Long])] =
+    graft.sources.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("label"),
+        r.getSeq[Float](2).map(v => (v.toDouble * 1000000).toLong).toArray))
+
+  test("silhouette replays exactly in driver BigInt space") {
+    val vecs = quantized()
+    val byLabel = vecs.groupBy(_._2)
+    val dims = vecs.head._3.length
+    val stats = byLabel.map { case (l, vs) =>
+      val sums = Array.tabulate(dims)(i => vs.map(_._3(i)).sum)
+      l -> (BigInt(vs.length), sums,
+        sums.map(x => BigInt(x) * BigInt(x)).sum)
+    }
+    val perVec = vecs.map { case (_, own, qv) =>
+      val norm2 = qv.map(x => BigInt(x) * BigInt(x)).sum
+      val d2 = stats.map { case (l, (n, sums, cnorm2)) =>
+        val ip = qv.zip(sums).map { case (a, b) => BigInt(a) * b }.sum
+        l -> (n * n * norm2 - 2 * n * ip + cnorm2) / (n * n)
+      }
+      val a2 = d2(own)
+      val b2 = d2.filter(_._1 != own).minBy { case (l, v) => (v, l) }._2
+      val sPpm = if (a2 == 0 && b2 == 0) BigInt(0)
+        else (b2 - a2) * 1000000 / a2.max(b2)
+      own -> sPpm
+    }
+    val expected = perVec.groupBy(_._1).map { case (l, xs) =>
+      val ss = xs.map(_._2)
+      l -> (ss.length.toLong, (ss.sum / ss.length).toLong,
+        ss.min.toLong, ss.count(_ < 0).toLong)
+    }
+    val got = Similarity.silhouette(s, d).collect().map(r =>
+      r.getAs[Long]("label") -> (r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("mean_sil_ppm"), r.getAs[Long]("min_sil_ppm"),
+        r.getAs[Long]("n_negative"))).toMap
+    assert(got === expected)
+  }
+
+  test("embedding drift replays exactly in driver BigInt space") {
+    val vecs = quantized()
+    val dims = vecs.head._3.length
+    def side(p: Boolean) = vecs.filter(v => (v._1 % 2 == 0) == p)
+    val expected = (0 until dims).map { dim =>
+      def st(vs: Array[(Long, Long, Array[Long])]) = {
+        val n = BigInt(vs.length)
+        val sq = vs.map(v => BigInt(v._3(dim))).sum
+        val sqq = vs.map(v => BigInt(v._3(dim)) * BigInt(v._3(dim))).sum
+        (n, sq, sqq, sq / n, (n * sqq - sq * sq) / (n * n))
+      }
+      val (nr, _, _, mr, vr) = st(side(true))
+      val (nc, _, _, mc, vc) = st(side(false))
+      val shift = mc - mr
+      val pooled = (nr * vr + nc * vc) / (nr + nc)
+      val drift = if (pooled > 0) Some((shift * shift * 1000000 / pooled).toLong)
+        else None
+      dim.toLong -> (nr.toLong, nc.toLong, mr.toLong, mc.toLong,
+        shift.toLong, vr.toLong, vc.toLong, pooled.toLong, drift)
+    }.toMap
+    val got = Similarity.embeddingDrift(s, d).collect().map { r =>
+      r.getAs[Long]("dim") -> (r.getAs[Long]("n_ref"),
+        r.getAs[Long]("n_cur"), r.getAs[Long]("mean_ref_q6"),
+        r.getAs[Long]("mean_cur_q6"), r.getAs[Long]("shift_q6"),
+        r.getAs[Long]("var_ref_q12"), r.getAs[Long]("var_cur_q12"),
+        r.getAs[Long]("pooled_var_q12"),
+        Option(r.get(r.fieldIndex("drift_ppm"))).map(_.asInstanceOf[Long]))
+    }.toMap
+    assert(got === expected)
+  }
 }
