@@ -281,6 +281,7 @@ object SparkEntry {
     "sim_dim_variance" -> (Similarity.dimVariance(_, _)),
     "sim_embedding_drift" -> (Similarity.embeddingDrift(_, _)),
     "sim_silhouette" -> (Similarity.silhouette(_, _)),
+    "analytics_cov_matrix" -> (Analytics.covMatrix(_, _)),
     "analytics_abc_migration" -> (Analytics.abcMigration(_, _)),
     "analytics_iqr_outliers" -> (Analytics.iqrOutliers(_, _)),
     "analytics_xcorr_leadlag" -> (Analytics.leadLagXcorr(_, _)),
@@ -4974,6 +4975,9 @@ object SparkEntry {
         |   // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS BIGINT)
         |   AS var_q12
         |FROM a""".stripMargin,
+    // one-pass moment matrix: builder shared with the Spark side so
+    // the ten pair branches cannot drift
+    "analytics_cov_matrix" -> Analytics.covMatrixOracleSql,
     // two-slice drift: conditional integer sums per dim, pooled-var
     // standardized shift² in ppm; // and DIV both truncate toward 0
     "sim_embedding_drift" ->

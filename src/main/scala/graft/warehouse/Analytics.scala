@@ -4135,4 +4135,121 @@ object Analytics {
       .select(col("rk"), col("part_id"), col("n_buyers"),
         col("repeat_buyers"), col("repeat_ppm"))
   }
+
+  /** One-pass covariance / correlation matrix over the four lineitem
+    * measures (quantity, extendedprice, discount, tax) — the feature
+    * pre-screen a modeling pipeline runs before throwing columns at a
+    * trainer: which measures co-move, which are redundant. ALL ten
+    * pair moments ride ONE combinable aggregation (a single fact
+    * scan, one 1-row reduce — the classic multi-column summarizer
+    * shape), then the 1-row moment vector explodes into the 10 pair
+    * rows driver-free.
+    *
+    * Exact: every measure integerizes at ×100 (cents / basis-point
+    * scales), so n, Σx, Σxy are exact integers; covariance and both
+    * variances emit in ×10⁴ units via cov_num DIV n², and corr² in
+    * ppm via the two 10⁹-scaled regression slopes (r1·r2 DIV 10¹²;
+    * the product is corr²·10¹⁸ ≤ 10¹⁸, so it never overflows) —
+    * deterministic truncating algebra both engines replay
+    * bit-for-bit. Self-pairs grade the machinery: corr2_ppm must be
+    * exactly 10⁶. Headroom: n·Σx² stays inside DECIMAL(38,0) up to
+    * ~10¹² rows at cents scale; beyond that, rescale price to whole
+    * currency units.
+    */
+  def covMatrix(s: SparkSession, d: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val vars = Seq("qty", "price", "disc", "tax")
+    val base = Tables.lineitem(s, d).select(
+      (col("l_quantity").cast(DecimalType(12, 2)) * 100)
+        .cast("long").as("qty"),
+      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long").as("price"),
+      (col("l_discount").cast(DecimalType(12, 2)) * 100)
+        .cast("long").as("disc"),
+      (col("l_tax").cast(DecimalType(12, 2)) * 100)
+        .cast("long").as("tax"))
+    val pairs = for {
+      i <- vars.indices; j <- i until vars.length
+    } yield (vars(i), vars(j))
+    val aggs = vars.map(v => sum(col(v)).as(s"s_$v")) ++
+      pairs.map { case (a, b) =>
+        sum((col(a).cast(d19) * col(b).cast(d19)).cast(d38))
+          .as(s"s_${a}_$b")
+      }
+    val m = base.agg(count(lit(1)).as("n"), aggs: _*)
+    def num(a: String, b: String) =
+      s"""(CAST(n AS DECIMAL(38,0)) * s_${a}_$b
+          - CAST(s_$a AS DECIMAL(38,0)) * CAST(s_$b AS DECIMAL(38,0)))"""
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("x"), lit(b).as("y"),
+        expr(num(a, b)).as("cov_num"),
+        expr(num(a, a)).as("vx_num"),
+        expr(num(b, b)).as("vy_num"))
+    }
+    m.select(col("n"), explode(array(rows: _*)).as("pr"))
+      .select(col("pr.x").as("x"), col("pr.y").as("y"), col("n"),
+        col("pr.cov_num").as("cov_num"), col("pr.vx_num").as("vx_num"),
+        col("pr.vy_num").as("vy_num"))
+      .withColumn("nn", expr("CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"))
+      .withColumn("r1",
+        expr("CASE WHEN vx_num > 0 THEN cov_num * 1000000000 DIV vx_num END"))
+      .withColumn("r2",
+        expr("CASE WHEN vy_num > 0 THEN cov_num * 1000000000 DIV vy_num END"))
+      .select(col("x"), col("y"), col("n"),
+        expr("cov_num DIV nn").as("cov_q4"),
+        expr("vx_num DIV nn").as("var_x_q4"),
+        expr("vy_num DIV nn").as("var_y_q4"),
+        expr("CAST(SIGN(cov_num) AS BIGINT)").as("corr_sign"),
+        expr("""CASE WHEN r1 IS NULL OR r2 IS NULL THEN NULL
+                ELSE (CAST(r1 AS DECIMAL(38,0)) * CAST(r2 AS DECIMAL(38,0)))
+                  DIV 1000000000000 END""").as("corr2_ppm"))
+  }
+
+  /** DuckDB replay of [[covMatrix]], generated from the same pair
+    * list so the two surfaces cannot drift.
+    */
+  def covMatrixOracleSql: String = {
+    val vars = Seq("qty", "price", "disc", "tax")
+    val pairs = for {
+      i <- vars.indices; j <- i until vars.length
+    } yield (vars(i), vars(j))
+    val moments = pairs.map { case (a, b) =>
+      s"SUM(CAST($a AS HUGEINT) * CAST($b AS HUGEINT)) AS s_${a}_$b"
+    }.mkString(",\n  ")
+    def num(a: String, b: String) =
+      s"CAST(n AS HUGEINT) * s_${a}_$b" +
+        s" - CAST(s_$a AS HUGEINT) * CAST(s_$b AS HUGEINT)"
+    val branches = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS x, '$b' AS y, n, ${num(a, b)} AS cov_num,
+         |  ${num(a, a)} AS vx_num, ${num(b, b)} AS vy_num FROM m"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (SELECT
+       |  CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qty,
+       |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |    AS price,
+       |  CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS disc,
+       |  CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT) AS tax
+       | FROM lineitem),
+       |m AS (SELECT COUNT(*) AS n,
+       |  ${vars.map(v => s"SUM($v) AS s_$v").mkString(", ")},
+       |  $moments
+       | FROM b),
+       |p AS ($branches)
+       |SELECT x, y, CAST(n AS BIGINT) AS n,
+       | CAST(cov_num // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT))
+       |   AS BIGINT) AS cov_q4,
+       | CAST(vx_num // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT))
+       |   AS BIGINT) AS var_x_q4,
+       | CAST(vy_num // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT))
+       |   AS BIGINT) AS var_y_q4,
+       | CAST(SIGN(cov_num) AS BIGINT) AS corr_sign,
+       | CASE WHEN vx_num > 0 AND vy_num > 0 THEN
+       |   CAST((cov_num * 1000000000 // vx_num)
+       |     * (cov_num * 1000000000 // vy_num) // 1000000000000
+       |     AS BIGINT)
+       | END AS corr2_ppm
+       |FROM p""".stripMargin
+  }
 }
