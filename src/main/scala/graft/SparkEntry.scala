@@ -282,6 +282,8 @@ object SparkEntry {
     "sim_embedding_drift" -> (Similarity.embeddingDrift(_, _)),
     "sim_silhouette" -> (Similarity.silhouette(_, _)),
     "analytics_cov_matrix" -> (Analytics.covMatrix(_, _)),
+    "analytics_partial_corr" -> (Analytics.partialCorr(_, _)),
+    "analytics_ohlc_bars" -> (Analytics.ohlcBars(_, _)),
     "analytics_abc_migration" -> (Analytics.abcMigration(_, _)),
     "analytics_iqr_outliers" -> (Analytics.iqrOutliers(_, _)),
     "analytics_xcorr_leadlag" -> (Analytics.leadLagXcorr(_, _)),
@@ -4978,6 +4980,23 @@ object SparkEntry {
     // one-pass moment matrix: builder shared with the Spark side so
     // the ten pair branches cannot drift
     "analytics_cov_matrix" -> Analytics.covMatrixOracleSql,
+    // first-order partial correlations from the same moment row
+    "analytics_partial_corr" -> Analytics.partialCorrOracleSql,
+    // hourly OHLC bars: arg_min/arg_max on the composite (us, id)
+    // key (HUGEINT-packed; Spark orders the struct) — tie-proof
+    "analytics_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+        |  CAST(trunc(value * 1000000) AS BIGINT) AS vq
+        | FROM events)
+        |SELECT event_type, us // 3600000000 AS hr,
+        | COUNT(*) AS n_events,
+        | arg_min(vq, CAST(us AS HUGEINT) * 1099511627776 + event_id)
+        |   AS open_q6,
+        | arg_max(vq, CAST(us AS HUGEINT) * 1099511627776 + event_id)
+        |   AS close_q6,
+        | MAX(vq) AS high_q6, MIN(vq) AS low_q6,
+        | CAST(SUM(vq) AS BIGINT) AS vol_q6
+        |FROM e GROUP BY 1, 2""".stripMargin,
     // two-slice drift: conditional integer sums per dim, pooled-var
     // standardized shift² in ppm; // and DIV both truncate toward 0
     "sim_embedding_drift" ->

@@ -4156,10 +4156,18 @@ object Analytics {
     * ~10¹² rows at cents scale; beyond that, rescale price to whole
     * currency units.
     */
-  def covMatrix(s: SparkSession, d: String): DataFrame = {
+  private val momentVars = Seq("qty", "price", "disc", "tax")
+  private def momentPairs = for {
+    i <- momentVars.indices; j <- i until momentVars.length
+  } yield (momentVars(i), momentVars(j))
+
+  /** 1-row exact moment vector (n, Σx per var, Σxy per pair) over the
+    * four ×100-scaled lineitem measures — one combinable aggregation
+    * over one fact scan, shared by [[covMatrix]] and [[partialCorr]].
+    */
+  private def lineitemMomentRow(s: SparkSession, d: String): DataFrame = {
     val d19 = DecimalType(19, 0)
     val d38 = DecimalType(38, 0)
-    val vars = Seq("qty", "price", "disc", "tax")
     val base = Tables.lineitem(s, d).select(
       (col("l_quantity").cast(DecimalType(12, 2)) * 100)
         .cast("long").as("qty"),
@@ -4169,19 +4177,28 @@ object Analytics {
         .cast("long").as("disc"),
       (col("l_tax").cast(DecimalType(12, 2)) * 100)
         .cast("long").as("tax"))
-    val pairs = for {
-      i <- vars.indices; j <- i until vars.length
-    } yield (vars(i), vars(j))
-    val aggs = vars.map(v => sum(col(v)).as(s"s_$v")) ++
-      pairs.map { case (a, b) =>
+    val aggs = momentVars.map(v => sum(col(v)).as(s"s_$v")) ++
+      momentPairs.map { case (a, b) =>
         sum((col(a).cast(d19) * col(b).cast(d19)).cast(d38))
           .as(s"s_${a}_$b")
       }
-    val m = base.agg(count(lit(1)).as("n"), aggs: _*)
-    def num(a: String, b: String) =
-      s"""(CAST(n AS DECIMAL(38,0)) * s_${a}_$b
-          - CAST(s_$a AS DECIMAL(38,0)) * CAST(s_$b AS DECIMAL(38,0)))"""
-    val rows = pairs.map { case (a, b) =>
+    base.agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
+  /** `n·Σab − Σa·Σb` — the cleared-denominator covariance numerator
+    * (n² × the covariance), exact in DECIMAL(38,0).
+    */
+  private def momentNum(a: String, b: String): String = {
+    val (x, y) = if (momentVars.indexOf(a) <= momentVars.indexOf(b))
+      (a, b) else (b, a)
+    s"""(CAST(n AS DECIMAL(38,0)) * s_${x}_$y
+        - CAST(s_$x AS DECIMAL(38,0)) * CAST(s_$y AS DECIMAL(38,0)))"""
+  }
+
+  def covMatrix(s: SparkSession, d: String): DataFrame = {
+    val m = lineitemMomentRow(s, d)
+    def num(a: String, b: String) = momentNum(a, b)
+    val rows = momentPairs.map { case (a, b) =>
       struct(lit(a).as("x"), lit(b).as("y"),
         expr(num(a, b)).as("cov_num"),
         expr(num(a, a)).as("vx_num"),
@@ -4250,6 +4267,148 @@ object Analytics {
        |     * (cov_num * 1000000000 // vy_num) // 1000000000000
        |     AS BIGINT)
        | END AS corr2_ppm
+       |FROM p""".stripMargin
+  }
+
+  /** First-order partial correlation for every (x, y | z) triple of
+    * the four lineitem measures — does the x↔y co-movement survive
+    * controlling for z, or was z driving both? The confounder screen
+    * run right after [[covMatrix]] flags a pair. Same single-scan
+    * 1-row moment vector; the 12 triple rows explode driver-free.
+    *
+    * Exact-deterministic algebra: covariances first reduce to the
+    * ×10⁴-unit longs a = cov_num DIV n² (truncation error ~10⁻¹⁴
+    * relative), then num = a_xy·v_z − a_xz·a_yz and the two
+    * Cauchy-Schwarz denominators d₁ = v_x·v_z − a_xz², d₂ = v_y·v_z −
+    * a_yz² stay inside DECIMAL(38,0) (≤10²⁸); pcorr² finishes as the
+    * 10⁹-slope product (r1·r2 DIV 10¹² = pcorr²·ppm, never
+    * overflows). Both engines replay the same truncation order.
+    */
+  def partialCorr(s: SparkSession, d: String): DataFrame = {
+    val m = lineitemMomentRow(s, d)
+    val q4 = m.select((col("n") +:
+      momentPairs.map { case (a, b) =>
+        expr(s"""${momentNum(a, b)} DIV
+          (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))""")
+          .as(s"a_${a}_$b")
+      }): _*)
+    def a(x: String, y: String) = {
+      val (p, q) = if (momentVars.indexOf(x) <= momentVars.indexOf(y))
+        (x, y) else (y, x)
+      s"CAST(a_${p}_$q AS DECIMAL(38,0))"
+    }
+    val triples = for {
+      i <- momentVars.indices; j <- (i + 1) until momentVars.length
+      z <- momentVars if z != momentVars(i) && z != momentVars(j)
+    } yield (momentVars(i), momentVars(j), z)
+    val rows = triples.map { case (x, y, z) =>
+      struct(lit(x).as("x"), lit(y).as("y"), lit(z).as("z"),
+        expr(s"${a(x, y)} * ${a(z, z)} - ${a(x, z)} * ${a(y, z)}")
+          .as("num"),
+        expr(s"${a(x, x)} * ${a(z, z)} - ${a(x, z)} * ${a(x, z)}")
+          .as("d1"),
+        expr(s"${a(y, y)} * ${a(z, z)} - ${a(y, z)} * ${a(y, z)}")
+          .as("d2"))
+    }
+    q4.select(col("n"), explode(array(rows: _*)).as("t"))
+      .select(col("t.x").as("x"), col("t.y").as("y"),
+        col("t.z").as("z"), col("n"), col("t.num").as("num"),
+        col("t.d1").as("d1"), col("t.d2").as("d2"))
+      .withColumn("r1",
+        expr("CASE WHEN d1 > 0 THEN num * 1000000000 DIV d1 END"))
+      .withColumn("r2",
+        expr("CASE WHEN d2 > 0 THEN num * 1000000000 DIV d2 END"))
+      .select(col("x"), col("y"), col("z"), col("n"),
+        expr("CAST(SIGN(num) AS BIGINT)").as("pcorr_sign"),
+        expr("""CASE WHEN r1 IS NULL OR r2 IS NULL THEN NULL
+                ELSE (CAST(r1 AS DECIMAL(38,0)) * CAST(r2 AS DECIMAL(38,0)))
+                  DIV 1000000000000 END""").as("pcorr2_ppm"))
+  }
+
+  /** Hourly OHLC bars per event type — open/high/low/close + volume,
+    * the canonical time-series downsampling for any metered value
+    * stream (complements [[downsampleSeries]]'s count/sum buckets and
+    * [[downsampleLttb]]'s shape-preserving selection with the
+    * finance-standard bar). Open and close come from `min_by`/
+    * `max_by` on the composite (ts, event_id) key — event_id breaks
+    * exact-timestamp ties, so the bars are deterministic under ANY
+    * row order, and min_by/max_by are pure combinable aggregates: one
+    * scan, ONE map-side-combinable groupBy, no window sort anywhere —
+    * at 100 TB each executor reduces its slice to one partial bar per
+    * (type, hour) before the shuffle.
+    *
+    * Values quantize to integer millionths (trunc toward zero — both
+    * engines agree), so every emitted number is exact.
+    */
+  def ohlcBars(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        (col("value") * 1000000).cast("long").as("vq"))
+      .groupBy(col("event_type"),
+        expr("us DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("min_by(vq, struct(us, event_id))").as("open_q6"),
+        expr("max_by(vq, struct(us, event_id))").as("close_q6"),
+        max(col("vq")).as("high_q6"),
+        min(col("vq")).as("low_q6"),
+        sum(col("vq")).as("vol_q6"))
+  }
+
+  /** DuckDB replay of [[partialCorr]], generated from the same
+    * triple list.
+    */
+  def partialCorrOracleSql: String = {
+    def num(a: String, b: String) = {
+      val (x, y) = if (momentVars.indexOf(a) <= momentVars.indexOf(b))
+        (a, b) else (b, a)
+      s"CAST(n AS HUGEINT) * s_${x}_$y" +
+        s" - CAST(s_$x AS HUGEINT) * CAST(s_$y AS HUGEINT)"
+    }
+    val moments = momentPairs.map { case (a, b) =>
+      s"SUM(CAST($a AS HUGEINT) * CAST($b AS HUGEINT)) AS s_${a}_$b"
+    }.mkString(",\n  ")
+    val q4cols = momentPairs.map { case (a, b) =>
+      s"(${num(a, b)}) // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT))" +
+        s" AS a_${a}_$b"
+    }.mkString(",\n  ")
+    def a(x: String, y: String) = {
+      val (p, q) = if (momentVars.indexOf(x) <= momentVars.indexOf(y))
+        (x, y) else (y, x)
+      s"a_${p}_$q"
+    }
+    val triples = for {
+      i <- momentVars.indices; j <- (i + 1) until momentVars.length
+      z <- momentVars if z != momentVars(i) && z != momentVars(j)
+    } yield (momentVars(i), momentVars(j), z)
+    val branches = triples.map { case (x, y, z) =>
+      s"""SELECT '$x' AS x, '$y' AS y, '$z' AS z, n,
+         |  ${a(x, y)} * ${a(z, z)} - ${a(x, z)} * ${a(y, z)} AS num,
+         |  ${a(x, x)} * ${a(z, z)} - ${a(x, z)} * ${a(x, z)} AS d1,
+         |  ${a(y, y)} * ${a(z, z)} - ${a(y, z)} * ${a(y, z)} AS d2
+         |FROM q4""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (SELECT
+       |  CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qty,
+       |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |    AS price,
+       |  CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS disc,
+       |  CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT) AS tax
+       | FROM lineitem),
+       |m AS (SELECT COUNT(*) AS n,
+       |  ${momentVars.map(v => s"SUM($v) AS s_$v").mkString(", ")},
+       |  $moments
+       | FROM b),
+       |q4 AS (SELECT n,
+       |  $q4cols
+       | FROM m),
+       |p AS ($branches)
+       |SELECT x, y, z, CAST(n AS BIGINT) AS n,
+       | CAST(SIGN(num) AS BIGINT) AS pcorr_sign,
+       | CASE WHEN d1 > 0 AND d2 > 0 THEN
+       |   CAST((num * 1000000000 // d1)
+       |     * (num * 1000000000 // d2) // 1000000000000 AS BIGINT)
+       | END AS pcorr2_ppm
        |FROM p""".stripMargin
   }
 }
