@@ -284,6 +284,10 @@ object SparkEntry {
     "analytics_cov_matrix" -> (Analytics.covMatrix(_, _)),
     "analytics_partial_corr" -> (Analytics.partialCorr(_, _)),
     "analytics_ohlc_bars" -> (Analytics.ohlcBars(_, _)),
+    "text_heaps_curve" -> (TextAnalysis.heapsCurve(_, _)),
+    // rows-only: the greedy MMR trajectory is not SQL-expressible in
+    // DuckDB; RoundSixOpsSpec replays it exactly on the driver
+    "sim_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
     "analytics_abc_migration" -> (Analytics.abcMigration(_, _)),
     "analytics_iqr_outliers" -> (Analytics.iqrOutliers(_, _)),
     "analytics_xcorr_leadlag" -> (Analytics.leadLagXcorr(_, _)),
@@ -4982,6 +4986,31 @@ object SparkEntry {
     "analytics_cov_matrix" -> Analytics.covMatrixOracleSql,
     // first-order partial correlations from the same moment row
     "analytics_partial_corr" -> Analytics.partialCorrOracleSql,
+    // Heaps-law vocabulary growth: first-decile per type is a
+    // combinable min, the only window runs over 10 decile rows
+    "text_heaps_curve" ->
+      """WITH mx AS (SELECT MAX(doc_id) + 1 AS n_docs FROM documents),
+        |tok AS (SELECT doc_id * 10 // n_docs AS decile,
+        |  unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS tok
+        | FROM documents CROSS JOIN mx),
+        |occ AS (SELECT decile, COUNT(*) AS n_tokens
+        | FROM tok GROUP BY 1),
+        |firsts AS (SELECT decile, COUNT(*) AS new_types FROM (
+        |  SELECT tok, MIN(decile) AS decile FROM tok GROUP BY 1)
+        | GROUP BY 1),
+        |j AS (SELECT occ.decile, occ.n_tokens,
+        |  COALESCE(firsts.new_types, 0) AS new_types
+        | FROM occ LEFT JOIN firsts ON occ.decile = firsts.decile)
+        |SELECT decile, n_tokens, new_types,
+        | CAST(SUM(n_tokens) OVER (ORDER BY decile) AS BIGINT)
+        |   AS cum_tokens,
+        | CAST(SUM(new_types) OVER (ORDER BY decile) AS BIGINT)
+        |   AS cum_types,
+        | CAST(SUM(new_types) OVER (ORDER BY decile) * 1000000
+        |   // SUM(n_tokens) OVER (ORDER BY decile) AS BIGINT)
+        |   AS ttr_ppm
+        |FROM j""".stripMargin,
     // hourly OHLC bars: arg_min/arg_max on the composite (us, id)
     // key (HUGEINT-packed; Spark orders the struct) — tie-proof
     "analytics_ohlc_bars" ->

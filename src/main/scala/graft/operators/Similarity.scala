@@ -1218,4 +1218,78 @@ object Similarity {
         min(col("s_ppm")).as("min_sil_ppm"),
         sum(when(col("s_ppm") < 0, 1L).otherwise(0L)).as("n_negative"))
   }
+
+  /** Maximal-marginal-relevance rerank of each query's top-`m`
+    * retrieval candidates down to `k` diverse results — the standard
+    * serving-side move when the raw top-k is five near-copies of the
+    * same document: greedily pick argmax λ·sim(q,c) −
+    * (1−λ)·max_{s∈selected} sim(c,s), λ = 0.7.
+    *
+    * Spark-first with ZERO UDFs: after the (broadcast-query ×
+    * corpus) scoring pass, each query's m=10 candidates collapse to
+    * ONE row (sorted array of structs), the m×m candidate-similarity
+    * matrix materializes via `transform`+`zip_with`+`aggregate`, and
+    * the k−1 greedy steps run inside ONE `aggregate` loop over a
+    * (sel, pen) accumulator struct — the per-step argmax is an
+    * `array_max` over score structs with the (score desc, index asc)
+    * tiebreak encoded as (sc, −i). All
+    * similarities are exact integer dots of ×10³-quantized vectors
+    * (7·simq − 3·penalty is the λ split in tenths), so the greedy
+    * trajectory is bit-deterministic and the spec replays it on the
+    * driver. Cost: the scoring scan dominates; the rerank itself
+    * touches nQueries rows of m-length arrays — free at any scale.
+    */
+  def mmrRerank(s: SparkSession, d: String, nQueries: Int = 20,
+      m: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => (v.cast("double") * 1000).cast("long")).as("qv"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("query_v"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("cand_id"))
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("qv"),
+        expr("""aggregate(zip_with(qv, query_v, (a, b) -> a * b),
+                0L, (acc, x) -> acc + x)""").as("dot"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= m)
+    val grouped = cand
+      .groupBy("query_id")
+      .agg(array_sort(collect_list(
+        struct(col("rk"), col("cand_id"), col("dot"), col("qv"))))
+        .as("c"))
+      .withColumn("simq", expr("transform(c, x -> x.dot)"))
+      .withColumn("sims",
+        expr("""transform(c, x -> transform(c, y ->
+                aggregate(zip_with(x.qv, y.qv, (a, b) -> a * b),
+                  0L, (acc, v) -> acc + v)))"""))
+    // the k−1 greedy steps run INSIDE one `aggregate` loop — the
+    // lambda is authored once and executed k−1 times at runtime, so
+    // the expression tree stays constant-size (an unrolled
+    // withColumn fold re-substitutes sel/pen into every step and
+    // blows codegen up exponentially — measured minutes of compile
+    // for k=5)
+    val pick =
+      s"""-array_max(transform(sequence(0, ${m - 1}, 1), i ->
+          IF(array_contains(acc.sel, i), NULL,
+            named_struct('sc', 7 * simq[i] - 3 * acc.pen[i],
+              'ni', -i)))).ni"""
+    val stepped = grouped.withColumn("sel",
+      expr(s"""aggregate(sequence(2, $k, 1),
+               named_struct('sel', array(0), 'pen', sims[0]),
+               (acc, t) -> named_struct(
+                 'sel', concat(acc.sel, array($pick)),
+                 'pen', zip_with(acc.pen,
+                   element_at(sims, ($pick) + 1),
+                   (a, b) -> greatest(a, b))),
+               acc -> acc.sel)"""))
+    stepped
+      .select(col("query_id"), col("c"),
+        posexplode(col("sel")).as(Seq("p", "i")))
+      .select(col("query_id"), (col("p") + 1).cast("long").as("rank"),
+        expr("element_at(c, i + 1).cand_id").as("cand_id"),
+        expr("element_at(c, i + 1).dot").as("dot_q6"))
+  }
 }

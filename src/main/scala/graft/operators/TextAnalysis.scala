@@ -1816,4 +1816,41 @@ object TextAnalysis {
         expr("freq * 1000000 DIV f1").as("ratio_ppm"),
         expr("1000000 DIV rank").as("zipf_ppm"))
   }
+
+  /** Vocabulary-growth (Heaps-law) curve: split the corpus into ten
+    * doc-id deciles and report, per decile, token occurrences, NEW
+    * vocabulary types (tokens whose first appearance is in that
+    * decile), and the running totals with the cumulative
+    * type/token ratio in ppm. A natural corpus keeps minting new
+    * types as it grows (V ≈ K·nᵝ); a curve that flatlines early
+    * means template sludge, a curve that never bends means noise —
+    * the companion read to [[zipfProfile]] on the same tokenizer.
+    *
+    * Scale shape: "first decile of each type" is min(decile) per
+    * token — a combinable aggregate over the token explode, NOT a
+    * window over occurrences; the only window is the running sum
+    * over the 10 decile rows. One corpus scan, two small shuffles.
+    */
+  def heapsCurve(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg((max(col("doc_id")) + 1).as("n_docs"))
+    val tok = docs.select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "),
+          t => t =!= "")).as("tok"))
+      .crossJoin(broadcast(mx))
+      .select(expr("doc_id * 10 DIV n_docs").as("decile"), col("tok"))
+    val occ = tok.groupBy("decile").agg(count(lit(1)).as("n_tokens"))
+    val firsts = tok.groupBy("tok")
+      .agg(min(col("decile")).as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ.join(firsts, Seq("decile"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .select(col("decile"), col("n_tokens"), col("new_types"),
+        col("cum_tokens"), col("cum_types"),
+        expr("cum_types * 1000000 DIV cum_tokens").as("ttr_ppm"))
+  }
 }

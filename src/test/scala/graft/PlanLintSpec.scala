@@ -117,8 +117,10 @@ class PlanLintSpec extends AnyFunSuite {
     "graph_modularity", "analytics_brand_penetration",
     "analytics_brand_affinity",
     // seasonal_index crossJoins the 1-row grand-total aggregate;
-    // zipf_profile joins only its k-row head to the 1-row top-freq
-    "analytics_seasonal_index", "text_zipf_profile")
+    // zipf_profile joins only its k-row head to the 1-row top-freq;
+    // mmr_rerank inherits the brute-force broadcast query join
+    "analytics_seasonal_index", "text_zipf_profile",
+    "sim_mmr_rerank")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

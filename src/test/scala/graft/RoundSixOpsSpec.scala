@@ -118,6 +118,40 @@ class RoundSixOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("MMR rerank replays the greedy trajectory exactly on the driver") {
+    val nQ = 20; val m = 10; val k = 5
+    val vecs = graft.sources.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(v => (v.toDouble * 1000).toLong).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val expected = (0L until nQ).flatMap { qid =>
+      val qv = vecs(qid)
+      val cands = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, v, dot(v, qv)) }
+        .sortBy { case (id, _, s) => (-s, id) }.take(m).toArray
+      var sel = List(0)
+      var pen = Array.tabulate(m)(i => dot(cands(i)._2, cands(0)._2))
+      (2 to k).foreach { _ =>
+        val best = (0 until m).filterNot(sel.contains)
+          .map(i => (7 * cands(i)._3 - 3 * pen(i), -i)).max
+        val idx = -best._2
+        sel = sel :+ idx
+        pen = Array.tabulate(m)(i =>
+          math.max(pen(i), dot(cands(i)._2, cands(idx)._2)))
+      }
+      sel.zipWithIndex.map { case (i, p) =>
+        (qid, (p + 1).toLong) -> (cands(i)._1, cands(i)._3)
+      }
+    }.toMap
+    val got = Similarity.mmrRerank(s, d, nQ, m, k).collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("cand_id"), r.getAs[Long]("dot_q6"))).toMap
+    assert(got === expected)
+  }
+
   test("embedding drift replays exactly in driver BigInt space") {
     val vecs = quantized()
     val dims = vecs.head._3.length
