@@ -288,6 +288,7 @@ object SparkEntry {
     // rows-only: the greedy MMR trajectory is not SQL-expressible in
     // DuckDB; RoundSixOpsSpec replays it exactly on the driver
     "sim_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
+    "temporal_concurrency" -> (Temporal.concurrency(_, _)),
     "analytics_abc_migration" -> (Analytics.abcMigration(_, _)),
     "analytics_iqr_outliers" -> (Analytics.iqrOutliers(_, _)),
     "analytics_xcorr_leadlag" -> (Analytics.leadLagXcorr(_, _)),
@@ -4986,6 +4987,46 @@ object SparkEntry {
     "analytics_cov_matrix" -> Analytics.covMatrixOracleSql,
     // first-order partial correlations from the same moment row
     "analytics_partial_corr" -> Analytics.partialCorrOracleSql,
+    // sweep-line concurrency: the oracle's global running sum equals
+    // the engine's two-level (per-hour offset + within-hour) form
+    "temporal_concurrency" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |fl AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |      IS NULL
+        |    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |      > 1800000000
+        |  THEN 1 ELSE 0 END AS is_new FROM ev),
+        |sid AS (SELECT user_id, us,
+        |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS UNBOUNDED PRECEDING) AS sess_id FROM fl),
+        |sess AS (SELECT user_id, sess_id, MIN(us) AS start_us,
+        |  MAX(us) AS end_us FROM sid GROUP BY 1, 2),
+        |bounds AS (
+        | SELECT start_us AS us, CAST(1 AS BIGINT) AS delta, user_id
+        | FROM sess
+        | UNION ALL
+        | SELECT end_us + 1, CAST(-1 AS BIGINT), user_id FROM sess),
+        |b2 AS (SELECT *, us // 3600000000 AS hr FROM bounds),
+        |run AS (SELECT hr,
+        |  SUM(delta) OVER (ORDER BY us, delta DESC, user_id
+        |    ROWS UNBOUNDED PRECEDING) AS run
+        | FROM b2),
+        |perhour AS (SELECT hr, SUM(delta) AS hsum,
+        |  COUNT(*) FILTER (delta = 1) AS n_starts,
+        |  COUNT(*) FILTER (delta = -1) AS n_ends FROM b2 GROUP BY 1),
+        |offs AS (SELECT hr, n_starts, n_ends, hsum,
+        |  COALESCE(SUM(hsum) OVER (ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS enter_c
+        | FROM perhour),
+        |mx AS (SELECT hr, MAX(run) AS max_abs FROM run GROUP BY 1)
+        |SELECT offs.hr, CAST(n_starts AS BIGINT) AS n_starts,
+        | CAST(n_ends AS BIGINT) AS n_ends,
+        | CAST(enter_c AS BIGINT) AS enter_c,
+        | CAST(GREATEST(enter_c, max_abs) AS BIGINT) AS peak_c,
+        | CAST(enter_c + hsum AS BIGINT) AS exit_c
+        |FROM offs JOIN mx USING (hr)""".stripMargin,
     // Heaps-law vocabulary growth: first-decile per type is a
     // combinable min, the only window runs over 10 decile rows
     "text_heaps_curve" ->

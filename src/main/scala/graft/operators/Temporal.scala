@@ -692,4 +692,62 @@ object Temporal {
       .withColumn("restatement_cents",
         col("gmv_final_cents") - col("gmv_known_cents"))
   }
+
+  /** Hourly concurrency gauge — how many user sessions are active at
+    * once (the capacity-planning number behind "peak concurrent
+    * users"): 30-min-gap sessions become +1/−1 boundary events, a
+    * sweep-line running sum is the live session count, and each hour
+    * reports entering / peak / exiting concurrency plus start/end
+    * volumes.
+    *
+    * The running sum is a TWO-LEVEL distributed prefix sum, never a
+    * global sort: per-hour delta totals (a tiny relation — one row
+    * per hour) take a window over hours to become each hour's
+    * entering offset, and the within-hour running sum windows
+    * PARTITIONED BY hour — so the corpus-sized sort is sharded on
+    * the hour key and the only unpartitioned window runs over the
+    * hour table. Boundary order (us, delta DESC, user_id) is a
+    * unique key — starts before ends at the same microsecond, so
+    * touching sessions count as overlapping — making the sweep
+    * deterministic in both engines. Ends decrement at end+1µs
+    * (inclusive intervals).
+    */
+  def concurrency(s: org.apache.spark.sql.SparkSession, d: String,
+      gapSeconds: Long = 1800): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val wU = Window.partitionBy("user_id").orderBy("us")
+    val sess = ev.withColumn("is_new",
+        when(lag(col("us"), 1).over(wU).isNull ||
+          col("us") - lag(col("us"), 1).over(wU) > gapSeconds * 1000000L,
+          1).otherwise(0))
+      .withColumn("sess_id", sum(col("is_new"))
+        .over(wU.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    val bounds = sess.select(col("start_us").as("us"),
+        lit(1L).as("delta"), col("user_id"))
+      .unionByName(sess.select((col("end_us") + 1).as("us"),
+        lit(-1L).as("delta"), col("user_id")))
+      .withColumn("hr", expr("us DIV 3600000000"))
+    val perHour = bounds.groupBy("hr")
+      .agg(sum(col("delta")).as("hsum"),
+        count_if(col("delta") === 1).as("n_starts"),
+        count_if(col("delta") === -1).as("n_ends"))
+    val wH = Window.orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perHour.withColumn("enter_c",
+      coalesce(sum(col("hsum")).over(wH), lit(0L)))
+    val wIn = Window.partitionBy("hr")
+      .orderBy(col("us"), col("delta").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val runs = bounds.withColumn("run", sum(col("delta")).over(wIn))
+      .groupBy("hr").agg(max(col("run")).as("max_run"))
+    offsets.join(runs, "hr")
+      .select(col("hr"), col("n_starts"), col("n_ends"),
+        col("enter_c"),
+        greatest(col("enter_c"), col("enter_c") + col("max_run"))
+          .as("peak_c"),
+        (col("enter_c") + col("hsum")).as("exit_c"))
+  }
 }
