@@ -289,6 +289,7 @@ object SparkEntry {
     // DuckDB; RoundSixOpsSpec replays it exactly on the driver
     "sim_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
     "temporal_concurrency" -> (Temporal.concurrency(_, _)),
+    "dedup_minhash_calibration" -> (Dedup.minhashCalibration(_, _)),
     "analytics_abc_migration" -> (Analytics.abcMigration(_, _)),
     "analytics_iqr_outliers" -> (Analytics.iqrOutliers(_, _)),
     "analytics_xcorr_leadlag" -> (Analytics.leadLagXcorr(_, _)),
@@ -4987,6 +4988,9 @@ object SparkEntry {
     "analytics_cov_matrix" -> Analytics.covMatrixOracleSql,
     // first-order partial correlations from the same moment row
     "analytics_partial_corr" -> Analytics.partialCorrOracleSql,
+    // estimator calibration: same permutation coefficients inlined,
+    // md5 shingle basis replayable in SQL
+    "dedup_minhash_calibration" -> Dedup.minhashCalibrationOracleSql(),
     // sweep-line concurrency: the oracle's global running sum equals
     // the engine's two-level (per-hour offset + within-hour) form
     "temporal_concurrency" ->

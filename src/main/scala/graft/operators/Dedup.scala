@@ -799,4 +799,114 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("wj_ppm").cast("long")
         .as("wj_ppm"))
   }
+
+  /** The permutation family of [[graft.functions.MinHashSignature]],
+    * replicated coefficient-for-coefficient (JVM wrap-around multiply
+    * included) so the calibration below exercises the SAME
+    * permutations the production LSH uses.
+    */
+  private def mhCoeffs(perms: Int): Array[(Long, Long)] =
+    Array.tabulate(perms) { i =>
+      val a = 2862933555777941757L * (i + 1) % MinhashPrime
+      val b = 3037000493L * (i + 7) % MinhashPrime
+      (math.abs(a) max 1L, math.abs(b))
+    }
+
+  /** MinHash-estimator calibration table — the validation every
+    * LSH dedup pipeline owes its thresholds: for each pair with real
+    * overlap, how does the signature's match fraction (the estimate
+    * the bands act on) track EXACT Jaccard? Buckets by matching-perm
+    * count and reports pair volume, the estimate each bucket implies,
+    * and the average true Jaccard — a miscalibrated row says the
+    * band/threshold tables need re-tuning before they gate a 100 TB
+    * dedup pass.
+    *
+    * Signatures here ride an md5 shingle basis (u64 of the first 8
+    * md5 bytes, mod P) so DuckDB replays them bit-for-bit — the
+    * production rolling-hash basis isn't SQL-expressible; the
+    * permutation coefficients are IDENTICAL to `graft_minhash_sig`
+    * ([[mhCoeffs]]). Exact counts (c, na, nb) reuse the cached
+    * shingle co-occurrence index. Scale shape: the signature build is
+    * one scan + one 16-column combinable min-aggregate; the pair join
+    * touches only candidate pairs.
+    */
+  def minhashCalibration(s: SparkSession, d: String, ngram: Int = 12,
+      perms: Int = 16, floorPpm: Long = 10000L): DataFrame = {
+    val p = MinhashPrime
+    val sh = Tables.documents(s, d).select(col("doc_id"),
+      explode(expr(
+        s"""array_distinct(transform(
+            sequence(1, greatest(length(lower(text)) - ${ngram - 1}, 1), 1),
+            i -> substring(lower(text), i, $ngram)))""")).as("s"))
+    val hp = sh.select(col("doc_id"),
+      expr(s"""CAST(CAST(conv(substring(md5(s), 1, 16), 16, 10)
+               AS DECIMAL(20,0)) % $p AS BIGINT)""").as("hp"))
+    val mhAggs = mhCoeffs(perms).zipWithIndex.map { case ((a, b), j) =>
+      min(expr(s"(hp * ${a}L + ${b}L) % $p")).as(s"mh_$j")
+    }.toSeq
+    val sig = hp.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val (inter, sizes) = shingleCoOccurrence(s, d, ngram)
+    val matchExpr = (0 until perms)
+      .map(j => s"IF(a.mh_$j = b.mh_$j, 1L, 0L)").mkString(" + ")
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("id_a"),
+        col("n").as("na"))), "id_a")
+      .join(broadcast(sizes.select(col("doc_id").as("id_b"),
+        col("n").as("nb"))), "id_b")
+      .withColumn("exact_ppm",
+        expr("c * 1000000 DIV (na + nb - c)"))
+      .filter(col("exact_ppm") >= floorPpm)
+      .join(sig.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("id_b") === col("b.doc_id"))
+      .withColumn("matches", expr(matchExpr))
+      .groupBy("matches")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("SUM(exact_ppm) DIV COUNT(1)").as("avg_exact_ppm"))
+      .select(col("matches"), col("n_pairs"),
+        expr(s"matches * 1000000 DIV $perms").as("est_ppm"),
+        col("avg_exact_ppm"))
+  }
+
+  /** DuckDB replay of [[minhashCalibration]] — same permutation
+    * coefficients inlined as literals, same md5 shingle basis.
+    */
+  def minhashCalibrationOracleSql(ngram: Int = 12, perms: Int = 16,
+      floorPpm: Long = 10000L): String = {
+    val p = MinhashPrime
+    val sigCols = mhCoeffs(perms).zipWithIndex.map { case ((a, b), j) =>
+      s"MIN((hp * $a + $b) % $p) AS mh_$j"
+    }.mkString(",\n  ")
+    val matchSum = (0 until perms)
+      .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sh AS (SELECT DISTINCT doc_id, s FROM (
+       | SELECT doc_id, unnest([substr(lower(text), i, $ngram)
+       |  for i in range(1, greatest(length(lower(text)) - ${ngram - 2},
+       |    2))]) AS s
+       | FROM documents) t),
+       |hp AS (SELECT doc_id,
+       |  CAST(CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT) % $p
+       |    AS BIGINT) AS hp
+       | FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       | FROM hp GROUP BY 1),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+       |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |pair AS (SELECT id_a, id_b,
+       |  c * 1000000 // (na.n + nb.n - c) AS exact_ppm,
+       |  $matchSum AS matches
+       | FROM i JOIN sz na ON na.doc_id = id_a
+       |   JOIN sz nb ON nb.doc_id = id_b
+       |   JOIN sig sa ON sa.doc_id = id_a
+       |   JOIN sig sb ON sb.doc_id = id_b
+       | WHERE c * 1000000 // (na.n + nb.n - c) >= $floorPpm)
+       |SELECT CAST(matches AS BIGINT) AS matches,
+       | COUNT(*) AS n_pairs,
+       | CAST(matches * 1000000 // $perms AS BIGINT) AS est_ppm,
+       | CAST(SUM(exact_ppm) // COUNT(*) AS BIGINT) AS avg_exact_ppm
+       |FROM pair GROUP BY matches""".stripMargin
+  }
 }
