@@ -290,6 +290,8 @@ object SparkEntry {
     "sim_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
     "temporal_concurrency" -> (Temporal.concurrency(_, _)),
     "dedup_minhash_calibration" -> (Dedup.minhashCalibration(_, _)),
+    "analytics_markov_stationary" -> (Analytics.markovStationary(_, _)),
+    "analytics_shape_profile" -> (Analytics.shapeProfile(_, _)),
     "analytics_abc_migration" -> (Analytics.abcMigration(_, _)),
     "analytics_iqr_outliers" -> (Analytics.iqrOutliers(_, _)),
     "analytics_xcorr_leadlag" -> (Analytics.leadLagXcorr(_, _)),
@@ -4991,6 +4993,64 @@ object SparkEntry {
     // estimator calibration: same permutation coefficients inlined,
     // md5 shingle basis replayable in SQL
     "dedup_minhash_calibration" -> Dedup.minhashCalibrationOracleSql(),
+    // truncated power iteration in ppm: divide ONCE per step after
+    // the exact Σ π_i·P_ij; sink states drop inbound mass (both
+    // engines share the convention)
+    "analytics_markov_stationary" ->
+      """WITH ev AS (SELECT user_id, event_type, ts, event_id
+        | FROM events),
+        |tr AS (SELECT event_type AS src_event,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS dst_event
+        | FROM ev),
+        |t AS (SELECT src_event, dst_event, COUNT(*) AS c FROM tr
+        | WHERE dst_event IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src_event, SUM(c) AS tot FROM t GROUP BY 1),
+        |p AS (SELECT t.src_event, t.dst_event,
+        |  CAST(c * 1000000 // tot AS BIGINT) AS p_ppm
+        | FROM t JOIN tot ON t.src_event = tot.src_event),
+        |ns AS (SELECT COUNT(*) AS ns FROM tot),
+        |pi0 AS (SELECT src_event AS state,
+        |  CAST(1000000 // ns AS BIGINT) AS pi_ppm
+        | FROM tot CROSS JOIN ns),
+        |pi1 AS (SELECT dst_event AS state,
+        |  CAST(SUM(pi_ppm * p_ppm) // 1000000 AS BIGINT) AS pi_ppm
+        | FROM pi0 JOIN p ON pi0.state = p.src_event GROUP BY 1),
+        |pi2 AS (SELECT dst_event AS state,
+        |  CAST(SUM(pi_ppm * p_ppm) // 1000000 AS BIGINT) AS pi_ppm
+        | FROM pi1 JOIN p ON pi1.state = p.src_event GROUP BY 1),
+        |pi3 AS (SELECT dst_event AS state,
+        |  CAST(SUM(pi_ppm * p_ppm) // 1000000 AS BIGINT) AS pi_ppm
+        | FROM pi2 JOIN p ON pi2.state = p.src_event GROUP BY 1)
+        |SELECT state, pi_ppm FROM pi3""".stripMargin,
+    // positional octiles: value at 0-based rank (n−1)k DIV 8 is a
+    // unique multiset position — deterministic under any tiebreak
+    "analytics_shape_profile" ->
+      """WITH b AS (SELECT l_returnflag AS rf,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS cents
+        | FROM lineitem),
+        |r AS (SELECT rf, cents,
+        |  CAST(row_number() OVER (PARTITION BY rf ORDER BY cents)
+        |    AS BIGINT) AS rn,
+        |  COUNT(*) OVER (PARTITION BY rf) AS n FROM b),
+        |o AS (SELECT rf,
+        |  MIN(CASE WHEN rn - 1 = (n - 1) * 1 // 8 THEN cents END) AS e1,
+        |  MIN(CASE WHEN rn - 1 = (n - 1) * 2 // 8 THEN cents END) AS e2,
+        |  MIN(CASE WHEN rn - 1 = (n - 1) * 3 // 8 THEN cents END) AS e3,
+        |  MIN(CASE WHEN rn - 1 = (n - 1) * 4 // 8 THEN cents END) AS e4,
+        |  MIN(CASE WHEN rn - 1 = (n - 1) * 5 // 8 THEN cents END) AS e5,
+        |  MIN(CASE WHEN rn - 1 = (n - 1) * 6 // 8 THEN cents END) AS e6,
+        |  MIN(CASE WHEN rn - 1 = (n - 1) * 7 // 8 THEN cents END) AS e7
+        | FROM r GROUP BY 1)
+        |SELECT rf, e1, e2, e3, e4, e5, e6, e7,
+        | CASE WHEN e6 > e2 THEN
+        |   CAST((e6 + e2 - 2 * e4) * 1000000 // (e6 - e2) AS BIGINT)
+        | END AS bowley_ppm,
+        | CASE WHEN e6 > e2 THEN
+        |   CAST((e7 - e5 + e3 - e1) * 1000000 // (e6 - e2) AS BIGINT)
+        | END AS moors_ppm
+        |FROM o""".stripMargin,
     // sweep-line concurrency: the oracle's global running sum equals
     // the engine's two-level (per-hour offset + within-hour) form
     "temporal_concurrency" ->

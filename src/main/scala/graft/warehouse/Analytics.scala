@@ -4223,6 +4223,80 @@ object Analytics {
                   DIV 1000000000000 END""").as("corr2_ppm"))
   }
 
+  /** Stationary distribution of the event-type Markov chain by
+    * truncated power iteration — where user attention settles if the
+    * observed click-to-click dynamics run forward (the "equilibrium
+    * share" read on [[pathTransitions]], which reports the raw
+    * matrix). Three iterations of π′ = πP from uniform, entirely in
+    * integer ppm: row-normalized transition probabilities are
+    * `c·10⁶ DIV row-total`, each step sums π_i·P_ij exactly (≤ 5·10¹²)
+    * and divides by 10⁶ ONCE after the sum — deterministic truncating
+    * algebra both engines replay. States with no outgoing edges drop
+    * the mass they receive (documented sink convention, identical in
+    * the oracle).
+    *
+    * Scale shape: the fact scan pays one per-user window (lead) and
+    * one transition rollup; everything after operates on the
+    * |states|² matrix — broadcast joins over a tiny relation, the
+    * iteration count is fixed, no driver loop over data.
+    */
+  def markovStationary(s: SparkSession, d: String,
+      iters: Int = 3): DataFrame = {
+    val trans = pathTransitions(s, d)
+    val totals = trans.groupBy("src_event")
+      .agg(sum(col("transitions")).as("tot"))
+    val pmat = trans.join(broadcast(totals), "src_event")
+      .select(col("src_event"), col("dst_event"),
+        expr("transitions * 1000000 DIV tot").as("p_ppm"))
+    val nStates = totals.agg(count(lit(1)).as("ns"))
+    val pi0 = totals.crossJoin(broadcast(nStates))
+      .select(col("src_event").as("state"),
+        expr("1000000 DIV ns").as("pi_ppm"))
+    val piN = (1 to iters).foldLeft(pi0) { case (pi, _) =>
+      pi.join(broadcast(pmat), col("state") === col("src_event"))
+        .groupBy(col("dst_event").as("state"))
+        .agg(expr("SUM(pi_ppm * p_ppm) DIV 1000000").as("pi_ppm"))
+        .select(col("state"), col("pi_ppm"))
+    }
+    piN.select(col("state"), col("pi_ppm"))
+  }
+
+  /** Distribution-shape profile per return flag: the seven octile
+    * values of line price plus Bowley skewness and Moors kurtosis in
+    * ppm — the robust (quantile-based) shape stats that need no
+    * moments and hence no floats: octiles are POSITIONAL (value at
+    * 0-based rank (n−1)·k DIV 8 in the sorted group — a unique
+    * multiset position, so the value is deterministic under any
+    * tiebreak), and both shape ratios are single truncating integer
+    * divisions of cent-exact octiles. Completes the moments family
+    * (corr/cov/outliers) with the shape read a skew-aware partitioner
+    * or pricing model wants.
+    *
+    * One window sort PARTITIONED BY the group key, then a combinable
+    * conditional-min rollup — no driver descent needed because ranks
+    * are known in closed form.
+    */
+  def shapeProfile(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("rf"),
+      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long").as("cents"))
+    val w = Window.partitionBy("rf").orderBy("cents")
+    val ranked = base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("rf")))
+    val octs = (1 to 7).map(k =>
+      min(when(col("rn") - 1 === expr(s"(n - 1) * $k DIV 8"),
+        col("cents"))).as(s"e$k"))
+    ranked.groupBy("rf").agg(octs.head, octs.tail: _*)
+      .withColumn("bowley_ppm",
+        expr("""CASE WHEN e6 > e2 THEN
+                  (e6 + e2 - 2 * e4) * 1000000 DIV (e6 - e2) END"""))
+      .withColumn("moors_ppm",
+        expr("""CASE WHEN e6 > e2 THEN
+                  (e7 - e5 + e3 - e1) * 1000000 DIV (e6 - e2) END"""))
+  }
+
   /** DuckDB replay of [[covMatrix]], generated from the same pair
     * list so the two surfaces cannot drift.
     */
