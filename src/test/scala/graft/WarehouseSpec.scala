@@ -2026,4 +2026,43 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rs("o_orderstatus").isNullAt(
       rs("o_orderstatus").fieldIndex("min_num")))
   }
+
+  test("loader absorbs long-nanos, µs-NTZ, and µs-LTZ ts encodings identically") {
+    // the r5 breakage class: the driver re-encoded events.ts and every
+    // unix_micros call site died. The edge (Tables.normalizeTs) must
+    // yield the SAME instants whatever parquet encoding shipped —
+    // including in a session that still infers NTZ.
+    import org.apache.spark.sql.types.TimestampType
+    import s.implicits._
+    val us = Seq(1704067200123456L, 1706745599999999L, 1735689600000001L)
+    val base = us.toDF("us")
+    val dir = java.nio.file.Files.createTempDirectory("graft_enc").toString
+    base.select(timestamp_micros(col("us")).as("ts"), col("us"))
+      .write.mode("overwrite").parquet(s"$dir/ltz")
+    base.select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+        col("us"))
+      .write.mode("overwrite").parquet(s"$dir/ntz")
+    base.select((col("us") * 1000).as("ts"), col("us"))
+      .write.mode("overwrite").parquet(s"$dir/nanos")
+    def instants(path: String, inferNtz: Boolean): Seq[(Long, Long)] = {
+      val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+      val old = s.conf.get(key, "false")
+      s.conf.set(key, inferNtz.toString)
+      try {
+        val df = graft.sources.Tables.normalizeTs(s.read.parquet(path))
+        assert(df.schema("ts").dataType == TimestampType,
+          s"$path (inferNtz=$inferNtz) must normalize to TimestampType")
+        df.select(col("us"), unix_micros(col("ts"))).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      } finally s.conf.set(key, old)
+    }
+    val want = us.map(u => (u, u)).sorted
+    assert(instants(s"$dir/ltz", inferNtz = false) === want)
+    // NTZ file through BOTH session configs: inferred (exercises the
+    // TimestampNTZType cast branch) and inference-off (file reads as
+    // LTZ directly in the UTC session)
+    assert(instants(s"$dir/ntz", inferNtz = true) === want)
+    assert(instants(s"$dir/ntz", inferNtz = false) === want)
+    assert(instants(s"$dir/nanos", inferNtz = false) === want)
+  }
 }
