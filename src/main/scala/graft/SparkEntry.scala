@@ -290,9 +290,11 @@ object SparkEntry {
     "sim_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
     "temporal_concurrency" -> (Temporal.concurrency(_, _)),
     "dedup_minhash_calibration" -> (Dedup.minhashCalibration(_, _)),
+    "dedup_simhash_calibration" -> (Dedup.simhashCalibration(_, _)),
     "analytics_markov_stationary" -> (Analytics.markovStationary(_, _)),
     "analytics_shape_profile" -> (Analytics.shapeProfile(_, _)),
     "graph_hits" -> ((s, dir) => graft.operators.Graph.hits(s, dir)),
+    "analytics_demand_classes" -> (Analytics.demandClasses(_, _)),
     "analytics_abc_migration" -> (Analytics.abcMigration(_, _)),
     "analytics_iqr_outliers" -> (Analytics.iqrOutliers(_, _)),
     "analytics_xcorr_leadlag" -> (Analytics.leadLagXcorr(_, _)),
@@ -4995,6 +4997,74 @@ object SparkEntry {
     // estimator calibration: same permutation coefficients inlined,
     // md5 shingle basis replayable in SQL
     "dedup_minhash_calibration" -> Dedup.minhashCalibrationOracleSql(),
+    // simhash calibration: production fingerprints replayed via the
+    // dedup_simhash CTE; xor/bit_count are two's-complement in both
+    "dedup_simhash_calibration" ->
+      """WITH fp AS (
+        | SELECT doc_id, CAST(fpu -
+        |   CASE WHEN fpu >= 9223372036854775808::HUGEINT
+        |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+        |   AS BIGINT) AS simhash
+        | FROM (
+        |  SELECT doc_id, CAST(coalesce(list_sum([
+        |   CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1))
+        |       > len(hs)
+        |    THEN (1::UBIGINT << b) ELSE 0::UBIGINT END
+        |   for b in range(0, 64)]), 0) AS HUGEINT) AS fpu
+        |  FROM (
+        |   SELECT doc_id, [CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT)
+        |     for t in list_filter(string_split(lower(text), ' '),
+        |       x -> x <> '')] AS hs
+        |   FROM documents) a) b),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        | SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |  for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        | FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pair AS (SELECT id_a, id_b,
+        |  c * 1000000 // (na.n + nb.n - c) AS exact_ppm
+        | FROM i JOIN sz na ON na.doc_id = id_a
+        |  JOIN sz nb ON nb.doc_id = id_b
+        | WHERE c * 1000000 // (na.n + nb.n - c) >= 10000)
+        |SELECT CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT)
+        |  AS hamming,
+        | COUNT(*) AS n_pairs,
+        | CAST(SUM(exact_ppm) // COUNT(*) AS BIGINT) AS avg_exact_ppm
+        |FROM pair JOIN fp fa ON fa.doc_id = id_a
+        | JOIN fp fb ON fb.doc_id = id_b
+        |GROUP BY 1""".stripMargin,
+    // Syntetos–Boylan classes: ADI vs the 1-row global month count,
+    // CV² with cleared denominators, 1.32/0.49 ppm cuts
+    "analytics_demand_classes" ->
+      """WITH m AS (SELECT l_partkey AS part_id,
+        |  date_trunc('month', l_shipdate) AS mo,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS q
+        | FROM lineitem GROUP BY 1, 2),
+        |nm AS (SELECT COUNT(DISTINCT mo) AS n_months FROM m),
+        |pp AS (SELECT part_id, COUNT(*) AS nw, SUM(q) AS sq,
+        |  SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS sqq
+        | FROM m GROUP BY 1),
+        |cl AS (SELECT part_id,
+        |  CAST(n_months * 1000000 // nw AS BIGINT) AS adi_ppm,
+        |  CAST((CAST(nw AS HUGEINT) * sqq
+        |     - CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT)) * 1000000
+        |    // (CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT)) AS BIGINT)
+        |    AS cv2_ppm
+        | FROM pp CROSS JOIN nm)
+        |SELECT CASE WHEN adi_ppm < 1320000 AND cv2_ppm < 490000
+        |    THEN 'smooth'
+        |  WHEN adi_ppm >= 1320000 AND cv2_ppm < 490000
+        |    THEN 'intermittent'
+        |  WHEN adi_ppm < 1320000 THEN 'erratic'
+        |  ELSE 'lumpy' END AS demand_class,
+        | COUNT(*) AS n_parts,
+        | CAST(SUM(adi_ppm) // COUNT(*) AS BIGINT) AS avg_adi_ppm,
+        | CAST(SUM(cv2_ppm) // COUNT(*) AS BIGINT) AS avg_cv2_ppm
+        |FROM cl GROUP BY 1""".stripMargin,
     // HITS: two a→h→a→h rounds, max-norm ppm per half-round (no L2 /
     // sqrt in the graded surface), top-10 per role by (score, id)
     "graph_hits" ->

@@ -881,6 +881,40 @@ object Dedup {
         col("avg_exact_ppm"))
   }
 
+  /** SimHash-estimator calibration — the companion table to
+    * [[minhashCalibration]] for the OTHER sketch: for every
+    * real-overlap pair, the 64-bit fingerprint Hamming distance
+    * (what the bit-band join acts on) against average TRUE Jaccard.
+    * A sane sketch shows Hamming falling monotonically as true
+    * similarity rises; the table is what justifies the
+    * `maxHamming ≤ 3` gate in [[simhashNearDup]]. Fingerprints are
+    * the production `graft_simhash64` values (the dedup_simhash
+    * oracle already replays them bit-for-bit in SQL); exact counts
+    * reuse the cached co-occurrence layout. One scan for
+    * fingerprints + one pair join — nothing quadratic.
+    */
+  def simhashCalibration(s: SparkSession, d: String, ngram: Int = 12,
+      floorPpm: Long = 10000L): DataFrame = {
+    val fp = simhash(s, d)
+    val (inter, sizes) = shingleCoOccurrence(s, d, ngram)
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("id_a"),
+        col("n").as("na"))), "id_a")
+      .join(broadcast(sizes.select(col("doc_id").as("id_b"),
+        col("n").as("nb"))), "id_b")
+      .withColumn("exact_ppm", expr("c * 1000000 DIV (na + nb - c)"))
+      .filter(col("exact_ppm") >= floorPpm)
+      .join(fp.select(col("doc_id").as("id_a"),
+        col("simhash").as("fa")), "id_a")
+      .join(fp.select(col("doc_id").as("id_b"),
+        col("simhash").as("fb")), "id_b")
+      .withColumn("hamming",
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("SUM(exact_ppm) DIV COUNT(1)").as("avg_exact_ppm"))
+  }
+
   /** DuckDB replay of [[minhashCalibration]] — same permutation
     * coefficients inlined as literals, same md5 shingle basis.
     */

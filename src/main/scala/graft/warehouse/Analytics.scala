@@ -4399,6 +4399,55 @@ object Analytics {
                   DIV 1000000000000 END""").as("pcorr2_ppm"))
   }
 
+  /** Syntetos–Boylan demand classification — the supply-chain
+    * segmentation that decides WHICH forecaster a part gets: per
+    * part, ADI (average inter-demand interval = observed months ÷
+    * months with demand) and CV² of the nonzero monthly demand
+    * sizes, cut at the standard 1.32 / 0.49 boundaries into
+    * smooth / intermittent / erratic / lumpy, rolled up per class.
+    * Exact: monthly quantities are integers (×100), ADI_ppm is one
+    * truncating DIV against the 1-row global month count, and CV² =
+    * var/mean² clears denominators to (n·Σq² − (Σq)²)·10⁶ DIV (Σq)²
+    * — no floats anywhere, both engines replay the cuts
+    * bit-identically.
+    *
+    * One month-grain rollup of the fact scan → one per-part
+    * aggregate → a 4-row class rollup; the scan dominates at any
+    * scale.
+    */
+  def demandClasses(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("part_id"),
+        date_trunc("month", col("l_shipdate")).as("mo"))
+      .agg(sum((col("l_quantity").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("q"))
+    val nMonths = monthly.agg(
+      countDistinct(col("mo")).as("n_months"))
+    val perPart = monthly.groupBy("part_id")
+      .agg(count(lit(1)).as("nw"), sum(col("q")).as("sq"),
+        sum((col("q").cast(DecimalType(19, 0))
+          * col("q").cast(DecimalType(19, 0)))
+          .cast(DecimalType(38, 0))).as("sqq"))
+      .crossJoin(broadcast(nMonths))
+      .withColumn("adi_ppm", expr("n_months * 1000000 DIV nw"))
+      .withColumn("cv2_ppm",
+        expr("""(CAST(nw AS DECIMAL(38,0)) * sqq
+                - CAST(sq AS DECIMAL(38,0)) * CAST(sq AS DECIMAL(38,0)))
+               * 1000000
+               DIV (CAST(sq AS DECIMAL(38,0)) * CAST(sq AS DECIMAL(38,0)))"""))
+      .withColumn("demand_class",
+        expr("""CASE WHEN adi_ppm < 1320000 AND cv2_ppm < 490000
+                  THEN 'smooth'
+                WHEN adi_ppm >= 1320000 AND cv2_ppm < 490000
+                  THEN 'intermittent'
+                WHEN adi_ppm < 1320000 THEN 'erratic'
+                ELSE 'lumpy' END"""))
+    perPart.groupBy("demand_class")
+      .agg(count(lit(1)).as("n_parts"),
+        expr("SUM(adi_ppm) DIV COUNT(1)").as("avg_adi_ppm"),
+        expr("SUM(cv2_ppm) DIV COUNT(1)").as("avg_cv2_ppm"))
+  }
+
   /** Hourly OHLC bars per event type — open/high/low/close + volume,
     * the canonical time-series downsampling for any metered value
     * stream (complements [[downsampleSeries]]'s count/sum buckets and
