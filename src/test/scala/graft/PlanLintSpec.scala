@@ -123,8 +123,10 @@ class PlanLintSpec extends AnyFunSuite {
     "analytics_seasonal_index", "text_zipf_profile",
     "sim_mmr_rerank", "graph_hits",
     // markov_stationary crossJoins the 1-row state count;
-    // heaps_curve crossJoins the 1-row max-doc-id aggregate
-    "analytics_markov_stationary", "text_heaps_curve")
+    // heaps_curve crossJoins the 1-row max-doc-id aggregate;
+    // demand_classes crossJoins the 1-row global month count
+    "analytics_markov_stationary", "text_heaps_curve",
+    "analytics_demand_classes")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
