@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep `[success] Total time: ...` off stdout after `sbt run`: the
+// bench contract is "ONE JSON line last", and the success banner was
+// what landed after it (BENCH_r06 "parsed": null — six rounds running).
+Global / showSuccess := false
+// Forked run output passes through VERBATIM (no `[info] ` logger
+// prefixes in batch/non-TTY mode) — a prefixed JSON line doesn't
+// json.loads
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -75,6 +75,18 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // LAST stdout line = a COMPACT JSON the driver can always parse:
+    // the full line above is ~15 KB at 384 queries and the driver
+    // keeps only a ~4 KB stdout tail, so the full line's head gets
+    // truncated away and "parsed" was null six rounds running. The
+    // compact line keeps the headline queries (the slowest 24 by
+    // min-time — the ones a reader would ask about) and points at the
+    // full artifact; build.sbt sets showSuccess := false so no sbt
+    // banner lands after it.
+    val headline = results.toSeq.sortBy(-_._2._1).take(24)
+    val hq = headline.map { case (k, v) => "\"" + k + "\":" + v._1 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"errors":$errs,"load":$load,"runs":$runs,"full":"$out"}""")
     spark.stop()
     // errored queries must not read as a healthy rc=0 bench
     if (errors.nonEmpty) sys.exit(1)

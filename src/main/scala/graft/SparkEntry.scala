@@ -317,6 +317,11 @@ object SparkEntry {
     // against a driver Kruskal under the same edge order
     "graph_mst" -> ((s, dir) =>
       graft.operators.Graph.minimumSpanningForest(s, dir)),
+    // oracle-graded half of the MST contract: spanning-forest
+    // certificate (n_edges = n_nodes − n_components, labels from the
+    // FOREST's own closure) — minimality stays spec-graded
+    "graph_mst_cert" -> ((s, dir) =>
+      graft.operators.Graph.mstCertificate(s, dir)),
     "analytics_abc_xyz" -> (Analytics.abcXyzMatrix(_, _)),
     "analytics_target_encode" -> (Analytics.targetEncodeLoo(_, _)),
     "pipeline_group_kfold" -> (TextAnalysis.groupKFold(_, _)),
@@ -396,6 +401,8 @@ object SparkEntry {
     "analytics_rolling_corr" -> (Analytics.rollingCorr(_, _)),
     "analytics_quantity_quantiles" -> (Analytics.quantityQuantiles(_, _)),
     "analytics_nation_trend" -> (Analytics.nationTrend(_, _)),
+    // r7: oracle-graded after all — the peel loop unrolls to a fixed
+    // budget in SQL (idempotent past the fixpoint), see kCoreOracleSql
     "graph_kcore" -> (graft.operators.Graph.kCore(_, _)),
     "sim_recall_eval" -> (Similarity.annRecallEval(_, _)),
     "analytics_backlog_age" -> (Analytics.backlogAge(_, _)),
@@ -851,6 +858,16 @@ object SparkEntry {
         | CAST(coalesce(matched_shingles, 0) * 1000000 // total_shingles
         |   AS BIGINT) AS overlap_ppm
         |FROM tot LEFT JOIN mt ON tot.doc_id = mt.doc_id""".stripMargin,
+    // spanning-forest certificate: graph components via the same
+    // recursive closure, then the n_edges = n_nodes − n_components
+    // identity (equality ⟺ the Spark forest spans and is acyclic)
+    "graph_mst_cert" ->
+      graft.operators.Graph.mstCertificateOracleSql(minStrength = 2),
+    // k-core peel UNROLLED to a 24-round budget (measured depth 11
+    // at sf0.01; idempotent past the fixpoint, so margin is free);
+    // MATERIALIZED CTEs — default inlining re-evaluates the chain
+    "graph_kcore" ->
+      graft.operators.Graph.kCoreOracleSql(k = 3, minStrength = 2),
     // strong-edge closure: same recursive-CTE fixpoint as the dedup
     // cluster oracles, over the >=3-basket co-purchase pairs
     "graph_components" ->
@@ -5219,9 +5236,18 @@ object SparkEntry {
         |   AS ttr_ppm
         |FROM j""".stripMargin,
     // hourly OHLC bars: arg_min/arg_max on the composite (us, id)
-    // key (HUGEINT-packed; Spark orders the struct) — tie-proof
+    // key (HUGEINT-packed; Spark orders the struct) — tie-proof.
+    // The us*2^40+event_id packing is order-equivalent to the struct
+    // ordering ONLY while 0 <= event_id < 2^40 (~1.1e12); DuckDB 1.0
+    // has no struct-keyed arg_min, so the bound is ASSERTED per row —
+    // an out-of-range id fails the gate loudly instead of silently
+    // flipping open/close
     "analytics_ohlc_bars" ->
-      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+        |  CASE WHEN event_id BETWEEN 0 AND 1099511627775
+        |   THEN event_id
+        |   ELSE CAST(error('event_id outside 2^40 packing bound')
+        |     AS BIGINT) END AS event_id,
         |  CAST(trunc(value * 1000000) AS BIGINT) AS vq
         | FROM events)
         |SELECT event_type, us // 3600000000 AS hr,
@@ -5359,16 +5385,21 @@ object SparkEntry {
         | COALESCE(c2, 'GONE') AS class_h2, COUNT(*) AS n_parts
         |FROM c1 FULL OUTER JOIN c2 USING (part_id)
         |GROUP BY 1, 2""".stripMargin,
-    // view leads purchase: shifted-day equi-join per lag, exact
-    // decimal moments, the autocorr rounded-double finish
+    // view leads purchase: shifted-day LEFT join per lag (purchase-
+    // free days contribute y=0 — the r7 zero-fill convention, bounded
+    // by the observed event horizon), exact decimal moments, the
+    // autocorr rounded-double finish
     "analytics_xcorr_leadlag" ->
       """WITH x AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS xv
         |  FROM events WHERE event_type = 'view' GROUP BY 1),
         |y AS (SELECT CAST(ts AS DATE) AS yday, COUNT(*) AS yv
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |p AS (SELECT CAST(l.o AS BIGINT) AS lag_d, x.xv, y.yv
+        |p AS (SELECT CAST(l.o AS BIGINT) AS lag_d, x.xv,
+        |       COALESCE(y.yv, 0) AS yv
         |      FROM x CROSS JOIN range(0, 4) l(o)
-        |      JOIN y ON y.yday = x.day + CAST(l.o AS INT)),
+        |      LEFT JOIN y ON y.yday = x.day + CAST(l.o AS INT)
+        |      WHERE x.day + CAST(l.o AS INT) <=
+        |        (SELECT MAX(CAST(ts AS DATE)) FROM events)),
         |mo AS (SELECT lag_d, COUNT(*) AS n,
         |  SUM(CAST(xv AS DECIMAL(19,0))) AS sx,
         |  SUM(CAST(yv AS DECIMAL(19,0))) AS sy,

@@ -99,10 +99,28 @@ case class DotProduct(left: Expression, right: Expression)
   * Coefficients are derived from the permutation index (splitmix-type
   * constants mod p), identical on every executor.
   */
+/** THE MinHash permutation family — single source of truth for the
+  * prime and the (a, b) coefficient derivation (JVM wrap-around
+  * multiply included). [[MinHashSignature]] (the production Catalyst
+  * expression) and the calibration tables in `operators.Dedup` both
+  * consume THIS object, so a change to the family cannot silently
+  * decouple what the calibration exercises from what production
+  * runs (DedupSpec pins the coupling with an equality test).
+  */
+object MinHashFamily {
+  val P = 2038074743L
+  def coeffs(perms: Int): Array[(Long, Long)] =
+    Array.tabulate(perms) { i =>
+      val a = 2862933555777941757L * (i + 1) % P
+      val b = 3037000493L * (i + 7) % P
+      (math.abs(a) max 1L, math.abs(b))
+    }
+}
+
 case class MinHashSignature(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
-  private val P = 2038074743L
+  private val P = MinHashFamily.P
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
@@ -117,11 +135,7 @@ case class MinHashSignature(left: Expression, right: Expression)
   @transient private lazy val perms: Int =
     right.eval(null).asInstanceOf[Int]
   @transient private lazy val coeffs: Array[(Long, Long)] =
-    Array.tabulate(perms) { i =>
-      val a = 2862933555777941757L * (i + 1) % P
-      val b = 3037000493L * (i + 7) % P
-      (math.abs(a) max 1L, math.abs(b))
-    }
+    MinHashFamily.coeffs(perms)
 
   override def nullSafeEval(arr: Any, p: Any): Any = {
     val hs = arr.asInstanceOf[ArrayData]

@@ -40,7 +40,7 @@ object Dedup {
       call_function("graft_shingle_hashes", col("text"), lit(n)).as("hashed"))
   }
 
-  private val MinhashPrime = 2038074743L
+  private val MinhashPrime = graft.functions.MinHashFamily.P
 
   /** MinHash signature via the native
     * [[graft.functions.MinHashSignature]] expression — one JIT'd
@@ -811,17 +811,13 @@ object Dedup {
         .as("wj_ppm"))
   }
 
-  /** The permutation family of [[graft.functions.MinHashSignature]],
-    * replicated coefficient-for-coefficient (JVM wrap-around multiply
-    * included) so the calibration below exercises the SAME
-    * permutations the production LSH uses.
+  /** The permutation family of [[graft.functions.MinHashSignature]] —
+    * the SHARED [[graft.functions.MinHashFamily]] object, not a
+    * replica, so the calibration below exercises the SAME
+    * permutations the production LSH uses by construction.
     */
   private def mhCoeffs(perms: Int): Array[(Long, Long)] =
-    Array.tabulate(perms) { i =>
-      val a = 2862933555777941757L * (i + 1) % MinhashPrime
-      val b = 3037000493L * (i + 7) % MinhashPrime
-      (math.abs(a) max 1L, math.abs(b))
-    }
+    graft.functions.MinHashFamily.coeffs(perms)
 
   /** MinHash-estimator calibration table — the validation every
     * LSH dedup pipeline owes its thresholds: for each pair with real

@@ -436,25 +436,24 @@ object Graph {
     */
   def minimumSpanningForest(s: SparkSession, d: String,
       minStrength: Long = 2, maxRounds: Int = 20): DataFrame = {
-    import s.implicits._
-    // edges stay distributed (the bucketed strong pair table); only
-    // the per-round CHOSEN set (≤ one edge per component, shrinking
-    // geometrically) ever reaches the driver — the node-bounded
-    // driver state contract kCore and the closure already use
+    // everything stays distributed: the edge list (bucketed strong
+    // pair table), the accumulated FOREST (checkpointed DataFrame —
+    // r6 kept it as a driver Seq that grew with |parts|, the one
+    // dimension-scale watch item), and the labels. The only driver
+    // round-trips are the per-round emptiness probe and the closure's
+    // own gated small-side branch.
     val edges = coPurchasePairCounts(s, d)
       .filter(col("n_st") >= minStrength)
       .select(col("s"), col("t"), expr("1000000L DIV n_st").as("cost"))
-      .cache()
     val dir = edges.select(col("s").as("src"), col("t").as("dst"),
         col("cost"), col("s").as("es"), col("t").as("et"))
       .unionByName(edges.select(col("t").as("src"), col("s").as("dst"),
         col("cost"), col("s").as("es"), col("t").as("et")))
-      .cache()
-    var comp = edges.select(col("s").as("node")).unionByName(
-        edges.select(col("t").as("node"))).distinct()
+      .localCheckpoint()
+    var comp = dir.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
-    var forest = s.emptyDataFrame
-    var forestRows = Seq.empty[(Long, Long, Long)]
+      .localCheckpoint()
+    var forest = edges.limit(0).localCheckpoint()
     var round = 0
     var done = false
     while (!done) {
@@ -467,31 +466,140 @@ object Graph {
         .join(comp.withColumnRenamed("node", "dst")
           .withColumnRenamed("comp", "cd"), "dst")
         .filter(col("cs") =!= col("cd"))
+      // each component picks its cheapest outgoing edge under the
+      // strict (cost, es, et) total order; cd rides along in the
+      // struct tail — (cost, es, et) already identifies the edge
+      // uniquely within a cs group, so it never swings the argmin
       val chosen = lab.groupBy("cs")
-        .agg(min(struct(col("cost"), col("es"), col("et"))).as("m"))
+        .agg(min(struct(col("cost"), col("es"), col("et"), col("cd")))
+          .as("m"))
         .select(col("m.es").as("s"), col("m.et").as("t"),
-          col("m.cost").as("cost"))
-        .distinct()
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          col("m.cost").as("cost"), col("cs"), col("m.cd").as("cd"))
+        .localCheckpoint()
       if (chosen.isEmpty) done = true
       else {
-        forestRows = (forestRows ++ chosen).distinct
-        // recompute labels from the accumulated forest (closure over
-        // ≤ n-1 edges — the same hybrid closure components uses)
-        val fdf = s.sparkContext.parallelize(forestRows)
-          .toDF("s", "t", "cost")
-        comp = graft.operators.Dedup.dedupClusters(
-            fdf.select(col("s").as("id_a"), col("t").as("id_b")))
-          .toDF("node", "comp")
-        // nodes not yet in the forest keep their singleton label
-        val allNodes = dir.select(col("src").as("node")).distinct()
-        comp = allNodes.join(comp, Seq("node"), "left_outer")
-          .select(col("node"), coalesce(col("comp"), col("node"))
-            .as("comp"))
+        // two components may pick the same edge (one from each end):
+        // dedupe within the round; across rounds a forest edge can
+        // never be re-chosen (its endpoints then share a label)
+        forest = forest.unionByName(
+            chosen.select(col("s"), col("t"), col("cost")).distinct())
+          .localCheckpoint()
+        // INCREMENTAL label merge: closure over the COMPONENT graph
+        // (≤ one edge per component, shrinking geometrically) — not a
+        // from-scratch re-cluster of the accumulated forest. Old
+        // labels compose through the merge map; components untouched
+        // this round keep their label.
+        val merged = graft.operators.Dedup.dedupClusters(
+            chosen.select(col("cs").as("id_a"), col("cd").as("id_b")))
+          .toDF("oldc", "newc")
+        comp = comp.join(merged, comp("comp") === merged("oldc"),
+            "left_outer")
+          .select(col("node"),
+            coalesce(col("newc"), col("comp")).as("comp"))
+          .localCheckpoint()
       }
     }
-    forest = s.sparkContext.parallelize(forestRows).toDF("s", "t", "cost")
     forest
+  }
+
+  /** Spanning-forest CERTIFICATE for [[minimumSpanningForest]] — the
+    * oracle-gradable half of the MST contract. Borůvka's fixpoint is
+    * not SQL-replayable, but "the output IS a spanning forest of the
+    * strong graph" is: a set of graph edges is a spanning forest iff
+    * (a) its closure partitions the graph's nodes into exactly the
+    * graph's components and (b) |edges| = n_nodes − n_components
+    * (equality forces acyclicity: any cycle would overshoot the
+    * per-component n−1 budget somewhere). This emits all three
+    * numbers with n_components computed from the FOREST's closure
+    * (+ untouched singletons), while the DuckDB oracle derives the
+    * same three from the raw graph via its recursive-CTE closure —
+    * they agree exactly when the forest spans. MINIMALITY stays
+    * spec-graded (GraphSpec's driver-Kruskal parity under the same
+    * strict edge order). One closure over ≤ n−1 edges + three 1-row
+    * aggregates assembled by 1-row cross joins.
+    */
+  def mstCertificate(s: SparkSession, d: String,
+      minStrength: Long = 2): DataFrame = {
+    val forest = minimumSpanningForest(s, d, minStrength)
+      .localCheckpoint()
+    val g = coPurchasePairCounts(s, d)
+      .filter(col("n_st") >= minStrength)
+    val nodes = g.select(col("s").as("node"))
+      .unionByName(g.select(col("t").as("node"))).distinct()
+    val fcomp = graft.operators.Dedup.dedupClusters(
+        forest.select(col("s").as("id_a"), col("t").as("id_b")))
+      .toDF("node", "comp")
+    val labeled = nodes.join(fcomp, Seq("node"), "left_outer")
+      .select(coalesce(col("comp"), col("node")).as("comp"))
+    nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(labeled.agg(countDistinct(col("comp"))
+        .as("n_components")))
+      .crossJoin(forest.agg(count(lit(1)).as("n_edges")))
+  }
+
+  /** DuckDB oracle for [[mstCertificate]]: the strong co-purchase
+    * graph rebuilt in SQL, components via the same recursive-CTE
+    * min-label closure the `graph_components` oracle uses, and the
+    * spanning-forest identity n_edges = n_nodes − n_components.
+    */
+  def mstCertificateOracleSql(minStrength: Long = 2): String =
+    s"""WITH RECURSIVE
+       |b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+       |    l_partkey AS pk FROM lineitem),
+       |p AS MATERIALIZED (SELECT a.pk AS s, b2.pk AS t
+       |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minStrength),
+       |edges AS MATERIALIZED (SELECT s AS src, t AS dst FROM p
+       |  UNION ALL SELECT t, s FROM p),
+       |reach(id, lbl) AS (
+       | SELECT DISTINCT src, src FROM edges
+       | UNION
+       | SELECT e.src, r.lbl FROM edges e, reach r WHERE e.dst = r.id),
+       |comp AS MATERIALIZED (SELECT id, MIN(lbl) AS c FROM reach
+       |  GROUP BY 1)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       | CAST(COUNT(DISTINCT c) AS BIGINT) AS n_components,
+       | CAST(COUNT(*) - COUNT(DISTINCT c) AS BIGINT) AS n_edges
+       |FROM comp""".stripMargin
+
+  /** DuckDB oracle GENERATOR for [[kCore]]: the peel loop UNROLLED
+    * to a fixed round budget as chained MATERIALIZED CTEs. Peeling
+    * is idempotent once converged (a round over the fixpoint edge
+    * set removes nothing), so any unroll depth ≥ the true peel depth
+    * replays the fixpoint EXACTLY — measured depth 11 at sf0.01, so
+    * the default 24 carries 2× margin; if a future data scale ever
+    * needs more, the oracle diverges and the gate fails LOUDLY
+    * rather than silently accepting a half-peeled core. MATERIALIZED
+    * is load-bearing: each round references the previous twice
+    * (degree count + edge filter) and DuckDB's default inlining
+    * would re-evaluate the whole chain per reference.
+    */
+  def kCoreOracleSql(k: Int = 3, minStrength: Long = 2,
+      rounds: Int = 24): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+         |    l_partkey AS pk FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT a.pk AS s, b2.pk AS t
+         |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $minStrength),
+         |""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++=
+        s"""d$r AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+           |    SELECT s AS node FROM e${r - 1}
+           |    UNION ALL SELECT t FROM e${r - 1}) GROUP BY 1),
+           |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $k),
+           |e$r AS MATERIALIZED (SELECT s, t FROM e${r - 1}
+           |  WHERE s IN (SELECT node FROM k$r)
+           |    AND t IN (SELECT node FROM k$r)),
+           |""".stripMargin
+    }
+    sb.toString.stripSuffix(",\n") +
+      s"""
+         |SELECT node, COUNT(*) AS core_deg FROM (
+         |  SELECT s AS node FROM e$rounds
+         |  UNION ALL SELECT t FROM e$rounds) GROUP BY 1""".stripMargin
   }
 
   /** k-core decomposition of the strong co-purchase graph:
@@ -796,7 +904,11 @@ object Graph {
     * rollup of the order⋈lineitem join; each half-round is one
     * equi-join of edges against the node-cardinality score vector +
     * one combinable sum — the Pregel superstep shape, never an
-    * all-pairs anything.
+    * all-pairs anything. The score vectors carry NO broadcast hint:
+    * they are node-cardinality (per-customer / per-part) and do not
+    * fit a broadcast at warehouse scale — AQE picks broadcast when a
+    * vector happens to be small, shuffle-hash when it isn't. Only
+    * the 1-row max used for normalization is hint-broadcast.
     */
   def hits(s: SparkSession, d: String, topK: Int = 10): DataFrame = {
     val edges = Tables.orders(s, d)
@@ -818,13 +930,13 @@ object Graph {
     // round 1: uniform authorities → hubs → authorities
     val h1 = normed(edges.groupBy("u")
       .agg(count(lit(1)).as("raw")), "u")
-    val a1 = normed(edges.join(broadcast(h1), "u")
+    val a1 = normed(edges.join(h1, "u")
       .groupBy("i").agg(sum(col("score")).as("raw")), "i")
     // round 2 (h2 feeds both a2 and its own top-10 — cache the
     // node-sized vector so the chain isn't re-derived)
-    val h2 = normed(edges.join(broadcast(a1), "i")
+    val h2 = normed(edges.join(a1, "i")
       .groupBy("u").agg(sum(col("score")).as("raw")), "u").cache()
-    val a2 = normed(edges.join(broadcast(h2), "u")
+    val a2 = normed(edges.join(h2, "u")
       .groupBy("i").agg(sum(col("score")).as("raw")), "i")
     def top(df: DataFrame, key: String, role: String): DataFrame = {
       // orderBy+limit plans TakeOrderedAndProject (never a global
@@ -836,6 +948,14 @@ object Graph {
         .select(lit(role).as("role"), col("rank"),
           col(key).cast("long").as("node_id"), col("score"))
     }
-    top(h2, "u", "hub").unionByName(top(a2, "i", "authority"))
+    val out = top(h2, "u", "hub")
+      .unionByName(top(a2, "i", "authority"))
+      .localCheckpoint()
+    // both topK frames are materialized above — release the cached
+    // edge rollup and score vector instead of leaking them into the
+    // session's storage pool
+    edges.unpersist()
+    h2.unpersist()
+    out
   }
 }

@@ -424,34 +424,39 @@ object Similarity {
       s"list_sum(list_transform(range($dim), i -> $a[i + 1] * $b[i + 1]))"
     def cnorm(c: String): String =
       s"list_sum(list_transform($c, x -> x * x))"
+    // Every CTE is AS MATERIALIZED: the chain references cset_{j-1}
+    // (and emb/scored) twice per stage, and DuckDB's default CTE
+    // inlining re-evaluates each reference — 2^k blow-up that turned
+    // this replay into ~20 min at sf0.01 (the r6 driver-gate killer).
+    // MATERIALIZED pins one evaluation per CTE: same result, <1s.
     val init = new StringBuilder
     init ++=
-      s"""emb AS (
+      s"""emb AS MATERIALIZED (
          |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
          |    x -> CAST(round(x * 1000) AS DOUBLE)) AS v
          |  FROM embeddings),
-         |scored AS (SELECT vec_id, (vec_id * 2654435761) % 4294967296 AS hh,
+         |scored AS MATERIALIZED (SELECT vec_id, (vec_id * 2654435761) % 4294967296 AS hh,
          |    v, ${cnorm("v")} AS nn FROM emb),
-         |cset1 AS (SELECT 0 AS cid, v FROM
+         |cset1 AS MATERIALIZED (SELECT 0 AS cid, v FROM
          |  (SELECT v FROM scored ORDER BY hh, vec_id LIMIT 1)),
          |""".stripMargin
     for (j <- 2 to k) {
       init ++=
-        s"""mind$j AS (SELECT e.vec_id,
+        s"""mind$j AS MATERIALIZED (SELECT e.vec_id,
            |    MIN(e.nn - 2.0 * ${dot("e.v", "c.v")} + ${cnorm("c.v")}) AS md
            |  FROM scored e CROSS JOIN cset${j - 1} c GROUP BY e.vec_id),
-           |cset$j AS (SELECT * FROM cset${j - 1} UNION ALL
+           |cset$j AS MATERIALIZED (SELECT * FROM cset${j - 1} UNION ALL
            |  SELECT ${j - 1} AS cid, v FROM emb WHERE vec_id =
            |    (SELECT vec_id FROM mind$j ORDER BY md DESC, vec_id LIMIT 1)),
            |""".stripMargin
     }
-    init ++= s"c0 AS (SELECT cid, v FROM cset$k),\n"
+    init ++= s"c0 AS MATERIALIZED (SELECT cid, v FROM cset$k),\n"
     val rounds = new StringBuilder
     def assignCte(t: Int, cents: String): String =
-      s"""d$t AS (SELECT e.vec_id, c.cid,
+      s"""d$t AS MATERIALIZED (SELECT e.vec_id, c.cid,
          |    ${cnorm("c.v")} - 2.0 * ${dot("e.v", "c.v")} AS dist
          |  FROM emb e CROSS JOIN $cents c),
-         |a$t AS (SELECT vec_id, cid FROM (
+         |a$t AS MATERIALIZED (SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid, row_number() OVER (
          |      PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$t) t
          |  WHERE rn = 1),
@@ -459,11 +464,11 @@ object Similarity {
     for (t <- 1 until iters) {
       rounds ++= assignCte(t, s"c${t - 1}")
       rounds ++=
-        s"""m$t AS (SELECT a$t.cid, g.i,
+        s"""m$t AS MATERIALIZED (SELECT a$t.cid, g.i,
            |    CAST(SUM(e.v[g.i]) AS DOUBLE) / COUNT(*) AS mv
            |  FROM a$t JOIN emb e USING (vec_id)
            |  CROSS JOIN range(1, ${dim + 1}) AS g(i) GROUP BY 1, 2),
-           |c$t AS (SELECT c${t - 1}.cid,
+           |c$t AS MATERIALIZED (SELECT c${t - 1}.cid,
            |    CASE WHEN m.cid IS NULL THEN c${t - 1}.v ELSE m.v END AS v
            |  FROM c${t - 1} LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS v
            |                            FROM m$t GROUP BY cid) m
@@ -512,12 +517,12 @@ object Similarity {
       s"SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM a$iters"
     require(base.endsWith(marker), "kmeans oracle tail changed")
     base.stripSuffix(marker) +
-      s""", asg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
+      s""", asg AS MATERIALIZED (SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
          |    FROM a$iters),
-         |cells AS (SELECT cluster_id, CAST(e.label AS BIGINT) AS label,
+         |cells AS MATERIALIZED (SELECT cluster_id, CAST(e.label AS BIGINT) AS label,
          |    COUNT(*) AS ct
          |  FROM asg JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
-         |tot AS (SELECT cluster_id, CAST(SUM(ct) AS BIGINT) AS n_vecs
+         |tot AS MATERIALIZED (SELECT cluster_id, CAST(SUM(ct) AS BIGINT) AS n_vecs
          |  FROM cells GROUP BY 1)
          |SELECT cluster_id, n_vecs, label AS majority_label,
          |  ct * 1000000 // n_vecs AS purity_ppm
@@ -892,20 +897,20 @@ object Similarity {
       dim: Int = 64): String = {
     val dot = s"list_sum(list_transform(range($dim), " +
       "i -> a.v[i + 1] * b.v[i + 1]))"
-    s"""WITH assign AS (
+    s"""WITH assign AS MATERIALIZED (
        |${kmeansOracleSql(k, iters, dim)}),
-       |en AS (SELECT vec_id, v,
+       |en AS MATERIALIZED (SELECT vec_id, v,
        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
        |  FROM (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
        |      x -> CAST(round(x * 1000) AS DOUBLE)) AS v FROM embeddings)
        |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
-       |p AS (SELECT ca.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |p AS MATERIALIZED (SELECT ca.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    CAST($dot AS BIGINT) AS dp, a.nn AS na, b.nn AS nb
        |  FROM assign ca JOIN assign cb
        |    ON ca.cluster_id = cb.cluster_id AND ca.vec_id < cb.vec_id
        |  JOIN en a ON a.vec_id = ca.vec_id
        |  JOIN en b ON b.vec_id = cb.vec_id),
-       |scored AS (SELECT cluster_id, vec_a, vec_b,
+       |scored AS MATERIALIZED (SELECT cluster_id, vec_a, vec_b,
        |    (dp * dp) // greatest((na * nb) // 1000000, 1) AS sim2_ppm
        |  FROM p WHERE dp > 0)
        |SELECT cluster_id, vec_a, vec_b, sim2_ppm FROM (

@@ -53,6 +53,40 @@ object Sources {
     graft.sources.Tables.normalizeTs(
       s.readStream.schema(eventsSchemaFor(s, pathGlob)).parquet(pathGlob))
 
+  /** REAL Kafka source — the reference's actual ODS transport
+    * (FlinkSourceUtil.java:14 builds a KafkaSource per topic; every
+    * DWD/DWS job consumes one). Env-gated like the live-JDBC sink
+    * path: set `SPARK_GRAFT_KAFKA_BOOTSTRAP` (and have the
+    * spark-sql-kafka connector on the classpath — this container
+    * ships neither broker nor jar, so the format string resolves at
+    * RUNTIME and nothing here links against it at compile time).
+    * Values are the JSON event envelope; the parse lands on the same
+    * [[eventsRawSchema]] columns + ts normalization the file source
+    * produces, so every downstream job is transport-agnostic —
+    * `Jobs.pageViewWindow(Sources.eventsKafka(s, "ods_log"))` is the
+    * reference topology verbatim. `startingOffsets=earliest` gives
+    * the same replayable at-least-once contract the file source's
+    * directory listing gives.
+    */
+  def eventsKafka(s: SparkSession, topic: String,
+      bootstrap: String = sys.env.getOrElse(
+        "SPARK_GRAFT_KAFKA_BOOTSTRAP", "")): DataFrame = {
+    require(bootstrap.nonEmpty,
+      "eventsKafka needs SPARK_GRAFT_KAFKA_BOOTSTRAP (or an explicit bootstrap)")
+    val raw = s.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+    // ts travels as ISO-8601/epoch-micros inside the JSON envelope;
+    // from_json with the raw schema + the shared normalizer keeps
+    // Kafka and file transports bit-identical downstream
+    graft.sources.Tables.normalizeTs(
+      raw.select(from_json(col("value").cast("string"),
+          eventsRawSchema).as("e"))
+        .select(col("e.*")))
+  }
+
   /** CDC-style change records synthesized from events — the shape the
     * reference's ods_db topic carries (op/table/data envelope,
     * DwdBaseDb.java:1). Used by [[CdcRouter]] and its tests.

@@ -501,11 +501,21 @@ object Analytics {
       .groupBy(col("day").as("yday")).agg(count(lit(1)).as("yv"))
     val x = col("xv").cast(DecimalType(19, 0))
     val y = col("yv").cast(DecimalType(19, 0))
+    // ZERO-FILL convention (r7, was inner-join): a day with views but
+    // no purchases contributes y=0 to every lag's sample instead of
+    // silently dropping out — per-lag n no longer depends on purchase
+    // sparsity. Shifted days PAST the observed event horizon are not
+    // zeros we observed, so the fill is bounded by the series end
+    // (1-row broadcast, the motifSearch scalar pattern).
+    val horizon = broadcast(ev.agg(max(col("day")).as("maxday")))
     xs.select(col("day"), col("xv"),
         explode(sequence(lit(0), lit(maxLag))).as("lag_d"))
       .select(date_add(col("day"), col("lag_d")).as("yday"),
         col("xv"), col("lag_d").cast("long").as("lag_d"))
-      .join(ys, Seq("yday"))
+      .join(ys, Seq("yday"), "left_outer")
+      .crossJoin(horizon)
+      .filter(col("yday") <= col("maxday"))
+      .withColumn("yv", coalesce(col("yv"), lit(0L)))
       .groupBy(col("lag_d"))
       .agg(
         count(lit(1)).as("n"),

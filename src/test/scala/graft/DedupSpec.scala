@@ -8,6 +8,30 @@ class DedupSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val d = TestSpark.sf
 
+  test("calibration consumes the production MinHash permutation family") {
+    // the calibration table's value rests on exercising the SAME
+    // permutations graft_minhash_sig runs in production; both now
+    // consume MinHashFamily, and this pins the expression's internal
+    // coefficients to it so a drifted reimplementation fails loudly
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val expr = graft.functions.MinHashSignature(
+      Literal.create(Seq(7L, 11L),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)),
+      Literal(16))
+    val viaExpr = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    val fam = graft.functions.MinHashFamily
+    val byHand = Array.tabulate(16) { j =>
+      Seq(7L, 11L).map { h =>
+        val hp = { val m = h % fam.P; if (m < 0) m + fam.P else m }
+        (hp * fam.coeffs(16)(j)._1 + fam.coeffs(16)(j)._2) % fam.P
+      }.min
+    }
+    assert(viaExpr.toSeq === byHand.toSeq)
+  }
+
   test("exact dedup partitions the corpus") {
     val groups = Dedup.exact(s, d).collect()
     val docs = graft.sources.Tables.documents(s, d).count()

@@ -126,7 +126,10 @@ class PlanLintSpec extends AnyFunSuite {
     // heaps_curve crossJoins the 1-row max-doc-id aggregate;
     // demand_classes crossJoins the 1-row global month count
     "analytics_markov_stationary", "text_heaps_curve",
-    "analytics_demand_classes")
+    "analytics_demand_classes",
+    // r7: xcorr_leadlag crossJoins the 1-row event-horizon max for
+    // the zero-fill bound; mst_cert assembles three 1-row aggregates
+    "analytics_xcorr_leadlag", "graph_mst_cert")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

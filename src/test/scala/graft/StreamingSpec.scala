@@ -613,6 +613,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Kafka source: LIVE end-to-end pageViewWindow topology (env-gated, skips without a broker)") {
+    // mirrors the live-JDBC gate below: export
+    // SPARK_GRAFT_KAFKA_BOOTSTRAP (and put spark-sql-kafka on the
+    // classpath — this container ships neither) and this runs the
+    // reference's ODS→DWS hourly-traffic topology from a real topic:
+    // seed JSON events via the batch kafka writer, consume through
+    // Sources.eventsKafka, window with Jobs.pageViewWindow, assert
+    // the aggregate. Canceled by default — the file-source specs
+    // remain the CI gate for the topology itself.
+    val bootstrap = sys.env.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    assume(bootstrap.isDefined,
+      "no Kafka broker configured — file-source specs remain the CI gate")
+    import s.implicits._
+    val topic = s"graft_pv_${System.currentTimeMillis()}"
+    val seed = Seq(
+      """{"event_id":1,"ts":"2026-01-01T10:05:00","user_id":7,"event_type":"view","value":1.0,"props":"{}"}""",
+      """{"event_id":2,"ts":"2026-01-01T10:25:00","user_id":8,"event_type":"view","value":2.0,"props":"{}"}""",
+      """{"event_id":3,"ts":"2026-01-01T11:05:00","user_id":7,"event_type":"cart","value":3.0,"props":"{}"}""")
+    seed.toDF("value").write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap.get)
+      .option("topic", topic).save()
+    val out = graft.streaming.Jobs.pageViewWindow(
+      graft.streaming.Sources.eventsKafka(s, topic), watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("kafka_pv")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    val rows = s.sql(
+      "SELECT event_type, pv_ct FROM kafka_pv ORDER BY event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("cart", 1L), ("view", 2L)))
+  }
+
   test("JDBC sink: LIVE ClickHouse/Doris integration (env-gated, skips without a server)") {
     import graft.streaming.JdbcSink
     import s.implicits._
