@@ -285,6 +285,12 @@ object SparkEntry {
     "analytics_partial_corr" -> (Analytics.partialCorr(_, _)),
     "analytics_ohlc_bars" -> (Analytics.ohlcBars(_, _)),
     "text_heaps_curve" -> (TextAnalysis.heapsCurve(_, _)),
+    // r7: exact Rényi-2 quality screen (no float logs), entry/exit/
+    // bounce session report, and Markov removal-effect attribution
+    "text_collision_entropy" -> (TextAnalysis.collisionEntropy(_, _)),
+    "analytics_entry_exit" -> (Analytics.entryExitReport(_, _)),
+    "analytics_attribution_markov" ->
+      (Analytics.markovAttribution(_, _)),
     // rows-only: the greedy MMR trajectory is not SQL-expressible in
     // DuckDB; RoundSixOpsSpec replays it exactly on the driver
     "sim_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
@@ -5210,6 +5216,93 @@ object SparkEntry {
         | CAST(GREATEST(enter_c, max_abs) AS BIGINT) AS peak_c,
         | CAST(enter_c + hsum AS BIGINT) AS exit_c
         |FROM offs JOIN mx USING (hr)""".stripMargin,
+    // Rényi-2 collision entropy: Σc²·10⁹ DIV N² per doc at char and
+    // token grain, source-mean of the exact per-doc ratios — no
+    // float logarithm anywhere, so the quality screen hash-grades
+    "text_collision_entropy" ->
+      """WITH ch AS MATERIALIZED (SELECT doc_id, source,
+        |    unnest([substr(lower(text), i, 1)
+        |            for i in range(1, length(text) + 1)]) AS sym
+        |  FROM documents),
+        |cagg AS MATERIALIZED (SELECT doc_id, source, sym,
+        |    COUNT(*) AS c FROM ch WHERE sym <> '' GROUP BY 1, 2, 3),
+        |cd AS MATERIALIZED (SELECT doc_id, source,
+        |    SUM(c) AS n, COUNT(*) AS ds,
+        |    SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS c2
+        |  FROM cagg GROUP BY 1, 2),
+        |cds AS MATERIALIZED (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(c2 * 1000000000
+        |      // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT)))
+        |      // COUNT(*) AS BIGINT) AS char_coll_ppb,
+        |    CAST(SUM(ds) // COUNT(*) AS BIGINT) AS mean_distinct_chars
+        |  FROM cd GROUP BY 1),
+        |wd AS MATERIALIZED (SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS sym
+        |  FROM documents),
+        |wagg AS MATERIALIZED (SELECT doc_id, source, sym,
+        |    COUNT(*) AS c FROM wd WHERE sym <> '' GROUP BY 1, 2, 3),
+        |wdd AS MATERIALIZED (SELECT doc_id, source,
+        |    SUM(c) AS n, COUNT(*) AS ds,
+        |    SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS c2
+        |  FROM wagg GROUP BY 1, 2),
+        |wds AS MATERIALIZED (SELECT source,
+        |    CAST(SUM(c2 * 1000000000
+        |      // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT)))
+        |      // COUNT(*) AS BIGINT) AS word_coll_ppb,
+        |    CAST(SUM(ds) // COUNT(*) AS BIGINT) AS mean_distinct_words
+        |  FROM wdd GROUP BY 1)
+        |SELECT source, n_docs, char_coll_ppb,
+        |  1000000000 // GREATEST(char_coll_ppb, 1) AS eff_chars,
+        |  mean_distinct_chars, word_coll_ppb,
+        |  1000000000 // GREATEST(word_coll_ppb, 1) AS eff_words,
+        |  mean_distinct_words
+        |FROM cds JOIN wds USING (source)""".stripMargin,
+    // entry/exit/bounce per event type over 30-min gap sessions;
+    // first/last deterministic on (us, event_id)
+    "analytics_entry_exit" ->
+      """WITH ev AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS us,
+        |    event_id, event_type FROM events),
+        |f AS MATERIALIZED (SELECT user_id, us, event_id, event_type,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |          OR us - lag(us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, event_id)),
+        |sdf AS MATERIALIZED (SELECT user_id, us, event_id, event_type,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sess_id
+        |  FROM f),
+        |fl AS MATERIALIZED (SELECT user_id, sess_id,
+        |    MAX(CASE WHEN rna = 1 THEN event_type END) AS entry_type,
+        |    MAX(CASE WHEN rnd = 1 THEN event_type END) AS exit_type,
+        |    COUNT(*) AS n_events
+        |  FROM (SELECT *,
+        |      row_number() OVER (PARTITION BY user_id, sess_id
+        |        ORDER BY us, event_id) AS rna,
+        |      row_number() OVER (PARTITION BY user_id, sess_id
+        |        ORDER BY us DESC, event_id DESC) AS rnd
+        |    FROM sdf) t
+        |  GROUP BY 1, 2),
+        |en AS MATERIALIZED (SELECT entry_type AS event_type,
+        |    COUNT(*) AS n_entries,
+        |    COUNT(*) FILTER (n_events = 1) AS n_bounces
+        |  FROM fl GROUP BY 1),
+        |ex AS MATERIALIZED (SELECT exit_type AS event_type,
+        |    COUNT(*) AS n_exits FROM fl GROUP BY 1)
+        |SELECT COALESCE(en.event_type, ex.event_type) AS event_type,
+        |  COALESCE(n_entries, 0) AS n_entries,
+        |  COALESCE(n_exits, 0) AS n_exits,
+        |  COALESCE(n_bounces, 0) AS n_bounces,
+        |  COALESCE(n_bounces, 0) * 1000000
+        |    // GREATEST(COALESCE(n_entries, 0), 1) AS bounce_ppm
+        |FROM en FULL OUTER JOIN ex ON en.event_type = ex.event_type"""
+        .stripMargin,
+    // GENERATED oracle (Analytics.markovAttributionOracleSql): the
+    // 12 value-iteration rounds unrolled over the scenario×state
+    // lattice, exact integer ppm end to end
+    "analytics_attribution_markov" ->
+      Analytics.markovAttributionOracleSql(iters = 12),
     // Heaps-law vocabulary growth: first-decile per type is a
     // combinable min, the only window runs over 10 decile rows
     "text_heaps_curve" ->

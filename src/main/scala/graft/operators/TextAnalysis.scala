@@ -1853,4 +1853,65 @@ object TextAnalysis {
         col("cum_tokens"), col("cum_types"),
         expr("cum_types * 1000000 DIV cum_tokens").as("ttr_ppm"))
   }
+
+  /** COLLISION (Rényi-2) entropy quality signals — the Gopher-style
+    * "is this document's symbol distribution degenerate?" screen
+    * WITHOUT the float logarithm Shannon entropy needs: the collision
+    * probability Σp² is exactly rational (Σc²/N²), so the signal
+    * grades as an exact integer where H₁ would hash-drift on libm
+    * differences. Low collision ≈ diverse text; high collision flags
+    * the single-char/repeated-token garbage a pretraining filter
+    * drops. Emitted per source at char and whitespace-token grain,
+    * with mean per-doc distinct counts and the implied "effective
+    * alphabet" 1/Σp² (the Rényi-2 diversity, again exact via integer
+    * division).
+    *
+    * Scale shape: two explode→count aggregations (both map-side
+    * combinable, same shape as the graded token ops), per-doc Σc²
+    * rollups in DECIMAL(38,0), then a per-source mean of the exact
+    * per-doc ratios. One corpus scan per grain.
+    */
+  def collisionEntropy(s: SparkSession, d: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val docs = Tables.spread(Tables.documents(s, d))
+    def grain(sym: Column): DataFrame =
+      docs.select(col("doc_id"), col("source"),
+          explode(filter(sym, t => t =!= "")).as("sym"))
+        .groupBy("doc_id", "source", "sym")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "source")
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("distinct_syms"),
+          sum((col("c") * col("c")).cast(d38)).as("c2"))
+        // per-doc collision ppb: Σc²·10⁹ DIV N² — integral DIV, not
+        // decimal `/` (which rounds HALF_UP at scale 6 and could
+        // round across an integer boundary the oracle floors)
+        .select(col("doc_id"), col("source"), col("distinct_syms"),
+          expr("""CAST((c2 * CAST(1000000000 AS DECIMAL(38,0)))
+                  DIV (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+                  AS LONG)""").as("coll_ppb"))
+    val ch = grain(split(lower(col("text")), ""))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        expr("CAST(SUM(coll_ppb) DIV COUNT(*) AS BIGINT)")
+          .as("char_coll_ppb"),
+        expr("CAST(SUM(distinct_syms) DIV COUNT(*) AS BIGINT)")
+          .as("mean_distinct_chars"))
+    val wd = grain(split(lower(col("text")), "\\s+"))
+      .groupBy("source").agg(
+        expr("CAST(SUM(coll_ppb) DIV COUNT(*) AS BIGINT)")
+          .as("word_coll_ppb"),
+        expr("CAST(SUM(distinct_syms) DIV COUNT(*) AS BIGINT)")
+          .as("mean_distinct_words"))
+    ch.join(wd, "source")
+      .select(col("source"), col("n_docs"),
+        col("char_coll_ppb"),
+        expr("1000000000 DIV greatest(char_coll_ppb, 1)")
+          .as("eff_chars"),
+        col("mean_distinct_chars"),
+        col("word_coll_ppb"),
+        expr("1000000000 DIV greatest(word_coll_ppb, 1)")
+          .as("eff_words"),
+        col("mean_distinct_words"))
+  }
 }

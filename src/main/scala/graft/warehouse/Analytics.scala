@@ -1923,6 +1923,217 @@ object Analytics {
       .agg(count(lit(1)).as("purchases"))
   }
 
+  /** Entry/exit page report — the traffic-analytics staple beside
+    * [[sessionize]]: per event type (the page stand-in this schema
+    * carries), how many gap-sessions START there, how many END
+    * there, and how many are single-event BOUNCES, with the
+    * entry-attributed bounce rate in ppm. Same 30-min-gap session
+    * derivation as [[sessionize]] but ordered by (us, event_id) so
+    * first/last WITHIN equal timestamps is deterministic; per-session
+    * first/last reduce to one min/max-struct aggregate (combinable),
+    * then a ≤|event types| rollup — per-user windows, no global sort.
+    */
+  def entryExitReport(s: SparkSession, d: String,
+      gapSeconds: Long = 1800): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val sess = ev.withColumn("is_new",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > gapSeconds * 1000000L,
+          1).otherwise(0))
+      .withColumn("sess_id", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        min(struct(col("us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        max(struct(col("us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("exit_type"),
+        count(lit(1)).as("n_events"))
+    val entries = sess.groupBy(col("entry_type").as("event_type"))
+      .agg(count(lit(1)).as("n_entries"),
+        count_if(col("n_events") === 1).as("n_bounces"))
+    val exits = sess.groupBy(col("exit_type").as("event_type"))
+      .agg(count(lit(1)).as("n_exits"))
+    entries.join(exits, Seq("event_type"), "full_outer")
+      .na.fill(0L, Seq("n_entries", "n_bounces", "n_exits"))
+      .select(col("event_type"), col("n_entries"), col("n_exits"),
+        col("n_bounces"),
+        expr("n_bounces * 1000000 DIV greatest(n_entries, 1)")
+          .as("bounce_ppm"))
+  }
+
+  /** MARKOV REMOVAL-EFFECT attribution — the model-based member that
+    * completes the attribution family (first/last touch are
+    * positional, linear is uniform; removal effect asks "how much
+    * conversion DISAPPEARS if this channel vanishes?", the standard
+    * first-order-Markov data-driven attribution). Journeys per user
+    * (ordered by (us, event_id), split AFTER each purchase), states
+    * = start → touch types → conv/null; the removal counterfactual
+    * forces the removed channel's value to 0 (all paths through it
+    * are lost) and re-runs the SAME fixed-point. Everything is exact
+    * integer ppm: conversion probability iterates 12 synchronous
+    * rounds of v(s) ← ⌊Σ cnt(s→t)·v(t) / tot(s)⌋ from v(conv)=10⁶
+    * (monotone and engine-exact — no linear solve, no floats), so
+    * removal effects and normalized shares hash-grade.
+    *
+    * Scale shape: the corpus-scale work — journey derivation +
+    * transition counting — is per-user windows and one combinable
+    * groupBy; only the ≤|event types|² transition matrix reaches the
+    * driver (LOUDLY bounded at 64 states), where the 12-round BigInt
+    * fixpoint runs per scenario. Same bounded-collect contract as
+    * the k-means seeding.
+    */
+  def markovAttribution(s: SparkSession, d: String,
+      iters: Int = 12): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        when(col("event_type") === "purchase", 1).otherwise(0)
+          .as("is_p"),
+        when(col("event_type") === "purchase", "conv")
+          .otherwise(col("event_type")).as("state"))
+    val wAll = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val j = ev.withColumn("jid",
+      coalesce(sum(col("is_p"))
+        .over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wj = Window.partitionBy("user_id", "jid")
+      .orderBy("us", "event_id")
+    val tr1 = j.select(
+      coalesce(lag(col("state"), 1).over(wj), lit("start")).as("src"),
+      col("state").as("dst"))
+    // unconverted journeys terminate: last state → null
+    val lastNull = j.groupBy("user_id", "jid")
+      .agg(max(col("is_p")).as("has_conv"),
+        max(struct(col("us"), col("event_id"), col("state")))
+          .getField("state").as("src"))
+      .filter(col("has_conv") === 0)
+      .select(col("src"), lit("null").as("dst"))
+    val trRows = tr1.unionByName(lastNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (trRows.map(_._1) ++ trRows.map(_._2)).distinct.sorted
+    require(states.length <= 64,
+      s"markovAttribution: ${states.length} states exceed the 64-state driver bound")
+    val tot = trRows.groupBy(_._1).map { case (k, v) =>
+      k -> BigInt(v.map(_._3).sum) }
+    val out = trRows.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(t => t._2 -> BigInt(t._3)) }
+    def absorb(removed: Option[String]): Map[String, BigInt] = {
+      var v = states.map(st =>
+        st -> (if (st == "conv") BigInt(1000000) else BigInt(0))).toMap
+      for (_ <- 1 to iters) {
+        v = states.map { st =>
+          st -> (
+            if (st == "conv") BigInt(1000000)
+            else if (st == "null" || removed.contains(st)) BigInt(0)
+            else out.get(st).map { edges =>
+              edges.map { case (dst, c) => c * v(dst) }.sum / tot(st)
+            }.getOrElse(BigInt(0)))
+        }.toMap
+      }
+      v
+    }
+    val base = absorb(None)("start")
+    val channels = states
+      .filterNot(Set("start", "conv", "null").contains)
+    val res = channels.map { c =>
+      val rem = absorb(Some(c))("start")
+      (c, base.toLong, rem.toLong, (base - rem).toLong)
+    }
+    val totRe = math.max(res.map(_._4).sum, 1L)
+    import s.implicits._
+    res.map { case (c, b, r, re) =>
+      (c, b, r, re, re * 1000000L / totRe)
+    }.toSeq.toDF("channel", "base_conv_ppm", "removed_conv_ppm",
+      "removal_effect_ppm", "share_ppm")
+  }
+
+  /** DuckDB oracle GENERATOR for [[markovAttribution]]: journey/
+    * transition derivation in windowed SQL, then the 12 synchronous
+    * value-iteration rounds UNROLLED as MATERIALIZED CTEs over the
+    * (scenario × state) lattice — each round one join-aggregate of
+    * the transition table against the previous round's values, with
+    * conv pinned to 10⁶ and null/removed pinned to 0, same
+    * truncating division.
+    */
+  def markovAttributionOracleSql(iters: Int = 12): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH ev AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS us,
+        |    event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+        |    CASE WHEN event_type = 'purchase' THEN 'conv'
+        |         ELSE event_type END AS state
+        |  FROM events),
+        |j AS MATERIALIZED (SELECT user_id, us, event_id, is_p, state,
+        |    COALESCE(SUM(is_p) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS jid
+        |  FROM ev),
+        |tr1 AS MATERIALIZED (SELECT
+        |    COALESCE(lag(state) OVER (PARTITION BY user_id, jid
+        |      ORDER BY us, event_id), 'start') AS src,
+        |    state AS dst
+        |  FROM j),
+        |lastnull AS MATERIALIZED (SELECT state AS src, 'null' AS dst
+        |  FROM (SELECT state,
+        |      MAX(is_p) OVER (PARTITION BY user_id, jid) AS has_conv,
+        |      row_number() OVER (PARTITION BY user_id, jid
+        |        ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM j) t
+        |  WHERE rn = 1 AND has_conv = 0),
+        |tr AS MATERIALIZED (SELECT src, dst, COUNT(*) AS cnt FROM (
+        |    SELECT src, dst FROM tr1
+        |    UNION ALL SELECT src, dst FROM lastnull) u
+        |  GROUP BY 1, 2),
+        |tot AS MATERIALIZED (SELECT src, SUM(cnt) AS tot FROM tr
+        |  GROUP BY 1),
+        |states AS MATERIALIZED (SELECT src AS st FROM tr
+        |  UNION SELECT dst FROM tr),
+        |channels AS MATERIALIZED (SELECT st AS ch FROM states
+        |  WHERE st NOT IN ('start', 'conv', 'null')),
+        |scen AS MATERIALIZED (SELECT '__base__' AS sc
+        |  UNION ALL SELECT ch FROM channels),
+        |v0 AS MATERIALIZED (SELECT sc, st,
+        |    CASE WHEN st = 'conv' THEN CAST(1000000 AS HUGEINT)
+        |         ELSE CAST(0 AS HUGEINT) END AS v
+        |  FROM scen CROSS JOIN states),
+        |""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++=
+        s"""v$k AS MATERIALIZED (SELECT sc, st,
+           |    CASE WHEN st = 'conv' THEN CAST(1000000 AS HUGEINT)
+           |         WHEN st = 'null' OR st = sc THEN CAST(0 AS HUGEINT)
+           |         ELSE COALESCE(acc // tot, CAST(0 AS HUGEINT)) END AS v
+           |  FROM (SELECT s.sc, s.st, t.tot,
+           |      SUM(CAST(tr.cnt AS HUGEINT) * pv.v) AS acc
+           |    FROM (SELECT sc, st FROM v0) s
+           |    LEFT JOIN tr ON tr.src = s.st
+           |    LEFT JOIN v${k - 1} pv ON pv.sc = s.sc AND pv.st = tr.dst
+           |    LEFT JOIN tot t ON t.src = s.st
+           |    GROUP BY 1, 2, 3) g),
+           |""".stripMargin
+    }
+    sb ++=
+      s"""base AS MATERIALIZED (SELECT v FROM v$iters
+         |  WHERE sc = '__base__' AND st = 'start'),
+         |re AS MATERIALIZED (SELECT c.ch, b.v AS base_v, r.v AS rem_v,
+         |    b.v - r.v AS re
+         |  FROM channels c CROSS JOIN base b
+         |  JOIN v$iters r ON r.sc = c.ch AND r.st = 'start'),
+         |tot_re AS MATERIALIZED (SELECT SUM(re) AS t FROM re)
+         |SELECT ch AS channel, CAST(base_v AS BIGINT) AS base_conv_ppm,
+         |  CAST(rem_v AS BIGINT) AS removed_conv_ppm,
+         |  CAST(re AS BIGINT) AS removal_effect_ppm,
+         |  CAST(re * 1000000 // GREATEST(t, 1) AS BIGINT) AS share_ppm
+         |FROM re CROSS JOIN tot_re""".stripMargin
+    sb.toString
+  }
+
   /** One-row executive KPI summary — the numbers a landing
     * dashboard shows before any drill-down: GMV in exact cents,
     * orders, active customers, AOV (floor-div cents), event UV, and
