@@ -52,6 +52,22 @@ object Bench {
       // and spill. Clearing BETWEEN queries keeps min-of-k's
       // cross-run cache reuse within a query intact.
       spark.catalog.clearCache()
+      // clearCache only empties the SQL CacheManager; localCheckpoint
+      // blocks (the lineage-breaking iterative operators — MST,
+      // closure, as-of — checkpoint per round) live in the
+      // BlockManager until their RDD is GC'd and would pollute the
+      // storage pool across the suite the same way leaked cache
+      // entries did in r5. Freeing them between queries keeps every
+      // query's execution-memory budget position-independent.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(false))
+      // broadcast torrent blocks and shuffle files free on GC (the
+      // ContextCleaner rides reference processing — the same
+      // mechanism behind the 12g-vs-48g heap gotcha); one explicit
+      // GC per query makes that cleanup DETERMINISTIC instead of
+      // heap-pressure-dependent, so late-suite queries inherit a
+      // clean storage pool regardless of position (~50 ms each)
+      System.gc()
       val ts = times.result()
       // min = the plan's cost net of load spikes; max ≈ the COLD cost
       // (run 1 pays any cache/index build) — min-of-k alone hid a

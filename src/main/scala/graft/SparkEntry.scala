@@ -291,6 +291,15 @@ object SparkEntry {
     "analytics_entry_exit" -> (Analytics.entryExitReport(_, _)),
     "analytics_attribution_markov" ->
       (Analytics.markovAttribution(_, _)),
+    "sim_matryoshka_recall" -> (Similarity.matryoshkaRecall(_, _)),
+    "mm_byte_entropy" ->
+      ((s, dir) => graft.operators.Multimodal.byteEntropy(s, dir)),
+    "dq_props_profile" -> (Quality.propsProfile(_, _)),
+    "dq_kruskal_wallis" -> (Quality.kruskalWallis(_, _)),
+    "text_script_mix" -> (TextAnalysis.scriptMix(_, _)),
+    "analytics_kendall_tau" -> (Analytics.kendallTau(_, _)),
+    "dq_ks_drift" -> (Quality.ksDrift(_, _)),
+    "analytics_pettitt" -> (Analytics.pettitt(_, _)),
     // rows-only: the greedy MMR trajectory is not SQL-expressible in
     // DuckDB; RoundSixOpsSpec replays it exactly on the driver
     "sim_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
@@ -5303,6 +5312,122 @@ object SparkEntry {
     // lattice, exact integer ppm end to end
     "analytics_attribution_markov" ->
       Analytics.markovAttributionOracleSql(iters = 12),
+    // GENERATED oracle (Similarity.matryoshkaRecallOracleSql):
+    // per-prefix sliced-vector cosine ranks (same sequential fold)
+    // semi-joined against the full-dim truth CTE
+    "sim_matryoshka_recall" ->
+      Similarity.matryoshkaRecallOracleSql(),
+    // Kruskal–Wallis: global doubled ranks over the bounded domain,
+    // Σ(R²/n) as engine-identical truncating integer terms, ONE
+    // rounded-double H finish from exact integers
+    "dq_kruskal_wallis" ->
+      """WITH f AS MATERIALIZED (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+        |dm AS MATERIALIZED (SELECT q, COUNT(*) AS c FROM f
+        |  GROUP BY 1),
+        |r AS MATERIALIZED (SELECT q,
+        |    SUM(c) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) * 2 - c + 1 AS r2
+        |  FROM dm),
+        |grp AS MATERIALIZED (SELECT g, COUNT(*) AS n,
+        |    CAST(SUM(r2) AS HUGEINT) AS sum2r
+        |  FROM f JOIN r USING (q) GROUP BY 1),
+        |term AS MATERIALIZED (SELECT
+        |    SUM(sum2r * sum2r // CAST(4 * n AS HUGEINT)) AS t4,
+        |    CAST(SUM(n) AS HUGEINT) AS nn FROM grp),
+        |ties AS MATERIALIZED (SELECT
+        |    SUM(CAST(c AS HUGEINT) * c * c - c) AS st FROM dm),
+        |h AS MATERIALIZED (SELECT round(
+        |    ((12.0 * CAST(t4 AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)))
+        |     - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+        |    / (1.0 - CAST(st AS DOUBLE)
+        |       / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |          * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))),
+        |    6) AS h_corrected FROM term, ties)
+        |SELECT g AS l_returnflag, n, CAST(sum2r AS BIGINT) AS sum2r,
+        |  CAST(sum2r * 1000000 // CAST(2 * n AS HUGEINT) AS BIGINT)
+        |    AS mean_rank_e6,
+        |  h_corrected
+        |FROM grp CROSS JOIN h""".stripMargin,
+    // script-mix: per-class char counts via length-difference after
+    // class-stripping regexp_replace — RE2's \x{4E00} ≙ Java's 一
+    "text_script_mix" ->
+      """WITH p AS MATERIALIZED (SELECT source,
+        |    CAST(length(text) AS BIGINT) AS total,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[A-Za-z]', '', 'g')) AS BIGINT) AS latin,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[0-9]', '', 'g')) AS BIGINT) AS digit,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS han,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '\s', '', 'g')) AS BIGINT) AS space
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(total) AS BIGINT) AS n_chars,
+        |  CAST(SUM(latin) AS BIGINT) AS latin_chars,
+        |  CAST(SUM(digit) AS BIGINT) AS digit_chars,
+        |  CAST(SUM(han) AS BIGINT) AS han_chars,
+        |  CAST(SUM(space) AS BIGINT) AS space_chars,
+        |  CAST(SUM(total) - SUM(latin) - SUM(digit) - SUM(han)
+        |    - SUM(space) AS BIGINT) AS other_chars,
+        |  CAST(SUM(latin) * 1000000 // GREATEST(SUM(total), 1)
+        |    AS BIGINT) AS latin_ppm,
+        |  CAST(SUM(han) * 1000000 // GREATEST(SUM(total), 1)
+        |    AS BIGINT) AS han_ppm
+        |FROM p GROUP BY 1""".stripMargin,
+    // GENERATED oracle (Analytics.kendallTauOracleSql): identical
+    // day-pair conditional aggregation, HUGEINT counts, one rounded
+    // double tau-b finish
+    "analytics_kendall_tau" -> Analytics.kendallTauOracleSql,
+    // GENERATED oracle (Quality.ksDriftOracleSql): identical
+    // source-vs-rest ECDF grid, HUGEINT cross-multiplied sup gap
+    "dq_ks_drift" -> Quality.ksDriftOracleSql,
+    // GENERATED oracle (Analytics.pettittOracleSql): doubled-midrank
+    // cumulative U walk, HUGEINT, ln p as one rounded IEEE division
+    "analytics_pettitt" -> Analytics.pettittOracleSql,
+    // props schema profile: data-driven key discovery (json_keys ≙
+    // Spark's from_json-map explode), presence ppm + value
+    // cardinality per (event_type, key)
+    "dq_props_profile" ->
+      """WITH tot AS MATERIALIZED (SELECT event_type,
+        |    COUNT(*) AS n_rows FROM events GROUP BY 1),
+        |kv AS MATERIALIZED (SELECT event_type,
+        |    unnest(json_keys(props)) AS k, props FROM events),
+        |p AS MATERIALIZED (SELECT event_type, k,
+        |    COUNT(*) AS n_present,
+        |    COUNT(DISTINCT json_extract_string(props, '$.' || k))
+        |      AS n_distinct
+        |  FROM kv GROUP BY 1, 2)
+        |SELECT event_type, k AS prop_key, n_present,
+        |  n_present * 1000000 // n_rows AS present_ppm, n_distinct
+        |FROM p JOIN tot USING (event_type)""".stripMargin,
+    // byte-grain Rényi-2 over the UTF-8 payloads via the hex-pair
+    // rendering — same exact-integer collision math as the text form
+    "mm_byte_entropy" ->
+      """WITH h AS MATERIALIZED (SELECT doc_id, source,
+        |    hex(encode(text)) AS h
+        |  FROM documents WHERE length(text) > 0),
+        |b AS MATERIALIZED (SELECT doc_id, source,
+        |    unnest([substr(h, i * 2 - 1, 2)
+        |            for i in range(1, length(h) // 2 + 1)]) AS b
+        |  FROM h),
+        |agg AS MATERIALIZED (SELECT doc_id, source, b, COUNT(*) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |cd AS MATERIALIZED (SELECT doc_id, source,
+        |    SUM(c) AS n, COUNT(*) AS ds,
+        |    SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS c2
+        |  FROM agg GROUP BY 1, 2)
+        |SELECT source AS media_source, n_docs, byte_coll_ppb,
+        |  mean_distinct_bytes,
+        |  1000000000 // GREATEST(byte_coll_ppb, 1) AS eff_bytes
+        |FROM (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(c2 * 1000000000
+        |      // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT)))
+        |      // COUNT(*) AS BIGINT) AS byte_coll_ppb,
+        |    CAST(SUM(ds) // COUNT(*) AS BIGINT) AS mean_distinct_bytes
+        |  FROM cd GROUP BY 1) t""".stripMargin,
     // Heaps-law vocabulary growth: first-decile per type is a
     // combinable min, the only window runs over 10 decile rows
     "text_heaps_curve" ->

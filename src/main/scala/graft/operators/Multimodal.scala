@@ -100,6 +100,48 @@ object Multimodal {
         (length(col("c")) / 2).cast("long").as("chunk_bytes"))
   }
 
+  /** Byte-grain COLLISION entropy over the binary payloads — the
+    * multimodal sibling of the text Rényi-2 screen
+    * (`TextAnalysis.collisionEntropy`): collision probability Σc²/N²
+    * of the BYTE distribution, exactly rational so it grades as
+    * integer ppb without a float log. Low collision ≈ compressed /
+    * high-entropy media; high collision flags padding runs, silence,
+    * and constant-fill corruption — the cheap pre-decode triage a
+    * 100 TB media ingest runs before spending codec time. Bytes ride
+    * the HEX rendering (2 chars = 1 byte, the [[audioChunks]]
+    * convention) so the oracle replays byte-exact without blob
+    * slicing. One explode → combinable count → per-source mean of
+    * exact per-doc ratios; never leaves whole-stage codegen.
+    */
+  def byteEntropy(s: SparkSession, d: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    mediaTable(s, d)
+      .select(col("doc_id"), col("media_source"),
+        hex(col("payload")).as("h"))
+      .filter(length(col("h")) > 0)
+      .select(col("doc_id"), col("media_source"),
+        explode(expr("""transform(sequence(1, length(h) DIV 2),
+                        i -> substring(h, i * 2 - 1, 2))""")).as("b"))
+      .groupBy("doc_id", "media_source", "b")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "media_source")
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("distinct_bytes"),
+        sum((col("c") * col("c")).cast(d38)).as("c2"))
+      .select(col("media_source"), col("distinct_bytes"),
+        expr("""CAST((c2 * CAST(1000000000 AS DECIMAL(38,0)))
+                DIV (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+                AS LONG)""").as("coll_ppb"))
+      .groupBy("media_source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(SUM(coll_ppb) DIV COUNT(*) AS BIGINT)")
+          .as("byte_coll_ppb"),
+        expr("CAST(SUM(distinct_bytes) DIV COUNT(*) AS BIGINT)")
+          .as("mean_distinct_bytes"))
+      .withColumn("eff_bytes",
+        expr("1000000000 DIV greatest(byte_coll_ppb, 1)"))
+  }
+
   /** CAS capacity report — the storage-planning number the chunk
     * store quotes: total vs unique chunks and bytes, the dedup
     * saving in ppm, and the hottest chunk's reference count (the

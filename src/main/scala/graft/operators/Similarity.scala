@@ -946,6 +946,99 @@ object Similarity {
       .withColumn("recall_ppm", expr(s"n_hits * 1000000 DIV $k"))
   }
 
+  /** MATRYOSHKA prefix-dimension recall — the evaluation behind
+    * truncatable embeddings (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS'22): how much of the exact
+    * full-dimension top-k does a search over only the FIRST P
+    * dimensions retain? The production pattern at 100 TB is
+    * two-stage retrieval — a cheap prefix-dim scan (P/dim of the
+    * bytes and multiplies) shortlists, the full vector reranks —
+    * and this table says what each prefix actually buys, the same
+    * "measure, don't guess" contract as [[annRecallEval]]. Per
+    * prefix: the identical broadcast-query scoring shape as
+    * [[bruteForceTopK]] over sliced vectors (sequential-fold cosine
+    * — bit-identical in DuckDB's list_sum replay), per-query top-k
+    * window, hit counting via semi-join against the full-dim truth.
+    */
+  def matryoshkaRecall(s: SparkSession, d: String, nQueries: Int = 20,
+      k: Int = 5, prefixes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    Vectors.ensureRegistered(s)
+    val truth = bruteForceTopK(s, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))
+    val perPrefix = prefixes.map { p =>
+      val pe = e.select(col("vec_id"), slice(col("v"), 1, p).as("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+      val q = pe.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val top = pe.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          Vectors.cosineWithNorms(col("qv"), col("v"), col("qn"),
+            col("nrm")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+      top.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(p.toLong).as("prefix_dim"), col("n_hits"),
+          expr(s"n_hits * 1000000 DIV ${nQueries.toLong * k}")
+            .as("recall_ppm"))
+    }
+    perPrefix.reduce(_ unionByName _)
+  }
+
+  /** DuckDB oracle GENERATOR for [[matryoshkaRecall]]: per prefix,
+    * the sliced-vector cosine ranks replayed with the same
+    * sequential list_sum fold, semi-joined against the full-dim
+    * rank CTE.
+    */
+  def matryoshkaRecallOracleSql(nQueries: Int = 20, k: Int = 5,
+      prefixes: Seq[Int] = Seq(8, 16, 32, 64)): String = {
+    def rankCte(name: String, vexpr: String): String =
+      s"""${name}_s AS MATERIALIZED (SELECT q.vec_id AS query_id,
+         |    e.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range(len(q.$vexpr)),
+         |      i -> (q.$vexpr)[i + 1] * (e.$vexpr)[i + 1]))
+         |      / (sqrt(list_sum(list_transform(q.$vexpr, x -> x * x)))
+         |       * sqrt(list_sum(list_transform(e.$vexpr, x -> x * x))))
+         |      AS cos
+         |  FROM emb e JOIN emb q ON q.vec_id < $nQueries
+         |    AND e.vec_id <> q.vec_id),
+         |$name AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+         |      AS rk
+         |    FROM ${name}_s) t
+         |  WHERE rk <= $k),
+         |""".stripMargin
+    val sb = new StringBuilder
+    sb ++=
+      """WITH emb AS MATERIALIZED (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |""".stripMargin
+    sb ++= rankCte("truth", "v")
+    for (p <- prefixes) {
+      sb ++= s"p$p AS MATERIALIZED (SELECT vec_id, v[1:$p] AS v FROM emb),\n"
+      // prefix rank CTE reads the sliced relation
+      sb ++= rankCte(s"top$p", "v")
+        .replace("FROM emb e JOIN emb q", s"FROM p$p e JOIN p$p q")
+    }
+    val unions = prefixes.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS prefix_dim,
+         |  CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) * 1000000 // ${nQueries.toLong * k} AS BIGINT)
+         |    AS recall_ppm
+         |FROM top$p SEMI JOIN truth
+         |  ON top$p.query_id = truth.query_id
+         |  AND top$p.neighbor_id = truth.neighbor_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb.toString.stripSuffix(",\n").stripSuffix(",") + "\n" + unions
+  }
+
   /** Batch diversity score — the mean pairwise similarity inside
     * each label group, the metric a training-data sampler watches to
     * avoid redundant batches (high mean cosine = the group is

@@ -1854,6 +1854,45 @@ object TextAnalysis {
         expr("cum_types * 1000000 DIV cum_tokens").as("ttr_ppm"))
   }
 
+  /** Script-mix profile — per-source character counts by writing
+    * system (Latin letters, digits, CJK Unified Ideographs,
+    * whitespace, other), the observability layer under the CJK-aware
+    * segmentation ops: a corpus whose Han share drifts is about to
+    * route through the wrong tokenizer, and "other" spiking flags
+    * mojibake/binary bleed before it poisons shingles. Counts are
+    * `length − length(regexp_replace(...))` per class — pure
+    * codegen'd column expressions, one scan, combinable sums; shares
+    * in exact integer ppm of total chars.
+    */
+  def scriptMix(s: SparkSession, d: String): DataFrame = {
+    def cls(pattern: String): Column =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), pattern, ""))).cast("long")
+    Tables.spread(Tables.documents(s, d))
+      .select(col("source"),
+        length(col("text")).cast("long").as("total"),
+        cls("[A-Za-z]").as("latin"),
+        cls("[0-9]").as("digit"),
+        cls("[\\u4E00-\\u9FFF]").as("han"),
+        cls("\\s").as("space"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("total")).as("n_chars"),
+        sum(col("latin")).as("latin_chars"),
+        sum(col("digit")).as("digit_chars"),
+        sum(col("han")).as("han_chars"),
+        sum(col("space")).as("space_chars"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        col("latin_chars"), col("digit_chars"), col("han_chars"),
+        col("space_chars"),
+        (col("n_chars") - col("latin_chars") - col("digit_chars")
+          - col("han_chars") - col("space_chars")).as("other_chars"),
+        expr("latin_chars * 1000000 DIV greatest(n_chars, 1)")
+          .as("latin_ppm"),
+        expr("han_chars * 1000000 DIV greatest(n_chars, 1)")
+          .as("han_ppm"))
+  }
+
   /** COLLISION (Rényi-2) entropy quality signals — the Gopher-style
     * "is this document's symbol distribution degenerate?" screen
     * WITHOUT the float logarithm Shannon entropy needs: the collision

@@ -4755,4 +4755,189 @@ object Analytics {
        | END AS pcorr2_ppm
        |FROM p""".stripMargin
   }
+
+  /** KENDALL tau-b rank correlation between daily GMV and daily
+    * order count — the nonparametric companion to the Pearson
+    * moment correlation (`pearsonQtyPrice`) and the pair half of
+    * the Theil–Sen machinery ([[theilSen]]): does revenue move WITH
+    * volume day-over-day, robust to outlier days and monotone
+    * transforms? Concordant/discordant/tied pair counts come from
+    * ONE conditional aggregation over the day-pair join — no window,
+    * no sort — and stay exact integers; tau-b's tie-corrected
+    * denominator √((n₀−n₁)(n₀−n₂)) is the single double finish.
+    *
+    * Scale shape: quadratic in DAYS, not rows — the order-date
+    * domain is ~2.4k days at every SF (fixed 1992–1998 calendar),
+    * so the pair join is ~3M rows forever while the one fact scan
+    * feeding the daily rollup carries the 100 TB cost. The same
+    * bounded-domain argument as [[theilSen]], minus its global
+    * rank: this is pure combinable counting.
+    */
+  def kendallTau(s: SparkSession, d: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"),
+        count(lit(1)).as("c"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.dt") < col("b.dt"))
+      .select(signum(col("b.g") - col("a.g")).cast("int").as("sx"),
+        signum(col("b.c") - col("a.c")).cast("int").as("sy"))
+    pairs.agg(
+        count(lit(1)).cast(d38).as("n_pairs"),
+        count_if(col("sx") * col("sy") === 1).cast(d38)
+          .as("concordant"),
+        count_if(col("sx") * col("sy") === -1).cast(d38)
+          .as("discordant"),
+        count_if(col("sx") === 0 && col("sy") =!= 0).cast(d38)
+          .as("ties_x"),
+        count_if(col("sy") === 0 && col("sx") =!= 0).cast(d38)
+          .as("ties_y"),
+        count_if(col("sx") === 0 && col("sy") === 0).cast(d38)
+          .as("ties_xy"))
+      .select(
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("concordant").cast("long").as("concordant"),
+        col("discordant").cast("long").as("discordant"),
+        col("ties_x").cast("long").as("ties_x"),
+        col("ties_y").cast("long").as("ties_y"),
+        col("ties_xy").cast("long").as("ties_xy"),
+        round((col("concordant") - col("discordant")).cast("double") /
+          sqrt((col("n_pairs") - col("ties_x") - col("ties_xy"))
+            .cast("double") *
+            (col("n_pairs") - col("ties_y") - col("ties_xy"))
+              .cast("double")), 6).as("tau_b"))
+  }
+
+  /** PETTITT rank-based changepoint test on the daily GMV series —
+    * the nonparametric companion to [[cusumChangepoint]]: CUSUM
+    * needs a known in-control mean and flags when cumulative
+    * deviation leaves a band; Pettitt asks "if this series split
+    * anywhere, where is the split likeliest?" with no distributional
+    * assumption. U_t = Σ_{i≤t}Σ_{j>t} sign(x_i − x_j) for every t
+    * in ONE pass via the doubled-midrank identity: each day's
+    * Σ_j sign(x_t − x_j) = r2_t − n − 1 (r2 = doubled midrank, the
+    * [[Quality.kruskalWallis]] rank convention), so U_t is a single
+    * cumulative sum over day order — no pair join at all, unlike
+    * [[kendallTau]]. K = max|U_t| exact; the significance readout is
+    * ln p ≈ −6K²/(n³+n²) reported as the log (one IEEE-exact
+    * division — no libm exp, which rounds differently across
+    * engines). U_n = 0 by construction — kept as a checksum.
+    *
+    * Scale shape: one fact scan → daily rollup; ranks ride a window
+    * over the ≤|days| distinct-GMV domain and the cumulative U over
+    * the ~2.4k-day series — both bounded by the calendar, not SF.
+    */
+  def pettitt(s: SparkSession, d: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+    val dom = daily.groupBy("g").agg(count(lit(1)).as("c"))
+    val r2 = dom.select(col("g"),
+      (sum(col("c")).over(W.orderBy("g").rowsBetween(
+        W.unboundedPreceding, W.currentRow)) * 2 - col("c") + 1)
+        .as("r2"))
+    val n1 = daily.agg(count(lit(1)).as("n_days"))
+    val u = daily.join(broadcast(r2), "g")
+      .crossJoin(broadcast(n1))
+      .select(col("dt"), col("n_days"),
+        sum((col("r2") - col("n_days") - 1).cast(d38))
+          .over(W.orderBy("dt").rowsBetween(
+            W.unboundedPreceding, W.currentRow)).as("u_t"))
+    val withMax = u.select(col("dt"), col("n_days"), col("u_t"),
+      max(abs(col("u_t"))).over(W.partitionBy()).as("k_stat"))
+    withMax.filter(abs(col("u_t")) === col("k_stat"))
+      .groupBy("n_days", "k_stat")
+      .agg(min(col("dt")).as("cp_date"),
+        min_by(col("u_t"), col("dt")).as("u_at_cp"))
+      .select(col("n_days").cast("long").as("n_days"),
+        col("k_stat").cast("long").as("k_stat"),
+        col("cp_date"),
+        col("u_at_cp").cast("long").as("u_at_cp"),
+        round(lit(-6.0) * col("k_stat").cast("double")
+            * col("k_stat").cast("double") /
+          (col("n_days").cast("double") * col("n_days").cast("double")
+            * col("n_days").cast("double")
+            + col("n_days").cast("double")
+              * col("n_days").cast("double")), 6)
+          .as("ln_p_approx"))
+  }
+
+  /** DuckDB oracle for [[pettitt]] — the identical doubled-midrank
+    * cumulative U walk; HUGEINT throughout, ln p as the one rounded
+    * IEEE division.
+    */
+  def pettittOracleSql: String =
+    """WITH daily AS MATERIALIZED (SELECT
+      |    CAST(o_orderdate AS DATE) AS dt,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+      |      AS BIGINT) AS g
+      |  FROM orders GROUP BY 1),
+      |dom AS MATERIALIZED (SELECT g, COUNT(*) AS c FROM daily
+      |  GROUP BY 1),
+      |r AS MATERIALIZED (SELECT g,
+      |    SUM(c) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) * 2 - c + 1 AS r2
+      |  FROM dom),
+      |n1 AS MATERIALIZED (SELECT COUNT(*) AS n_days FROM daily),
+      |u AS MATERIALIZED (SELECT dt, n_days,
+      |    SUM(CAST(r2 - n_days - 1 AS HUGEINT)) OVER (ORDER BY dt
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u_t
+      |  FROM daily JOIN r USING (g) CROSS JOIN n1),
+      |mx AS MATERIALIZED (SELECT MAX(abs(u_t)) AS k_stat FROM u)
+      |SELECT CAST(MAX(n_days) AS BIGINT) AS n_days,
+      |  CAST(MAX(k_stat) AS BIGINT) AS k_stat,
+      |  MIN(dt) AS cp_date,
+      |  CAST(arg_min(u_t, dt) AS BIGINT) AS u_at_cp,
+      |  round(-6.0 * CAST(MAX(k_stat) AS DOUBLE)
+      |      * CAST(MAX(k_stat) AS DOUBLE) /
+      |    (CAST(MAX(n_days) AS DOUBLE) * MAX(n_days) * MAX(n_days)
+      |     + CAST(MAX(n_days) AS DOUBLE) * MAX(n_days)), 6)
+      |    AS ln_p_approx
+      |FROM u CROSS JOIN mx
+      |WHERE abs(u_t) = k_stat""".stripMargin
+
+  /** DuckDB oracle for [[kendallTau]] — the identical day-pair
+    * conditional aggregation; HUGEINT pair counts, one rounded
+    * double finish.
+    */
+  def kendallTauOracleSql: String =
+    """WITH daily AS MATERIALIZED (SELECT
+      |    CAST(o_orderdate AS DATE) AS dt,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+      |      AS BIGINT) AS g,
+      |    COUNT(*) AS c
+      |  FROM orders GROUP BY 1),
+      |p AS MATERIALIZED (SELECT
+      |    CAST(SIGN(b.g - a.g) AS INTEGER) AS sx,
+      |    CAST(SIGN(b.c - a.c) AS INTEGER) AS sy
+      |  FROM daily a JOIN daily b ON a.dt < b.dt),
+      |agg AS MATERIALIZED (SELECT
+      |    CAST(COUNT(*) AS HUGEINT) AS n_pairs,
+      |    CAST(COUNT(*) FILTER (sx * sy = 1) AS HUGEINT)
+      |      AS concordant,
+      |    CAST(COUNT(*) FILTER (sx * sy = -1) AS HUGEINT)
+      |      AS discordant,
+      |    CAST(COUNT(*) FILTER (sx = 0 AND sy <> 0) AS HUGEINT)
+      |      AS ties_x,
+      |    CAST(COUNT(*) FILTER (sy = 0 AND sx <> 0) AS HUGEINT)
+      |      AS ties_y,
+      |    CAST(COUNT(*) FILTER (sx = 0 AND sy = 0) AS HUGEINT)
+      |      AS ties_xy
+      |  FROM p)
+      |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(concordant AS BIGINT) AS concordant,
+      |  CAST(discordant AS BIGINT) AS discordant,
+      |  CAST(ties_x AS BIGINT) AS ties_x,
+      |  CAST(ties_y AS BIGINT) AS ties_y,
+      |  CAST(ties_xy AS BIGINT) AS ties_xy,
+      |  round(CAST(concordant - discordant AS DOUBLE) /
+      |    sqrt(CAST(n_pairs - ties_x - ties_xy AS DOUBLE) *
+      |         CAST(n_pairs - ties_y - ties_xy AS DOUBLE)), 6)
+      |    AS tau_b
+      |FROM agg""".stripMargin
 }

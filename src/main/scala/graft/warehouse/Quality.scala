@@ -766,4 +766,199 @@ object Quality {
         count_if(col("last_view_value").isNull).as("misses"))
       .withColumn("miss_ppm",
         expr("misses * 1000000 DIV n_probes"))
+
+  /** KRUSKAL–WALLIS rank ANOVA — the k-group member that completes
+    * the nonparametric drift suite (Mann–Whitney U covers two
+    * samples; this asks "do the return-flag populations differ in
+    * quantity?" across all three at once). Global doubled average
+    * ranks over the bounded value domain (the Spearman discipline —
+    * integral under ties), per-group n / Σ2R / mean-rank exact
+    * integers, then the tie-corrected H statistic. The cross-group
+    * Σ(R²/n) term is computed as Σ(sum2r² DIV 4n) in exact
+    * DECIMAL(38) — truncation is engine-identical, and no
+    * variable-order float accumulation exists anywhere — so the
+    * one rounded-double H finish is deterministic on both engines.
+    * Scale shape: one fact scan + a ≤|domain|-row rank window +
+    * a 3-group rollup.
+    */
+  def kruskalWallis(s: SparkSession, d: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("g"),
+        col("l_quantity").cast("long").as("q"))
+    val dom = fact.groupBy("q").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("q")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val ranks = dom.select(col("q"),
+      (sum(col("c")).over(w) * 2 - col("c") + 1).as("r2"))
+    val groups = fact.join(broadcast(ranks), "q")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2")).cast(d38).as("sum2r"))
+      .localCheckpoint()
+    val term = groups.agg(
+      sum(expr("CAST(sum2r * sum2r AS DECIMAL(38,0)) DIV CAST(4 * n AS DECIMAL(38,0))"))
+        .cast(d38).as("t4"),
+      sum(col("n")).as("nn"))
+    val ties = dom.agg(
+      sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).cast(d38)
+        .as("st"))
+    val h = term.crossJoin(broadcast(ties)).select(
+      col("nn"),
+      round(
+        ((lit(12.0) * col("t4").cast("double") /
+          (col("nn").cast("double") * (col("nn").cast("double") + 1.0)))
+          - lit(3.0) * (col("nn").cast("double") + 1.0)) /
+        (lit(1.0) - col("st").cast("double") /
+          (col("nn").cast("double") * col("nn").cast("double")
+            * col("nn").cast("double") - col("nn").cast("double"))),
+        6).as("h_corrected"))
+    groups.crossJoin(broadcast(h))
+      .select(col("g").as("l_returnflag"), col("n"),
+        col("sum2r").cast("long").as("sum2r"),
+        expr("""CAST(CAST(sum2r AS DECIMAL(38,0)) * 1000000
+                DIV CAST(2 * n AS DECIMAL(38,0)) AS LONG)""")
+          .as("mean_rank_e6"),
+        col("h_corrected"))
+  }
+
+  /** Semi-structured PROPS schema profile — the drift detector for
+    * the JSON payload column the reference parses pervasively
+    * (every DWD job get_json_object's the ods envelope;
+    * DwdTradeCartAdd.java:1): per (event_type, json key), presence
+    * count, presence ppm of the type's rows, and distinct-value
+    * cardinality. A key that drops presence or explodes cardinality
+    * between ingest versions is the schema break this catches before
+    * a downstream literal-path parse silently nulls out. Keys come
+    * from the data (no hardcoded schema): one from_json map explode
+    * + two combinable aggregations, rollup grain |event types|×|keys|.
+    */
+  def propsProfile(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("props"))
+    val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n_rows"))
+    val kv = ev.select(col("event_type"),
+      explode(from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))).as(Seq("k", "v")))
+    kv.groupBy("event_type", "k")
+      .agg(count(lit(1)).as("n_present"),
+        countDistinct(col("v")).as("n_distinct"))
+      .join(tot, "event_type")
+      .select(col("event_type"), col("k").as("prop_key"),
+        col("n_present"),
+        expr("n_present * 1000000 DIV n_rows").as("present_ppm"),
+        col("n_distinct"))
+  }
+
+  /** EXACT Kolmogorov–Smirnov drift screen, ONE-vs-REST across ALL
+    * groups at once — for each document source, the KS statistic
+    * between ITS length distribution and the rest of the corpus:
+    * sup over the length domain of |ECDF_src − ECDF_rest|. The
+    * two-sample [[ksTest]] compares one fixed pair (early/late
+    * order values); this is the k-group monitoring form — every
+    * source graded against its complement in one plan, the screen a
+    * multi-source corpus runs per ingest batch. A source whose KS
+    * spikes is sampling a different document population than the
+    * pool it feeds. No
+    * floats anywhere: the sup runs over the cross-multiplied gap
+    * |cumS·N_rest − cumR·N_src| in DECIMAL(38) and scales to ppm
+    * ONCE at the end; the reported split point is the smallest
+    * length attaining the sup (deterministic under ties).
+    *
+    * Scale shape: one scan → (source, len) counts; the ECDF grid is
+    * |sources| × |distinct lens| (bounded by the length cap, not the
+    * corpus), windows partition by source over that bounded grid,
+    * and the one global window runs over the ≤|lens| pooled rows —
+    * the same bounded-domain discipline as [[kruskalWallis]].
+    */
+  def ksDrift(s: SparkSession, d: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("n_chars").as("len"))
+    val perSrc = docs.groupBy("source", "len")
+      .agg(count(lit(1)).as("c"))
+    val pooled = perSrc.groupBy("len").agg(sum(col("c")).as("call"))
+      .select(col("len"),
+        sum(col("call")).over(W.orderBy("len").rowsBetween(
+          W.unboundedPreceding, W.currentRow)).as("cum_all"))
+    val srcTotals = perSrc.groupBy("source").agg(sum(col("c")).as("ns"))
+    val grandN = docs.agg(count(lit(1)).as("n_total"))
+    // grid = every (source, len): bounded |sources|×|lens| rows
+    val grid = srcTotals.crossJoin(grandN)
+      .crossJoin(broadcast(pooled))
+      .join(perSrc, Seq("source", "len"), "left_outer")
+      .na.fill(0L, Seq("c"))
+    val cum = grid.select(col("source"), col("len"), col("ns"),
+        col("n_total"), col("cum_all"),
+        sum(col("c")).over(W.partitionBy("source").orderBy("len")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+          .as("cum_s"))
+      .select(col("source"), col("len"), col("ns"),
+        (col("n_total") - col("ns")).as("nr"),
+        abs(col("cum_s").cast(d38) *
+            (col("n_total") - col("ns")).cast(d38) -
+          (col("cum_all") - col("cum_s")).cast(d38) *
+            col("ns").cast(d38)).as("gap"))
+    // sup + its smallest attaining length in one pass: the max runs
+    // as a window over the bounded per-source grid, then one filter
+    // + min — no second scan, no join-back
+    val withMax = cum.select(col("source"), col("len"), col("ns"),
+      col("nr"), col("gap"),
+      max(col("gap")).over(W.partitionBy("source")).as("max_gap"))
+    withMax.filter(col("gap") === col("max_gap"))
+      .groupBy("source")
+      .agg(max(col("ns")).as("n_docs"), max(col("nr")).as("nr"),
+        max(col("max_gap")).as("max_gap"),
+        min(col("len")).as("ks_at_len"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        expr("""CAST(max_gap * 1000000
+                DIV (CAST(n_docs AS DECIMAL(38,0))
+                     * CAST(nr AS DECIMAL(38,0))) AS LONG)""")
+          .as("ks_ppm"),
+        col("ks_at_len").cast("long").as("ks_at_len"))
+  }
+
+  /** DuckDB oracle for [[ksDrift]] — the identical ECDF grid with
+    * HUGEINT cross-multiplied gaps.
+    */
+  def ksDriftOracleSql: String =
+    """WITH docs AS MATERIALIZED (SELECT source, n_chars AS len
+      |  FROM documents),
+      |per_src AS MATERIALIZED (SELECT source, len, COUNT(*) AS c
+      |  FROM docs GROUP BY 1, 2),
+      |pooled AS MATERIALIZED (SELECT len,
+      |    SUM(SUM(c)) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS cum_all
+      |  FROM per_src GROUP BY len),
+      |tot AS MATERIALIZED (SELECT source, SUM(c) AS ns FROM per_src
+      |  GROUP BY 1),
+      |grand AS MATERIALIZED (SELECT COUNT(*) AS n_total FROM docs),
+      |grid AS MATERIALIZED (SELECT t.source, p.len, t.ns,
+      |    g.n_total, p.cum_all, COALESCE(ps.c, 0) AS c
+      |  FROM tot t CROSS JOIN grand g CROSS JOIN pooled p
+      |  LEFT JOIN per_src ps ON ps.source = t.source
+      |    AND ps.len = p.len),
+      |cum AS MATERIALIZED (SELECT source, len, ns,
+      |    n_total - ns AS nr,
+      |    abs(CAST(SUM(c) OVER (PARTITION BY source ORDER BY len
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS HUGEINT) * (n_total - ns)
+      |      - CAST(cum_all - SUM(c) OVER (PARTITION BY source
+      |          ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |          CURRENT ROW) AS HUGEINT) * ns) AS gap
+      |  FROM grid),
+      |mx AS MATERIALIZED (SELECT source, MAX(ns) AS n_docs,
+      |    MAX(nr) AS nr, MAX(gap) AS max_gap
+      |  FROM cum GROUP BY 1)
+      |SELECT m.source, CAST(m.n_docs AS BIGINT) AS n_docs,
+      |  CAST(m.max_gap * 1000000
+      |    // (CAST(m.n_docs AS HUGEINT) * m.nr) AS BIGINT) AS ks_ppm,
+      |  CAST(MIN(c.len) AS BIGINT) AS ks_at_len
+      |FROM mx m JOIN cum c ON c.source = m.source
+      |  AND c.gap = m.max_gap
+      |GROUP BY 1, 2, 3""".stripMargin
 }

@@ -32,6 +32,15 @@ class DedupSpec extends AnyFunSuite {
     assert(viaExpr.toSeq === byHand.toSeq)
   }
 
+  test("matryoshka recall: full-prefix slice recovers the exact top-k") {
+    // P = dim slices the whole vector, so its ranks ARE the truth —
+    // recall must be exactly 10⁶; shorter prefixes stay in [0, 10⁶]
+    val rows = Similarity.matryoshkaRecall(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows(64L) === 1000000L)
+    assert(rows.values.forall(v => v >= 0L && v <= 1000000L))
+  }
+
   test("exact dedup partitions the corpus") {
     val groups = Dedup.exact(s, d).collect()
     val docs = graft.sources.Tables.documents(s, d).count()

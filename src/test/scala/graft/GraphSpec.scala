@@ -293,6 +293,16 @@ class GraphSpec extends AnyFunSuite {
     rs.foreach(r => assert(r.getAs[Long]("degree") >= 1L))
   }
 
+  test("hits: broadcast-hinted and AQE-planned shuffle joins agree row-for-row") {
+    // broadcastVectors is the scale knob (per-node score vectors
+    // outgrow a broadcast at planet scale); both plans must be the
+    // same relation
+    def rows(b: Boolean) = Graph.hits(s, d, broadcastVectors = b)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.get(3))).toSet
+    assert(rows(true) === rows(false))
+  }
+
   test("MST: Borůvka forest equals driver Kruskal under the same edge order") {
     val got = Graph.minimumSpanningForest(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

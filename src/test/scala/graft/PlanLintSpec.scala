@@ -128,8 +128,17 @@ class PlanLintSpec extends AnyFunSuite {
     "analytics_markov_stationary", "text_heaps_curve",
     "analytics_demand_classes",
     // r7: xcorr_leadlag crossJoins the 1-row event-horizon max for
-    // the zero-fill bound; mst_cert assembles three 1-row aggregates
-    "analytics_xcorr_leadlag", "graph_mst_cert")
+    // the zero-fill bound; mst_cert assembles three 1-row aggregates;
+    // matryoshka_recall inherits the brute-force broadcast query join
+    "analytics_xcorr_leadlag", "graph_mst_cert",
+    "sim_matryoshka_recall",
+    // kruskal_wallis crossJoins the 1-row ties + H aggregates
+    "dq_kruskal_wallis",
+    // kendall_tau's day-pair self-join is non-equi over the bounded
+    // ~2.4k-day domain (the theil_sen argument); ks_drift assembles
+    // its bounded |sources|×|lens| ECDF grid from 1-row/broadcast
+    // cross joins; pettitt crossJoins the 1-row day count
+    "analytics_kendall_tau", "dq_ks_drift", "analytics_pettitt")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -2065,4 +2065,33 @@ class WarehouseSpec extends AnyFunSuite {
     assert(instants(s"$dir/ntz", inferNtz = false) === want)
     assert(instants(s"$dir/nanos", inferNtz = false) === want)
   }
+
+  test("kendall tau-b: pair partition is exhaustive and tau in [-1, 1]") {
+    val r = graft.warehouse.Analytics.kendallTau(s, d).collect()(0)
+    val (n, c, dis, tx, ty, txy) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    // C(n_days, 2) pairs, each exactly one of the five classes
+    val nDays = graft.sources.Tables.orders(s, d)
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    assert(n === nDays * (nDays - 1) / 2)
+    assert(c + dis + tx + ty + txy === n)
+    val tau = r.getDouble(6)
+    assert(tau >= -1.0 && tau <= 1.0)
+    // GMV and order count per day must co-move strongly by
+    // construction (more orders ⇒ more revenue)
+    assert(tau > 0.3, s"tau_b=$tau unexpectedly weak")
+  }
+
+  test("KS drift: one row per source, ppm in range, sup is attained") {
+    val rows = graft.warehouse.Quality.ksDrift(s, d).collect()
+    val nSrc = graft.sources.Tables.documents(s, d)
+      .select("source").distinct().count()
+    assert(rows.length.toLong === nSrc)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L,
+        s"${r.getString(0)} ks_ppm out of range")
+      // the attaining length is a real document length
+      assert(r.getLong(3) > 0L)
+    }
+  }
 }
