@@ -300,6 +300,10 @@ object SparkEntry {
     "analytics_kendall_tau" -> (Analytics.kendallTau(_, _)),
     "dq_ks_drift" -> (Quality.ksDrift(_, _)),
     "analytics_pettitt" -> (Analytics.pettitt(_, _)),
+    "analytics_wavelet_energy" -> (Analytics.waveletEnergy(_, _)),
+    "analytics_friedman" -> (Analytics.friedman(_, _)),
+    "pipeline_krippendorff" ->
+      (TextAnalysis.krippendorffAlpha(_, _)),
     // rows-only: the greedy MMR trajectory is not SQL-expressible in
     // DuckDB; RoundSixOpsSpec replays it exactly on the driver
     "sim_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
@@ -5387,6 +5391,39 @@ object SparkEntry {
     // GENERATED oracle (Analytics.pettittOracleSql): doubled-midrank
     // cumulative U walk, HUGEINT, ln p as one rounded IEEE division
     "analytics_pettitt" -> Analytics.pettittOracleSql,
+    // GENERATED oracle (Analytics.waveletEnergyOracleSql): exact
+    // dyadic Haar block sums, HUGEINT energies, ppm shares
+    "analytics_wavelet_energy" -> Analytics.waveletEnergyOracleSql,
+    // GENERATED oracle (Analytics.friedmanOracleSql): complete-week
+    // doubled-midrank blocks, HUGEINT rank sums, one rounded χ²_F
+    "analytics_friedman" -> Analytics.friedmanOracleSql,
+    // Krippendorff binary-nominal alpha: 3 deterministic raters,
+    // exact pair counts, one truncating ppm division (both engines
+    // truncate toward zero)
+    "pipeline_krippendorff" ->
+      """WITH lab AS MATERIALIZED (SELECT
+        |   (length(text) >= 300)::INT
+        | + (len(list_distinct(list_filter(string_split(lower(text),
+        |      ' '), x -> x <> ''))) * 2
+        |    >= len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')))::INT
+        | + ((length(text) - length(regexp_replace(text, '[0-9]',
+        |      '', 'g'))) * 20 < length(text))::INT AS n1
+        | FROM documents),
+        |agg AS MATERIALIZED (SELECT
+        |   CAST(COUNT(*) AS HUGEINT) AS n_units,
+        |   CAST(SUM(n1) AS HUGEINT) AS tot1,
+        |   CAST(SUM(n1 * (3 - n1)) AS HUGEINT) AS do_pairs
+        | FROM lab)
+        |SELECT CAST(n_units AS BIGINT) AS n_units,
+        |  CAST(n_units * 3 AS BIGINT) AS n_values,
+        |  CAST(tot1 AS BIGINT) AS n_pos,
+        |  CAST(do_pairs AS BIGINT) AS do_pairs,
+        |  CAST((2 * tot1 * (n_units * 3 - tot1)
+        |      - (n_units * 3 - 1) * do_pairs) * 1000000
+        |    // (2 * tot1 * (n_units * 3 - tot1)) AS BIGINT)
+        |    AS alpha_ppm
+        |FROM agg""".stripMargin,
     // props schema profile: data-driven key discovery (json_keys ≙
     // Spark's from_json-map explode), presence ppm + value
     // cardinality per (event_type, key)

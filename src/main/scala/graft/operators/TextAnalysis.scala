@@ -798,6 +798,45 @@ object TextAnalysis {
           "* 1000000 div (n * n - pe_num) AS BIGINT)").as("kappa_ppm"))
   }
 
+  /** KRIPPENDORFF's alpha over THREE deterministic annotators — the
+    * multi-rater generalization of [[annotationKappa]]'s two-rater
+    * Cohen κ, the reliability number a labeling pipeline quotes when
+    * more than two judges (human or model) vote per document.
+    * Raters are the same rule-based stand-ins as κ (length rule,
+    * distinct-token rule) plus a digit-share rule, so the statistic
+    * is deterministic and the oracle replays it. Binary-nominal
+    * closed form with m = 3 raters: per-unit disagreeing pairs
+    * n₁·n₀, pooled totals N₁/N₀, α = 1 − (n−1)·Σn₁n₀ / (2·N₁·N₀) —
+    * EXACT rational, graded in ppm by one truncating division (both
+    * engines truncate toward zero, so a negative α grades exactly
+    * too). One scan, one 1-row reduce — the κ shape.
+    */
+  def krippendorffAlpha(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val digits = length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))
+    val votes = Tables.documents(s, d)
+      .select(
+        ((length(col("text")) >= 300).cast("int") +
+          (size(array_distinct(toks)) * 2 >= size(toks)).cast("int") +
+          (digits * 20 < length(col("text"))).cast("int")).as("n1"))
+    votes.agg(
+        count(lit(1)).as("n_units"),
+        sum(col("n1")).as("tot1"),
+        sum(col("n1") * (lit(3) - col("n1"))).as("do_pairs"))
+      .select(col("n_units"),
+        (col("n_units") * 3).as("n_values"),
+        col("tot1").as("n_pos"),
+        col("do_pairs"),
+        expr("""CAST((CAST(2 AS DECIMAL(38,0)) * tot1
+                  * (n_units * 3 - tot1)
+                - CAST(n_units * 3 - 1 AS DECIMAL(38,0)) * do_pairs)
+                * 1000000
+                DIV (CAST(2 AS DECIMAL(38,0)) * tot1
+                  * (n_units * 3 - tot1)) AS BIGINT)""")
+          .as("alpha_ppm"))
+  }
+
   /** Compression-ratio quality signal — the CCNet/RefinedWeb
     * heuristic an n-gram repetition score can't fully replace:
     * deflate each document (JDK zlib, fixed level — deterministic

@@ -4810,6 +4810,199 @@ object Analytics {
               .cast("double")), 6).as("tau_b"))
   }
 
+  /** HAAR multi-scale energy decomposition of the daily GMV series —
+    * at each dyadic scale 2^j days (j = 1..6), the detail
+    * coefficient of every complete block is (left-half sum − right-
+    * half sum): an EXACT integer, no filter-bank floats. The energy
+    * share per scale says WHERE the series' variance lives — a
+    * weekly-cadence business concentrates energy at 4–8 days, a
+    * promo-driven one at the 16–32-day grain — the multi-resolution
+    * companion to the single-lag [[autocorrGmv]] and the DOW index.
+    * Energies are Σd² in DECIMAL(38) (d can reach 2^j·maxDailyCents,
+    * d² past int64) and graded as exact ppm shares of total energy;
+    * Σ|d| per scale stays int64 and grades absolutely.
+    *
+    * Scale shape: one fact scan → daily rollup; the day index rides
+    * a window over the bounded ~2.4k-day calendar; the 6 scales
+    * explode to 6n rows and aggregate by (scale, block) — one
+    * combinable shuffle, no per-scale rescan.
+    */
+  def waveletEnergy(s: SparkSession, d: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+      .select((row_number().over(W.orderBy("dt")) - 1).as("t"),
+        col("g"))
+    val details = daily
+      .select(col("t"), col("g"),
+        explode(expr("sequence(1, 6)")).as("j"))
+      .select(col("j"), col("g"),
+        expr("t DIV shiftleft(1, j)").as("blk"),
+        expr("CASE WHEN t % shiftleft(1, j) < shiftleft(1, j - 1) " +
+          "THEN 1 ELSE -1 END").as("sgn"))
+      .groupBy("j", "blk")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("g") * col("sgn")).as("detail"))
+      .filter(col("n_days") === expr("shiftleft(1, j)"))
+    val perScale = details.groupBy("j")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(abs(col("detail"))).as("sum_abs_detail"),
+        sum((col("detail") * col("detail")).cast(d38)).as("energy"))
+    val total = perScale.agg(sum(col("energy")).as("total_energy"))
+    perScale.crossJoin(broadcast(total))
+      .select(expr("CAST(shiftleft(1, j) AS BIGINT)").as("scale_days"),
+        col("n_blocks").cast("long").as("n_blocks"),
+        col("sum_abs_detail").cast("long").as("sum_abs_detail"),
+        expr("""CAST(energy * 1000000
+                DIV greatest(total_energy, 1) AS BIGINT)""")
+          .as("energy_ppm"))
+  }
+
+  /** DuckDB oracle for [[waveletEnergy]] — identical dyadic block
+    * sums over the day-index CTE; HUGEINT energies, ppm at the end.
+    */
+  def waveletEnergyOracleSql: String =
+    """WITH daily AS MATERIALIZED (SELECT
+      |    row_number() OVER (ORDER BY dt) - 1 AS t, g
+      |  FROM (SELECT CAST(o_orderdate AS DATE) AS dt,
+      |      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+      |        AS BIGINT) AS g
+      |    FROM orders GROUP BY 1)),
+      |det AS MATERIALIZED (SELECT j, t // (1 << j) AS blk,
+      |    COUNT(*) AS n_days,
+      |    SUM(CASE WHEN t % (1 << j) < (1 << (j - 1))
+      |        THEN g ELSE -g END) AS detail
+      |  FROM daily CROSS JOIN (SELECT unnest(range(1, 7)) AS j)
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) = (1 << j)),
+      |per_scale AS MATERIALIZED (SELECT j, COUNT(*) AS n_blocks,
+      |    SUM(abs(detail)) AS sum_abs_detail,
+      |    SUM(CAST(detail AS HUGEINT) * detail) AS energy
+      |  FROM det GROUP BY 1),
+      |tot AS MATERIALIZED (SELECT SUM(energy) AS total_energy
+      |  FROM per_scale)
+      |SELECT CAST(1 << j AS BIGINT) AS scale_days,
+      |  CAST(n_blocks AS BIGINT) AS n_blocks,
+      |  CAST(sum_abs_detail AS BIGINT) AS sum_abs_detail,
+      |  CAST(energy * 1000000 // greatest(total_energy, 1) AS BIGINT)
+      |    AS energy_ppm
+      |FROM per_scale CROSS JOIN tot""".stripMargin
+
+  /** FRIEDMAN within-block rank test — do weekdays differ in GMV
+    * once WEEK-level variation is blocked out? [[Quality
+    * .kruskalWallis]] ranks globally (between-group); Friedman ranks
+    * WITHIN each complete calendar week (block) so a strong weekly
+    * trend can't masquerade as a day-of-week effect — the rank-based
+    * cousin of the [[seasonalIndex]] readout. Doubled midranks
+    * within each 7-row block (r2 = 2·rank + ties − 1), per-DOW rank
+    * sums exact; χ²_F = 3·Σsum2r²/(56n) − 24n from exact DECIMAL(38)
+    * terms, one rounded-double finish (classic statistic; within-week
+    * GMV-cents ties are measure-zero and the midrank handles them).
+    * Days with NO orders inside the observed span count as GMV 0 —
+    * the zero-fill convention ([[leadLagXcorr]]) — so every interior
+    * week is complete at any SF; midranks absorb the resulting ties
+    * identically on both engines.
+    *
+    * Scale shape: one fact scan → daily rollup + a calendar fill
+    * bounded by the ~2.4k-day span; ranks ride windows PARTITIONED
+    * BY WEEK — millions of independent 7-row partitions,
+    * embarrassingly parallel, nothing global but the 7-row DOW
+    * rollup.
+    */
+  def friedman(s: SparkSession, d: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val observed = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+    val span = observed.agg(min(col("dt")).as("d0"),
+      max(col("dt")).as("d1"))
+    val calendar = span
+      .select(explode(expr("sequence(d0, d1, interval 1 day)"))
+        .as("dt"))
+    val daily = calendar.join(observed, Seq("dt"), "left_outer")
+      .select(col("dt"), coalesce(col("g"), lit(0L)).as("g"),
+        expr("CAST(dayofweek(dt) AS INT)").as("dow"),
+        // ISO-Monday week anchor: complete blocks only (zero-fill
+        // makes every non-edge week complete)
+        date_sub(col("dt"), ((dayofweek(col("dt")) + 5) % 7))
+          .as("wk"))
+    val complete = daily
+      .withColumn("wk_n", count(lit(1)).over(W.partitionBy("wk")))
+      .filter(col("wk_n") === 7)
+    val ranked = complete.select(col("wk"), col("dow"),
+      (rank().over(W.partitionBy("wk").orderBy("g")) * 2 +
+        count(lit(1)).over(W.partitionBy("wk", "g")) - 1).as("r2"))
+    val perDow = ranked.groupBy("dow")
+      .agg(count(lit(1)).as("n_weeks"),
+        sum(col("r2")).cast(d38).as("sum2r"))
+    val chi = perDow.agg(
+        sum((col("sum2r") * col("sum2r")).cast(d38)).as("s2"),
+        max(col("n_weeks")).as("n"))
+      .select(round(
+        lit(3.0) * col("s2").cast("double") /
+          (lit(56.0) * col("n").cast("double")) -
+          lit(24.0) * col("n").cast("double"), 6).as("chi2_f"))
+    perDow.crossJoin(broadcast(chi))
+      .select(col("dow").cast("long").as("dow"),
+        col("n_weeks").cast("long").as("n_weeks"),
+        col("sum2r").cast("long").as("sum2r"),
+        expr("""CAST(CAST(sum2r AS DECIMAL(38,0)) * 1000000
+                DIV CAST(2 * n_weeks AS DECIMAL(38,0)) AS LONG)""")
+          .as("mean_rank_e6"),
+        col("chi2_f"))
+  }
+
+  /** DuckDB oracle for [[friedman]] — identical complete-week
+    * doubled-midrank blocks; HUGEINT sums, one rounded double χ².
+    */
+  def friedmanOracleSql: String =
+    """WITH observed AS MATERIALIZED (SELECT
+      |    CAST(o_orderdate AS DATE) AS dt,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+      |      AS BIGINT) AS g
+      |  FROM orders GROUP BY 1),
+      |span AS MATERIALIZED (SELECT MIN(dt) AS d0, MAX(dt) AS d1
+      |  FROM observed),
+      |daily AS MATERIALIZED (SELECT
+      |    CAST(unnest(generate_series(d0, d1,
+      |      INTERVAL 1 DAY)) AS DATE) AS dt, 0 AS z
+      |  FROM span),
+      |filled AS MATERIALIZED (SELECT daily.dt,
+      |    COALESCE(observed.g, 0) AS g
+      |  FROM daily LEFT JOIN observed ON daily.dt = observed.dt),
+      |tagged AS MATERIALIZED (SELECT dt, g,
+      |    CAST(dayofweek(dt) AS INT) + 1 AS dow,
+      |    dt - CAST((CAST(dayofweek(dt) AS INT) + 6) % 7
+      |      AS INTEGER) AS wk
+      |  FROM filled),
+      |complete AS MATERIALIZED (SELECT * FROM (SELECT *,
+      |    COUNT(*) OVER (PARTITION BY wk) AS wk_n FROM tagged)
+      |  WHERE wk_n = 7),
+      |ranked AS MATERIALIZED (SELECT wk, dow,
+      |    rank() OVER (PARTITION BY wk ORDER BY g) * 2 +
+      |    COUNT(*) OVER (PARTITION BY wk, g) - 1 AS r2
+      |  FROM complete),
+      |per_dow AS MATERIALIZED (SELECT dow, COUNT(*) AS n_weeks,
+      |    CAST(SUM(r2) AS HUGEINT) AS sum2r
+      |  FROM ranked GROUP BY 1),
+      |chi AS MATERIALIZED (SELECT round(
+      |    3.0 * CAST(SUM(sum2r * sum2r) AS DOUBLE)
+      |      / (56.0 * CAST(MAX(n_weeks) AS DOUBLE))
+      |    - 24.0 * CAST(MAX(n_weeks) AS DOUBLE), 6) AS chi2_f
+      |  FROM per_dow)
+      |SELECT CAST(dow AS BIGINT) AS dow,
+      |  CAST(n_weeks AS BIGINT) AS n_weeks,
+      |  CAST(sum2r AS BIGINT) AS sum2r,
+      |  CAST(sum2r * 1000000 // CAST(2 * n_weeks AS HUGEINT)
+      |    AS BIGINT) AS mean_rank_e6,
+      |  chi2_f
+      |FROM per_dow CROSS JOIN chi""".stripMargin
+
   /** PETTITT rank-based changepoint test on the daily GMV series —
     * the nonparametric companion to [[cusumChangepoint]]: CUSUM
     * needs a known in-control mean and flags when cumulative

@@ -137,8 +137,10 @@ class PlanLintSpec extends AnyFunSuite {
     // kendall_tau's day-pair self-join is non-equi over the bounded
     // ~2.4k-day domain (the theil_sen argument); ks_drift assembles
     // its bounded |sources|×|lens| ECDF grid from 1-row/broadcast
-    // cross joins; pettitt crossJoins the 1-row day count
-    "analytics_kendall_tau", "dq_ks_drift", "analytics_pettitt")
+    // cross joins; pettitt crossJoins the 1-row day count;
+    // wavelet_energy the 1-row total energy; friedman the 1-row χ²
+    "analytics_kendall_tau", "dq_ks_drift", "analytics_pettitt",
+    "analytics_wavelet_energy", "analytics_friedman")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

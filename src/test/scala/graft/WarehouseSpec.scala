@@ -2082,6 +2082,28 @@ class WarehouseSpec extends AnyFunSuite {
     assert(tau > 0.3, s"tau_b=$tau unexpectedly weak")
   }
 
+  test("wavelet energy: Parseval shares sum to 1e6 and blocks halve per scale") {
+    val rows = graft.warehouse.Analytics.waveletEnergy(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._1)
+    // ppm shares of total sum to 10⁶ modulo per-scale truncation
+    val sumPpm = rows.map(_._3).sum
+    assert(sumPpm <= 1000000L && sumPpm >= 1000000L - rows.length)
+    // complete dyadic blocks: each scale has ~half the previous count
+    rows.sliding(2).foreach { case Array((_, n1, _), (_, n2, _)) =>
+      assert(n2 === n1 / 2 || n2 === (n1 - 1) / 2)
+    }
+  }
+
+  test("friedman: rank sums conserve 56 per week and n_weeks agree") {
+    val rows = graft.warehouse.Analytics.friedman(s, d).collect()
+    assert(rows.length === 7)
+    val n = rows.map(_.getLong(1)).distinct
+    assert(n.length === 1) // complete weeks: same n for every DOW
+    // Σ over DOW of doubled rank sums = 2·(1+..+7)·n_weeks = 56n
+    assert(rows.map(_.getLong(2)).sum === 56L * n.head)
+  }
+
   test("KS drift: one row per source, ppm in range, sup is attained") {
     val rows = graft.warehouse.Quality.ksDrift(s, d).collect()
     val nSrc = graft.sources.Tables.documents(s, d)
