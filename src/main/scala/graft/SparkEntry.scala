@@ -304,6 +304,8 @@ object SparkEntry {
     "analytics_friedman" -> (Analytics.friedman(_, _)),
     "pipeline_krippendorff" ->
       (TextAnalysis.krippendorffAlpha(_, _)),
+    "analytics_bootstrap_ci" -> (Analytics.bootstrapCi(_, _)),
+    "dq_event_copresence" -> (Quality.eventCopresence(_, _)),
     // rows-only: the greedy MMR trajectory is not SQL-expressible in
     // DuckDB; RoundSixOpsSpec replays it exactly on the driver
     "sim_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
@@ -5397,6 +5399,28 @@ object SparkEntry {
     // GENERATED oracle (Analytics.friedmanOracleSql): complete-week
     // doubled-midrank blocks, HUGEINT rank sums, one rounded χ²_F
     "analytics_friedman" -> Analytics.friedmanOracleSql,
+    // GENERATED oracle (Analytics.bootstrapCiOracleSql): identical
+    // MINSTD draw matrix, exact replicate sums, rank-picked bounds
+    "analytics_bootstrap_ci" -> Analytics.bootstrapCiOracleSql(),
+    // event-type co-presence at user-day grain: distinct units,
+    // bounded self-join, Jaccard ppm per (type_a < type_b)
+    "dq_event_copresence" ->
+      """WITH units AS MATERIALIZED (SELECT DISTINCT user_id,
+        |    CAST(ts AS DATE) AS day, event_type AS t FROM events),
+        |pres AS MATERIALIZED (SELECT t, COUNT(*) AS n FROM units
+        |  GROUP BY 1),
+        |both_ct AS MATERIALIZED (SELECT a.t AS type_a,
+        |    b.t AS type_b, COUNT(*) AS n_both
+        |  FROM units a JOIN units b ON a.user_id = b.user_id
+        |    AND a.day = b.day AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT bc.type_a, bc.type_b, bc.n_both,
+        |  pa.n AS n_a, pb.n AS n_b,
+        |  bc.n_both * 1000000 // (pa.n + pb.n - bc.n_both)
+        |    AS jaccard_ppm
+        |FROM both_ct bc
+        |JOIN pres pa ON pa.t = bc.type_a
+        |JOIN pres pb ON pb.t = bc.type_b""".stripMargin,
     // Krippendorff binary-nominal alpha: 3 deterministic raters,
     // exact pair counts, one truncating ppm division (both engines
     // truncate toward zero)

@@ -4810,6 +4810,103 @@ object Analytics {
               .cast("double")), 6).as("tau_b"))
   }
 
+  /** DETERMINISTIC bootstrap confidence interval for total daily GMV
+    * — the resampling answer to "how stable is this mean?" that a
+    * warehouse can actually grade: replicate r draws day-slot i's
+    * value at index MINSTD(r, i) mod n (Park–Miller LCG, 48271 mod
+    * 2³¹−1 — pure 63-bit-safe integer arithmetic both engines
+    * evaluate identically; no engine RNG anywhere), so the B×n
+    * resample matrix, every replicate sum, and the percentile
+    * bounds are all EXACT and replayable. CI convention: replicate
+    * sums ordered (sum, r), bounds at ranks ⌈0.025B⌉ and ⌈0.975B⌉.
+    *
+    * Scale shape: one fact scan → daily rollup; the resample matrix
+    * is B×|days| (bounded by the calendar × a constant, NOT by SF),
+    * one equi-join of draws to values on the day index, one
+    * combinable per-replicate sum, and a window over the B=200
+    * replicate rows.
+    */
+  def bootstrapCi(s: SparkSession, d: String, b: Int = 200): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+      .select((row_number().over(W.orderBy("dt")) - 1).as("i"),
+        col("g"))
+    val n1 = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("g")).as("observed_sum"))
+    val draws = daily.select(col("i"))
+      .crossJoin(broadcast(n1.select(col("n_days"))))
+      .select(col("i"), col("n_days"),
+        explode(expr(s"sequence(0, ${b - 1})")).as("r"))
+      .select(col("r"),
+        // CAST keeps the 48271·x product in 64-bit on BOTH engines
+        // (INT32 would wrap silently here, DuckDB would error)
+        expr("""(CAST(48271 AS BIGINT)
+                  * ((CAST(r AS BIGINT) * 65537 + i + 1) % 2147483647))
+                % 2147483647 % n_days""").as("idx"))
+    val sums = draws.join(daily.withColumnRenamed("i", "idx"), "idx")
+      .groupBy("r").agg(sum(col("g")).as("boot_sum"))
+    val ranked = sums.select(col("boot_sum"),
+      row_number().over(W.orderBy(col("boot_sum"), col("r")))
+        .as("rk"))
+    val lo = math.ceil(0.025 * b).toInt
+    val hi = math.ceil(0.975 * b).toInt
+    ranked.filter(col("rk") === lo || col("rk") === hi)
+      .agg(min(col("boot_sum")).as("lo_sum"),
+        max(col("boot_sum")).as("hi_sum"))
+      .crossJoin(broadcast(n1))
+      .select(col("n_days").cast("long").as("n_days"),
+        lit(b.toLong).as("n_boot"),
+        col("observed_sum").cast("long").as("observed_sum"),
+        col("lo_sum").cast("long").as("lo_sum"),
+        col("hi_sum").cast("long").as("hi_sum"),
+        expr("observed_sum DIV n_days").as("mean_cents"),
+        expr("lo_sum DIV n_days").as("lo_mean_cents"),
+        expr("hi_sum DIV n_days").as("hi_mean_cents"))
+  }
+
+  /** DuckDB oracle for [[bootstrapCi]] — the identical MINSTD draw
+    * matrix, replicate sums, and rank-selected bounds.
+    */
+  def bootstrapCiOracleSql(b: Int = 200): String = {
+    val lo = math.ceil(0.025 * b).toInt
+    val hi = math.ceil(0.975 * b).toInt
+    s"""WITH daily AS MATERIALIZED (SELECT
+       |    row_number() OVER (ORDER BY dt) - 1 AS i, g
+       |  FROM (SELECT CAST(o_orderdate AS DATE) AS dt,
+       |      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+       |        AS BIGINT) AS g
+       |    FROM orders GROUP BY 1)),
+       |n1 AS MATERIALIZED (SELECT COUNT(*) AS n_days,
+       |    SUM(g) AS observed_sum FROM daily),
+       |draws AS MATERIALIZED (SELECT r,
+       |    (CAST(48271 AS BIGINT)
+       |       * ((CAST(r AS BIGINT) * 65537 + i + 1) % 2147483647))
+       |      % 2147483647 % n_days AS idx
+       |  FROM daily CROSS JOIN n1
+       |  CROSS JOIN (SELECT unnest(range(0, $b)) AS r)),
+       |sums AS MATERIALIZED (SELECT r, SUM(g) AS boot_sum
+       |  FROM draws JOIN daily ON daily.i = draws.idx
+       |  GROUP BY 1),
+       |ranked AS MATERIALIZED (SELECT boot_sum,
+       |    row_number() OVER (ORDER BY boot_sum, r) AS rk
+       |  FROM sums),
+       |bounds AS MATERIALIZED (SELECT
+       |    MIN(boot_sum) AS lo_sum, MAX(boot_sum) AS hi_sum
+       |  FROM ranked WHERE rk IN ($lo, $hi))
+       |SELECT CAST(n_days AS BIGINT) AS n_days,
+       |  CAST($b AS BIGINT) AS n_boot,
+       |  CAST(observed_sum AS BIGINT) AS observed_sum,
+       |  CAST(lo_sum AS BIGINT) AS lo_sum,
+       |  CAST(hi_sum AS BIGINT) AS hi_sum,
+       |  CAST(observed_sum // n_days AS BIGINT) AS mean_cents,
+       |  CAST(lo_sum // n_days AS BIGINT) AS lo_mean_cents,
+       |  CAST(hi_sum // n_days AS BIGINT) AS hi_mean_cents
+       |FROM bounds CROSS JOIN n1""".stripMargin
+  }
+
   /** HAAR multi-scale energy decomposition of the daily GMV series —
     * at each dyadic scale 2^j days (j = 1..6), the detail
     * coefficient of every complete block is (left-half sum − right-

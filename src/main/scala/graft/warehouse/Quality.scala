@@ -853,6 +853,42 @@ object Quality {
         col("n_distinct"))
   }
 
+  /** EVENT-TYPE co-presence matrix at user-day grain — per pair of
+    * event types (a < b), how many user-days contain BOTH behaviors,
+    * as exact counts and a Jaccard ppm. The set-overlap companion of
+    * the sequential path-transition matrix: transitions say what
+    * follows what, co-presence says what coexists at all — a pair
+    * that always travels together then decouples flags an
+    * instrumentation break (one event stream went dark) faster than
+    * any volume alarm, which is why it sits in the quality suite.
+    *
+    * Scale shape: one scan → distinct (user, day, type) — combinable
+    * dedup — → self-equi-join on (user, day) whose per-unit fanout
+    * is C(|types present|, 2), bounded by the event vocabulary (~5),
+    * never by row count → one rollup at (type_a, type_b) grain.
+    */
+  def eventCopresence(s: SparkSession, d: String): DataFrame = {
+    val units = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type").as("t"))
+      .distinct()
+    val pres = units.groupBy("t").agg(count(lit(1)).as("n"))
+    val both = units.as("a").join(units.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.day") === col("b.day") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(pres.withColumnRenamed("t", "type_a")
+        .withColumnRenamed("n", "n_a"), Seq("type_a"))
+      .join(pres.withColumnRenamed("t", "type_b")
+        .withColumnRenamed("n", "n_b"), Seq("type_b"))
+      .select(col("type_a"), col("type_b"),
+        col("n_both"), col("n_a"), col("n_b"),
+        expr("n_both * 1000000 DIV (n_a + n_b - n_both)")
+          .as("jaccard_ppm"))
+  }
+
   /** EXACT Kolmogorov–Smirnov drift screen, ONE-vs-REST across ALL
     * groups at once — for each document source, the KS statistic
     * between ITS length distribution and the rest of the corpus:

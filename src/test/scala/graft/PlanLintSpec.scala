@@ -138,9 +138,11 @@ class PlanLintSpec extends AnyFunSuite {
     // ~2.4k-day domain (the theil_sen argument); ks_drift assembles
     // its bounded |sources|×|lens| ECDF grid from 1-row/broadcast
     // cross joins; pettitt crossJoins the 1-row day count;
-    // wavelet_energy the 1-row total energy; friedman the 1-row χ²
+    // wavelet_energy the 1-row total energy; friedman the 1-row χ²;
+    // bootstrap_ci the 1-row day-count/observed-sum aggregate
     "analytics_kendall_tau", "dq_ks_drift", "analytics_pettitt",
-    "analytics_wavelet_energy", "analytics_friedman")
+    "analytics_wavelet_energy", "analytics_friedman",
+    "analytics_bootstrap_ci")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
