@@ -306,6 +306,7 @@ object SparkEntry {
       (TextAnalysis.krippendorffAlpha(_, _)),
     "analytics_bootstrap_ci" -> (Analytics.bootstrapCi(_, _)),
     "dq_event_copresence" -> (Quality.eventCopresence(_, _)),
+    "sim_ivf_probe_sweep" -> (Similarity.ivfProbeSweep(_, _)),
     // rows-only: the greedy MMR trajectory is not SQL-expressible in
     // DuckDB; RoundSixOpsSpec replays it exactly on the driver
     "sim_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
@@ -5402,6 +5403,10 @@ object SparkEntry {
     // GENERATED oracle (Analytics.bootstrapCiOracleSql): identical
     // MINSTD draw matrix, exact replicate sums, rank-picked bounds
     "analytics_bootstrap_ci" -> Analytics.bootstrapCiOracleSql(),
+    // GENERATED oracle (Similarity.ivfProbeSweepOracleSql): k-means
+    // assignment replay + member-mean centroids + per-probe
+    // candidate cosine top-k vs the brute-force truth
+    "sim_ivf_probe_sweep" -> Similarity.ivfProbeSweepOracleSql(),
     // event-type co-presence at user-day grain: distinct units,
     // bounded self-join, Jaccard ppm per (type_a < type_b)
     "dq_event_copresence" ->

@@ -1039,6 +1039,171 @@ object Similarity {
     sb.toString.stripSuffix(",\n").stripSuffix(",") + "\n" + unions
   }
 
+  /** IVF nprobe RECALL SWEEP — the measured recall-vs-cost trade
+    * table behind every "how many cells should a query probe?"
+    * decision, completing the evaluation trio: [[annRecallEval]]
+    * grades one LSH config, [[matryoshkaRecall]] the prefix-dim
+    * axis, this the probe-count axis. Cells come from the exact
+    * deterministic k-means ([[kmeansClusters]] — iters=2, the same
+    * half-replay grade as cluster purity); probe centroids are
+    * DEFINED as the member means of the final assignment, so the
+    * oracle rebuilds them from the assignment replay alone. Per
+    * nprobe ∈ {1,2,4}: a query searches only its nprobe nearest
+    * cells; exact-cosine top-k inside the candidates, hits counted
+    * by semi-join against the brute-force truth, plus the TOTAL
+    * candidate volume — the cost number the recall buys.
+    *
+    * Scale shape: centroid build is one combinable rollup to
+    * ≤nCells rows (the [[kmeansClusters]] bounded-collect
+    * contract); the search join is an equi-join on cell id; the
+    * per-query top-k window partitions by query.
+    */
+  def ivfProbeSweep(s: SparkSession, d: String, nQueries: Int = 20,
+      k: Int = 5, nCells: Int = 8, iters: Int = 2,
+      probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    import s.implicits._
+    Vectors.ensureRegistered(s)
+    val dim = 64
+    val asg = kmeansClusters(s, d, nCells, iters).localCheckpoint()
+    val eq = Tables.spread(Tables.embeddings(s, d)).select(
+      col("vec_id"),
+      transform(Vectors.asDouble(col("embedding")),
+        x => round(x * 1000).cast("double")).as("vq"))
+    val dimSums = (0 until dim).map(i =>
+      sum(element_at(col("vq"), i + 1)).as(s"s$i"))
+    // ≤ nCells rows — the same bounded collect kmeans itself makes
+    val cents = asg.join(eq, "vec_id").groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"), dimSums: _*)
+      .collect()
+      .map { r =>
+        val v = Array.tabulate(dim)(i => r.getDouble(i + 2) / r.getLong(1))
+        (r.getLong(0), v.toSeq, v.map(x => x * x).sum)
+      }.toSeq.toDF("cluster_id", "cv", "cc")
+    val qrank = eq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vq"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cluster_id"),
+        (col("cc") - lit(2.0) * Vectors.dot(col("vq"), col("cv")))
+          .as("dist"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("dist"), col("cluster_id"))))
+      .localCheckpoint()
+    val truth = bruteForceTopK(s, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val er = Tables.spread(Tables.embeddings(s, d)).select(
+        col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val qr = er.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val perProbe = probes.map { p =>
+      val cand = qrank.filter(col("crk") <= p)
+        .select(col("query_id"), col("cluster_id"))
+        .join(asg, "cluster_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(er, "vec_id").join(broadcast(qr), "query_id")
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          Vectors.cosineWithNorms(col("qv"), col("v"), col("qn"),
+            col("nrm")).as("cos"))
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val top = cand.withColumn("rk", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("rk") <= k)
+      top.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nc))
+        .select(lit(p.toLong).as("nprobe"),
+          col("n_candidates").cast("long").as("n_candidates"),
+          col("n_hits").cast("long").as("n_hits"),
+          expr(s"n_hits * 1000000 DIV ${nQueries.toLong * k}")
+            .as("recall_ppm"))
+    }
+    perProbe.reduce(_ unionByName _)
+  }
+
+  /** DuckDB oracle for [[ivfProbeSweep]] — the k-means assignment
+    * replay, member-mean probe centroids, query-to-centroid ranks,
+    * and per-probe candidate cosine top-k vs the brute-force truth.
+    */
+  def ivfProbeSweepOracleSql(nQueries: Int = 20, k: Int = 5,
+      nCells: Int = 8, iters: Int = 2,
+      probes: Seq[Int] = Seq(1, 2, 4)): String = {
+    val dim = 64
+    val base = kmeansOracleSql(nCells, iters)
+    val marker =
+      s"SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM a$iters"
+    require(base.endsWith(marker), "kmeans oracle tail changed")
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(range($dim), i -> $a[i + 1] * $b[i + 1]))"
+    val sb = new StringBuilder(base.stripSuffix(marker))
+    sb ++=
+      s""", asg AS MATERIALIZED (SELECT vec_id,
+         |    CAST(cid AS BIGINT) AS cluster_id FROM a$iters),
+         |emb_raw AS MATERIALIZED (SELECT vec_id,
+         |    CAST(embedding AS DOUBLE[]) AS vr,
+         |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> x * x))) AS nrm
+         |  FROM embeddings),
+         |cent AS MATERIALIZED (SELECT cluster_id,
+         |    list(mv ORDER BY i) AS cv,
+         |    list_sum(list_transform(list(mv ORDER BY i),
+         |      x -> x * x)) AS cc
+         |  FROM (SELECT asg.cluster_id, g.i,
+         |      CAST(SUM(e.v[g.i]) AS DOUBLE) / COUNT(*) AS mv
+         |    FROM asg JOIN emb e USING (vec_id)
+         |    CROSS JOIN range(1, ${dim + 1}) AS g(i) GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |qrank AS MATERIALIZED (SELECT query_id, cluster_id, crk FROM (
+         |    SELECT q.vec_id AS query_id, c.cluster_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY c.cc - 2.0 * ${dot("q.v", "c.cv")},
+         |          c.cluster_id) AS crk
+         |    FROM emb q CROSS JOIN cent c
+         |    WHERE q.vec_id < $nQueries) t),
+         |truth_s AS MATERIALIZED (SELECT q.vec_id AS query_id,
+         |    e.vec_id AS neighbor_id,
+         |    ${dot("q.vr", "e.vr")} / (q.nrm * e.nrm) AS cos
+         |  FROM emb_raw e JOIN emb_raw q ON q.vec_id < $nQueries
+         |    AND e.vec_id <> q.vec_id),
+         |truth AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+         |      AS rk FROM truth_s) t
+         |  WHERE rk <= $k),
+         |""".stripMargin
+    for (p <- probes) {
+      sb ++=
+        s"""cand$p AS MATERIALIZED (SELECT pr.query_id,
+           |    e.vec_id AS neighbor_id,
+           |    ${dot("q.vr", "e.vr")} / (q.nrm * e.nrm) AS cos
+           |  FROM qrank pr
+           |  JOIN asg ON asg.cluster_id = pr.cluster_id
+           |    AND pr.crk <= $p
+           |  JOIN emb_raw e ON e.vec_id = asg.vec_id
+           |    AND e.vec_id <> pr.query_id
+           |  JOIN emb_raw q ON q.vec_id = pr.query_id),
+           |top$p AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+           |      AS rk FROM cand$p) t
+           |  WHERE rk <= $k),
+           |""".stripMargin
+    }
+    val unions = probes.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS nprobe,
+         |  (SELECT COUNT(*) FROM cand$p) AS n_candidates,
+         |  CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) * 1000000 // ${nQueries.toLong * k} AS BIGINT)
+         |    AS recall_ppm
+         |FROM top$p SEMI JOIN truth
+         |  ON top$p.query_id = truth.query_id
+         |  AND top$p.neighbor_id = truth.neighbor_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb.toString.stripSuffix(",\n") + "\n" + unions
+  }
+
   /** Batch diversity score — the mean pairwise similarity inside
     * each label group, the metric a training-data sampler watches to
     * avoid redundant batches (high mean cosine = the group is

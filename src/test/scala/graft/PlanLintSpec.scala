@@ -142,7 +142,10 @@ class PlanLintSpec extends AnyFunSuite {
     // bootstrap_ci the 1-row day-count/observed-sum aggregate
     "analytics_kendall_tau", "dq_ks_drift", "analytics_pettitt",
     "analytics_wavelet_energy", "analytics_friedman",
-    "analytics_bootstrap_ci")
+    "analytics_bootstrap_ci",
+    // ivf_probe_sweep inherits the brute-force broadcast query join
+    // + the ≤nCells centroid frame and 1-row candidate-count joins
+    "sim_ivf_probe_sweep")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
