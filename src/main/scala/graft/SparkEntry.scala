@@ -307,6 +307,8 @@ object SparkEntry {
     "analytics_bootstrap_ci" -> (Analytics.bootstrapCi(_, _)),
     "dq_event_copresence" -> (Quality.eventCopresence(_, _)),
     "sim_ivf_probe_sweep" -> (Similarity.ivfProbeSweep(_, _)),
+    "pipeline_padding_waste" -> (TextAnalysis.paddingWaste(_, _)),
+    "analytics_median_polish" -> (Analytics.medianPolish(_, _)),
     // rows-only: the greedy MMR trajectory is not SQL-expressible in
     // DuckDB; RoundSixOpsSpec replays it exactly on the driver
     "sim_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
@@ -5407,6 +5409,32 @@ object SparkEntry {
     // assignment replay + member-mean centroids + per-probe
     // candidate cosine top-k vs the brute-force truth
     "sim_ivf_probe_sweep" -> Similarity.ivfProbeSweepOracleSql(),
+    // padding waste: whitespace tokens, per-L truncate/pad algebra,
+    // exact integers, ppm shares
+    "pipeline_padding_waste" ->
+      """WITH toks AS MATERIALIZED (SELECT
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |g AS MATERIALIZED (SELECT n_tokens, CAST(l AS BIGINT) AS len
+        |  FROM toks CROSS JOIN
+        |    (SELECT unnest([128, 256, 512, 1024]) AS l))
+        |SELECT len, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(least(n_tokens, len)) AS BIGINT) AS kept_tokens,
+        |  CAST(SUM(len - least(n_tokens, len)) AS BIGINT)
+        |    AS pad_tokens,
+        |  CAST(SUM(greatest(n_tokens - len, 0)) AS BIGINT)
+        |    AS trunc_tokens,
+        |  CAST(SUM(len - least(n_tokens, len)) * 1000000
+        |    // (COUNT(*) * len) AS BIGINT) AS pad_ppm,
+        |  CAST(SUM(greatest(n_tokens - len, 0)) * 1000000
+        |    // greatest(SUM(n_tokens), 1) AS BIGINT) AS trunc_ppm
+        |FROM g GROUP BY 1""".stripMargin,
+    // GENERATED oracle (Analytics.medianPolishOracleSql): two-sweep
+    // lower-median selection over the bounded DOW×month matrix —
+    // exact cents end to end
+    "analytics_median_polish" -> Analytics.medianPolishOracleSql,
     // event-type co-presence at user-day grain: distinct units,
     // bounded self-join, Jaccard ppm per (type_a < type_b)
     "dq_event_copresence" ->

@@ -798,6 +798,40 @@ object TextAnalysis {
           "* 1000000 div (n * n - pe_num) AS BIGINT)").as("kappa_ppm"))
   }
 
+  /** PADDING-WASTE report — the batch-shaping readout every training
+    * pipeline checks before fixing a context length: at each
+    * candidate length L (one document per sequence, truncate at L,
+    * pad to L), how many slot tokens are PADDING and how many corpus
+    * tokens are TRUNCATED AWAY? The complement of [[packGreedy]]
+    * (which packs many docs per sequence): this table is the
+    * argument for packing — a corpus whose pad share reads 40% at
+    * L=1024 pays 1.67× compute per useful token. Whitespace tokens
+    * ([[graft.functions.Text.wsTokens]]), exact integer counts, ppm
+    * shares; one scan, the L levels ride one explode.
+    */
+  def paddingWaste(s: SparkSession, d: String,
+      lengths: Seq[Int] = Seq(128, 256, 512, 1024)): DataFrame = {
+    Tables.spread(Tables.documents(s, d))
+      .select(size(Text.wsTokens(col("text"))).cast("long")
+        .as("n_tokens"))
+      .select(col("n_tokens"),
+        explode(typedLit(lengths.map(_.toLong))).as("len"))
+      .groupBy("len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(least(col("n_tokens"), col("len"))).as("kept_tokens"),
+        sum(col("len") - least(col("n_tokens"), col("len")))
+          .as("pad_tokens"),
+        sum(greatest(col("n_tokens") - col("len"), lit(0L)))
+          .as("trunc_tokens"))
+      .select(col("len"), col("n_docs"), col("total_tokens"),
+        col("kept_tokens"), col("pad_tokens"), col("trunc_tokens"),
+        expr("pad_tokens * 1000000 DIV (n_docs * len)")
+          .as("pad_ppm"),
+        expr("trunc_tokens * 1000000 DIV greatest(total_tokens, 1)")
+          .as("trunc_ppm"))
+  }
+
   /** KRIPPENDORFF's alpha over THREE deterministic annotators — the
     * multi-rater generalization of [[annotationKappa]]'s two-rater
     * Cohen κ, the reliability number a labeling pipeline quotes when

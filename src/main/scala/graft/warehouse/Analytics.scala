@@ -4810,6 +4810,121 @@ object Analytics {
               .cast("double")), 6).as("tau_b"))
   }
 
+  /** TUKEY MEDIAN POLISH of the (day-of-week × month) GMV matrix —
+    * the robust two-way decomposition: cell ≈ grand + row(DOW) +
+    * col(month) + residual, fitted by alternately sweeping medians
+    * out of rows and columns (two full sweeps). Where
+    * [[seasonalIndex]] fits the DOW effect with means (one bad
+    * promo month skews every weekday), the polish's medians shrug
+    * outlier cells into the residual — and the max |residual| IS
+    * the anomaly readout. Every median is the LOWER median (element
+    * at rank ⌈n/2⌉ ordered by value then label) — pure integer
+    * SELECTION, no averaging, so the whole decomposition is exact
+    * cents end to end. Cells = present (dow, month) combinations;
+    * both engines see the same cells, no fill convention needed.
+    *
+    * Scale shape: one fact scan → a ≤7×|months| matrix; every
+    * window partitions by row or column of that bounded matrix.
+    */
+  def medianPolish(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    def med(df: DataFrame, part: String, valCol: String,
+        tie: String, out: String): DataFrame =
+      df.select(col(part),
+          col(valCol),
+          row_number().over(W.partitionBy(part)
+            .orderBy(col(valCol), col(tie))).as("rn"),
+          count(lit(1)).over(W.partitionBy(part)).as("cnt"))
+        .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+        .select(col(part), col(valCol).as(out))
+    val cells = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("dt"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("cents"))
+      .groupBy(expr("CAST(dayofweek(dt) AS INT)").as("dow"),
+        date_format(col("dt"), "yyyy-MM").as("mon"))
+      .agg(sum(col("cents")).as("g"))
+    val r1 = med(cells, "dow", "g", "mon", "rm1")
+    val c1in = cells.join(broadcast(r1), "dow")
+      .select(col("dow"), col("mon"), (col("g") - col("rm1")).as("v"))
+    val c1 = med(c1in, "mon", "v", "dow", "cm1")
+    val r2in = c1in.join(broadcast(c1), "mon")
+      .select(col("dow"), col("mon"), (col("v") - col("cm1")).as("v"))
+    val r2 = med(r2in, "dow", "v", "mon", "rm2")
+    val c2in = r2in.join(broadcast(r2), "dow")
+      .select(col("dow"), col("mon"), (col("v") - col("rm2")).as("v"))
+    val c2 = med(c2in, "mon", "v", "dow", "cm2")
+    val resid = c2in.join(broadcast(c2), "mon")
+      .select(col("dow"), col("mon"), (col("v") - col("cm2")).as("v"))
+    val rowEff = r1.join(r2, "dow")
+      .select(col("dow"), (col("rm1") + col("rm2")).as("re"))
+    val grand = med(rowEff.select(lit(1).as("one"), col("re"),
+        col("dow")), "one", "re", "dow", "grand")
+      .select(col("grand"))
+    val stats = resid.agg(max(abs(col("v"))).as("max_abs_resid"),
+      count(lit(1)).as("n_cells"))
+    rowEff.crossJoin(broadcast(grand)).crossJoin(broadcast(stats))
+      .select(col("dow").cast("long").as("dow"),
+        (col("re") - col("grand")).cast("long")
+          .as("row_effect_cents"),
+        col("grand").cast("long").as("grand_cents"),
+        col("max_abs_resid").cast("long").as("max_abs_resid_cents"),
+        col("n_cells").cast("long").as("n_cells"))
+  }
+
+  /** DuckDB oracle for [[medianPolish]] — the identical two-sweep
+    * lower-median selection over the bounded DOW×month matrix.
+    */
+  def medianPolishOracleSql: String = {
+    def med(src: String, part: String, v: String, tie: String,
+        name: String, out: String): String =
+      s"""$name AS MATERIALIZED (SELECT $part, $v AS $out FROM (
+         |    SELECT $part, $v, row_number() OVER (PARTITION BY $part
+         |        ORDER BY $v, $tie) AS rn,
+         |      COUNT(*) OVER (PARTITION BY $part) AS cnt
+         |    FROM $src) t
+         |  WHERE rn = (cnt + 1) // 2),
+         |""".stripMargin
+    """WITH cells AS MATERIALIZED (SELECT
+      |    CAST(dayofweek(dt) AS INT) + 1 AS dow,
+      |    strftime(dt, '%Y-%m') AS mon, SUM(cents) AS g
+      |  FROM (SELECT CAST(o_orderdate AS DATE) AS dt,
+      |      CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |        AS BIGINT) AS cents FROM orders)
+      |  GROUP BY 1, 2),
+      |""".stripMargin +
+      med("cells", "dow", "g", "mon", "r1", "rm1") +
+      """c1in AS MATERIALIZED (SELECT cells.dow, mon, g - rm1 AS v
+        |  FROM cells JOIN r1 ON cells.dow = r1.dow),
+        |""".stripMargin +
+      med("c1in", "mon", "v", "dow", "c1", "cm1") +
+      """r2in AS MATERIALIZED (SELECT dow, c1in.mon, v - cm1 AS v
+        |  FROM c1in JOIN c1 ON c1in.mon = c1.mon),
+        |""".stripMargin +
+      med("r2in", "dow", "v", "mon", "r2", "rm2") +
+      """c2in AS MATERIALIZED (SELECT r2in.dow, mon, v - rm2 AS v
+        |  FROM r2in JOIN r2 ON r2in.dow = r2.dow),
+        |""".stripMargin +
+      med("c2in", "mon", "v", "dow", "c2", "cm2") +
+      """resid AS MATERIALIZED (SELECT c2in.dow, c2in.mon,
+        |    v - cm2 AS v
+        |  FROM c2in JOIN c2 ON c2in.mon = c2.mon),
+        |roweff AS MATERIALIZED (SELECT r1.dow, rm1 + rm2 AS re
+        |  FROM r1 JOIN r2 ON r1.dow = r2.dow),
+        |grand AS MATERIALIZED (SELECT re AS grand FROM (
+        |    SELECT re, row_number() OVER (ORDER BY re, dow) AS rn,
+        |      COUNT(*) OVER () AS cnt FROM roweff) t
+        |  WHERE rn = (cnt + 1) // 2),
+        |stats AS MATERIALIZED (SELECT MAX(abs(v)) AS max_abs_resid,
+        |    COUNT(*) AS n_cells FROM resid)
+        |SELECT CAST(dow AS BIGINT) AS dow,
+        |  CAST(re - grand AS BIGINT) AS row_effect_cents,
+        |  CAST(grand AS BIGINT) AS grand_cents,
+        |  CAST(max_abs_resid AS BIGINT) AS max_abs_resid_cents,
+        |  CAST(n_cells AS BIGINT) AS n_cells
+        |FROM roweff CROSS JOIN grand CROSS JOIN stats""".stripMargin
+  }
+
   /** DETERMINISTIC bootstrap confidence interval for total daily GMV
     * — the resampling answer to "how stable is this mean?" that a
     * warehouse can actually grade: replicate r draws day-slot i's

@@ -145,7 +145,9 @@ class PlanLintSpec extends AnyFunSuite {
     "analytics_bootstrap_ci",
     // ivf_probe_sweep inherits the brute-force broadcast query join
     // + the ≤nCells centroid frame and 1-row candidate-count joins
-    "sim_ivf_probe_sweep")
+    "sim_ivf_probe_sweep",
+    // median_polish crossJoins the 1-row grand median + resid stats
+    "analytics_median_polish")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
