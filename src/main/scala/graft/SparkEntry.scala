@@ -309,6 +309,9 @@ object SparkEntry {
     "sim_ivf_probe_sweep" -> (Similarity.ivfProbeSweep(_, _)),
     "pipeline_padding_waste" -> (TextAnalysis.paddingWaste(_, _)),
     "analytics_median_polish" -> (Analytics.medianPolish(_, _)),
+    "analytics_cramers_v" -> (Analytics.cramersV(_, _)),
+    "graph_diameter" ->
+      ((s, dir) => graft.operators.Graph.diameterTwoSweep(s, dir)),
     // rows-only: the greedy MMR trajectory is not SQL-expressible in
     // DuckDB; RoundSixOpsSpec replays it exactly on the driver
     "sim_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
@@ -5435,6 +5438,13 @@ object SparkEntry {
     // lower-median selection over the bounded DOW×month matrix —
     // exact cents end to end
     "analytics_median_polish" -> Analytics.medianPolishOracleSql,
+    // GENERATED oracle (Analytics.cramersVOracleSql): identical
+    // per-cell truncating contingency terms, HUGEINT throughout
+    "analytics_cramers_v" -> Analytics.cramersVOracleSql,
+    // GENERATED oracle (Graph.diameterTwoSweepOracleSql): both BFS
+    // sweeps unrolled to the same fixed round budget
+    "graph_diameter" ->
+      graft.operators.Graph.diameterTwoSweepOracleSql(),
     // event-type co-presence at user-day grain: distinct units,
     // bounded self-join, Jaccard ppm per (type_a < type_b)
     "dq_event_copresence" ->

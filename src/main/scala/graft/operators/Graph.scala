@@ -421,6 +421,108 @@ object Graph {
     dist.select(col("node").as("part_id"), col("dist"))
   }
 
+  /** DIAMETER lower bound via the 2-SWEEP BFS heuristic (the
+    * standard cheap estimator: BFS from a hub, then BFS again from
+    * the farthest node found — the second eccentricity is within a
+    * small factor of the true diameter on real-world graphs, at the
+    * cost of two sweeps instead of all-pairs): hop-count BFS on the
+    * strong co-purchase subgraph, both sweeps unrolled to a fixed
+    * `rounds` budget (the [[shortestPath]] convention — each round
+    * is one frontier⋈edges join + a min reduce, so the readout is
+    * "eccentricity within an R-hop horizon", exact and replayable).
+    * Start = max-degree node, ties to the smallest id; the far node
+    * breaks distance ties the same way.
+    *
+    * Scale shape: 2×rounds bounded BSP joins over the bucketed pair
+    * layout; no collect but the 1-row seed/argmax probes.
+    */
+  def diameterTwoSweep(s: SparkSession, d: String,
+      minStrength: Long = 2, rounds: Int = 6): DataFrame = {
+    val st = coPurchasePairCounts(s, d)
+      .filter(col("n_st") >= minStrength)
+      .select(col("s"), col("t"))
+    val e = st.select(col("s").as("src"), col("t").as("dst"))
+      .unionByName(st.select(col("t").as("src"), col("s").as("dst")))
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    def bfs(seed: DataFrame): DataFrame = {
+      var dist = seed.select(col("node"), lit(0L).as("dist"))
+      for (_ <- 1 to rounds) {
+        val relax = dist.join(e, dist("node") === e("src"))
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        dist = dist.unionByName(relax)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+      }
+      dist
+    }
+    val start = deg
+      .orderBy(col("deg").desc, col("src")).limit(1)
+      .select(col("src").as("node"))
+    val d1 = bfs(broadcast(start))
+    val far = d1.orderBy(col("dist").desc, col("node")).limit(1)
+    val d2 = bfs(broadcast(far.select(col("node"))))
+    val ecc = d2.agg(max(col("dist")).as("ecc_hops"),
+      count(lit(1)).as("n_reached"))
+    start.select(col("node").as("start_node"))
+      .crossJoin(broadcast(far.select(col("node").as("far_node"),
+        col("dist").as("far_dist"))))
+      .crossJoin(broadcast(ecc))
+      .select(col("start_node").cast("long").as("start_node"),
+        col("far_node").cast("long").as("far_node"),
+        col("far_dist").cast("long").as("far_dist"),
+        col("ecc_hops").cast("long").as("diameter_lb_hops"),
+        col("n_reached").cast("long").as("n_reached"))
+  }
+
+  /** DuckDB oracle GENERATOR for [[diameterTwoSweep]] — both BFS
+    * sweeps unrolled to the same fixed round budget.
+    */
+  def diameterTwoSweepOracleSql(minStrength: Long = 2,
+      rounds: Int = 6): String = {
+    def bfsCtes(tag: String, seedCte: String): String = {
+      val sb = new StringBuilder
+      sb ++= s"${tag}0 AS MATERIALIZED (SELECT node, 0 AS dist FROM $seedCte),\n"
+      for (r <- 1 to rounds) {
+        sb ++=
+          s"""$tag$r AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+             |    SELECT node, dist FROM $tag${r - 1}
+             |    UNION ALL
+             |    SELECT e.dst AS node, p.dist + 1 AS dist
+             |    FROM $tag${r - 1} p JOIN e ON e.src = p.node) u
+             |  GROUP BY 1),
+             |""".stripMargin
+      }
+      sb.toString
+    }
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+       |    l_partkey AS pk FROM lineitem),
+       |stp AS MATERIALIZED (SELECT a.pk AS s, b.pk AS t,
+       |    COUNT(*) AS n_st
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minStrength),
+       |e AS MATERIALIZED (SELECT s AS src, t AS dst FROM stp
+       |  UNION ALL SELECT t, s FROM stp),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e
+       |  GROUP BY 1),
+       |start AS MATERIALIZED (SELECT src AS node FROM deg
+       |  ORDER BY deg DESC, src LIMIT 1),
+       |""".stripMargin +
+      bfsCtes("da", "start") +
+      s"""far AS MATERIALIZED (SELECT node, dist FROM da$rounds
+         |  ORDER BY dist DESC, node LIMIT 1),
+         |""".stripMargin +
+      bfsCtes("db", "far") +
+      s"""ecc AS MATERIALIZED (SELECT MAX(dist) AS ecc_hops,
+         |    COUNT(*) AS n_reached FROM db$rounds)
+         |SELECT CAST(start.node AS BIGINT) AS start_node,
+         |  CAST(far.node AS BIGINT) AS far_node,
+         |  CAST(far.dist AS BIGINT) AS far_dist,
+         |  CAST(ecc_hops AS BIGINT) AS diameter_lb_hops,
+         |  CAST(n_reached AS BIGINT) AS n_reached
+         |FROM start CROSS JOIN far CROSS JOIN ecc""".stripMargin
+  }
+
   /** Minimum spanning forest via Borůvka rounds — THE classic
     * BSP-parallel MST (each round every component picks its cheapest
     * outgoing edge; components halve per round, so ≤ log₂ n rounds):

@@ -4810,6 +4810,103 @@ object Analytics {
               .cast("double")), 6).as("tau_b"))
   }
 
+  /** CRAMÉR's V effect-size MATRIX over categorical column pairs —
+    * [[Quality.chi2Independence]] answers "are these two columns
+    * independent?" for one pair as a yes/no; this reports the
+    * STRENGTH of association for every declared pair in one pass,
+    * the number a feature-selection or denormalization decision
+    * actually needs. χ² from the contingency identity
+    * χ² = n(S−1), S = Σ o²/(r_i·c_j), with S accumulated as exact
+    * per-cell integer terms scaled by 10¹² (truncating division —
+    * engine-identical); V² in ppm clears the sqrt the way
+    * [[partialCorr]] squares away its sign. Per-cell truncation can
+    * read a hair below independence (tiny negative χ²) — identical
+    * on both engines, value-graded as is.
+    *
+    * Scale shape: ONE fact scan; the pairs ride an explode; every
+    * aggregate is combinable at (pair, level) grain bounded by the
+    * category vocabularies.
+    */
+  def cramersV(s: SparkSession, d: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .join(Tables.orders(s, d).select(col("o_orderkey").as("ok"),
+        col("o_orderstatus").as("os"),
+        col("o_orderpriority").as("op")), "ok")
+    val pairs = li.select(explode(array(
+        struct(lit("returnflag_x_linestatus").as("pair"),
+          col("rf").as("x"), col("ls").as("y")),
+        struct(lit("priority_x_returnflag").as("pair"),
+          col("op").as("x"), col("rf").as("y")),
+        struct(lit("orderstatus_x_linestatus").as("pair"),
+          col("os").as("x"), col("ls").as("y")))).as("p"))
+      .select(col("p.pair").as("pair"), col("p.x").as("x"),
+        col("p.y").as("y"))
+    val cells = pairs.groupBy("pair", "x", "y")
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("pair", "x").agg(sum(col("o")).as("ri"))
+    val colTot = cells.groupBy("pair", "y").agg(sum(col("o")).as("cj"))
+    val dims = cells.groupBy("pair")
+      .agg(countDistinct(col("x")).as("r"),
+        countDistinct(col("y")).as("c"), sum(col("o")).as("n"))
+    cells.join(rowTot, Seq("pair", "x"))
+      .join(colTot, Seq("pair", "y"))
+      .select(col("pair"),
+        expr("""CAST(CAST(o AS DECIMAL(38,0)) * o * 1000000000000
+                DIV (CAST(ri AS DECIMAL(38,0)) * cj)
+                AS DECIMAL(38,0))""").as("term"))
+      .groupBy("pair").agg(sum(col("term")).cast(d38).as("s_e12"))
+      .join(dims, "pair")
+      .select(col("pair"), col("n").cast("long").as("n"),
+        col("r").cast("long").as("n_rows"),
+        col("c").cast("long").as("n_cols"),
+        expr("""CAST((s_e12 - 1000000000000) * n DIV 1000000
+                AS BIGINT)""").as("chi2_e6"),
+        expr("""CAST((s_e12 - 1000000000000)
+                DIV (least(r - 1, c - 1) * 1000000)
+                AS BIGINT)""").as("v2_ppm"))
+  }
+
+  /** DuckDB oracle for [[cramersV]] — the identical per-cell
+    * truncating contingency terms over the exploded pair list.
+    */
+  def cramersVOracleSql: String =
+    """WITH src AS MATERIALIZED (SELECT l_returnflag AS rf,
+      |    l_linestatus AS ls, o_orderstatus AS os,
+      |    o_orderpriority AS op
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |pairs AS MATERIALIZED (
+      |  SELECT 'returnflag_x_linestatus' AS pair, rf AS x, ls AS y
+      |    FROM src
+      |  UNION ALL
+      |  SELECT 'priority_x_returnflag', op, rf FROM src
+      |  UNION ALL
+      |  SELECT 'orderstatus_x_linestatus', os, ls FROM src),
+      |cells AS MATERIALIZED (SELECT pair, x, y, COUNT(*) AS o
+      |  FROM pairs GROUP BY 1, 2, 3),
+      |rt AS MATERIALIZED (SELECT pair, x, SUM(o) AS ri FROM cells
+      |  GROUP BY 1, 2),
+      |ct AS MATERIALIZED (SELECT pair, y, SUM(o) AS cj FROM cells
+      |  GROUP BY 1, 2),
+      |dims AS MATERIALIZED (SELECT pair, COUNT(DISTINCT x) AS r,
+      |    COUNT(DISTINCT y) AS c, SUM(o) AS n FROM cells GROUP BY 1),
+      |terms AS MATERIALIZED (SELECT cells.pair,
+      |    SUM(CAST(o AS HUGEINT) * o * 1000000000000
+      |      // (CAST(ri AS HUGEINT) * cj)) AS s_e12
+      |  FROM cells
+      |  JOIN rt ON rt.pair = cells.pair AND rt.x = cells.x
+      |  JOIN ct ON ct.pair = cells.pair AND ct.y = cells.y
+      |  GROUP BY 1)
+      |SELECT t.pair, CAST(n AS BIGINT) AS n,
+      |  CAST(r AS BIGINT) AS n_rows, CAST(c AS BIGINT) AS n_cols,
+      |  CAST((s_e12 - 1000000000000) * n // 1000000 AS BIGINT)
+      |    AS chi2_e6,
+      |  CAST((s_e12 - 1000000000000)
+      |    // (least(r - 1, c - 1) * 1000000) AS BIGINT) AS v2_ppm
+      |FROM terms t JOIN dims ON dims.pair = t.pair""".stripMargin
+
   /** TUKEY MEDIAN POLISH of the (day-of-week × month) GMV matrix —
     * the robust two-way decomposition: cell ≈ grand + row(DOW) +
     * col(month) + residual, fitted by alternately sweeping medians

@@ -147,7 +147,9 @@ class PlanLintSpec extends AnyFunSuite {
     // + the ≤nCells centroid frame and 1-row candidate-count joins
     "sim_ivf_probe_sweep",
     // median_polish crossJoins the 1-row grand median + resid stats
-    "analytics_median_polish")
+    "analytics_median_polish",
+    // diameter assembles three 1-row probes (start/far/ecc)
+    "graph_diameter")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
