@@ -798,6 +798,41 @@ object TextAnalysis {
           "* 1000000 div (n * n - pe_num) AS BIGINT)").as("kappa_ppm"))
   }
 
+  /** MOJIBAKE / control-character screen — the encoding-health check
+    * an ingest runs before any tokenizer sees the bytes: per source,
+    * documents carrying U+FFFD (the replacement char a broken decode
+    * leaves behind) and the count of C0 control characters (minus
+    * tab/newline/CR, which are legitimate text). The targeted
+    * companion to [[scriptMix]]'s broad "other" bucket: FFFD is a
+    * smoking gun, not a drift signal. Pure codegen'd
+    * length-difference regex counts, one scan, exact integers; a
+    * clean corpus reads all-zero and THAT is the assertion.
+    */
+  def mojibakeScreen(s: SparkSession, d: String): DataFrame = {
+    val ctrl = length(col("text")) - length(regexp_replace(col("text"),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+    // build U+FFFD from its code point — a backslash-u escape in
+    // source is rewritten by the Scala LEXER (even behind another
+    // backslash), exactly the encoding trap this operator screens for
+    val fffd = 65533.toChar.toString
+    val repl = length(col("text")) - length(regexp_replace(col("text"),
+      fffd, ""))
+    Tables.spread(Tables.documents(s, d))
+      .select(col("source"), length(col("text")).cast("long").as("n"),
+        ctrl.cast("long").as("ctrl"), repl.cast("long").as("repl"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_chars"),
+        sum(col("ctrl")).as("ctrl_chars"),
+        count_if(col("repl") > 0).as("repl_docs"),
+        sum(col("repl")).as("repl_chars"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        col("ctrl_chars"), col("repl_docs"), col("repl_chars"),
+        expr("ctrl_chars * 1000000 DIV greatest(n_chars, 1)")
+          .as("ctrl_ppm"),
+        expr("repl_docs * 1000000 DIV n_docs").as("repl_doc_ppm"))
+  }
+
   /** PADDING-WASTE report — the batch-shaping readout every training
     * pipeline checks before fixing a context length: at each
     * candidate length L (one document per sequence, truncate at L,

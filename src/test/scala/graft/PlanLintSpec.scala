@@ -148,8 +148,9 @@ class PlanLintSpec extends AnyFunSuite {
     "sim_ivf_probe_sweep",
     // median_polish crossJoins the 1-row grand median + resid stats
     "analytics_median_polish",
-    // diameter assembles three 1-row probes (start/far/ecc)
-    "graph_diameter")
+    // diameter assembles three 1-row probes (start/far/ecc);
+    // cluster_sizes crossJoins the 1-row corpus/covered totals
+    "graph_diameter", "dedup_cluster_sizes")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
