@@ -312,7 +312,6 @@ object SparkEntry {
     "analytics_cramers_v" -> (Analytics.cramersV(_, _)),
     "graph_diameter" ->
       ((s, dir) => graft.operators.Graph.diameterTwoSweep(s, dir)),
-    "dedup_cluster_sizes" -> (Dedup.clusterSizeDist(_, _)),
     "text_mojibake_screen" -> (TextAnalysis.mojibakeScreen(_, _)),
     // rows-only: the greedy MMR trajectory is not SQL-expressible in
     // DuckDB; RoundSixOpsSpec replays it exactly on the driver
@@ -5447,47 +5446,6 @@ object SparkEntry {
     // sweeps unrolled to the same fixed round budget
     "graph_diameter" ->
       graft.operators.Graph.diameterTwoSweepOracleSql(),
-    // cluster-size histogram over the LSH closure (same recursive
-    // closure as dedup_clusters_lsh) + singleton fill so
-    // Σ(size·count) = |docs|
-    "dedup_cluster_sizes" ->
-      """WITH RECURSIVE
-        |sh AS (
-        | SELECT DISTINCT doc_id, s FROM (
-        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
-        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
-        |  FROM documents) t),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2),
-        |pairs AS (SELECT id_a, id_b FROM i
-        |          JOIN sz sa ON sa.doc_id = id_a
-        |          JOIN sz sb ON sb.doc_id = id_b
-        |          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach(id, lbl) AS (
-        | SELECT DISTINCT src, src FROM edges
-        | UNION
-        | SELECT e.src, r.lbl FROM edges e, reach r WHERE e.dst = r.id),
-        |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
-        |       GROUP BY 1),
-        |hist AS (SELECT sz, COUNT(*) AS n_clusters FROM (
-        |    SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY 1) t
-        |  GROUP BY 1),
-        |tot AS (SELECT COUNT(*) AS n_total FROM documents),
-        |cov AS (SELECT COUNT(*) AS n_covered FROM cl),
-        |full_hist AS (
-        |  SELECT sz, n_clusters FROM hist
-        |  UNION ALL
-        |  SELECT 1, n_total - n_covered FROM tot CROSS JOIN cov)
-        |SELECT CAST(sz AS BIGINT) AS cluster_size,
-        |  CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
-        |  CAST(sz * SUM(n_clusters) AS BIGINT) AS n_docs,
-        |  CAST(sz * SUM(n_clusters) * 1000000
-        |    // (SELECT n_total FROM tot) AS BIGINT) AS corpus_ppm
-        |FROM full_hist GROUP BY sz HAVING SUM(n_clusters) > 0""".stripMargin,
     // mojibake screen: C0-control count (minus tab/newline/CR) via
     // length difference, U+FFFD doc flags via chr(65533)
     "text_mojibake_screen" ->

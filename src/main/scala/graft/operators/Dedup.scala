@@ -220,36 +220,6 @@ object Dedup {
         expr("dup_docs * 1000000 DIV n_docs").as("dup_ppm"))
   }
 
-  /** Near-dup CLUSTER-SIZE distribution — the SHAPE readout a dedup
-    * planner needs beyond [[nearDupRate]]'s single rate: is
-    * duplication mostly 2-clusters (cheap canonicalization) or a few
-    * mega-clusters (a template/boilerplate family that wants a
-    * different treatment)? Rides the LSH closure
-    * ([[dedupClusters]] ∘ [[minhashLsh]]); docs in no pair count as
-    * size-1 clusters so the histogram partitions the WHOLE corpus —
-    * Σ(size·count) = |docs| by construction. Exact counts, corpus
-    * share in ppm.
-    */
-  def clusterSizeDist(s: SparkSession, d: String): DataFrame = {
-    val cl = dedupClusters(minhashLsh(s, d))
-    val hist = cl.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
-      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
-    val tot = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
-    val covered = cl.agg(count(lit(1)).as("n_covered"))
-    val singles = tot.crossJoin(broadcast(covered))
-      .select(lit(1L).as("sz"),
-        (col("n_total") - col("n_covered")).as("n_clusters"))
-    hist.unionByName(singles)
-      .groupBy("sz").agg(sum(col("n_clusters")).as("n_clusters"))
-      .filter(col("n_clusters") > 0)
-      .crossJoin(broadcast(tot))
-      .select(col("sz").cast("long").as("cluster_size"),
-        col("n_clusters").cast("long").as("n_clusters"),
-        (col("sz") * col("n_clusters")).cast("long").as("n_docs"),
-        expr("sz * n_clusters * 1000000 DIV n_total")
-          .as("corpus_ppm"))
-  }
-
   /** Source-overlap matrix — which SOURCES duplicate each other (the
     * corpus-acquisition dashboard: two crawls of the same site show
     * up as one hot cell): near-dup doc pairs rolled up to

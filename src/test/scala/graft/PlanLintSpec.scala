@@ -150,7 +150,7 @@ class PlanLintSpec extends AnyFunSuite {
     "analytics_median_polish",
     // diameter assembles three 1-row probes (start/far/ecc);
     // cluster_sizes crossJoins the 1-row corpus/covered totals
-    "graph_diameter", "dedup_cluster_sizes")
+    "graph_diameter")
 
   test("no query plans a CartesianProduct; BNLJ only where documented") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
