@@ -5025,9 +5025,11 @@ object Analytics {
   /** DETERMINISTIC bootstrap confidence interval for total daily GMV
     * — the resampling answer to "how stable is this mean?" that a
     * warehouse can actually grade: replicate r draws day-slot i's
-    * value at index MINSTD(r, i) mod n (Park–Miller LCG, 48271 mod
-    * 2³¹−1 — pure 63-bit-safe integer arithmetic both engines
-    * evaluate identically; no engine RNG anywhere), so the B×n
+    * value at index MINSTD²(r, i) mod n (the Park–Miller multiplier
+    * 48271 mod 2³¹−1 applied twice — once is wrap-free over a
+    * replicate's contiguous seed block and degenerates to a
+    * permutation; pure 63-bit-safe integer arithmetic both engines
+    * evaluate identically, no engine RNG anywhere), so the B×n
     * resample matrix, every replicate sum, and the percentile
     * bounds are all EXACT and replayable. CI convention: replicate
     * sums ordered (sum, r), bounds at ranks ⌈0.025B⌉ and ⌈0.975B⌉.
@@ -5054,10 +5056,16 @@ object Analytics {
         explode(expr(s"sequence(0, ${b - 1})")).as("r"))
       .select(col("r"),
         // CAST keeps the 48271·x product in 64-bit on BOTH engines
-        // (INT32 would wrap silently here, DuckDB would error)
-        expr("""(CAST(48271 AS BIGINT)
+        // (INT32 would wrap silently here, DuckDB would error).
+        // The multiplier is applied TWICE: one step is linear in i
+        // with step 48271 < p/n, so within a replicate the draws
+        // formed a wrap-free arithmetic progression — i.e. a
+        // PERMUTATION of the days (every replicate sum identical,
+        // caught by the bracket spec). The second multiply wraps
+        // mod p many times per replicate, breaking the AP.
+        expr("""(CAST(48271 AS BIGINT) * ((CAST(48271 AS BIGINT)
                   * ((CAST(r AS BIGINT) * 65537 + i + 1) % 2147483647))
-                % 2147483647 % n_days""").as("idx"))
+                % 2147483647)) % 2147483647 % n_days""").as("idx"))
     val sums = draws.join(daily.withColumnRenamed("i", "idx"), "idx")
       .groupBy("r").agg(sum(col("g")).as("boot_sum"))
     val ranked = sums.select(col("boot_sum"),
@@ -5094,9 +5102,9 @@ object Analytics {
        |n1 AS MATERIALIZED (SELECT COUNT(*) AS n_days,
        |    SUM(g) AS observed_sum FROM daily),
        |draws AS MATERIALIZED (SELECT r,
-       |    (CAST(48271 AS BIGINT)
+       |    (CAST(48271 AS BIGINT) * ((CAST(48271 AS BIGINT)
        |       * ((CAST(r AS BIGINT) * 65537 + i + 1) % 2147483647))
-       |      % 2147483647 % n_days AS idx
+       |      % 2147483647)) % 2147483647 % n_days AS idx
        |  FROM daily CROSS JOIN n1
        |  CROSS JOIN (SELECT unnest(range(0, $b)) AS r)),
        |sums AS MATERIALIZED (SELECT r, SUM(g) AS boot_sum

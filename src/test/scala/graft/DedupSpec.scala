@@ -41,6 +41,22 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.values.forall(v => v >= 0L && v <= 1000000L))
   }
 
+  test("ivf probe sweep: recall and candidate volume monotone in nprobe") {
+    val rows = Similarity.ivfProbeSweep(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    // probing more cells can only ADD candidates, and recall over a
+    // superset of candidates cannot drop
+    rows.sliding(2).foreach { case Array((_, c1, r1), (_, c2, r2)) =>
+      assert(c2 >= c1, "candidate volume must be monotone")
+      assert(r2 >= r1, "recall must be monotone")
+    }
+    rows.foreach { case (_, _, ppm) =>
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+  }
+
   test("exact dedup partitions the corpus") {
     val groups = Dedup.exact(s, d).collect()
     val docs = graft.sources.Tables.documents(s, d).count()

@@ -2104,6 +2104,29 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === 56L * n.head)
   }
 
+  test("bootstrap CI: bounds ordered, bracket the observed sum, exact draw count") {
+    val r = graft.warehouse.Analytics.bootstrapCi(s, d).collect()(0)
+    val (nDays, nBoot, obs, lo, hi) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nBoot === 200L)
+    assert(lo < hi)
+    // 200 replicate means of ~n_days draws: the 95% interval must
+    // bracket the population total it resamples
+    assert(lo < obs && obs < hi, s"[$lo, $hi] must bracket $obs")
+    assert(nDays > 0)
+  }
+
+  test("median polish: row effects are exact cents and residuals absorb the rest") {
+    val rows = graft.warehouse.Analytics.medianPolish(s, d).collect()
+    assert(rows.length === 7)
+    val grands = rows.map(_.getLong(2)).distinct
+    assert(grands.length === 1) // one grand effect repeated per row
+    // after grand extraction the LOWER median of row effects is 0 by
+    // construction (the grand IS that median)
+    val effs = rows.map(_.getLong(1)).sorted
+    assert(effs((effs.length + 1) / 2 - 1) === 0L)
+  }
+
   test("KS drift: one row per source, ppm in range, sup is attained") {
     val rows = graft.warehouse.Quality.ksDrift(s, d).collect()
     val nSrc = graft.sources.Tables.documents(s, d)
