@@ -5488,7 +5488,9 @@ object SparkEntry {
         |JOIN pres pb ON pb.t = bc.type_b""".stripMargin,
     // Krippendorff binary-nominal alpha: 3 deterministic raters,
     // exact pair counts, one truncating ppm division (both engines
-    // truncate toward zero)
+    // truncate toward zero; denominator guarded with GREATEST(.,1)
+    // on BOTH engines so a degenerate all-identical-votes corpus
+    // grades as alpha_ppm=0 instead of NULL-vs-crash)
     "pipeline_krippendorff" ->
       """WITH lab AS MATERIALIZED (SELECT
         |   (length(text) >= 300)::INT
@@ -5510,7 +5512,7 @@ object SparkEntry {
         |  CAST(do_pairs AS BIGINT) AS do_pairs,
         |  CAST((2 * tot1 * (n_units * 3 - tot1)
         |      - (n_units * 3 - 1) * do_pairs) * 1000000
-        |    // (2 * tot1 * (n_units * 3 - tot1)) AS BIGINT)
+        |    // GREATEST(2 * tot1 * (n_units * 3 - tot1), 1) AS BIGINT)
         |    AS alpha_ppm
         |FROM agg""".stripMargin,
     // props schema profile: data-driven key discovery (json_keys ≙

@@ -4,8 +4,27 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Best-effort HEAD commit — provenance for the dump (r7's one red
+    * was two driver hash-fails nobody could tie to a commit or SF
+    * because the artifacts carried no identity). Never fails the run.
+    */
+  private[graft] def gitSha(): String =
+    try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out
+      else "unknown"
+    } catch { case _: Throwable => "unknown" }
+
+  private[graft] def utcNow(): String =
+    java.time.format.DateTimeFormatter.ISO_INSTANT
+      .format(java.time.Instant.now()
+        .truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    val started = utcNow()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-verify"),
@@ -62,6 +81,22 @@ object Verify {
     val failJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), failJson)
+    // self-identifying dump: which commit, which SF, when, how many
+    // queries — the fields a mismatch adjudication needs in one read
+    val nQ = SparkEntry.queries.count { case (n, _) =>
+      only.forall(_.findFirstIn(n).isDefined) }
+    val nO = SparkEntry.oracleSql.count { case (n, _) =>
+      only.forall(_.findFirstIn(n).isDefined) }
+    val meta = Seq(
+      "git_sha" -> gitSha(), "sf_dir" -> sfDir, "out_dir" -> outDir,
+      "started_utc" -> started, "finished_utc" -> utcNow(),
+      "spark_version" -> spark.version, "cpus" -> cpus,
+      "n_queries" -> nQ.toString, "n_oracle" -> nO.toString,
+      "n_failed" -> failures.size.toString,
+      "subset_regex" -> sys.env.getOrElse("SPARK_GRAFT_VERIFY_ONLY", ""))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/meta.json"), meta)
     spark.stop()
   }
 }

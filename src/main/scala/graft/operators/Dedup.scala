@@ -230,11 +230,14 @@ object Dedup {
     */
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // doc→source map is |documents|-sized — unhinted so the plan
+    // survives a corpus whose id map outgrows the driver; AQE still
+    // broadcasts it at every tested SF
     val pairs = ngramJaccard(s, d)
-      .join(broadcast(src.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("source", "src_raw_a")), "id_a")
-      .join(broadcast(src.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("source", "src_raw_b")), "id_b")
+      .join(src.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("source", "src_raw_a"), "id_a")
+      .join(src.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("source", "src_raw_b"), "id_b")
       .select(least(col("src_raw_a"), col("src_raw_b")).as("source_a"),
         greatest(col("src_raw_a"), col("src_raw_b")).as("source_b"))
     pairs.groupBy("source_a", "source_b")
@@ -858,11 +861,13 @@ object Dedup {
     val (inter, sizes) = shingleCoOccurrence(s, d, ngram)
     val matchExpr = (0 until perms)
       .map(j => s"IF(a.mh_$j = b.mh_$j, 1L, 0L)").mkString(" + ")
+    // per-doc shingle sizes are |documents|-sized — unhinted (AQE
+    // broadcasts while they fit, SMJ beyond)
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("id_a"),
-        col("n").as("na"))), "id_a")
-      .join(broadcast(sizes.select(col("doc_id").as("id_b"),
-        col("n").as("nb"))), "id_b")
+      .join(sizes.select(col("doc_id").as("id_a"),
+        col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"),
+        col("n").as("nb")), "id_b")
       .withColumn("exact_ppm",
         expr("c * 1000000 DIV (na + nb - c)"))
       .filter(col("exact_ppm") >= floorPpm)
@@ -893,11 +898,13 @@ object Dedup {
       floorPpm: Long = 10000L): DataFrame = {
     val fp = simhash(s, d)
     val (inter, sizes) = shingleCoOccurrence(s, d, ngram)
+    // per-doc shingle sizes are |documents|-sized — unhinted like
+    // minhashCalibration's
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("id_a"),
-        col("n").as("na"))), "id_a")
-      .join(broadcast(sizes.select(col("doc_id").as("id_b"),
-        col("n").as("nb"))), "id_b")
+      .join(sizes.select(col("doc_id").as("id_a"),
+        col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"),
+        col("n").as("nb")), "id_b")
       .withColumn("exact_ppm", expr("c * 1000000 DIV (na + nb - c)"))
       .filter(col("exact_ppm") >= floorPpm)
       .join(fp.select(col("doc_id").as("id_a"),

@@ -278,7 +278,9 @@ object Similarity {
     * after — wins only when the predicate keeps most of the corpus
     * and an index would be bypassed; with our bucketed ANN both
     * compose, bucket-join then filter.) The predicate reaches the
-    * documents scan as a PushedFilter and the filtered dim broadcasts.
+    * documents scan as a PushedFilter; the allowed-id semi-join is
+    * UNHINTED — the filtered id set is a linear fraction of the
+    * corpus, so AQE broadcasts it while it fits and shuffles beyond.
     */
   def filteredTopK(s: SparkSession, d: String, lang: String = "en",
       nQueries: Int = 20, k: Int = 5): DataFrame = {
@@ -288,8 +290,8 @@ object Similarity {
       .withColumn("nrm", Vectors.norm(col("v")))
     val allowed = Tables.documents(s, d)
       .filter(col("lang") === lang).select(col("doc_id"))
-    val corpus = e.join(broadcast(allowed), e("vec_id") === allowed("doc_id"))
-      .drop("doc_id")
+    val corpus = e.join(allowed, e("vec_id") === allowed("doc_id"),
+      "left_semi")
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))

@@ -897,12 +897,19 @@ object TextAnalysis {
         (col("n_units") * 3).as("n_values"),
         col("tot1").as("n_pos"),
         col("do_pairs"),
+        // greatest(denom, 1): on a degenerate corpus where every unit
+        // gets identical votes (tot1 = 0 or 3n) the expected-
+        // disagreement denominator is 0 — Spark DIV would return
+        // NULL while the oracle's `//` would CRASH the whole gate;
+        // with the guard both engines grade the same defined value
+        // (numerator is 0 too in that case, so alpha_ppm = 0)
         expr("""CAST((CAST(2 AS DECIMAL(38,0)) * tot1
                   * (n_units * 3 - tot1)
                 - CAST(n_units * 3 - 1 AS DECIMAL(38,0)) * do_pairs)
                 * 1000000
-                DIV (CAST(2 AS DECIMAL(38,0)) * tot1
-                  * (n_units * 3 - tot1)) AS BIGINT)""")
+                DIV greatest(CAST(2 AS DECIMAL(38,0)) * tot1
+                  * (n_units * 3 - tot1), CAST(1 AS DECIMAL(38,0)))
+                AS BIGINT)""")
           .as("alpha_ppm"))
   }
 

@@ -30,6 +30,21 @@ import org.apache.spark.sql.functions._
   */
 object ServeDemo {
 
+  /** Full JSON string escape: backslash, quote, and EVERY control
+    * char < 0x20 — a newline or tab inside a served string value
+    * would otherwise emit invalid JSON that clients reject.
+    */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** Rows → a JSON array string. Serving relations are tiny
     * (per-day / top-N aggregates), so driver-side encoding is the
     * point, not a compromise.
@@ -42,11 +57,9 @@ object ServeDemo {
         val s = v match {
           case null => "null"
           case _: java.lang.Number => v.toString
-          case other =>
-            "\"" + other.toString.replace("\\", "\\\\")
-              .replace("\"", "\\\"") + "\""
+          case other => jstr(other.toString)
         }
-        "\"" + cols(i) + "\":" + s
+        jstr(cols(i)) + ":" + s
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
   }
@@ -79,7 +92,8 @@ object ServeDemo {
       val (code, payload) =
         try (200, body)
         catch { case e: Throwable =>
-          (500, s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(300).replace("\"", "'")}"}""")
+          (500, "{\"error\":" + jstr(Option(e.getMessage)
+            .getOrElse(e.getClass.getName).take(300)) + "}")
         }
       val bytes = payload.getBytes("UTF-8")
       ex.getResponseHeaders.set("Content-Type", "application/json")

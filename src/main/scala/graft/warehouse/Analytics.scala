@@ -912,7 +912,9 @@ object Analytics {
     * prices are truncated micro-cents (r·10⁴ DIV q — deterministic,
     * same on both engines); only parts traded in BOTH the base
     * month and month t enter (the matched-model convention). One
-    * part-month rollup + a broadcast base join + month rollups.
+    * part-month rollup + an UNHINTED part-keyed base join (the base
+    * basket is |parts|-sized — it grows with the catalog, so AQE
+    * decides broadcast-vs-shuffle at runtime) + month rollups.
     */
   def priceIndex(s: SparkSession, d: String): DataFrame = {
     val monthly = Tables.lineitem(s, d)
@@ -922,11 +924,11 @@ object Analytics {
         .cast("long")).as("r"),
         sum(col("l_quantity").cast("long")).as("q"))
       .withColumn("p", expr("r * 10000L DIV q"))
-    val base = broadcast(monthly
+    val base = monthly
       .withColumn("m0", min(col("m")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
       .filter(col("m") === col("m0"))
-      .select(col("part_id"), col("p").as("p0"), col("q").as("q0")))
+      .select(col("part_id"), col("p").as("p0"), col("q").as("q0"))
     monthly.join(base, "part_id")
       .groupBy("m")
       .agg(

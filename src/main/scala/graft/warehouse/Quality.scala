@@ -774,10 +774,15 @@ object Quality {
     * ranks over the bounded value domain (the Spearman discipline —
     * integral under ties), per-group n / Σ2R / mean-rank exact
     * integers, then the tie-corrected H statistic. The cross-group
-    * Σ(R²/n) term is computed as Σ(sum2r² DIV 4n) in exact
-    * DECIMAL(38) — truncation is engine-identical, and no
-    * variable-order float accumulation exists anywhere — so the
-    * one rounded-double H finish is deterministic on both engines.
+    * Σ(R²/n) term stays in DECIMAL(38,0) END TO END: the truncating
+    * quotient is computed as (s² − s² % 4n) / 4n in decimal
+    * arithmetic, NOT via `DIV` — Spark's IntegralDivide always
+    * yields LONG, and sum2r²/(4n) grows ~N³/12, crossing
+    * Long.MaxValue near 5M fact rows (sf1) where it would silently
+    * wrap while the oracle's HUGEINT `//` kept going. Truncation is
+    * engine-identical, no variable-order float accumulation exists
+    * anywhere, so the one rounded-double H finish is deterministic
+    * on both engines at any scale.
     * Scale shape: one fact scan + a ≤|domain|-row rank window +
     * a 3-group rollup.
     */
@@ -798,10 +803,17 @@ object Quality {
       .agg(count(lit(1)).as("n"),
         sum(col("r2")).cast(d38).as("sum2r"))
       .localCheckpoint()
-    val term = groups.agg(
-      sum(expr("CAST(sum2r * sum2r AS DECIMAL(38,0)) DIV CAST(4 * n AS DECIMAL(38,0))"))
-        .cast(d38).as("t4"),
-      sum(col("n")).as("nn"))
+    // truncating division kept in DECIMAL(38,0): (s² − s² % b) is
+    // exactly divisible by b, so the decimal `/` is exact and the
+    // final cast only strips the written scale — never a LONG on the
+    // quotient path (see docstring: `DIV` wraps past ~5M rows)
+    val term = groups
+      .withColumn("s2", expr("CAST(sum2r * sum2r AS DECIMAL(38,0))"))
+      .withColumn("b4n", expr("CAST(4 * n AS DECIMAL(38,0))"))
+      .agg(
+        sum(expr("CAST((s2 - s2 % b4n) / b4n AS DECIMAL(38,0))"))
+          .cast(d38).as("t4"),
+        sum(col("n")).as("nn"))
     val ties = dom.agg(
       sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).cast(d38)
         .as("st"))

@@ -8,7 +8,7 @@ $GRAFT_CHECK_OUT, default /tmp/graft_check.json): the file is
 rewritten after EVERY query, so a timeout/kill mid-run leaves a
 partial per-query record instead of nothing (the r6 failure mode —
 a driver timeout inside one slow oracle family produced `{}`)."""
-import json, math, os, sys, time
+import hashlib, json, math, os, subprocess, sys, time
 import duckdb
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -32,7 +32,32 @@ def canon(v):
         return repr(v)
     return str(v)
 
-results = {}
+def rows_hash(rows):
+    """Order-independent hash of canonical rows — recorded per query
+    so a later artifact-level mismatch carries its own forensics
+    (which side changed vs this run, not just 'hashes differ')."""
+    h = hashlib.md5()
+    for r in rows:
+        h.update("\x1f".join(r).encode() + b"\x1e")
+    return h.hexdigest()
+
+# provenance: every artifact records WHAT was graded (the r7 red —
+# two driver hash-fails nobody could reproduce — was unadjudicable
+# because no artifact said which commit/SF it came from)
+def git_sha():
+    try:
+        return subprocess.run(["git", "rev-parse", "HEAD"],
+                              capture_output=True, text=True,
+                              cwd=os.path.dirname(os.path.dirname(
+                                  os.path.abspath(__file__)))
+                              ).stdout.strip() or None
+    except Exception:
+        return None
+
+results = {"_meta": {
+    "git_sha": git_sha(), "sf_dir": sf_dir, "verify_dir": out_dir,
+    "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+}}
 
 def flush():
     tmp = check_out + ".tmp"
@@ -55,7 +80,8 @@ for name, sql in sorted(oracle.items()):
         flush()
         continue
     ocols, scols = sorted(odf.columns), sorted(sdf.columns)
-    ok, why = True, ""
+    ok, why, diff_rows = True, "", None
+    ohash, shash = None, None
     if ocols != scols:
         ok, why = False, f"cols oracle={ocols} spark={scols}"
     else:
@@ -63,21 +89,34 @@ for name, sql in sorted(oracle.items()):
                        for r in odf[ocols].itertuples(index=False))
         srows = sorted(tuple(canon(v) for v in r)
                        for r in sdf[ocols].itertuples(index=False))
+        ohash, shash = rows_hash(orows), rows_hash(srows)
         if len(orows) != len(srows):
             ok, why = False, f"rows oracle={len(orows)} spark={len(srows)}"
         elif orows != srows:
-            bad = next(i for i, (a, b) in enumerate(zip(orows, srows)) if a != b)
             ok = False
-            why = (f"value mismatch at sorted row {bad}: "
-                   f"oracle={orows[bad]} spark={srows[bad]}")
+            bads = [i for i, (a, b) in enumerate(zip(orows, srows))
+                    if a != b]
+            why = (f"value mismatch at sorted row {bads[0]}: "
+                   f"oracle={orows[bads[0]]} spark={srows[bads[0]]}")
+            # first N differing canonical rows, BOTH sides, straight
+            # into the artifact — a mismatch must be diagnosable from
+            # the artifact alone (r7 'Next round' #1)
+            diff_rows = [{"row": i, "cols": ocols,
+                          "oracle": list(orows[i]), "spark": list(srows[i])}
+                         for i in bads[:5]]
     dt = round(time.time() - t0, 2)
     if ok:
         print(f"ok   {name} ({len(odf)} rows, {dt}s)", flush=True)
-        results[name] = {"match": True, "rows": len(odf), "oracle_sec": dt}
+        results[name] = {"match": True, "rows": len(odf), "oracle_sec": dt,
+                         "value_hash": shash}
     else:
         fails.append(name)
         print(f"FAIL {name}: {why}", flush=True)
-        results[name] = {"match": False, "err": why[:500], "oracle_sec": dt}
+        rec = {"match": False, "err": why[:500], "oracle_sec": dt,
+               "oracle_hash": ohash, "spark_hash": shash}
+        if diff_rows:
+            rec["diff_rows"] = diff_rows
+        results[name] = rec
     flush()
 
 no_oracle = sorted(set(
@@ -90,5 +129,11 @@ for name in no_oracle:
     results[name] = {"match": None, "rows_only": True, "rows": n}
     flush()
 
+results["_meta"]["finished_utc"] = time.strftime(
+    "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+results["_meta"]["n_oracle"] = len(oracle)
+results["_meta"]["n_rows_only"] = len(no_oracle)
+results["_meta"]["n_fail"] = len(fails)
+flush()
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)
