@@ -140,7 +140,50 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val reruns = rerun.map("\"" + _ + "\"").mkString("[", ",", "]")
     val load = loadNow()
-    val prov = s""""git_sha":"$sha","started_utc":"$started","finished_utc":"${Verify.utcNow()}""""
+    // Spark-vs-DuckDB parity (r7 VERDICT #7): BASELINE_LOCAL.json
+    // carries the DuckDB oracle-replay seconds per query; ratios are
+    // reported ONLY when the baseline was generated at THIS bench's
+    // SF (a cross-SF ratio is noise dressed as a number). The
+    // comparison is a sanity bar, not a shootout — the oracle side
+    // often runs a deliberately naive unrolled replay.
+    val duckdb: String = (try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val f = new java.io.File("BASELINE_LOCAL.json")
+      if (!f.exists()) None else {
+        val j = JsonMethods.parse(f)
+        val baseSf = (j \ "_meta" \ "sf_dir") match {
+          case JString(v) => new java.io.File(v).getName
+          case _ => ""
+        }
+        if (baseSf != new java.io.File(sfDir).getName) None else {
+          val base = j match {
+            case JObject(fs) => fs.collect {
+              case (k, JDouble(v)) if !k.startsWith("_") => k -> v
+              case (k, JInt(v)) if !k.startsWith("_") => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+          // floor tiny denominators: a 3ms DuckDB cell vs Spark's
+          // ~100ms fixed per-query overhead is overhead, not a plan
+          val ratios = results.toSeq.flatMap { case (k, v) =>
+            base.get(k).filter(_ >= 0.05).map(b => k -> v._1 / b)
+          }.sortBy(-_._2)
+          if (ratios.isEmpty) None else {
+            val rs = ratios.map(_._2).sorted
+            val median = rs(rs.size / 2)
+            val within2x = ratios.count(_._2 <= 2.0)
+            val worst = ratios.take(5).map { case (k, r) =>
+              "\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+            Some(s""""vs_duckdb":{"n":${ratios.size},"median_ratio":${f"$median%.3f"},"within_2x":$within2x,"worst":$worst}""")
+          }
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] baseline compare failed: ${e.getMessage}")
+      None
+    }).map(_ + ",").getOrElse("")
+    val prov = s"""$duckdb"git_sha":"$sha","started_utc":"$started","finished_utc":"${Verify.utcNow()}""""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"queries_load":$qsLoad,"sf":"$sfDir","errors":$errs,"rerun_outliers":$reruns,"load":$load,"runs":$runs,$prov}"""
     println(line)
     // the driver may keep only a tail of stdout; persist the full

@@ -647,6 +647,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Seq(("cart", 1L), ("view", 2L)))
   }
 
+  test("Debezium envelope projection: op mapping, delete takes before, non-row lines drop") {
+    // CI gate for the cdcKafka parsing semantics — the same contract
+    // the graft-cdc batch connector's Debezium mode implements
+    // (CdcEnvelope.Debezium): c/r→insert, u→update, d→delete with
+    // the BEFORE image, table from source.table, ts from ts_ms;
+    // schema-change lines (no op/table) drop out
+    import s.implicits._
+    val lines = Seq(
+      """{"op":"c","ts_ms":1000,"source":{"table":"order_info"},"after":{"id":1,"amt":5}}""",
+      """{"op":"r","ts_ms":2000,"source":{"table":"order_info"},"after":{"id":2,"amt":7}}""",
+      """{"op":"u","ts_ms":3000,"source":{"table":"user_info"},"before":{"id":3,"v":0},"after":{"id":3,"v":1}}""",
+      """{"op":"d","ts_ms":4000,"source":{"table":"user_info"},"before":{"id":4,"v":9},"after":null}""",
+      """{"type":"schema-change","ddl":"ALTER TABLE x"}""")
+    val got = graft.streaming.Sources
+      .debeziumEnvelope(lines.toDF("value"))
+      .orderBy("ts")
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ts").getTime,
+        r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.length === 4, "the schema-change line must drop")
+    assert(got(0) === ((1000L, "order_info", "insert", """{"id":1,"amt":5}""")))
+    assert(got(1) === ((2000L, "order_info", "insert", """{"id":2,"amt":7}""")))
+    assert(got(2) === ((3000L, "user_info", "update", """{"id":3,"v":1}""")))
+    assert(got(3) === ((4000L, "user_info", "delete", """{"id":4,"v":9}""")),
+      "delete must carry the BEFORE image")
+  }
+
+  test("Kafka CDC: LIVE Debezium-over-Kafka through CdcRouter to per-table sinks (env-gated)") {
+    // the last reference integration without a live-wire analogue
+    // (FlinkSourceUtil.java:14's MySQL-binlog topic): export
+    // SPARK_GRAFT_KAFKA_BOOTSTRAP (+ spark-sql-kafka on the
+    // classpath) and this seeds Debezium envelopes into a topic,
+    // consumes via Sources.cdcKafka and routes through CdcRouter —
+    // the DwdBaseDb topology end to end. Canceled by default; the
+    // projection spec above and the file-backed CdcRouter specs
+    // remain the CI gate.
+    val bootstrap = sys.env.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    assume(bootstrap.isDefined,
+      "no Kafka broker configured — file-source CDC specs remain the CI gate")
+    import s.implicits._
+    val topic = s"graft_cdc_${System.currentTimeMillis()}"
+    Seq(
+      """{"op":"c","ts_ms":1000,"source":{"table":"order_info"},"after":{"id":1}}""",
+      """{"op":"u","ts_ms":2000,"source":{"table":"order_info"},"before":{"id":1},"after":{"id":1,"amt":2}}""",
+      """{"op":"d","ts_ms":3000,"source":{"table":"order_info"},"before":{"id":1,"amt":2}}""",
+      """{"op":"d","ts_ms":4000,"source":{"table":"user_info"},"before":{"id":9}}""")
+      .toDF("value").write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap.get)
+      .option("topic", topic).save()
+    val base = tmp("kafka-cdc-out")
+    val routes = Map(
+      "order_info" -> CdcRouter.Route(s"$base/order_info"),
+      "user_info" -> CdcRouter.Route(s"$base/user_info", keepDeletes = true))
+    val q = CdcRouter.start(
+      graft.streaming.Sources.cdcKafka(s, topic), routes,
+      tmp("kafka-cdc-ck"))
+    try {
+      q.processAllAvailable()
+      val order = s.read.parquet(s"$base/order_info")
+        .select("op").as[String].collect().sorted
+      assert(order === Array("insert", "update"),
+        "order_info drops deletes")
+      val user = s.read.parquet(s"$base/user_info")
+        .select("op").as[String].collect()
+      assert(user === Array("delete"), "user_info keeps deletes")
+    } finally q.stop()
+  }
+
   test("JDBC sink: LIVE ClickHouse/Doris integration (env-gated, skips without a server)") {
     import graft.streaming.JdbcSink
     import s.implicits._
