@@ -434,6 +434,13 @@ object SparkEntry {
     // budget in SQL (idempotent past the fixpoint), see kCoreOracleSql
     "graph_kcore" -> (graft.operators.Graph.kCore(_, _)),
     "sim_recall_eval" -> (Similarity.annRecallEval(_, _)),
+    // r8: Mann–Kendall significance beside theil_sen's slope;
+    // Kaplan–Meier repeat-purchase survival beside churn_hazard
+    "analytics_mann_kendall" -> (Analytics.mannKendall(_, _)),
+    "analytics_kaplan_meier" -> (Analytics.kaplanMeier(_, _)),
+    "analytics_shapley" -> (Analytics.shapleyAttribution(_, _)),
+    "pipeline_ngram_contamination" ->
+      (TextAnalysis.ngramContamination(_, _)),
     "analytics_backlog_age" -> (Analytics.backlogAge(_, _)),
     "dq_chi2_dow" -> (Quality.chi2Dow(_, _)),
     "analytics_rfm_migration" -> (Analytics.rfmMigration(_, _)),
@@ -6398,6 +6405,126 @@ object SparkEntry {
         |SELECT dt AS change_day, CAST(s_k AS DECIMAL(38,0)) AS cusum_stat,
         | n AS n_days
         |FROM cus ORDER BY abs(s_k) DESC, dt LIMIT 1""".stripMargin,
+    // Mann–Kendall: exact ±1 pair count over the day grain, exact
+    // integer tie-corrected 18·Var, ONE rounded continuity-corrected
+    // z from identical IEEE expressions
+    "analytics_mann_kendall" ->
+      """WITH daily AS MATERIALIZED (
+        | SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS y
+        | FROM orders GROUP BY 1),
+        |dx AS (SELECT date_diff('day', DATE '1970-01-01', dt) AS x, y
+        |       FROM daily),
+        |sp AS (SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+        |    WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM dx a JOIN dx b ON a.x < b.x),
+        |ties AS (SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5))
+        |    AS BIGINT), 0) AS tie_term
+        |  FROM (SELECT COUNT(*) AS t FROM dx GROUP BY y)),
+        |nn AS (SELECT COUNT(*) AS n FROM dx)
+        |SELECT n AS n_days, s_stat,
+        |  CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var18,
+        |  round(CASE
+        |    WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+        |      / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term
+        |          AS DOUBLE) / 18.0)
+        |    WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+        |      / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term
+        |          AS DOUBLE) / 18.0)
+        |    ELSE 0.0 END, 6) AS z_mk
+        |FROM sp CROSS JOIN ties CROSS JOIN nn""".stripMargin,
+    // Shapley over the 16-subset lattice: exact integer 24·φ via the
+    // 6/2/2/6 coefficients, one truncating ppm share division
+    "analytics_shapley" ->
+      """WITH fp AS MATERIALIZED (SELECT user_id, min(ts) AS pay_ts
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |tch AS (SELECT e.user_id,
+        |    bit_or(CASE e.event_type WHEN 'view' THEN 1
+        |      WHEN 'click' THEN 2 WHEN 'signup' THEN 4
+        |      WHEN 'error' THEN 8 END) AS m
+        |  FROM events e JOIN fp USING (user_id)
+        |  WHERE e.ts < fp.pay_ts
+        |    AND e.event_type IN ('view', 'click', 'signup', 'error')
+        |  GROUP BY 1),
+        |masks AS MATERIALIZED (SELECT COALESCE(t.m, 0) AS m,
+        |    COUNT(*) AS cnt
+        |  FROM fp LEFT JOIN tch t USING (user_id) GROUP BY 1),
+        |subsets AS (SELECT unnest(range(0, 16)) AS S),
+        |v AS MATERIALIZED (SELECT S,
+        |    CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS v
+        |  FROM subsets LEFT JOIN masks ON (m & S) = m GROUP BY 1),
+        |ch AS (SELECT * FROM (VALUES ('view', 1), ('click', 2),
+        |    ('signup', 4), ('error', 8)) AS t(channel, cb)),
+        |phi AS (SELECT channel,
+        |    CAST(SUM((CASE bit_count(v1.S) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |      WHEN 2 THEN 2 ELSE 6 END) * (v2.v - v1.v)) AS BIGINT)
+        |      AS phi24
+        |  FROM ch JOIN v v1 ON (v1.S & cb) = 0
+        |  JOIN v v2 ON v2.S = (v1.S | cb)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(phi24) AS BIGINT) AS tot FROM phi)
+        |SELECT channel, phi24,
+        |  phi24 * 1000000 // GREATEST(tot, 1) AS share_ppm
+        |FROM phi CROSS JOIN tot""".stripMargin,
+    // 13-gram contamination: md5-16hex gram keys are engine-identical;
+    // train side dedups before the equi-join
+    "pipeline_ngram_contamination" ->
+      """WITH docs AS MATERIALIZED (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |      AS w
+        |  FROM documents),
+        |grams AS MATERIALIZED (SELECT doc_id,
+        |    unnest([substring(md5(array_to_string(w[i:i+12], ' ')), 1, 16)
+        |            for i in range(1, greatest(len(w) - 12, 0) + 1)]) AS g
+        |  FROM docs),
+        |tg AS MATERIALIZED (SELECT DISTINCT g FROM grams
+        |  WHERE doc_id % 10 < 8),
+        |eg AS (SELECT DISTINCT doc_id, g FROM grams
+        |  WHERE doc_id % 10 >= 8)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(t.g) AS BIGINT) AS n_hit,
+        |  COUNT(t.g) * 1000000 // COUNT(*) AS contamination_ppm
+        |FROM eg LEFT JOIN tg t ON eg.g = t.g
+        |GROUP BY 1""".stripMargin,
+    // Kaplan–Meier: day-grain risk sets as a DESC running count,
+    // survival as the TRUNCATING ppm product fold replayed by a
+    // recursive CTE (the pack_greedy discipline — no float product)
+    "analytics_kaplan_meier" ->
+      """WITH RECURSIVE
+        |o AS MATERIALIZED (SELECT DISTINCT o_custkey AS c,
+        |    CAST(o_orderdate AS DATE) AS dt FROM orders),
+        |r AS (SELECT c, dt, row_number() OVER
+        |    (PARTITION BY c ORDER BY dt) AS rk FROM o),
+        |f AS (SELECT c, dt AS d1 FROM r WHERE rk = 1),
+        |s2 AS (SELECT c, dt AS d2 FROM r WHERE rk = 2),
+        |h AS (SELECT max(dt) AS dmax FROM o),
+        |life AS (SELECT
+        |    CAST(CASE WHEN d2 IS NOT NULL
+        |      THEN date_diff('day', d1, d2)
+        |      ELSE date_diff('day', d1, dmax) END AS BIGINT) AS t,
+        |    CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM f LEFT JOIN s2 USING (c) CROSS JOIN h),
+        |dist AS (SELECT t, COUNT(*) AS m,
+        |    CAST(SUM(ev) AS BIGINT) AS d_ev FROM life GROUP BY 1),
+        |risk AS (SELECT t, d_ev, CAST(SUM(m) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_risk
+        |  FROM dist),
+        |kmr AS MATERIALIZED (SELECT row_number() OVER (ORDER BY t)
+        |    AS rn, t, n_risk, d_ev
+        |  FROM risk WHERE d_ev > 0),
+        |steps AS (
+        |  SELECT rn, t, n_risk, d_ev,
+        |    1000000 * (n_risk - d_ev) // n_risk AS s
+        |  FROM kmr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT k.rn, k.t, k.n_risk, k.d_ev,
+        |    st.s * (k.n_risk - k.d_ev) // k.n_risk
+        |  FROM steps st JOIN kmr k ON k.rn = st.rn + 1)
+        |SELECT t AS t_days, n_risk, d_ev AS d_events,
+        |  CAST(s AS BIGINT) AS survival_ppm
+        |FROM steps""".stripMargin,
     // staged long floor-divisions replayed exactly; DuckDB
     // dayofweek is 0-based Sunday, Spark's is 1-based
     "analytics_seasonality_dow" ->

@@ -404,6 +404,45 @@ object TextAnalysis {
           .otherwise("test").as("split"))
   }
 
+  /** 13-GRAM contamination coverage — the GPT-3-appendix-C
+    * decontamination metric at its native grain: for every eval-side
+    * document (deterministic doc_id mod split), the share of its
+    * distinct 13-token word-grams that appear ANYWHERE in the train
+    * side. [[splitLeakage]] counts near-dup doc PAIRS across the
+    * boundary; this measures per-document overlap mass — the number
+    * that decides "drop the eval doc" vs "scrub the train side".
+    * Grams travel as the first 16 hex chars of md5 over the joined
+    * window (engine-identical on both sides, 8 bytes of entropy —
+    * collision-safe at corpus scale and 10× cheaper to shuffle than
+    * the token strings); the train side dedups before the join, so
+    * cost is |distinct train grams| + |eval grams|, an equi-join —
+    * never |train|×|eval|. Docs shorter than 13 tokens contribute no
+    * grams and drop from the relation on both engines.
+    */
+  def ngramContamination(s: SparkSession, d: String,
+      n: Int = 13): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val docs = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), toks.as("w"))
+    val grams = docs.select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(w) >= $n THEN
+              transform(sequence(1, size(w) - ${n - 1}),
+                i -> substring(md5(array_join(slice(w, i, $n), ' ')),
+                  1, 16))
+            ELSE CAST(array() AS ARRAY<STRING>) END""")).as("g"))
+    val trainG = grams.filter(col("doc_id") % 10 < 8)
+      .select(col("g")).distinct()
+    val evalG = grams.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("g")).distinct()
+    evalG.join(trainG.withColumnRenamed("g", "tg"),
+        col("g") === col("tg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("tg")).as("n_hit"))
+      .withColumn("contamination_ppm",
+        expr("n_hit * 1000000 DIV n_grams"))
+  }
+
   /** Split-leakage audit — the check a training run does AFTER
     * [[trainValTestSplit]] and BEFORE shipping shards: a random
     * doc-level split leaks evaluation data whenever near-duplicate

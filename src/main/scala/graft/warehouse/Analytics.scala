@@ -2411,6 +2411,161 @@ object Analytics {
           col("sx").cast("double")) / nD, 6).as("intercept_cents"))
   }
 
+  /** MANN–KENDALL monotone-trend test over the daily GMV series —
+    * the SIGNIFICANCE companion to [[theilSen]]'s robust slope (the
+    * pair every ops review quotes together: "slope X cents/day,
+    * MK z = Y"). S = Σ_{i<j} sign(g_j − g_i) over the day-ordered
+    * series is an exact ±1 count; the tie-corrected variance
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) is exact integer;
+    * the continuity-corrected z = (S ∓ 1)/√(Var) is the one rounded
+    * double, computed by the same IEEE expression on both engines.
+    * Scale shape: the C(n,2) pair join runs at the DAY grain (~3M
+    * pairs for 7 years — the audited theilSen shape), never the
+    * fact grain; ties rollup is |distinct g| rows.
+    */
+  def mannKendall(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyGmvCents(s, d)
+      .select(datediff(col("dt"), lit("1970-01-01").cast("date"))
+        .cast("long").as("x"), col("g").as("y"))
+    val sStat = daily.as("a").join(daily.as("b"),
+        col("a.x") < col("b.x"))
+      .agg(sum(when(col("b.y") > col("a.y"), 1L)
+        .when(col("b.y") < col("a.y"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy("y").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+        .as("tie_term"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    sStat.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .withColumn("var18",
+        expr("n * (n - 1) * (2 * n + 5) - tie_term"))
+      .select(col("n").as("n_days"), col("s_stat"), col("var18"),
+        round(
+          when(col("s_stat") > 0,
+            (col("s_stat").cast("double") - 1.0) /
+              sqrt(col("var18").cast("double") / 18.0))
+          .when(col("s_stat") < 0,
+            (col("s_stat").cast("double") + 1.0) /
+              sqrt(col("var18").cast("double") / 18.0))
+          .otherwise(0.0), 6).as("z_mk"))
+  }
+
+  /** KAPLAN–MEIER survival curve of time-to-repeat-purchase — the
+    * survival-analysis readout the discrete-time [[churnHazard]]
+    * approximates at week grain: per customer, the duration from
+    * first to second order day (event) or to the horizon (censored);
+    * at each event time t, risk set n_t = #{duration ≥ t}, events
+    * d_t, and S(t) = Π_{i≤t} (n_i − d_i)/n_i. The product is kept
+    * EXACT-INTEGER in ppm by the same truncating fold discipline as
+    * `pipeline_pack_greedy`/`sim_mmr_rerank`: S_ppm steps through
+    * one `aggregate` lambda over the t-ordered event rows (each step
+    * multiplies then floor-divides — bit-identical to the oracle's
+    * recursive CTE), so no float product ever rides partition order.
+    * Scale shape: one order scan → customer-grain first/second
+    * dates → a day-grain distribution (≤ a few thousand rows); the
+    * fold touches only event-time rows.
+    */
+  def kaplanMeier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey").as("c"), to_date(col("o_orderdate")).as("dt"))
+      .distinct()
+    val ranked = o.withColumn("rk",
+      row_number().over(Window.partitionBy("c").orderBy("dt")))
+    val firsts = ranked.filter(col("rk") === 1)
+      .select(col("c"), col("dt").as("d1"))
+    val seconds = ranked.filter(col("rk") === 2)
+      .select(col("c"), col("dt").as("d2"))
+    val horizon = o.agg(max(col("dt")).as("dmax"))
+    val life = firsts.join(seconds, Seq("c"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("d2").isNotNull, datediff(col("d2"), col("d1")))
+          .otherwise(datediff(col("dmax"), col("d1")))
+          .cast("long").as("t"),
+        col("d2").isNotNull.cast("long").as("ev"))
+    val dist = life.groupBy("t")
+      .agg(count(lit(1)).as("m"), sum(col("ev")).as("d_ev"))
+    // risk set by a DESC running sum: n_t = #{durations ≥ t}
+    val risk = dist.withColumn("n_risk",
+        sum(col("m")).over(Window.orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("d_ev") > 0)
+      .select(col("t"), col("n_risk").cast("long").as("n_risk"),
+        col("d_ev").cast("long").as("d_ev"))
+    risk.agg(array_sort(collect_list(struct(
+        col("t"), col("n_risk"), col("d_ev")))).as("a"))
+      .withColumn("survs", expr(
+        """aggregate(a,
+             named_struct('s', CAST(1000000 AS BIGINT),
+               'o', CAST(array() AS ARRAY<BIGINT>)),
+             (acc, x) -> named_struct(
+               's', (acc.s * (x.n_risk - x.d_ev)) DIV x.n_risk,
+               'o', concat(acc.o,
+                 array((acc.s * (x.n_risk - x.d_ev)) DIV x.n_risk))),
+             acc -> acc.o)"""))
+      .select(col("a"), posexplode(col("survs")).as(Seq("i", "survival_ppm")))
+      .select(
+        expr("element_at(a, i + 1).t").as("t_days"),
+        expr("element_at(a, i + 1).n_risk").as("n_risk"),
+        expr("element_at(a, i + 1).d_ev").as("d_events"),
+        col("survival_ppm"))
+  }
+
+  /** EXACT SHAPLEY-VALUE attribution over the four touch channels —
+    * the game-theoretic completion of the attribution family
+    * (last-touch, first-touch, linear, Markov removal-effect): each
+    * channel's credit is its average marginal contribution across
+    * all 4! orderings. Characteristic function v(S) = number of
+    * converters whose pre-purchase touched-channel set ⊆ S (the
+    * coalition form of Zhao et al.'s data-driven Shapley). With
+    * n = 4 channels the subset lattice has 16 nodes, so everything
+    * is EXACT: per-user masks via `bit_or` of channel bits, v by a
+    * 16-row subset-containment rollup, and 24·φ_c =
+    * Σ_{S∌c} |S|!(3−|S|)!·[v(S∪{c}) − v(S)] as pure integers
+    * (coefficients 6/2/2/6); shares are one truncating ppm division.
+    * Scale shape: one event scan → user-grain mask rollup → a
+    * 16-row lattice; the lattice joins are literal-frame
+    * nested-loops over ≤16 rows (PlanLint-allowlisted), never a
+    * fact-side product.
+    */
+  def shapleyAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val firstPay = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ts")).as("pay_ts"))
+    val bit = when(col("event_type") === "view", 1L)
+      .when(col("event_type") === "click", 2L)
+      .when(col("event_type") === "signup", 4L)
+      .when(col("event_type") === "error", 8L)
+    val touched = ev.join(firstPay, "user_id")
+      .filter(col("ts") < col("pay_ts"))
+      .select(col("user_id"), bit.as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy("user_id").agg(expr("bit_or(b)").as("m"))
+    val masks = firstPay.join(touched, Seq("user_id"), "left")
+      .select(coalesce(col("m"), lit(0L)).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("cnt"))
+    val subsets = s.range(16).toDF("S")
+    val v = subsets.join(masks, expr("(m & S) = m"), "left")
+      .groupBy("S").agg(coalesce(sum(col("cnt")), lit(0L)).as("v"))
+    val channels = Seq(("view", 1L), ("click", 2L), ("signup", 4L),
+      ("error", 8L)).toDF("channel", "cb")
+    val coef = when(expr("bit_count(S)") === 0, 6L)
+      .when(expr("bit_count(S)") === 1, 2L)
+      .when(expr("bit_count(S)") === 2, 2L).otherwise(6L)
+    val phi = channels
+      .join(v, expr("(S & cb) = 0"))
+      .join(v.select(col("S").as("S2"), col("v").as("v2")),
+        expr("S2 = (S | cb)"))
+      .groupBy("channel")
+      .agg(sum(coef * (col("v2") - col("v"))).as("phi24"))
+    val tot = phi.agg(sum(col("phi24")).as("tot"))
+    phi.crossJoin(broadcast(tot))
+      .select(col("channel"), col("phi24"),
+        expr("phi24 * 1000000 DIV greatest(tot, 1)").as("share_ppm"))
+  }
+
   /** CUSUM changepoint detection on the daily GMV series — "when
     * did the level shift?". The classic statistic max_k |Σ_{i≤k}(g_i
     * − ḡ)| has a fractional mean; multiplying through by n makes it

@@ -152,7 +152,13 @@ class PlanLintSpec extends AnyFunSuite {
     "analytics_median_polish",
     // diameter assembles three 1-row probes (start/far/ecc);
     // cluster_sizes crossJoins the 1-row corpus/covered totals
-    "graph_diameter")
+    "graph_diameter",
+    // r8: shapley's subset-lattice joins are literal-frame nested
+    // loops over ≤16 rows ((m & S) = m containment, (S | cb)
+    // union-lookup) — the fact table reduces to ≤16 mask counts
+    // before any non-equi join; mann_kendall crossJoins the 1-row
+    // n/tie aggregates onto the 1-row S statistic
+    "analytics_shapley", "analytics_mann_kendall")
 
   /** Forced broadcasts whose subtree reads a fact table, allowed
     * because the frame carries a DOCUMENTED constant bound the
