@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.warehouse.Analytics
+import graft.operators.TextAnalysis
+
+/** Driver-replay and invariant specs for the r8 operators — each
+  * oracle-graded in the gate, these pin the SEMANTICS against an
+  * independent in-memory replay so an oracle-and-engine-agree-but-
+  * both-wrong regression can't slip through.
+  */
+class RoundEightOpsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  test("Mann-Kendall: S and Var replay on the driver; z bounded") {
+    val r = Analytics.mannKendall(s, d).collect().head
+    // independent replay over the same daily series
+    val daily = graft.sources.Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+      .orderBy("dt").collect().map(_.getLong(1))
+    val n = daily.length
+    var sStat = 0L
+    for (i <- daily.indices; j <- (i + 1) until n)
+      sStat += java.lang.Long.signum(daily(j) - daily(i))
+    val tie = daily.groupBy(identity).values.map(_.size.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val var18 = n.toLong * (n - 1) * (2L * n + 5) - tie
+    assert(r.getAs[Long]("n_days") === n.toLong)
+    assert(r.getAs[Long]("s_stat") === sStat)
+    assert(r.getAs[Long]("var18") === var18)
+    val z = r.getAs[Double]("z_mk")
+    val zExpect =
+      if (sStat > 0) (sStat - 1.0) / math.sqrt(var18 / 18.0)
+      else if (sStat < 0) (sStat + 1.0) / math.sqrt(var18 / 18.0)
+      else 0.0
+    assert(math.abs(z - zExpect) < 1e-5, s"$z vs replay $zExpect")
+  }
+
+  test("Kaplan-Meier: survival starts <= 1e6, is non-increasing, risk sets shrink") {
+    val rows = Analytics.kaplanMeier(s, d)
+      .orderBy("t_days").collect()
+    assert(rows.nonEmpty)
+    val surv = rows.map(_.getAs[Long]("survival_ppm"))
+    assert(surv.head <= 1000000L)
+    surv.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, "survival must be non-increasing")
+    }
+    val risk = rows.map(_.getAs[Long]("n_risk"))
+    risk.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, "risk sets shrink as t grows")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("d_events") >= 1L)
+      assert(r.getAs[Long]("d_events") <= r.getAs[Long]("n_risk"))
+    }
+    // exact recurrence replay: s_t = s_{t-1} * (n-d) / n truncating
+    var acc = 1000000L
+    rows.foreach { r =>
+      acc = acc * (r.getAs[Long]("n_risk") - r.getAs[Long]("d_events")) /
+        r.getAs[Long]("n_risk")
+      assert(r.getAs[Long]("survival_ppm") === acc)
+    }
+  }
+
+  test("Shapley: efficiency (sum phi24 = 24*(v(N)-v(empty))) and shares sum to ~1e6") {
+    val rows = Analytics.shapleyAttribution(s, d).collect()
+    assert(rows.length === 4)
+    val phiSum = rows.map(_.getAs[Long]("phi24")).sum
+    // v(N) = all converters; v(empty) = converters with no
+    // pre-purchase touch — replay both counts directly
+    val ev = graft.sources.Tables.events(s, d)
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ts")).as("pay_ts"))
+    val vN = fp.count()
+    val touched = ev.join(fp, "user_id")
+      .filter(col("ts") < col("pay_ts") &&
+        col("event_type").isin("view", "click", "signup", "error"))
+      .select("user_id").distinct().count()
+    val vEmpty = vN - touched
+    assert(phiSum === 24L * (vN - vEmpty),
+      s"efficiency: $phiSum vs ${24L * (vN - vEmpty)}")
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    // truncating divisions: the 4 shares sum to 1e6 minus <= 3 ulps
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - 4)
+    rows.foreach(r => assert(r.getAs[Long]("phi24") >= 0L,
+      "v is monotone, so marginals are non-negative"))
+  }
+
+  test("13-gram contamination: ppm bounded, hits <= grams, a planted duplicate reads 1e6") {
+    val rows = TextAnalysis.ngramContamination(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Long]("n_grams")
+      val h = r.getAs[Long]("n_hit")
+      assert(h >= 0 && h <= g)
+      assert(r.getAs[Long]("contamination_ppm") === h * 1000000L / g)
+    }
+    // planted-duplicate contract on a tiny synthetic corpus: an eval
+    // doc that is an exact copy of a train doc must read 1e6, and a
+    // disjoint eval doc must read 0
+    import s.implicits._
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 20).map(i => s"zzz$i").mkString(" ")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ngram").toString
+    Seq((0L, text, "en", "a", text.length.toLong),
+        (18L, text, "en", "a", text.length.toLong),
+        (19L, other, "en", "a", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = TextAnalysis.ngramContamination(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("contamination_ppm"))
+      .toMap
+    assert(planted(18L) === 1000000L)
+    assert(planted(19L) === 0L)
+  }
+}
