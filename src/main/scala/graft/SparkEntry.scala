@@ -439,6 +439,9 @@ object SparkEntry {
     "analytics_mann_kendall" -> (Analytics.mannKendall(_, _)),
     "analytics_kaplan_meier" -> (Analytics.kaplanMeier(_, _)),
     "analytics_shapley" -> (Analytics.shapleyAttribution(_, _)),
+    "analytics_attribution_decay" ->
+      (Analytics.attributionTimeDecay(_, _)),
+    "analytics_perfect_order" -> (Analytics.perfectOrderRate(_, _)),
     "pipeline_ngram_contamination" ->
       (TextAnalysis.ngramContamination(_, _)),
     "analytics_backlog_age" -> (Analytics.backlogAge(_, _)),
@@ -6467,6 +6470,43 @@ object SparkEntry {
         |SELECT channel, phi24,
         |  phi24 * 1000000 // GREATEST(tot, 1) AS share_ppm
         |FROM phi CROSS JOIN tot""".stripMargin,
+    // time-decay attribution: day-grain half-life exponent, power of
+    // two via shift, one truncating per-user ppm division
+    "analytics_attribution_decay" ->
+      """WITH fp AS MATERIALIZED (SELECT user_id, min(ts) AS pay_ts
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT e.user_id, e.event_type AS channel,
+        |    1000000 // (CAST(1 AS BIGINT) << CAST(least(
+        |      date_diff('day', CAST(e.ts AS DATE),
+        |        CAST(fp.pay_ts AS DATE)) // 7, 30) AS INT)) AS w
+        |  FROM events e JOIN fp USING (user_id)
+        |  WHERE e.ts < fp.pay_ts
+        |    AND e.event_type IN ('view', 'click', 'signup', 'error')),
+        |pc AS (SELECT user_id, channel, CAST(SUM(w) AS BIGINT) AS wc,
+        |    COUNT(*) AS n_touch
+        |  FROM t GROUP BY 1, 2),
+        |pu AS (SELECT user_id, CAST(SUM(wc) AS BIGINT) AS wall
+        |  FROM pc GROUP BY 1)
+        |SELECT channel,
+        |  CAST(SUM(wc * 1000000 // wall) AS BIGINT) AS credit_ppm_total,
+        |  CAST(SUM(n_touch) AS BIGINT) AS n_touches,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM pc JOIN pu USING (user_id)
+        |GROUP BY 1""".stripMargin,
+    // perfect-order: the all-lines-ok conjunction at order grain,
+    // month rollup, truncating ppm
+    "analytics_perfect_order" ->
+      """WITH po AS (SELECT o_orderkey,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    MIN(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |        CAST(l_shipdate AS DATE)) <= 30
+        |      AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS ok
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(ok) AS BIGINT) AS n_perfect,
+        |  CAST(SUM(ok) * 1000000 // COUNT(*) AS BIGINT) AS perfect_ppm
+        |FROM po GROUP BY 1""".stripMargin,
     // 13-gram contamination: md5-16hex gram keys are engine-identical;
     // train side dedups before the equi-join
     "pipeline_ngram_contamination" ->

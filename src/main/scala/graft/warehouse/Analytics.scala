@@ -2566,6 +2566,65 @@ object Analytics {
         expr("phi24 * 1000000 DIV greatest(tot, 1)").as("share_ppm"))
   }
 
+  /** TIME-DECAY attribution — the sixth member of the attribution
+    * family (last/first/linear/Markov/Shapley/decay): each
+    * pre-purchase touch gets weight 2^(−⌊age/half-life⌋), each
+    * converting user distributes 1e6 ppm of credit across their
+    * touches proportional to weight, channels roll up the credit.
+    * EXACT INTEGERS throughout: age at DAY grain, the power of two
+    * via shiftleft (capped at 2^30 — beyond that the weight is 0 ppm
+    * anyway), per-user credit as one truncating ppm division. One
+    * event scan → user-grain rollup → ≤4-channel output.
+    */
+  def attributionTimeDecay(s: SparkSession, d: String,
+      halfLifeDays: Int = 7): DataFrame = {
+    val ev = Tables.events(s, d)
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ts")).as("pay_ts"))
+    val touches = ev.join(fp, "user_id")
+      .filter(col("ts") < col("pay_ts") &&
+        col("event_type").isin("view", "click", "signup", "error"))
+      .withColumn("k", expr(
+        s"least(datediff(to_date(pay_ts), to_date(ts)) DIV $halfLifeDays, 30)"))
+      .withColumn("w", expr("1000000L DIV shiftleft(1L, CAST(k AS INT))"))
+    val perUserCh = touches.groupBy(col("user_id"),
+        col("event_type").as("channel"))
+      .agg(sum(col("w")).as("wc"), count(lit(1)).as("n_touch"))
+    val perUser = perUserCh.groupBy("user_id")
+      .agg(sum(col("wc")).as("wall"))
+    perUserCh.join(perUser, "user_id")
+      .withColumn("credit", expr("wc * 1000000 DIV wall"))
+      .groupBy("channel")
+      .agg(sum(col("credit")).as("credit_ppm_total"),
+        sum(col("n_touch")).as("n_touches"),
+        count(lit(1)).as("n_users"))
+  }
+
+  /** PERFECT-ORDER rate per month — the composite fulfilment KPI
+    * (every line shipped within the SLA window AND nothing
+    * returned) that [[slaAttainment]]-style per-line percentiles
+    * can't express: the conjunction lives at the ORDER grain. One
+    * order⋈lineitem join, an all-lines-ok flag via min(), a month
+    * rollup — exact integers, truncating ppm.
+    */
+  def perfectOrderRate(s: SparkSession, d: String,
+      slaDays: Int = 30): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"),
+        col("l_returnflag"))
+    val perOrder = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("od"), "yyyy-MM").as("ym"))
+      .agg(min(when(datediff(col("sd"), col("od")) <= slaDays &&
+          col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("ok"))
+    perOrder.groupBy("ym")
+      .agg(count(lit(1)).as("n_orders"), sum(col("ok")).as("n_perfect"))
+      .withColumn("perfect_ppm",
+        expr("n_perfect * 1000000 DIV n_orders"))
+  }
+
   /** CUSUM changepoint detection on the daily GMV series — "when
     * did the level shift?". The classic statistic max_k |Σ_{i≤k}(g_i
     * − ḡ)| has a fractional mean; multiplying through by n makes it
