@@ -169,6 +169,8 @@ object SparkEntry {
     // scan; same oracle because banding loses no >=0.5 pair here
     "dedup_clusters_lsh" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.minhashLsh(s, d))),
+    // r8: the savings/ROI rollup over the same closure
+    "dedup_savings" -> (Dedup.dedupSavings(_, _)),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
     "sim_filtered_ann" -> (Similarity.filteredTopK(_, _)),
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
@@ -2107,6 +2109,44 @@ object SparkEntry {
         | SELECT e.src, r.lbl FROM edges e, reach r WHERE e.dst = r.id)
         |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
         |GROUP BY 1""".stripMargin,
+    // savings report: the clusters_lsh closure + a doc-grain keep
+    // flag + per-source token rollup
+    "dedup_savings" ->
+      """WITH RECURSIVE
+        |sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        |  FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM i
+        |          JOIN sz sa ON sa.doc_id = id_a
+        |          JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.lbl FROM edges e, reach r WHERE e.dst = r.id),
+        |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
+        |       GROUP BY 1),
+        |dd AS (SELECT d.doc_id, d.source,
+        |    CAST(len(list_filter(string_split(lower(d.text), ' '),
+        |      x -> x <> '')) AS BIGINT) AS toks,
+        |    CASE WHEN cl.cluster_id IS NULL
+        |      OR cl.cluster_id = d.doc_id THEN 1 ELSE 0 END AS kept
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  CAST(SUM(toks) AS BIGINT) AS tok_total,
+        |  CAST(SUM(kept * toks) AS BIGINT) AS tok_kept,
+        |  CAST((SUM(toks) - SUM(kept * toks)) * 1000000
+        |    // GREATEST(SUM(toks), 1) AS BIGINT) AS savings_ppm
+        |FROM dd GROUP BY 1""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

@@ -209,6 +209,35 @@ object Dedup {
     * corpus across the whole dedup family); the summary itself is
     * two tiny aggregates crossJoined as 1-row broadcasts.
     */
+  /** Dedup SAVINGS report — the ROI table a curation run quotes when
+    * deciding whether near-dup removal pays: per source, documents
+    * and whitespace tokens before vs after cluster canonicalization
+    * (keep = the min-id representative of each LSH cluster; docs
+    * untouched by any near-dup edge keep themselves), with the token
+    * savings in ppm. Rides the SAME minhash-LSH pair plan and
+    * min-label closure the graded `dedup_clusters_lsh` uses, plus
+    * one doc-grain left join and a ≤|sources| rollup — the closure
+    * is the cost, the report is free.
+    */
+  def dedupSavings(s: SparkSession, d: String): DataFrame = {
+    val cl = dedupClusters(minhashLsh(s, d))
+    val docs = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"),
+        size(filter(split(lower(col("text")), " "), t => t =!= ""))
+          .cast("long").as("toks"))
+    docs.join(cl, Seq("doc_id"), "left")
+      .withColumn("kept",
+        (col("cluster_id").isNull ||
+          col("cluster_id") === col("doc_id")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("toks")).as("tok_total"),
+        sum(col("kept") * col("toks")).as("tok_kept"))
+      .withColumn("savings_ppm", expr(
+        "(tok_total - tok_kept) * 1000000 DIV greatest(tok_total, 1)"))
+  }
+
   def nearDupRate(s: SparkSession, d: String): DataFrame = {
     val pairs = ngramJaccard(s, d)
     val dupDocs = pairs.select(col("id_a").as("doc_id"))
