@@ -1917,7 +1917,9 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     // canonical row rendering (stable casts, '|' joints) hashed to
     // 48 bits and folded with commutative aggregates — identical at
-    // any row order on both engines
+    // any row order on both engines; the sum is MOD 2^48 (HUGEINT /
+    // DECIMAL(38) carry it exactly; a raw BIGINT sum overflows past
+    // ~65k rows)
     "analytics_table_checksum" ->
       """WITH h AS (
         | SELECT CAST(('0x' || substr(md5(concat_ws('|',
@@ -1926,7 +1928,8 @@ object SparkEntry {
         |   CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
         |   o_orderpriority)), 1, 12))::UBIGINT AS BIGINT) AS h
         | FROM orders)
-        |SELECT COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS sum_hash,
+        |SELECT COUNT(*) AS n_rows,
+        | CAST(SUM(h) % 281474976710656 AS BIGINT) AS sum_hash,
         | bit_xor(h) AS xor_hash
         |FROM h""".stripMargin,
     "pipeline_split" ->

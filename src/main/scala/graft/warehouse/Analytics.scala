@@ -1751,11 +1751,15 @@ object Analytics {
     * anything" primitive for replication, backfill, and engine-
     * migration audits at 100 TB: one scan, one 48-bit hash per row
     * over a CANONICAL string rendering (stable casts, '|' joints),
-    * folded with commutative aggregates (sum / xor / count) so the
-    * result is identical at any partitioning, any row order, any
-    * cluster size. Comparing two engines' checksums IS this repo's
-    * whole grading methodology, distilled into an operator users run
-    * themselves.
+    * folded with commutative aggregates (modular sum / xor / count)
+    * so the result is identical at any partitioning, any row order,
+    * any cluster size. The sum rides DECIMAL(38,0) and is emitted
+    * MOD 2⁴⁸ — a raw long sum of 48-bit hashes crosses 2⁶³ past
+    * ~65k rows (it did at sf0.1, on BOTH engines; latent until the
+    * first sf0.1 Verify because bench's count() prunes the
+    * aggregate). Comparing two engines' checksums IS this repo's
+    * whole grading methodology, distilled into an operator users
+    * run themselves.
     */
   def tableChecksum(s: SparkSession, d: String): DataFrame = {
     val rowStr = concat_ws("|",
@@ -1767,8 +1771,12 @@ object Analytics {
     Tables.orders(s, d)
       .select(h48.as("h"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("h")).as("sum_hash"),
+        sum(col("h").cast(DecimalType(38, 0))).as("sum_raw"),
         expr("bit_xor(h)").as("xor_hash"))
+      .select(col("n_rows"),
+        expr("""CAST(sum_raw % CAST(281474976710656 AS DECIMAL(38,0))
+                AS BIGINT)""").as("sum_hash"),
+        col("xor_hash"))
   }
 
   /** The rank-window suite: dense_rank / ntile / percent_rank /
@@ -5380,10 +5388,15 @@ object Analytics {
       .agg(count(lit(1)).as("n_days"),
         sum(col("g") * col("sgn")).as("detail"))
       .filter(col("n_days") === expr("shiftleft(1, j)"))
+    // detail² must be DECIMAL BEFORE the multiply: |detail| reaches
+    // ~1e10 at sf0.1, so a long×long square overflows 2⁶³ (latent
+    // until the first sf0.1 Verify — bench's count() prunes the
+    // energy column and never evaluated it)
     val perScale = details.groupBy("j")
       .agg(count(lit(1)).as("n_blocks"),
         sum(abs(col("detail"))).as("sum_abs_detail"),
-        sum((col("detail") * col("detail")).cast(d38)).as("energy"))
+        sum(col("detail").cast(d38) * col("detail").cast(d38))
+          .cast(d38).as("energy"))
     val total = perScale.agg(sum(col("energy")).as("total_energy"))
     perScale.crossJoin(broadcast(total))
       .select(expr("CAST(shiftleft(1, j) AS BIGINT)").as("scale_days"),

@@ -157,8 +157,11 @@ class PlanLintSpec extends AnyFunSuite {
     // loops over ≤16 rows ((m & S) = m containment, (S | cb)
     // union-lookup) — the fact table reduces to ≤16 mask counts
     // before any non-equi join; mann_kendall crossJoins the 1-row
-    // n/tie aggregates onto the 1-row S statistic
-    "analytics_shapley", "analytics_mann_kendall")
+    // n/tie aggregates onto the 1-row S statistic; kaplan_meier
+    // crossJoins the 1-row censoring-horizon max onto the
+    // customer-grain lifetimes (the gap_fill bounds-broadcast shape)
+    "analytics_shapley", "analytics_mann_kendall",
+    "analytics_kaplan_meier")
 
   /** Forced broadcasts whose subtree reads a fact table, allowed
     * because the frame carries a DOCUMENTED constant bound the
