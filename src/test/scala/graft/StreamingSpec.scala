@@ -647,6 +647,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Seq(("cart", 1L), ("view", 2L)))
   }
 
+  test("streaming-maintained SCD2 dim: incremental key-scoped rebuild == batch scd2Build; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = tmp("scd2-maintain")
+    val (archive, dim) = (s"$base/archive", s"$base/dim")
+    // a view change feed (user, event-time micros, value), replayed
+    // as a stream in two out-of-order halves (odd users first)
+    val views = graft.sources.Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .groupBy("user_id", "us")
+      .agg(max(col("value")).as("last_view_value"))
+    val rows = views.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = mem.toDF().toDF("user_id", "us", "last_view_value")
+      .writeStream.option("checkpointLocation", s"$base/ck")
+      .foreachBatch(graft.streaming.Jobs.scd2Maintain(
+        "user_id", "us", Seq("last_view_value"), archive, dim))
+      .start()
+    val (odd, even) = rows.partition(_._1 % 2 == 1)
+    mem.addData(odd.toSeq); q.processAllAvailable()
+    mem.addData(even.toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = s.read.parquet(dim)
+      .select("user_id", "valid_from_us", "valid_to_us",
+        "last_view_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getDouble(3))).toSet
+    val batch = graft.operators.Temporal.scd2Build(
+        views, "user_id", "us", Seq("last_view_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getDouble(3))).toSet
+    assert(streamed === batch,
+      "incremental SCD2 must equal the batch build over full history")
+    // replayed batchId appends nothing and the dim is unchanged
+    val fn = graft.streaming.Jobs.scd2Maintain(
+      "user_id", "us", Seq("last_view_value"), archive, dim)
+    fn(views, 0L)
+    val after = s.read.parquet(dim)
+      .select("user_id", "valid_from_us", "valid_to_us",
+        "last_view_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getDouble(3))).toSet
+    assert(after === batch, "replayed micro-batch must be a no-op")
+  }
+
   test("Debezium envelope projection: op mapping, delete takes before, non-row lines drop") {
     // CI gate for the cdcKafka parsing semantics — the same contract
     // the graft-cdc batch connector's Debezium mode implements
