@@ -171,6 +171,10 @@ object SparkEntry {
       Dedup.dedupClusters(Dedup.minhashLsh(s, d))),
     // r8: the savings/ROI rollup over the same closure
     "dedup_savings" -> (Dedup.dedupSavings(_, _)),
+    // r8: Apriori level-3 + hybrid-index rank fusion
+    "graph_assoc_triples" ->
+      ((s, dir) => graft.operators.Graph.assocTriples(s, dir)),
+    "sim_rank_fusion" -> (Similarity.rankFusion(_, _)),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
     "sim_filtered_ann" -> (Similarity.filteredTopK(_, _)),
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
@@ -2745,6 +2749,100 @@ object SparkEntry {
         | CAST(8 + (doc_id * 7) % 24 AS BIGINT) AS height,
         | CAST((doc_id * 31) % 256 AS BIGINT) AS px00
         |FROM documents""".stripMargin,
+    // Apriori level-3: triple enumeration in id order (fan-in =
+    // basket size), conf over the pair support, HUGEINT lift
+    "graph_assoc_triples" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+        |    l_partkey AS pk FROM lineitem),
+        |tri AS (SELECT a.pk AS pa, b2.pk AS pb, c.pk AS pc,
+        |    COUNT(*) AS n_abc
+        |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |  JOIN b c ON a.ok = c.ok AND b2.pk < c.pk
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+        |pr AS (SELECT a.pk AS pa, b2.pk AS pb, COUNT(*) AS n_ab
+        |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |  GROUP BY 1, 2),
+        |sg AS (SELECT pk, COUNT(*) AS n_one FROM b GROUP BY 1),
+        |tot AS (SELECT COUNT(DISTINCT ok) AS n FROM b)
+        |SELECT pa, pb, pc, n_abc,
+        |  CAST(n_abc * 1000000 // n_ab AS BIGINT) AS conf_ab_c_ppm,
+        |  CAST(CAST(n_abc AS HUGEINT) * n * n * 1000000
+        |    // (CAST(sa.n_one AS HUGEINT) * sb.n_one * sc.n_one)
+        |    AS BIGINT) AS lift3_e6
+        |FROM tri JOIN pr USING (pa, pb)
+        |JOIN sg sa ON sa.pk = pa
+        |JOIN sg sb ON sb.pk = pb
+        |JOIN sg sc ON sc.pk = pc
+        |CROSS JOIN tot""".stripMargin,
+    // RRF fusion of the two index oracles' ranked lists: exact
+    // integer 1e6//(60+rank) sums, full outer on (query, neighbor)
+    "sim_rank_fusion" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, v,
+        |      sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+        |bkt AS MATERIALIZED (SELECT vec_id, v, nrm,
+        |  list_sum([CASE WHEN
+        |    list_sum([v[i+1] *
+        |      ((((j*64+i)*2654435761) & 4294967295) / 4294967296.0 - 0.5)
+        |      for i in range(0,64)]) > 0
+        |    THEN (1::BIGINT << (5-j)) ELSE 0::BIGINT END
+        |    for j in range(0,6)]) AS bucket
+        |  FROM n),
+        |ql AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket
+        |      FROM bkt WHERE vec_id < 20),
+        |qp AS (SELECT query_id, qv, qn, xor(bucket, m) AS bucket
+        |       FROM ql, LATERAL unnest([0, 1, 2, 4, 8, 16, 32, 3, 5, 9,
+        |         17, 33, 6, 10, 18, 34, 12, 20, 36, 24, 40, 48]) v(m)),
+        |sl AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |  list_sum([qv[i+1]*c.v[i+1] for i in range(0,len(qv))])
+        |   / (qn * c.nrm) AS cos
+        | FROM qp JOIN bkt c USING (bucket) WHERE c.vec_id <> query_id),
+        |lshr AS MATERIALIZED (SELECT query_id, neighbor_id, rk FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        | FROM sl) t WHERE rk <= 5),
+        |tot AS (SELECT greatest(count(*)//16, 1) AS stride FROM e),
+        |cents AS (SELECT (vec_id // stride) AS cidx, v AS cv, nrm AS cn
+        |          FROM n, tot
+        |          WHERE vec_id % stride = 0 AND vec_id // stride < 16),
+        |cs AS MATERIALIZED (SELECT n.vec_id, cidx,
+        |  list_sum([n.v[i+1]*cv[i+1] for i in range(0,len(cv))])
+        |   / (n.nrm * cn) AS ccos
+        | FROM n CROSS JOIN cents),
+        |assign AS (SELECT vec_id, cidx AS cell FROM (
+        |  SELECT vec_id, cidx, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY ccos DESC, cidx) AS r FROM cs) t
+        |  WHERE r = 1),
+        |probes AS (SELECT vec_id AS query_id, cidx AS cell FROM (
+        |  SELECT vec_id, cidx, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY ccos DESC, cidx) AS r
+        |  FROM cs WHERE vec_id < 20) t
+        |  WHERE r <= 4),
+        |corpus AS (SELECT a.vec_id, a.cell, n.v, n.nrm
+        |           FROM assign a JOIN n USING (vec_id)),
+        |qv2 AS (SELECT p.query_id, p.cell, n.v AS qv, n.nrm AS qn
+        |       FROM probes p JOIN n ON n.vec_id = p.query_id),
+        |si AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |  list_sum([qv[i+1]*c.v[i+1] for i in range(0,len(qv))])
+        |   / (qn * c.nrm) AS cos
+        | FROM qv2 JOIN corpus c USING (cell) WHERE c.vec_id <> query_id),
+        |ivfr AS MATERIALIZED (SELECT query_id, neighbor_id, rk FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        | FROM si) t WHERE rk <= 5),
+        |fused AS (SELECT COALESCE(l.query_id, i.query_id) AS query_id,
+        |    COALESCE(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+        |    COALESCE(1000000 // (60 + l.rk), 0)
+        |      + COALESCE(1000000 // (60 + i.rk), 0) AS rrf_e6
+        |  FROM lshr l FULL JOIN ivfr i
+        |    ON l.query_id = i.query_id
+        |   AND l.neighbor_id = i.neighbor_id)
+        |SELECT query_id, rk, neighbor_id, CAST(rrf_e6 AS BIGINT)
+        |    AS rrf_e6
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_e6 DESC, neighbor_id) AS rk FROM fused) t
+        |WHERE rk <= 5""".stripMargin,
     "sim_ann_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
@@ -7336,12 +7434,15 @@ object SparkEntry {
         |  FROM orders GROUP BY 1),
         |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM dow),
         |sq AS (SELECT n,
-        |  SUM(CAST(o * 7 - n AS DECIMAL(38,0))
-        |    * CAST(o * 7 - n AS DECIMAL(38,0))) AS ssq
+        |  SUM(CAST(o * 7 - n AS HUGEINT)
+        |    * CAST(o * 7 - n AS HUGEINT)) AS ssq
         | FROM dow CROSS JOIN tot GROUP BY 1)
         |SELECT n,
+        | -- HUGEINT //, NOT DECIMAL: DuckDB's // on DECIMAL operands
+        | -- is plain division and the outer CAST then ROUNDS — it
+        | -- forked from Spark's truncating DIV by 1 milli at sf0.1
         | CAST(ssq * 1000 // (7 * n) AS BIGINT) AS chi2_milli,
-        | CAST(CASE WHEN ssq * 1000 > CAST(12592 AS DECIMAL(38,0))
+        | CAST(CASE WHEN ssq * 1000 > CAST(12592 AS HUGEINT)
         |   * 7 * n THEN 1 ELSE 0 END AS BIGINT) AS nonuniform_flag
         |FROM sq""".stripMargin,
     // spend quartiles per half-span, full-outer matrix; seg 0 =

@@ -148,6 +148,49 @@ object Graph {
         expr(s"n_ab * $total * 1000000 div (n_a * n_c)").as("lift_ppm"))
   }
 
+  /** LEVEL-3 association rules — the Apriori step [[assocRules]]'s
+    * pair mining stops short of: frequent part TRIPLES with support,
+    * the {a,b}→c confidence, and the 3-way lift
+    * s_abc·N²/(s_a·s_b·s_c). Triples enumerate once in id order via
+    * two wedge joins whose fan-in is the BASKET SIZE (C(items,3) per
+    * order, ~35 rows for a 7-line order — never a catalog product);
+    * the lift numerator rides DECIMAL(38,0) because n_abc·N²·10⁶
+    * crosses 2⁶³ once orders reach ~1.5M (sf1). All-integer outputs.
+    */
+  def assocTriples(s: SparkSession, d: String,
+      minSupport: Long = 2): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val triples = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .join(li.as("c"),
+        col("a.ok") === col("c.ok") && col("b.pk") < col("c.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"),
+        col("c.pk").as("pc"))
+      .agg(count(lit(1)).as("n_abc"))
+      .filter(col("n_abc") >= minSupport)
+    val pairs = coPurchasePairCounts(s, d)
+      .select(col("s").as("pa"), col("t").as("pb"),
+        col("n_st").as("n_ab"))
+    val singles = li.groupBy(col("pk")).agg(count(lit(1)).as("n_one"))
+    val total = li.select(col("ok")).distinct().count()
+    triples
+      .join(pairs, Seq("pa", "pb"))
+      .join(singles.withColumnRenamed("pk", "pa")
+        .withColumnRenamed("n_one", "n_a"), "pa")
+      .join(singles.withColumnRenamed("pk", "pb")
+        .withColumnRenamed("n_one", "n_b"), "pb")
+      .join(singles.withColumnRenamed("pk", "pc")
+        .withColumnRenamed("n_one", "n_c"), "pc")
+      .select(col("pa"), col("pb"), col("pc"), col("n_abc"),
+        expr("n_abc * 1000000 DIV n_ab").as("conf_ab_c_ppm"),
+        expr(s"""CAST(CAST(n_abc AS DECIMAL(38,0)) * $total * $total
+                * 1000000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b * n_c)
+                AS BIGINT)""").as("lift3_e6"))
+  }
+
   /** Per-node triangle counts over the same co-purchase graph — the
     * local-clustering signal (how interconnected a part's
     * neighborhood is) and the classic test of whether a join engine

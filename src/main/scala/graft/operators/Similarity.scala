@@ -948,6 +948,37 @@ object Similarity {
       .withColumn("recall_ppm", expr(s"n_hits * 1000000 DIV $k"))
   }
 
+  /** RECIPROCAL-RANK FUSION across the two bucketed index variants —
+    * the standard hybrid-retrieval merge (Cormack et al.'s RRF: score
+    * = Σ 1/(k₀+rank), k₀=60) applied to [[annLsh]] and [[annIvf]]'s
+    * per-query top-k lists: a neighbor surfaced by BOTH indexes
+    * outranks either index's solo candidates, which is what makes
+    * fusion robust to each index's blind spots. Scores are EXACT
+    * integers (10⁶ DIV (60+rank), summed over lists), ties break on
+    * neighbor id; re-ranking touches only 2·nQueries·k rows — the
+    * inputs' scale story is the whole story.
+    */
+  def rankFusion(s: SparkSession, d: String, nQueries: Int = 20,
+      k: Int = 5): DataFrame = {
+    val lsh = annLsh(s, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rk").as("rk_lsh"))
+    val ivf = annIvf(s, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rk").as("rk_ivf"))
+    val fused = lsh.join(ivf, Seq("query_id", "neighbor_id"),
+        "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(expr("1000000 DIV (60 + rk_lsh)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + rk_ivf)"), lit(0L)))
+          .as("rrf_e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_e6").desc, col("neighbor_id"))
+    fused.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "rrf_e6")
+  }
+
   /** MATRYOSHKA prefix-dimension recall — the evaluation behind
     * truncatable embeddings (Kusupati et al., "Matryoshka
     * Representation Learning", NeurIPS'22): how much of the exact
