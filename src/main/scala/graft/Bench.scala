@@ -175,7 +175,12 @@ object Bench {
             val within2x = ratios.count(_._2 <= 2.0)
             val worst = ratios.take(5).map { case (k, r) =>
               "\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
-            Some(s""""vs_duckdb":{"n":${ratios.size},"median_ratio":${f"$median%.3f"},"within_2x":$within2x,"worst":$worst}""")
+            // per-query medians punish Spark's ~0.3s fixed overhead
+            // on micro-queries; the SUM ratio is the wall-clock story
+            val common = results.keySet.intersect(base.keySet)
+            val sumSpark = common.toSeq.map(k => results(k)._1).sum
+            val sumDuck = common.toSeq.map(base).sum
+            Some(s""""vs_duckdb":{"n":${ratios.size},"median_ratio":${f"$median%.3f"},"within_2x":$within2x,"sum_spark_sec":${f"$sumSpark%.1f"},"sum_duckdb_sec":${f"$sumDuck%.1f"},"worst":$worst}""")
           }
         }
       }
