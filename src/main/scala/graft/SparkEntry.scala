@@ -175,6 +175,11 @@ object SparkEntry {
     "graph_assoc_triples" ->
       ((s, dir) => graft.operators.Graph.assocTriples(s, dir)),
     "sim_rank_fusion" -> (Similarity.rankFusion(_, _)),
+    // r8: bipartite butterflies off the pair layout; data-grounded
+    // LSH banding planner off the co-occurrence layout
+    "graph_butterflies" ->
+      ((s, dir) => graft.operators.Graph.butterflies(s, dir)),
+    "dedup_lsh_planner" -> (Dedup.lshPlanner(_, _)),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
     "sim_filtered_ann" -> (Similarity.filteredTopK(_, _)),
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
@@ -2749,6 +2754,24 @@ object SparkEntry {
         | CAST(8 + (doc_id * 7) % 24 AS BIGINT) AS height,
         | CAST((doc_id * 31) % 256 AS BIGINT) AS px00
         |FROM documents""".stripMargin,
+    // butterflies: each pair sharing n baskets closes C(n,2) —
+    // arithmetic over the pair rollup, both directions unioned
+    "graph_butterflies" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+        |    l_partkey AS pk FROM lineitem),
+        |pc AS (SELECT a.pk AS s, b2.pk AS t, COUNT(*) AS n_st
+        |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |  GROUP BY 1, 2),
+        |w AS (SELECT s, t, n_st * (n_st - 1) // 2 AS bf FROM pc
+        |      WHERE n_st >= 2),
+        |u AS (SELECT s AS part_id, bf FROM w
+        |      UNION ALL SELECT t, bf FROM w)
+        |SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_pair_partners,
+        |  CAST(SUM(bf) AS BIGINT) AS butterflies
+        |FROM u GROUP BY 1""".stripMargin,
+    // GENERATED oracle (Dedup.lshPlannerOracleSql): identical inlined
+    // S-curve thresholds over the same co-occurrence pairs
+    "dedup_lsh_planner" -> Dedup.lshPlannerOracleSql(),
     // Apriori level-3: triple enumeration in id order (fan-in =
     // basket size), conf over the pair support, HUGEINT lift
     "graph_assoc_triples" ->

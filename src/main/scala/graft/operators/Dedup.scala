@@ -209,6 +209,93 @@ object Dedup {
     * corpus across the whole dedup family); the summary itself is
     * two tiny aggregates crossJoined as 1-row broadcasts.
     */
+  /** The (bands × rows) grid with each config's S-curve 50%-detection
+    * threshold, shared by [[lshPlanner]] and its oracle so both
+    * engines compare against the SAME inlined ppm literals:
+    * p(detect) ≥ ½ ⟺ sim ≥ (1 − 2^(−1/b))^(1/r).
+    */
+  private[graft] def lshPlannerGrid(perms: Int = 64)
+      : Seq[(Int, Int, Long)] =
+    Seq(4, 8, 16, 32).map { b =>
+      val r = perms / b
+      val t = math.pow(1 - math.pow(0.5, 1.0 / b), 1.0 / r)
+      (b, r, math.round(t * 1e6))
+    }
+
+  /** MinHash-LSH PARAMETER PLANNER — "which (bands, rows) do I run"
+    * answered from THIS corpus instead of the abstract S-curve: for
+    * each 64-perm banding config, the 50%-detection similarity
+    * threshold (the config's effective operating point) and how many
+    * of the corpus's real co-occurring pairs (exact Jaccard ≥ 1%)
+    * sit above it. Reading the table down the rows IS the
+    * recall/cost trade: more bands → lower threshold → more of the
+    * observed pair mass detectable, at proportionally more bucket
+    * fan-in. Thresholds are inlined ppm literals computed once (the
+    * oracle inlines the SAME numbers), so every graded cell is an
+    * exact integer count off the shared co-occurrence layout —
+    * one conditional-aggregation scan, no per-config rescan.
+    */
+  def lshPlanner(s: SparkSession, d: String, ngram: Int = 12,
+      floorPpm: Long = 10000L): DataFrame = {
+    val (inter, sizes) = shingleCoOccurrence(s, d, ngram)
+    val pairs = inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+        "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+        "id_b")
+      .withColumn("exact_ppm", expr("c * 1000000 DIV (na + nb - c)"))
+      .filter(col("exact_ppm") >= floorPpm)
+    val grid = lshPlannerGrid()
+    val aggs = count(lit(1)).as("n_pairs_floor") +: grid.map {
+      case (b, _, t) =>
+        count_if(col("exact_ppm") >= t).as(s"c_$b")
+    }
+    val one = pairs.agg(aggs.head, aggs.tail: _*)
+    grid.map { case (b, r, t) =>
+      one.select(lit(b.toLong).as("bands"),
+        lit(r.toLong).as("rows_per_band"),
+        lit(t).as("thresh_ppm"),
+        col(s"c_$b").as("n_detectable"),
+        col("n_pairs_floor"),
+        expr(s"c_$b * 1000000 DIV greatest(n_pairs_floor, 1)")
+          .as("share_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** DuckDB oracle GENERATOR for [[lshPlanner]] — the same inlined
+    * thresholds over the same shingle co-occurrence pairs.
+    */
+  def lshPlannerOracleSql(floorPpm: Long = 10000L): String = {
+    val grid = lshPlannerGrid()
+    val vals = grid.map { case (b, r, t) => s"($b, $r, ${t})" }
+      .mkString(", ")
+    s"""WITH sh AS MATERIALIZED (
+       | SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+       |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+       |  FROM documents) t),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+       |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |p AS MATERIALIZED (SELECT c * 1000000 // (sa.n + sb.n - c)
+       |      AS exact_ppm
+       |    FROM i JOIN sz sa ON sa.doc_id = id_a
+       |    JOIN sz sb ON sb.doc_id = id_b
+       |    WHERE c * 1000000 // (sa.n + sb.n - c) >= $floorPpm),
+       |g AS (SELECT * FROM (VALUES $vals)
+       |      AS t(bands, rows_per_band, thresh_ppm))
+       |SELECT CAST(bands AS BIGINT) AS bands,
+       |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       |  CAST(thresh_ppm AS BIGINT) AS thresh_ppm,
+       |  CAST(COUNT(*) FILTER (exact_ppm >= thresh_ppm) AS BIGINT)
+       |    AS n_detectable,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs_floor,
+       |  CAST(COUNT(*) FILTER (exact_ppm >= thresh_ppm) * 1000000
+       |    // GREATEST(COUNT(*), 1) AS BIGINT) AS share_ppm
+       |FROM g CROSS JOIN p GROUP BY 1, 2, 3""".stripMargin
+  }
+
   /** Dedup SAVINGS report — the ROI table a curation run quotes when
     * deciding whether near-dup removal pays: per source, documents
     * and whitespace tokens before vs after cluster canonicalization

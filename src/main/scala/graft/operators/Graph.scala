@@ -148,6 +148,26 @@ object Graph {
         expr(s"n_ab * $total * 1000000 div (n_a * n_c)").as("lift_ppm"))
   }
 
+  /** BUTTERFLY counts per part — the bipartite-graph analogue of
+    * triangle counting (a butterfly = a 2×2 biclique: two parts
+    * sharing two orders), the standard cohesion metric for
+    * bipartite networks where triangles cannot exist. Off the
+    * materialized pair layout it is pure arithmetic: a part pair
+    * sharing n baskets closes C(n,2) butterflies, so per-part
+    * butterflies = Σ over its pairs of n_st·(n_st−1)/2 — no new
+    * join, one rollup over the layout. Exact integers.
+    */
+  def butterflies(s: SparkSession, d: String): DataFrame = {
+    val pairs = coPurchasePairCounts(s, d)
+      .withColumn("b", expr("n_st * (n_st - 1) DIV 2"))
+      .filter(col("b") > 0)
+    pairs.select(col("s").as("part_id"), col("b"))
+      .unionByName(pairs.select(col("t").as("part_id"), col("b")))
+      .groupBy("part_id")
+      .agg(count(lit(1)).as("n_pair_partners"),
+        sum(col("b")).as("butterflies"))
+  }
+
   /** LEVEL-3 association rules — the Apriori step [[assocRules]]'s
     * pair mining stops short of: frequent part TRIPLES with support,
     * the {a,b}→c confidence, and the 3-way lift
