@@ -180,6 +180,12 @@ object SparkEntry {
     "graph_butterflies" ->
       ((s, dir) => graft.operators.Graph.butterflies(s, dir)),
     "dedup_lsh_planner" -> (Dedup.lshPlanner(_, _)),
+    // r8 batch 2: seed-conditioned PPR beside the global pagerank;
+    // edge-grain triangle support (the k-truss peel seed)
+    "graph_ppr" ->
+      ((s, dir) => graft.operators.Graph.pprCoPurchase(s, dir)),
+    "graph_truss_support" ->
+      ((s, dir) => graft.operators.Graph.trussSupport(s, dir)),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
     "sim_filtered_ann" -> (Similarity.filteredTopK(_, _)),
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
@@ -2772,6 +2778,59 @@ object SparkEntry {
     // GENERATED oracle (Dedup.lshPlannerOracleSql): identical inlined
     // S-curve thresholds over the same co-occurrence pairs
     "dedup_lsh_planner" -> Dedup.lshPlannerOracleSql(),
+    // PPR: three seeded damped rounds unrolled; the LEFT join onto
+    // the node set each round keeps unreached seeds alive (restart
+    // semantics), all-integer ppm so the hash grade is exact
+    "graph_ppr" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS id,
+        |    CASE WHEN src % 25 = 0 THEN 1 ELSE 0 END AS seed FROM deg),
+        |r0 AS (SELECT id, CAST(seed * 1000000 AS BIGINT) AS pr FROM nodes),
+        |s1 AS (SELECT e.dst AS id, SUM(r0.pr // dg.deg) AS sc
+        |       FROM e JOIN r0 ON e.src = r0.id
+        |        JOIN deg dg ON e.src = dg.src GROUP BY 1),
+        |r1 AS (SELECT n.id, CAST(n.seed * 150000
+        |         + (COALESCE(s1.sc, 0) * 85) // 100 AS BIGINT) AS pr
+        |       FROM nodes n LEFT JOIN s1 ON n.id = s1.id),
+        |s2 AS (SELECT e.dst AS id, SUM(r1.pr // dg.deg) AS sc
+        |       FROM e JOIN r1 ON e.src = r1.id
+        |        JOIN deg dg ON e.src = dg.src GROUP BY 1),
+        |r2 AS (SELECT n.id, CAST(n.seed * 150000
+        |         + (COALESCE(s2.sc, 0) * 85) // 100 AS BIGINT) AS pr
+        |       FROM nodes n LEFT JOIN s2 ON n.id = s2.id),
+        |s3 AS (SELECT e.dst AS id, SUM(r2.pr // dg.deg) AS sc
+        |       FROM e JOIN r2 ON e.src = r2.id
+        |        JOIN deg dg ON e.src = dg.src GROUP BY 1),
+        |r3 AS (SELECT n.id, CAST(n.seed * 150000
+        |         + (COALESCE(s3.sc, 0) * 85) // 100 AS BIGINT) AS pr
+        |       FROM nodes n LEFT JOIN s3 ON n.id = s3.id)
+        |SELECT r3.id AS part_id, CAST(n.seed AS BIGINT) AS seed,
+        |  r3.pr AS ppr_score
+        |FROM r3 JOIN nodes n ON r3.id = n.id
+        |WHERE r3.pr > 0""".stripMargin,
+    // truss support: oriented a<b<c triangle enumeration (each
+    // triangle once), 3 edge credits, LEFT join keeps support-0 edges
+    "graph_truss_support" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS s, b.pk AS t
+        |     FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS MATERIALIZED (SELECT ab.s AS a, ab.t AS b, bc.t AS c
+        |     FROM e0 ab JOIN e0 bc ON ab.t = bc.s
+        |      JOIN e0 ac ON ac.s = ab.s AND ac.t = bc.t),
+        |cr AS (SELECT s, t, COUNT(*) AS sup FROM (
+        |    SELECT a AS s, b AS t FROM tri
+        |    UNION ALL SELECT b AS s, c AS t FROM tri
+        |    UNION ALL SELECT a AS s, c AS t FROM tri)
+        |  GROUP BY 1, 2)
+        |SELECT e0.s, e0.t,
+        |  CAST(COALESCE(cr.sup, 0) AS BIGINT) AS support,
+        |  CAST(COALESCE(cr.sup, 0) + 2 AS BIGINT) AS truss_lb
+        |FROM e0 LEFT JOIN cr ON e0.s = cr.s AND e0.t = cr.t""".stripMargin,
     // Apriori level-3: triple enumeration in id order (fan-in =
     // basket size), conf over the pair support, HUGEINT lift
     "graph_assoc_triples" ->

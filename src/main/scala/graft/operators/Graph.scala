@@ -1177,4 +1177,82 @@ object Graph {
     // the same way
     top(h2, "u", "hub").unionByName(top(a2, "i", "authority"))
   }
+
+  /** Personalized PageRank from a deterministic seed set — THE
+    * recommendation primitive [[pagerankCoPurchase]]'s global rank
+    * cannot express: restart mass returns only to the seeds (here
+    * parts with `id % seedMod == 0`, the same mod-sampling contract
+    * as [[kHopReach]]), so scores measure proximity TO THE SEED
+    * SEGMENT rather than global importance (Page et al. 1999 §6;
+    * the "pixie"-style related-content ranker). Three damped rounds
+    * unrolled as join+aggregate supersteps in pure integer ppm
+    * (seed restart 150000·1(seed), spread 85% of Σ pr DIV deg) —
+    * order-independent, hash-gradeable. The LEFT join back onto the
+    * node set each round is what keeps UNREACHED seeds alive (a
+    * plain group-by would drop them, diverging from the restart
+    * semantics); output keeps only pr > 0 rows, i.e. nodes within
+    * `iters` hops of a seed — sparse by construction at any scale.
+    * Scale: identical per-round cost to [[pagerankCoPurchase]]
+    * (|E| messages shuffled on the node key, node-cardinality rank
+    * vector UNHINTED so AQE picks broadcast only while it fits).
+    *
+    * Reference ADS serves per-SKU related panels from the same
+    * co-purchase relation (DwsTradeSkuOrderWindow.java:1); PPR is
+    * the seed-conditioned version of that ranking.
+    */
+  def pprCoPurchase(s: SparkSession, d: String, iters: Int = 3,
+      seedMod: Int = 25): DataFrame = {
+    val und = coPurchaseEdges(s, d)
+      .select(col("s").as("src"), col("t").as("dst"))
+    val edges = und.union(und.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src")
+    val nodes = deg.select(col("src").as("id"),
+      (col("src") % seedMod === 0).cast("long").as("seed"))
+    var rank: DataFrame =
+      nodes.select(col("id"), (col("seed") * 1000000L).as("pr"))
+    (1 to iters).foreach { _ =>
+      val spread = withDeg
+        .join(rank.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("pr DIV deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("sc"))
+      rank = nodes.join(spread, Seq("id"), "left")
+        .select(col("id"), (col("seed") * 150000L +
+          expr("(coalesce(sc, 0L) * 85) DIV 100")).as("pr"))
+    }
+    rank.filter(col("pr") > 0).join(nodes, "id")
+      .select(col("id").as("part_id"), col("seed"),
+        col("pr").as("ppr_score"))
+  }
+
+  /** Per-edge triangle support — the k-truss building block
+    * (Cohen 2008): support(u,v) = |N(u) ∩ N(v)|, and an edge inside
+    * a k-truss has support ≥ k−2, so `truss_lb = support + 2` is the
+    * exact trussness UPPER bound and the standard peel seed. Where
+    * [[triangleCounts]] aggregates triangles to the NODE grain, this
+    * keeps the EDGE grain the truss decomposition peels on.
+    * Enumeration is the oriented-triangle join (a<b<c via two hops
+    * through the s<t pair layout — each triangle materializes
+    * exactly once), then each triangle credits its three edges and
+    * a LEFT join back onto the pair table keeps support-0 edges.
+    * Scale: the oriented join is the same wedge shape as
+    * [[triangleCounts]] — fan-in bounded by Σ deg² on the oriented
+    * graph, output is |E| rows; no new layout, no Cartesian term.
+    */
+  def trussSupport(s: SparkSession, d: String): DataFrame = {
+    val e0 = coPurchaseEdges(s, d) // oriented s < t, deduplicated
+    val ab = e0.select(col("s").as("a"), col("t").as("b"))
+    val bc = e0.select(col("s").as("b"), col("t").as("c"))
+    val ac = e0.select(col("s").as("a"), col("t").as("c"))
+    val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
+    val credit = tri.select(col("a").as("s"), col("b").as("t"))
+      .unionByName(tri.select(col("b").as("s"), col("c").as("t")))
+      .unionByName(tri.select(col("a").as("s"), col("c").as("t")))
+      .groupBy("s", "t").agg(count(lit(1)).as("sup"))
+    e0.join(credit, Seq("s", "t"), "left")
+      .select(col("s"), col("t"),
+        coalesce(col("sup"), lit(0L)).as("support"),
+        (coalesce(col("sup"), lit(0L)) + 2L).as("truss_lb"))
+  }
 }

@@ -352,4 +352,56 @@ class GraphSpec extends AnyFunSuite {
     adj.getOrElse(seed, Array.empty).foreach { e =>
       assert(got(e._2) <= e._3) }
   }
+
+  test("personalized pagerank replays the seeded integer iteration") {
+    val got = Graph.pprCoPurchase(s, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    // driver replay with identical truncating-integer semantics
+    val e0 = Graph.coPurchaseEdges(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e0 ++ e0.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val inbound: Map[Long, Seq[Long]] =
+      edges.map { case (src, dst) => (dst, src) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val seeds = deg.keySet.filter(_ % 25 == 0)
+    var pr: Map[Long, Long] =
+      deg.keySet.map(id => id -> (if (seeds(id)) 1000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      pr = deg.keySet.map { id =>
+        val sc = inbound.getOrElse(id, Seq.empty)
+          .map(src => pr(src) / deg(src)).sum
+        id -> ((if (seeds(id)) 150000L else 0L) + sc * 85L / 100L)
+      }.toMap
+    }
+    val expect = pr.filter(_._2 > 0)
+      .map { case (id, v) => id -> ((if (seeds(id)) 1L else 0L, v)) }
+    assert(got === expect)
+    // every seed survives with at least the restart mass
+    seeds.foreach(id => assert(got(id)._2 >= 150000L))
+  }
+
+  test("truss support equals adjacency-set intersection per edge") {
+    val got = Graph.trussSupport(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    val e0 = Graph.coPurchaseEdges(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    e0.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    assert(got.keySet === e0.toSet)
+    e0.foreach { case (a, b) =>
+      val sup = (adj(a) & adj(b)).size.toLong
+      assert(got((a, b)) === ((sup, sup + 2L)),
+        s"support mismatch on edge ($a,$b)")
+    }
+    // truss property: an edge's support never exceeds min degree - 1
+    e0.foreach { case (a, b) =>
+      assert(got((a, b))._1 <= math.min(adj(a).size, adj(b).size) - 1L)
+    }
+  }
 }
