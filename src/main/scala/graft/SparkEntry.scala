@@ -186,6 +186,10 @@ object SparkEntry {
       ((s, dir) => graft.operators.Graph.pprCoPurchase(s, dir)),
     "graph_truss_support" ->
       ((s, dir) => graft.operators.Graph.trussSupport(s, dir)),
+    // r8 batch 2: published-rule curation attribution + DSIR-style
+    // target-similarity screen for mix planning
+    "text_gopher_rules" -> (TextAnalysis.gopherRules(_, _)),
+    "pipeline_dsir_screen" -> (TextAnalysis.dsirScreen(_, _)),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
     "sim_filtered_ann" -> (Similarity.filteredTopK(_, _)),
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
@@ -2831,6 +2835,62 @@ object SparkEntry {
         |  CAST(COALESCE(cr.sup, 0) AS BIGINT) AS support,
         |  CAST(COALESCE(cr.sup, 0) + 2 AS BIGINT) AS truss_lb
         |FROM e0 LEFT JOIN cr ON e0.s = cr.s AND e0.t = cr.t""".stripMargin,
+    // Gopher rules: per-source counts per rule, all-integer flags
+    // (mean-word-length compared as Σlen vs 3n/10n — no division)
+    "text_gopher_rules" ->
+      """WITH docs AS MATERIALIZED (SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |      AS w FROM documents),
+        |st AS (SELECT doc_id, source, len(w) AS n,
+        |    COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+        |      AS sum_len,
+        |    len(list_filter(w, x -> x IN ('the','be','to','of',
+        |      'and','that','have','with'))) AS stop_ct
+        |  FROM docs),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM docs),
+        |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, MAX(c) AS max_tok FROM tc GROUP BY 1),
+        |fl AS (SELECT source,
+        |    CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END AS v_wc,
+        |    CASE WHEN sum_len < 3 * n OR sum_len > 10 * n
+        |      THEN 1 ELSE 0 END AS v_mwl,
+        |    CASE WHEN stop_ct < 2 THEN 1 ELSE 0 END AS v_stop,
+        |    CASE WHEN COALESCE(max_tok, 0) * 5 > n
+        |      THEN 1 ELSE 0 END AS v_rep
+        |  FROM st LEFT JOIN mx USING (doc_id))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(v_wc) AS BIGINT) AS v_wordcount,
+        |  CAST(SUM(v_mwl) AS BIGINT) AS v_meanlen,
+        |  CAST(SUM(v_stop) AS BIGINT) AS v_stopword,
+        |  CAST(SUM(v_rep) AS BIGINT) AS v_repetition,
+        |  CAST(SUM(CASE WHEN v_wc + v_mwl + v_stop + v_rep = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM fl GROUP BY 1""".stripMargin,
+    // DSIR screen: distinctive = tc·rt > rc·tt cross-multiplied in
+    // HUGEINT; per-doc distinctive-occurrence ppm → decile histogram
+    "pipeline_dsir_screen" ->
+      """WITH docs AS MATERIALIZED (SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |      AS w FROM documents),
+        |grams AS MATERIALIZED (SELECT doc_id, source,
+        |    unnest([substring(md5(w[i] || ' ' || w[i+1]), 1, 16)
+        |            for i in range(1, len(w))]) AS g
+        |  FROM docs),
+        |stats AS (SELECT g,
+        |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc,
+        |    SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS rc
+        |  FROM grams GROUP BY 1),
+        |tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM stats),
+        |dist AS (SELECT g, CASE WHEN CAST(tc AS HUGEINT) * rt >
+        |      CAST(rc AS HUGEINT) * tt THEN 1 ELSE 0 END AS is_dist
+        |  FROM stats CROSS JOIN tot),
+        |pd AS (SELECT doc_id, source, COUNT(*) AS n_g,
+        |    SUM(is_dist) AS n_d
+        |  FROM grams JOIN dist USING (g) GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST((n_d * 1000000 // n_g) // 100000 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM pd GROUP BY 1, 2""".stripMargin,
     // Apriori level-3: triple enumeration in id order (fan-in =
     // basket size), conf over the pair support, HUGEINT lift
     "graph_assoc_triples" ->

@@ -2107,4 +2107,98 @@ object TextAnalysis {
           .as("eff_words"),
         col("mean_distinct_words"))
   }
+
+  /** Gopher quality-rule table — the published rule-by-rule
+    * attribution (Rae et al. 2021 §A1.1) that [[quality]]'s single
+    * linear score cannot give a curation reviewer: per source, how
+    * many documents each rule rejects and how many survive ALL of
+    * them. Four rules with non-degenerate support on a plain-text
+    * corpus, every one INTEGER-EXACT so the grade is a hash match:
+    * word count outside [50, 100000]; mean word length outside
+    * [3, 10] (compared as Σlen < 3n / Σlen > 10n — no division);
+    * fewer than 2 occurrences of the 8-word Gopher stopword list;
+    * and the repetition screen — most frequent token above 20% of
+    * the document (max_ct·5 > n). Scale: doc-grain flags are one
+    * scan of column expressions; the repetition max is the only
+    * explode, token-grain linear with a two-level aggregate —
+    * nothing quadratic, nothing collected.
+    */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val docs = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), toks.as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(w, 0L, (a, x) -> a + length(x))"))
+      .withColumn("stop_ct", expr(
+        """size(filter(w, x -> x IN ('the','be','to','of',
+          |'and','that','have','with')))""".stripMargin).cast("long"))
+    val topTok = docs
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_tok"))
+    docs.join(topTok, Seq("doc_id"), "left")
+      .select(col("source"),
+        (col("n") < 50 || col("n") > 100000).cast("long").as("v_wc"),
+        (col("sum_len") < col("n") * 3 ||
+          col("sum_len") > col("n") * 10).cast("long").as("v_mwl"),
+        (col("stop_ct") < 2).cast("long").as("v_stop"),
+        (coalesce(col("max_tok"), lit(0L)) * 5 > col("n"))
+          .cast("long").as("v_rep"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("v_wc")).as("v_wordcount"),
+        sum(col("v_mwl")).as("v_meanlen"),
+        sum(col("v_stop")).as("v_stopword"),
+        sum(col("v_rep")).as("v_repetition"),
+        sum(when(col("v_wc") + col("v_mwl") + col("v_stop")
+          + col("v_rep") === 0, 1L).otherwise(0L)).as("n_pass"))
+  }
+
+  /** DSIR-style target-similarity screen (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance
+    * Resampling", log-linear variant made integer-exact): score
+    * every document by how much its hashed-bigram features look
+    * like a TARGET slice of the corpus (`target` source) versus the
+    * rest, then report the per-source score-decile histogram a mix
+    * planner resamples from. A bigram is target-DISTINCTIVE when
+    * its target rate exceeds its rest rate — compared CROSS-
+    * MULTIPLIED (tc·rt > rc·tt in DECIMAL(38)/HUGEINT, no division,
+    * no floats), and a doc's score is the ppm share of its bigram
+    * OCCURRENCES that are distinctive. Same md5-16hex feature keys
+    * as [[ngramContamination]], so both engines hash identically.
+    * Scale: one explode to bigram grain, one feature-grain
+    * aggregate (vocabulary-sized state), a 1-row totals broadcast,
+    * one equi-join back — never doc × doc, never doc × vocabulary.
+    */
+  def dsirScreen(s: SparkSession, d: String,
+      target: String = "src0"): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val docs = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), toks.as("w"))
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(expr(
+        """CASE WHEN size(w) >= 2 THEN
+          |  transform(sequence(1, size(w) - 1),
+          |    i -> substring(md5(concat(w[i-1], ' ', w[i])), 1, 16))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .as("g"))
+    val stats = grams.groupBy("g").agg(
+      sum(when(col("source") === target, 1L).otherwise(0L)).as("tc"),
+      sum(when(col("source") =!= target, 1L).otherwise(0L)).as("rc"))
+    val tot = stats.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
+    // 1-row totals frame — constant bound, broadcast is safe at any SF
+    val dist = stats.crossJoin(broadcast(tot))
+      .select(col("g"), expr(
+        """CAST(CAST(tc AS DECIMAL(38,0)) * rt >
+          |CAST(rc AS DECIMAL(38,0)) * tt AS LONG)""".stripMargin)
+        .as("is_dist"))
+    grams.join(dist, "g")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_g"), sum(col("is_dist")).as("n_d"))
+      .withColumn("score_ppm", expr("n_d * 1000000 DIV n_g"))
+      .groupBy(col("source"),
+        expr("score_ppm DIV 100000").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

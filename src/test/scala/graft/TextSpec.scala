@@ -1013,4 +1013,82 @@ class TextSpec extends AnyFunSuite {
       if (sorted.length > 1) assert(cursor <= 128L, s"overfull bin $bin")
     }
   }
+
+  private def words(text: String): Seq[String] =
+    text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+
+  test("gopher rule table replays the per-doc flags on the driver") {
+    val got = TextAnalysis.gopherRules(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.nonEmpty)
+    val stop = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    val docs = graft.sources.Tables.documents(s, d)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), words(r.getString(1))))
+    val expect = docs.groupBy(_._1).map { case (src, xs) =>
+      val flags = xs.map { case (_, w) =>
+        val n = w.size
+        val sumLen = w.map(_.length).sum
+        val vWc = if (n < 50 || n > 100000) 1L else 0L
+        val vMwl = if (sumLen < 3 * n || sumLen > 10 * n) 1L else 0L
+        val vStop = if (w.count(stop) < 2) 1L else 0L
+        val maxTok = if (w.isEmpty) 0L
+          else w.groupBy(identity).values.map(_.size).max.toLong
+        val vRep = if (maxTok * 5 > n) 1L else 0L
+        (vWc, vMwl, vStop, vRep)
+      }
+      src -> ((xs.size.toLong, flags.map(_._1).sum, flags.map(_._2).sum,
+        flags.map(_._3).sum, flags.map(_._4).sum,
+        flags.count(f => f._1 + f._2 + f._3 + f._4 == 0).toLong))
+    }
+    assert(got === expect)
+    // the rules must actually discriminate on this corpus: at least
+    // one rule fires somewhere and at least one doc passes all rules
+    assert(got.values.map(_._2).sum > 0, "wordcount rule never fired")
+    assert(got.values.map(_._6).sum > 0, "no document passed")
+  }
+
+  test("dsir screen replays the cross-multiplied distinctive scoring") {
+    val got = TextAnalysis.dsirScreen(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    def md5hex16(x: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    }
+    val docs = graft.sources.Tables.documents(s, d)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), words(r.getString(2))))
+    val grams = docs.flatMap { case (id, src, w) =>
+      if (w.size < 2) Seq.empty
+      else w.sliding(2).map(p =>
+        (id, src, md5hex16(p.head + " " + p.last))).toSeq
+    }
+    val tc = grams.filter(_._2 == "src0").groupBy(_._3).view
+      .mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+    val rc = grams.filter(_._2 != "src0").groupBy(_._3).view
+      .mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+    val tt = BigInt(tc.values.sum); val rt = BigInt(rc.values.sum)
+    val distinctive = (tc.keySet ++ rc.keySet).filter(g =>
+      BigInt(tc(g)) * rt > BigInt(rc(g)) * tt)
+    val expect = grams.groupBy(g => (g._1, g._2)).toSeq
+      .map { case ((_, src), gs) =>
+        val nG = gs.length.toLong
+        val nD = gs.count(g => distinctive(g._3)).toLong
+        (src, (nD * 1000000L / nG) / 100000L)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got === expect)
+    // the screen must separate: target source docs skew to higher
+    // deciles than the pooled rest (mean bucket strictly greater)
+    def meanBucket(p: String => Boolean): Double = {
+      val xs = got.filter { case ((src, _), _) => p(src) }
+      xs.map { case ((_, b), n) => b * n }.sum.toDouble /
+        xs.values.sum
+    }
+    assert(meanBucket(_ == "src0") > meanBucket(_ != "src0"),
+      "target docs should score higher than the rest")
+  }
 }
