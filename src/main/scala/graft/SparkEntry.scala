@@ -190,6 +190,10 @@ object SparkEntry {
     // target-similarity screen for mix planning
     "text_gopher_rules" -> (TextAnalysis.gopherRules(_, _)),
     "pipeline_dsir_screen" -> (TextAnalysis.dsirScreen(_, _)),
+    // r8 batch 2: strict-order funnel parity + FD audit with g3
+    "analytics_window_funnel_strict" ->
+      (Analytics.windowFunnelStrict(_, _)),
+    "dq_fd_audit" -> (Quality.fdAudit(_, _)),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
     "sim_filtered_ann" -> (Similarity.filteredTopK(_, _)),
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
@@ -2835,6 +2839,59 @@ object SparkEntry {
         |  CAST(COALESCE(cr.sup, 0) AS BIGINT) AS support,
         |  CAST(COALESCE(cr.sup, 0) + 2 AS BIGINT) AS truss_lb
         |FROM e0 LEFT JOIN cr ON e0.s = cr.s AND e0.t = cr.t""".stripMargin,
+    // strict_order funnel: adjacency via two leads over the same
+    // (us, event_id) tie order the Spark window pins
+    "analytics_window_funnel_strict" ->
+      """WITH e AS (SELECT user_id, event_id, event_type AS t0,
+        |    epoch_us(ts) AS us FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |l AS (SELECT user_id, us, t0,
+        |    lead(t0, 1) OVER w AS t1, lead(us, 1) OVER w AS us1,
+        |    lead(t0, 2) OVER w AS t2, lead(us, 2) OVER w AS us2
+        |  FROM e WINDOW w AS
+        |    (PARTITION BY user_id ORDER BY us, event_id)),
+        |ul AS (SELECT user_id, GREATEST(
+        |    MAX(CASE WHEN t0 = 'view' AND t1 = 'click'
+        |      AND t2 = 'purchase' AND us2 <= us + 86400000000
+        |      THEN 3 ELSE 0 END),
+        |    MAX(CASE WHEN t0 = 'view' AND t1 = 'click'
+        |      AND us1 <= us + 86400000000 THEN 2 ELSE 0 END),
+        |    MAX(CASE WHEN t0 = 'view' THEN 1 ELSE 0 END)) AS level
+        |  FROM l GROUP BY 1)
+        |SELECT CAST(level AS BIGINT) AS level, COUNT(*) AS users
+        |FROM ul GROUP BY 1""".stripMargin,
+    // FD audit: g3 = n − Σ_lhs max_rhs count, per candidate FD
+    "dq_fd_audit" ->
+      """WITH g AS (
+        |  SELECT fd, l, COUNT(*) AS n_rhs, MAX(c) AS mx, SUM(c) AS n
+        |  FROM (
+        |    SELECT 'n_name->n_regionkey' AS fd,
+        |      CAST(n_name AS VARCHAR) AS l,
+        |      CAST(n_regionkey AS VARCHAR) AS r, COUNT(*) AS c
+        |    FROM nation GROUP BY 1, 2, 3
+        |    UNION ALL
+        |    SELECT 'o_custkey->o_orderpriority',
+        |      CAST(o_custkey AS VARCHAR),
+        |      CAST(o_orderpriority AS VARCHAR), COUNT(*)
+        |    FROM orders GROUP BY 1, 2, 3
+        |    UNION ALL
+        |    SELECT 'l_partkey->l_suppkey',
+        |      CAST(l_partkey AS VARCHAR),
+        |      CAST(l_suppkey AS VARCHAR), COUNT(*)
+        |    FROM lineitem GROUP BY 1, 2, 3
+        |    UNION ALL
+        |    SELECT 'c_nationkey->c_mktsegment',
+        |      CAST(c_nationkey AS VARCHAR),
+        |      CAST(c_mktsegment AS VARCHAR), COUNT(*)
+        |    FROM customer GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2)
+        |SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS viol_groups,
+        |  CAST(SUM(n) - SUM(mx) AS BIGINT) AS g3_rows,
+        |  CAST((SUM(n) - SUM(mx)) * 1000000 // SUM(n) AS BIGINT)
+        |    AS g3_ppm
+        |FROM g GROUP BY 1""".stripMargin,
     // Gopher rules: per-source counts per rule, all-integer flags
     // (mean-word-length compared as Σlen vs 3n/10n — no division)
     "text_gopher_rules" ->

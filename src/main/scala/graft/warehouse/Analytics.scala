@@ -808,6 +808,44 @@ object Analytics {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** ClickHouse `windowFunnel(W, 'strict_order')` parity — the
+    * third funnel semantic beside [[funnel]] (per-step windows) and
+    * [[windowFunnel]] (one anchored window, interleaving allowed):
+    * under strict order, ANY tracked event breaking the
+    * view→click→purchase adjacency kills the chain, so the match is
+    * simply three CONSECUTIVE rows of the per-user tracked stream
+    * with the right types inside one anchored window. Consecutive-
+    * row matching is two `lead`s over (user, time, event_id) — no
+    * fold, no EXISTS blow-up — and the per-user depth is a max over
+    * row-level flags. Tie order pins on (us, event_id) so both
+    * engines see the same adjacency. Scale: one shuffle on user_id,
+    * window state is two rows of lookahead; the level rollup is a
+    * ≤4-row aggregate.
+    */
+  def windowFunnelStrict(s: SparkSession, d: String,
+      windowSeconds: Long = 86400): DataFrame = {
+    val wUs = windowSeconds * 1000000L
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("t0"))
+      .withColumn("t1", lead(col("t0"), 1).over(w))
+      .withColumn("us1", lead(col("us"), 1).over(w))
+      .withColumn("t2", lead(col("t0"), 2).over(w))
+      .withColumn("us2", lead(col("us"), 2).over(w))
+    e.groupBy("user_id").agg(
+        max(when(col("t0") === "view" && col("t1") === "click" &&
+          col("t2") === "purchase" && col("us2") <= col("us") + wUs,
+          3L).otherwise(0L)).as("l3"),
+        max(when(col("t0") === "view" && col("t1") === "click" &&
+          col("us1") <= col("us") + wUs, 2L).otherwise(0L)).as("l2"),
+        max(when(col("t0") === "view", 1L).otherwise(0L)).as("l1"))
+      .select(greatest(col("l3"), col("l2"), col("l1")).as("level"))
+      .groupBy("level").agg(count(lit(1)).as("users"))
+  }
+
   /** Integer EWMA over the daily GMV series — the smoothing pass a
     * dashboard overlays on [[autocorrGmv]]'s raw curve: s₁ = g₁,
     * sₜ = (2gₜ + 6sₜ₋₁) >> 3 (α = ¼ with a power-of-two divisor so

@@ -922,6 +922,49 @@ object Quality {
     * and the one global window runs over the ≤|lens| pooled rows —
     * the same bounded-domain discipline as [[kruskalWallis]].
     */
+  /** Functional-dependency audit with the g3 repair metric
+    * (Huhtala et al. 1999, TANE; Kivinen–Mannila's g3): for each
+    * candidate FD lhs → rhs, the distinct-LHS group count, how many
+    * groups carry MORE than one RHS value (the FD's violating
+    * groups), and the MINIMUM ROWS TO DELETE to make the FD hold —
+    * g3 = n − Σ_lhs max_rhs count — plus that as ppm of the table.
+    * The candidate set pairs a TRUE dependency (a nation name maps
+    * to exactly one region, so n_name → n_regionkey holds by
+    * construction — the audit must read 0) against three
+    * plausible-but-false ones,
+    * which is exactly the profiling discipline: confirm the keys you
+    * rely on, MEASURE the ones you merely assume. Scale: each FD is
+    * a two-level aggregate on the (lhs, rhs) then lhs key — map-side
+    * combinable, state bounded by the attribute domain, and the
+    * report is a 4-row union. No collects, no joins.
+    */
+  def fdAudit(s: SparkSession, d: String): DataFrame = {
+    def fd(df: DataFrame, lhs: String, rhs: String): DataFrame = {
+      val per = df.groupBy(col(lhs).cast("string").as("l"),
+          col(rhs).cast("string").as("r"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("l").agg(count(lit(1)).as("n_rhs"),
+          max(col("c")).as("mx"), sum(col("c")).as("n"))
+      per.agg(
+        lit(s"$lhs->$rhs").as("fd"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n_rhs") > 1, 1L).otherwise(0L))
+          .as("viol_groups"),
+        (sum(col("n")) - sum(col("mx"))).as("g3_rows"),
+        // ×10⁶ rides DECIMAL(38): g3 is fact-cardinality, and a
+        // bare long multiply wraps past ~9×10¹² rows
+        expr("""CAST((CAST(SUM(n) AS DECIMAL(38,0)) - SUM(mx))
+                * 1000000 DIV CAST(SUM(n) AS DECIMAL(38,0))
+                AS LONG)""").as("g3_ppm"))
+    }
+    fd(Tables.nation(s, d), "n_name", "n_regionkey")
+      .unionByName(fd(Tables.orders(s, d), "o_custkey",
+        "o_orderpriority"))
+      .unionByName(fd(Tables.lineitem(s, d), "l_partkey", "l_suppkey"))
+      .unionByName(fd(Tables.customer(s, d), "c_nationkey",
+        "c_mktsegment"))
+  }
+
   def ksDrift(s: SparkSession, d: String): DataFrame = {
     val d38 = DecimalType(38, 0)
     val W = org.apache.spark.sql.expressions.Window

@@ -119,4 +119,75 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(planted(18L) === 1000000L)
     assert(planted(19L) === 0L)
   }
+
+  test("strict-order funnel replays the adjacency scan; <= relaxed") {
+    val got = Analytics.windowFunnelStrict(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wUs = 86400L * 1000000L
+    // driver replay: per user, sort tracked events, scan triples
+    val ev = graft.sources.Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val expect = ev.groupBy(_._1).map { case (_, xs) =>
+      val es = xs.sortBy(e => (e._2, e._3))
+      val l3 = es.indices.dropRight(2).exists { i =>
+        es(i)._4 == "view" && es(i + 1)._4 == "click" &&
+          es(i + 2)._4 == "purchase" && es(i + 2)._2 <= es(i)._2 + wUs
+      }
+      val l2 = es.indices.dropRight(1).exists { i =>
+        es(i)._4 == "view" && es(i + 1)._4 == "click" &&
+          es(i + 1)._2 <= es(i)._2 + wUs
+      }
+      val l1 = es.exists(_._4 == "view")
+      if (l3) 3L else if (l2) 2L else if (l1) 1L else 0L
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got === expect)
+    // strict order can only demote: cumulative users at depth >= L
+    // never exceed the relaxed windowFunnel's
+    val relaxed = Analytics.windowFunnel(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cum(m: Map[Long, Long], l: Long) =
+      m.filter(_._1 >= l).values.sum
+    (1L to 3L).foreach { l =>
+      assert(cum(got, l) <= cum(relaxed, l),
+        s"strict depth-$l exceeded relaxed")
+    }
+  }
+
+  test("fd audit: brand->mfgr holds; g3 replays per candidate") {
+    val got = graft.warehouse.Quality.fdAudit(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size === 4)
+    // generator contract: a nation name maps to exactly one region
+    assert(got("n_name->n_regionkey")._2 === 0L,
+      "true FD must audit clean")
+    assert(got("n_name->n_regionkey")._3 === 0L)
+    def replay(df: org.apache.spark.sql.DataFrame, lhs: String,
+        rhs: String): (Long, Long, Long, Long) = {
+      val rows = df.select(col(lhs).cast("string"),
+          col(rhs).cast("string")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val byL = rows.groupBy(_._1)
+      val nGroups = byL.size.toLong
+      val viol = byL.values.count(_.map(_._2).distinct.size > 1).toLong
+      val g3 = byL.values.map { xs =>
+        xs.size - xs.groupBy(_._2).values.map(_.size).max }.sum.toLong
+      val ppm = g3 * 1000000L / rows.length
+      (nGroups, viol, g3, ppm)
+    }
+    assert(got("o_custkey->o_orderpriority") ===
+      replay(graft.sources.Tables.orders(s, d), "o_custkey",
+        "o_orderpriority"))
+    assert(got("l_partkey->l_suppkey") ===
+      replay(graft.sources.Tables.lineitem(s, d), "l_partkey",
+        "l_suppkey"))
+    assert(got("c_nationkey->c_mktsegment") ===
+      replay(graft.sources.Tables.customer(s, d), "c_nationkey",
+        "c_mktsegment"))
+  }
 }
