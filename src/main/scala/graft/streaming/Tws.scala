@@ -95,6 +95,103 @@ object Tws {
     * not a choice — set `spark.sql.streaming.stateStore
     * .providerClass` before starting the query).
     */
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionOut(user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Open-session state: bounds, event count, armed timer expiry. */
+  case class SessState(startMs: Long, endMs: Long, n: Long,
+      timerMs: Long)
+
+  /** Gap-based sessionization as a timer-driven StatefulProcessor —
+    * the KeyedProcessFunction-with-timers form of the reference's
+    * session windows (Flink assigns EventTimeSessionWindows in the
+    * DWS traffic apps; cf. [[Jobs.sessionWindow]] which uses Spark's
+    * built-in `session_window`): a session closes exactly when the
+    * WATERMARK passes last_event + gap, enforced by ONE re-armed
+    * event-time timer per open session. In-batch rows fold in
+    * ascending event-time order: an event within `gap` of the open
+    * interval extends it (min/max bounds), an event past end+gap
+    * closes the open session INLINE and starts the next one (the
+    * timer path only handles the final, quiet-period close), and a
+    * straggler older than start−gap emits its own retro session —
+    * bounded semantics for every arrival order the watermark
+    * admits. Per-key state is four longs regardless of session
+    * length; TWS keeps it in RocksDB column families, so millions
+    * of concurrent open sessions ride disk, not heap.
+    */
+  class GapSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessEvent, SessionOut] {
+    @transient private var st: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("gapsess",
+        Encoders.product[SessState], TTLConfig.NONE)
+
+    private def out(uid: Long, c: SessState): SessionOut =
+      SessionOut(uid, new java.sql.Timestamp(c.startMs),
+        new java.sql.Timestamp(c.endMs), c.n)
+
+    override def handleInputRows(uid: Long, rows: Iterator[SessEvent],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur: Option[SessState] =
+        if (st.exists()) Some(st.get()) else None
+      rows.toSeq.map(_.ts.getTime).sorted.foreach { ms =>
+        cur match {
+          case None =>
+            cur = Some(SessState(ms, ms, 1L, Long.MinValue))
+          case Some(c) if ms >= c.startMs - gapMs &&
+              ms <= c.endMs + gapMs =>
+            cur = Some(c.copy(startMs = math.min(c.startMs, ms),
+              endMs = math.max(c.endMs, ms), n = c.n + 1))
+          case Some(c) if ms > c.endMs + gapMs =>
+            closed += out(uid, c) // gap exceeded inside the batch
+            cur = Some(SessState(ms, ms, 1L, c.timerMs))
+          case Some(_) => // straggler before start - gap: retro close
+            closed += SessionOut(uid, new java.sql.Timestamp(ms),
+              new java.sql.Timestamp(ms), 1L)
+        }
+      }
+      cur.foreach { c =>
+        val want = c.endMs + gapMs
+        if (want != c.timerMs) {
+          if (c.timerMs != Long.MinValue) getHandle.deleteTimer(c.timerMs)
+          getHandle.registerTimer(want)
+        }
+        st.update(c.copy(timerMs = want))
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (st.exists()) {
+        val c = st.get()
+        // a re-arm deletes the stale timer, so an expiry here is
+        // always the live one — close and drop the key
+        st.clear()
+        Iterator.single(out(uid, c))
+      } else Iterator.empty
+  }
+
+  /** Timer-driven gap sessionization over a (user_id, ts) stream.
+    * RocksDB state store required, as for every TWS job.
+    */
+  def sessionizeTimers(events: DataFrame, gapMs: Long = 1800000L,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new GapSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   def paymentTimeoutAlerts(events: DataFrame, timeoutMs: Long = 900000L,
       watermark: String = "10 minutes"): Dataset[TimeoutAlert] = {
     val s = events.sparkSession

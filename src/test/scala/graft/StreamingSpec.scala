@@ -1319,6 +1319,57 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("timer-driven gap sessionization closes on watermark and in-batch gaps") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(conf)
+    s.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(min: Long) = new java.sql.Timestamp((100 + min) * 60000L)
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      val sess = graft.streaming.Tws.sessionizeTimers(
+        mem.toDF().toDF("user_id", "ts"),
+        gapMs = 30 * 60000L, watermark = "10 minutes")
+      val q = sess.writeStream.format("memory").queryName("gap_sess")
+        .outputMode("append")
+        .option("checkpointLocation", tmp("sess-ckpt")).start()
+      try {
+        // user 1: one session 0..20; user 3: TWO sessions in one
+        // batch (gap exceeded inline at 100)
+        mem.addData((1L, ts(0)), (1L, ts(10)), (1L, ts(20)),
+          (3L, ts(0)), (3L, ts(5)), (3L, ts(100)), (3L, ts(105)))
+        q.processAllAvailable()
+        // user 1 reopens long after its gap; user 2 single event
+        mem.addData((1L, ts(120)), (2L, ts(125)))
+        q.processAllAvailable()
+        // watermark carrier: pushes WM past every armed timer
+        mem.addData((99L, ts(300)))
+        q.processAllAvailable()
+        mem.addData((99L, ts(301)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = s.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM gap_sess")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3))).toSet
+      val expect = Set(
+        (1L, ts(0), ts(20), 3L),
+        (1L, ts(120), ts(120), 1L),
+        (2L, ts(125), ts(125), 1L),
+        (3L, ts(0), ts(5), 2L),
+        (3L, ts(100), ts(105), 2L))
+      assert(got === expect, s"got $got")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(conf, v)
+        case None => s.conf.unset(conf)
+      }
+    }
+  }
+
   test("quarantine router: violations split losslessly from the forward stream") {
     import s.implicits._
     val dir = Files.createTempDirectory("quar-src")
