@@ -194,6 +194,10 @@ object SparkEntry {
     "analytics_window_funnel_strict" ->
       (Analytics.windowFunnelStrict(_, _)),
     "dq_fd_audit" -> (Quality.fdAudit(_, _)),
+    // r8 batch 2: component-size histogram + ANN hubness telemetry
+    "graph_component_sizes" ->
+      ((s, dir) => graft.operators.Graph.componentSizes(s, dir)),
+    "sim_hubness" -> (Similarity.hubness(_, _)),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
     "sim_filtered_ann" -> (Similarity.filteredTopK(_, _)),
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
@@ -2786,6 +2790,58 @@ object SparkEntry {
     // GENERATED oracle (Dedup.lshPlannerOracleSql): identical inlined
     // S-curve thresholds over the same co-occurrence pairs
     "dedup_lsh_planner" -> Dedup.lshPlannerOracleSql(),
+    // component sizes: the components closure CTE + two rollups
+    "graph_component_sizes" ->
+      """WITH RECURSIVE
+        |b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |      FROM lineitem),
+        |p AS (SELECT a.pk AS s, b2.pk AS t, COUNT(*) AS n
+        |      FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT s, t FROM p WHERE n >= 3),
+        |edges AS (SELECT s AS src, t AS dst FROM pairs
+        |          UNION ALL SELECT t, s FROM pairs),
+        |reach(id, lbl) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.lbl FROM edges e, reach r WHERE e.dst = r.id),
+        |comp AS (SELECT id, MIN(lbl) AS component_id FROM reach
+        |         GROUP BY 1),
+        |sz AS (SELECT component_id, COUNT(*) AS size FROM comp
+        |       GROUP BY 1)
+        |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
+        |FROM sz GROUP BY 1""".stripMargin,
+    // hubness: the knn-join CTE + a zero-inclusive k-occurrence
+    // rollup (the LEFT join back onto the corpus counts anti-hubs)
+    "sim_hubness" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm
+        |      FROM e),
+        |bkt AS MATERIALIZED (SELECT vec_id, v, nrm,
+        |  list_sum([CASE WHEN
+        |    list_sum([v[i+1] *
+        |      ((((j*64+i)*2654435761) & 4294967295) / 4294967296.0 - 0.5)
+        |      for i in range(0,64)]) > 0
+        |    THEN (1::BIGINT << (5-j)) ELSE 0::BIGINT END
+        |    for j in range(0,6)]) AS bucket
+        |  FROM n),
+        |s AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_sum([a.v[i+1]*c.v[i+1] for i in range(0,len(a.v))])
+        |   / (a.nrm * c.nrm) AS cos
+        | FROM bkt a JOIN bkt c
+        |   ON a.bucket = c.bucket AND c.vec_id <> a.vec_id),
+        |knn AS (SELECT query_id, neighbor_id FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        | FROM s) t
+        | WHERE rk <= 5),
+        |occ AS (SELECT neighbor_id AS vec_id, COUNT(*) AS n_k
+        |        FROM knn GROUP BY 1)
+        |SELECT COALESCE(occ.n_k, 0) AS k_occurrences,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vectors
+        |FROM e LEFT JOIN occ ON e.vec_id = occ.vec_id
+        |GROUP BY 1""".stripMargin,
     // PPR: three seeded damped rounds unrolled; the LEFT join onto
     // the node set each round keeps unreached seeds alive (restart
     // semantics), all-integer ppm so the hash grade is exact

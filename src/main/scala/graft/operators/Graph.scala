@@ -451,6 +451,21 @@ object Graph {
           .select(col("s").as("id_a"), col("t").as("id_b")))
       .toDF("part_id", "component_id")
 
+  /** Component-SIZE distribution over [[components]] — the one-line
+    * health readout a graph pipeline actually alarms on (did the
+    * strong graph collapse into a giant component? how much is
+    * dust?): sizes per component label, then the (size →
+    * n_components) histogram. Both rollups are key-grain aggregates
+    * over the already-bounded closure output; the histogram domain
+    * is at most √nodes distinct sizes, so the result is tiny at any
+    * scale.
+    */
+  def componentSizes(s: SparkSession, d: String,
+      minCount: Long = 3): DataFrame =
+    components(s, d, minCount)
+      .groupBy(col("component_id")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+
   /** Weighted single-source shortest paths (bounded Bellman-Ford —
     * the Pregel SSSP kernel): edge cost = 10⁶ DIV n_st on the strong
     * co-purchase graph (frequent pairs are "close"), seed = the

@@ -544,6 +544,30 @@ object Similarity {
     * product; the per-query top-k window partitions by vec_id (high
     * cardinality — no single-partition sort anywhere).
     */
+  /** Hubness report over the [[knnJoin]] neighbor graph — the
+    * k-occurrence distribution N_k (Radovanović et al., JMLR 2010):
+    * how many vectors appear 0, 1, 2, … times in OTHER vectors'
+    * top-k lists. High-dimensional embedding spaces grow "hubs"
+    * (vectors in everyone's neighbor list) and "anti-hubs" (in
+    * nobody's) — skew here predicts ANN recall loss and retrieval
+    * bias before any index ships, which is why it sits beside the
+    * recall evaluations as embedding-health telemetry. The zero
+    * bucket NEEDS the left join back onto the corpus (vectors never
+    * retrieved are exactly the anti-hubs the report exists to
+    * count). Cost: one key-grain rollup over the already-bounded
+    * knn output plus a corpus-key left join; the histogram domain
+    * is ≤ max-occurrence — tiny at any scale.
+    */
+  def hubness(s: SparkSession, d: String): DataFrame = {
+    val occ = knnJoin(s, d)
+      .groupBy(col("neighbor_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_k"))
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(occ, Seq("vec_id"), "left")
+      .select(coalesce(col("n_k"), lit(0L)).as("k_occurrences"))
+      .groupBy("k_occurrences").agg(count(lit(1)).as("n_vectors"))
+  }
+
   def knnJoin(s: SparkSession, d: String, k: Int = 5,
       nBits: Int = 6): DataFrame = {
     Vectors.ensureRegistered(s)

@@ -773,6 +773,25 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh <= 1.0 && ivf <= 1.0)
   }
 
+  test("hubness histogram replays the k-occurrence rollup with anti-hubs") {
+    val got = Similarity.hubness(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val knn = Similarity.knnJoin(s, d).select("neighbor_id").collect()
+      .map(_.getLong(0))
+    val nVecs = graft.sources.Tables.embeddings(s, d).count()
+    val occ = knn.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = (0L +: occ.values.toSeq) // ensure a zero key exists
+      .distinct.map { k =>
+        val n = if (k == 0L) nVecs - occ.size else occ.values.count(_ == k).toLong
+        k -> n
+      }.filter(_._2 > 0).toMap
+    assert(got === expect)
+    // mass checks: every vector lands in exactly one bucket, and
+    // weighted mass equals the knn edge count
+    assert(got.values.sum === nVecs)
+    assert(got.map { case (k, n) => k * n }.sum === knn.length.toLong)
+  }
+
   test("priority keep: one keeper per cluster, and it is the cluster's best-scored doc") {
     val keeps = Dedup.dedupPriority(s, d).collect()
     val clusters = Dedup.dedupClusters(Dedup.ngramJaccard(s, d))

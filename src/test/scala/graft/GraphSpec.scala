@@ -353,6 +353,19 @@ class GraphSpec extends AnyFunSuite {
       assert(got(e._2) <= e._3) }
   }
 
+  test("component sizes partition the node set and replay the rollup") {
+    val comp = Graph.components(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val got = Graph.componentSizes(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = comp.groupBy(_._2).values.map(_.size)
+      .groupBy(identity).map { case (k, v) =>
+        k.toLong -> v.size.toLong }
+    assert(got === expect)
+    // histogram mass equals the labeled node count (partition proof)
+    assert(got.map { case (sz, n) => sz * n }.sum === comp.length.toLong)
+  }
+
   test("personalized pagerank replays the seeded integer iteration") {
     val got = Graph.pprCoPurchase(s, d).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
