@@ -198,6 +198,11 @@ object SparkEntry {
     "graph_component_sizes" ->
       ((s, dir) => graft.operators.Graph.componentSizes(s, dir)),
     "sim_hubness" -> (Similarity.hubness(_, _)),
+    // r8 batch 2: LSH fan-in evidence as a graded relation +
+    // negative-association substitute pairs
+    "dedup_bucket_histogram" -> (Dedup.bucketHistogram(_, _)),
+    "graph_substitutes" ->
+      ((s, dir) => graft.operators.Graph.substitutePairs(s, dir)),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
     "sim_filtered_ann" -> (Similarity.filteredTopK(_, _)),
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
@@ -2790,6 +2795,32 @@ object SparkEntry {
     // GENERATED oracle (Dedup.lshPlannerOracleSql): identical inlined
     // S-curve thresholds over the same co-occurrence pairs
     "dedup_lsh_planner" -> Dedup.lshPlannerOracleSql(),
+    // GENERATED oracle (Dedup.bucketHistogramOracleSql): shared-
+    // family signatures at the production perm count, unpivoted to
+    // (band, slice) rows
+    "dedup_bucket_histogram" -> Dedup.bucketHistogramOracleSql(),
+    // substitutes: bounded top-N candidates, left join for the
+    // zero-co-occurrence signal, HUGEINT lift
+    "graph_substitutes" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem),
+        |nb AS (SELECT pk, COUNT(*) AS n FROM li GROUP BY 1),
+        |tot AS (SELECT COUNT(DISTINCT ok) AS nb_total FROM li),
+        |top AS (SELECT pk, n FROM nb ORDER BY n DESC, pk LIMIT 40),
+        |pc AS (SELECT a.pk AS s, b.pk AS t, COUNT(*) AS n_st
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY 1, 2),
+        |pr AS (SELECT a.pk AS part_a, b.pk AS part_b,
+        |    a.n AS n_a, b.n AS n_b, COALESCE(pc.n_st, 0) AS n_ab
+        |  FROM top a JOIN top b ON a.pk < b.pk
+        |  LEFT JOIN pc ON pc.s = a.pk AND pc.t = b.pk)
+        |SELECT part_a, part_b, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(CAST(n_ab AS HUGEINT) * nb_total * 1000000
+        |    // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS lift_ppm
+        |FROM pr CROSS JOIN tot
+        |WHERE CAST(n_ab AS HUGEINT) * nb_total * 1000000
+        |  // (CAST(n_a AS HUGEINT) * n_b) < 500000""".stripMargin,
     // component sizes: the components closure CTE + two rollups
     "graph_component_sizes" ->
       """WITH RECURSIVE

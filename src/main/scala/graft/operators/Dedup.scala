@@ -1076,4 +1076,85 @@ object Dedup {
        | CAST(SUM(exact_ppm) // COUNT(*) AS BIGINT) AS avg_exact_ppm
        |FROM pair GROUP BY matches""".stripMargin
   }
+
+  /** Band-bucket SIZE histogram of the LSH layout — the fan-in
+    * evidence behind every banding scale claim (candidate volume is
+    * Σ C(bucket,2) per band, so the max bucket IS the quadratic
+    * term): per band, how many buckets hold 1, 2, … documents.
+    * Buckets group on the literal r-row signature SLICE (what the
+    * production `hash(slice)` bucket key encodes — the same
+    * document partition, minus nothing but murmur collisions), at
+    * the production band geometry (64 perms × 16 bands) and the
+    * production permutation family ([[mhCoeffs]]). Signatures ride
+    * the md5 shingle basis — the [[minhashCalibration]] discipline:
+    * the rolling-hash basis isn't SQL-expressible, the md5 one
+    * replays bit-for-bit in DuckDB, and bucket-size STRUCTURE is a
+    * property of the permutation family, not the shingle hash. One
+    * scan + a 64-column min-aggregate, one explode to bands×docs,
+    * two key-grain rollups; histogram domain ≤ max bucket size.
+    */
+  def bucketHistogram(s: SparkSession, d: String, ngram: Int = 12,
+      perms: Int = 64, bands: Int = 16): DataFrame = {
+    val p = MinhashPrime
+    val r = perms / bands
+    val sh = Tables.documents(s, d).select(col("doc_id"),
+      explode(expr(
+        s"""array_distinct(transform(
+            sequence(1, greatest(length(lower(text)) - ${ngram - 1}, 1), 1),
+            i -> substring(lower(text), i, $ngram)))""")).as("s"))
+    val hp = sh.select(col("doc_id"),
+      expr(s"""CAST(CAST(conv(substring(md5(s), 1, 16), 16, 10)
+               AS DECIMAL(20,0)) % $p AS BIGINT)""").as("hp"))
+    val mhAggs = mhCoeffs(perms).zipWithIndex.map { case ((a, b), j) =>
+      min(expr(s"(hp * ${a}L + ${b}L) % $p")).as(s"mh_$j")
+    }.toSeq
+    val sig = hp.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until perms).map(j => col(s"mh_$j")): _*).as("sig"))
+    sig.select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * r + 1, lit(r)))))
+      .toDF("doc_id", "band", "key")
+      .groupBy(col("band").cast("long").as("band"), col("key"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy("band", "bucket_size")
+      .agg(count(lit(1)).as("n_buckets"))
+  }
+
+  /** GENERATED oracle for [[bucketHistogram]]: the shared-family
+    * signature replica (the [[minhashCalibrationOracleSql]] CTEs at
+    * the production perm count) + an unpivot to (band, slice) rows.
+    */
+  def bucketHistogramOracleSql(ngram: Int = 12, perms: Int = 64,
+      bands: Int = 16): String = {
+    val p = MinhashPrime
+    val r = perms / bands
+    val sigCols = mhCoeffs(perms).zipWithIndex.map { case ((a, b), j) =>
+      s"MIN((hp * $a + $b) % $p) AS mh_$j"
+    }.mkString(",\n  ")
+    val bandRows = (0 until bands).map { b =>
+      val hs = (0 until r).map(i => s"mh_${b * r + i} AS h$i")
+        .mkString(", ")
+      s"SELECT $b AS band, $hs FROM sig"
+    }.mkString("\nUNION ALL ")
+    val hKeys = (0 until r).map(i => s"h$i").mkString(", ")
+    s"""WITH sh AS (SELECT DISTINCT doc_id, s FROM (
+       | SELECT doc_id, unnest([substr(lower(text), i, $ngram)
+       |  for i in range(1, greatest(length(lower(text)) - ${ngram - 2},
+       |    2))]) AS s
+       | FROM documents) t),
+       |hp AS (SELECT doc_id,
+       |  CAST(CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT) % $p
+       |    AS BIGINT) AS hp
+       | FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       | FROM hp GROUP BY 1),
+       |br AS ($bandRows),
+       |bk AS (SELECT band, $hKeys, COUNT(*) AS bucket_size
+       |       FROM br GROUP BY ALL)
+       |SELECT CAST(band AS BIGINT) AS band, bucket_size,
+       |  COUNT(*) AS n_buckets
+       |FROM bk GROUP BY 1, 2""".stripMargin
+  }
 }

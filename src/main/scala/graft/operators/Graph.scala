@@ -451,6 +451,46 @@ object Graph {
           .select(col("s").as("id_a"), col("t").as("id_b")))
       .toDF("part_id", "component_id")
 
+  /** Substitute-pair detection — the NEGATIVE-association reading
+    * [[assocRules]] cannot give (its pair stream only materializes
+    * pairs that DO co-occur; substitutes are pairs that co-occur
+    * LESS than independence predicts — classic market-basket
+    * economics: two interchangeable parts rarely share a basket).
+    * Candidates are bounded by construction: the top-N parts by
+    * distinct-basket count (deterministic ties on part id), so the
+    * quadratic term is C(N,2) — a CONSTANT, never a catalog
+    * product; observed co-occurrence left-joins the pair layout
+    * (absent row = 0 shared baskets, exactly the signal), and lift
+    * = n_ab·N_baskets·10⁶ / (n_a·n_b) rides DECIMAL(38)/HUGEINT.
+    * Pairs under `maxLiftPpm` (default: half the independence rate)
+    * grade out as substitutes.
+    */
+  def substitutePairs(s: SparkSession, d: String, topN: Int = 40,
+      maxLiftPpm: Long = 500000L): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nb = li.groupBy("pk").agg(count(lit(1)).as("n"))
+    val tot = li.agg(countDistinct(col("ok")).as("nb_total"))
+    // orderBy+limit plans TakeOrderedAndProject — no global sort
+    val top = nb.orderBy(col("n").desc, col("pk")).limit(topN)
+    val cand = top.as("a").join(top.as("b"),
+        col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("part_a"), col("b.pk").as("part_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+    cand.join(coPurchasePairCounts(s, d),
+        col("part_a") === col("s") && col("part_b") === col("t"),
+        "left")
+      .crossJoin(broadcast(tot)) // 1-row totals — constant bound
+      .select(col("part_a"), col("part_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_st"), lit(0L)).as("n_ab"),
+        expr("""CAST(CAST(coalesce(n_st, 0L) AS DECIMAL(38,0))
+                * nb_total * 1000000
+                DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)
+                AS LONG)""").as("lift_ppm"))
+      .filter(col("lift_ppm") < maxLiftPpm)
+  }
+
   /** Component-SIZE distribution over [[components]] — the one-line
     * health readout a graph pipeline actually alarms on (did the
     * strong graph collapse into a giant component? how much is

@@ -773,6 +773,45 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh <= 1.0 && ivf <= 1.0)
   }
 
+  test("bucket histogram partitions every band and replays the slice rollup") {
+    val got = Dedup.bucketHistogram(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    val nDocs = graft.sources.Tables.documents(s, d).count()
+    // partition proof: every band's histogram mass covers the corpus
+    (0L until 16L).foreach { b =>
+      val mass = got.filter(_._1._1 == b)
+        .map { case ((_, sz), n) => sz * n }.sum
+      assert(mass === nDocs, s"band $b covers $mass of $nDocs docs")
+    }
+    // fully independent driver replay: md5 shingle basis + the
+    // shared permutation family, banding folded by hand
+    val P = graft.functions.MinHashFamily.P
+    val coeffs = graft.functions.MinHashFamily.coeffs(64)
+    def md5u64modP(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(x.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString
+      (BigInt(hex, 16) mod BigInt(P)).toLong
+    }
+    val sigs = graft.sources.Tables.documents(s, d)
+      .select("text").collect().map(_.getString(0)).map { t =>
+        val lt = t.toLowerCase
+        val n = math.max(lt.length - 11, 1)
+        val hps = (1 to n).map(i =>
+          md5u64modP(lt.substring(i - 1, math.min(i + 11, lt.length))))
+          .distinct
+        coeffs.map { case (a, b) =>
+          hps.map(hp => (hp * a + b) % P).min }.toVector
+      }
+    val hist = sigs.flatMap(sig =>
+        (0 until 16).map(b => (b.toLong, sig.slice(b * 4, b * 4 + 4))))
+      .groupBy(identity).toSeq
+      .map { case ((b, _), xs) => (b, xs.size.toLong) }
+      .groupBy(identity).map { case ((b, sz), v) => (b, sz) -> v.size.toLong }
+    assert(got === hist)
+  }
+
   test("hubness histogram replays the k-occurrence rollup with anti-hubs") {
     val got = Similarity.hubness(s, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

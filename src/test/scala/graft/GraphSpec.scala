@@ -353,6 +353,35 @@ class GraphSpec extends AnyFunSuite {
       assert(got(e._2) <= e._3) }
   }
 
+  test("substitute pairs replay the bounded top-N negative-association scan") {
+    val got = Graph.substitutePairs(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val li = graft.sources.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nBaskets = li.map(_._1).distinct.length.toLong
+    val nb = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val top = nb.toSeq.sortBy { case (pk, n) => (-n, pk) }.take(40)
+    val co = li.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .withDefaultValue(0L)
+    val expect = (for {
+      (a, na) <- top; (b, nbb) <- top if a < b
+      nab = co((a, b))
+      lift = (BigInt(nab) * nBaskets * 1000000 / (BigInt(na) * nbb)).toLong
+      if lift < 500000L
+    } yield (a, b) -> ((na, nbb, nab, lift))).toMap
+    assert(got === expect)
+    // the operator must surface at least one never-co-purchased pair
+    // OR be empty only if independence truly holds everywhere
+    if (got.nonEmpty)
+      assert(got.values.forall(_._4 < 500000L))
+  }
+
   test("component sizes partition the node set and replay the rollup") {
     val comp = Graph.components(s, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
