@@ -203,6 +203,8 @@ object SparkEntry {
     "dedup_bucket_histogram" -> (Dedup.bucketHistogram(_, _)),
     "graph_substitutes" ->
       ((s, dir) => graft.operators.Graph.substitutePairs(s, dir)),
+    // r8 batch 2: CCNet-style perplexity-bucket mix matrix
+    "pipeline_ppl_mix" -> (TextAnalysis.pplMix(_, _)),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
     "sim_filtered_ann" -> (Similarity.filteredTopK(_, _)),
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
@@ -2799,6 +2801,43 @@ object SparkEntry {
     // family signatures at the production perm count, unpivoted to
     // (band, slice) rows
     "dedup_bucket_histogram" -> Dedup.bucketHistogramOracleSql(),
+    // ppl mix: the lm_score CTEs + the literal (rk-1)*5//n quintile
+    // formula (ntile's remainder distribution differs — not used)
+    "pipeline_ppl_mix" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+        | FROM documents),
+        |bg AS (
+        | SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i + 1]}
+        |    for i in range(1, greatest(len(t), 1))]) AS u
+        |  FROM toks) x),
+        |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+        |cu AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY 1),
+        |pd AS (
+        | SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM((cb.cb * 1000000) // cu.cu) AS BIGINT) AS sum_ppm
+        | FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+        | GROUP BY 1),
+        |sc AS (SELECT d.doc_id, d.source,
+        |    pd.sum_ppm // pd.n_bigrams AS avg_ppm,
+        |    pd.n_bigrams + 1 AS toks
+        |  FROM documents d JOIN pd USING (doc_id)),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY avg_ppm, doc_id) AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM sc),
+        |cells AS (SELECT source, (rk - 1) * 5 // n AS quintile,
+        |    COUNT(*) AS n_docs, SUM(toks) AS cell_toks
+        |  FROM r GROUP BY 1, 2)
+        |SELECT source, CAST(quintile AS BIGINT) AS quintile,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(cell_toks AS BIGINT) AS cell_toks,
+        |  CAST(cell_toks * 1000000 //
+        |    SUM(cell_toks) OVER (PARTITION BY source) AS BIGINT)
+        |    AS tok_share_ppm
+        |FROM cells""".stripMargin,
     // substitutes: bounded top-N candidates, left join for the
     // zero-co-occurrence signal, HUGEINT lift
     "graph_substitutes" ->

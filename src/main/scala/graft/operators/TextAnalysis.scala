@@ -2108,6 +2108,49 @@ object TextAnalysis {
         col("mean_distinct_words"))
   }
 
+  /** Perplexity-bucket mix matrix — the CCNet head/middle/tail
+    * discipline (Wenzek et al. 2020) at quintile grain: every doc's
+    * [[lmScore]] fluency score places it in a corpus-wide quintile,
+    * and the matrix reports per (source × quintile) doc counts,
+    * token mass, and each cell's ppm share of its source's tokens —
+    * the table a mix planner reads to decide "keep src3's top two
+    * buckets, downweight its tail". Quintiles come from the
+    * DISTRIBUTED rank machinery ([[graft.warehouse.Analytics
+    * .percentRankSpend]]'s range-partition + zipWithIndex — no
+    * global single-partition window), with the assignment formula
+    * (rk−1)·5 DIV n mirrored literally in the oracle rather than
+    * ntile (whose remainder distribution differs). Token mass =
+    * n_bigrams+1 (exact whitespace tokens for every scored doc).
+    * The share window runs over the ≤ sources×5-row cell table.
+    */
+  def pplMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sc = lmScore(s, d).filter(col("n_bigrams").isNotNull)
+      .join(Tables.documents(s, d).select("doc_id", "source"),
+        "doc_id")
+      .select(col("doc_id"), col("source"), col("avg_ppm"),
+        (col("n_bigrams") + 1).as("toks"))
+    val ranked = sc
+      .repartitionByRange(col("avg_ppm"), col("doc_id"))
+      .sortWithinPartitions("avg_ppm", "doc_id")
+      .select(col("doc_id"), col("source"), col("avg_ppm"),
+        col("toks")).as[(Long, String, Long, Long)]
+      .rdd.zipWithIndex()
+      .map { case ((id, src, ppl, tk), idx) => (id, src, tk, idx + 1) }
+      .toDF("doc_id", "source", "toks", "rk")
+    val cells = ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
+      .withColumn("quintile", expr("(rk - 1) * 5 DIV n"))
+      .groupBy("source", "quintile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("cell_toks"))
+    cells
+      .withColumn("src_toks", sum(col("cell_toks")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .select(col("source"), col("quintile"), col("n_docs"),
+        col("cell_toks"),
+        expr("cell_toks * 1000000 DIV src_toks").as("tok_share_ppm"))
+  }
+
   /** Gopher quality-rule table — the published rule-by-rule
     * attribution (Rae et al. 2021 §A1.1) that [[quality]]'s single
     * linear score cannot give a curation reviewer: per source, how

@@ -1049,6 +1049,38 @@ class TextSpec extends AnyFunSuite {
     assert(got.values.map(_._6).sum > 0, "no document passed")
   }
 
+  test("ppl mix matrix replays the rank-quintile cells and conserves mass") {
+    val got = TextAnalysis.pplMix(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    val scored = TextAnalysis.lmScore(s, d)
+      .filter(col("n_bigrams").isNotNull)
+      .join(graft.sources.Tables.documents(s, d)
+        .select("doc_id", "source"), "doc_id")
+      .select("doc_id", "source", "avg_ppm", "n_bigrams").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3) + 1))
+    val ranked = scored.sortBy(x => (x._3, x._1)).zipWithIndex
+      .map { case ((id, src, _, tk), i) => (src, tk, i.toLong + 1) }
+    val n = ranked.length.toLong
+    val cells = ranked.groupBy { case (src, _, rk) =>
+        (src, (rk - 1) * 5 / n) }
+      .map { case (k, xs) =>
+        k -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    val srcToks = cells.groupBy(_._1._1).view
+      .mapValues(_.values.map(_._2).sum).toMap
+    val expect = cells.map { case ((src, q), (nd, tk)) =>
+      (src, q) -> ((nd, tk, tk * 1000000L / srcToks(src))) }
+    assert(got === expect)
+    // mass conservation + quintile balance (sizes differ by <= 1
+    // only between floor/ceil of n/5)
+    assert(got.values.map(_._1).sum === n)
+    val qSizes = got.toSeq.groupBy(_._1._2).view
+      .mapValues(_.map(_._2._1).sum).values.toSeq
+    assert(qSizes.max - qSizes.min <= 1)
+  }
+
   test("dsir screen replays the cross-multiplied distinctive scoring") {
     val got = TextAnalysis.dsirScreen(s, d).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
