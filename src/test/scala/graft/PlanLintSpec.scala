@@ -161,7 +161,12 @@ class PlanLintSpec extends AnyFunSuite {
     // crossJoins the 1-row censoring-horizon max onto the
     // customer-grain lifetimes (the gap_fill bounds-broadcast shape)
     "analytics_shapley", "analytics_mann_kendall",
-    "analytics_kaplan_meier")
+    "analytics_kaplan_meier",
+    // r8 batch 2: substitutes' non-equi pk<pk join runs over TWO
+    // 40-row TakeOrdered frames (C(40,2) constant candidates — the
+    // operator's whole design); dsir_screen and ppl_mix crossJoin
+    // the 1-row corpus-total aggregate
+    "graph_substitutes", "pipeline_dsir_screen", "pipeline_ppl_mix")
 
   /** Forced broadcasts whose subtree reads a fact table, allowed
     * because the frame carries a DOCUMENTED constant bound the
