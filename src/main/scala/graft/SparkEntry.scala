@@ -205,6 +205,8 @@ object SparkEntry {
       ((s, dir) => graft.operators.Graph.substitutePairs(s, dir)),
     // r8 batch 2: CCNet-style perplexity-bucket mix matrix
     "pipeline_ppl_mix" -> (TextAnalysis.pplMix(_, _)),
+    // r8 batch 2: double-charge candidate screen
+    "dq_duplicate_orders" -> (Quality.duplicateOrders(_, _)),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
     "sim_filtered_ann" -> (Similarity.filteredTopK(_, _)),
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
@@ -2801,6 +2803,19 @@ object SparkEntry {
     // family signatures at the production perm count, unpivoted to
     // (band, slice) rows
     "dedup_bucket_histogram" -> Dedup.bucketHistogramOracleSql(),
+    // duplicate orders: equi-join on the customer key, date band as
+    // a post-join filter, exact-cents proximity score
+    "dq_duplicate_orders" ->
+      """WITH o AS (SELECT o_orderkey AS okey, o_custkey AS ck,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(o_orderdate AS DATE) AS dt FROM orders)
+        |SELECT a.ck AS cust_id, a.okey AS okey_a, b.okey AS okey_b,
+        |  CAST(abs(date_diff('day', a.dt, b.dt)) AS BIGINT) AS day_gap,
+        |  abs(a.cents - b.cents) * 1000000
+        |    // greatest(a.cents, b.cents) AS amount_delta_ppm
+        |FROM o a JOIN o b ON a.ck = b.ck AND a.okey < b.okey
+        |WHERE abs(date_diff('day', a.dt, b.dt)) <= 3""".stripMargin,
     // ppl mix: the lm_score CTEs + the literal (rk-1)*5//n quintile
     // formula (ntile's remainder distribution differs — not used)
     "pipeline_ppl_mix" ->

@@ -965,6 +965,38 @@ object Quality {
         "c_mktsegment"))
   }
 
+  /** Duplicate-submission screen — the double-charge candidate list
+    * every payments/order DQ suite ranks (a resubmitted order lands
+    * as a second row for the same customer within days, usually at
+    * a near-identical amount): all DISTINCT order pairs of one
+    * customer ≤ `windowDays` apart, each carrying the day gap and
+    * an amount-proximity score (|Δcents|·10⁶ DIV max cents — 0 is
+    * an exact double charge, small is suspicious, large is a
+    * legitimate repeat buyer). The join is EQUI on the customer
+    * key; the date band is a post-join filter on that customer's
+    * own orders, so cost is Σ C(orders-per-customer, 2) — the
+    * bounded interpurchase shape, never a fact × fact band join.
+    * Orientation (okey_a < okey_b) materializes each pair once;
+    * amounts ride DECIMAL→exact cents.
+    */
+  def duplicateOrders(s: SparkSession, d: String,
+      windowDays: Int = 3): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").as("okey"), col("o_custkey").as("ck"),
+      (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long").as("cents"),
+      to_date(col("o_orderdate")).as("dt"))
+    o.as("a").join(o.as("b"),
+        col("a.ck") === col("b.ck") && col("a.okey") < col("b.okey"))
+      .filter(abs(datediff(col("b.dt"), col("a.dt"))) <= windowDays)
+      .select(col("a.ck").as("cust_id"),
+        col("a.okey").as("okey_a"), col("b.okey").as("okey_b"),
+        abs(datediff(col("b.dt"), col("a.dt"))).cast("long")
+          .as("day_gap"),
+        expr("""abs(a.cents - b.cents) * 1000000
+                DIV greatest(a.cents, b.cents)""").as("amount_delta_ppm"))
+  }
+
   def ksDrift(s: SparkSession, d: String): DataFrame = {
     val d38 = DecimalType(38, 0)
     val W = org.apache.spark.sql.expressions.Window

@@ -158,6 +158,36 @@ class RoundEightOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate-order screen replays the per-customer pair scan") {
+    val got = graft.warehouse.Quality.duplicateOrders(s, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(0), r.getLong(3), r.getLong(4)))).toMap
+    val o = graft.sources.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long"),
+        to_date(col("o_orderdate"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDate(3).toLocalDate))
+    val expect = o.groupBy(_._2).values.flatMap { arr =>
+      val xs = arr.toSeq
+      xs.flatMap { a =>
+        xs.filter(b => a._1 < b._1).flatMap { b =>
+          val gap = math.abs(java.time.temporal.ChronoUnit.DAYS
+            .between(a._4, b._4))
+          if (gap > 3) None
+          else Some((a._1, b._1) -> ((a._2, gap,
+            math.abs(a._3 - b._3) * 1000000L / math.max(a._3, b._3))))
+        }
+      }
+    }.toMap
+    assert(got === expect)
+    assert(got.nonEmpty, "screen found no candidate pairs at this SF")
+    // sanity: the proximity score is a ppm in [0, 1e6)
+    assert(got.values.forall(v => v._3 >= 0L && v._3 < 1000000L))
+  }
+
   test("fd audit: brand->mfgr holds; g3 replays per candidate") {
     val got = graft.warehouse.Quality.fdAudit(s, d).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
