@@ -8305,41 +8305,52 @@ object SparkEntry {
         |  (promo_cents // promo_days) * 1000000
         |    // (base_cents // base_days) AS lift_ppm
         |FROM a""".stripMargin,
-    // ppm-integer cross-multiplied thresholds, one candidate pass
+    // ppm-integer cross-multiplied thresholds. Every CTE is
+    // MATERIALIZED and the pair counts collapse to ONE FILTER scan:
+    // the original 7 scalar subqueries each re-evaluated the
+    // unmaterialized pair join at sf0.1 (56M co-occurrence rows × 7
+    // + concurrent spill = a >80 GB temp blow-up); the above-floor
+    // subset the distinct-doc passes walk is tiny by construction
     "dedup_threshold_sweep" ->
-      """WITH sh AS (
+      """WITH sh AS MATERIALIZED (
         | SELECT DISTINCT doc_id, s FROM (
         |  SELECT doc_id, unnest([substr(lower(text), i, 12)
         |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
         |  FROM documents) t),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2),
-        |sc AS (SELECT id_a, id_b, c * 1000000 AS num,
+        |sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh
+        |  GROUP BY 1),
+        |i AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS MATERIALIZED (SELECT id_a, id_b, c * 1000000 AS num,
         |    sa.n + sb.n - c AS den
         |  FROM i JOIN sz sa ON sa.doc_id = id_a
-        |         JOIN sz sb ON sb.doc_id = id_b)
-        |SELECT
-        | (SELECT COUNT(*) FROM sc) AS candidate_pairs,
-        | (SELECT CAST(COUNT(*) FILTER (WHERE num >= den * 300000)
-        |    AS BIGINT) FROM sc) AS pairs_300000,
-        | (SELECT CAST(COUNT(*) FILTER (WHERE num >= den * 500000)
-        |    AS BIGINT) FROM sc) AS pairs_500000,
-        | (SELECT CAST(COUNT(*) FILTER (WHERE num >= den * 700000)
-        |    AS BIGINT) FROM sc) AS pairs_700000,
+        |         JOIN sz sb ON sb.doc_id = id_b),
+        |p AS MATERIALIZED (SELECT COUNT(*) AS candidate_pairs,
+        |  COUNT(*) FILTER (WHERE num >= den * 300000) AS p3,
+        |  COUNT(*) FILTER (WHERE num >= den * 500000) AS p5,
+        |  COUNT(*) FILTER (WHERE num >= den * 700000) AS p7
+        | FROM sc),
+        |hi AS MATERIALIZED (SELECT id_a, id_b, num, den FROM sc
+        |  WHERE num >= den * 300000)
+        |SELECT p.candidate_pairs,
+        | CAST(p.p3 AS BIGINT) AS pairs_300000,
+        | CAST(p.p5 AS BIGINT) AS pairs_500000,
+        | CAST(p.p7 AS BIGINT) AS pairs_700000,
         | (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM (
-        |   SELECT id_a AS doc_id FROM sc WHERE num >= den * 300000
-        |   UNION ALL SELECT id_b FROM sc WHERE num >= den * 300000))
+        |   SELECT id_a AS doc_id FROM hi
+        |   UNION ALL SELECT id_b FROM hi))
         |   AS docs_300000,
         | (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM (
-        |   SELECT id_a AS doc_id FROM sc WHERE num >= den * 500000
-        |   UNION ALL SELECT id_b FROM sc WHERE num >= den * 500000))
+        |   SELECT id_a AS doc_id FROM hi WHERE num >= den * 500000
+        |   UNION ALL SELECT id_b FROM hi WHERE num >= den * 500000))
         |   AS docs_500000,
         | (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM (
-        |   SELECT id_a AS doc_id FROM sc WHERE num >= den * 700000
-        |   UNION ALL SELECT id_b FROM sc WHERE num >= den * 700000))
-        |   AS docs_700000""".stripMargin,
+        |   SELECT id_a AS doc_id FROM hi WHERE num >= den * 700000
+        |   UNION ALL SELECT id_b FROM hi WHERE num >= den * 700000))
+        |   AS docs_700000
+        |FROM p""".stripMargin,
     // closure clusters rolled to a size histogram
     "dedup_cluster_sizes" ->
       """WITH RECURSIVE
