@@ -1296,14 +1296,43 @@ object Graph {
     * graph, output is |E| rows; no new layout, no Cartesian term.
     */
   def trussSupport(s: SparkSession, d: String): DataFrame = {
-    val e0 = coPurchaseEdges(s, d) // oriented s < t, deduplicated
-    val ab = e0.select(col("s").as("a"), col("t").as("b"))
-    val bc = e0.select(col("s").as("b"), col("t").as("c"))
-    val ac = e0.select(col("s").as("a"), col("t").as("c"))
-    val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
-    val credit = tri.select(col("a").as("s"), col("b").as("t"))
-      .unionByName(tri.select(col("b").as("s"), col("c").as("t")))
-      .unionByName(tri.select(col("a").as("s"), col("c").as("t")))
+    val e0 = coPurchaseEdges(s, d) // s < t by id, deduplicated
+    // [[triangleCounts]]' degree-oriented adjacency-intersect
+    // kernel (every out-neighborhood ≤ √(2m); the native merge walk
+    // replaces the wedge join whose Σ deg⁺² intermediate benched
+    // 15.7s under full evaluation — this form runs in the
+    // triangleCounts envelope), crediting the three ORIENTED edges
+    // (u,w), (u,x), (w,x) of each triangle instead of its nodes
+    val deg = e0.select(col("s").as("v"))
+      .unionByName(e0.select(col("t").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val sLower = col("ds") < col("dt") ||
+      (col("ds") === col("dt") && col("s") < col("t"))
+    val dirE = e0
+      .join(deg.select(col("v").as("s"), col("dg").as("ds")), "s")
+      .join(deg.select(col("v").as("t"), col("dg").as("dt")), "t")
+      .select(when(sLower, col("s")).otherwise(col("t")).as("u"),
+        when(sLower, col("t")).otherwise(col("s")).as("w"))
+    val adjPlus = dirE.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("w"))).as("nbrs"))
+    graft.functions.Vectors.ensureRegistered(s)
+    val common = dirE
+      .join(adjPlus.select(col("u"), col("nbrs").as("na")), "u")
+      .join(adjPlus.select(col("u").as("w"), col("nbrs").as("nb")), "w")
+      .select(col("u"), col("w"),
+        call_function("graft_sorted_intersect_gt",
+          col("na"), col("nb"), lit(Long.MinValue)).as("cs"))
+      .filter(size(col("cs")) > 0)
+    val credit = common.select(explode(concat(
+        array_repeat(struct(col("u").as("p"), col("w").as("q")),
+          size(col("cs"))),
+        transform(col("cs"), x =>
+          struct(col("u").as("p"), x.as("q"))),
+        transform(col("cs"), x =>
+          struct(col("w").as("p"), x.as("q"))))).as("ed"))
+      // back to the id orientation the pair layout stores
+      .select(least(col("ed.p"), col("ed.q")).as("s"),
+        greatest(col("ed.p"), col("ed.q")).as("t"))
       .groupBy("s", "t").agg(count(lit(1)).as("sup"))
     e0.join(credit, Seq("s", "t"), "left")
       .select(col("s"), col("t"),
