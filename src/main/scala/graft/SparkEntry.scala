@@ -207,6 +207,8 @@ object SparkEntry {
     "pipeline_ppl_mix" -> (TextAnalysis.pplMix(_, _)),
     // r8 batch 2: double-charge candidate screen
     "dq_duplicate_orders" -> (Quality.duplicateOrders(_, _)),
+    // r8 batch 2: measured banding P/R beside the planner's S-curve
+    "dedup_lsh_recall" -> (Dedup.lshRecall(_, _)),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
     "sim_filtered_ann" -> (Similarity.filteredTopK(_, _)),
     "sim_ann_lsh" -> (Similarity.annLsh(_, _)),
@@ -2803,6 +2805,9 @@ object SparkEntry {
     // family signatures at the production perm count, unpivoted to
     // (band, slice) rows
     "dedup_bucket_histogram" -> Dedup.bucketHistogramOracleSql(),
+    // GENERATED oracle (Dedup.lshRecallOracleSql): per-config band
+    // self-joins + the cross-multiplied exact-Jaccard truth
+    "dedup_lsh_recall" -> Dedup.lshRecallOracleSql(),
     // duplicate orders: equi-join on the customer key, date band as
     // a post-join filter, exact-cents proximity score
     "dq_duplicate_orders" ->

@@ -1093,18 +1093,20 @@ object Dedup {
     * scan + a 64-column min-aggregate, one explode to bands×docs,
     * two key-grain rollups; histogram domain ≤ max bucket size.
     */
-  def bucketHistogram(s: SparkSession, d: String, ngram: Int = 12,
-      perms: Int = 64, bands: Int = 16): DataFrame = {
+  /** md5-basis minhash signature per doc — hashes PRE-REDUCED mod P
+    * per row, then the JIT'd native signature loop: same values as
+    * an unrolled per-perm min-aggregate (the expression's h % P is
+    * the identity on already-reduced inputs) at a fraction of the
+    * cost — no shingle explode, no wide aggregation buffer, one row
+    * per doc throughout (the explode form measured 7.3s at sf0.1
+    * and was retired). SQL-replicable bit-for-bit (the calibration
+    * discipline), unlike the production rolling-hash basis.
+    */
+  private def md5Sig(s: SparkSession, d: String, ngram: Int,
+      perms: Int): DataFrame = {
     graft.functions.Vectors.ensureRegistered(s)
     val p = MinhashPrime
-    val r = perms / bands
-    // md5-basis hashes PRE-REDUCED mod P per row, then the JIT'd
-    // native signature loop — same values as the unrolled 64-column
-    // min-aggregate (the expression's h % P is the identity on
-    // already-reduced inputs) at a fraction of the cost: no shingle
-    // explode, no 64-slot aggregation buffer, one row per doc
-    // throughout (measured 7.3s → explode form retired, sf0.1)
-    val sig = Tables.spread(Tables.documents(s, d)).select(col("doc_id"),
+    Tables.spread(Tables.documents(s, d)).select(col("doc_id"),
       call_function("graft_minhash_sig", expr(
         s"""transform(
             array_distinct(transform(
@@ -1113,6 +1115,12 @@ object Dedup {
             sx -> CAST(CAST(conv(substring(md5(sx), 1, 16), 16, 10)
               AS DECIMAL(20,0)) % $p AS BIGINT))"""),
         lit(perms)).as("sig"))
+  }
+
+  def bucketHistogram(s: SparkSession, d: String, ngram: Int = 12,
+      perms: Int = 64, bands: Int = 16): DataFrame = {
+    val r = perms / bands
+    val sig = md5Sig(s, d, ngram, perms)
     sig.select(col("doc_id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * r + 1, lit(r)))))
@@ -1121,6 +1129,129 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_size"))
       .groupBy("band", "bucket_size")
       .agg(count(lit(1)).as("n_buckets"))
+  }
+
+  /** EMPIRICAL banding precision/recall — where [[lshPlanner]]
+    * PREDICTS each (bands, rows) operating point from the S-curve,
+    * this MEASURES it on the corpus: per config, the candidate pairs
+    * the band-bucket join would emit (≥1 shared band slice), true
+    * positives against the exact-Jaccard-≥-threshold truth set, and
+    * integer-ppm precision/recall. The table that decides a 100 TB
+    * banding rollout — prediction and measurement graded side by
+    * side. Truth comes from the cached shingle co-occurrence layout
+    * cross-multiplied (c·10⁶ ≥ den·threshold — no float Jaccard);
+    * candidates self-join ONLY within (band, slice) buckets, whose
+    * sizes [[bucketHistogram]] shows are 1–3 on this corpus — the
+    * quadratic term stays Σ C(bucket, 2) by construction at any
+    * scale. Per config: three counts and two divisions; the 1-row
+    * aggregates compose via broadcast cross joins.
+    */
+  def lshRecall(s: SparkSession, d: String, ngram: Int = 12,
+      perms: Int = 64, thresholdPpm: Long = 500000L): DataFrame = {
+    val sig = md5Sig(s, d, ngram, perms).cache()
+    val (inter, sizes) = shingleCoOccurrence(s, d, ngram)
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+        "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+        "id_b")
+      .filter(expr(s"c * 1000000 >= (na + nb - c) * $thresholdPpm"))
+      .select(col("id_a"), col("id_b")).cache()
+    val nTruth = truth.count()
+    val rows = Seq(16, 8, 4).map { bands =>
+      val r = perms / bands
+      val banded = sig.select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => slice(col("sig"), b * r + 1, lit(r)))))
+        .toDF("doc_id", "band", "key")
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      val tp = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("tp"))
+      nc.crossJoin(broadcast(tp)) // two 1-row aggregates
+        .select(lit(bands.toLong).as("bands"),
+          lit(r.toLong).as("rows_per_band"),
+          lit(nTruth).as("n_truth"), col("n_cand"), col("tp"),
+          expr("tp * 1000000 DIV greatest(n_cand, 1)")
+            .as("precision_ppm"),
+          expr(s"tp * 1000000 DIV greatest(${nTruth}L, 1)")
+            .as("recall_ppm"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  /** GENERATED oracle for [[lshRecall]]: signature replica at the
+    * production perm count, per-config band self-joins unioned, the
+    * same cross-multiplied truth.
+    */
+  def lshRecallOracleSql(ngram: Int = 12, perms: Int = 64,
+      thresholdPpm: Long = 500000L): String = {
+    val p = MinhashPrime
+    val sigCols = mhCoeffs(perms).zipWithIndex.map { case ((a, b), j) =>
+      s"MIN((hp * $a + $b) % $p) AS mh_$j"
+    }.mkString(",\n  ")
+    def candCte(bands: Int): String = {
+      val r = perms / bands
+      val branches = (0 until bands).map { b =>
+        val eqs = (0 until r)
+          .map(i => s"a.mh_${b * r + i} = c.mh_${b * r + i}")
+          .mkString(" AND ")
+        s"""SELECT a.doc_id AS id_a, c.doc_id AS id_b
+           |   FROM sig a JOIN sig c ON $eqs
+           |    AND a.doc_id < c.doc_id""".stripMargin
+      }.mkString("\n  UNION\n  ")
+      s"cand$bands AS MATERIALIZED (\n  $branches)"
+    }
+    def row(bands: Int): String = {
+      val r = perms / bands
+      s"""SELECT CAST($bands AS BIGINT) AS bands,
+         | CAST($r AS BIGINT) AS rows_per_band,
+         | (SELECT COUNT(*) FROM truth) AS n_truth,
+         | (SELECT COUNT(*) FROM cand$bands) AS n_cand,
+         | (SELECT COUNT(*) FROM cand$bands SEMI JOIN truth
+         |    USING (id_a, id_b)) AS tp,
+         | (SELECT COUNT(*) FROM cand$bands SEMI JOIN truth
+         |    USING (id_a, id_b)) * 1000000
+         |  // greatest((SELECT COUNT(*) FROM cand$bands), 1)
+         |  AS precision_ppm,
+         | (SELECT COUNT(*) FROM cand$bands SEMI JOIN truth
+         |    USING (id_a, id_b)) * 1000000
+         |  // greatest((SELECT COUNT(*) FROM truth), 1)
+         |  AS recall_ppm""".stripMargin
+    }
+    s"""WITH sh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+       | SELECT doc_id, unnest([substr(lower(text), i, $ngram)
+       |  for i in range(1, greatest(length(lower(text)) - ${ngram - 2},
+       |    2))]) AS s
+       | FROM documents) t),
+       |hp AS (SELECT doc_id,
+       |  CAST(CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT) % $p
+       |    AS BIGINT) AS hp
+       | FROM sh),
+       |sig AS MATERIALIZED (SELECT doc_id,
+       |  $sigCols
+       | FROM hp GROUP BY 1),
+       |sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh
+       |  GROUP BY 1),
+       |i AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS MATERIALIZED (SELECT id_a, id_b FROM i
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE c * 1000000 >= (sa.n + sb.n - c) * $thresholdPpm),
+       |${candCte(16)},
+       |${candCte(8)},
+       |${candCte(4)}
+       |${row(16)}
+       |UNION ALL ${row(8)}
+       |UNION ALL ${row(4)}""".stripMargin
   }
 
   /** GENERATED oracle for [[bucketHistogram]]: the shared-family

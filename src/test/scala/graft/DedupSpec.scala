@@ -773,6 +773,33 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh <= 1.0 && ivf <= 1.0)
   }
 
+  /** Driver-side md5-basis minhash replay: (doc_id, 64-perm sig,
+    * distinct 12-gram shingle set) per doc — the independent
+    * implementation the bucket-histogram and lsh-recall specs
+    * grade the engine against.
+    */
+  private def replaySigs(): Array[(Long, Vector[Long], Set[String])] = {
+    val P = graft.functions.MinHashFamily.P
+    val coeffs = graft.functions.MinHashFamily.coeffs(64)
+    def md5u64modP(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(x.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString
+      (BigInt(hex, 16) mod BigInt(P)).toLong
+    }
+    graft.sources.Tables.documents(s, d)
+      .select("doc_id", "text").collect().map { r =>
+        val lt = r.getString(1).toLowerCase
+        val n = math.max(lt.length - 11, 1)
+        val shingles = (1 to n).map(i =>
+          lt.substring(i - 1, math.min(i + 11, lt.length))).toSet
+        val hps = shingles.toSeq.map(md5u64modP).distinct
+        val sig = coeffs.map { case (a, b) =>
+          hps.map(hp => (hp * a + b) % P).min }.toVector
+        (r.getLong(0), sig, shingles)
+      }
+  }
+
   test("bucket histogram partitions every band and replays the slice rollup") {
     val got = Dedup.bucketHistogram(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -786,30 +813,51 @@ class DedupSpec extends AnyFunSuite {
     }
     // fully independent driver replay: md5 shingle basis + the
     // shared permutation family, banding folded by hand
-    val P = graft.functions.MinHashFamily.P
-    val coeffs = graft.functions.MinHashFamily.coeffs(64)
-    def md5u64modP(x: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(x.getBytes("UTF-8")).take(8)
-        .map("%02x".format(_)).mkString
-      (BigInt(hex, 16) mod BigInt(P)).toLong
-    }
-    val sigs = graft.sources.Tables.documents(s, d)
-      .select("text").collect().map(_.getString(0)).map { t =>
-        val lt = t.toLowerCase
-        val n = math.max(lt.length - 11, 1)
-        val hps = (1 to n).map(i =>
-          md5u64modP(lt.substring(i - 1, math.min(i + 11, lt.length))))
-          .distinct
-        coeffs.map { case (a, b) =>
-          hps.map(hp => (hp * a + b) % P).min }.toVector
-      }
+    val sigs = replaySigs().map(_._2)
     val hist = sigs.flatMap(sig =>
         (0 until 16).map(b => (b.toLong, sig.slice(b * 4, b * 4 + 4))))
       .groupBy(identity).toSeq
       .map { case ((b, _), xs) => (b, xs.size.toLong) }
       .groupBy(identity).map { case ((b, sz), v) => (b, sz) -> v.size.toLong }
     assert(got === hist)
+  }
+
+  test("lsh recall table replays candidates, truth, and both ppm ratios") {
+    val got = Dedup.lshRecall(s, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet === Set(16L, 8L, 4L))
+    val docs = replaySigs()
+    // truth: exact shingle-set Jaccard >= 0.5, cross-multiplied
+    val truth = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      a = docs(i); b = docs(j)
+      c = (a._3 & b._3).size
+      if c * 2L >= (a._3.size + b._3.size - c).toLong
+    } yield {
+      val (x, y) = if (a._1 < b._1) (a._1, b._1) else (b._1, a._1)
+      (x, y)
+    }).toSet
+    Seq(16, 8, 4).foreach { bands =>
+      val r = 64 / bands
+      val cand = (for {
+        i <- docs.indices; j <- (i + 1) until docs.length
+        a = docs(i); b = docs(j)
+        if (0 until bands).exists(bd =>
+          a._2.slice(bd * r, bd * r + r) == b._2.slice(bd * r, bd * r + r))
+      } yield {
+        val (x, y) = if (a._1 < b._1) (a._1, b._1) else (b._1, a._1)
+        (x, y)
+      }).toSet
+      val tp = (cand & truth).size.toLong
+      val expect = (r.toLong, truth.size.toLong, cand.size.toLong, tp,
+        tp * 1000000L / math.max(cand.size.toLong, 1L),
+        tp * 1000000L / math.max(truth.size.toLong, 1L))
+      assert(got(bands.toLong) === expect, s"config bands=$bands")
+    }
+    // the banding tradeoff must be visible: more rows per band
+    // (fewer bands) can only tighten candidates
+    assert(got(4L)._3 <= got(8L)._3 && got(8L)._3 <= got(16L)._3)
   }
 
   test("hubness histogram replays the k-occurrence rollup with anti-hubs") {

@@ -166,7 +166,9 @@ class PlanLintSpec extends AnyFunSuite {
     // 40-row TakeOrdered frames (C(40,2) constant candidates — the
     // operator's whole design); dsir_screen and ppl_mix crossJoin
     // the 1-row corpus-total aggregate
-    "graph_substitutes", "pipeline_dsir_screen", "pipeline_ppl_mix")
+    "graph_substitutes", "pipeline_dsir_screen", "pipeline_ppl_mix",
+    // lsh_recall composes two 1-row count aggregates per config
+    "dedup_lsh_recall")
 
   /** Forced broadcasts whose subtree reads a fact table, allowed
     * because the frame carries a DOCUMENTED constant bound the
