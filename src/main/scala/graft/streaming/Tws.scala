@@ -90,6 +90,59 @@ object Tws {
     }
   }
 
+  case class TypedEvent(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  case class TypedCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user per-event-type running counts on MAPSTATE — the third
+    * TWS state primitive beside [[PaymentTimeoutProcessor]]'s
+    * ValueState and its timers: one map column family per key, each
+    * event type a map ENTRY (updateValue is per-entry, so a
+    * 40-type user never rewrites a 40-field blob the way a
+    * ValueState[case class] would — the RocksDB point-write the
+    * API exists for). Emits the updated (user, type, n) rows each
+    * micro-batch — a changelog the [[ReplacingSink]] family
+    * compacts by key downstream.
+    */
+  class EventTypeCounter
+      extends StatefulProcessor[Long, TypedEvent, TypedCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("typecounts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[TypedEvent],
+        tv: TimerValues): Iterator[TypedCount] = {
+      val touched = scala.collection.mutable.Map.empty[String, Long]
+      rows.foreach { e =>
+        val cur = touched.getOrElse(e.event_type,
+          if (counts.containsKey(e.event_type))
+            counts.getValue(e.event_type) else 0L)
+        touched(e.event_type) = cur + 1L
+      }
+      touched.foreach { case (t, n) => counts.updateValue(t, n) }
+      touched.iterator.map { case (t, n) => TypedCount(uid, t, n) }
+    }
+  }
+
+  /** Streaming per-user event-type counts over a
+    * (user_id, event_type, ts) stream. RocksDB state store required,
+    * as for every TWS job.
+    */
+  def eventTypeCounts(events: DataFrame,
+      watermark: String = "10 minutes"): Dataset[TypedCount] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new EventTypeCounter,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** [[Jobs.paymentTimeoutAlerts]] on the transformWithState API.
     * Requires the RocksDB state store provider (a TWS precondition,
     * not a choice — set `spark.sql.streaming.stateStore

@@ -1370,6 +1370,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("MapState event-type counter converges to the batch group count") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(conf)
+    s.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(min: Long) = new java.sql.Timestamp((100 + min) * 60000L)
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = graft.streaming.Tws.eventTypeCounts(
+          mem.toDF().toDF("user_id", "event_type", "ts"))
+        .writeStream.format("memory").queryName("type_counts")
+        .outputMode("append")
+        .option("checkpointLocation", tmp("tc-ckpt")).start()
+      val fed = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      def feed(xs: (Long, String, java.sql.Timestamp)*): Unit = {
+        mem.addData(xs: _*); q.processAllAvailable()
+        fed ++= xs.map(x => (x._1, x._2))
+      }
+      try {
+        feed((1L, "view", ts(0)), (1L, "view", ts(1)),
+          (1L, "click", ts(2)), (2L, "view", ts(3)))
+        feed((1L, "view", ts(10)), (2L, "purchase", ts(11)),
+          (2L, "view", ts(12)))
+      } finally q.stop()
+      // the LAST emitted count per (user, type) is the total so far
+      val rows = s.sql("SELECT user_id, event_type, n FROM type_counts")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val last = rows.zipWithIndex
+        .groupBy(x => (x._1._1, x._1._2)).view
+        .mapValues(_.maxBy(_._2)._1._3).toMap
+      val expect = fed.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      assert(last === expect, s"got $last vs $expect")
+      // changelog property: per key the emitted counts strictly rise
+      rows.groupBy(x => (x._1, x._2)).values.foreach { es =>
+        val ns = es.map(_._3)
+        assert(ns.distinct.size === ns.size)
+      }
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(conf, v)
+        case None => s.conf.unset(conf)
+      }
+    }
+  }
+
   test("quarantine router: violations split losslessly from the forward stream") {
     import s.implicits._
     val dir = Files.createTempDirectory("quar-src")
