@@ -2989,8 +2989,7 @@ object SparkEntry {
     // (us, event_id) tie order the Spark window pins
     "analytics_window_funnel_strict" ->
       """WITH e AS (SELECT user_id, event_id, event_type AS t0,
-        |    epoch_us(ts) AS us FROM events
-        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |    epoch_us(ts) AS us FROM events),
         |l AS (SELECT user_id, us, t0,
         |    lead(t0, 1) OVER w AS t1, lead(us, 1) OVER w AS us1,
         |    lead(t0, 2) OVER w AS t2, lead(us, 2) OVER w AS us2
@@ -6891,7 +6890,7 @@ object SparkEntry {
         |  - CAST(row_number() OVER (ORDER BY dt) AS DECIMAL(19,0))
         |    * CAST(g_tot AS DECIMAL(19,0)) AS s_k
         | FROM daily CROSS JOIN tot)
-        |SELECT dt AS change_day, CAST(s_k AS DECIMAL(38,0)) AS cusum_stat,
+        |SELECT dt AS change_day, CAST(s_k AS BIGINT) AS cusum_stat,
         | n AS n_days
         |FROM cus ORDER BY abs(s_k) DESC, dt LIMIT 1""".stripMargin,
     // Mann–Kendall: exact ±1 pair count over the day grain, exact
@@ -7658,7 +7657,7 @@ object SparkEntry {
         |   WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS abc_class
         | FROM c)
         |SELECT abc_class, COUNT(*) AS n_parts,
-        |  CAST(SUM(x) AS DECIMAL(19,0)) AS rev_e4,
+        |  CAST(SUM(x) AS BIGINT) AS rev_e4,
         |  CAST(CAST(SUM(x) AS HUGEINT) * 1000000
         |    // (SELECT CAST(SUM(x) AS HUGEINT) FROM rev) AS BIGINT)
         |    AS share_ppm

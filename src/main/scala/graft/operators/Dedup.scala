@@ -1145,6 +1145,10 @@ object Dedup {
     * quadratic term stays Σ C(bucket, 2) by construction at any
     * scale. Per config: three counts and two divisions; the 1-row
     * aggregates compose via broadcast cross joins.
+    *
+    * NOTE: EAGER — the truth count and the ≤3-row result both
+    * materialize at call time (the count is a literal in the plan),
+    * and the intermediate caches are released before returning.
     */
   def lshRecall(s: SparkSession, d: String, ngram: Int = 12,
       perms: Int = 64, thresholdPpm: Long = 500000L): DataFrame = {
@@ -1182,7 +1186,15 @@ object Dedup {
           expr(s"tp * 1000000 DIV greatest(${nTruth}L, 1)")
             .as("recall_ppm"))
     }
-    rows.reduce(_.unionByName(_))
+    // This function is EAGER by nature (nTruth is embedded as a
+    // literal, so a truth job already ran). Materialize the ≤3-row
+    // result while the caches are still warm, then RELEASE them —
+    // repeated invocations must not accumulate executor storage
+    // (r8 ADVICE: sig/truth were never unpersisted).
+    val out = rows.reduce(_.unionByName(_)).localCheckpoint()
+    sig.unpersist()
+    truth.unpersist()
+    out
   }
 
   /** GENERATED oracle for [[lshRecall]]: signature replica at the

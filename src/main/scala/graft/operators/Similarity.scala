@@ -1154,15 +1154,23 @@ object Similarity {
     val qr = er.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
+    // Score ONCE at max(probes): each vector belongs to exactly one
+    // cell, so a candidate's probe level IS its cell's rank `crk` —
+    // the p=1,2 candidate sets are nested filters of the p=4 scored
+    // set, never a re-join/re-score (r8 rebuilt all three from
+    // scratch, tripling the dominant cosine join).
+    val scored = qrank.filter(col("crk") <= probes.max)
+      .select(col("query_id"), col("cluster_id"), col("crk"))
+      .join(asg, "cluster_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(er, "vec_id").join(broadcast(qr), "query_id")
+      .select(col("query_id"), col("crk"),
+        col("vec_id").as("neighbor_id"),
+        Vectors.cosineWithNorms(col("qv"), col("v"), col("qn"),
+          col("nrm")).as("cos"))
+      .localCheckpoint()
     val perProbe = probes.map { p =>
-      val cand = qrank.filter(col("crk") <= p)
-        .select(col("query_id"), col("cluster_id"))
-        .join(asg, "cluster_id")
-        .filter(col("vec_id") =!= col("query_id"))
-        .join(er, "vec_id").join(broadcast(qr), "query_id")
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          Vectors.cosineWithNorms(col("qv"), col("v"), col("qn"),
-            col("nrm")).as("cos"))
+      val cand = scored.filter(col("crk") <= p)
       val nc = cand.agg(count(lit(1)).as("n_candidates"))
       val top = cand.withColumn("rk", row_number().over(
           Window.partitionBy("query_id")

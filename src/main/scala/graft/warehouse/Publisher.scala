@@ -15,6 +15,38 @@ import org.apache.spark.sql.functions._
 object Publisher {
   import Dwd.dec
 
+  /** The derived part–supplier availability relation (TPC-H
+    * `partsupp` reconstructed from lineitem: MIN extendedprice as
+    * supplycost, SUM quantity as availqty per pair), materialized
+    * ONCE per (session, dataset) as a BUCKETED layout keyed on the
+    * part key — q2/q11/q16/q20 each used to re-aggregate the full
+    * fact table to rebuild it (q2's decorrelation even does so
+    * twice). Same contract as [[graft.operators.Graph
+    * .coPurchasePairCounts]]: disk-backed (survives clearCache),
+    * once-per-warehouse via the catalog check, partkey-keyed joins
+    * and per-part aggregates read it with no Exchange. Returns the
+    * table name for use in the raw-SQL query bodies.
+    */
+  def psLayout(s: SparkSession, d: String): String =
+    psRegistry.computeIfAbsent((s, d), _ => {
+      val tbl = s"graft_ps_${(d.hashCode.toLong & 0xffffffffL).toHexString}"
+      if (!s.catalog.tableExists(tbl)) {
+        val ps = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .agg(min(col("l_extendedprice").cast(
+            org.apache.spark.sql.types.DecimalType(12, 2)))
+            .as("ps_supplycost"),
+            sum(col("l_quantity")).cast("long").as("ps_availqty"))
+        graft.sources.Bucketing.writeBucketed(ps, tbl, "ps_partkey", 16,
+          Seq("ps_partkey", "ps_suppkey"))
+      }
+      tbl
+    })
+
+  private val psRegistry =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
   /** GMV + order count per day. Ref: TradeStatsMapper.java:1. */
   def gmvDaily(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -313,19 +345,18 @@ object Publisher {
     * sides. The top-100 cut is total-ordered: (acctbal DESC,
     * n_name, s_name, p_partkey) is unique per qualifying row, so
     * the boundary is engine-deterministic. At 100 TB the derived
-    * `ps` CTE is the expensive leg (one fact aggregation, done
-    * twice by the decorrelation); a real deployment would
-    * materialize it once — here it documents the shape.
+    * `ps` relation is the expensive leg (the decorrelation reads it
+    * twice) — so it comes from the [[psLayout]] bucketed
+    * materialization, built once per warehouse and shared with
+    * q11/q16/q20.
     */
   def minCostSupplier(s: SparkSession, d: String,
       size: Int = 15, ptype: String = "STANDARD",
       region: String = "EUROPE"): DataFrame = {
     Tables.registerViews(s, d)
     s.sql(
-      s"""WITH ps AS (
-         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
-         |  FROM lineitem GROUP BY 1, 2)
+      s"""WITH ps AS (SELECT ps_partkey, ps_suppkey, ps_supplycost
+         |  FROM ${psLayout(s, d)})
          |SELECT s_acctbal, s_name, n_name, p_partkey, p_type
          |FROM part, supplier, ps, nation, region
          |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
@@ -455,11 +486,7 @@ object Publisher {
       nation: String = "NATION_7", invFraction: Int = 500): DataFrame = {
     Tables.registerViews(s, d)
     s.sql(
-      s"""WITH ps AS (
-         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost,
-         |    CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty
-         |  FROM lineitem GROUP BY 1, 2)
+      s"""WITH ps AS (SELECT * FROM ${psLayout(s, d)})
          |SELECT ps_partkey,
          |  CAST(SUM(ps_supplycost * ps_availqty) AS DOUBLE) AS part_value
          |FROM ps, supplier, nation
@@ -533,9 +560,8 @@ object Publisher {
       excludeBrand: String = "Brand#45"): DataFrame = {
     Tables.registerViews(s, d)
     s.sql(
-      s"""WITH ps AS (
-         |  SELECT DISTINCT l_partkey AS ps_partkey,
-         |                  l_suppkey AS ps_suppkey FROM lineitem)
+      s"""WITH ps AS (SELECT ps_partkey, ps_suppkey
+         |  FROM ${psLayout(s, d)})
          |SELECT p_brand, p_type, p_size,
          |  count(DISTINCT ps_suppkey) AS supplier_cnt
          |FROM ps, part
@@ -595,10 +621,8 @@ object Publisher {
       from: String = "2000-01-01", until: String = "2001-01-01"): DataFrame = {
     Tables.registerViews(s, d)
     s.sql(
-      s"""WITH ps AS (
-         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         |    CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty
-         |  FROM lineitem GROUP BY 1, 2)
+      s"""WITH ps AS (SELECT ps_partkey, ps_suppkey, ps_availqty
+         |  FROM ${psLayout(s, d)})
          |SELECT s_suppkey, s_name
          |FROM supplier, nation
          |WHERE s_suppkey IN (

@@ -124,9 +124,9 @@ class RoundEightOpsSpec extends AnyFunSuite {
     val got = Analytics.windowFunnelStrict(s, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val wUs = 86400L * 1000000L
-    // driver replay: per user, sort tracked events, scan triples
+    // driver replay: per user, sort ALL events (ClickHouse strict
+    // order is interrupted by any row, tracked or not), scan triples
     val ev = graft.sources.Tables.events(s, d)
-      .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("event_type"))
       .collect()

@@ -1370,6 +1370,165 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("gap-session stragglers merge under the gap rule (r8 ADVICE)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(conf)
+    s.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(min: Long) = new java.sql.Timestamp((1000 + min) * 60000L)
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      // gap SHORTER than the watermark delay, so rows older than
+      // start-gap are admitted by the watermark — the straggler path
+      val sess = graft.streaming.Tws.sessionizeTimers(
+        mem.toDF().toDF("user_id", "ts"),
+        gapMs = 5 * 60000L, watermark = "60 minutes")
+      val q = sess.writeStream.format("memory").queryName("gap_stragglers")
+        .outputMode("append")
+        .option("checkpointLocation", tmp("sess-stg-ckpt")).start()
+      try {
+        // open session [100, 101]
+        mem.addData((7L, ts(100)), (7L, ts(101)))
+        q.processAllAvailable()
+        // two stragglers within gap of each other MERGE into one
+        // retro session [60, 62]; 80 exceeds the retro gap and emits
+        // as its own singleton (not three singletons)
+        mem.addData((7L, ts(60)), (7L, ts(62)), (7L, ts(80)))
+        q.processAllAvailable()
+        // bridge: 96 extends the main session's start to 96, which
+        // pulls the retro chain [91] within gap — ONE merged session
+        mem.addData((7L, ts(91)), (7L, ts(96)))
+        q.processAllAvailable()
+        // watermark carriers close the merged main session via timer
+        mem.addData((99L, ts(300)))
+        q.processAllAvailable()
+        mem.addData((99L, ts(301)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = s.sql("""SELECT session_start, session_end, n_events
+          FROM gap_stragglers WHERE user_id = 7""")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)))
+        .toSet
+      val expect = Set(
+        (ts(60), ts(62), 2L),
+        (ts(80), ts(80), 1L),
+        (ts(91), ts(101), 4L))
+      assert(got === expect, s"got $got")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(conf, v)
+        case None => s.conf.unset(conf)
+      }
+    }
+  }
+
+  test("ListState recent-event buffer matches the batch last-k aggregate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(conf)
+    s.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(min: Long) = new java.sql.Timestamp((1000 + min) * 60000L)
+      val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Long)]
+      val q = graft.streaming.Tws.recentEventBuffer(
+          mem.toDF().toDF("user_id", "event_id", "ts", "amount"),
+          k = 3)
+        .writeStream.format("memory").queryName("recent_buf")
+        .outputMode("append")
+        .option("checkpointLocation", tmp("buf-ckpt")).start()
+      val fed = scala.collection.mutable
+        .ArrayBuffer.empty[(Long, Long, java.sql.Timestamp, Long)]
+      def feed(xs: (Long, Long, java.sql.Timestamp, Long)*): Unit = {
+        mem.addData(xs: _*); q.processAllAvailable(); fed ++= xs
+      }
+      try {
+        feed((1L, 10L, ts(0), 5L), (1L, 11L, ts(2), 7L),
+          (2L, 20L, ts(1), 100L))
+        // buffer overflows k=3 for user 1; user 2 gets an
+        // out-of-order row admitted by the watermark
+        feed((1L, 12L, ts(4), 11L), (1L, 13L, ts(6), 13L),
+          (2L, 21L, ts(0), 50L))
+        feed((1L, 14L, ts(3), 99L)) // mid-buffer straggler
+      } finally q.stop()
+      // batch replay: last-k rows per user by (ts, event_id)
+      val expect = fed.groupBy(_._1).map { case (uid, xs) =>
+        val kept = xs.sortBy(e => (e._3.getTime, e._2)).takeRight(3)
+        uid -> ((kept.size.toLong, kept.map(_._4).sum,
+          kept.head._3.getTime, kept.last._3.getTime))
+      }
+      // the LAST emitted changelog row per user is the final buffer
+      val got = s.sql("""SELECT user_id, n_buf, sum_amount, min_ms,
+            max_ms FROM recent_buf""")
+        .collect().zipWithIndex
+        .groupBy(_._1.getLong(0))
+        .map { case (uid, rs) =>
+          val r = rs.maxBy(_._2)._1
+          uid -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)))
+        }
+      assert(got === expect, s"got $got")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(conf, v)
+        case None => s.conf.unset(conf)
+      }
+    }
+  }
+
+  test("ListState TTL evicts idle buffer entries (processing-time mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(conf)
+    s.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(min: Long) = new java.sql.Timestamp((1000 + min) * 60000L)
+      val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Long)]
+      val q = graft.streaming.Tws.recentEventBuffer(
+          mem.toDF().toDF("user_id", "event_id", "ts", "amount"),
+          k = 3, ttlMs = 1000L)
+        .writeStream.format("memory").queryName("recent_buf_ttl")
+        .outputMode("append")
+        .option("checkpointLocation", tmp("buf-ttl-ckpt")).start()
+      // TTL requires ProcessingTime mode, where transformWithState
+      // fires a batch per trigger (the TTL sweep) — noNewData never
+      // latches, so processAllAvailable would HANG; poll the sink
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.nanoTime + 90L * 1000000000L
+        while (s.sql("SELECT * FROM recent_buf_ttl").count() < n &&
+            System.nanoTime < deadline) Thread.sleep(100)
+      }
+      try {
+        mem.addData((1L, 10L, ts(0), 5L), (1L, 11L, ts(2), 7L))
+        awaitRows(1)
+        Thread.sleep(3000) // > 3× TTL: both entries expire
+        mem.addData((1L, 14L, ts(3), 99L))
+        awaitRows(2)
+      } finally q.stop()
+      val rows = s.sql(
+          "SELECT n_buf, sum_amount FROM recent_buf_ttl")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.head === ((2L, 12L)), s"got $rows")
+      // post-expiry batch sees an EMPTY list: only the new event
+      assert(rows.last === ((1L, 99L)),
+        s"TTL did not evict the idle entries: $rows")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(conf, v)
+        case None => s.conf.unset(conf)
+      }
+    }
+  }
+
   test("MapState event-type counter converges to the batch group count") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._

@@ -1,0 +1,71 @@
+#!/bin/bash
+# One-command gate (r8 VERDICT 'Next round' #7): chains the five
+# checks the round artifacts rest on and REFUSES to emit artifacts on
+# any red. Every stage is the same command the driver/judge runs;
+# nothing here is a weaker stand-in.
+#
+#   counts.py   — key-consistency (no dup/shadowed keys, SURVEY sync)
+#   Verify      — Spark dumps every SparkEntry query to parquet
+#   check.py    — DuckDB oracle replay + row/schema/hash diff
+#   sbt test    — the full ScalaTest suite
+#   Bench       — one JSON line, committed as BENCH_full_r<N>.json
+#
+# Usage: tools/gate.sh <round> [sf_dir]
+#   round   e.g. 9  → artifacts CHECK_LOCAL_r9.json, BENCH_full_r9.json
+#   sf_dir  correctness SF dir (default /root/testdata/sf0.01);
+#           bench always runs at sf0.1.
+# Env: GATE_SKIP_SBT=1 skips the sbt test stage (already-green reruns).
+set -u
+cd "$(dirname "$0")/.."
+
+ROUND="${1:?usage: tools/gate.sh <round> [sf_dir]}"
+SF_DIR="${2:-/root/testdata/sf0.01}"
+VDIR="/tmp/gate_verify_r${ROUND}"
+CHECK_OUT="CHECK_LOCAL_r${ROUND}.json"
+BENCH_OUT="BENCH_full_r${ROUND}.json"
+LOG="/tmp/gate_r${ROUND}.log"
+
+fail() { echo "GATE RED at stage $1 — no artifacts emitted (log: $LOG)"; exit 1; }
+echo "gate r${ROUND}: sf=${SF_DIR} log=${LOG}" | tee "$LOG"
+
+echo "== stage 1/5: counts.py ==" | tee -a "$LOG"
+python3 tools/counts.py >>"$LOG" 2>&1 || fail counts
+
+echo "== stage 2/5: sbt compile + graft.Verify ==" | tee -a "$LOG"
+sbt -batch compile >>"$LOG" 2>&1 || fail compile
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+  tools/run.sh graft.Verify "$SF_DIR" "$VDIR" >>"$LOG" 2>&1 || fail verify
+[ "$(cat "$VDIR/verify_errors.json")" = "{}" ] || fail verify-errors
+
+echo "== stage 3/5: check.py (DuckDB oracle) ==" | tee -a "$LOG"
+CHECK_TMP="/tmp/gate_check_r${ROUND}.json"
+python3 tools/check.py "$SF_DIR" "$VDIR" "$CHECK_TMP" >>"$LOG" 2>&1 || fail check
+grep -E '^FAIL' "$LOG" >/dev/null && fail check
+python3 - "$CHECK_TMP" <<'EOF' || fail check-parse
+import json, sys
+d = json.load(open(sys.argv[1]))
+bad = [k for k, v in d.items() if not k.startswith("_")
+       and isinstance(v, dict)
+       and not (v.get("match") or v.get("rows_only"))]
+if bad:
+    print("red queries:", bad); sys.exit(1)
+EOF
+
+if [ "${GATE_SKIP_SBT:-0}" != "1" ]; then
+  echo "== stage 4/5: sbt test ==" | tee -a "$LOG"
+  sbt -batch test >>"$LOG" 2>&1 || fail sbt-test
+else
+  echo "== stage 4/5: sbt test SKIPPED (GATE_SKIP_SBT=1) ==" | tee -a "$LOG"
+fi
+
+echo "== stage 5/5: Bench (sf0.1) ==" | tee -a "$LOG"
+BENCH_TMP="/tmp/gate_bench_r${ROUND}.out"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  tools/run.sh graft.Bench >"$BENCH_TMP" 2>>"$LOG" || fail bench
+grep -E '^\{"metric"' "$BENCH_TMP" | tail -1 > /tmp/gate_bench_line.json
+[ -s /tmp/gate_bench_line.json ] || fail bench-json
+
+# all green → emit artifacts
+cp "$CHECK_TMP" "$CHECK_OUT"
+cp /tmp/gate_bench_line.json "$BENCH_OUT"
+echo "GATE GREEN — wrote $CHECK_OUT and $BENCH_OUT"
