@@ -624,23 +624,50 @@ object TextAnalysis {
     * acceptance test every curriculum-free training order needs.
     */
   def shuffleQuality(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     // the SAME seed-42 key shuffleOrder emits — this audits the
     // actual production order, not a lookalike
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
       .withColumn("skey", md5(concat_ws(":", lit(42),
         col("doc_id").cast("string"))))
-    def adjacentSameRate(ordered: Column*) = {
-      val w = Window.orderBy(ordered: _*)
-      docs.withColumn("prev_src", lag(col("source"), 1).over(w))
-        .filter(col("prev_src").isNotNull)
-        .agg(count_if(col("source") === col("prev_src")).as("same"),
-          count(lit(1)).as("pairs"))
-        .select(expr("same * 1000000L DIV pairs"))
+      .localCheckpoint()
+    // adjacent-pair stats over a global order WITHOUT the global
+    // sort the original lag window paid: range-partition on the
+    // order key, count same-source adjacencies per partition in one
+    // streaming pass, and stitch the O(parallelism) partition
+    // boundaries on the driver (the abcPerPart offset pattern)
+    def adjacentSameRate(ordered: Column*): Long = {
+      val sums = docs
+        .repartitionByRange((ordered :+ col("doc_id")): _*)
+        .sortWithinPartitions((ordered :+ col("doc_id")): _*)
+        .select(col("source")).as[String]
+        .rdd.mapPartitionsWithIndex { case (pid, it) =>
+          if (it.isEmpty) Iterator.empty
+          else {
+            var first: String = null
+            var last: String = null
+            var same = 0L
+            var n = 0L
+            it.foreach { src =>
+              if (first == null) first = src
+              else if (src == last) same += 1L
+              last = src
+              n += 1L
+            }
+            Iterator.single((pid, first, last, same, n))
+          }
+        }.collect().sortBy(_._1)
+      val boundary = sums.sliding(2).count {
+        case Array(a, b) => a._3 == b._2
+        case _ => false
+      }
+      val same = sums.map(_._4).sum + boundary
+      val pairs = sums.map(_._5).sum - 1L
+      same * 1000000L / math.max(pairs, 1L)
     }
-    val before = adjacentSameRate(col("source"), col("doc_id"))
+    val before = Seq(adjacentSameRate(col("source"), col("doc_id")))
       .toDF("blocked_ppm")
-    val after = adjacentSameRate(col("skey"), col("doc_id"))
+    val after = Seq(adjacentSameRate(col("skey"), col("doc_id")))
       .toDF("after_ppm")
     val expected = docs.groupBy("source").agg(count(lit(1)).as("ns"))
       .agg(sum(expr("ns * (ns - 1)")).as("num"),
@@ -702,10 +729,13 @@ object TextAnalysis {
     val counts = toks.groupBy("tok")
       .agg(count_if(col("src_n") < 10).as("a_ct"),
         count_if(col("src_n") >= 10).as("b_ct"))
-    val all = Window.partitionBy()
+    // side totals as a broadcast 1-row aggregate — the original
+    // unbounded window summed through a single partition of the
+    // whole vocab grain
+    val tot = counts.agg(sum(col("a_ct")).as("na"),
+      sum(col("b_ct")).as("nb"))
     val shares = counts
-      .withColumn("na", sum(col("a_ct")).over(all))
-      .withColumn("nb", sum(col("b_ct")).over(all))
+      .crossJoin(broadcast(tot))
       .select(col("tok"),
         expr("a_ct * 1000000L DIV na").as("a_ppm"),
         expr("b_ct * 1000000L DIV nb").as("b_ppm"),
@@ -737,14 +767,17 @@ object TextAnalysis {
     */
   def scoreCalibration(s: SparkSession, d: String,
       deciles: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = qualityModelScore(s, d).select("doc_id", "score_milli")
       .join(Tables.documents(s, d)
         .select(col("doc_id"), (length(col("text")) >= 300).as("label")),
         "doc_id")
+      .localCheckpoint()
+    // same two-pass exact-ntile replay as [[curriculumSchedule]] —
+    // the decile cut must never be a corpus-sized single sort
+    val n = scored.count()
     scored
-      .withColumn("decile", ntile(deciles).over(
-        Window.orderBy(col("score_milli"), col("doc_id"))).cast("long"))
+      .join(rankedByKey(scored, col("score_milli")), "doc_id")
+      .withColumn("decile", expr(s"rk0 * $deciles DIV ${n}L + 1"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
         expr("SUM(score_milli) DIV COUNT(1)").as("mean_score_milli"),
@@ -765,14 +798,19 @@ object TextAnalysis {
     */
   def curriculumSchedule(s: SparkSession, d: String,
       phases: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = filter(split(lower(col("text")), " "), t => t =!= "")
-    qualityModelScore(s, d).select("doc_id", "score_milli")
+    val scored = qualityModelScore(s, d).select("doc_id", "score_milli")
       .join(Tables.documents(s, d).select(col("doc_id"), col("source"),
         size(toks).as("n_toks")), "doc_id")
-      .withColumn("phase", ntile(phases).over(
-        Window.orderBy(col("score_milli").desc, col("doc_id")))
-        .cast("long"))
+      .localCheckpoint()
+    // corpus-grain ntile replayed exactly over the two-pass parallel
+    // rank (⌊rank·k/n⌋+1 — the rfm bucketing pattern); the original
+    // unpartitioned ntile window was a corpus-sized single-partition
+    // sort
+    val n = scored.count()
+    scored
+      .join(rankedByKey(scored, col("score_milli").desc), "doc_id")
+      .withColumn("phase", expr(s"rk0 * $phases DIV ${n}L + 1"))
       .groupBy("phase")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).cast("long").as("total_tokens"),
@@ -1401,18 +1439,38 @@ object TextAnalysis {
     * same order on any cluster size, re-runs resume identically, and
     * adding documents only splices them in rather than reshuffling
     * everyone (the key is per-row, not positional). The global
-    * row_number is a range-partitioned sort — the one global sort a
-    * training-data export genuinely owes, over (id, key) pairs only,
-    * never the payload (join the text back by doc_id after).
+    * position assignment is the [[assignStableIds]] two-pass
+    * (range-partitioned parallel sort + zipWithIndex) — the one
+    * global sort a training-data export genuinely owes, over
+    * (id, key) pairs only, never the payload (join the text back by
+    * doc_id after), and never a single-partition row_number window.
     */
-  def shuffleOrder(s: SparkSession, d: String, seed: Int = 42): DataFrame =
-    Tables.documents(s, d)
+  def shuffleOrder(s: SparkSession, d: String, seed: Int = 42): DataFrame = {
+    val keyed = Tables.documents(s, d)
       .select(col("doc_id"),
         md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
           .as("skey"))
-      .withColumn("pos",
-        row_number().over(Window.orderBy(col("skey"), col("doc_id")))
-          .cast("long"))
+    keyed
+      .join(rankedByKey(keyed, col("skey")), "doc_id")
+      .select(col("doc_id"), col("skey"),
+        (col("rk0") + 1L).as("pos"))
+  }
+
+  /** Global 0-based rank of `df`'s doc_id rows over (ord…, doc_id) —
+    * the two-pass range-partition + zipWithIndex pattern
+    * ([[assignStableIds]]'s shape), never a single-partition window.
+    * Returns (doc_id, rk0).
+    */
+  private def rankedByKey(df: DataFrame, ord: Column*): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val cols = ord :+ col("doc_id")
+    df.repartitionByRange(cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .select(col("doc_id")).as[Long]
+      .rdd.zipWithIndex()
+      .toDF("doc_id", "rk0")
+  }
 
   /** Model-scored quality filter — the SERVING half of a
     * fastText-style linear quality classifier, the shape GPT-3/CCNet
@@ -1777,16 +1835,23 @@ object TextAnalysis {
     val tf = Tables.spread(Tables.documents(s, d))
       .select(explode(Text.wsTokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("ct"))
-    val ranked = tf.withColumn("rk", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .orderBy(col("ct").desc, col("tok"))).cast("long"))
-    val aggCols = count(lit(1)).as("n_types") +:
-      probes.map(p => sum(when(col("rk") <= p, col("ct"))
-        .otherwise(lit(0L))).as(s"top$p"))
+    // only the top-max(probes) head is ever ranked, so the cut is a
+    // TakeOrderedAndProject and the rank window runs over that
+    // ≤max(probes)-row frame — the original ranked the WHOLE vocab
+    // (corpus-sublinear but unbounded) through one partition
+    val head = tf.orderBy(col("ct").desc, col("tok")).limit(probes.max)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ct").desc, col("tok"))).cast("long"))
+    val tot = tf.agg(sum(col("ct")).as("total_tokens"),
+      count(lit(1)).as("n_types"))
+    val headCols = probes.map(p => sum(when(col("rk") <= p, col("ct"))
+      .otherwise(lit(0L))).as(s"top$p"))
     val outCols = col("total_tokens") +: col("n_types") +:
       probes.map(p => expr(s"top$p * 1000000 DIV total_tokens")
         .as(s"coverage_${p}_ppm"))
-    ranked.agg(sum(col("ct")).as("total_tokens"), aggCols: _*)
+    head.agg(headCols.head, headCols.tail: _*)
+      .crossJoin(broadcast(tot))
       .select(outCols: _*)
   }
 

@@ -160,23 +160,42 @@ object Analytics {
   }
 
   /** RFM segmentation: recency/frequency/monetary per customer with
-    * quartile buckets (ntile over a total order — tiebreak on the
-    * key so the bucketing is deterministic in any engine).
+    * quartile buckets over a total order (tiebreak on the key so the
+    * bucketing is deterministic in any engine). The bucket
+    * assignment replays ntile's exact formula over a PARALLEL
+    * two-pass rank — see the inline comment.
     */
   def rfm(s: SparkSession, d: String, buckets: Int = 4): DataFrame = {
+    import s.implicits._
     val base = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("customer_id"))
       .agg(
         max(to_date(col("o_orderdate"))).as("last_order"),
         count(lit(1)).as("frequency"),
         sum(dec(col("o_totalprice"))).cast("double").as("monetary"))
+      .localCheckpoint()
+    // The original formulation was three global `ntile` windows over
+    // the CUSTOMER grain — entity-linear, so each was a genuine
+    // single-partition sort at scale (the unpartitioned-window lint's
+    // first real catch). Each bucketing is now the two-pass
+    // range-partition + zipWithIndex rank (the assignStableIds
+    // pattern) with ntile's exact assignment formula
+    // bucket = ⌊rank·k/n⌋ + 1 (0-based rank over the identical
+    // (key, customer_id) total order) — same output, parallel sort.
+    val n = base.count()
+    def rankedBucket(key: Column, name: String): DataFrame =
+      base.select(col("customer_id"), key.as("k"))
+        .repartitionByRange(col("k"), col("customer_id"))
+        .sortWithinPartitions("k", "customer_id")
+        .select(col("customer_id")).as[Long]
+        .rdd.zipWithIndex()
+        .toDF("customer_id", "rk")
+        .select(col("customer_id"),
+          expr(s"rk * $buckets DIV ${n}L + 1").as(name))
     base
-      .withColumn("r_bucket", ntile(buckets).over(
-        Window.orderBy(col("last_order"), col("customer_id"))).cast("long"))
-      .withColumn("f_bucket", ntile(buckets).over(
-        Window.orderBy(col("frequency"), col("customer_id"))).cast("long"))
-      .withColumn("m_bucket", ntile(buckets).over(
-        Window.orderBy(col("monetary"), col("customer_id"))).cast("long"))
+      .join(rankedBucket(col("last_order"), "r_bucket"), "customer_id")
+      .join(rankedBucket(col("frequency"), "f_bucket"), "customer_id")
+      .join(rankedBucket(col("monetary"), "m_bucket"), "customer_id")
   }
 
   /** Sketch-based stats per order priority: HLL distinct customers +
@@ -1512,26 +1531,47 @@ object Analytics {
     * (higher-better), with the standard at-least-one-strict
     * dominance. The quadratic NOT-EXISTS definition is the oracle;
     * the plan is the O(n log n) sweep — sort by price, then a part
-    * survives iff no strictly-cheaper part reaches its size (running
-    * max over a RANGE frame) and it tops its own price group. One
-    * window sort, no self-join — the skyline shape that survives
-    * 100×.
+    * survives iff no strictly-cheaper part reaches its size (an
+    * EXCLUSIVE prefix max over the price-grain frame) and it tops
+    * its own price group. The prefix max runs as the distributed
+    * two-pass pattern ([[abcPerPartOf]]'s shape: range-partition,
+    * per-partition maxima collected as O(parallelism) offsets, one
+    * streaming pass) — the original formulation's unpartitioned
+    * RANGE-frame window was an entity-linear single-partition sort.
+    * No self-join — the skyline shape that survives 100×.
     */
   def skyline(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val cents = (col("p_retailprice").cast(DecimalType(12, 2)) * 100)
       .cast("long")
-    val cheaper = Window.orderBy("price_cents")
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val samePrice = Window.partitionBy("price_cents")
-    Tables.part(s, d)
+    val parts = Tables.part(s, d)
       .select(col("p_partkey"), cents.as("price_cents"),
         col("p_size").cast("long").as("size"))
-      .withColumn("best_cheaper", max(col("size")).over(cheaper))
-      .withColumn("best_same", max(col("size")).over(samePrice))
-      .filter((col("best_cheaper").isNull ||
-        col("best_cheaper") < col("size")) &&
-        col("best_same") === col("size"))
+    val sorted = parts.groupBy("price_cents")
+      .agg(max(col("size")).as("best_same"))
+      .repartitionByRange(col("price_cents"))
+      .sortWithinPartitions("price_cents")
+      .select(col("price_cents"), col("best_same")).as[(Long, Long)]
+      .rdd
+    sorted.cache()
+    val partMax = sorted.mapPartitionsWithIndex { case (pid, it) =>
+      var mx = Long.MinValue
+      it.foreach(r => mx = math.max(mx, r._2))
+      Iterator.single(pid -> mx)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partMax.scanLeft(Long.MinValue)(math.max)
+    val bcOff = s.sparkContext.broadcast(offsets)
+    val frontier = sorted.mapPartitionsWithIndex { case (pid, it) =>
+      var mx = bcOff.value(pid)
+      it.map { case (p, bs) =>
+        val cheaper = mx
+        mx = math.max(mx, bs)
+        (p, bs, cheaper)
+      }
+    }.toDF("price_cents", "best_same", "best_cheaper")
+    parts.join(frontier, "price_cents")
+      .filter(col("best_same") === col("size") &&
+        col("best_cheaper") < col("size"))
       .select(col("p_partkey"), col("price_cents"), col("size"))
   }
 
@@ -1854,16 +1894,24 @@ object Analytics {
     * over customers, never over line items.
     */
   def paretoShare(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val perCust = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
-    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
+      .localCheckpoint()
+    // customer-grain global rank via the two-pass range-partition +
+    // zipWithIndex pattern (the rfm/lorenz/assignStableIds form) —
+    // the original row_number()/count() windows were entity-linear
+    // single-partition sorts. The residual `sum over ()` below runs
+    // on the ≤10-row decile frame.
+    val n = perCust.count()
     perCust
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("decile", expr("(rk - 1) * 10 div n"))
+      .repartitionByRange(col("cents").desc, col("o_custkey"))
+      .sortWithinPartitions(col("cents").desc, col("o_custkey"))
+      .select(col("cents")).as[Long]
+      .rdd.zipWithIndex()
+      .toDF("cents", "rk0")
+      .withColumn("decile", expr(s"rk0 * 10 div ${n}L"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("cents")).as("cents"))

@@ -410,4 +410,106 @@ class PlanLintSpec extends AnyFunSuite {
     assert(shuffles("mm_image_dhash") <= 1,
       "dHash must be decode-scan + one groupBy")
   }
+
+  /** Queries allowed an UNPARTITIONED Window (single-partition
+    * sort), each with the bounded-grain justification that makes it
+    * safe at any SF — audited r9 after the corpus/entity-grain
+    * offenders were rewritten (rfm/pareto/skyline → two-pass ranks,
+    * shuffle_order/curriculum/score_calibration → two-pass ntile,
+    * shuffle_quality → mapPartitions adjacency, vocab_coverage →
+    * TakeOrdered head, vocab_drift → broadcast totals). A new entry
+    * needs a bound in the comment, exactly like
+    * `forcedBroadcastAllowed`.
+    */
+  private val unpartitionedWindowAllowed: Map[String, String] = Map(
+    // day/calendar-grain series — the window input is one row per
+    // day (or month), bounded by calendar length at any fact volume
+    "analytics_autocorr" -> "daily GMV series",
+    "analytics_changepoint" -> "daily GMV series",
+    "analytics_gmv_running" -> "daily GMV series",
+    "analytics_mom_growth" -> "monthly series",
+    "analytics_open_orders" -> "day-grain sweep-line deltas",
+    "analytics_holt_backtest" -> "daily GMV series",
+    "analytics_motif_search" -> "day-grain series positions",
+    "analytics_pettitt" -> "day-grain rank series",
+    "analytics_wavelet_energy" -> "day-grain dyadic levels",
+    "analytics_bootstrap_ci" -> "day-grain resample frame",
+    "analytics_forecast_interval" -> "day-grain series + k-row head",
+    "analytics_downsample_lttb" -> "day-grain selected points",
+    "analytics_rolling_corr" -> "day-grain pair series",
+    "analytics_aov_bridge" -> "monthly decomposition frame",
+    "analytics_price_index" -> "monthly index frame",
+    "analytics_category_migration" -> "month-pair category movers",
+    "analytics_bitmap_range_uv" -> "day-grain bitmap spine",
+    "dq_gmv_jumps" -> "daily GMV series",
+    "dq_runs_test" -> "daily GMV sign runs",
+    "dq_spc_orders" -> "daily order-count series",
+    "dq_spc_residual" -> "day-grain residual series",
+    // lifetime/tenure grains bounded by the calendar horizon
+    "analytics_churn_hazard" -> "tenure weeks <= horizon",
+    "analytics_kaplan_meier" -> "tenure days <= horizon",
+    "analytics_backlog_age" -> "age days <= horizon (quantile rollup)",
+    // bounded value/enum domains
+    "analytics_contribution" -> "5-row priority frame",
+    "analytics_discount_tiers" -> "<=11 discount values",
+    "analytics_price_points" -> "<=100 cent endings",
+    "analytics_decayed_score" -> "<=100 item ids (event_id % 100)",
+    "analytics_apportion" -> "<=25 nation rows",
+    "pub_province_topn" -> "<=25 province rows",
+    "dq_chi2_independence" -> "enum x enum contingency cells",
+    "dq_ks_drift" -> "bounded length-bucket ECDF grid",
+    // distinct-cents value-domain grain (bounded by the price
+    // domain, not row count — Quality.cumFrame's documented shape)
+    "dq_ks_test" -> "distinct-cents domain",
+    "dq_mannwhitney" -> "distinct-cents domain",
+    "dq_wasserstein" -> "distinct-cents domain",
+    // rank-then-filter <= k: Spark plans WindowGroupLimit, so each
+    // partition pre-truncates to k before the single-partition sort
+    "analytics_top_paths" -> "rank<=k -> WindowGroupLimit",
+    "analytics_replenishment" -> "rank<=k -> WindowGroupLimit",
+    "analytics_supplier_price_spread" -> "rank<=20 -> WindowGroupLimit",
+    "pipeline_uncertainty_sample" -> "rank<=k -> WindowGroupLimit",
+    "pipeline_bpe_step" -> "rank<=k -> WindowGroupLimit",
+    "text_collocations" -> "rank<=k over min-support-filtered bigrams",
+    "text_keyphrases" -> "rank<=k -> WindowGroupLimit",
+    "text_bm25_topk" -> "rank<=k over query-term postings",
+    "text_zipf_profile" -> "rank<=k head",
+    "text_vocab_drift" -> "rank<=k top movers",
+    "q3_segment_revenue" -> "rank<=10 -> WindowGroupLimit",
+    "graph_rich_club" -> "rank<=clubs.max -> WindowGroupLimit",
+    // k-row / sketch-sized frames
+    "analytics_kmv_intersection" -> "k-row KMV sketch union",
+    "analytics_lorenz" -> "<=10 decile rows",
+    "analytics_pareto" -> "<=10 decile rows (share window)",
+    "text_heaps_curve" -> "<=10 decile rows",
+    "text_vocab_coverage" -> "window over the TakeOrdered <=5000 head",
+    "text_burstiness" -> "top-k vocab head",
+    "pipeline_mix_temperature" -> "<=|sources| rows",
+    "analytics_brand_affinity" -> "1-row order-universe total",
+    "graph_hits" -> "1-row max-norm argmax per half-round",
+    // documented tradeoffs
+    "q15_top_supplier" ->
+      "supplier-grain window max beats a second fact scan (see impl)",
+    "temporal_concurrency" ->
+      "two-level prefix sum: unpartitioned window only over hours")
+
+  test("unpartitioned windows only on audited bounded-grain frames") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!unpartitionedWindowAllowed.contains(name)) {
+        val wins = fn(s, d).queryExecution.analyzed.collect {
+          case w: LWindow if w.partitionSpec.isEmpty =>
+            w.windowExpressions.map(_.name).mkString(",")
+        }
+        if (wins.nonEmpty)
+          offenders += s"$name :: ${wins.mkString(" | ")}"
+      }
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned Window on an unaudited query (add a bounded-" +
+        "grain justification to unpartitionedWindowAllowed or " +
+        "rewrite with the two-pass rank pattern):\n" +
+        offenders.mkString("\n"))
+  }
 }

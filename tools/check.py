@@ -19,7 +19,12 @@ check_out = sys.argv[3] if len(sys.argv) > 3 else os.environ.get(
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # driver testdata ships single files; TileSf output is a Spark
+    # DIRECTORY of part files — glob it so the sf1 gate reads both
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
