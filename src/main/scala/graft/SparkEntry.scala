@@ -211,6 +211,8 @@ object SparkEntry {
     // matches via the prefix-deficit closed form), leakage-aware
     // grouped split, MIPS top-k, id gaps-and-islands audit
     "analytics_sequence_count" -> (Analytics.sequenceCount(_, _)),
+    "analytics_weighted_quantiles" ->
+      (Analytics.weightedQuantiles(_, _)),
     "pipeline_grouped_split" -> (TextAnalysis.groupedSplit(_, _)),
     "dq_id_islands" -> (Quality.idIslands(_, _)),
     // r8 batch 2: measured banding P/R beside the planner's S-curve
@@ -3309,6 +3311,28 @@ object SparkEntry {
         | COUNT(*) AS n_docs,
         | COUNT(DISTINCT canon) AS n_clusters
         |FROM canon GROUP BY 1""".stripMargin,
+    // exact weighted quantile: smallest value whose cumulative
+    // weight reaches p·W — cross-multiplied in HUGEINT, no division
+    "analytics_weighted_quantiles" ->
+      """WITH byval AS (SELECT
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS v,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+        | FROM lineitem GROUP BY 1),
+        |cum AS (SELECT v,
+        |  CAST(SUM(wt) OVER (ORDER BY v) AS HUGEINT) AS cw,
+        |  CAST((SELECT SUM(wt) FROM byval) AS HUGEINT) AS tw
+        | FROM byval)
+        |SELECT
+        | MIN(CASE WHEN cw * 1000000 >= tw * 250000 THEN v END)
+        |   AS p25_cents,
+        | MIN(CASE WHEN cw * 1000000 >= tw * 500000 THEN v END)
+        |   AS p50_cents,
+        | MIN(CASE WHEN cw * 1000000 >= tw * 900000 THEN v END)
+        |   AS p90_cents,
+        | MIN(CASE WHEN cw * 1000000 >= tw * 990000 THEN v END)
+        |   AS p99_cents
+        |FROM cum""".stripMargin,
     // island head = key whose predecessor is absent; missing volume
     // is span arithmetic over the distinct key set
     "dq_id_islands" ->

@@ -867,6 +867,38 @@ object Analytics {
       .groupBy("level").agg(count(lit(1)).as("users"))
   }
 
+  /** ClickHouse `quantileExactWeighted` parity — exact
+    * weight-aware quantiles of the unit price with quantity as the
+    * weight ("what price does the p-th sold UNIT pay", not the p-th
+    * line item — the difference matters exactly when cheap items
+    * ship in bulk). Definition replayed on both engines: the p-ppm
+    * quantile is the smallest value whose cumulative weight reaches
+    * ⌈p·W⌉ — pure integers, no interpolation. The running weight
+    * rides ONE window over the DISTINCT-CENTS grain (bounded by the
+    * price domain, not row count — the dq_ks_test discipline), all
+    * probe points answer from one pass via conditional mins, and the
+    * cross-multiplied threshold test stays in DECIMAL(38) so no
+    * ppm product can overflow at any SF.
+    */
+  def weightedQuantiles(s: SparkSession, d: String,
+      probes: Seq[Long] = Seq(250000L, 500000L, 900000L, 990000L))
+      : DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val byVal = Tables.lineitem(s, d)
+      .select((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long").as("v"),
+        col("l_quantity").cast("long").as("wt"))
+      .groupBy("v").agg(sum(col("wt")).as("wt"))
+    val cum = byVal
+      .withColumn("cw", sum(col("wt")).over(Window.orderBy("v")))
+      .crossJoin(broadcast(byVal.agg(sum(col("wt")).as("tw"))))
+    val aggs = probes.map(p =>
+      min(when(col("cw").cast(d38) * lit(1000000L) >=
+        col("tw").cast(d38) * lit(p), col("v")))
+        .as(s"p${p / 10000}_cents"))
+    cum.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** ClickHouse `sequenceCount('(?1)(?2)')` parity — the number of
     * NON-OVERLAPPING view→click matches per user under greedy
     * left-to-right matching (each view pairs with the next unmatched

@@ -168,7 +168,10 @@ class PlanLintSpec extends AnyFunSuite {
     // the 1-row corpus-total aggregate
     "graph_substitutes", "pipeline_dsir_screen", "pipeline_ppl_mix",
     // lsh_recall composes two 1-row count aggregates per config
-    "dedup_lsh_recall")
+    "dedup_lsh_recall",
+    // r9: weighted quantiles crossJoin the 1-row total-weight
+    // aggregate; id_islands crossJoins two 1-row audit aggregates
+    "analytics_weighted_quantiles", "dq_id_islands")
 
   /** Forced broadcasts whose subtree reads a fact table, allowed
     * because the frame carries a DOCUMENTED constant bound the
@@ -463,6 +466,7 @@ class PlanLintSpec extends AnyFunSuite {
     "dq_ks_test" -> "distinct-cents domain",
     "dq_mannwhitney" -> "distinct-cents domain",
     "dq_wasserstein" -> "distinct-cents domain",
+    "analytics_weighted_quantiles" -> "distinct-cents domain",
     // rank-then-filter <= k: Spark plans WindowGroupLimit, so each
     // partition pre-truncates to k before the single-partition sort
     "analytics_top_paths" -> "rank<=k -> WindowGroupLimit",
