@@ -681,9 +681,22 @@ object Graph {
     * one min-struct reduce per component; labels recompute through
     * the same closure machinery as [[components]]. A loud round
     * budget guards pathological graphs.
+    *
+    * Hybrid small-side branch (the [[graft.operators.Dedup
+    * .dedupClusters]] switch, spec-verified at BOTH branches): the
+    * strong subgraph is min-support-thresholded, so its edge set is
+    * typically tiny relative to the fact volume — under
+    * `localEdgeThreshold` edges the forest runs as one driver
+    * Kruskal pass under the identical (cost, s, t) strict order
+    * (labels/edges provably equal to the Borůvka fixpoint) instead
+    * of O(log n) distributed rounds of ~8 jobs each. Above the
+    * threshold — the true 100 TB path — Borůvka runs fully
+    * distributed, with the driver never holding more than the
+    * per-round emptiness probe.
     */
   def minimumSpanningForest(s: SparkSession, d: String,
-      minStrength: Long = 2, maxRounds: Int = 20): DataFrame = {
+      minStrength: Long = 2, maxRounds: Int = 20,
+      localEdgeThreshold: Long = 5000000L): DataFrame = {
     // everything stays distributed: the edge list (bucketed strong
     // pair table), the accumulated FOREST (checkpointed DataFrame —
     // r6 kept it as a driver Seq that grew with |parts|, the one
@@ -700,6 +713,25 @@ object Graph {
     val edges = coPurchasePairCounts(s, d)
       .filter(col("n_st") >= minStrength)
       .select(col("s"), col("t"), expr("1000000L DIV n_st").as("cost"))
+      .localCheckpoint()
+    if (edges.count() <= localEdgeThreshold) {
+      import s.implicits._
+      val arr = edges.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val kept = scala.collection.mutable
+        .ArrayBuffer.empty[(Long, Long, Long)]
+      arr.sortBy(e => (e._3, e._1, e._2)).foreach { e =>
+        val (ra, rb) = (find(e._1), find(e._2))
+        if (ra != rb) { parent(ra) = rb; kept += e }
+      }
+      edges.unpersist()
+      return kept.toSeq.toDF("s", "t", "cost")
+    }
     val dir = edges.select(col("s").as("src"), col("t").as("dst"),
         col("cost"), col("s").as("es"), col("t").as("et"))
       .unionByName(edges.select(col("t").as("src"), col("s").as("dst"),

@@ -304,8 +304,16 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("MST: Borůvka forest equals driver Kruskal under the same edge order") {
-    val got = Graph.minimumSpanningForest(s, d).collect()
+    // localEdgeThreshold = 0 FORCES the distributed Borůvka branch —
+    // the 100 TB path — while the default small-side branch is the
+    // Kruskal replay below compared against it
+    val got = Graph.minimumSpanningForest(s, d, localEdgeThreshold = 0L)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotLocal = Graph.minimumSpanningForest(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === gotLocal,
+      "driver-Kruskal branch must equal the Borůvka branch")
     val edges = Graph.coPurchasePairCounts(s, d)
       .filter(col("n_st") >= 2).collect()
       .map(r => (r.getAs[Long]("s"), r.getAs[Long]("t"),
