@@ -5395,12 +5395,14 @@ object SparkEntry {
         |          FROM n, tot
         |          WHERE vec_id % stride = 0 AND vec_id // stride < 16),
         |cs AS (SELECT n.vec_id, cidx,
-        |  list_sum([n.v[i+1]*cv[i+1] for i in range(0,len(cv))])
-        |   / (n.nrm * cn) AS ccos
+        |  CAST(round(list_sum([n.v[i+1]*cv[i+1]
+        |    for i in range(0,len(cv))])
+        |   / (n.nrm * cn) * 1000000000) AS BIGINT) AS cscore
         | FROM n CROSS JOIN cents),
         |assign AS (SELECT vec_id, CAST(cidx AS BIGINT) AS cell FROM (
         |  SELECT vec_id, cidx, row_number() OVER
-        |   (PARTITION BY vec_id ORDER BY ccos DESC, cidx) AS r FROM cs) t
+        |   (PARTITION BY vec_id ORDER BY cscore DESC, cidx) AS r
+        |   FROM cs) t
         |  WHERE r = 1)
         |SELECT cell, COUNT(*) AS n_vectors,
         | CAST(COUNT(*) * 1000000 // (SELECT total FROM tot) AS BIGINT)

@@ -1317,6 +1317,15 @@ object Similarity {
     * deterministic stride-seeded centroids and argmax-cosine
     * assignment as the IVF family, so the report grades against the
     * SQL oracle exactly like the index it audits.
+    *
+    * Assignment scores are QUANTIZED to integer nano-units before
+    * the argmax (ties → lowest cell id) on both engines: the r9 sf1
+    * oracle gate caught this query flipping whole vector blocks
+    * between engines when the tiled dataset made two stride-seeded
+    * centroids near-twins of the same base vector — cosines agree to
+    * ~1e-15 across engines but raw-double argmax is chaotic inside
+    * that band, while a 1e-9 grid makes the near-tie deterministic
+    * and keeps every real distinction.
     */
   def ivfBalance(s: SparkSession, d: String,
       nCells: Int = 16): DataFrame = {
@@ -1329,12 +1338,22 @@ object Similarity {
     val cents = e.filter(col("vec_id") % stride === 0 &&
         col("vec_id") / stride < nCells)
       .orderBy("vec_id").collect()
-      .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
-    val cellScores = array(cents.map { case (cv, cn) =>
-      Vectors.dot(col("v"), typedLit(cv)) / (col("nrm") * cn)
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2)))
+    val cellScores = array(cents.map { case (_, cv, cn) =>
+      round(Vectors.dot(col("v"), typedLit(cv)) /
+        (col("nrm") * cn) * lit(1e9)).cast("long")
     }: _*)
-    val bestCell = (array_position(col("__s"),
-      array_max(col("__s"))) - 1).cast("long")
+    // cell LABEL = the centroid's stride index (vec_id DIV stride),
+    // NOT its dense position in the collected list: a sparse id
+    // space (the tiled sf1 layout) can lack some stride multiples,
+    // and position-labels would silently renumber the surviving
+    // cells while the SQL oracle (and any consumer joining on cell
+    // id) keys on the stride index — the r9 sf1 gate caught exactly
+    // that relabeling.
+    val cellIds = cents.map(_._1 / stride).toSeq
+    val bestCell = element_at(typedLit(cellIds),
+      array_position(col("__s"), array_max(col("__s"))).cast("int"))
     e.withColumn("__s", cellScores)
       .withColumn("cell", bestCell)
       .groupBy("cell")
