@@ -170,8 +170,11 @@ class PlanLintSpec extends AnyFunSuite {
     // lsh_recall composes two 1-row count aggregates per config
     "dedup_lsh_recall",
     // r9: weighted quantiles crossJoin the 1-row total-weight
-    // aggregate; id_islands crossJoins two 1-row audit aggregates
-    "analytics_weighted_quantiles", "dq_id_islands")
+    // aggregate; id_islands crossJoins two 1-row audit aggregates;
+    // vocab_coverage/vocab_drift now crossJoin broadcast 1-row
+    // corpus totals (replacing their vocab-grain unbounded windows)
+    "analytics_weighted_quantiles", "dq_id_islands",
+    "text_vocab_coverage", "text_vocab_drift")
 
   /** Forced broadcasts whose subtree reads a fact table, allowed
     * because the frame carries a DOCUMENTED constant bound the

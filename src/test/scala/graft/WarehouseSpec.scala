@@ -1285,8 +1285,7 @@ class WarehouseSpec extends AnyFunSuite {
     val best = stats.minBy { case (day, sk) => (-sk.abs, day.toEpochDay) }
     val r = graft.warehouse.Analytics.changepointCusum(s, d).collect()(0)
     assert(r.getAs[java.sql.Date]("change_day").toLocalDate === best._1)
-    assert(BigInt(r.getAs[java.math.BigDecimal]("cusum_stat")
-      .toBigInteger) === best._2)
+    assert(BigInt(r.getAs[Long]("cusum_stat")) === best._2)
     assert(r.getAs[Long]("n_days") === n.toLong)
   }
 
@@ -1380,8 +1379,7 @@ class WarehouseSpec extends AnyFunSuite {
   test("abc classification: distributed prefix sum replays the driver scan") {
     val rs = graft.warehouse.Analytics.abcParts(s, d).collect()
       .map(r => r.getAs[String]("abc_class") ->
-        (r.getAs[Long]("n_parts"),
-          r.getAs[java.math.BigDecimal]("rev_e4").longValueExact()))
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("rev_e4")))
       .toMap
     val rev = graft.sources.Tables.lineitem(s, d)
       .groupBy(col("l_partkey"))
