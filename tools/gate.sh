@@ -65,7 +65,14 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
 grep -E '^\{"metric"' "$BENCH_TMP" | tail -1 > /tmp/gate_bench_line.json
 [ -s /tmp/gate_bench_line.json ] || fail bench-json
 
-# all green → emit artifacts
+# all green → emit artifacts. Bench writes the FULL per-query map to
+# bench_full.json beside its summary stdout line; the committed
+# artifact is the full map (the r8 convention), falling back to the
+# stdout summary if the file is absent.
 cp "$CHECK_TMP" "$CHECK_OUT"
-cp /tmp/gate_bench_line.json "$BENCH_OUT"
+if [ -s bench_full.json ]; then
+  cp bench_full.json "$BENCH_OUT"
+else
+  cp /tmp/gate_bench_line.json "$BENCH_OUT"
+fi
 echo "GATE GREEN — wrote $CHECK_OUT and $BENCH_OUT"
