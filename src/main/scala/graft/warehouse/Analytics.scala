@@ -5316,53 +5316,54 @@ object Analytics {
     * cents end to end. Cells = present (dow, month) combinations;
     * both engines see the same cells, no fill convention needed.
     *
-    * Scale shape: one fact scan → a ≤7×|months| matrix; every
-    * window partitions by row or column of that bounded matrix.
+    * Scale shape: one fact scan reduces to a ≤7×|months| matrix —
+    * CALENDAR-bounded, so the polish sweeps run on the DRIVER over
+    * the collected matrix (the markovAttribution ≤64-state
+    * discipline, loud require): the r8 distributed form chained ten
+    * window/join stages over ≤182 rows and paid ~3s of pure stage
+    * overhead per call; the sweeps are integer selection over a few
+    * hundred values, microseconds on the driver, and the fact scan
+    * stays the only distributed work.
     */
   def medianPolish(s: SparkSession, d: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    def med(df: DataFrame, part: String, valCol: String,
-        tie: String, out: String): DataFrame =
-      df.select(col(part),
-          col(valCol),
-          row_number().over(W.partitionBy(part)
-            .orderBy(col(valCol), col(tie))).as("rn"),
-          count(lit(1)).over(W.partitionBy(part)).as("cnt"))
-        .filter(col("rn") === expr("(cnt + 1) DIV 2"))
-        .select(col(part), col(valCol).as(out))
-    val cells = Tables.orders(s, d)
+    import s.implicits._
+    val raw = Tables.orders(s, d)
       .select(to_date(col("o_orderdate")).as("dt"),
         (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
           .cast("long").as("cents"))
       .groupBy(expr("CAST(dayofweek(dt) AS INT)").as("dow"),
         date_format(col("dt"), "yyyy-MM").as("mon"))
       .agg(sum(col("cents")).as("g"))
-    val r1 = med(cells, "dow", "g", "mon", "rm1")
-    val c1in = cells.join(broadcast(r1), "dow")
-      .select(col("dow"), col("mon"), (col("g") - col("rm1")).as("v"))
-    val c1 = med(c1in, "mon", "v", "dow", "cm1")
-    val r2in = c1in.join(broadcast(c1), "mon")
-      .select(col("dow"), col("mon"), (col("v") - col("cm1")).as("v"))
-    val r2 = med(r2in, "dow", "v", "mon", "rm2")
-    val c2in = r2in.join(broadcast(r2), "dow")
-      .select(col("dow"), col("mon"), (col("v") - col("rm2")).as("v"))
-    val c2 = med(c2in, "mon", "v", "dow", "cm2")
-    val resid = c2in.join(broadcast(c2), "mon")
-      .select(col("dow"), col("mon"), (col("v") - col("cm2")).as("v"))
-    val rowEff = r1.join(r2, "dow")
-      .select(col("dow"), (col("rm1") + col("rm2")).as("re"))
-    val grand = med(rowEff.select(lit(1).as("one"), col("re"),
-        col("dow")), "one", "re", "dow", "grand")
-      .select(col("grand"))
-    val stats = resid.agg(max(abs(col("v"))).as("max_abs_resid"),
-      count(lit(1)).as("n_cells"))
-    rowEff.crossJoin(broadcast(grand)).crossJoin(broadcast(stats))
-      .select(col("dow").cast("long").as("dow"),
-        (col("re") - col("grand")).cast("long")
-          .as("row_effect_cents"),
-        col("grand").cast("long").as("grand_cents"),
-        col("max_abs_resid").cast("long").as("max_abs_resid_cents"),
-        col("n_cells").cast("long").as("n_cells"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    require(raw.length <= 7 * 4800,
+      "dow x month matrix exceeded the calendar bound - " +
+        "re-widen medianPolish to the distributed form")
+    // lower median: element at rank ceil(n/2) under (value, tie) —
+    // the exact rn == (cnt+1) DIV 2 selection the oracle replays
+    def lowerMedian[T](xs: Seq[(Long, T)])(
+        implicit o: Ordering[(Long, T)]): Long =
+      xs.sorted(o)((xs.size + 1) / 2 - 1)._1
+    val rm1 = raw.groupBy(_._1).map { case (k, g) =>
+      k -> lowerMedian(g.toSeq.map(t => (t._3, t._2))) }
+    val v1 = raw.map(t => (t._1, t._2, t._3 - rm1(t._1)))
+    val cm1 = v1.groupBy(_._2).map { case (k, g) =>
+      k -> lowerMedian(g.toSeq.map(t => (t._3, t._1))) }
+    val v2 = v1.map(t => (t._1, t._2, t._3 - cm1(t._2)))
+    val rm2 = v2.groupBy(_._1).map { case (k, g) =>
+      k -> lowerMedian(g.toSeq.map(t => (t._3, t._2))) }
+    val v3 = v2.map(t => (t._1, t._2, t._3 - rm2(t._1)))
+    val cm2 = v3.groupBy(_._2).map { case (k, g) =>
+      k -> lowerMedian(g.toSeq.map(t => (t._3, t._1))) }
+    val resid = v3.map(t => (t._1, t._2, t._3 - cm2(t._2)))
+    val rowEff = rm1.keys.toSeq.sorted
+      .map(dw => dw -> (rm1(dw) + rm2(dw)))
+    val grand = lowerMedian(rowEff.map { case (dw, re) => (re, dw) })
+    val maxAbsResid = resid.map(t => math.abs(t._3)).max
+    rowEff.map { case (dw, re) =>
+      (dw.toLong, re - grand, grand, maxAbsResid, raw.length.toLong)
+    }.toDF("dow", "row_effect_cents", "grand_cents",
+      "max_abs_resid_cents", "n_cells")
   }
 
   /** DuckDB oracle for [[medianPolish]] — the identical two-sweep
