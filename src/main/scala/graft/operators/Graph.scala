@@ -336,9 +336,13 @@ object Graph {
     */
   def supplierOverlap(s: SparkSession, d: String,
       minShared: Long = 3): DataFrame = {
-    val ps = Tables.lineitem(s, d)
-      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-      .distinct()
+    // the distinct part-supplier relation IS the ps layout
+    // (bucketed on the part key — the wedge pivot), built once per
+    // warehouse; rebuilding it from lineitem paid a full fact scan
+    // + distinct per call
+    val ps = graft.warehouse.Publisher
+      .psTable(s, d)
+      .select(col("ps_partkey").as("pk"), col("ps_suppkey").as("sk"))
     val deg = ps.groupBy(col("sk")).agg(count(lit(1)).as("n_parts"))
     val shared = ps.as("a").join(ps.as("b"),
         col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))

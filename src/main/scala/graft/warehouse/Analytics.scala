@@ -3907,12 +3907,20 @@ object Analytics {
     val ranked = rev.withColumn("rk", row_number().over(
       Window.partitionBy("mi").orderBy(col("x").desc, col("part_id")))
       .cast("long"))
-    val cur = ranked.select(col("mi"), col("part_id"), col("rk"))
-    val prev = ranked.select((col("mi") + 1).as("mi"), col("part_id"),
-      col("rk").as("prev_rk"))
-    cur.join(prev, Seq("mi", "part_id"))
-      .select(col("mi"), col("part_id"), col("prev_rk"), col("rk"),
-        (col("prev_rk") - col("rk")).as("rank_delta"))
+    // consecutive-month alignment as ONE lag window per part, not a
+    // month-shifted self-join: the join form evaluated the whole
+    // fact-join + rank plan twice (no subtree reuse across the two
+    // sides), the lag form once; lag returns the part's previous
+    // ACTIVE month, so the mi-1 filter reproduces the join's
+    // consecutive-months semantics exactly
+    ranked
+      .withColumn("prev", lag(struct(col("mi"), col("rk")), 1)
+        .over(Window.partitionBy("part_id").orderBy("mi")))
+      .filter(col("prev").isNotNull &&
+        col("prev.mi") === col("mi") - 1)
+      .select(col("mi"), col("part_id"),
+        col("prev.rk").as("prev_rk"), col("rk"),
+        (col("prev.rk") - col("rk")).as("rank_delta"))
       .orderBy(abs(col("rank_delta")).desc, col("mi"), col("part_id"))
       .limit(k)
   }

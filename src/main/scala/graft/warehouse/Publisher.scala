@@ -47,6 +47,11 @@ object Publisher {
   private val psRegistry =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
 
+  /** The ps layout as a DataFrame (for DataFrame-API consumers like
+    * [[graft.operators.Graph.supplierOverlap]]). */
+  def psTable(s: SparkSession, d: String): DataFrame =
+    s.table(psLayout(s, d))
+
   /** GMV + order count per day. Ref: TradeStatsMapper.java:1. */
   def gmvDaily(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
