@@ -211,6 +211,8 @@ object SparkEntry {
     // matches via the prefix-deficit closed form), leakage-aware
     // grouped split, MIPS top-k, id gaps-and-islands audit
     "analytics_sequence_count" -> (Analytics.sequenceCount(_, _)),
+    "analytics_window_funnel_dedup" ->
+      (Analytics.windowFunnelDedup(_, _)),
     "analytics_weighted_quantiles" ->
       (Analytics.weightedQuantiles(_, _)),
     "pipeline_grouped_split" -> (TextAnalysis.groupedSplit(_, _)),
@@ -3311,6 +3313,41 @@ object SparkEntry {
         | COUNT(*) AS n_docs,
         | COUNT(DISTINCT canon) AS n_clusters
         |FROM canon GROUP BY 1""".stripMargin,
+    // strict_dedup funnel: EXISTS-over-anchors with first-match
+    // steps; "first X after t" = reversed-frame running minima
+    "analytics_window_funnel_dedup" ->
+      """WITH e AS (SELECT user_id, event_id, event_type AS t,
+        |    epoch_us(ts) AS us FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |w AS (SELECT user_id, t, us,
+        |  MIN(CASE WHEN t = 'view' THEN us END) OVER nxt AS nxt_v,
+        |  MIN(CASE WHEN t = 'click' THEN us END) OVER nxt AS nxt_c,
+        |  MIN(CASE WHEN t = 'purchase' THEN us END) OVER nxt AS nxt_p
+        | FROM e WINDOW nxt AS (PARTITION BY user_id
+        |   ORDER BY us, event_id
+        |   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |v AS (SELECT user_id, us AS v_us, nxt_v AS v_nxt_v,
+        |    nxt_c AS v_nxt_c FROM w WHERE t = 'view'),
+        |c AS (SELECT user_id, us AS c_us, nxt_v AS c_nxt_v,
+        |    nxt_c AS c_nxt_c, nxt_p AS c_nxt_p FROM w
+        |  WHERE t = 'click'),
+        |ch AS (SELECT v.user_id,
+        |  (v_nxt_c IS NOT NULL AND v_nxt_c <= v_us + 86400000000
+        |    AND (v_nxt_v IS NULL OR v_nxt_c < v_nxt_v)) AS l2,
+        |  (v_nxt_c IS NOT NULL AND v_nxt_c <= v_us + 86400000000
+        |    AND (v_nxt_v IS NULL OR v_nxt_c < v_nxt_v)
+        |    AND c_nxt_p IS NOT NULL
+        |    AND c_nxt_p <= v_us + 86400000000
+        |    AND (c_nxt_v IS NULL OR c_nxt_p < c_nxt_v)
+        |    AND (c_nxt_c IS NULL OR c_nxt_p < c_nxt_c)) AS l3
+        | FROM v LEFT JOIN c
+        |   ON c.user_id = v.user_id AND c.c_us = v.v_nxt_c),
+        |pu AS (SELECT user_id,
+        |  MAX(CASE WHEN l3 THEN 3 WHEN l2 THEN 2 ELSE 1 END) AS lvl
+        | FROM ch GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT COALESCE(lvl, 0) AS level, COUNT(*) AS users
+        |FROM u LEFT JOIN pu USING (user_id) GROUP BY 1""".stripMargin,
     // exact weighted quantile: smallest value whose cumulative
     // weight reaches p·W — cross-multiplied in HUGEINT, no division
     "analytics_weighted_quantiles" ->

@@ -931,6 +931,63 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** ClickHouse `windowFunnel(W, 'strict_dedup')` parity — the
+    * FOURTH funnel semantic beside per-step windows, the anchored
+    * fold, and strict_order: a repeat of an ALREADY-MATCHED type
+    * interrupts the chain (a second view before the click kills the
+    * view→click advance; a view or click between click and purchase
+    * kills the final step). CH's max-over-anchors greedy search is
+    * equivalent to EXISTS-over-anchors with first-match steps, and
+    * first-match steps are running "next event-time of type T"
+    * minima — three reversed-frame windows PARTITIONED BY USER, one
+    * equi-join from each view anchor to its first click's row, no
+    * fold and no per-anchor rescans. Both engines replay the
+    * identical (us, event_id) total order.
+    */
+  def windowFunnelDedup(s: SparkSession, d: String,
+      windowSeconds: Long = 86400): DataFrame = {
+    val wUs = windowSeconds * 1000000L
+    val nxt = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val base = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("t"))
+    val e = base
+      .withColumn("nxt_v",
+        min(when(col("t") === "view", col("us"))).over(nxt))
+      .withColumn("nxt_c",
+        min(when(col("t") === "click", col("us"))).over(nxt))
+      .withColumn("nxt_p",
+        min(when(col("t") === "purchase", col("us"))).over(nxt))
+    val views = e.filter(col("t") === "view")
+      .select(col("user_id"), col("us").as("v_us"),
+        col("nxt_v").as("v_nxt_v"), col("nxt_c").as("v_nxt_c"))
+    val clicks = e.filter(col("t") === "click")
+      .select(col("user_id"), col("us").as("c_us"),
+        col("nxt_v").as("c_nxt_v"), col("nxt_c").as("c_nxt_c"),
+        col("nxt_p").as("c_nxt_p"))
+    val l2 = col("v_nxt_c").isNotNull &&
+      col("v_nxt_c") <= col("v_us") + wUs &&
+      (col("v_nxt_v").isNull || col("v_nxt_c") < col("v_nxt_v"))
+    val l3 = l2 && col("c_nxt_p").isNotNull &&
+      col("c_nxt_p") <= col("v_us") + wUs &&
+      (col("c_nxt_v").isNull || col("c_nxt_p") < col("c_nxt_v")) &&
+      (col("c_nxt_c").isNull || col("c_nxt_p") < col("c_nxt_c"))
+    val perUser = views.as("v")
+      .join(clicks.as("c"),
+        col("v.user_id") === col("c.user_id") &&
+          col("c.c_us") === col("v.v_nxt_c"),
+        "left_outer")
+      .groupBy(col("v.user_id").as("user_id"))
+      .agg(max(when(l3, 3L).when(l2, 2L).otherwise(1L)).as("lvl"))
+    base.select("user_id").distinct()
+      .join(perUser, Seq("user_id"), "left_outer")
+      .select(coalesce(col("lvl"), lit(0L)).as("level"))
+      .groupBy("level").agg(count(lit(1)).as("users"))
+  }
+
   /** Integer EWMA over the daily GMV series — the smoothing pass a
     * dashboard overlays on [[autocorrGmv]]'s raw curve: s₁ = g₁,
     * sₜ = (2gₜ + 6sₜ₋₁) >> 3 (α = ¼ with a power-of-two divisor so

@@ -120,6 +120,54 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(planted(19L) === 0L)
   }
 
+  test("strict_dedup funnel replays the greedy interrupt scan") {
+    val got = Analytics.windowFunnelDedup(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wUs = 86400L * 1000000L
+    val ev = graft.sources.Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // driver replay of CH max-over-anchors greedy with the
+    // strict_dedup interrupt: from each view anchor, advance to the
+    // FIRST event of the next wanted type; any earlier repeat of an
+    // already-matched type (or the window) stops that anchor
+    val expect = ev.groupBy(_._1).map { case (_, xs) =>
+      val es = xs.sortBy(e => (e._2, e._3))
+      var best = 0L
+      es.indices.foreach { i =>
+        if (es(i)._4 == "view") {
+          best = math.max(best, 1L)
+          var lvl = 1
+          var j = i + 1
+          var alive = true
+          while (alive && j < es.length && lvl < 3) {
+            val t = es(j)._4
+            val inWin = es(j)._2 <= es(i)._2 + wUs
+            if (!inWin) alive = false
+            else if (lvl == 1) {
+              if (t == "view") alive = false // dup of matched type
+              else if (t == "click") { lvl = 2; best = math.max(best, 2L) }
+            } else { // lvl == 2
+              if (t == "view" || t == "click") alive = false
+              else if (t == "purchase") { lvl = 3; best = math.max(best, 3L) }
+            }
+            j += 1
+          }
+        }
+      }
+      best
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // users with no view at all read level 0
+    val allUsers = ev.map(_._1).distinct.length.toLong
+    val withExpect = expect + (0L -> (expect.getOrElse(0L, 0L) +
+      (allUsers - expect.values.sum)))
+    assert(got === withExpect.filter(_._2 > 0), s"got $got")
+  }
+
   test("strict-order funnel replays the adjacency scan; <= relaxed") {
     val got = Analytics.windowFunnelStrict(s, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
