@@ -2054,12 +2054,12 @@ object SparkEntry {
          |  CAST(SUM(${m("o_totalprice")}) AS DOUBLE) AS monetary
          | FROM orders GROUP BY 1)
          |SELECT customer_id, last_order, frequency, monetary,
-         | CAST(NTILE(4) OVER (ORDER BY last_order, customer_id) AS BIGINT)
-         |  AS r_bucket,
-         | CAST(NTILE(4) OVER (ORDER BY frequency, customer_id) AS BIGINT)
-         |  AS f_bucket,
-         | CAST(NTILE(4) OVER (ORDER BY monetary, customer_id) AS BIGINT)
-         |  AS m_bucket
+         | (ROW_NUMBER() OVER (ORDER BY last_order, customer_id) - 1)
+         |  * 4 // COUNT(*) OVER () + 1 AS r_bucket,
+         | (ROW_NUMBER() OVER (ORDER BY frequency, customer_id) - 1)
+         |  * 4 // COUNT(*) OVER () + 1 AS f_bucket,
+         | (ROW_NUMBER() OVER (ORDER BY monetary, customer_id) - 1)
+         |  * 4 // COUNT(*) OVER () + 1 AS m_bucket
          |FROM base""".stripMargin,
     "analytics_rollup" ->
       s"""SELECT coalesce(r_name, 'ALL') AS region_name,
@@ -3314,23 +3314,27 @@ object SparkEntry {
         | COUNT(DISTINCT canon) AS n_clusters
         |FROM canon GROUP BY 1""".stripMargin,
     // strict_dedup funnel: EXISTS-over-anchors with first-match
-    // steps; "first X after t" = reversed-frame running minima
+    // steps; "first X after t" = reversed-frame running minima. The
+    // first CLICK is pinned by the (us, event_id) struct min — a
+    // bare-timestamp key would fan out on equal-microsecond clicks
     "analytics_window_funnel_dedup" ->
       """WITH e AS (SELECT user_id, event_id, event_type AS t,
         |    epoch_us(ts) AS us FROM events
         |  WHERE event_type IN ('view', 'click', 'purchase')),
-        |w AS (SELECT user_id, t, us,
+        |w AS (SELECT user_id, event_id, t, us,
         |  MIN(CASE WHEN t = 'view' THEN us END) OVER nxt AS nxt_v,
-        |  MIN(CASE WHEN t = 'click' THEN us END) OVER nxt AS nxt_c,
+        |  MIN(CASE WHEN t = 'click' THEN {'us': us, 'eid': event_id}
+        |    END) OVER nxt AS nxt_ck,
         |  MIN(CASE WHEN t = 'purchase' THEN us END) OVER nxt AS nxt_p
         | FROM e WINDOW nxt AS (PARTITION BY user_id
         |   ORDER BY us, event_id
         |   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
         |v AS (SELECT user_id, us AS v_us, nxt_v AS v_nxt_v,
-        |    nxt_c AS v_nxt_c FROM w WHERE t = 'view'),
-        |c AS (SELECT user_id, us AS c_us, nxt_v AS c_nxt_v,
-        |    nxt_c AS c_nxt_c, nxt_p AS c_nxt_p FROM w
-        |  WHERE t = 'click'),
+        |    nxt_ck.us AS v_nxt_c, nxt_ck.eid AS v_nxt_ce
+        |  FROM w WHERE t = 'view'),
+        |c AS (SELECT user_id, event_id AS c_eid, us AS c_us,
+        |    nxt_v AS c_nxt_v, nxt_ck.us AS c_nxt_c, nxt_p AS c_nxt_p
+        |  FROM w WHERE t = 'click'),
         |ch AS (SELECT v.user_id,
         |  (v_nxt_c IS NOT NULL AND v_nxt_c <= v_us + 86400000000
         |    AND (v_nxt_v IS NULL OR v_nxt_c < v_nxt_v)) AS l2,
@@ -3341,7 +3345,8 @@ object SparkEntry {
         |    AND (c_nxt_v IS NULL OR c_nxt_p < c_nxt_v)
         |    AND (c_nxt_c IS NULL OR c_nxt_p < c_nxt_c)) AS l3
         | FROM v LEFT JOIN c
-        |   ON c.user_id = v.user_id AND c.c_us = v.v_nxt_c),
+        |   ON c.user_id = v.user_id AND c.c_us = v.v_nxt_c
+        |    AND c.c_eid = v.v_nxt_ce),
         |pu AS (SELECT user_id,
         |  MAX(CASE WHEN l3 THEN 3 WHEN l2 THEN 2 ELSE 1 END) AS lvl
         | FROM ch GROUP BY 1),
@@ -4354,7 +4359,10 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS shift_ppm, CAST(0 AS BIGINT) AS rk
         | FROM sh2)
         |SELECT * FROM top UNION ALL SELECT * FROM summ""".stripMargin,
-    // calibration: same score CTE as text_quality_model, ANSI ntile
+    // calibration: same score CTE as text_quality_model; the decile
+    // cut mirrors the Spark two-pass rank's ⌊rank·k/n⌋+1 formula
+    // LITERALLY (ntile's remainder distribution differs — the
+    // pipeline_ppl_mix precedent), so parity holds at any n mod k
     "pipeline_score_calibration" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split(lower(text), ' '), x -> x <> '')
@@ -4369,7 +4377,8 @@ object SparkEntry {
         |  // greatest(len(toks), 1) AS BIGINT) AS score_milli
         | FROM t),
         |nt AS (SELECT score_milli, label,
-        |  ntile(10) OVER (ORDER BY score_milli, doc_id) AS decile
+        |  (row_number() OVER (ORDER BY score_milli, doc_id) - 1)
+        |   * 10 // COUNT(*) OVER () + 1 AS decile
         | FROM sc)
         |SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
         | CAST(SUM(score_milli) AS BIGINT) // COUNT(*)
@@ -5183,7 +5192,8 @@ object SparkEntry {
         |  // greatest(len(toks), 1) AS BIGINT) AS score_milli
         | FROM t),
         |nt AS (SELECT source, n_toks, score_milli,
-        |  ntile(4) OVER (ORDER BY score_milli DESC, doc_id) AS phase
+        |  (row_number() OVER (ORDER BY score_milli DESC, doc_id) - 1)
+        |   * 4 // COUNT(*) OVER () + 1 AS phase
         | FROM sc)
         |SELECT CAST(phase AS BIGINT) AS phase, COUNT(*) AS n_docs,
         | CAST(SUM(n_toks) AS BIGINT) AS total_tokens,

@@ -152,7 +152,7 @@ object Dedup {
       ngram: Int): (DataFrame, DataFrame) =
     coocRegistry.computeIfAbsent((s, d, ngram), _ => {
       val tag =
-        s"${(d.hashCode.toLong & 0xffffffffL).toHexString}_$ngram"
+        s"${graft.sources.Bucketing.datasetTag(d)}_$ngram"
       val tInter = s"graft_shingle_cooc_$tag"
       val tSizes = s"graft_shingle_sizes_$tag"
       if (!s.catalog.tableExists(tInter) ||

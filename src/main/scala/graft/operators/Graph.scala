@@ -37,7 +37,7 @@ object Graph {
 
   def coPurchasePairCounts(s: SparkSession, d: String): DataFrame =
     edgeRegistry.computeIfAbsent((s, d), _ => {
-      val tbl = s"graft_copurchase_${(d.hashCode.toLong & 0xffffffffL).toHexString}"
+      val tbl = s"graft_copurchase_${graft.sources.Bucketing.datasetTag(d)}"
       if (!s.catalog.tableExists(tbl)) {
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -74,7 +74,7 @@ object Graph {
     */
   def coPurchaseDegrees(s: SparkSession, d: String): DataFrame =
     degRegistry.computeIfAbsent((s, d), _ => {
-      val tbl = s"graft_copdeg_${(d.hashCode.toLong & 0xffffffffL).toHexString}"
+      val tbl = s"graft_copdeg_${graft.sources.Bucketing.datasetTag(d)}"
       if (!s.catalog.tableExists(tbl)) {
         val e = coPurchaseEdges(s, d)
         val deg = e.select(col("s").as("v"))
@@ -700,7 +700,7 @@ object Graph {
     */
   def minimumSpanningForest(s: SparkSession, d: String,
       minStrength: Long = 2, maxRounds: Int = 20,
-      localEdgeThreshold: Long = 5000000L): DataFrame = {
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
     // everything stays distributed: the edge list (bucketed strong
     // pair table), the accumulated FOREST (checkpointed DataFrame —
     // r6 kept it as a driver Seq that grew with |parts|, the one
@@ -723,9 +723,15 @@ object Graph {
       val arr = edges.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find (walk to root, then path-compress): a
+      // recursive find can recurse O(n) deep on an adversarial union
+      // order and blow the stack at millions of edges
       def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
       }
       val kept = scala.collection.mutable
         .ArrayBuffer.empty[(Long, Long, Long)]

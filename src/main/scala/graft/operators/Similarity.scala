@@ -338,7 +338,7 @@ object Similarity {
       iters: Int = 4, farthestInit: Boolean = true): DataFrame =
     kmRegistry.computeIfAbsent((s, d, k, iters, farthestInit), _ => {
       val tbl = ("graft_kmeans_" +
-        (d.hashCode.toLong & 0xffffffffL).toHexString +
+        graft.sources.Bucketing.datasetTag(d) +
         s"_${k}_${iters}_${if (farthestInit) 1 else 0}")
       if (!s.catalog.tableExists(tbl)) {
         val asg = kmeansCompute(s, d, k, iters, farthestInit)

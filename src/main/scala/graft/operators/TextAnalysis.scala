@@ -801,8 +801,10 @@ object TextAnalysis {
         .select(col("doc_id"), (length(col("text")) >= 300).as("label")),
         "doc_id")
       .localCheckpoint()
-    // same two-pass exact-ntile replay as [[curriculumSchedule]] —
-    // the decile cut must never be a corpus-sized single sort
+    // same two-pass equi-width cut (⌊rank·k/n⌋+1 — NOT ntile, which
+    // front-loads the n mod k remainder; the oracle mirrors the
+    // formula) as [[curriculumSchedule]] — the decile cut must never
+    // be a corpus-sized single sort
     val n = scored.count()
     scored
       .join(rankedByKey(scored, col("score_milli")), "doc_id")
@@ -818,7 +820,9 @@ object TextAnalysis {
     * quality-ordered training run reads (easy/clean first, noisy
     * tail last; the curriculum-learning recipe): documents rank by
     * the [[qualityModelScore]] signal descending and split into
-    * equal-count phases (ANSI ntile), and the report is each phase's
+    * equal-count phases (the ⌊rank·k/n⌋+1 equi-width cut — NOT ANSI
+    * ntile, whose remainder assignment differs), and the report is
+    * each phase's
     * doc count, token budget, mean score, and source spread — the
     * numbers a batch scheduler allocates against. The global ntile
     * sorts (score, doc_id) pairs only — same scale posture as
@@ -832,10 +836,10 @@ object TextAnalysis {
       .join(Tables.documents(s, d).select(col("doc_id"), col("source"),
         size(toks).as("n_toks")), "doc_id")
       .localCheckpoint()
-    // corpus-grain ntile replayed exactly over the two-pass parallel
-    // rank (⌊rank·k/n⌋+1 — the rfm bucketing pattern); the original
-    // unpartitioned ntile window was a corpus-sized single-partition
-    // sort
+    // corpus-grain equi-width cut over the two-pass parallel rank
+    // (⌊rank·k/n⌋+1 — the rfm bucketing pattern; NOT ntile — the
+    // oracle mirrors the formula); the original unpartitioned ntile
+    // window was a corpus-sized single-partition sort
     val n = scored.count()
     scored
       .join(rankedByKey(scored, col("score_milli").desc), "doc_id")

@@ -15,6 +15,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
+  /** Collision-resistant dataset tag for derived-layout table names
+    * (`graft_ps_<tag>` etc): 16 hex chars (64 bits) of SHA-256 over
+    * the dataset path. The previous 32-bit `String.hashCode` tag
+    * could collide across two dataset dirs in one session, silently
+    * serving one dataset's bucketed layout for the other (the
+    * catalog `tableExists` check passes on the colliding name).
+    */
+  def datasetTag(d: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8"))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+
   /** Write `df` as a bucketed+sorted managed table. Extra sort
     * columns (e.g. a timestamp after the key) let ORDER-sensitive
     * consumers — the sort-merge as-of join — read pre-sorted buckets.

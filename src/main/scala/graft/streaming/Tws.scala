@@ -35,7 +35,7 @@ object Tws {
   // tags inside `StatefulProcessor.init` deadlocked four tasks (one
   // holder parked in an RPC read, three blocked behind its monitor).
   private val payCepEnc = Encoders.product[PayCepState]
-  private lazy val sessStateEnc = Encoders.product[SessState]
+  private val sessStateEnc = Encoders.product[SessState]
 
   /** Per-order CEP state: earliest order event-time (MinValue if the
     * order row hasn't arrived), whether a payment was seen, and the

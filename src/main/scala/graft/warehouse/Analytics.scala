@@ -179,9 +179,11 @@ object Analytics {
     // single-partition sort at scale (the unpartitioned-window lint's
     // first real catch). Each bucketing is now the two-pass
     // range-partition + zipWithIndex rank (the assignStableIds
-    // pattern) with ntile's exact assignment formula
-    // bucket = ⌊rank·k/n⌋ + 1 (0-based rank over the identical
-    // (key, customer_id) total order) — same output, parallel sort.
+    // pattern) with the equi-width cut bucket = ⌊rank·k/n⌋ + 1
+    // (0-based rank over the identical (key, customer_id) total
+    // order). NOTE this is NOT ntile: ntile front-loads the n mod k
+    // remainder into the FIRST buckets while this formula spreads it
+    // evenly — the oracle mirrors the formula literally.
     val n = base.count()
     def rankedBucket(key: Column, name: String): DataFrame =
       base.select(col("customer_id"), key.as("k"))
@@ -954,19 +956,27 @@ object Analytics {
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("us"), col("event_type").as("t"))
+    // the first click is pinned by (us, event_id) — a min over the
+    // struct, not the bare timestamp: two clicks sharing a
+    // microsecond would otherwise BOTH match the anchor→click join
+    // below and turn the greedy "advance to the single first click"
+    // semantics into EXISTS-over-tied-first-clicks
     val e = base
       .withColumn("nxt_v",
         min(when(col("t") === "view", col("us"))).over(nxt))
-      .withColumn("nxt_c",
-        min(when(col("t") === "click", col("us"))).over(nxt))
+      .withColumn("nxt_ck",
+        min(when(col("t") === "click",
+          struct(col("us"), col("event_id")))).over(nxt))
       .withColumn("nxt_p",
         min(when(col("t") === "purchase", col("us"))).over(nxt))
     val views = e.filter(col("t") === "view")
       .select(col("user_id"), col("us").as("v_us"),
-        col("nxt_v").as("v_nxt_v"), col("nxt_c").as("v_nxt_c"))
+        col("nxt_v").as("v_nxt_v"), col("nxt_ck.us").as("v_nxt_c"),
+        col("nxt_ck.event_id").as("v_nxt_ce"))
     val clicks = e.filter(col("t") === "click")
-      .select(col("user_id"), col("us").as("c_us"),
-        col("nxt_v").as("c_nxt_v"), col("nxt_c").as("c_nxt_c"),
+      .select(col("user_id"), col("event_id").as("c_eid"),
+        col("us").as("c_us"),
+        col("nxt_v").as("c_nxt_v"), col("nxt_ck.us").as("c_nxt_c"),
         col("nxt_p").as("c_nxt_p"))
     val l2 = col("v_nxt_c").isNotNull &&
       col("v_nxt_c") <= col("v_us") + wUs &&
@@ -978,7 +988,8 @@ object Analytics {
     val perUser = views.as("v")
       .join(clicks.as("c"),
         col("v.user_id") === col("c.user_id") &&
-          col("c.c_us") === col("v.v_nxt_c"),
+          col("c.c_us") === col("v.v_nxt_c") &&
+          col("c.c_eid") === col("v.v_nxt_ce"),
         "left_outer")
       .groupBy(col("v.user_id").as("user_id"))
       .agg(max(when(l3, 3L).when(l2, 2L).otherwise(1L)).as("lvl"))

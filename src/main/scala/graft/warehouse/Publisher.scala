@@ -29,7 +29,7 @@ object Publisher {
     */
   def psLayout(s: SparkSession, d: String): String =
     psRegistry.computeIfAbsent((s, d), _ => {
-      val tbl = s"graft_ps_${(d.hashCode.toLong & 0xffffffffL).toHexString}"
+      val tbl = s"graft_ps_${graft.sources.Bucketing.datasetTag(d)}"
       if (!s.catalog.tableExists(tbl)) {
         val ps = Tables.lineitem(s, d)
           .groupBy(col("l_partkey").as("ps_partkey"),

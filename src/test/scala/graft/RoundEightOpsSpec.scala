@@ -168,6 +168,34 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(got === withExpect.filter(_._2 > 0), s"got $got")
   }
 
+  test("strict_dedup funnel pins tied first clicks by (us, event_id)") {
+    // forged equal-microsecond pair: user 1 has TWO clicks at the
+    // same timestamp. Greedy advances to the single first click by
+    // (us, event_id) — event 2 — whose next event is the tied click
+    // (a repeat of a matched type), so the chain STOPS at level 2.
+    // A timestamp-only anchor→click join fans out to the second
+    // click too, whose window sees only the purchase → level 3: the
+    // bug this test pins. User 2 is the untied control (level 3).
+    import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_funnel_tie").toString
+    Seq(
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(10), 1L, "click", 0.0, "{}"),
+      (3L, ts(10), 1L, "click", 0.0, "{}"),
+      (4L, ts(20), 1L, "purchase", 0.0, "{}"),
+      (5L, ts(0), 2L, "view", 0.0, "{}"),
+      (6L, ts(10), 2L, "click", 0.0, "{}"),
+      (7L, ts(20), 2L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.windowFunnelDedup(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 1L, 3L -> 1L), s"got $got")
+  }
+
   test("strict-order funnel replays the adjacency scan; <= relaxed") {
     val got = Analytics.windowFunnelStrict(s, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
