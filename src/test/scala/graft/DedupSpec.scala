@@ -822,6 +822,42 @@ class DedupSpec extends AnyFunSuite {
     assert(got === hist)
   }
 
+  test("dedup layout tables rebuild over stale warehouse locations") {
+    // fresh-metastore crash recovery for the round's new layouts
+    // (mhsig / wcooc / wsums / jacc_truth): data on disk, no catalog
+    // row — each consumer must clear the orphan and rebuild, the
+    // exact shape that took the graph family down pre-dropStale
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stale_dedup").toString
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    Seq((0L, text, "en", "a", text.length.toLong),
+        (1L, text, "en", "a", text.length.toLong),
+        (2L, (1 to 40).map(i => s"z$i").mkString(" "), "en", "b", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tag = graft.sources.Bucketing.datasetTag(dir)
+    val wh = s.sessionState.conf.warehousePath
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(s"graft_mhsig_${tag}_12_64", s"graft_shingle_wcooc_${tag}_50",
+        s"graft_shingle_wsums_${tag}_50",
+        s"graft_jacc_truth_${tag}_12_500000").foreach { tbl =>
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(wh, tbl)
+      fs.mkdirs(p)
+      val f = fs.create(new org.apache.hadoop.fs.Path(p, "junk.parquet"))
+      f.write(Array[Byte](1, 2, 3)); f.close()
+      assert(!s.catalog.tableExists(tbl) && fs.exists(p))
+    }
+    assert(Dedup.bucketHistogram(s, dir).collect().nonEmpty)
+    // doc 0 ≡ doc 1, so the weighted pair and the truth both fire
+    val wj = Dedup.weightedJaccard(s, dir).collect()
+    assert(wj.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+    val lr = Dedup.lshRecall(s, dir).collect()
+    assert(lr.length === 3 && lr.forall(_.getAs[Long]("n_truth") >= 1L))
+  }
+
   test("lsh recall table replays candidates, truth, and both ppm ratios") {
     val got = Dedup.lshRecall(s, d).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
