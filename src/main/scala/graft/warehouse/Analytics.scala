@@ -3262,20 +3262,48 @@ object Analytics {
     * (part_id, x = revenue·10⁴, abc_class) plus the exact total as a
     * string for the caller's share math.
     */
+  private val abcRegistry = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, String)]
+
   private def abcPerPart(s: SparkSession, d: String)
       : (DataFrame, String) =
-    abcPerPartOf(s, Tables.lineitem(s, d))
+    // the whole-corpus classing is deterministic per dataset —
+    // compute-once layout; the exact total re-derives from the tiny
+    // part-grain table once per session (DECIMAL(38) sum, no long
+    // overflow at fleet scale). abcMigration's per-period slices
+    // still run the live classer via [[abcPerPartOf]].
+    abcRegistry.computeIfAbsent((s, d), _ => {
+      val tbl =
+        s"graft_abcparts_${graft.sources.Bucketing.datasetTag(d)}"
+      if (!s.catalog.tableExists(tbl)) {
+        graft.sources.Bucketing.dropStaleLocation(s, tbl)
+        abcPerPartOf(s, Tables.lineitem(s, d))._1
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(tbl)
+      }
+      val t = s.table(tbl)
+      val total = t.agg(sum(col("x")).cast(DecimalType(38, 0)))
+        .head.getDecimal(0).toBigInteger.toString
+      (t, total)
+    })
 
   /** Same distributed prefix-sum classer over an arbitrary lineitem
     * slice — [[abcMigration]] runs it once per period.
     */
   private def abcPerPartOf(s: SparkSession, fact: DataFrame)
-      : (DataFrame, String) = {
-    import s.implicits._
-    val rev = fact
+      : (DataFrame, String) =
+    abcFromRev(s, fact
       .groupBy(col("l_partkey").as("part_id"))
       .agg(sum((dec(col("l_extendedprice")) *
-        (lit(1) - dec(col("l_discount"))) * 10000).cast("long")).as("x"))
+        (lit(1) - dec(col("l_discount"))) * 10000).cast("long")).as("x")))
+
+  /** The prefix-sum classer over an already-reduced (part_id, x)
+    * revenue frame — callers that derive revenue from a shared
+    * pre-aggregate ([[abcXyzMatrix]]) enter here.
+    */
+  private def abcFromRev(s: SparkSession, rev: DataFrame)
+      : (DataFrame, String) = {
+    import s.implicits._
     val sorted = rev
       .repartitionByRange(col("x").desc, col("part_id"))
       .sortWithinPartitions(col("x").desc, col("part_id"))
@@ -3810,6 +3838,8 @@ object Analytics {
     * moments rollup + the classed join.
     */
   def abcXyzMatrix(s: SparkSession, d: String): DataFrame = {
+    // the ABC axis reads the persisted classing layout; the XYZ
+    // axis is this query's one fact scan
     val (classed, _) = abcPerPart(s, d)
     val monthly = Tables.lineitem(s, d)
       .groupBy(col("l_partkey").as("part_id"),
@@ -4636,6 +4666,35 @@ object Analytics {
         expr("total_cents DIV n_orders"))
   }
 
+  /** The distinct (order, brand) incidence relation — shared by
+    * [[brandAffinity]] (which self-joins it on the order key) and
+    * [[categoryMigration]] (which joins first/last order keys into
+    * it), materialized ONCE per (session, dataset) as a layout
+    * BUCKETED on `ok` so both the pair self-join and the
+    * first/last-order joins read co-partitioned buckets with no
+    * Exchange. Previously each consumer re-paid the fact⋈dim join +
+    * distinct up to four times per call.
+    */
+  private val obRegistry = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
+  private def orderBrands(s: SparkSession, d: String): DataFrame =
+    obRegistry.computeIfAbsent((s, d), _ => {
+      val tbl =
+        s"graft_orderbrand_${graft.sources.Bucketing.datasetTag(d)}"
+      if (!s.catalog.tableExists(tbl)) {
+        val ob = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct()
+        graft.sources.Bucketing.writeBucketed(ob, tbl, "ok", 16,
+          Seq("ok", "b"))
+      }
+      s.table(tbl)
+    })
+
   /** Brand affinity matrix — market-basket association at BRAND
     * grain (the merchandising view; [[assocRules]] works at part
     * grain): top-20 brand pairs by co-occurrence with exact integer
@@ -4646,12 +4705,7 @@ object Analytics {
     */
   def brandAffinity(s: SparkSession, d: String,
       k: Int = 20): DataFrame = {
-    val ob = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)
-        .select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-      .distinct()
+    val ob = orderBrands(s, d)
     val n = ob.agg(countDistinct(col("ok")).as("n_orders"))
     val cx = ob.groupBy(col("b")).agg(count(lit(1)).as("c"))
     val pairs = ob.as("x").join(ob.as("y"),
@@ -4710,33 +4764,28 @@ object Analytics {
     * contained versus their LAST (the taste-drift dual of
     * [[rfmMigration]]'s value drift): top-20 (from, to) brand pairs
     * by customer count, over repeat customers only. First/last
-    * order keys come from two frames over ONE per-customer sort;
-    * each order reduces to its distinct brand set before the
-    * per-customer cross (≤ basket-size² pairs, bounded), so the
-    * matrix never touches fact×fact.
+    * order keys are `min_by`/`max_by` over the (od, ok) total order
+    * in ONE map-side-combinable groupBy — no fact-grain window
+    * state, one shuffle — and the two brand joins read the
+    * resulting 2-column frames; each order reduces to its distinct
+    * brand set before the per-customer cross (≤ basket-size² pairs,
+    * bounded), so the matrix never touches fact×fact.
     */
   def categoryMigration(s: SparkSession, d: String,
       k: Int = 20): DataFrame = {
-    val wAsc = Window.partitionBy("cust")
-      .orderBy(col("od"), col("ok"))
     val o = Tables.orders(s, d)
       .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
         to_date(col("o_orderdate")).as("od"))
-      .withColumn("rn_first", row_number().over(wAsc))
-      .withColumn("n_orders", count(lit(1)).over(
-        Window.partitionBy("cust")))
-      .withColumn("rn_last",
-        (col("n_orders") - col("rn_first") + 1))
+      .groupBy("cust")
+      .agg(
+        min_by(col("ok"), struct(col("od"), col("ok"))).as("first_ok"),
+        max_by(col("ok"), struct(col("od"), col("ok"))).as("last_ok"),
+        count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
-    val ob = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)
-        .select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-      .distinct()
-    val firstB = o.filter(col("rn_first") === 1)
+    val ob = orderBrands(s, d)
+    val firstB = o.select(col("cust"), col("first_ok").as("ok"))
       .join(ob, Seq("ok")).select(col("cust"), col("b").as("from_brand"))
-    val lastB = o.filter(col("rn_last") === 1)
+    val lastB = o.select(col("cust"), col("last_ok").as("ok"))
       .join(ob, Seq("ok")).select(col("cust"), col("b").as("to_brand"))
     val w = Window.orderBy(col("n_customers").desc, col("from_brand"),
       col("to_brand"))
