@@ -34,11 +34,11 @@ object Bench {
           case _ => None
         }).sortBy(-_._1).headOption.map(_._2)
     }
-    val priorMin: Map[String, Double] = priorPath.map { p =>
+    def parseTimes(p: String, key: String): Map[String, Double] =
       try {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
-        (JsonMethods.parse(new java.io.File(p)) \ "queries") match {
+        (JsonMethods.parse(new java.io.File(p)) \ key) match {
           case JObject(fields) => fields.collect {
             case (k, JDouble(v)) => k -> v
             case (k, JInt(v)) => k -> v.toDouble
@@ -47,12 +47,56 @@ object Bench {
           case _ => Map.empty[String, Double]
         }
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] prior artifact $p unreadable: ${e.getMessage}")
+        System.err.println(s"[bench] prior artifact $p unreadable ($key): ${e.getMessage}")
         Map.empty[String, Double]
       }
-    }.getOrElse(Map.empty)
+    val priorMin: Map[String, Double] =
+      priorPath.map(parseTimes(_, "queries")).getOrElse(Map.empty)
     if (priorMin.nonEmpty)
       System.err.println(s"[bench] outlier re-run guard vs ${priorPath.get} (${priorMin.size} prior mins)")
+    // HOST-DRIFT PROBE (r9 VERDICT #3): a fixed 10-query set —
+    // untouched operators since r6 — timed FIRST on every bench run,
+    // with its median ratio vs the prior artifact stamped into the
+    // JSON. Cross-round totals divide by this ratio instead of
+    // demanding a hand-run same-day A/B of the prior commit (which
+    // r9 needed to show a ~1.2× apparent regression was the box).
+    val probeSet = Seq(
+      "q1_pricing_summary", "q3_segment_revenue", "q6_forecast_revenue",
+      "q9_product_profit", "q13_customer_dist", "q18_large_orders",
+      "analytics_rollup", "analytics_funnel", "text_zipf_profile",
+      "sim_hubness")
+    val probeTimes: Seq[(String, Double)] = probeSet.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val ts = (1 to 3).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count()
+                Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] probe $name FAILED: ${e.getMessage}")
+            None }
+        }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(false))
+        name -> (if (ts.isEmpty) 0.0 else ts.min)
+      }
+    }
+    // prior probe block when the prior artifact carries one; the
+    // first probe-bearing round compares against the prior QUERIES
+    // map (same queries, same min-of-k discipline)
+    val probePrior: Map[String, Double] = priorPath.map { p =>
+      val blk = parseTimes(p, "probe")
+      if (blk.nonEmpty) blk else priorMin
+    }.getOrElse(Map.empty)
+    val probeRatio: Option[Double] = {
+      val rs = probeTimes.flatMap { case (k, v) =>
+        probePrior.get(k).filter(_ > 0.0)
+          .flatMap(pv => if (v > 0.0) Some(v / pv) else None)
+      }.sorted
+      if (rs.size >= 5) Some(rs(rs.size / 2)) else None
+    }
+    probeRatio.foreach(r =>
+      System.err.println(f"[bench] probe median ratio vs prior: $r%.3f"))
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val rerun = scala.collection.mutable.LinkedHashSet.empty[String]
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=<regex> times a subset
@@ -188,8 +232,16 @@ object Bench {
       System.err.println(s"[bench] baseline compare failed: ${e.getMessage}")
       None
     }).map(_ + ",").getOrElse("")
-    val prov = s"""$duckdb"git_sha":"$sha","started_utc":"$started","finished_utc":"${Verify.utcNow()}""""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"queries_load":$qsLoad,"sf":"$sfDir","errors":$errs,"rerun_outliers":$reruns,"load":$load,"runs":$runs,$prov}"""
+    val probeJson = probeTimes.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // raw AND normalized totals ride the artifact together: the
+    // normalized one divides out measured host drift so a VERDICT
+    // can read cross-round deltas without a re-run
+    val probeProv = probeRatio.map(r =>
+      f""""probe_median_ratio_vs_prior":$r%.4f,"total_normalized":${total / r}%.2f,""")
+      .getOrElse("")
+    val prov = s""""probe":$probeJson,$probeProv"git_sha":"$sha","started_utc":"$started","finished_utc":"${Verify.utcNow()}""""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"queries_load":$qsLoad,"sf":"$sfDir","errors":$errs,"rerun_outliers":$reruns,"load":$load,"runs":$runs,$duckdb$prov}"""
     println(line)
     // the driver may keep only a tail of stdout; persist the full
     // artifact so per-query numbers survive regardless

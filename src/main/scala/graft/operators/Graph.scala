@@ -35,13 +35,36 @@ object Graph {
   private val edgeRegistry =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  def coPurchasePairCounts(s: SparkSession, d: String): DataFrame =
-    edgeRegistry.computeIfAbsent((s, d), _ => {
-      val tbl = s"graft_copurchase_${graft.sources.Bucketing.datasetTag(d)}"
+  /** The distinct (order, part) basket incidence — the shared input
+    * of the whole market-basket family ([[coPurchasePairCounts]]'s
+    * build, [[assocRules]], [[assocTriples]], [[substitutePairs]]),
+    * materialized as a layout BUCKETED on the order key so the
+    * basket self-joins (pair wedge, triple wedge) read
+    * co-partitioned buckets with no Exchange; previously each
+    * consumer re-paid the fact scan + distinct per call.
+    */
+  private val opRegistry =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  def orderParts(s: SparkSession, d: String): DataFrame =
+    opRegistry.computeIfAbsent((s, d), _ => {
+      val tbl =
+        s"graft_orderpart_${graft.sources.Bucketing.datasetTag(d)}"
       if (!s.catalog.tableExists(tbl)) {
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+        graft.sources.Bucketing.writeBucketed(li, tbl, "ok", 16,
+          Seq("ok", "pk"))
+      }
+      s.table(tbl)
+    })
+
+  def coPurchasePairCounts(s: SparkSession, d: String): DataFrame =
+    edgeRegistry.computeIfAbsent((s, d), _ => {
+      val tbl = s"graft_copurchase_${graft.sources.Bucketing.datasetTag(d)}"
+      if (!s.catalog.tableExists(tbl)) {
+        val li = orderParts(s, d)
         val pairs = li.as("a").join(li.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
           .groupBy(col("a.pk").as("s"), col("b.pk").as("t"))
@@ -154,9 +177,7 @@ object Graph {
     */
   def assocRules(s: SparkSession, d: String,
       minSupport: Long = 5): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+    val li = orderParts(s, d)
     // pair supports come from the SAME cached basket self-join the
     // graph queries walk ([[coPurchasePairCounts]])
     val pairs = coPurchasePairCounts(s, d)
@@ -209,9 +230,7 @@ object Graph {
     */
   def assocTriples(s: SparkSession, d: String,
       minSupport: Long = 2): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+    val li = orderParts(s, d)
     val triples = li.as("a")
       .join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
@@ -496,9 +515,7 @@ object Graph {
     */
   def substitutePairs(s: SparkSession, d: String, topN: Int = 40,
       maxLiftPpm: Long = 500000L): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+    val li = orderParts(s, d)
     val nb = li.groupBy("pk").agg(count(lit(1)).as("n"))
     val tot = li.agg(countDistinct(col("ok")).as("nb_total"))
     // orderBy+limit plans TakeOrderedAndProject — no global sort
@@ -584,13 +601,63 @@ object Graph {
     * breaks distance ties the same way.
     *
     * Scale shape: 2×rounds bounded BSP joins over the bucketed pair
-    * layout; no collect but the 1-row seed/argmax probes.
+    * layout; no collect but the 1-row seed/argmax probes. Hybrid
+    * small-side branch (the driver-Kruskal switch, spec-verified
+    * equal to the BSP fixpoint): the strong subgraph is
+    * min-support-thresholded and typically tiny relative to the
+    * fact volume, so under `localEdgeThreshold` edges both sweeps
+    * run as one driver BFS under the identical tie order — the
+    * 12-job BSP ladder collapses to one collect. Above the
+    * threshold (the true 100 TB path) the distributed rounds run
+    * unchanged.
     */
   def diameterTwoSweep(s: SparkSession, d: String,
-      minStrength: Long = 2, rounds: Int = 6): DataFrame = {
+      minStrength: Long = 2, rounds: Int = 6,
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
     val st = coPurchasePairCounts(s, d)
       .filter(col("n_st") >= minStrength)
       .select(col("s"), col("t"))
+    if (st.count() <= localEdgeThreshold) {
+      import s.implicits._
+      val adj = scala.collection.mutable
+        .Map.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      st.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer
+          .empty[Long]) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer
+          .empty[Long]) += a
+      }
+      def bfs(src: Long): scala.collection.mutable.Map[Long, Long] = {
+        val dist = scala.collection.mutable.Map(src -> 0L)
+        var frontier = List(src)
+        var hop = 0L
+        while (frontier.nonEmpty && hop < rounds) {
+          hop += 1
+          frontier = frontier.flatMap(adj.getOrElse(_, Nil))
+            .filter(n => !dist.contains(n))
+            .distinct
+          frontier.foreach(dist(_) = hop)
+        }
+        dist
+      }
+      if (adj.isEmpty)
+        return Seq.empty[(Long, Long, Long, Long, Long)]
+          .toDF("start_node", "far_node", "far_dist",
+            "diameter_lb_hops", "n_reached")
+      // max degree, ties to the smallest id — same order as the
+      // distributed orderBy(deg desc, src)
+      val startNode = adj.toSeq.map { case (n, xs) => (n, xs.size) }
+        .minBy { case (n, dg) => (-dg, n) }._1
+      val d1 = bfs(startNode)
+      val (farNode, farDist) = d1.toSeq
+        .minBy { case (n, dd) => (-dd, n) }
+      val d2 = bfs(farNode)
+      return Seq((startNode, farNode, farDist,
+          d2.values.max, d2.size.toLong))
+        .toDF("start_node", "far_node", "far_dist",
+          "diameter_lb_hops", "n_reached")
+    }
     val e = st.select(col("s").as("src"), col("t").as("dst"))
       .unionByName(st.select(col("t").as("src"), col("s").as("dst")))
       .localCheckpoint()

@@ -337,6 +337,18 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._3).sum === expect.toSeq.map(_._3).sum)
   }
 
+  test("diameter: driver-BFS branch equals the distributed BSP sweeps") {
+    // localEdgeThreshold = 0 forces the distributed 2-sweep ladder
+    // (the 100 TB path); the default gated branch is one driver BFS
+    // pair — identical start/far tie order, identical hop horizon
+    val dist = Graph.diameterTwoSweep(s, d, localEdgeThreshold = 0L)
+      .collect().map(_.toSeq).toSeq
+    val local = Graph.diameterTwoSweep(s, d)
+      .collect().map(_.toSeq).toSeq
+    assert(dist === local,
+      s"driver BFS $local must equal distributed sweeps $dist")
+  }
+
   test("shortest path: bounded Bellman-Ford replays the driver relaxation") {
     val got = Graph.shortestPath(s, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -10,16 +10,26 @@
 #   sbt test    — the full ScalaTest suite
 #   Bench       — one JSON line, committed as BENCH_full_r<N>.json
 #
-# Usage: tools/gate.sh <round> [sf_dir]
+# Usage: tools/gate.sh <round> [sf_dir] [--sf1]
 #   round   e.g. 9  → artifacts CHECK_LOCAL_r9.json, BENCH_full_r9.json
 #   sf_dir  correctness SF dir (default /root/testdata/sf0.01);
 #           bench always runs at sf0.1.
+#   --sf1   also run the sf1 oracle gate (stage 6): the
+#           magnitude-sensitive subset value-graded on the TileSf
+#           ×10 corpus, and the shingle-basis subset (quadratic
+#           DuckDB oracles) value-graded on the deterministic
+#           SubCorpus doc_id%50 slice of the same corpus. Both
+#           query lists live in tools/sf1.json (one place).
+#           Emits CHECK_LOCAL_sf1_r<N>.json.
 # Env: GATE_SKIP_SBT=1 skips the sbt test stage (already-green reruns).
 set -u
 cd "$(dirname "$0")/.."
 
-ROUND="${1:?usage: tools/gate.sh <round> [sf_dir]}"
+ROUND="${1:?usage: tools/gate.sh <round> [sf_dir] [--sf1]}"
 SF_DIR="${2:-/root/testdata/sf0.01}"
+RUN_SF1=0
+for a in "$@"; do [ "$a" = "--sf1" ] && RUN_SF1=1; done
+[ "$SF_DIR" = "--sf1" ] && SF_DIR=/root/testdata/sf0.01
 VDIR="/tmp/gate_verify_r${ROUND}"
 CHECK_OUT="CHECK_LOCAL_r${ROUND}.json"
 BENCH_OUT="BENCH_full_r${ROUND}.json"
@@ -64,6 +74,72 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   tools/run.sh graft.Bench >"$BENCH_TMP" 2>>"$LOG" || fail bench
 grep -E '^\{"metric"' "$BENCH_TMP" | tail -1 > /tmp/gate_bench_line.json
 [ -s /tmp/gate_bench_line.json ] || fail bench-json
+
+if [ "$RUN_SF1" = "1" ]; then
+  echo "== stage 6: sf1 oracle gate ==" | tee -a "$LOG"
+  SF1_DIR="${GATE_SF1_DIR:-/tmp/sf1}"
+  SF1_SUB="${GATE_SF1_SUB:-/tmp/sf1_sub}"
+  if [ ! -d "$SF1_DIR/lineitem.parquet" ]; then
+    echo "   building $SF1_DIR (TileSf x10)" | tee -a "$LOG"
+    tools/run.sh graft.tools.TileSf /root/testdata/sf0.1 "$SF1_DIR" 10 \
+      >>"$LOG" 2>&1 || fail sf1-tile
+  fi
+  echo "   building $SF1_SUB (SubCorpus mod 50)" | tee -a "$LOG"
+  tools/run.sh graft.tools.SubCorpus "$SF1_DIR" "$SF1_SUB" 50 \
+    >>"$LOG" 2>&1 || fail sf1-subcorpus
+  MAG_RX=$(python3 -c "import json; c=json.load(open('tools/sf1.json')); print('^(' + '|'.join(c['magnitude_queries']) + ')\$')")
+  SHG_RX=$(python3 -c "import json; c=json.load(open('tools/sf1.json')); print('^(' + '|'.join(c['shingle_basis']) + ')\$')")
+  echo "   verify magnitude subset at $SF1_DIR" | tee -a "$LOG"
+  SPARK_GRAFT_VERIFY_ONLY="$MAG_RX" SPARK_GRAFT_CPUS=32 \
+    tools/run.sh graft.Verify "$SF1_DIR" /tmp/gate_verify_sf1 \
+    >>"$LOG" 2>&1 || fail sf1-verify
+  python3 tools/check.py "$SF1_DIR" /tmp/gate_verify_sf1 \
+    /tmp/gate_check_sf1.json >>"$LOG" 2>&1 || fail sf1-check
+  echo "   verify shingle-basis subset at $SF1_SUB" | tee -a "$LOG"
+  SPARK_GRAFT_VERIFY_ONLY="$SHG_RX" SPARK_GRAFT_CPUS=32 \
+    tools/run.sh graft.Verify "$SF1_SUB" /tmp/gate_verify_sf1sub \
+    >>"$LOG" 2>&1 || fail sf1sub-verify
+  python3 tools/check.py "$SF1_SUB" /tmp/gate_verify_sf1sub \
+    /tmp/gate_check_sf1sub.json >>"$LOG" 2>&1 || fail sf1sub-check
+  python3 - "$ROUND" <<'EOF' || fail sf1-merge
+import json, subprocess, sys
+rnd = sys.argv[1]
+mag = json.load(open("/tmp/gate_check_sf1.json"))
+sub = json.load(open("/tmp/gate_check_sf1sub.json"))
+sha = subprocess.run(["git", "rev-parse", "HEAD"],
+                     capture_output=True, text=True).stdout.strip()
+out = {}
+red = []
+for src, basis in ((mag, "sf1_tiled_x10"), (sub, "sf1_sub_mod50")):
+    for k, v in src.items():
+        if k.startswith("_") or not isinstance(v, dict):
+            continue
+        v = dict(v)
+        v["basis"] = basis
+        out[k] = v
+        if not (v.get("match") or v.get("rows_only")):
+            red.append(k)
+cfg = json.load(open("tools/sf1.json"))
+out["_meta"] = {
+    "git_sha": sha,
+    "note": ("sf1 oracle gate: magnitude subset value-graded on the "
+             "TileSf x10 corpus; shingle-basis subset (quadratic "
+             "DuckDB oracles) value-graded on the deterministic "
+             "SubCorpus doc_id%50 slice of the same corpus "
+             "(tools/sf1.json is the single source of both lists)"),
+    "n_magnitude": len(cfg["magnitude_queries"]),
+    "n_shingle_basis": len(cfg["shingle_basis"]),
+    "sf1_excluded": [],
+    "red": red,
+}
+json.dump(out, open(f"CHECK_LOCAL_sf1_r{rnd}.json", "w"), indent=1)
+if red:
+    print("sf1 red queries:", red)
+    sys.exit(1)
+print(f"sf1 gate green: {len(out) - 1} queries")
+EOF
+  echo "   wrote CHECK_LOCAL_sf1_r${ROUND}.json" | tee -a "$LOG"
+fi
 
 # all green → emit artifacts. Bench writes the FULL per-query map to
 # bench_full.json beside its summary stdout line; the committed
