@@ -212,9 +212,13 @@ object SparkEntry {
     // grouped split, MIPS top-k, id gaps-and-islands audit
     "analytics_sequence_count" -> (Analytics.sequenceCount(_, _)),
     // r10: sequenceMatch with a time condition (?1)(?t<W)(?2) — the
-    // sixth and last funnel/sequence semantic
+    // sixth and last funnel/sequence semantic — plus the
+    // path-analysis and trend-scalar CH parities
     "analytics_sequence_match_time" ->
       (Analytics.sequenceMatchTime(_, _)),
+    "analytics_sequence_next_node" ->
+      (Analytics.sequenceNextNode(_, _)),
+    "analytics_delta_sum" -> (Analytics.deltaSumGmv(_, _)),
     "analytics_window_funnel_dedup" ->
       (Analytics.windowFunnelDedup(_, _)),
     "analytics_weighted_quantiles" ->
@@ -3302,6 +3306,43 @@ object SparkEntry {
         |SELECT CAST(matched AS BIGINT) AS matched,
         | COUNT(*) AS n_users
         |FROM pu GROUP BY 1""".stripMargin,
+    // first_match/forward: anchor = first view, adjacency to the
+    // click, then the event right after it
+    "analytics_sequence_next_node" ->
+      """WITH e AS (SELECT user_id, event_id, event_type AS t,
+        |    epoch_us(ts) AS us FROM events),
+        |w AS (SELECT user_id, t, us, event_id,
+        |  lead(t, 1) OVER uw AS nxt1,
+        |  lead(t, 2) OVER uw AS nxt2
+        | FROM e WINDOW uw AS (PARTITION BY user_id
+        |   ORDER BY us, event_id)),
+        |v AS (SELECT user_id, nxt1, nxt2,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS rn
+        | FROM w WHERE t = 'view'),
+        |pu AS (SELECT user_id,
+        |  CASE WHEN nxt1 = 'click' THEN coalesce(nxt2, '(end)')
+        |       ELSE '(no match)' END AS next_node
+        | FROM v WHERE rn = 1)
+        |SELECT next_node, COUNT(*) AS n_users
+        |FROM pu GROUP BY 1""".stripMargin,
+    // deltaSum = sum of positive day-over-day increments; explicit
+    // CASE (NULL-vs-greatest semantics differ between engines)
+    "analytics_delta_sum" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |    AS BIGINT)) AS BIGINT) AS g
+         | FROM orders GROUP BY 1),
+         |lg AS (SELECT dt, g, lag(g) OVER (ORDER BY dt) AS pg
+         |       FROM daily)
+         |SELECT
+         | CAST(SUM(CASE WHEN pg IS NULL OR g <= pg THEN 0
+         |          ELSE g - pg END) AS BIGINT) AS delta_sum_cents,
+         | COUNT(*) AS n_days,
+         | (arg_max(g, dt) - arg_min(g, dt))
+         |   // CAST(date_diff('day', MIN(dt), MAX(dt)) AS BIGINT)
+         |   AS bounding_ratio_cents_per_day
+         |FROM lg""".stripMargin,
     // split unit is the near-dup CLUSTER canonical (the
     // dedup_clusters closure), so cross-split leakage is
     // structurally zero; same 8/1/1 mod-split as the rest

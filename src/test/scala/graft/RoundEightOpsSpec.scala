@@ -194,6 +194,46 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(got.values.sum === ev.map(_._1).distinct.length.toLong)
   }
 
+  test("sequenceNextNode replays the first-match adjacency walk") {
+    val got = Analytics.sequenceNextNode(s, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val expect = ev.groupBy(_._1).values.flatMap { xs =>
+      val es = xs.toSeq.sortBy(e => (e._2, e._3)).map(_._4)
+      val i = es.indexOf("view")
+      if (i < 0) None // users with no view emit no row
+      else if (i + 1 >= es.length || es(i + 1) != "click")
+        Some("(no match)")
+      else if (i + 2 >= es.length) Some("(end)")
+      else Some(es(i + 2))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got === expect, s"got $got vs replay $expect")
+  }
+
+  test("deltaSum/boundingRatio replay the daily series fold") {
+    val r = Analytics.deltaSumGmv(s, d).collect().head
+    val daily = graft.sources.Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum((col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+        .cast("long")).as("g"))
+      .orderBy("dt").collect()
+    val gs = daily.map(_.getLong(1))
+    val ds = gs.sliding(2).map { case Array(a, b) =>
+      math.max(b - a, 0L) }.sum
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      daily.head.getDate(0).toLocalDate, daily.last.getDate(0).toLocalDate)
+    assert(r.getAs[Long]("delta_sum_cents") === ds)
+    assert(r.getAs[Long]("n_days") === daily.length.toLong)
+    assert(r.getAs[Long]("bounding_ratio_cents_per_day") ===
+      (gs.last - gs.head) / span)
+  }
+
   test("strict_dedup funnel pins tied first clicks by (us, event_id)") {
     // forged equal-microsecond pair: user 1 has TWO clicks at the
     // same timestamp. Greedy advances to the single first click by
