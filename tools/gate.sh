@@ -69,6 +69,16 @@ else
 fi
 
 echo "== stage 5/5: Bench (sf0.1) ==" | tee -a "$LOG"
+# let the sbt-test stage's load tail decay before the probe set runs
+# (r10: the probe read 1.39x inside the gate vs ~0.95x on the same
+# idle box minutes earlier — the bench opens with the host-drift
+# probe, so it must not inherit the previous stage's GC/IO tail)
+for _ in $(seq 1 12); do
+  L=$(cut -d' ' -f1 /proc/loadavg)
+  awk -v l="$L" 'BEGIN{exit !(l < 2.0)}' && break
+  sleep 15
+done
+echo "   bench starts at load $(cut -d' ' -f1 /proc/loadavg)" | tee -a "$LOG"
 BENCH_TMP="/tmp/gate_bench_r${ROUND}.out"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   tools/run.sh graft.Bench >"$BENCH_TMP" 2>>"$LOG" || fail bench
