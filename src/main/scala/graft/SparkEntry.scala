@@ -3339,9 +3339,10 @@ object SparkEntry {
          | CAST(SUM(CASE WHEN pg IS NULL OR g <= pg THEN 0
          |          ELSE g - pg END) AS BIGINT) AS delta_sum_cents,
          | COUNT(*) AS n_days,
-         | (arg_max(g, dt) - arg_min(g, dt))
+         | CASE WHEN MIN(dt) = MAX(dt) THEN 0
+         |  ELSE (arg_max(g, dt) - arg_min(g, dt))
          |   // CAST(date_diff('day', MIN(dt), MAX(dt)) AS BIGINT)
-         |   AS bounding_ratio_cents_per_day
+         |  END AS bounding_ratio_cents_per_day
          |FROM lg""".stripMargin,
     // split unit is the near-dup CLUSTER canonical (the
     // dedup_clusters closure), so cross-split leakage is

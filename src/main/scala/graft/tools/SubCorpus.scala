@@ -44,9 +44,7 @@ object SubCorpus {
     graft.sources.Tables.all
       .filterNot(t => t == "documents" || t == "embeddings")
       .foreach { t =>
-        val link = out.resolve(s"$t.parquet")
-        java.nio.file.Files.deleteIfExists(link)
-        java.nio.file.Files.createSymbolicLink(link,
+        Slices.relink(out.resolve(s"$t.parquet"),
           java.nio.file.Paths.get(s"$inDir/$t.parquet").toAbsolutePath)
       }
     val nd = spark.read.parquet(s"$outDir/documents.parquet").count()

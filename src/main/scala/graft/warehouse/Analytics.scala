@@ -1028,7 +1028,11 @@ object Analytics {
         max_by(col("g"), col("dt")).as("g_last"),
         datediff(max(col("dt")), min(col("dt"))).cast("long").as("span"))
       .select(col("delta_sum_cents"), col("n_days"),
-        expr("(g_last - g_first) DIV span").as("bounding_ratio_cents_per_day"))
+        // a degenerate single-day series has span 0: the slope is
+        // DEFINED as 0 (mirrored in the oracle) — bare DIV would
+        // yield NULL here and an engine-specific error there
+        expr("CASE WHEN span = 0 THEN 0L ELSE (g_last - g_first) DIV span END")
+          .as("bounding_ratio_cents_per_day"))
   }
 
   /** ClickHouse `windowFunnel(W, 'strict_dedup')` parity — the
@@ -3729,43 +3733,85 @@ object Analytics {
     * slope; the MEDIAN of pairwise slopes shrugs it off): all
     * C(n,2) day pairs (day-grain, so ~3M pairs regardless of fact
     * volume — this is why the estimator is feasible at any SF),
-    * ranked by the double ratio dy/dx (identical division of
-    * identical integers in both engines), median pair by rank-select
-    * with (i, j) tie-breaks, slope emitted as exact integer
-    * micro-cents/day (dy·10⁶ DIV dx of the SELECTED pair — the
-    * double only ORDERS, the output is integer).
+    * ordered by the double ratio dy/dx (identical division of
+    * identical integers in both engines) with (i, j) tie-breaks,
+    * slope emitted as exact integer micro-cents/day (dy·10⁶ DIV dx
+    * of the SELECTED pair — the double only ORDERS, the output is
+    * integer).
+    *
+    * The median pair is found by RANK-SELECT DESCENT (the
+    * [[graft.operators.Quantiles]] argument applied to the pair
+    * relation): materializing and globally sorting all ~3M pairs was
+    * the suite's slowest plan, yet only ONE pair is consumed. Each
+    * pass histograms the live slope range into B equal-width buckets
+    * — one codegen'd aggregation over the recomputed pair join (the
+    * join of the cached ~2.4k-row day relation is the cheap part) —
+    * and descends into the bucket holding the median rank. Equal
+    * slopes share a bucket, so the (xi, xj) tie-break is settled once
+    * at the end, inside a candidate set bounded by `SMALL`; driver
+    * state per pass is ≤ B histogram rows.
     */
   def theilSen(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
       .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
         .cast("long")).as("g"))
       .select(datediff(col("dt"), lit("1970-01-01").cast("date"))
         .cast("long").as("x"), col("g").as("y"))
-    val pairs = daily.as("a").join(daily.as("b"),
+      .cache()
+    val m = daily.count()
+    val nPairs = m * (m - 1) / 2
+    val need = (nPairs - 1) / 2 // 0-based global rank of the median
+    def pairs = daily.as("a").join(daily.as("b"),
         col("a.x") < col("b.x"))
       .select(col("a.x").as("xi"), col("b.x").as("xj"),
-        ((col("b.y") - col("a.y")).cast("double") /
+        // try_divide, not /: the descent's range filter on r gets
+        // pushed into the BNLJ condition and its conjuncts reorder
+        // ahead of a.x < b.x, so ANSI division would throw on the
+        // dx = 0 diagonal rows the join is about to discard
+        try_divide((col("b.y") - col("a.y")).cast("double"),
           (col("b.x") - col("a.x")).cast("double")).as("r"),
         (col("b.y") - col("a.y")).as("dy"),
         (col("b.x") - col("a.x")).as("dx"))
-    // global ranks over ~3M pairs via the percent-rank machinery
-    // (range partition + zipWithIndex) — a single-partition window
-    // sort here was the whole suite's slowest query
-    import s.implicits._
-    val ranked = pairs
-      .repartitionByRange(col("r"), col("xi"), col("xj"))
-      .sortWithinPartitions("r", "xi", "xj")
-      .select(col("r"), col("xi"), col("xj"), col("dy"), col("dx"))
-      .as[(Double, Long, Long, Long, Long)]
-      .rdd.zipWithIndex()
-      .map { case ((_, _, _, dy, dx), rk) => (rk, dy, dx) }
-      .toDF("rk", "dy", "dx")
-    val n = broadcast(ranked.agg(count(lit(1)).as("n")))
-    ranked.crossJoin(n)
-      .filter(col("rk") === expr("(n - 1) DIV 2"))
-      .select(col("n").as("n_pairs"),
+    val B = 2048
+    val SMALL = 65536L
+    val ext = pairs.agg(min("r"), max("r")).collect()(0)
+    var lo = ext.getDouble(0)
+    var hi = ext.getDouble(1)
+    var below = 0L // pairs in buckets strictly before the live range
+    var live = nPairs // pairs inside [lo, hi]
+    var guard = 0
+    while (live > SMALL && lo < hi && guard < 64) {
+      guard += 1
+      val w = (hi - lo) / B
+      val hist = pairs.filter(col("r") >= lo && col("r") <= hi)
+        .withColumn("b", least(lit(B - 1),
+          floor((col("r") - lit(lo)) / lit(w))).cast("int"))
+        .groupBy("b").agg(count(lit(1)).as("ct"),
+          min("r").as("bmn"), max("r").as("bmx"))
+        .orderBy("b").collect()
+      val target = need - below
+      var cum = 0L
+      var done = false
+      for (row <- hist if !done) {
+        val ct = row.getLong(1)
+        if (cum + ct > target) {
+          below += cum
+          live = ct
+          lo = row.getDouble(2)
+          hi = row.getDouble(3)
+          done = true
+        } else cum += ct
+      }
+      require(done, "theil-sen descent lost the median rank")
+    }
+    // only the median bucket's pairs are sorted: rank offset + 1 rows
+    // ascending, then the last of them — two bounded TakeOrdered ops
+    val offset = (need - below).toInt
+    pairs.filter(col("r") >= lo && col("r") <= hi)
+      .orderBy(col("r"), col("xi"), col("xj")).limit(offset + 1)
+      .orderBy(col("r").desc, col("xi").desc, col("xj").desc).limit(1)
+      .select(lit(nPairs).as("n_pairs"),
         // sign split: floor-vs-truncate forks engines on negatives
         (when(col("dy") >= 0, 1L).otherwise(-1L) *
           expr("abs(dy) * 1000000L DIV dx")).as("slope_micro"),

@@ -230,8 +230,10 @@ class RoundEightOpsSpec extends AnyFunSuite {
       daily.head.getDate(0).toLocalDate, daily.last.getDate(0).toLocalDate)
     assert(r.getAs[Long]("delta_sum_cents") === ds)
     assert(r.getAs[Long]("n_days") === daily.length.toLong)
+    // span = 0 (single-day series) is DEFINED as slope 0 on both
+    // engines — the replay must not divide by it either
     assert(r.getAs[Long]("bounding_ratio_cents_per_day") ===
-      (gs.last - gs.head) / span)
+      (if (span == 0) 0L else (gs.last - gs.head) / span))
   }
 
   test("strict_dedup funnel pins tied first clicks by (us, event_id)") {
