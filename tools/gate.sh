@@ -97,8 +97,13 @@ if [ "$RUN_SF1" = "1" ]; then
   echo "   building $SF1_SUB (SubCorpus mod 50)" | tee -a "$LOG"
   tools/run.sh graft.tools.SubCorpus "$SF1_DIR" "$SF1_SUB" 50 \
     >>"$LOG" 2>&1 || fail sf1-subcorpus
+  SF1_BK="${GATE_SF1_BK:-/tmp/sf1_basket}"
+  echo "   building $SF1_BK (BasketSlice mod 10)" | tee -a "$LOG"
+  tools/run.sh graft.tools.BasketSlice "$SF1_DIR" "$SF1_BK" 10 \
+    >>"$LOG" 2>&1 || fail sf1-basketslice
   MAG_RX=$(python3 -c "import json; c=json.load(open('tools/sf1.json')); print('^(' + '|'.join(c['magnitude_queries']) + ')\$')")
   SHG_RX=$(python3 -c "import json; c=json.load(open('tools/sf1.json')); print('^(' + '|'.join(c['shingle_basis']) + ')\$')")
+  BKT_RX=$(python3 -c "import json; c=json.load(open('tools/sf1.json')); print('^(' + '|'.join(c['basket_basis']) + ')\$')")
   echo "   verify magnitude subset at $SF1_DIR" | tee -a "$LOG"
   SPARK_GRAFT_VERIFY_ONLY="$MAG_RX" SPARK_GRAFT_CPUS=32 \
     tools/run.sh graft.Verify "$SF1_DIR" /tmp/gate_verify_sf1 \
@@ -111,16 +116,24 @@ if [ "$RUN_SF1" = "1" ]; then
     >>"$LOG" 2>&1 || fail sf1sub-verify
   python3 tools/check.py "$SF1_SUB" /tmp/gate_verify_sf1sub \
     /tmp/gate_check_sf1sub.json >>"$LOG" 2>&1 || fail sf1sub-check
+  echo "   verify basket-basis subset at $SF1_BK" | tee -a "$LOG"
+  SPARK_GRAFT_VERIFY_ONLY="$BKT_RX" SPARK_GRAFT_CPUS=32 \
+    tools/run.sh graft.Verify "$SF1_BK" /tmp/gate_verify_sf1bkt \
+    >>"$LOG" 2>&1 || fail sf1bkt-verify
+  python3 tools/check.py "$SF1_BK" /tmp/gate_verify_sf1bkt \
+    /tmp/gate_check_sf1bkt.json >>"$LOG" 2>&1 || fail sf1bkt-check
   python3 - "$ROUND" <<'EOF' || fail sf1-merge
 import json, subprocess, sys
 rnd = sys.argv[1]
 mag = json.load(open("/tmp/gate_check_sf1.json"))
 sub = json.load(open("/tmp/gate_check_sf1sub.json"))
+bkt = json.load(open("/tmp/gate_check_sf1bkt.json"))
 sha = subprocess.run(["git", "rev-parse", "HEAD"],
                      capture_output=True, text=True).stdout.strip()
 out = {}
 red = []
-for src, basis in ((mag, "sf1_tiled_x10"), (sub, "sf1_sub_mod50")):
+for src, basis in ((mag, "sf1_tiled_x10"), (sub, "sf1_sub_mod50"),
+                   (bkt, "sf1_basket_mod10")):
     for k, v in src.items():
         if k.startswith("_") or not isinstance(v, dict):
             continue
@@ -135,10 +148,15 @@ out["_meta"] = {
     "note": ("sf1 oracle gate: magnitude subset value-graded on the "
              "TileSf x10 corpus; shingle-basis subset (quadratic "
              "DuckDB oracles) value-graded on the deterministic "
-             "SubCorpus doc_id%50 slice of the same corpus "
-             "(tools/sf1.json is the single source of both lists)"),
+             "SubCorpus doc_id%50 slice; basket-basis subset "
+             "(recursive/quadratic graph oracles) value-graded on "
+             "the deterministic BasketSlice o_orderkey%10 slice "
+             "(tools/sf1.json is the single source of all three "
+             "lists; counts.py enforces every query is classified)"),
     "n_magnitude": len(cfg["magnitude_queries"]),
     "n_shingle_basis": len(cfg["shingle_basis"]),
+    "n_basket_basis": len(cfg["basket_basis"]),
+    "n_sf1_insensitive": len(cfg["sf1_insensitive"]),
     "sf1_excluded": [],
     "red": red,
 }
