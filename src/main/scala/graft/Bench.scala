@@ -54,18 +54,27 @@ object Bench {
       priorPath.map(parseTimes(_, "queries")).getOrElse(Map.empty)
     if (priorMin.nonEmpty)
       System.err.println(s"[bench] outlier re-run guard vs ${priorPath.get} (${priorMin.size} prior mins)")
-    // HOST-DRIFT PROBE (r9 VERDICT #3): a fixed 10-query set —
-    // untouched operators since r6 — timed FIRST on every bench run,
-    // with its median ratio vs the prior artifact stamped into the
-    // JSON. Cross-round totals divide by this ratio instead of
-    // demanding a hand-run same-day A/B of the prior commit (which
-    // r9 needed to show a ~1.2× apparent regression was the box).
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=<regex> times a subset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    // HOST-DRIFT PROBE (r9 VERDICT #3, hardened r11): a fixed
+    // 10-query set — untouched operators since r6 — timed at the
+    // START and again at the END of the run, with both median ratios
+    // vs the prior artifact stamped into the JSON. Cross-round totals
+    // divide by the ratio instead of demanding a hand-run same-day
+    // A/B of the prior commit — but ONLY when the two ratios agree:
+    // r10's single start-probe read 1.39× inside the sbt-test load
+    // tail and was then applied to a 15-minute run the tail had
+    // decayed out of. Probe queries are pre-warmed by the probe
+    // itself (JIT, page cache, compute-once layouts), so the
+    // artifact lists them under "probe_warmed" — read their
+    // cross-round per-query deltas accordingly. Skipped entirely
+    // under SPARK_GRAFT_BENCH_ONLY subset iteration.
     val probeSet = Seq(
       "q1_pricing_summary", "q3_segment_revenue", "q6_forecast_revenue",
       "q9_product_profit", "q13_customer_dist", "q18_large_orders",
       "analytics_rollup", "analytics_funnel", "text_zipf_profile",
       "sim_hubness")
-    val probeTimes: Seq[(String, Double)] = probeSet.flatMap { name =>
+    def runProbe(): Seq[(String, Double)] = probeSet.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val ts = (1 to 3).flatMap { _ =>
           val t0 = System.nanoTime()
@@ -81,6 +90,8 @@ object Bench {
         name -> (if (ts.isEmpty) 0.0 else ts.min)
       }
     }
+    val probeTimes: Seq[(String, Double)] =
+      if (only.isDefined) Seq.empty else runProbe()
     // prior probe block when the prior artifact carries one; the
     // first probe-bearing round compares against the prior QUERIES
     // map (same queries, same min-of-k discipline)
@@ -88,19 +99,18 @@ object Bench {
       val blk = parseTimes(p, "probe")
       if (blk.nonEmpty) blk else priorMin
     }.getOrElse(Map.empty)
-    val probeRatio: Option[Double] = {
-      val rs = probeTimes.flatMap { case (k, v) =>
+    def medianRatio(times: Seq[(String, Double)]): Option[Double] = {
+      val rs = times.flatMap { case (k, v) =>
         probePrior.get(k).filter(_ > 0.0)
           .flatMap(pv => if (v > 0.0) Some(v / pv) else None)
       }.sorted
       if (rs.size >= 5) Some(rs(rs.size / 2)) else None
     }
+    val probeRatio: Option[Double] = medianRatio(probeTimes)
     probeRatio.foreach(r =>
       System.err.println(f"[bench] probe median ratio vs prior: $r%.3f"))
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val rerun = scala.collection.mutable.LinkedHashSet.empty[String]
-    // iteration aid: SPARK_GRAFT_BENCH_ONLY=<regex> times a subset
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
     val picked = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.findFirstIn(n).isDefined)
     }
@@ -232,15 +242,38 @@ object Bench {
       System.err.println(s"[bench] baseline compare failed: ${e.getMessage}")
       None
     }).map(_ + ",").getOrElse("")
+    // END probe: the start probe alone can inherit a transient load
+    // tail (or miss one that arrives mid-run); the run is only
+    // normalizable when start and end agree
+    val probeEnd: Seq[(String, Double)] =
+      if (only.isDefined) Seq.empty else runProbe()
+    val probeEndRatio: Option[Double] = medianRatio(probeEnd)
+    probeEndRatio.foreach(r =>
+      System.err.println(f"[bench] END probe median ratio vs prior: $r%.3f"))
     val probeJson = probeTimes.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val probeEndJson = probeEnd.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val probeWarmed = probeSet.map("\"" + _ + "\"").mkString("[", ",", "]")
     // raw AND normalized totals ride the artifact together: the
-    // normalized one divides out measured host drift so a VERDICT
-    // can read cross-round deltas without a re-run
-    val probeProv = probeRatio.map(r =>
-      f""""probe_median_ratio_vs_prior":$r%.4f,"total_normalized":${total / r}%.2f,""")
-      .getOrElse("")
-    val prov = s""""probe":$probeJson,$probeProv"git_sha":"$sha","started_utc":"$started","finished_utc":"${Verify.utcNow()}""""
+    // normalized one divides out measured host drift so a VERDICT can
+    // read cross-round deltas without a re-run — emitted ONLY when
+    // the start and end ratios agree within 15% (otherwise the drift
+    // moved mid-run and one ratio can't speak for the whole total;
+    // both ratios are still stamped for adjudication)
+    val probeProv = (probeRatio, probeEndRatio) match {
+      case (Some(a), Some(b)) =>
+        val agree = math.abs(a - b) <= 0.15 * math.max(a, b)
+        val norm = if (agree) {
+          val r = (a + b) / 2
+          f""""total_normalized":${total / r}%.2f,"""
+        } else """"probe_ratio_disagreement":true,"""
+        f""""probe_median_ratio_vs_prior":$a%.4f,"probe_end_median_ratio_vs_prior":$b%.4f,""" + norm
+      case (Some(a), None) =>
+        f""""probe_median_ratio_vs_prior":$a%.4f,"""
+      case _ => ""
+    }
+    val prov = s""""probe":$probeJson,"probe_end":$probeEndJson,"probe_warmed":$probeWarmed,$probeProv"git_sha":"$sha","started_utc":"$started","finished_utc":"${Verify.utcNow()}""""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"queries_load":$qsLoad,"sf":"$sfDir","errors":$errs,"rerun_outliers":$reruns,"load":$load,"runs":$runs,$duckdb$prov}"""
     println(line)
     // the driver may keep only a tail of stdout; persist the full

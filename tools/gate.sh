@@ -61,19 +61,15 @@ if bad:
     print("red queries:", bad); sys.exit(1)
 EOF
 
-if [ "${GATE_SKIP_SBT:-0}" != "1" ]; then
-  echo "== stage 4/5: sbt test ==" | tee -a "$LOG"
-  sbt -batch test >>"$LOG" 2>&1 || fail sbt-test
-else
-  echo "== stage 4/5: sbt test SKIPPED (GATE_SKIP_SBT=1) ==" | tee -a "$LOG"
-fi
-
-echo "== stage 5/5: Bench (sf0.1) ==" | tee -a "$LOG"
-# let the sbt-test stage's load tail decay before the probe set runs
-# (r10: the probe read 1.39x inside the gate vs ~0.95x on the same
-# idle box minutes earlier — the bench opens with the host-drift
-# probe, so it must not inherit the previous stage's GC/IO tail)
-for _ in $(seq 1 12); do
+# BENCH BEFORE SBT TEST (r10 VERDICT #2): the test suite leaves a
+# multi-minute GC/IO load tail that inflated the r9/r10 raw bench
+# numbers (probe ratio 1.39 at r10); running bench directly after the
+# (lighter) verify stage plus an idle gate makes the RAW numbers
+# trustworthy so normalization is a cross-check, not a crutch.
+echo "== stage 4/5: Bench (sf0.1, idle-gated) ==" | tee -a "$LOG"
+# block until the 1-min loadavg decays below 2.0 (cap 10 min), and
+# stamp the final pre-bench load into the log for adjudication
+for _ in $(seq 1 40); do
   L=$(cut -d' ' -f1 /proc/loadavg)
   awk -v l="$L" 'BEGIN{exit !(l < 2.0)}' && break
   sleep 15
@@ -84,6 +80,13 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   tools/run.sh graft.Bench >"$BENCH_TMP" 2>>"$LOG" || fail bench
 grep -E '^\{"metric"' "$BENCH_TMP" | tail -1 > /tmp/gate_bench_line.json
 [ -s /tmp/gate_bench_line.json ] || fail bench-json
+
+if [ "${GATE_SKIP_SBT:-0}" != "1" ]; then
+  echo "== stage 5/5: sbt test ==" | tee -a "$LOG"
+  sbt -batch test >>"$LOG" 2>&1 || fail sbt-test
+else
+  echo "== stage 5/5: sbt test SKIPPED (GATE_SKIP_SBT=1) ==" | tee -a "$LOG"
+fi
 
 if [ "$RUN_SF1" = "1" ]; then
   echo "== stage 6: sf1 oracle gate ==" | tee -a "$LOG"
@@ -172,8 +175,25 @@ fi
 # all green → emit artifacts. Bench writes the FULL per-query map to
 # bench_full.json beside its summary stdout line; the committed
 # artifact is the full map (the r8 convention), falling back to the
-# stdout summary if the file is absent.
+# stdout summary if the file is absent. A same-round rerun stamps the
+# displaced pass as _meta.superseded (r10 VERDICT #4: a retained
+# pre-rerun r9 file with a different total confused cross-round
+# diffs) so only one total per round is ever citable.
 cp "$CHECK_TMP" "$CHECK_OUT"
+if [ -e "$BENCH_OUT" ]; then
+  python3 - "$BENCH_OUT" "$ROUND" <<'EOF'
+import json, sys
+p, rnd = sys.argv[1], sys.argv[2]
+try:
+    d = json.load(open(p))
+except Exception:
+    sys.exit(0)
+d["_meta"] = {"superseded": True,
+              "note": f"displaced by a same-round gate rerun of r{rnd}; "
+                      "do not cite this pass's totals"}
+json.dump(d, open(p.replace(".json", "_superseded.json"), "w"))
+EOF
+fi
 if [ -s bench_full.json ]; then
   cp bench_full.json "$BENCH_OUT"
 else
