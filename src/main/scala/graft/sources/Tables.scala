@@ -20,9 +20,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // memoized per (session, dir, table): spark.read.parquet re-reads
+  // footers (schema inference + file listing) on EVERY call, and every
+  // query construction calls it once per table — ~20-50 ms each that
+  // the bench pays per run per table (r11 floor attribution). The
+  // returned plan is immutable; the testdata paths are too.
+  private val loadRegistry =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    loadRegistry.computeIfAbsent((spark, sfDir, name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
   /** Register every table as a temp view so callers can work in raw
@@ -32,11 +41,19 @@ object Tables {
     * GraftExtensions]] on the session, graft's native functions are
     * available in those queries too.
     */
+  // last-registered dir per session: re-registering ten views per
+  // raw-SQL query construction is pure overhead when the dir hasn't
+  // changed (the bench/verify case); a different dir re-registers
+  private val viewsRegistered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]
+
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    all.foreach { name =>
-      val df = if (name == "events") events(spark, sfDir)
-               else load(spark, sfDir, name)
-      df.createOrReplaceTempView(name)
+    if (viewsRegistered.put(spark, sfDir) != sfDir) {
+      all.foreach { name =>
+        val df = if (name == "events") events(spark, sfDir)
+                 else load(spark, sfDir, name)
+        df.createOrReplaceTempView(name)
+      }
     }
 
   /** Widen a narrow scan to cluster parallelism. A single parquet

@@ -1943,8 +1943,12 @@ object Analytics {
     * every drill-up level" board. Ranks are ties-broken on the
     * dimension names so the cut is deterministic in any engine; the
     * level key is derived from the rollup NULLs exactly as the
-    * oracle derives it. Plan: broadcast dim joins → one Expand
-    * aggregation → one window partitioned on the ≤3-value level key
+    * oracle derives it. Plan: broadcast dim joins → one PLAIN
+    * (region, nation) aggregation over the fact (map-side combined
+    * to ≤25 groups — the rollup Expand used to triple the joined
+    * fact into the aggregate, r10 profile finding) → rollup
+    * re-aggregation over the 25-row cell relation (sum of sums,
+    * exact) → one window partitioned on the ≤3-value level key
     * (WindowGroupLimit bounds it at k rows per partition before the
     * final sort).
     */
@@ -1952,7 +1956,7 @@ object Analytics {
     import org.apache.spark.sql.expressions.Window
     val cents = (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
       .cast("long")
-    val rev = Tables.lineitem(s, d)
+    val cells = Tables.lineitem(s, d)
       .join(Tables.orders(s, d),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, d)),
@@ -1961,8 +1965,11 @@ object Analytics {
         col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)),
         col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(cents).as("c0"))
+    val rev = cells
       .rollup(col("r_name"), col("n_name"))
-      .agg(sum(cents).as("cents"))
+      .agg(sum(col("c0")).as("cents"))
     val lvl = when(col("r_name").isNull, 2L)
       .when(col("n_name").isNull, 1L).otherwise(0L)
     val named = rev.select(lvl.as("lvl"),
