@@ -937,6 +937,22 @@ class TextSpec extends AnyFunSuite {
       assert(rate >= 0L && rate <= 1000000L) }
   }
 
+  test("curriculum phases: formula-independent invariants (size, coverage, order)") {
+    // oracle mirrors the engine's ⌊rank·k/n⌋+1 cut (r10) — these
+    // invariants hold for ANY correct equal-count phase split over
+    // the score-descending order, independent of the formula
+    val rs = graft.operators.TextAnalysis.curriculumSchedule(s, d).collect()
+      .map(r => (r.getAs[Long]("phase"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("mean_score_milli")))
+      .sortBy(_._1)
+    assert(rs.map(_._1) === (1L to 4L).toArray)
+    assert(rs.map(_._2).sum === graft.sources.Tables.documents(s, d).count())
+    assert(rs.map(_._2).max - rs.map(_._2).min <= 1)
+    // contiguity consequence: phase means non-INCREASING (desc order)
+    assert(rs.map(_._3).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true })
+  }
+
   test("annotation kappa: confusion counts and the kappa identity replay in BigInt") {
     val r = graft.operators.TextAnalysis.annotationKappa(s, d).collect()(0)
     val docs = graft.sources.Tables.documents(s, d)

@@ -1661,6 +1661,34 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("rfm buckets: formula-independent invariants (size, coverage, contiguity)") {
+    // the DuckDB oracle mirrors the engine's ⌊rank·k/n⌋+1 cut
+    // literally (r10), so a bug in the formula would be invisible to
+    // the gate; these invariants hold for ANY correct equi-width
+    // bucketing and are checked against the raw data, not the formula
+    val rows = graft.warehouse.Analytics.rfm(s, d).collect()
+    val n = rows.length
+    for ((key, bname) <- Seq[(org.apache.spark.sql.Row => (Long, Long), String)](
+        (r => (r.getAs[java.sql.Date]("last_order").toLocalDate.toEpochDay,
+          r.getAs[Long]("customer_id")), "r_bucket"),
+        (r => (r.getAs[Long]("frequency"),
+          r.getAs[Long]("customer_id")), "f_bucket"),
+        (r => (math.round(r.getAs[Double]("monetary") * 100),
+          r.getAs[Long]("customer_id")), "m_bucket"))) {
+      val byBucket = rows.groupBy(_.getAs[Long](bname))
+      // k non-empty buckets for n >= k
+      assert(n < 4 || byBucket.keySet === Set(1L, 2L, 3L, 4L),
+        s"$bname coverage")
+      // sizes differ by at most 1
+      val sizes = byBucket.values.map(_.length).toSeq
+      assert(sizes.max - sizes.min <= 1, s"$bname sizes $sizes")
+      // contiguous in the (key, customer_id) total order
+      val ordered = rows.sortBy(key).map(_.getAs[Long](bname))
+      assert(ordered.sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true }, s"$bname contiguity")
+    }
+  }
+
   test("rfm migration: matrix conserves customers and replays the quartiling") {
     val cells = graft.warehouse.Analytics.rfmMigration(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_customers"))
