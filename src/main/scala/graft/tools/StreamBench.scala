@@ -37,15 +37,10 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     import graft.sources.Tables
 
-    // stage the fact as a 32-chunk source so AvailableNow consumes it
-    // as real micro-batches (4 files each), not one giant batch. The
-    // chunks are TIME-RANGED and their mod times touched in chunk
-    // order: the parquet stream source processes oldest-mod-time
-    // first, so the replay arrives in event-time order — the
-    // operational Kafka shape the 1-hour watermark is sized for. A
-    // randomly-ordered replay advances the watermark to near-max in
-    // batch 1 and silently drops ~30% of updates as late, which
-    // would make the rows/sec number meaningless.
+    // stage the fact as a 32-chunk event-time-ordered source so
+    // AvailableNow consumes it as real micro-batches (4 files each)
+    // in the operational Kafka order — see graft.streaming.Replay
+    // for why random file order would void the number
     val stageDir = "/tmp/streambench_stage"
     val ckpt = s"/tmp/streambench_ckpt_${System.currentTimeMillis()}"
     val chunks = 32
@@ -53,26 +48,8 @@ object StreamBench {
       .select(col("l_shipdate").cast("timestamp").as("d_time"),
         col("l_partkey").as("sku_id"),
         col("l_extendedprice").as("amount"))
-    val ext = src0.agg(min(unix_timestamp(col("d_time"))),
-      max(unix_timestamp(col("d_time")))).collect()(0)
-    val (mnS, mxS) = (ext.getLong(0), ext.getLong(1))
-    src0.withColumn("ck", least(lit(chunks - 1),
-        floor((unix_timestamp(col("d_time")) - mnS) * chunks /
-          math.max(mxS - mnS + 1, 1L))).cast("int"))
-      .repartition(chunks, col("ck"))
-      .write.partitionBy("ck").mode("overwrite").parquet(stageDir)
-    // touch chunk files to strictly increasing mod times
-    val base = java.nio.file.FileSystems.getDefault
-    (0 until chunks).foreach { k =>
-      val dir = base.getPath(stageDir, s"ck=$k")
-      if (java.nio.file.Files.isDirectory(dir)) {
-        val t = java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - (chunks - k) * 60000L)
-        java.nio.file.Files.list(dir).forEach(f =>
-          java.nio.file.Files.setLastModifiedTime(f, t))
-      }
-    }
-    val inputRows = spark.read.parquet(stageDir).count()
+    val inputRows = graft.streaming.Replay
+      .stageOrdered(src0, "d_time", stageDir, chunks)
     val dim = Tables.part(spark, sfDir)
       .select(col("p_partkey"), col("p_brand"))
 

@@ -205,6 +205,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ordered replay staging: no window lost to the watermark, state bounded") {
+    // Replay.stageOrdered is the STREAMBENCH harness's staging step:
+    // files time-ranged with monotone mod times, so the watermarked
+    // flagship consumes the historical fact in event-time order. The
+    // invariants graded here are the ones the committed throughput
+    // artifact relies on: every staged row consumed, the sink holds
+    // EVERY (window, group) the batch replay produces (a random-order
+    // replay measurably drops updates as late), and peak state stays
+    // strictly below the group universe (the watermark evicts).
+    val stageDir = tmp("replay-stage")
+    val src = Tables.lineitem(s, d)
+      .select(col("l_shipdate").cast("timestamp").as("d_time"),
+        col("l_partkey").as("sku_id"),
+        col("l_extendedprice").as("amount"))
+    val staged = graft.streaming.Replay
+      .stageOrdered(src, "d_time", stageDir, 8)
+    assert(staged === Tables.lineitem(s, d).count())
+    val stream = s.readStream.schema(s.read.parquet(stageDir).schema)
+      .option("maxFilesPerTrigger", "2").parquet(stageDir).drop("ck")
+    val dim = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    val q = Jobs.skuOrderWindow(stream, dim, "p_partkey", "p_brand")
+      .writeStream.format("memory").queryName("replayw")
+      .outputMode("update")
+      .option("checkpointLocation", tmp("replay-ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000)
+    finally q.stop()
+    val progress = q.recentProgress.toSeq
+    assert(progress.map(_.numInputRows).sum === staged, "all rows consumed")
+    assert(progress.count(_.numInputRows > 0) > 1, "a real multi-batch replay")
+    val batchGroups = s.read.parquet(stageDir)
+      .join(dim, col("sku_id") === col("p_partkey"))
+      .groupBy(window(col("d_time"), "1 day"), col("p_brand"))
+      .count().count()
+    val sinkGroups = s.sql(
+      "SELECT count(*) FROM (SELECT DISTINCT wstart, p_brand FROM replayw)")
+      .collect()(0).getLong(0)
+    assert(sinkGroups === batchGroups, "no window lost to the watermark")
+    val statePeak = progress.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsTotal).max
+    assert(statePeak < batchGroups,
+      "watermark must evict closed windows (bounded state)")
+  }
+
   test("dim broadcast join enriches the stream without shuffling it") {
     val dim = Tables.nation(s, d)
     val enriched = Jobs.dimJoin(
