@@ -99,14 +99,22 @@ object Bench {
       val blk = parseTimes(p, "probe")
       if (blk.nonEmpty) blk else priorMin
     }.getOrElse(Map.empty)
-    def medianRatio(times: Seq[(String, Double)]): Option[Double] = {
+    // END-probe comparisons must be like-for-like: the end probe is
+    // structurally warmer (full-suite JIT, memoized loads, page
+    // cache) than the start probe, so it only compares against the
+    // PRIOR round's end block — never the start block (the r11 gate
+    // run compared end-vs-start and read a spurious 0.39)
+    val probeEndPrior: Map[String, Double] =
+      priorPath.map(parseTimes(_, "probe_end")).getOrElse(Map.empty)
+    def medianRatio(times: Seq[(String, Double)],
+        prior: Map[String, Double]): Option[Double] = {
       val rs = times.flatMap { case (k, v) =>
-        probePrior.get(k).filter(_ > 0.0)
+        prior.get(k).filter(_ > 0.0)
           .flatMap(pv => if (v > 0.0) Some(v / pv) else None)
       }.sorted
       if (rs.size >= 5) Some(rs(rs.size / 2)) else None
     }
-    val probeRatio: Option[Double] = medianRatio(probeTimes)
+    val probeRatio: Option[Double] = medianRatio(probeTimes, probePrior)
     probeRatio.foreach(r =>
       System.err.println(f"[bench] probe median ratio vs prior: $r%.3f"))
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -247,7 +255,7 @@ object Bench {
     // normalizable when start and end agree
     val probeEnd: Seq[(String, Double)] =
       if (only.isDefined) Seq.empty else runProbe()
-    val probeEndRatio: Option[Double] = medianRatio(probeEnd)
+    val probeEndRatio: Option[Double] = medianRatio(probeEnd, probeEndPrior)
     probeEndRatio.foreach(r =>
       System.err.println(f"[bench] END probe median ratio vs prior: $r%.3f"))
     val probeJson = probeTimes.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -257,10 +265,12 @@ object Bench {
     val probeWarmed = probeSet.map("\"" + _ + "\"").mkString("[", ",", "]")
     // raw AND normalized totals ride the artifact together: the
     // normalized one divides out measured host drift so a VERDICT can
-    // read cross-round deltas without a re-run — emitted ONLY when
-    // the start and end ratios agree within 15% (otherwise the drift
-    // moved mid-run and one ratio can't speak for the whole total;
-    // both ratios are still stamped for adjudication)
+    // read cross-round deltas without a re-run. With BOTH like-for-
+    // like ratios (start-vs-prior-start, end-vs-prior-end) available,
+    // normalization requires them to agree within 15% (otherwise the
+    // drift moved mid-run and one ratio can't speak for the whole
+    // total — both are stamped for adjudication); with only the start
+    // ratio (the first end-block-bearing round), it normalizes alone.
     val probeProv = (probeRatio, probeEndRatio) match {
       case (Some(a), Some(b)) =>
         val agree = math.abs(a - b) <= 0.15 * math.max(a, b)
@@ -270,7 +280,7 @@ object Bench {
         } else """"probe_ratio_disagreement":true,"""
         f""""probe_median_ratio_vs_prior":$a%.4f,"probe_end_median_ratio_vs_prior":$b%.4f,""" + norm
       case (Some(a), None) =>
-        f""""probe_median_ratio_vs_prior":$a%.4f,"""
+        f""""probe_median_ratio_vs_prior":$a%.4f,"total_normalized":${total / a}%.2f,"""
       case _ => ""
     }
     val prov = s""""probe":$probeJson,"probe_end":$probeEndJson,"probe_warmed":$probeWarmed,$probeProv"git_sha":"$sha","started_utc":"$started","finished_utc":"${Verify.utcNow()}""""
