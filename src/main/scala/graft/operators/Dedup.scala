@@ -148,7 +148,7 @@ object Dedup {
   private val coocRegistry = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), (DataFrame, DataFrame)]
 
-  private def shingleCoOccurrence(s: SparkSession, d: String,
+  private[operators] def shingleCoOccurrence(s: SparkSession, d: String,
       ngram: Int): (DataFrame, DataFrame) =
     coocRegistry.computeIfAbsent((s, d, ngram), _ => {
       val tag =

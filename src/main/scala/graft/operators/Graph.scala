@@ -465,16 +465,25 @@ object Graph {
     // co-partitioned sort-merge join on its own at billions of nodes,
     // where a forced broadcast() would OOM the driver (r7 VERDICT
     // What's-wrong #4).
+    // r11 OPT: the unrolled-superstep plan nested every prior round
+    // inside the next one (round 3's tree re-derived rounds 1-2 and
+    // re-scanned the pair layout ~16×; 124-node physical plan).
+    // Caching the NODE-GRAIN state per round — the same bounded
+    // "score vector" discipline as [[hits]]' h2 — keeps each round's
+    // plan one join + one aggregate over the layout scan. Rank rows
+    // are node-cardinality (documented broadcast-bound state), never
+    // the edge set.
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, "src")
     var rank: DataFrame =
       deg.select(col("src").as("id"), lit(1000000L).as("pr"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       rank = withDeg
         .join(rank.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("pr DIV deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("sc"))
         .select(col("id"), (lit(150000L) + expr("(sc * 85) DIV 100")).as("pr"))
+      if (i < iters) rank = rank.cache()
     }
     rank.select(col("id").as("part_id"), col("pr").as("pr_score"))
   }
@@ -579,11 +588,15 @@ object Graph {
         col("c")))
     val seed = broadcast(st.agg(min(col("s")).as("node")))
     var dist = seed.select(col("node"), lit(0L).as("dist"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val relax = dist.join(e, dist("node") === e("src"))
         .select(col("dst").as("node"), (col("dist") + col("c")).as("dist"))
       dist = dist.unionByName(relax)
         .groupBy("node").agg(min(col("dist")).as("dist"))
+      // r11 OPT: node-grain state cached per relaxation round (the
+      // unrolled plan otherwise re-derives every earlier round —
+      // same move as [[pagerankCoPurchase]])
+      if (r < rounds) dist = dist.cache()
     }
     dist.select(col("node").as("part_id"), col("dist"))
   }
@@ -1406,7 +1419,7 @@ object Graph {
     val seeds = deg.filter(col("src") % seedMod === 0)
       .select(col("src").as("id"))
     var rank: DataFrame = seeds.select(col("id"), lit(1000000L).as("pr"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       // one wide map-side-combinable aggregation per round: spread
       // messages carry c (damped AFTER the sum — the DIV order is
       // part of the graded semantics), seed-restart rows carry r
@@ -1418,6 +1431,10 @@ object Graph {
           lit(150000L).as("r")))
         .groupBy("id")
         .agg((sum(col("r")) + expr("(sum(c) * 85) DIV 100")).as("pr"))
+      // r11 OPT: cache the node-grain vector per round (same plan-
+      // truncation move as [[pagerankCoPurchase]] — the unrolled form
+      // re-derived every prior round inside the next one)
+      if (i < iters) rank = rank.cache()
     }
     rank.filter(col("pr") > 0)
       .select(col("id").as("part_id"),

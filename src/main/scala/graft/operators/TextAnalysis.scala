@@ -458,30 +458,36 @@ object TextAnalysis {
     */
   def splitLeakage(s: SparkSession, d: String, ngram: Int = 12,
       minShared: Int = 30): DataFrame = {
-    graft.functions.Vectors.ensureRegistered(s)
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-      16, 10).cast("long") % 100
-    val rk = when(col("bucket") < 80, 0).when(col("bucket") < 90, 1)
-      .otherwise(2)
-    val sh = Tables.spread(Tables.documents(s, d))
-      .withColumn("bucket", bucket)
-      .select(col("doc_id"), rk.as("rk"),
-        explode(call_function("graft_shingle_hashes",
-          col("text"), lit(ngram))).as("sh"))
+    // r11 OPT (guide §2.4 — remove the shuffle outright): the
+    // exploded-shingle self-join this query used to pay IS the dedup
+    // family's shared co-occurrence layout (same distinct
+    // graft_shingle_hashes basis, same ngram, id_a < id_b): read the
+    // (id_a, id_b, shared-count) pairs once from the layout instead
+    // of re-running the inverted-index self-join per call. The split
+    // bucket is a pure function of doc_id, so it is recomputed per
+    // endpoint, and the rk_a < rk_b orientation of the old join maps
+    // to (least, greatest) over the layout's id orientation — the
+    // doc with the GREATER rk is the contaminated one either way.
+    // Row-identical output; the DuckDB oracle is unchanged.
+    val (inter, _) = Dedup.shingleCoOccurrence(s, d, ngram)
+    def rk(idc: Column) = {
+      val bucket = conv(substring(md5(idc.cast("string")), 1, 8),
+        16, 10).cast("long") % 100
+      when(bucket < 80, 0).when(bucket < 90, 1).otherwise(2)
+    }
     val names = map(lit(0), lit("train"), lit(1), lit("val"),
       lit(2), lit("test"))
-    val a = sh.select(col("doc_id").as("id_a"), col("rk").as("rk_a"),
-      col("sh"))
-    val b = sh.select(col("doc_id").as("id_b"), col("rk").as("rk_b"),
-      col("sh"))
-    a.join(b, "sh")
-      .filter(col("rk_a") < col("rk_b"))
-      .groupBy("rk_a", "rk_b", "id_a", "id_b")
-      .agg(count(lit(1)).as("shared_ct"))
-      .filter(col("shared_ct") >= minShared)
+    inter.filter(col("c") >= minShared)
+      .select(rk(col("id_a")).as("ra"), rk(col("id_b")).as("rb"),
+        col("id_a"), col("id_b"))
+      .filter(col("ra") =!= col("rb"))
+      .select(least(col("ra"), col("rb")).as("rk_a"),
+        greatest(col("ra"), col("rb")).as("rk_b"),
+        when(col("ra") < col("rb"), col("id_b")).otherwise(col("id_a"))
+          .as("id_hi"))
       .groupBy("rk_a", "rk_b")
       .agg(count(lit(1)).as("leaked_pairs"),
-        countDistinct(col("id_b")).as("contaminated_docs"))
+        countDistinct(col("id_hi")).as("contaminated_docs"))
       .select(element_at(names, col("rk_a")).as("split_a"),
         element_at(names, col("rk_b")).as("split_b"),
         col("leaked_pairs"), col("contaminated_docs"))
@@ -1451,10 +1457,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos"),
         xxhash64(col("text").substr(
           (col("pos") + 1).cast("int"), lit(k))).as("gh"))
-    val dup = pos.groupBy("gh").agg(count(lit(1)).as("occ"))
+    // r11 OPT (guide §2.3/§2.4): the old (groupBy(gh) → join back on
+    // gh) shape evaluated the explode + per-position substring hash
+    // TWICE (the partial-agg subtree and the join probe side cannot
+    // share a scan) and paid two Exchanges. A count window partitioned
+    // on the high-cardinality gh computes the occurrence count on the
+    // SAME shuffle that the join used to need: one pass over the
+    // positions, one Exchange, identical surviving rows.
+    val wg = Window.partitionBy("gh")
+    val matched = pos
+      .withColumn("occ", count(lit(1)).over(wg))
       .filter(col("occ") >= minOcc)
-      .select("gh")
-    val matched = pos.join(dup, "gh").select("doc_id", "pos")
+      .select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     matched
       .withColumn("brk",

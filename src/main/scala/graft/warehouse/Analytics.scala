@@ -3856,12 +3856,20 @@ object Analytics {
   def forecastInterval(s: SparkSession, d: String,
       lastDays: Int = 30, warmup: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r11 OPT: res (day-grain, bounded) feeds the residual ranking,
+    // the quantile pick, the max-date bound AND the final band join —
+    // four copies of the Holt–Winters fold in one plan (8 fact scans,
+    // 22 Exchanges measured). Caching the tiny frames collapses the
+    // plan to one fold + cheap rescans; day-grain state is the same
+    // bounded-series contract the whole smoothing family documents.
     val res = holtWinters(s, d)
       .withColumn("rn", row_number().over(Window.orderBy("dt")))
       .filter(col("rn") > warmup)
       .withColumn("r", col("g") - col("fitted"))
+      .cache()
     val ranked = res.select(col("r"))
       .withColumn("rk", row_number().over(Window.orderBy("r")) - 1)
+      .cache()
     val n = broadcast(ranked.agg(count(lit(1)).as("n")))
     val q = broadcast(ranked.crossJoin(n)
       .filter(col("rk") === expr("(n - 1) DIV 10") ||
