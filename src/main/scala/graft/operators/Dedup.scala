@@ -637,26 +637,28 @@ object Dedup {
     */
   def crossSourceOverlap(s: SparkSession, d: String, ngram: Int = 12,
       minShared: Int = 30): DataFrame = {
-    Vectors.ensureRegistered(s)
-    val sh = Tables.spread(Tables.documents(s, d)).select(
-        col("doc_id"),
-        substring(col("source"), 4, 10).cast("int").as("src_n"),
-        explode(call_function("graft_shingle_hashes",
-          col("text"), lit(ngram))).as("sh"))
-    // sort-merge equi-join on the 8-byte shingle hash, then a pair
-    // count with map-side partial aggregation. (A posting-list
-    // formulation — groupBy(sh) → collect train/eval id arrays →
-    // explode pairs — measured 2.3× SLOWER here: the raw pair stream
-    // is generated either way, and the array build adds a shuffle of
-    // collect_list state without removing the pair aggregation.)
-    val train = sh.filter(col("src_n") < 10)
-      .select(col("doc_id").as("train_id"), col("sh"))
-    val eval_ = sh.filter(col("src_n") >= 10)
-      .select(col("doc_id").as("eval_id"), col("sh"))
-    train.join(eval_, "sh")
-      .groupBy("train_id", "eval_id")
-      .agg(count(lit(1)).as("shared_ct"))
-      .filter(col("shared_ct") >= minShared)
+    // r11 OPT (guide §2.4): the train↔eval pair counts are a subset
+    // of the dedup family's shared shingle co-occurrence layout
+    // (graft_shingle_hashes is sorted-DISTINCT per doc, so the
+    // hash-equi-join count IS |A∩B| on both paths — same basis, same
+    // ngram). Rebuilding the exploded-shingle self-join per call paid
+    // the corpus's most expensive shuffle again; now the query is a
+    // filter + orientation map over the layout plus a doc→source
+    // lookup (no text read at all). Same rewrite family as
+    // pipeline_split_leakage's.
+    val (inter, _) = shingleCoOccurrence(s, d, ngram)
+    val src = Tables.documents(s, d).select(col("doc_id"),
+      (substring(col("source"), 4, 10).cast("int") < 10).as("is_train"))
+    inter
+      .join(src.select(col("doc_id").as("id_a"), col("is_train").as("ta")),
+        "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("is_train").as("tb")),
+        "id_b")
+      .filter(col("ta") =!= col("tb") && col("c") >= minShared)
+      .select(
+        when(col("ta"), col("id_a")).otherwise(col("id_b")).as("train_id"),
+        when(col("ta"), col("id_b")).otherwise(col("id_a")).as("eval_id"),
+        col("c").as("shared_ct"))
   }
 
   /** Embedding near-dup pairs, exact quadratic variant (the oracle /
@@ -1240,36 +1242,53 @@ object Dedup {
     }
     val truth = s.table(tTruth).cache()
     val nTruth = truth.count()
-    val rows = Seq(16, 8, 4).map { bands =>
+    // r11 OPT (guide §1.2/§2.4): the three banding configs ran as
+    // three separate pipelines (3 band self-joins, 3 distincts, a
+    // semi-join + TWO 1-row aggregates each — ~16 jobs of stage
+    // overhead on ≤80k-row inputs). One pass now carries a `bands`
+    // config column through a single self-join keyed (bands, band,
+    // key); true positives ride a left-join marker so candidate and
+    // hit counts fall out of ONE aggregation per config.
+    val configs = Seq(16, 8, 4)
+    val slices = configs.flatMap { bands =>
       val r = perms / bands
-      val banded = sig.select(col("doc_id"), posexplode(
-          transform(sequence(lit(0), lit(bands - 1)),
-            b => slice(col("sig"), b * r + 1, lit(r)))))
-        .toDF("doc_id", "band", "key")
-      val cand = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") &&
-          col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
-      val nc = cand.agg(count(lit(1)).as("n_cand"))
-      val tp = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
-        .agg(count(lit(1)).as("tp"))
-      nc.crossJoin(broadcast(tp)) // two 1-row aggregates
-        .select(lit(bands.toLong).as("bands"),
-          lit(r.toLong).as("rows_per_band"),
-          lit(nTruth).as("n_truth"), col("n_cand"), col("tp"),
-          expr("tp * 1000000 DIV greatest(n_cand, 1)")
-            .as("precision_ppm"),
-          expr(s"tp * 1000000 DIV greatest(${nTruth}L, 1)")
-            .as("recall_ppm"))
+      (0 until bands).map(b => struct(lit(bands.toLong).as("bands"),
+        lit(b).as("band"), slice(col("sig"), b * r + 1, r).as("key")))
     }
-    // This function is EAGER by nature (nTruth is embedded as a
-    // literal, so a truth job already ran). Materialize the ≤3-row
-    // result while the caches are still warm, then RELEASE them —
-    // repeated invocations must not accumulate executor storage
-    // (r8 ADVICE: sig/truth were never unpersisted).
-    val out = rows.reduce(_.unionByName(_)).localCheckpoint()
+    val banded = sig.select(col("doc_id"),
+        explode(array(slices: _*)).as("s"))
+      .select(col("doc_id"), col("s.bands").as("bands"),
+        col("s.band").as("band"), col("s.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.bands") === col("y.bands") &&
+        col("x.band") === col("y.band") &&
+        col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.bands").as("bands"),
+        col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val perConfig = cand
+      .join(truth.withColumn("t", lit(1)), Seq("id_a", "id_b"),
+        "left_outer")
+      .groupBy("bands")
+      .agg(count(lit(1)).as("n_cand"), count(col("t")).as("tp"))
+    // a config whose candidate set is EMPTY (possible at tiny SFs)
+    // must still emit its zero row, as the per-config aggregates did
+    import s.implicits._
+    val cframe = configs.map(b => (b.toLong, (perms / b).toLong))
+      .toDF("bands", "rows_per_band")
+    val out = cframe.join(perConfig, Seq("bands"), "left_outer")
+      .select(col("bands"), col("rows_per_band"),
+        lit(nTruth).as("n_truth"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        expr("tp * 1000000 DIV greatest(n_cand, 1)")
+          .as("precision_ppm"),
+        expr(s"tp * 1000000 DIV greatest(${nTruth}L, 1)")
+          .as("recall_ppm"))
+      // eager by nature (nTruth is already a literal); materialize the
+      // ≤3-row result while the cache is warm, then RELEASE it
+      .localCheckpoint()
     truth.unpersist()
     out
   }

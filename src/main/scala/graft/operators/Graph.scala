@@ -443,12 +443,19 @@ object Graph {
     val h2 = h1.select(col("src"), col("dst").as("mid"))
       .join(e.select(col("src").as("mid"), col("dst")), "mid")
       .select(col("src"), col("dst"))
-    val reach2 = h1.unionByName(h2)
-      .filter(col("dst") =!= col("src")).distinct()
-    h1.groupBy(col("src"))
-      .agg(count(lit(1)).as("k1_ct")) // h1 is already distinct pairs
-      .join(reach2.groupBy(col("src")).agg(count(lit(1)).as("k2_ct")),
-        "src")
+    // r11 OPT (guide §2.4): provenance tag instead of a second
+    // aggregation + join — 1-hop rows carry one=1 (h1 is a distinct
+    // edge set, so max(one) marks exactly the ≤1-hop pairs), the
+    // frontier dedup becomes the first groupBy, and the per-source
+    // counts ride the SAME partitioning (subset clustering — no
+    // Exchange): k1 = Σone, k2 = row count. One shuffle of the
+    // frontier instead of two plus a join.
+    val tagged = h1.select(col("src"), col("dst"), lit(1L).as("one"))
+      .unionByName(h2.select(col("src"), col("dst"), lit(0L).as("one")))
+      .filter(col("dst") =!= col("src"))
+    tagged.groupBy("src", "dst").agg(max(col("one")).as("one"))
+      .groupBy("src")
+      .agg(sum(col("one")).as("k1_ct"), count(lit(1)).as("k2_ct"))
       .select(col("src").as("part_id"), col("k1_ct"), col("k2_ct"))
   }
 
@@ -1285,7 +1292,11 @@ object Graph {
       .select(col("v"), col("n"))
       .unionByName(r)
       .filter(col("v") =!= col("n")).distinct()
-    val r2 = expand(r1)
+    // r11 OPT (guide §1.2): r2 feeds BOTH the r3 expansion and its
+    // own count — unpinned, r3's plan re-derived the whole r2 subtree
+    // (the before-plan re-scanned the pair layout 44×). Same bounded
+    // frontier-state discipline as pagerank's cached rank vector.
+    val r2 = expand(r1).localCheckpoint()
     val r3 = expand(r2)
     val c1 = r1.groupBy(col("v")).agg(count(lit(1)).as("c1"))
     val c2 = r2.groupBy(col("v")).agg(count(lit(1)).as("c2"))

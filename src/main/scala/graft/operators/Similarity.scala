@@ -77,8 +77,32 @@ object Similarity {
     * equi-join on cell id. Higher recall than plain LSH at the same
     * candidate budget because cells follow the data distribution.
     */
+  // r11 OPT (guide §1.2): like [[bruteForceTopK]], the IVF and LSH
+  // top-k relations are rank-only nQueries·k-row results consumed by
+  // a whole eval family (annRecallEval, rankFusion, the spec recall
+  // tests) — each consumer re-paid the index + search pipeline per
+  // call. Compute-once managed layouts, same registry discipline and
+  // crash-safe dropStaleLocation as the truth table.
+  private val annRegistry = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]
+
   def annIvf(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val tbl = "graft_annivf_" +
+      s"${graft.sources.Bucketing.datasetTag(d)}_${nQueries}_${k}_${nCells}_$nProbe"
+    annRegistry.computeIfAbsent((s, d, tbl), _ => {
+      if (!s.catalog.tableExists(tbl)) {
+        graft.sources.Bucketing.dropStaleLocation(s, tbl)
+        annIvfCompute(s, d, nQueries, k, nCells, nProbe).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(tbl)
+      }
+      s.table(tbl)
+    })
+  }
+
+  private def annIvfCompute(s: SparkSession, d: String, nQueries: Int,
+      k: Int, nCells: Int, nProbe: Int): DataFrame = {
     Vectors.ensureRegistered(s)
     val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
       Vectors.asDouble(col("embedding")).as("v"))
@@ -784,6 +808,21 @@ object Similarity {
     */
   def annLsh(s: SparkSession, d: String, nQueries: Int = 20,
       k: Int = 5, nBits: Int = 6): DataFrame = {
+    val tbl = "graft_annlsh_" +
+      s"${graft.sources.Bucketing.datasetTag(d)}_${nQueries}_${k}_$nBits"
+    annRegistry.computeIfAbsent((s, d, tbl), _ => {
+      if (!s.catalog.tableExists(tbl)) {
+        graft.sources.Bucketing.dropStaleLocation(s, tbl)
+        annLshCompute(s, d, nQueries, k, nBits).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(tbl)
+      }
+      s.table(tbl)
+    })
+  }
+
+  private def annLshCompute(s: SparkSession, d: String, nQueries: Int,
+      k: Int, nBits: Int): DataFrame = {
     Vectors.ensureRegistered(s)
     val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
       Vectors.asDouble(col("embedding")).as("v"))
@@ -1073,29 +1112,45 @@ object Similarity {
     val truth = bruteForceTopK(s, d, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
+    // r11 OPT (guide §1.2/§2.4): the four per-prefix branches each
+    // re-scanned the corpus and re-joined the broadcast query set
+    // (16 scans, 48 Exchanges). One pair scan now computes all four
+    // prefix cosines (prefix norms precomputed PER VECTOR, dots are
+    // the same graft_dot left-fold over slice() — bit-identical to
+    // the sliced-vector formula), posexplode fans them to (prefix,
+    // pair) grain, and ONE window ranks every (prefix, query) group.
+    // A prefix with zero hits still emits its row via the left join
+    // against the literal prefix frame.
     val e = Tables.spread(Tables.embeddings(s, d)).select(col("vec_id"),
       Vectors.asDouble(col("embedding")).as("v"))
-    val perPrefix = prefixes.map { p =>
-      val pe = e.select(col("vec_id"), slice(col("v"), 1, p).as("v"))
-        .withColumn("nrm", Vectors.norm(col("v")))
-      val q = pe.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      val top = pe.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          Vectors.cosineWithNorms(col("qv"), col("v"), col("qn"),
-            col("nrm")).as("cos"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k)
-      top.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(p.toLong).as("prefix_dim"), col("n_hits"),
-          expr(s"n_hits * 1000000 DIV ${nQueries.toLong * k}")
-            .as("recall_ppm"))
+    val pe = e.select(col("vec_id"), col("v"),
+      array(prefixes.map(p => Vectors.norm(slice(col("v"), 1, p))): _*)
+        .as("nrms"))
+    val q = pe.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrms").as("qns"))
+    val cosAll = prefixes.indices.map { pi =>
+      val p = prefixes(pi)
+      Vectors.dot(slice(col("qv"), 1, p), slice(col("v"), 1, p)) /
+        (element_at(col("qns"), pi + 1) * element_at(col("nrms"), pi + 1))
     }
-    perPrefix.reduce(_ unionByName _)
+    val scored = pe.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        posexplode(array(cosAll: _*)).as(Seq("pi", "cos")))
+    val w = Window.partitionBy("pi", "query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val hits = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("pi").agg(count(lit(1)).as("n_hits"))
+    val pframe = s.createDataFrame(
+      prefixes.indices.map(pi => (pi, prefixes(pi).toLong)))
+      .toDF("pi", "prefix_dim")
+    pframe.join(hits, Seq("pi"), "left_outer")
+      .select(col("prefix_dim"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm",
+        expr(s"n_hits * 1000000 DIV ${nQueries.toLong * k}"))
   }
 
   /** DuckDB oracle GENERATOR for [[matryoshkaRecall]]: per prefix,
@@ -1592,7 +1647,8 @@ object Similarity {
     * Scale shape: centroid sums are d·L rows (tiny) and BROADCAST to
     * the ⟨q,S⟩ join, so the corpus shuffles once into the per-vector
     * groupBy — at 100 TB: one scan, one combinable aggregation, one
-    * broadcast join, one per-vec_id window over L−1 rows.
+    * broadcast join, one conditional a/b aggregate over the L rows
+    * per vector.
     */
   def silhouette(s: SparkSession, d: String): DataFrame = {
     val d19 = DecimalType(19, 0)
@@ -1602,36 +1658,43 @@ object Similarity {
         posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), col("own"), col("dim"),
         (col("v").cast("double") * 1000000).cast("long").as("q"))
+    // label counts ride the centroid aggregation (every vector
+    // contributes each dim exactly once, so any dim's count IS the
+    // label's vector count) — the separate embeddings scan + third
+    // broadcast are gone
     val cent = q.groupBy(col("own").as("label"), col("dim"))
-      .agg(sum(col("q")).as("sd"))
-    val nl = Tables.embeddings(s, d)
-      .groupBy(col("label").cast("long").as("label"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("q")).as("sd"), count(lit(1)).as("nd"))
     val ssq = cent.groupBy("label")
       .agg(sum((col("sd").cast(d19) * col("sd").cast(d19)).cast(d38))
-        .as("cnorm2"))
-    val vn = q.groupBy("vec_id", "own")
-      .agg(sum(col("q") * col("q")).as("norm2"))
-    val ip = q.join(broadcast(cent), Seq("dim"))
+        .as("cnorm2"), max(col("nd")).as("n"))
+    // r11 OPT (guide §2.4): ‖q‖² folds into the ⟨q,S⟩ aggregation —
+    // each (vec, label) group sees every dim exactly once (the
+    // centroid table is dense in (label, dim)), so sum(q·q) inside
+    // the same groupBy IS the vector norm and the separate `vn`
+    // pass + its (vec_id, own) sort-merge join disappear. The
+    // a/b selection is a conditional aggregate over the same
+    // (vec_id, own) grain instead of a self-referencing
+    // filter-join + per-vec window: b2 = min d2 over other labels
+    // (the window's rank-1 row only ever contributed its d2, so the
+    // tie-break was decoration), one groupBy instead of two plan
+    // copies of the whole ip subtree. 20 scans → 3, 46 Exchanges → 7.
+    val ip = q.join(broadcast(cent.select("label", "dim", "sd")), Seq("dim"))
       .groupBy("vec_id", "own", "label")
       .agg(sum((col("q").cast(d19) * col("sd").cast(d19)).cast(d38))
-        .as("ipqs"))
-    val scaled = ip.join(broadcast(nl), Seq("label"))
-      .join(broadcast(ssq), Seq("label"))
-      .join(vn, Seq("vec_id", "own"))
+        .as("ipqs"),
+        sum(col("q") * col("q")).as("norm2"))
+    val scaled = ip.join(broadcast(ssq), Seq("label"))
       .withColumn("d2",
         expr("""(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
                   * CAST(norm2 AS DECIMAL(38,0))
                  - 2 * CAST(n AS DECIMAL(38,0)) * ipqs + cnorm2)
                 DIV (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))"""))
-    val own = scaled.filter(col("label") === col("own"))
-      .select(col("vec_id"), col("own"), col("d2").as("a2"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("d2"), col("label"))
-    val nearestOther = scaled.filter(col("label") =!= col("own"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("d2").as("b2"))
-    own.join(nearestOther, "vec_id")
+    scaled.groupBy("vec_id", "own")
+      .agg(max(when(col("label") === col("own"), col("d2"))).as("a2"),
+        min(when(col("label") =!= col("own"), col("d2"))).as("b2"))
+      // inner-join parity: a vector with no other label (single-label
+      // corpus) dropped out of the old own⋈nearestOther join
+      .filter(col("b2").isNotNull)
       .withColumn("s_ppm",
         expr("""CASE WHEN a2 = 0 AND b2 = 0 THEN CAST(0 AS BIGINT)
                 ELSE (CAST(b2 AS DECIMAL(38,0)) - CAST(a2 AS DECIMAL(38,0)))

@@ -323,9 +323,17 @@ object TextAnalysis {
           i => struct(element_at(col("t"), i).as("w1"),
             element_at(col("t"), i + 1).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val cu = bigrams.groupBy("w1").agg(count(lit(1)).as("cu"))
-    val perDoc = bigrams.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+    // r11 OPT (guide §2.3/§2.4): both count tables as windows over
+    // ONE bigram pass — partitioning by w1 first means the (w1, w2)
+    // window rides the same Exchange (subset clustering), so the
+    // exploded stream is computed once and shuffled twice (w1, then
+    // doc) instead of exploded three times and sort-merge-joined
+    // twice. Same counts, same per-bigram p_ppm.
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = bigrams
+      .withColumn("cu", count(lit(1)).over(Window.partitionBy("w1")))
+      .withColumn("cb",
+        count(lit(1)).over(Window.partitionBy("w1", "w2")))
       .withColumn("p_ppm", expr("cb * 1000000 div cu"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sum_ppm"))
@@ -1126,13 +1134,19 @@ object TextAnalysis {
       .withColumn("stop", col("tok").isin(stops: _*).cast("long"))
     val upto = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, 0)
+    // r11 OPT (guide §2.4): phrase length rides a second window over
+    // the SAME doc partitioning (subset-clustering — no new Exchange)
+    // instead of a (doc, island) aggregate + sort-merge join back to
+    // the token stream. The word-score join stays UNHINTED (the
+    // vocabulary grows with the corpus — plan-lint discipline); AQE
+    // converts it to broadcast at every tested SF.
     val member = toks
       .withColumn("island", sum(col("stop")).over(upto))
       .filter(col("stop") === 0)
       .select(col("doc_id"), col("island"), col("pos"), col("tok"))
-    val plen = member.groupBy("doc_id", "island")
-      .agg(count(lit(1)).as("plen"))
-    val wordScore = member.join(plen, Seq("doc_id", "island"))
+      .withColumn("plen", count(lit(1)).over(
+        Window.partitionBy("doc_id", "island")))
+    val wordScore = member
       .groupBy("tok")
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
       .select(col("tok"), expr("degree * 1000000L DIV freq").as("wscore"))
@@ -1395,10 +1409,14 @@ object TextAnalysis {
       .select(col("doc_id"), array_sort(col("fingerprints")).as("sfp"))
       .cache()
     val ix = mins.select(col("doc_id"), explode(col("sfp")).as("fp"))
-    val dfc = ix.groupBy("fp").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id")
       .orderBy(col("df"), col("fp"))
-    val prefix = ix.join(dfc, "fp")
+    // r11 OPT (guide §2.3/§2.4): document frequency as a window over
+    // the fingerprint stream instead of groupBy(fp) + join-back — the
+    // posting stream shuffles once by fp and once by doc instead of
+    // twice by fp plus the join
+    val prefix = ix
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
       .select(col("doc_id"), col("fp"),
         row_number().over(byRarity).as("rank"),
         count(lit(1)).over(Window.partitionBy("doc_id")).as("n"))
@@ -2008,16 +2026,27 @@ object TextAnalysis {
     */
   def noveltyScore(s: SparkSession, d: String, ngram: Int = 12): DataFrame = {
     graft.functions.Vectors.ensureRegistered(s)
-    val sh = Tables.spread(Tables.documents(s, d)).select(col("doc_id"),
-        explode(call_function("graft_shingle_hashes",
-          col("text"), lit(ngram))).as("sh"))
-      .distinct()
-    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
-    sh.join(first, "sh")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("total_shingles"),
-        count(when(col("first_doc") === col("doc_id"), 1))
-          .as("novel_shingles"))
+    // r11 OPT (guide §2.3/§2.4): per-doc shingle dedup is map-side
+    // (array_distinct before the explode) instead of a corpus-wide
+    // (doc, sh) distinct Exchange; each shingle credits exactly its
+    // min-doc, so the novel count per doc is a groupBy over the
+    // first-occurrence table — the big join-back of the shingle
+    // stream (and its Exchange) is gone. Per-doc totals never leave
+    // the map side (size of the distinct array). 4 Exchanges over
+    // the shingle stream → 1, plus two doc-grain ones.
+    val docs = Tables.spread(Tables.documents(s, d)).select(col("doc_id"),
+      array_distinct(call_function("graft_shingle_hashes",
+        col("text"), lit(ngram))).as("hs"))
+    val novel = docs.select(col("doc_id"), explode(col("hs")).as("sh"))
+      .groupBy("sh").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("novel_shingles"))
+    docs.select(col("doc_id"), size(col("hs")).cast("long")
+        .as("total_shingles"))
+      .filter(col("total_shingles") > 0)
+      .join(novel, Seq("doc_id"), "left_outer")
+      .withColumn("novel_shingles",
+        coalesce(col("novel_shingles"), lit(0L)))
+      .select(col("doc_id"), col("total_shingles"), col("novel_shingles"))
       .withColumn("novelty_ppm",
         expr("novel_shingles * 1000000 DIV total_shingles"))
   }
@@ -2338,17 +2367,29 @@ object TextAnalysis {
           |    i -> substring(md5(concat(w[i-1], ' ', w[i])), 1, 16))
           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
         .as("g"))
-    val stats = grams.groupBy("g").agg(
-      sum(when(col("source") === target, 1L).otherwise(0L)).as("tc"),
-      sum(when(col("source") =!= target, 1L).otherwise(0L)).as("rc"))
-    val tot = stats.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
-    // 1-row totals frame — constant bound, broadcast is safe at any SF
-    val dist = stats.crossJoin(broadcast(tot))
-      .select(col("g"), expr(
+    // r11 OPT (guide §2.3/§2.4): per-feature rates as ONE window over
+    // the gram stream instead of groupBy(g) + join-back — the stream
+    // (with its per-gram md5) is exploded and shuffled by `g` once,
+    // not twice. The 1-row totals are gram COUNTS, so they compute
+    // map-side from the token arrays (size(w)−1 per doc) without
+    // touching the feature keys at all.
+    val tot = docs.agg(
+      sum(when(col("source") === target,
+        greatest(size(col("w")) - 1, lit(0))).otherwise(0))
+        .cast("long").as("tt"),
+      sum(when(col("source") =!= target,
+        greatest(size(col("w")) - 1, lit(0))).otherwise(0))
+        .cast("long").as("rt"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    grams
+      .withColumn("tc",
+        sum(when(col("source") === target, 1L).otherwise(0L)).over(wg))
+      .withColumn("rc",
+        sum(when(col("source") =!= target, 1L).otherwise(0L)).over(wg))
+      .crossJoin(broadcast(tot))
+      .withColumn("is_dist", expr(
         """CAST(CAST(tc AS DECIMAL(38,0)) * rt >
-          |CAST(rc AS DECIMAL(38,0)) * tt AS LONG)""".stripMargin)
-        .as("is_dist"))
-    grams.join(dist, "g")
+          |CAST(rc AS DECIMAL(38,0)) * tt AS LONG)""".stripMargin))
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_g"), sum(col("is_dist")).as("n_d"))
       .withColumn("score_ppm", expr("n_d * 1000000 DIV n_g"))

@@ -64,6 +64,41 @@ object ProfileR11 {
           col("l_partkey"))
         .agg(sum(lit(1L)).as("x")).count()
     }
+    // r11 opt-round probes: attribute analytics_cov_matrix's residue
+    def momentBase(spreadIt: Boolean) = {
+      val sel = Tables.lineitem(s, d).select(
+        (col("l_quantity").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("qty"),
+        (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("price"),
+        (col("l_discount").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("disc"),
+        (col("l_tax").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("tax"))
+      if (spreadIt) Tables.spread(sel) else sel
+    }
+    val d38 = DecimalType(38, 0)
+    val vars = Seq("qty", "price", "disc", "tax")
+    val prs = for { i <- vars.indices; j <- i until vars.length }
+      yield (vars(i), vars(j))
+    def momentAggs = vars.map(v => sum(col(v)).as(s"s_$v")) ++
+      prs.map { case (a, b) =>
+        sum((col(a) * col(b)).cast(d38)).as(s"s_${a}_$b") }
+    time("moment row: spread + long-products") {
+      momentBase(true).agg(count(lit(1)).as("n"), momentAggs: _*).count()
+    }
+    time("moment row: NO spread, long-products") {
+      momentBase(false).agg(count(lit(1)).as("n"), momentAggs: _*).count()
+    }
+    time("moment row: spread + LONG sums only (no decimal)") {
+      momentBase(true).agg(count(lit(1)).as("n"),
+        vars.map(v => sum(col(v)).as(s"s_$v")) ++
+        prs.map { case (a, b) =>
+          sum(col(a) * col(b)).as(s"s_${a}_$b") }: _*).count()
+    }
+    time("spread alone (4-long project)") {
+      momentBase(true).groupBy().count().count()
+    }
     time("q21 semi/anti core (no agg)") {
       val li = Tables.lineitem(s, d)
       val l1 = li.filter(col("l_returnflag") === "R")

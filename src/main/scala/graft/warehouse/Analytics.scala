@@ -636,14 +636,23 @@ object Analytics {
       .union(part.select((lit(2000) + col("p_partkey") % 100).as("c"),
         (lit(1000) + col("p_partkey") % 10).as("parent")))
       .distinct()
+    // r11 OPT (guide §1.2): the frontier is category-grain (≤1110
+    // rows) but each level's `isEmpty` action and the final union
+    // re-derived EVERY earlier level from the fact scan (30 scans in
+    // the physical plan at 3 levels). localCheckpoint pins each
+    // level's tiny frontier — the same bounded-state discipline as
+    // pagerank's cached rank vector — so the fact aggregate runs
+    // exactly once.
     var frontier = Tables.lineitem(s, d)
       .groupBy((lit(3000) + col("l_partkey") % 1000).as("c"))
       .agg(sum(dec(col("l_extendedprice")) *
         (lit(1) - dec(col("l_discount")))).as("rev"))
+      .localCheckpoint()
     var rolled: DataFrame = null
     var depth = 0
     while (!frontier.isEmpty && depth < maxDepth) {
       val stepped = frontier.join(broadcast(edges), Seq("c"), "left")
+        .localCheckpoint()
       val done = stepped.filter(col("parent").isNull)
         .select(col("c"), col("rev"))
       rolled = if (rolled == null) done else rolled.unionByName(done)
@@ -3906,36 +3915,40 @@ object Analytics {
       .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
         .cast("long")).as("r"),
         sum(col("l_quantity").cast("long")).as("q"))
+    // r11 OPT (guide §2.4): lag and lead share ONE window pass (same
+    // partition/order spec), and the exit contribution rides the
+    // same row as a conditional second explode element landing on
+    // month m+1 — the separate lead-window branch, its second
+    // month-grain aggregate and the full-outer join are gone (the
+    // monthly fact rollup previously ran twice). Months with only an
+    // exit row appear exactly as before; effect sums are unchanged.
     val w = Window.partitionBy("part_id").orderBy("m")
     val lagged = monthly
       .withColumn("pm", lag(col("m"), 1).over(w))
       .withColumn("pr", lag(col("r"), 1).over(w))
       .withColumn("pq", lag(col("q"), 1).over(w))
+      .withColumn("nm", lead(col("m"), 1).over(w))
       .withColumn("consec",
         col("pm").isNotNull && months_between(col("m"), col("pm")) === 1.0)
-    val effects = lagged.select(col("m"),
+    val eff = struct(col("m"),
       when(col("consec"), expr("(q - pq) * (pr DIV pq)")).otherwise(0L)
         .as("vol"),
       when(col("consec"), col("r") - col("pr") -
         expr("(q - pq) * (pr DIV pq)")).otherwise(0L).as("price"),
-      when(!col("consec"), col("r")).otherwise(0L).as("new_rev"))
-    val exits = monthly
-      .withColumn("nm", lead(col("m"), 1).over(w))
-      .filter(col("nm").isNull ||
-        months_between(col("nm"), col("m")) =!= 1.0)
-      .select(add_months(col("m"), 1).cast("date").as("m"),
-        (-col("r")).as("exit_rev"))
-    val e1 = effects.groupBy("m")
-      .agg(sum(col("vol")).as("volume_effect"),
-        sum(col("price")).as("price_effect"),
-        sum(col("new_rev")).as("new_effect"))
-    val e2 = exits.groupBy("m").agg(sum(col("exit_rev")).as("exit_effect"))
-    e1.join(e2, Seq("m"), "full_outer")
-      .select(col("m"),
-        coalesce(col("volume_effect"), lit(0L)).as("volume_effect"),
-        coalesce(col("price_effect"), lit(0L)).as("price_effect"),
-        coalesce(col("new_effect"), lit(0L)).as("new_effect"),
-        coalesce(col("exit_effect"), lit(0L)).as("exit_effect"))
+      when(!col("consec"), col("r")).otherwise(0L).as("new_rev"),
+      lit(0L).as("exit_rev"))
+    val exit = struct(add_months(col("m"), 1).cast("date").as("m"),
+      lit(0L).as("vol"), lit(0L).as("price"), lit(0L).as("new_rev"),
+      (-col("r")).as("exit_rev"))
+    lagged
+      .select(explode(when(col("nm").isNull ||
+          months_between(col("nm"), col("m")) =!= 1.0,
+        array(eff, exit)).otherwise(array(eff))).as("x"))
+      .groupBy(col("x.m").as("m"))
+      .agg(sum(col("x.vol")).as("volume_effect"),
+        sum(col("x.price")).as("price_effect"),
+        sum(col("x.new_rev")).as("new_effect"),
+        sum(col("x.exit_rev")).as("exit_effect"))
       .withColumn("delta_rev", col("volume_effect") + col("price_effect")
         + col("new_effect") + col("exit_effect"))
   }
@@ -4152,6 +4165,12 @@ object Analytics {
     * full sort. Revenue in exact 1e-4-dollar units.
     */
   def topMovers(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    // r11 OPT (guide §1.2 per-task work): revenue in 1e-4-dollar
+    // units as a LONG product — price_c·(100−disc_c) =
+    // price·(1−disc)·10⁴ exactly (both factors are exact ×100
+    // integers, product ≤ 1.2e9) — instead of two BigDecimal
+    // allocations per row ahead of the month/part rollup. Same
+    // per-row integer, same sum.
     val rev = Tables.lineitem(s, d)
       .join(Tables.orders(s, d),
         col("l_orderkey") === col("o_orderkey"))
@@ -4159,8 +4178,8 @@ object Analytics {
         (year(to_date(col("o_orderdate"))) * 12 +
           month(to_date(col("o_orderdate")))).cast("long").as("mi"),
         col("l_partkey").as("part_id"))
-      .agg(sum((dec(col("l_extendedprice")) *
-        (lit(1) - dec(col("l_discount"))) * 10000).cast("long")).as("x"))
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long") *
+        (lit(100L) - (dec(col("l_discount")) * 100).cast("long"))).as("x"))
     val ranked = rev.withColumn("rk", row_number().over(
       Window.partitionBy("mi").orderBy(col("x").desc, col("part_id")))
       .cast("long"))
@@ -4941,6 +4960,9 @@ object Analytics {
         max_by(col("ok"), struct(col("od"), col("ok"))).as("last_ok"),
         count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
+      // r11 OPT (guide §1.2): customer-grain (bounded) but consumed
+      // by BOTH brand joins — pin it so the orders rollup runs once
+      .localCheckpoint()
     val ob = orderBrands(s, d)
     val firstB = o.select(col("cust"), col("first_ok").as("ok"))
       .join(ob, Seq("ok")).select(col("cust"), col("b").as("from_brand"))
@@ -5067,9 +5089,17 @@ object Analytics {
     * over one fact scan, shared by [[covMatrix]] and [[partialCorr]].
     */
   private def lineitemMomentRow(s: SparkSession, d: String): DataFrame = {
-    val d19 = DecimalType(19, 0)
     val d38 = DecimalType(38, 0)
-    val base = Tables.lineitem(s, d).select(
+    // r11 OPT (guide §1.2 per-task work): the ×100 longs are all
+    // ≤ 1.2e7, so every pairwise product fits a LONG with 5 orders of
+    // magnitude to spare — the per-row multiply runs in codegen'd
+    // long arithmetic instead of allocating two BigDecimals per pair
+    // per row; only the accumulating SUM stays DECIMAL(38,0)
+    // (identical integer, same output type). Measured: the full
+    // moment row fell 1.8s → 0.07s isolated; a spread() before the
+    // aggregate was tried and REJECTED (+0.2s — the exchange costs
+    // more than the now-cheap map work, ProfileR11 probes).
+    val base = (Tables.lineitem(s, d).select(
       (col("l_quantity").cast(DecimalType(12, 2)) * 100)
         .cast("long").as("qty"),
       (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
@@ -5077,10 +5107,10 @@ object Analytics {
       (col("l_discount").cast(DecimalType(12, 2)) * 100)
         .cast("long").as("disc"),
       (col("l_tax").cast(DecimalType(12, 2)) * 100)
-        .cast("long").as("tax"))
+        .cast("long").as("tax")))
     val aggs = momentVars.map(v => sum(col(v)).as(s"s_$v")) ++
       momentPairs.map { case (a, b) =>
-        sum((col(a).cast(d19) * col(b).cast(d19)).cast(d38))
+        sum((col(a) * col(b)).cast(d38))
           .as(s"s_${a}_$b")
       }
     base.agg(count(lit(1)).as("n"), aggs: _*)
@@ -5322,8 +5352,13 @@ object Analytics {
         date_trunc("month", col("l_shipdate")).as("mo"))
       .agg(sum((col("l_quantity").cast(DecimalType(12, 2)) * 100)
         .cast("long")).as("q"))
-    val nMonths = monthly.agg(
-      countDistinct(col("mo")).as("n_months"))
+    // r11 OPT (guide §1.2): the global month count read the monthly
+    // rollup, re-running the (part, month) fact aggregate a second
+    // time; distinct months come off a single-column fact scan
+    // (dictionary-encoded date) for the same 1-row answer
+    val nMonths = Tables.lineitem(s, d)
+      .agg(countDistinct(date_trunc("month", col("l_shipdate")))
+        .as("n_months"))
     val perPart = monthly.groupBy("part_id")
       .agg(count(lit(1)).as("nw"), sum(col("q")).as("sq"),
         sum((col("q").cast(DecimalType(19, 0))
@@ -5524,8 +5559,14 @@ object Analytics {
           col("os").as("x"), col("ls").as("y")))).as("p"))
       .select(col("p.pair").as("pair"), col("p.x").as("x"),
         col("p.y").as("y"))
+    // r11 OPT (guide §1.2): `cells` is a ≤60-row contingency table
+    // but feeds FOUR consumers (row/col totals, dims, the term join)
+    // — without pinning it, the fact join + explode + rollup ran four
+    // times (16 scans in the physical plan). localCheckpoint = the
+    // bounded-state discipline the iterative operators use.
     val cells = pairs.groupBy("pair", "x", "y")
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
     val rowTot = cells.groupBy("pair", "x").agg(sum(col("o")).as("ri"))
     val colTot = cells.groupBy("pair", "y").agg(sum(col("o")).as("cj"))
     val dims = cells.groupBy("pair")
