@@ -280,10 +280,13 @@ object Similarity {
       Vectors.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
       .cache()
-    val mMax = e0.agg(max(col("nrm"))).collect()(0).getDouble(0)
+    // r11 OPT (guide §1.2): max-norm and row count in ONE 1-row
+    // driver action instead of two jobs over the cached corpus
+    val hdr = e0.agg(max(col("nrm")), count(lit(1))).collect()(0)
+    val mMax = hdr.getDouble(0)
+    val total = hdr.getLong(1)
     val e = e0.withColumn("aug",
       sqrt(greatest(lit(0d), lit(mMax * mMax) - col("nrm") * col("nrm"))))
-    val total = e0.count()
     val stride = math.max(1L, total / nCells)
     val cents = e.filter(col("vec_id") % stride === 0 &&
         col("vec_id") / stride < nCells)

@@ -820,8 +820,7 @@ object TextAnalysis {
     // formula) as [[curriculumSchedule]] — the decile cut must never
     // be a corpus-sized single sort
     val n = scored.count()
-    scored
-      .join(rankedByKey(scored, col("score_milli")), "doc_id")
+    rankedByKey(scored, col("score_milli"))
       .withColumn("decile", expr(s"rk0 * $deciles DIV ${n}L + 1"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
@@ -855,8 +854,7 @@ object TextAnalysis {
     // oracle mirrors the formula); the original unpartitioned ntile
     // window was a corpus-sized single-partition sort
     val n = scored.count()
-    scored
-      .join(rankedByKey(scored, col("score_milli").desc), "doc_id")
+    rankedByKey(scored, col("score_milli").desc)
       .withColumn("phase", expr(s"rk0 * $phases DIV ${n}L + 1"))
       .groupBy("phase")
       .agg(count(lit(1)).as("n_docs"),
@@ -1515,26 +1513,29 @@ object TextAnalysis {
       .select(col("doc_id"),
         md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
           .as("skey"))
-    keyed
-      .join(rankedByKey(keyed, col("skey")), "doc_id")
+    rankedByKey(keyed, col("skey"))
       .select(col("doc_id"), col("skey"),
         (col("rk0") + 1L).as("pos"))
   }
 
-  /** Global 0-based rank of `df`'s doc_id rows over (ord…, doc_id) —
-    * the two-pass range-partition + zipWithIndex pattern
+  /** Global 0-based rank of `df`'s rows over (ord…, doc_id) — the
+    * two-pass range-partition + zipWithIndex pattern
     * ([[assignStableIds]]'s shape), never a single-partition window.
-    * Returns (doc_id, rk0).
+    * r11 OPT (guide §2.4): CARRIES every input column through the
+    * rank instead of returning (doc_id, rk0) for the caller to join
+    * back — each consumer paid a doc_id exchange of both sides for
+    * columns the rank pass already held.
     */
   private def rankedByKey(df: DataFrame, ord: Column*): DataFrame = {
     val s = df.sparkSession
-    import s.implicits._
     val cols = ord :+ col("doc_id")
-    df.repartitionByRange(cols: _*)
+    val sorted = df.repartitionByRange(cols: _*)
       .sortWithinPartitions(cols: _*)
-      .select(col("doc_id")).as[Long]
-      .rdd.zipWithIndex()
-      .toDF("doc_id", "rk0")
+    val schema = sorted.schema
+      .add("rk0", org.apache.spark.sql.types.LongType, nullable = false)
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    s.createDataFrame(rows, schema)
   }
 
   /** Model-scored quality filter — the SERVING half of a
@@ -1811,8 +1812,14 @@ object TextAnalysis {
     */
   def e2eStats(s: SparkSession, d: String, budget: Long = 128): DataFrame = {
     import s.implicits._
+    // r11 OPT (guide §1.2): the cleaned corpus feeds BOTH the
+    // per-lang count (mixture rates) and the accept filter — without
+    // pinning, the whole clean pipeline (dedup ∘ quality ∘ length)
+    // ran twice. Narrow doc-grain metadata (id, lang, source,
+    // n_tokens) — the relation a real pipeline materializes anyway.
     val cleaned = cleanCorpus(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      .localCheckpoint()
     val targets = Seq("en" -> 0.30, "de" -> 0.20, "es" -> 0.20,
       "fr" -> 0.15, "zh" -> 0.15)
     val withT = cleaned.groupBy("lang").agg(count(lit(1)).as("n"))
@@ -2279,6 +2286,10 @@ object TextAnalysis {
       .rdd.zipWithIndex()
       .map { case ((id, src, ppl, tk), idx) => (id, src, tk, idx + 1) }
       .toDF("doc_id", "source", "toks", "rk")
+      // r11 OPT (guide §1.2): consumed by BOTH the 1-row count and
+      // the quintile cells — an RDD-lineage frame re-runs the whole
+      // LM-score chain per consumer without this pin
+      .localCheckpoint()
     val cells = ranked
       .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
       .withColumn("quintile", expr("(rk - 1) * 5 DIV n"))

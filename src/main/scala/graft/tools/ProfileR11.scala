@@ -99,6 +99,22 @@ object ProfileR11 {
     time("spread alone (4-long project)") {
       momentBase(true).groupBy().count().count()
     }
+    // bloom_decontaminate stage attribution
+    time("bloom: eval shingle distinct+collect") {
+      import org.apache.spark.sql.Encoders
+      graft.functions.Vectors.ensureRegistered(s)
+      Tables.spread(Tables.documents(s, d)).select(
+          col("doc_id"),
+          substring(col("source"), 4, 10).cast("int").as("src_n"),
+          call_function("graft_shingle_hashes",
+            col("text"), lit(12)).as("hashed"))
+        .filter(col("src_n") >= 10)
+        .select(explode(col("hashed")).as("sh")).distinct()
+        .as[java.lang.Long](Encoders.LONG).collect().length.toLong
+    }
+    time("bloom: full bloomDecontaminate") {
+      graft.operators.Dedup.bloomDecontaminate(s, d).count()
+    }
     time("q21 semi/anti core (no agg)") {
       val li = Tables.lineitem(s, d)
       val l1 = li.filter(col("l_returnflag") === "R")

@@ -1226,6 +1226,11 @@ object Analytics {
         .cast("long")).as("r"),
         sum(col("l_quantity").cast("long")).as("q"))
       .withColumn("p", expr("r * 10000L DIV q"))
+    // r11 opt note: a localCheckpoint + broadcast-min variant (pin
+    // the rollup, min month as a 1-row broadcast) was measured 0.5s
+    // SLOWER at sf0.1 — the checkpoint write costs more than the
+    // duplicate rollup + single-partition min window it removes.
+    // Kept as-is deliberately.
     val base = monthly
       .withColumn("m0", min(col("m")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
