@@ -35,6 +35,13 @@ object GraftSession {
     .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // r11: both knobs env-overridable for A/B runs; defaults are the
+    // measured-best local settings and stay scale-adaptive (AQE sizes
+    // reduce partitions from runtime bytes, not a constant)
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64MB"))
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     // keep AQE active INSIDE cached plans: a .cache() boundary
     // otherwise freezes its subplan to static partitioning, losing

@@ -291,6 +291,11 @@ object Graph {
     val deg = coPurchaseDegrees(s, d)
     val sLower = col("ds") < col("dt") ||
       (col("ds") === col("dt") && col("s") < col("t"))
+    // r11 opt note: a localCheckpoint on this oriented edge list
+    // (three consumers) was measured SLOWER at sf0.1 — 1.30 → 1.38s
+    // here and 0.09 → 0.43s on clusteringCoeff — the eager
+    // materialization costs more than the bucketed-layout re-joins
+    // it removes. Kept recomputed deliberately.
     val dirE = e
       .join(deg.select(col("v").as("s"), col("dg").as("ds")), "s")
       .join(deg.select(col("v").as("t"), col("dg").as("dt")), "t")
