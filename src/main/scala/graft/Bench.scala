@@ -283,7 +283,20 @@ object Bench {
         f""""probe_median_ratio_vs_prior":$a%.4f,"total_normalized":${total / a}%.2f,"""
       case _ => ""
     }
-    val prov = s""""probe":$probeJson,"probe_end":$probeEndJson,"probe_warmed":$probeWarmed,$probeProv"git_sha":"$sha","started_utc":"$started","finished_utc":"${Verify.utcNow()}""""
+    // layout-build disclosure (r11 VERDICT #5-audit/#6): min-of-k
+    // reports warm-layout reads for layout-backed queries — the
+    // one-time build lands in run 1 and is excluded from the min.
+    // Stamping every layout BUILT inside this run (table → seconds)
+    // puts the amortized cost in the artifact next to the warm
+    // numbers; an empty map means every layout pre-existed on disk.
+    val layoutBuilds = {
+      import scala.jdk.CollectionConverters._
+      graft.sources.Bucketing.buildLog.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    }
+    val aqeKnobs = s""""aqe_knobs":{"parallelismFirst":"${GraftSession.parallelismFirst}","advisoryPartitionSizeInBytes":"${GraftSession.advisoryPartition}"}"""
+    val prov = s"""$aqeKnobs,"layout_builds":$layoutBuilds,"probe":$probeJson,"probe_end":$probeEndJson,"probe_warmed":$probeWarmed,$probeProv"git_sha":"$sha","started_utc":"$started","finished_utc":"${Verify.utcNow()}""""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"queries_load":$qsLoad,"sf":"$sfDir","errors":$errs,"rerun_outliers":$reruns,"load":$load,"runs":$runs,$duckdb$prov}"""
     println(line)
     // the driver may keep only a tail of stdout; persist the full

@@ -13,6 +13,24 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Effective AQE knob values (env-overridable, validated). Exposed
+    * so the bench artifact can record what the run actually used.
+    */
+  val parallelismFirst: String = {
+    val v = sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true")
+      .trim.toLowerCase
+    require(v == "true" || v == "false",
+      s"SPARK_GRAFT_PARALLELISM_FIRST must be true|false, got '$v'")
+    v
+  }
+  val advisoryPartition: String = {
+    val v = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64MB")
+      .trim
+    require(v.matches("(?i)\\d+\\s*(b|k|kb|m|mb|g|gb)?"),
+      s"SPARK_GRAFT_ADVISORY_PARTITION must be a byte size (e.g. 64MB), got '$v'")
+    v
+  }
+
   /** Build a local session; `cores` drives both parallelism and the
     * shuffle-partition floor (never the default 200 in local mode).
     */
@@ -37,11 +55,15 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     // r11: both knobs env-overridable for A/B runs; defaults are the
     // measured-best local settings and stay scale-adaptive (AQE sizes
-    // reduce partitions from runtime bytes, not a constant)
+    // reduce partitions from runtime bytes, not a constant).
+    // r12 (ADVICE): values are VALIDATED here — a typo'd env var
+    // previously surfaced as an opaque Spark failure at first query —
+    // and the effective values are stamped into the bench artifact
+    // (`aqe_knobs`) so A/B runs stay attributable.
     .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-      sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+      parallelismFirst)
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64MB"))
+      advisoryPartition)
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     // keep AQE active INSIDE cached plans: a .cache() boundary
     // otherwise freezes its subplan to static partitioning, losing

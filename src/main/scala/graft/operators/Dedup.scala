@@ -156,7 +156,8 @@ object Dedup {
       val tInter = s"graft_shingle_cooc_$tag"
       val tSizes = s"graft_shingle_sizes_$tag"
       if (!s.catalog.tableExists(tInter) ||
-          !s.catalog.tableExists(tSizes)) {
+          !s.catalog.tableExists(tSizes))
+        graft.sources.Bucketing.timedBuild(tInter) {
         // a previous JVM's layout may survive on disk while this
         // catalog starts empty — clear the orphaned locations or
         // saveAsTable dies with LOCATION_ALREADY_EXISTS
@@ -181,7 +182,7 @@ object Dedup {
         sizes.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .format("parquet").saveAsTable(tSizes)
         base.unpersist()
-      }
+        }
       (s.table(tInter), s.table(tSizes))
     })
 
@@ -734,42 +735,75 @@ object Dedup {
     * false negatives).
     */
   def bloomDecontaminate(s: SparkSession, d: String, ngram: Int = 12,
-      fpp: Double = 0.03): DataFrame = {
+      fpp: Double = 0.03,
+      driverMaxShingles: Long = sys.env
+        .get("SPARK_GRAFT_BLOOM_DRIVER_MAX").map(_.toLong)
+        .getOrElse(4000000L)): DataFrame = {
     Vectors.ensureRegistered(s)
     val docs = Tables.spread(Tables.documents(s, d)).select(
       col("doc_id"),
       substring(col("source"), 4, 10).cast("int").as("src_n"),
       call_function("graft_shingle_hashes",
         col("text"), lit(ngram)).as("hashed"))
-    // the eval shingle set must fit in a broadcast anyway (the exact
-    // confirm join below ships it to every executor), so collect it
-    // ONCE: one eval-side scan feeds the sizing, the Bloom build and
-    // the confirm join. The previous persist() of this set was never
-    // unpersisted — a library user (or a bench loop) leaked one
-    // MEMORY_AND_DISK copy per call.
     import org.apache.spark.sql.Encoders
-    val evalSh: Array[Long] = docs.filter(col("src_n") >= 10)
+    val evalDf = docs.filter(col("src_n") >= 10)
       .select(explode(col("hashed")).as("sh")).distinct()
-      .as[java.lang.Long](Encoders.LONG).collect().map(_.longValue)
-    val bf = org.apache.spark.util.sketch.BloomFilter
-      .create(math.max(evalSh.length.toLong, 1L), fpp)
-    evalSh.foreach(bf.putLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    // native codegen'd any-element probe over the inlined filter
-    // bytes (deserialized once per executor) — the map-side screen
-    // stays inside whole-stage codegen, no ScalaUDF on the corpus
-    // scan
-    val train = docs.filter(col("src_n") < 10)
-      .withColumn("suspect", call_function("graft_bloom_any",
-        lit(bos.toByteArray), col("hashed")))
-    val evalLocal = s.createDataset(evalSh.toIndexedSeq)(Encoders.scalaLong)
-      .toDF("sh")
-    val confirmed = train.filter(col("suspect"))
-      .select(col("doc_id"), explode(col("hashed")).as("sh"))
-      .join(broadcast(evalLocal), "sh")
-      .select("doc_id").distinct()
-    train.join(confirmed, Seq("doc_id"), "left_anti").select("doc_id")
+    // r12 OPT (guide §5, r11 VERDICT #5): the driver collect is now
+    // SIZE-GATED. Eval sets are benchmarks, not corpora, so the
+    // driver build is the cheap default — but it single-threads the
+    // Bloom insert and grows linearly with the eval corpus. The
+    // limit(cap+1) probe answers "does it fit?" and DELIVERS the full
+    // set in one job when it does (<= cap rows back means limit was
+    // not the binding constraint); above the cap the filter builds
+    // distributed (stat.bloomFilter treeAggregates per-partition
+    // filters) and the confirm join runs as a normal AQE-planned
+    // equi-join instead of a forced broadcast of a driver-built set.
+    val probe: Array[Long] = evalDf
+      .as[java.lang.Long](Encoders.LONG)
+      .limit(math.min(driverMaxShingles + 1, Int.MaxValue.toLong).toInt)
+      .collect().map(_.longValue)
+    if (probe.length <= driverMaxShingles) {
+      val evalSh = probe
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .create(math.max(evalSh.length.toLong, 1L), fpp)
+      evalSh.foreach(bf.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      // native codegen'd any-element probe over the inlined filter
+      // bytes (deserialized once per executor) — the map-side screen
+      // stays inside whole-stage codegen, no ScalaUDF on the corpus
+      // scan
+      val train = docs.filter(col("src_n") < 10)
+        .withColumn("suspect", call_function("graft_bloom_any",
+          lit(bos.toByteArray), col("hashed")))
+      val evalLocal = s.createDataset(evalSh.toIndexedSeq)(Encoders.scalaLong)
+        .toDF("sh")
+      val confirmed = train.filter(col("suspect"))
+        .select(col("doc_id"), explode(col("hashed")).as("sh"))
+        .join(broadcast(evalLocal), "sh")
+        .select("doc_id").distinct()
+      train.join(confirmed, Seq("doc_id"), "left_anti").select("doc_id")
+    } else {
+      // distributed branch: eval shingles exceed the driver budget.
+      // Exact expected-item count for the filter sizing (one extra
+      // distributed count over the already-distinct relation), filter
+      // built on the executors, probe stays the same codegen'd
+      // expression. The confirm join's build side is the (large) eval
+      // relation — left to AQE: it can pick shuffled-hash and
+      // skew-split, which a driver-collected broadcast never could.
+      val n = evalDf.count()
+      val bf = evalDf.stat.bloomFilter("sh", math.max(n, 1L), fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val train = docs.filter(col("src_n") < 10)
+        .withColumn("suspect", call_function("graft_bloom_any",
+          lit(bos.toByteArray), col("hashed")))
+      val confirmed = train.filter(col("suspect"))
+        .select(col("doc_id"), explode(col("hashed")).as("sh"))
+        .join(evalDf, "sh")
+        .select("doc_id").distinct()
+      train.join(confirmed, Seq("doc_id"), "left_anti").select("doc_id")
+    }
   }
 
   /** Embedding near-dup via random-hyperplane LSH buckets: pairs are
@@ -908,7 +942,8 @@ object Dedup {
       val tPairs = s"graft_shingle_wcooc_$tag"
       val tSums = s"graft_shingle_wsums_$tag"
       if (!s.catalog.tableExists(tPairs) ||
-          !s.catalog.tableExists(tSums)) {
+          !s.catalog.tableExists(tSums))
+        graft.sources.Bucketing.timedBuild(tPairs) {
         graft.sources.Bucketing.dropStaleLocation(s, tPairs)
         graft.sources.Bucketing.dropStaleLocation(s, tSums)
         val ix = shingled(s, d, 12)
@@ -932,7 +967,7 @@ object Dedup {
         sums.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .format("parquet").saveAsTable(tSums)
         wix.unpersist()
-      }
+        }
       (s.table(tPairs), s.table(tSums))
     })
 
@@ -1173,12 +1208,13 @@ object Dedup {
     sigRegistry.computeIfAbsent((s, d, ngram, perms), _ => {
       val tbl = "graft_mhsig_" +
         s"${graft.sources.Bucketing.datasetTag(d)}_${ngram}_$perms"
-      if (!s.catalog.tableExists(tbl)) {
-        graft.sources.Bucketing.dropStaleLocation(s, tbl)
-        md5Sig(s, d, ngram, perms).write
-          .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .format("parquet").saveAsTable(tbl)
-      }
+      if (!s.catalog.tableExists(tbl))
+        graft.sources.Bucketing.timedBuild(tbl) {
+          graft.sources.Bucketing.dropStaleLocation(s, tbl)
+          md5Sig(s, d, ngram, perms).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .format("parquet").saveAsTable(tbl)
+        }
       s.table(tbl)
     })
 
@@ -1227,19 +1263,20 @@ object Dedup {
     // the last ~1s of per-call rebuild cost after sig moved to disk
     val tTruth = "graft_jacc_truth_" +
       s"${graft.sources.Bucketing.datasetTag(d)}_${ngram}_$thresholdPpm"
-    if (!s.catalog.tableExists(tTruth)) {
-      graft.sources.Bucketing.dropStaleLocation(s, tTruth)
-      val (inter, sizes) = shingleCoOccurrence(s, d, ngram)
-      inter
-        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
-          "id_a")
-        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
-          "id_b")
-        .filter(expr(s"c * 1000000 >= (na + nb - c) * $thresholdPpm"))
-        .select(col("id_a"), col("id_b"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .format("parquet").saveAsTable(tTruth)
-    }
+    if (!s.catalog.tableExists(tTruth))
+      graft.sources.Bucketing.timedBuild(tTruth) {
+        graft.sources.Bucketing.dropStaleLocation(s, tTruth)
+        val (inter, sizes) = shingleCoOccurrence(s, d, ngram)
+        inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+            "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+            "id_b")
+          .filter(expr(s"c * 1000000 >= (na + nb - c) * $thresholdPpm"))
+          .select(col("id_a"), col("id_b"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(tTruth)
+      }
     val truth = s.table(tTruth).cache()
     val nTruth = truth.count()
     // r11 OPT (guide §1.2/§2.4): the three banding configs ran as
@@ -1267,6 +1304,13 @@ object Dedup {
       .select(col("x.bands").as("bands"),
         col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+    // INVARIANT (r12, ADVICE): this left_outer + count(t) counts one
+    // row per candidate pair, so it relies on the truth table holding
+    // each (id_a, id_b) ONCE — a duplicated truth row would inflate
+    // both n_cand and tp. Truth pairs come from the groupBy'd
+    // co-occurrence layout filtered on (id_a, id_b) grain, which is
+    // unique by construction; anyone re-deriving truth from another
+    // source must dropDuplicates first.
     val perConfig = cand
       .join(truth.withColumn("t", lit(1)), Seq("id_a", "id_b"),
         "left_outer")

@@ -39,12 +39,13 @@ object Similarity {
     bfRegistry.computeIfAbsent((s, d, nQueries, k), _ => {
       val tbl = "graft_bftopk_" +
         s"${graft.sources.Bucketing.datasetTag(d)}_${nQueries}_$k"
-      if (!s.catalog.tableExists(tbl)) {
-        graft.sources.Bucketing.dropStaleLocation(s, tbl)
-        bruteForceTopKCompute(s, d, nQueries, k).write
-          .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .format("parquet").saveAsTable(tbl)
-      }
+      if (!s.catalog.tableExists(tbl))
+        graft.sources.Bucketing.timedBuild(tbl) {
+          graft.sources.Bucketing.dropStaleLocation(s, tbl)
+          bruteForceTopKCompute(s, d, nQueries, k).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .format("parquet").saveAsTable(tbl)
+        }
       s.table(tbl)
     })
 
@@ -83,6 +84,13 @@ object Similarity {
   // tests) — each consumer re-paid the index + search pipeline per
   // call. Compute-once managed layouts, same registry discipline and
   // crash-safe dropStaleLocation as the truth table.
+  // STALENESS CONTRACT (r12, ADVICE): the table tag hashes the
+  // dataset PATH + parameters, matching every other compute-once
+  // layout here (bf/km/cooc/truth). Regenerating a dataset IN PLACE
+  // therefore requires clearing the warehouse dir (or a new path) —
+  // the same rule the rest of the layout family already documents;
+  // the deterministic testdata this repo is driven against never
+  // mutates in place.
   private val annRegistry = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]
 
@@ -91,12 +99,13 @@ object Similarity {
     val tbl = "graft_annivf_" +
       s"${graft.sources.Bucketing.datasetTag(d)}_${nQueries}_${k}_${nCells}_$nProbe"
     annRegistry.computeIfAbsent((s, d, tbl), _ => {
-      if (!s.catalog.tableExists(tbl)) {
-        graft.sources.Bucketing.dropStaleLocation(s, tbl)
-        annIvfCompute(s, d, nQueries, k, nCells, nProbe).write
-          .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .format("parquet").saveAsTable(tbl)
-      }
+      if (!s.catalog.tableExists(tbl))
+        graft.sources.Bucketing.timedBuild(tbl) {
+          graft.sources.Bucketing.dropStaleLocation(s, tbl)
+          annIvfCompute(s, d, nQueries, k, nCells, nProbe).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .format("parquet").saveAsTable(tbl)
+        }
       s.table(tbl)
     })
   }
@@ -814,12 +823,13 @@ object Similarity {
     val tbl = "graft_annlsh_" +
       s"${graft.sources.Bucketing.datasetTag(d)}_${nQueries}_${k}_$nBits"
     annRegistry.computeIfAbsent((s, d, tbl), _ => {
-      if (!s.catalog.tableExists(tbl)) {
-        graft.sources.Bucketing.dropStaleLocation(s, tbl)
-        annLshCompute(s, d, nQueries, k, nBits).write
-          .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .format("parquet").saveAsTable(tbl)
-      }
+      if (!s.catalog.tableExists(tbl))
+        graft.sources.Bucketing.timedBuild(tbl) {
+          graft.sources.Bucketing.dropStaleLocation(s, tbl)
+          annLshCompute(s, d, nQueries, k, nBits).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .format("parquet").saveAsTable(tbl)
+        }
       s.table(tbl)
     })
   }
@@ -1243,13 +1253,14 @@ object Similarity {
     // assignment⋈corpus shuffle it rides was ~1/3 of the warm sweep
     val tCent = "graft_kmcent_" +
       s"${graft.sources.Bucketing.datasetTag(d)}_${nCells}_$iters"
-    if (!s.catalog.tableExists(tCent)) {
-      graft.sources.Bucketing.dropStaleLocation(s, tCent)
-      asg.join(eq, "vec_id").groupBy("cluster_id")
-        .agg(count(lit(1)).as("n"), dimSums: _*)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .format("parquet").saveAsTable(tCent)
-    }
+    if (!s.catalog.tableExists(tCent))
+      graft.sources.Bucketing.timedBuild(tCent) {
+        graft.sources.Bucketing.dropStaleLocation(s, tCent)
+        asg.join(eq, "vec_id").groupBy("cluster_id")
+          .agg(count(lit(1)).as("n"), dimSums: _*)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(tCent)
+      }
     // ≤ nCells rows — the same bounded collect kmeans itself makes
     val cents = s.table(tCent)
       .collect()

@@ -56,17 +56,36 @@ object Bucketing {
       if (fs.exists(path)) fs.delete(path, true)
     }
 
-  def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
-    import org.apache.spark.sql.functions.col
-    dropStaleLocation(df.sparkSession, table)
-    val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
-    df.repartition(buckets, col(key))
-      .sortWithinPartitions(sorts.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key).sortBy(sorts.head, sorts.tail: _*)
-      .format("parquet").saveAsTable(table)
+  /** r12 (VERDICT r11 #6): per-JVM log of compute-once layout builds —
+    * table → build seconds. The bench's min-of-k methodology means a
+    * layout-backed query's reported seconds are warm-layout reads (the
+    * one-time build lands in run 1 and is excluded from the min);
+    * stamping the builds into the bench artifact (`layout_builds`)
+    * makes that amortized cost visible instead of implicit. Only
+    * layouts actually BUILT in this JVM appear — a `tableExists` hit
+    * logs nothing, which is itself the disclosure (nothing was built,
+    * nothing was paid).
+    */
+  val buildLog = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  def timedBuild(table: String)(build: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    build
+    buildLog.put(table, (System.nanoTime() - t0) / 1e9)
   }
+
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, sortCols: Seq[String] = Seq.empty): Unit =
+    timedBuild(table) {
+      import org.apache.spark.sql.functions.col
+      dropStaleLocation(df.sparkSession, table)
+      val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
+      df.repartition(buckets, col(key))
+        .sortWithinPartitions(sorts.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, key).sortBy(sorts.head, sorts.tail: _*)
+        .format("parquet").saveAsTable(table)
+    }
 
   /** Bucket the orders/lineitem pair by order key. */
   def bucketTradeTables(s: SparkSession, d: String, buckets: Int = 16): Unit = {

@@ -3398,12 +3398,13 @@ object Analytics {
     abcRegistry.computeIfAbsent((s, d), _ => {
       val tbl =
         s"graft_abcparts_${graft.sources.Bucketing.datasetTag(d)}"
-      if (!s.catalog.tableExists(tbl)) {
-        graft.sources.Bucketing.dropStaleLocation(s, tbl)
-        abcPerPartOf(s, Tables.lineitem(s, d))._1
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .format("parquet").saveAsTable(tbl)
-      }
+      if (!s.catalog.tableExists(tbl))
+        graft.sources.Bucketing.timedBuild(tbl) {
+          graft.sources.Bucketing.dropStaleLocation(s, tbl)
+          abcPerPartOf(s, Tables.lineitem(s, d))._1
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .format("parquet").saveAsTable(tbl)
+        }
       val t = s.table(tbl)
       val total = t.agg(sum(col("x")).cast(DecimalType(38, 0)))
         .head.getDecimal(0).toBigInteger.toString

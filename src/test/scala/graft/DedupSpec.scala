@@ -694,6 +694,11 @@ class DedupSpec extends AnyFunSuite {
     val contaminated = Dedup.crossSourceOverlap(s, d, minShared = 1)
       .select("train_id").collect().map(_.getLong(0)).toSet
     assert((tight & contaminated).isEmpty)
+    // r12: the distributed branch (eval set over the driver budget —
+    // forced here with a 1-row cap) must give the identical answer:
+    // same filter semantics, same exact confirm join, no driver build
+    val dist = ids(Dedup.bloomDecontaminate(s, d, driverMaxShingles = 1L))
+    assert(dist === tight, "distributed Bloom branch diverged from driver branch")
   }
 
   test("repeated spans: exact duplicated substrings found, merged, unique text silent") {
