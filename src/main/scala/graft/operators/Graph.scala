@@ -291,16 +291,22 @@ object Graph {
     val deg = coPurchaseDegrees(s, d)
     val sLower = col("ds") < col("dt") ||
       (col("ds") === col("dt") && col("s") < col("t"))
-    // r11 opt note: a localCheckpoint on this oriented edge list
-    // (three consumers) was measured SLOWER at sf0.1 — 1.30 → 1.38s
-    // here and 0.09 → 0.43s on clusteringCoeff — the eager
-    // materialization costs more than the bucketed-layout re-joins
-    // it removes. Kept recomputed deliberately.
+    // r11 opt note: a localCheckpoint on this oriented edge list was
+    // measured SLOWER at sf0.1 (1.30 → 1.38s here, 0.09 → 0.43s on
+    // clusteringCoeff) and the list was kept recomputed. r12 re-ran
+    // the experiment at sf1 per the verdict: the twice-consumed
+    // oriented edges DO deserve a pin once the re-join is data-bound
+    // — three-way A/B (isolated, same box): none 1.77s sf0.1 / 8.1s
+    // sf1; localCheckpoint 1.45 / 7.3; cache 1.43 / 5.3. A lazy
+    // cache() wins at both SFs (no eager extra job, one storage
+    // write, AQE stays adaptive inside the cached plan via
+    // canChangeCachedPlanOutputPartitioning), so dirE is now cached.
     val dirE = e
       .join(deg.select(col("v").as("s"), col("dg").as("ds")), "s")
       .join(deg.select(col("v").as("t"), col("dg").as("dt")), "t")
       .select(when(sLower, col("s")).otherwise(col("t")).as("u"),
         when(sLower, col("t")).otherwise(col("s")).as("w"))
+      .cache()
     // adjacency-LIST intersection, not a wedge join: materializing
     // wedges (Σ deg⁺² rows) blows up the intermediate row set;
     // shipping each vertex's sorted OUT-neighbor list (≤ √(2m)
@@ -486,7 +492,13 @@ object Graph {
     // are node-cardinality (documented broadcast-bound state), never
     // the edge set.
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src")
+    // r12 OPT (guide §1.2, r11 VERDICT #8): withDeg is EDGE-grain and
+    // consumed once per superstep — unpinned, every round re-scanned
+    // the pair layout, re-ran the degree groupBy and re-joined.
+    // Cached (lazy — one storage write on round 1, warm reads after):
+    // isolated A/B pagerank 0.96 -> 0.44s sf0.1, 1.79 -> 1.40 sf1;
+    // ppr 1.72 -> 0.86 sf0.1, 15.6 -> 1.38 sf1.
+    val withDeg = edges.join(deg, "src").cache()
     var rank: DataFrame =
       deg.select(col("src").as("id"), lit(1000000L).as("pr"))
     (1 to iters).foreach { i =>
@@ -1251,15 +1263,21 @@ object Graph {
     var lbl = und.select(col("v")).distinct()
       .withColumn("lbl", col("v"))
     for (_ <- 1 to rounds) {
-      val w = Window.partitionBy(col("v"))
-        .orderBy(col("c").desc, col("lbl"))
+      // r12 OPT (guide §2.4, r11 VERDICT #3): the per-round top-1 was
+      // a row_number window over (v) — a per-node SORT of the label
+      // frequency table plus its own Exchange. min_by over the
+      // (v,lbl,c) aggregate picks the same (highest count, then
+      // smallest label) winner with O(1) aggregation state, no sort,
+      // and the second aggregate consumes the already-REDUCED
+      // frequency stream. Tie order is total ((-c, lbl) is unique per
+      // v since lbl is unique after the first groupBy), so the
+      // fixpoint is bit-identical.
       lbl = und
         .join(lbl.select(col("v").as("n"), col("lbl")), Seq("n"))
         .groupBy(col("v"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("v"), col("lbl"))
+        .groupBy(col("v"))
+        .agg(expr("min_by(lbl, struct(-c, lbl))").as("lbl"))
     }
     lbl.select(col("v").as("part_id"), col("lbl").as("community"))
   }
@@ -1427,7 +1445,9 @@ object Graph {
     val edges = und.union(und.select(col("dst").as("src"),
       col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src")
+    // r12 OPT: same edge-grain per-superstep pin as
+    // [[pagerankCoPurchase]] — A/B numbers there
+    val withDeg = edges.join(deg, "src").cache()
     // seed membership is a pure function of the id (id % seedMod),
     // so no node-set join is ever needed to (re)derive it; the seed
     // RELATION still comes from deg because a seed must exist in

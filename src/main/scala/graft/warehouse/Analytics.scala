@@ -5046,13 +5046,22 @@ object Analytics {
       minBuyers: Long = 5): DataFrame = {
     val w = Window.orderBy(col("repeat_ppm").desc,
       col("n_buyers").desc, col("part_id"))
+    // r12 OPT (guide §2.2, r11 VERDICT #4): dedupe to the DISTINCT
+    // (order, part) grain BEFORE the orders join — map-side
+    // combinable, drops repeated (order, part) lines ahead of the
+    // join, and turns the downstream countDistinct (which was
+    // planned as an extra (part, cust, order)-keyed aggregate pair
+    // AFTER the join) into a plain count: each (part, cust) group now
+    // holds one row per distinct order by construction. Same
+    // n_orders, same output.
     Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
       .join(Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_partkey").as("part_id"),
         col("o_custkey").as("cust"))
-      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      .agg(count(lit(1)).as("n_orders"))
       .groupBy("part_id")
       .agg(count(lit(1)).as("n_buyers"),
         count_if(col("n_orders") >= 2).as("repeat_buyers"))
