@@ -59,6 +59,30 @@ object ProfileR12 {
     timed("tm: +permonth rank")(println("ranked=" + ranked.count()))
     timed("tm: full")(println("out=" +
       graft.warehouse.Analytics.topMovers(s, d).count()))
+
+    // moment-row cost attribution (partial_corr/cov_matrix, sf1)
+    val li4 = Tables.lineitem(s, d).select(
+      (col("l_quantity").cast(DecimalType(12, 2)) * 100)
+        .cast("long").as("a"),
+      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long").as("b"),
+      (col("l_discount").cast(DecimalType(12, 2)) * 100)
+        .cast("long").as("c0"),
+      (col("l_tax").cast(DecimalType(12, 2)) * 100)
+        .cast("long").as("d0"))
+    timed("mom: scan+casts only")(println(
+      li4.agg(count(lit(1))).collect()(0)))
+    timed("mom: 4 long sums")(println(
+      li4.agg(sum(col("a")), sum(col("b")), sum(col("c0")),
+        sum(col("d0"))).collect()(0)))
+    val prods = Seq(("a","a"),("a","b"),("a","c0"),("a","d0"),("b","b"),
+      ("b","c0"),("b","d0"),("c0","c0"),("c0","d0"),("d0","d0"))
+    timed("mom: 10 decimal38 product sums")(println(
+      li4.agg(prods.map { case (x, y) =>
+        sum((col(x) * col(y)).cast(DecimalType(38, 0))) }.head,
+        prods.tail.map { case (x, y) =>
+          sum((col(x) * col(y)).cast(DecimalType(38, 0))) }: _*)
+        .collect()(0).toString.take(60)))
     s.stop()
   }
 }

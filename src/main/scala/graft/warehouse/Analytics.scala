@@ -50,10 +50,22 @@ object Analytics {
     */
   def skuTopNPerCategory(s: SparkSession, d: String, n: Int = 3): DataFrame = {
     val li = Tables.lineitem(s, d)
+    // r12 OPT: broadcast hint REMOVED — part grows with the fact
+    // tables (2M rows ≈ 60 MB at sf1, already brushing the 64 MB
+    // threshold), so the forced broadcast was exactly the r7
+    // What's-wrong #4 anti-pattern; AQE picks broadcast off the
+    // RUNTIME size while part is small and falls back to sort-merge
+    // when it is not. Revenue as ONE long product per row
+    // (price_c·(100−disc_c) = price·(1−disc)·10⁴ exactly — the
+    // topMovers/cov_matrix r11 discipline) summed in DECIMAL(38,0),
+    // divided back to the same exact decimal before the double cast:
+    // identical value, no per-row BigDecimal allocations.
     val p = Tables.part(s, d)
-    val sku = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    val sku = li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_type").as("category"), col("l_partkey").as("sku_id"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+      .agg((sum((Dwd.cents(col("l_extendedprice")) *
+          (lit(100L) - Dwd.cents(col("l_discount"))))
+          .cast(DecimalType(38, 0))) / 10000)
         .cast("double").as("amount"))
     val w = Window.partitionBy("category")
       .orderBy(col("amount").desc, col("sku_id"))
@@ -413,8 +425,7 @@ object Analytics {
   def autocorrGmv(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("g"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("g"))
     val w = Window.orderBy(col("dt"))
     // DECIMAL(19): one digit past int64 so BOTH engines run the
     // product in 128-bit storage (DuckDB's DECIMAL(18) multiply
@@ -464,8 +475,7 @@ object Analytics {
     val fact = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("g"),
         col("l_quantity").cast("long").as("q"),
-        (col("l_discount").cast(DecimalType(4, 2)) * 100)
-          .cast("long").as("dd"))
+        Dwd.cents(col("l_discount")).as("dd"))
     def rank2(vCol: String): DataFrame = {
       val w = Window.partitionBy(col("g")).orderBy(col(vCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -572,8 +582,7 @@ object Analytics {
       k: Int = 5): DataFrame = {
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("g"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("g"))
     val idx = daily.withColumn("rn",
       row_number().over(Window.orderBy("dt")))
     val mx = idx.agg(max(col("rn")).as("nmax"))
@@ -896,8 +905,7 @@ object Analytics {
       : DataFrame = {
     val d38 = DecimalType(38, 0)
     val byVal = Tables.lineitem(s, d)
-      .select((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long").as("v"),
+      .select(Dwd.cents(col("l_extendedprice")).as("v"),
         col("l_quantity").cast("long").as("wt"))
       .groupBy("v").agg(sum(col("wt")).as("wt"))
     val cum = byVal
@@ -1023,8 +1031,7 @@ object Analytics {
     val w = Window.orderBy(col("dt"))
     Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("g"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("g"))
       .withColumn("pg", lag(col("g"), 1).over(w))
       .agg(
         // explicit CASE (not greatest): NULL-vs-greatest semantics
@@ -1125,8 +1132,7 @@ object Analytics {
   def expSmoothGmv(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("g"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("g"))
     daily
       .agg(sort_array(collect_list(struct(col("dt"), col("g")))).as("ser"))
       .select(explode(aggregate(col("ser"),
@@ -1222,8 +1228,7 @@ object Analytics {
     val monthly = Tables.lineitem(s, d)
       .groupBy(col("l_partkey").as("part_id"),
         date_trunc("month", col("l_shipdate")).cast("date").as("m"))
-      .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("r"),
+      .agg(sum(Dwd.cents(col("l_extendedprice"))).as("r"),
         sum(col("l_quantity").cast("long")).as("q"))
       .withColumn("p", expr("r * 10000L DIV q"))
     // r11 opt note: a localCheckpoint + broadcast-min variant (pin
@@ -1295,8 +1300,7 @@ object Analytics {
     val d38 = DecimalType(38, 0)
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("g"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("g"))
     val monthly = daily
       .groupBy(month(col("dt")).cast("long").as("moy"))
       .agg(count(lit(1)).as("n_days"), sum(col("g")).as("gmv_cents"))
@@ -1352,8 +1356,7 @@ object Analytics {
     * engines replay; the estimate's sign is the decision surface.
     */
   def diffInDiff(s: SparkSession, d: String): DataFrame = {
-    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-      .cast("long")
+    val cents = Dwd.cents(col("o_totalprice"))
     val grp = (col("o_custkey") % 2 === 0)
     val post = col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
     def cell(g: Boolean, p: Boolean, n: String) = Seq(
@@ -1790,8 +1793,7 @@ object Analytics {
     */
   def skyline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val cents = (col("p_retailprice").cast(DecimalType(12, 2)) * 100)
-      .cast("long")
+    val cents = Dwd.cents(col("p_retailprice"))
     val parts = Tables.part(s, d)
       .select(col("p_partkey"), cents.as("price_cents"),
         col("p_size").cast("long").as("size"))
@@ -1968,8 +1970,7 @@ object Analytics {
     */
   def rollupTopK(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
-      .cast("long")
+    val cents = Dwd.cents(col("l_extendedprice"))
     val cells = Tables.lineitem(s, d)
       .join(Tables.orders(s, d),
         col("l_orderkey") === col("o_orderkey"))
@@ -2232,7 +2233,7 @@ object Analytics {
     val wCust = Window.partitionBy("o_custkey")
     val tagged = Tables.orders(s, d)
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
-        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+        Dwd.cents(col("o_totalprice")).as("cents"))
       .withColumn("first_day", min(col("day")).over(wCust))
     tagged
       .groupBy(col("day"))
@@ -2496,7 +2497,7 @@ object Analytics {
     */
   def kpiSummary(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).agg(
-      sum((dec(col("o_totalprice")) * 100).cast("long")).as("gmv_cents"),
+      sum(Dwd.cents(col("o_totalprice"))).as("gmv_cents"),
       count(lit(1)).as("n_orders"),
       countDistinct(col("o_custkey")).as("n_customers"))
     val e = Tables.events(s, d).agg(
@@ -2547,7 +2548,7 @@ object Analytics {
       .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
         hour(col("ts")).cast("long").as("hr"))
       .agg(count(lit(1)).as("n_events"),
-        sum((col("value").cast(DecimalType(12, 2)) * 100).cast("long"))
+        sum(Dwd.cents(col("value")))
           .as("cents"))
     cells.crossJoin(broadcast(
         cells.agg(sum(col("n_events")).as("total"))))
@@ -2567,8 +2568,7 @@ object Analytics {
   def promoLift(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val daily = ev.groupBy(to_date(col("ts")).as("day"))
-      .agg(sum((col("value").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("cents"))
+      .agg(sum(Dwd.cents(col("value"))).as("cents"))
     val promoDays = ev.select(trunc(to_date(col("ts")), "month").as("m0"))
       .distinct()
       .select(col("m0"), date_add(col("m0"), 10).as("m_end"))
@@ -2691,7 +2691,7 @@ object Analytics {
       .select(col("o_custkey"), col("o_orderkey"),
         datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
           .cast("long").as("day_num"),
-        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+        Dwd.cents(col("o_totalprice")).as("cents"))
       .withColumn("trail7_cents", sum(col("cents")).over(w))
       .select("o_custkey", "o_orderkey", "day_num", "trail7_cents")
   }
@@ -2728,8 +2728,7 @@ object Analytics {
   private def dailyGmvCents(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("g"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("g"))
 
   /** OLS trend line over the daily GMV series (the dashboard
     * "trend" overlay on the reference's GMV curve,
@@ -3047,8 +3046,7 @@ object Analytics {
     */
   def priceCdf(s: SparkSession, d: String): DataFrame = {
     val probes = Seq(50000L, 100000L, 200000L, 300000L, 400000L)
-    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-      .cast("long")
+    val cents = Dwd.cents(col("o_totalprice"))
     val aggs = count(lit(1)).as("n") +: probes.zipWithIndex.map {
       case (p, i) => count_if(cents <= p * 100).as(s"c$i")
     }
@@ -3100,8 +3098,7 @@ object Analytics {
     val o = Tables.orders(s, d).select(col("o_custkey"),
       (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
         .cast("long").as("ym"),
-      (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long").as("cents"))
+      Dwd.cents(col("o_totalprice")).as("cents"))
     val first = o.groupBy("o_custkey").agg(min(col("ym")).as("cohort_ym"))
     val sized = first.groupBy("cohort_ym")
       .agg(countDistinct(col("o_custkey")).as("cohort_users"))
@@ -3195,8 +3192,7 @@ object Analytics {
     import s.implicits._
     val spend = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("x"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("x"))
     val ranked = spend
       .repartitionByRange(col("x"), col("o_custkey"))
       .sortWithinPartitions("x", "o_custkey")
@@ -3239,8 +3235,7 @@ object Analytics {
     val d38 = DecimalType(38, 0)
     val spend = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("x"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("x"))
     val ranked = spend
       .repartitionByRange(col("x"), col("o_custkey"))
       .sortWithinPartitions("x", "o_custkey")
@@ -3559,8 +3554,7 @@ object Analytics {
     val nb = k - 2
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("y"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("y"))
       .select(datediff(col("dt"), lit("1970-01-01").cast("date"))
         .cast("long").as("x"), col("y"))
     val all = Window.partitionBy()
@@ -3634,8 +3628,7 @@ object Analytics {
       .join(broadcast(Tables.nation(s, d)),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("gmv"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("gmv"))
     val all = Window.partitionBy()
     val quoted = g
       .withColumn("tot", sum(col("gmv")).over(all))
@@ -3710,8 +3703,7 @@ object Analytics {
   def holtWinters(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("g"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("g"))
       .select(col("dt"), col("g"),
         (datediff(col("dt"), lit("1970-01-01").cast("date")) % 7)
           .cast("long").as("dow"))
@@ -3776,8 +3768,7 @@ object Analytics {
   def theilSen(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("g"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("g"))
       .select(datediff(col("dt"), lit("1970-01-01").cast("date"))
         .cast("long").as("x"), col("g").as("y"))
       .cache()
@@ -3918,8 +3909,7 @@ object Analytics {
     val monthly = Tables.lineitem(s, d)
       .groupBy(col("l_partkey").as("part_id"),
         date_trunc("month", col("l_shipdate")).cast("date").as("m"))
-      .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("r"),
+      .agg(sum(Dwd.cents(col("l_extendedprice"))).as("r"),
         sum(col("l_quantity").cast("long")).as("q"))
     // r11 OPT (guide §2.4): lag and lead share ONE window pass (same
     // partition/order spec), and the exit contribution rides the
@@ -4046,8 +4036,7 @@ object Analytics {
     * encoding and are reported with nulls.
     */
   def targetEncodeLoo(s: SparkSession, d: String): DataFrame = {
-    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-      .cast("long")
+    val cents = Dwd.cents(col("o_totalprice"))
     val rows = Tables.orders(s, d)
       .select(col("o_orderpriority").as("cat"), cents.as("x"))
     val stats = rows.groupBy("cat")
@@ -4131,7 +4120,7 @@ object Analytics {
   def argMaxDaily(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(to_date(col("ts")).as("day"), col("user_id"),
-        (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+        Dwd.cents(col("value"))
           .as("value_cents"))
     val w = Window.partitionBy("day")
       .orderBy(col("value_cents").desc, col("user_id"))
@@ -4152,7 +4141,7 @@ object Analytics {
     val cells = Tables.orders(s, d)
       .groupBy(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("ym"),
         col("o_orderpriority"))
-      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("cents"))
     val totals = cells.groupBy("ym")
       .agg(sum(col("cents")).as("tot"))
     cells.join(broadcast(totals), "ym")
@@ -4184,8 +4173,8 @@ object Analytics {
         (year(to_date(col("o_orderdate"))) * 12 +
           month(to_date(col("o_orderdate")))).cast("long").as("mi"),
         col("l_partkey").as("part_id"))
-      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long") *
-        (lit(100L) - (dec(col("l_discount")) * 100).cast("long"))).as("x"))
+      .agg(sum(Dwd.cents(col("l_extendedprice")) *
+        (lit(100L) - Dwd.cents(col("l_discount")))).as("x"))
     val ranked = rev.withColumn("rk", row_number().over(
       Window.partitionBy("mi").orderBy(col("x").desc, col("part_id")))
       .cast("long"))
@@ -4257,8 +4246,7 @@ object Analytics {
     import s.implicits._
     val spend = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("x"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("x"))
     val ranked = spend
       .repartitionByRange(col("x"), col("o_custkey"))
       .sortWithinPartitions("x", "o_custkey")
@@ -4341,8 +4329,7 @@ object Analytics {
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("n_orders"),
-        sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-          .cast("long")).as("g"))
+        sum(Dwd.cents(col("o_totalprice"))).as("g"))
     // DECIMAL(19) inputs → 128-bit products on both engines (the
     // autocorr discipline); sums widen to DECIMAL(38)
     val x = col("n_orders").cast(DecimalType(19, 0))
@@ -4414,8 +4401,7 @@ object Analytics {
       .groupBy(col("n_name"),
         datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
           .cast("long").as("day_num"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("g"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("g"))
     val x = col("day_num").cast(DecimalType(19, 0))
     val y = col("g").cast(DecimalType(19, 0))
     daily.groupBy(col("n_name"))
@@ -4452,8 +4438,7 @@ object Analytics {
   def abCuped(s: SparkSession, d: String): DataFrame = {
     // 2024-01-16T00:00:00Z — the midpoint of the corpus' event span
     val cutUs = 1705363200000000L
-    val cents = (col("value").cast(DecimalType(12, 2)) * 100)
-      .cast("long")
+    val cents = Dwd.cents(col("value"))
     val isBuy = col("event_type") === "purchase"
     val perUser = Tables.events(s, d)
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
@@ -4508,8 +4493,7 @@ object Analytics {
     * self-join); the global rollup is a 1-row aggregate.
     */
   def priceVolumeMix(s: SparkSession, d: String): DataFrame = {
-    val rev = (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
-      .cast("long")
+    val rev = Dwd.cents(col("l_extendedprice"))
     val y = year(col("l_shipdate"))
     val perPart = Tables.lineitem(s, d)
       .filter(y.isin(1996, 1997))
@@ -4560,8 +4544,7 @@ object Analytics {
       .groupBy(col("p_brand").as("brand"),
         col("l_orderkey").as("ok"))
       .agg(sum(col("l_quantity").cast("long")).as("units"),
-        sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
-          .cast("long")).as("rev"))
+        sum(Dwd.cents(col("l_extendedprice"))).as("rev"))
     val total = Tables.orders(s, d).agg(count(lit(1)).as("total_orders"))
     perBrandOrder.groupBy("brand")
       .agg(count(lit(1)).as("orders_w"),
@@ -4593,8 +4576,7 @@ object Analytics {
         sum(when(col("l_returnflag") === "R",
           col("l_quantity").cast("long")).otherwise(0L)).as("ret_qty"),
         sum(when(col("l_returnflag") === "R",
-          (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
-            .cast("long")).otherwise(0L)).cast("long")
+          Dwd.cents(col("l_extendedprice"))).otherwise(0L)).cast("long")
           .as("ret_rev_cents"))
       .select(col("category"), col("qty"), col("ret_qty"),
         col("ret_rev_cents"),
@@ -4611,13 +4593,11 @@ object Analytics {
     Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d).select(col("p_partkey"),
         col("p_brand"),
-        (col("p_retailprice").cast(DecimalType(12, 2)) * 100)
-          .cast("long").as("retail_cents"))),
+        Dwd.cents(col("p_retailprice")).as("retail_cents"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand").as("brand"))
       .agg(
-        sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
-          .cast("long")).cast("long").as("rev_cents"),
+        sum(Dwd.cents(col("l_extendedprice"))).cast("long").as("rev_cents"),
         sum(col("l_quantity").cast("long") * col("retail_cents"))
           .cast("long").as("list_cents"))
       .withColumn("realization_ppm",
@@ -4635,8 +4615,7 @@ object Analytics {
     val w = Window.orderBy(col("tier"))
     Tables.lineitem(s, d)
       .select(expr("CAST(l_quantity AS BIGINT) DIV 10").as("tier"),
-        (col("l_discount").cast(DecimalType(4, 2)) * 100)
-          .cast("long").as("pct"))
+        Dwd.cents(col("l_discount")).as("pct"))
       .groupBy("tier")
       .agg(count(lit(1)).as("n_lines"),
         expr("SUM(pct) * 10000 DIV COUNT(1)").as("avg_disc_ppm"))
@@ -4674,8 +4653,7 @@ object Analytics {
           .as("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast("long")).as("qty"),
-        sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
-          .cast("long")).as("rev"))
+        sum(Dwd.cents(col("l_extendedprice"))).as("rev"))
     val lo = b.filter(col("bucket") === "lo")
       .select(col("part_id"), col("n").as("n1"), col("qty").as("q1"),
         col("rev").as("r1"))
@@ -4712,8 +4690,7 @@ object Analytics {
     val w = Window.orderBy(col("spread_ppm").desc, col("l_partkey"))
     Tables.lineitem(s, d)
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
-          .cast("long")).as("rev"),
+      .agg(sum(Dwd.cents(col("l_extendedprice"))).as("rev"),
         sum(col("l_quantity").cast("long")).as("qty"))
       .select(col("l_partkey"), expr("rev DIV qty").as("unit_c"))
       .groupBy("l_partkey")
@@ -4742,8 +4719,7 @@ object Analytics {
     * carry both nation keys through one shuffle.
     */
   def tradeBalance(s: SparkSession, d: String): DataFrame = {
-    val cents = (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
-      .cast("long")
+    val cents = Dwd.cents(col("l_extendedprice"))
     val nat = Tables.nation(s, d)
       .select(col("n_nationkey"), col("n_name"))
     val exports = Tables.lineitem(s, d)
@@ -4808,8 +4784,7 @@ object Analytics {
   def walletShare(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val spend = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("cust"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("spend"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("spend"))
     val wN = Window.partitionBy("nation")
     val rkW = Window.partitionBy("nation")
       .orderBy(col("spend").desc, col("cust"))
@@ -4840,8 +4815,7 @@ object Analytics {
       .agg(count(lit(1)).as("n_lines"))
     Tables.orders(s, d)
       .select(col("o_orderkey").as("ok"),
-        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-          .cast("long").as("cents"))
+        Dwd.cents(col("o_totalprice")).as("cents"))
       .join(lines, Seq("ok"))
       .groupBy("n_lines")
       .agg(count(lit(1)).as("n_orders"),
@@ -4925,8 +4899,7 @@ object Analytics {
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
         .as("mth"))
       .agg(count(lit(1)).as("n_orders"),
-        sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-          .cast("long")).as("gmv_cents"))
+        sum(Dwd.cents(col("o_totalprice"))).as("gmv_cents"))
       .withColumn("aov_cents", expr("gmv_cents DIV n_orders"))
       .withColumn("pn", lag(col("n_orders"), 1).over(w))
       .withColumn("pg", lag(col("gmv_cents"), 1).over(w))
@@ -4995,8 +4968,7 @@ object Analytics {
     val w = Window.orderBy(col("n_parts").desc, col("ending"))
     val total = Tables.part(s, d).count()
     Tables.part(s, d)
-      .select(((col("p_retailprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long") % 100).as("ending"))
+      .select((Dwd.cents(col("p_retailprice")) % 100).as("ending"))
       .groupBy("ending")
       .agg(count(lit(1)).as("n_parts"))
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -5114,15 +5086,23 @@ object Analytics {
     // moment row fell 1.8s → 0.07s isolated; a spread() before the
     // aggregate was tried and REJECTED (+0.2s — the exchange costs
     // more than the now-cheap map work, ProfileR11 probes).
+    // r12 OPT (guide §4, ProfileR12 probe): the double→DECIMAL(12,2)
+    // casts were the SCAN TAX of this query — 5.3s of the 7.2s sf1
+    // cost (BigDecimal.valueOf + setScale per value; the sums are
+    // long/decimal adds). The money columns are exact ≤2-dp doubles
+    // (the warehouse data contract both engines read), for which
+    // trunc(x·100 + 0.5) is the SAME half-up 2-dp integerization the
+    // decimal cast performs — pure codegen'd FP, no allocation. The
+    // oracle replays the decimal form and grades bit-equality at
+    // sf0.01/sf0.1/sf1, which is what pins the two forms together on
+    // the data this engine serves; inputs with >2 fractional digits
+    // are outside the money contract (and would already diverge from
+    // the DECIMAL(12,2) oracle at ingest).
     val base = (Tables.lineitem(s, d).select(
-      (col("l_quantity").cast(DecimalType(12, 2)) * 100)
-        .cast("long").as("qty"),
-      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long").as("price"),
-      (col("l_discount").cast(DecimalType(12, 2)) * 100)
-        .cast("long").as("disc"),
-      (col("l_tax").cast(DecimalType(12, 2)) * 100)
-        .cast("long").as("tax")))
+      (col("l_quantity") * 100 + 0.5).cast("long").as("qty"),
+      (col("l_extendedprice") * 100 + 0.5).cast("long").as("price"),
+      (col("l_discount") * 100 + 0.5).cast("long").as("disc"),
+      (col("l_tax") * 100 + 0.5).cast("long").as("tax")))
     val aggs = momentVars.map(v => sum(col(v)).as(s"s_$v")) ++
       momentPairs.map { case (a, b) =>
         sum((col(a) * col(b)).cast(d38))
@@ -5225,8 +5205,7 @@ object Analytics {
   def shapeProfile(s: SparkSession, d: String): DataFrame = {
     val base = Tables.lineitem(s, d).select(
       col("l_returnflag").as("rf"),
-      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long").as("cents"))
+      Dwd.cents(col("l_extendedprice")).as("cents"))
     val w = Window.partitionBy("rf").orderBy("cents")
     val ranked = base
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -5365,8 +5344,7 @@ object Analytics {
     val monthly = Tables.lineitem(s, d)
       .groupBy(col("l_partkey").as("part_id"),
         date_trunc("month", col("l_shipdate")).as("mo"))
-      .agg(sum((col("l_quantity").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("q"))
+      .agg(sum(Dwd.cents(col("l_quantity"))).as("q"))
     // r11 OPT (guide §1.2): the global month count read the monthly
     // rollup, re-running the (part, month) fact aggregate a second
     // time; distinct months come off a single-column fact scan
@@ -5374,10 +5352,14 @@ object Analytics {
     val nMonths = Tables.lineitem(s, d)
       .agg(countDistinct(date_trunc("month", col("l_shipdate")))
         .as("n_months"))
+    // r12 OPT (r11 cov_matrix discipline): q is a ×100 monthly
+    // quantity — bounded by lines-per-(part,month)·5000, ≤ ~10⁶ even
+    // at extreme SFs — so q² fits a LONG with 6 orders of headroom;
+    // the per-row square runs in codegen'd long arithmetic and only
+    // the accumulating sum stays DECIMAL(38,0) (identical integer).
     val perPart = monthly.groupBy("part_id")
       .agg(count(lit(1)).as("nw"), sum(col("q")).as("sq"),
-        sum((col("q").cast(DecimalType(19, 0))
-          * col("q").cast(DecimalType(19, 0)))
+        sum((col("q") * col("q"))
           .cast(DecimalType(38, 0))).as("sqq"))
       .crossJoin(broadcast(nMonths))
       .withColumn("adi_ppm", expr("n_months * 1000000 DIV nw"))
@@ -5507,8 +5489,7 @@ object Analytics {
     val d38 = DecimalType(38, 0)
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("g"),
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("g"),
         count(lit(1)).as("c"))
     val pairs = daily.as("a").join(daily.as("b"),
         col("a.dt") < col("b.dt"))
@@ -5669,8 +5650,7 @@ object Analytics {
     import s.implicits._
     val raw = Tables.orders(s, d)
       .select(to_date(col("o_orderdate")).as("dt"),
-        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-          .cast("long").as("cents"))
+        Dwd.cents(col("o_totalprice")).as("cents"))
       .groupBy(expr("CAST(dayofweek(dt) AS INT)").as("dow"),
         date_format(col("dt"), "yyyy-MM").as("mon"))
       .agg(sum(col("cents")).as("g"))
@@ -5781,8 +5761,7 @@ object Analytics {
     val W = org.apache.spark.sql.expressions.Window
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("g"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("g"))
       .select((row_number().over(W.orderBy("dt")) - 1).as("i"),
         col("g"))
     val n1 = daily.agg(count(lit(1)).as("n_days"),
@@ -5886,8 +5865,7 @@ object Analytics {
     val W = org.apache.spark.sql.expressions.Window
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("g"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("g"))
       .select((row_number().over(W.orderBy("dt")) - 1).as("t"),
         col("g"))
     val details = daily
@@ -5976,8 +5954,7 @@ object Analytics {
     val W = org.apache.spark.sql.expressions.Window
     val observed = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("g"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("g"))
     val span = observed.agg(min(col("dt")).as("d0"),
       max(col("dt")).as("d1"))
     val calendar = span
@@ -6086,8 +6063,7 @@ object Analytics {
     val W = org.apache.spark.sql.expressions.Window
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("g"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("g"))
     val dom = daily.groupBy("g").agg(count(lit(1)).as("c"))
     val r2 = dom.select(col("g"),
       (sum(col("c")).over(W.orderBy("g").rowsBetween(

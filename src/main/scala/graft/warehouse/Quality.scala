@@ -258,8 +258,7 @@ object Quality {
   private def cumFrame(s: SparkSession, d: String,
       splitDate: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-      .cast("long")
+    val cents = Dwd.cents(col("o_totalprice"))
     val byVal = Tables.orders(s, d)
       .select(cents.as("v"),
         (col("o_orderdate") < lit(splitDate).cast("timestamp")).as("is_a"))
@@ -363,8 +362,7 @@ object Quality {
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long")).as("g"))
+      .agg(sum(Dwd.cents(col("o_totalprice"))).as("g"))
     val moves = daily
       .withColumn("pg", lag(col("g"), 1).over(Window.orderBy("dt")))
       .filter(col("pg").isNotNull && col("g") =!= col("pg"))
@@ -440,17 +438,14 @@ object Quality {
     // sign split out.
     val lineRev = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"),
-        ((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
-          .cast("long") *
-         (lit(10000L) + (col("l_tax").cast(DecimalType(8, 4)) * 10000)
-           .cast("long")) *
-         (lit(10000L) - (col("l_discount").cast(DecimalType(8, 4)) * 10000)
-           .cast("long"))).as("line_s"))
+        (Dwd.cents(col("l_extendedprice")) *
+         (lit(10000L) + (col("l_tax") * 10000 + 0.5).cast("long")) *
+         (lit(10000L) - (col("l_discount") * 10000 + 0.5).cast("long")))
+          .as("line_s"))
       .groupBy("ok").agg(sum(col("line_s")).as("rev_s"))
     Tables.orders(s, d)
       .select(col("o_orderkey"),
-        ((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-          .cast("long") * lit(100000000L)).as("tp_s"))
+        (Dwd.cents(col("o_totalprice")) * lit(100000000L)).as("tp_s"))
       .join(lineRev, col("o_orderkey") === col("ok"))
       .select(
         when(col("tp_s") >= col("rev_s"), 1L).otherwise(-1L).as("sign"),
@@ -1011,8 +1006,7 @@ object Quality {
       windowDays: Int = 3): DataFrame = {
     val o = Tables.orders(s, d).select(
       col("o_orderkey").as("okey"), col("o_custkey").as("ck"),
-      (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast("long").as("cents"),
+      Dwd.cents(col("o_totalprice")).as("cents"),
       to_date(col("o_orderdate")).as("dt"))
     o.as("a").join(o.as("b"),
         col("a.ck") === col("b.ck") && col("a.okey") < col("b.okey"))
