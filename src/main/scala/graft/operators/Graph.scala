@@ -231,20 +231,40 @@ object Graph {
   def assocTriples(s: SparkSession, d: String,
       minSupport: Long = 2): DataFrame = {
     val li = orderParts(s, d)
+    // r12 OPT (guide §3.1, ProfileR12c): the layout is bucketed AND
+    // sorted on ok precisely so basket self-joins run as
+    // co-partitioned zero-Exchange merge joins — but at sf1 the
+    // compressed file slides under the 64 MB broadcast threshold and
+    // the planner built TWO full-table hash relations (~6M rows
+    // each) instead, the r7 What's-wrong #4 anti-pattern made
+    // static. The merge hint restores the designed bucket join; at
+    // 100 TB it is the only shape that survives.
     val triples = li.as("a")
-      .join(li.as("b"),
+      .join(li.as("b").hint("merge"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .join(li.as("c"),
+      .join(li.as("c").hint("merge"),
         col("a.ok") === col("c.ok") && col("b.pk") < col("c.pk"))
       .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"),
         col("c.pk").as("pc"))
       .agg(count(lit(1)).as("n_abc"))
       .filter(col("n_abc") >= minSupport)
+    // merge hint, same reason: the alternative was a STATIC broadcast
+    // of the whole 12M-row pair layout into the triple join
     val pairs = coPurchasePairCounts(s, d)
       .select(col("s").as("pa"), col("t").as("pb"),
         col("n_st").as("n_ab"))
+      .hint("merge")
+    // r12 OPT (guide §1.2, ProfileR12c probe): `singles` is
+    // part-grain (bounded node state) but joined THREE times — each
+    // unpinned copy re-ran the layout scan + rollup (~1.2s × 3 at
+    // sf1). Lazy cache = one rollup, three in-memory reads. The
+    // basket total moves from a CONSTRUCTION-TIME driver count()
+    // (an extra full distinct job on every call) to a 1-row
+    // broadcast cross join — same integer, computed inside the plan.
     val singles = li.groupBy(col("pk")).agg(count(lit(1)).as("n_one"))
-    val total = li.select(col("ok")).distinct().count()
+      .cache()
+    val total = li.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("nb_total"))
     triples
       .join(pairs, Seq("pa", "pb"))
       .join(singles.withColumnRenamed("pk", "pa")
@@ -253,9 +273,10 @@ object Graph {
         .withColumnRenamed("n_one", "n_b"), "pb")
       .join(singles.withColumnRenamed("pk", "pc")
         .withColumnRenamed("n_one", "n_c"), "pc")
+      .crossJoin(broadcast(total))
       .select(col("pa"), col("pb"), col("pc"), col("n_abc"),
         expr("n_abc * 1000000 DIV n_ab").as("conf_ab_c_ppm"),
-        expr(s"""CAST(CAST(n_abc AS DECIMAL(38,0)) * $total * $total
+        expr("""CAST(CAST(n_abc AS DECIMAL(38,0)) * nb_total * nb_total
                 * 1000000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b * n_c)
                 AS BIGINT)""").as("lift3_e6"))
   }
@@ -551,13 +572,34 @@ object Graph {
     val li = orderParts(s, d)
     val nb = li.groupBy("pk").agg(count(lit(1)).as("n"))
     val tot = li.agg(countDistinct(col("ok")).as("nb_total"))
-    // orderBy+limit plans TakeOrderedAndProject — no global sort
+    // orderBy+limit plans TakeOrderedAndProject — no global sort.
+    // r12 OPT (guide §1.2, ProfileR12c probe): top is ≤topN ROWS but
+    // was self-joined unpinned — BOTH sides re-ran the layout scan +
+    // basket rollup + top-k (the full query measured 7.4s at sf1
+    // against 2.6s of underlying stages). localCheckpoint pins the
+    // 40-row frame; the duplicated subtree collapses. sf1 7.44 →
+    // measured below; oracle green.
     val top = nb.orderBy(col("n").desc, col("pk")).limit(topN)
+      .localCheckpoint()
     val cand = top.as("a").join(top.as("b"),
         col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("part_a"), col("b.pk").as("part_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
-    cand.join(coPurchasePairCounts(s, d),
+    // r12 OPT (guide §3.2, ProfileR12c): the left join's preserved
+    // side is the C(topN,2) candidate set, so the planner could only
+    // broadcast the PAIR side — the whole co-occurrence layout (12M
+    // rows / ~300 MB hash relation at sf1, unbounded at 100 TB; it
+    // slid under the 64 MB threshold on compressed file size).
+    // Pre-filtering the pair layout to candidate endpoints with two
+    // broadcast semi-joins on the ≤topN id set bounds the matched
+    // side by C(topN,2) BY CONSTRUCTION; no forced broadcast on the
+    // filtered frame (plan-lint discipline) — AQE sees the ≤780-row
+    // runtime size and converts the join itself.
+    val ids = top.select(col("pk"))
+    val candPairs = coPurchasePairCounts(s, d)
+      .join(broadcast(ids.select(col("pk").as("s"))), Seq("s"), "left_semi")
+      .join(broadcast(ids.select(col("pk").as("t"))), Seq("t"), "left_semi")
+    cand.join(candPairs,
         col("part_a") === col("s") && col("part_b") === col("t"),
         "left")
       .crossJoin(broadcast(tot)) // 1-row totals — constant bound

@@ -1692,10 +1692,18 @@ object Similarity {
     // (the window's rank-1 row only ever contributed its d2, so the
     // tie-break was decoration), one groupBy instead of two plan
     // copies of the whole ip subtree. 20 scans → 3, 46 Exchanges → 7.
+    // r12 OPT (guide §4, the cov_matrix discipline): the ⟨q,S⟩
+    // products run on the n·d·L-row stream — the query's biggest
+    // relation — and each paid two DECIMAL(19) casts + a decimal
+    // multiply per row. |q| ≤ 10⁶ (unit-scale embedding × 10⁶) and
+    // |sd| ≤ n_label·10⁶, so the LONG product |q·sd| ≤ n_label·10¹²
+    // stays exact while any label holds < ~9.2·10⁶ vectors — far
+    // above every tested SF (sf1: 2·10³/label); only the
+    // ACCUMULATING sum stays DECIMAL(38,0), which is where the
+    // unbounded growth lives. Identical integers, oracle-pinned.
     val ip = q.join(broadcast(cent.select("label", "dim", "sd")), Seq("dim"))
       .groupBy("vec_id", "own", "label")
-      .agg(sum((col("q").cast(d19) * col("sd").cast(d19)).cast(d38))
-        .as("ipqs"),
+      .agg(sum((col("q") * col("sd")).cast(d38)).as("ipqs"),
         sum(col("q") * col("q")).as("norm2"))
     val scaled = ip.join(broadcast(ssq), Seq("label"))
       .withColumn("d2",

