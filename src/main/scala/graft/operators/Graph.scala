@@ -476,18 +476,22 @@ object Graph {
       .join(e.select(col("src").as("mid"), col("dst")), "mid")
       .select(col("src"), col("dst"))
     // r11 OPT (guide §2.4): provenance tag instead of a second
-    // aggregation + join — 1-hop rows carry one=1 (h1 is a distinct
-    // edge set, so max(one) marks exactly the ≤1-hop pairs), the
-    // frontier dedup becomes the first groupBy, and the per-source
-    // counts ride the SAME partitioning (subset clustering — no
-    // Exchange): k1 = Σone, k2 = row count. One shuffle of the
-    // frontier instead of two plus a join.
-    val tagged = h1.select(col("src"), col("dst"), lit(1L).as("one"))
-      .unionByName(h2.select(col("src"), col("dst"), lit(0L).as("one")))
+    // aggregation + join; r12 OPT (guide §2.3, ProfileR12c probe:
+    // the dedup shuffle carries the ~150M-row path multiset — the
+    // query's entire cost): the 8-byte tag column rode every one of
+    // those rows for information that lives complete in the TINY
+    // 1-hop relation. The dedup now shuffles bare (src, dst) — a
+    // third fewer bytes — and k1 comes from a per-source rollup of
+    // h1 (distinct by construction, sampled-source-grain) joined
+    // back onto the ≤|sources| result.
+    val pairs2 = h1.select(col("src"), col("dst"))
+      .unionByName(h2)
       .filter(col("dst") =!= col("src"))
-    tagged.groupBy("src", "dst").agg(max(col("one")).as("one"))
-      .groupBy("src")
-      .agg(sum(col("one")).as("k1_ct"), count(lit(1)).as("k2_ct"))
+    val k2 = pairs2.distinct()
+      .groupBy("src").agg(count(lit(1)).as("k2_ct"))
+    val k1 = h1.filter(col("dst") =!= col("src"))
+      .groupBy("src").agg(count(lit(1)).as("k1_ct"))
+    k2.join(k1, Seq("src"))
       .select(col("src").as("part_id"), col("k1_ct"), col("k2_ct"))
   }
 

@@ -2165,4 +2165,33 @@ class WarehouseSpec extends AnyFunSuite {
       assert(r.getLong(3) > 0L)
     }
   }
+
+  test("cents() equals the DECIMAL(12,2) half-up integerization on " +
+      "every 2-dp money double (r12 FP fast path)") {
+    import s.implicits._
+    // exhaustive over the fractional domain x.00..x.99 across value
+    // magnitudes up to the o_totalprice range, plus the warehouse's
+    // own money columns end-to-end
+    val synth = (0L until 200000L).map(i => i / 100.0).toDF("x")
+      .union(Seq(99999.99, 104949.50, 0.0, 0.01, 0.09).toDF("x"))
+    val diff = synth.select(
+        Dwd.cents(col("x")).as("fp"),
+        (col("x").cast(DecimalType(12, 2)) * 100).cast("long").as("dec"))
+      .filter(col("fp") =!= col("dec")).count()
+    assert(diff === 0L)
+    val cols = Seq(
+      graft.sources.Tables.orders(s, d).select(col("o_totalprice").as("x")),
+      graft.sources.Tables.lineitem(s, d)
+        .select(col("l_extendedprice").as("x")),
+      graft.sources.Tables.lineitem(s, d).select(col("l_discount").as("x")),
+      graft.sources.Tables.lineitem(s, d).select(col("l_tax").as("x")),
+      graft.sources.Tables.events(s, d).select(col("value").as("x")),
+      graft.sources.Tables.part(s, d).select(col("p_retailprice").as("x")))
+    cols.foreach { c =>
+      val bad = c.select(Dwd.cents(col("x")).as("fp"),
+          (col("x").cast(DecimalType(12, 2)) * 100).cast("long").as("dec"))
+        .filter(col("fp") =!= col("dec")).count()
+      assert(bad === 0L)
+    }
+  }
 }
